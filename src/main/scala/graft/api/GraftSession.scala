@@ -1,0 +1,53 @@
+package graft.api
+
+import graft.graph.PropertyGraph
+import graft.impl.Planner
+import graft.parser.CypherParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Entry point: Cypher over Spark DataFrames.
+  *
+  * Mirrors the reference's session surface
+  * (okapi-relational/.../api/graph/RelationalCypherSession.scala:130-199;
+  * okapi-api/.../api/graph/PropertyGraph.scala:46-117): parse -> plan ->
+  * lazy DataFrame. Nothing executes until an action on the returned frame.
+  */
+class GraftSession(val spark: SparkSession) {
+  /** Named-graph catalog (SessionGraphDataSource equivalent). */
+  val catalog: TrieMap[String, PropertyGraph] = TrieMap.empty
+
+  def store(name: String, g: PropertyGraph): Unit = catalog.put(name, g)
+  def graphByName(name: String): PropertyGraph = catalog(name)
+
+  /** Compile and plan a Cypher query against a graph; the result is a lazy
+    * DataFrame with user-facing column names. */
+  def cypher(graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val ast = CypherParser.parse(query)
+    val planner = new Planner(spark, graph, params)
+    val (df, outs, header) = planner.plan(ast)
+    planner.render(df, outs, header)
+  }
+
+  /** Raw SQL passthrough (CAPFSession.sql / MorpheusSession.sql:84-86). */
+  def sql(query: String): DataFrame = spark.sql(query)
+}
+
+object GraftSession {
+  def local(cores: Int = 32, shufflePartitions: Int = 32): GraftSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new GraftSession(spark)
+  }
+
+  def apply(spark: SparkSession): GraftSession = new GraftSession(spark)
+}

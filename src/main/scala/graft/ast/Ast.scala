@@ -1,0 +1,97 @@
+package graft.ast
+
+/** Abstract syntax tree for the supported openCypher subset.
+  *
+  * Shapes mirror the reference's expression inventory
+  * (okapi-ir/src/main/scala/org/opencypher/okapi/ir/api/expr/Expr.scala)
+  * and block structure (okapi-ir/.../api/block/), collapsed into a single
+  * AST that the planner compiles directly to DataFrame operations.
+  */
+sealed trait Expr
+
+// --- atoms -----------------------------------------------------------------
+case class Var(name: String) extends Expr
+case class Param(name: String) extends Expr
+case class Prop(subject: Expr, key: String) extends Expr
+case class IntLit(v: Long) extends Expr
+case class FloatLit(v: Double) extends Expr
+case class StrLit(v: String) extends Expr
+case class BoolLit(v: Boolean) extends Expr
+case object NullLit extends Expr
+case class ListLit(items: Seq[Expr]) extends Expr
+case class MapLit(items: Seq[(String, Expr)]) extends Expr
+
+// --- boolean ---------------------------------------------------------------
+case class Ands(exprs: Seq[Expr]) extends Expr
+case class Ors(exprs: Seq[Expr]) extends Expr
+case class Xor(lhs: Expr, rhs: Expr) extends Expr
+case class Not(expr: Expr) extends Expr
+/** op one of = <> < <= > >= */
+case class Cmp(op: String, lhs: Expr, rhs: Expr) extends Expr
+case class IsNull(expr: Expr, negated: Boolean) extends Expr
+case class In(lhs: Expr, rhs: Expr) extends Expr
+case class StartsWith(lhs: Expr, rhs: Expr) extends Expr
+case class EndsWith(lhs: Expr, rhs: Expr) extends Expr
+case class Contains(lhs: Expr, rhs: Expr) extends Expr
+case class RegexMatch(lhs: Expr, rhs: Expr) extends Expr
+/** `n:Person:Swedish` label predicate in expression position. */
+case class HasLabels(subject: Expr, labels: Seq[String]) extends Expr
+
+// --- arithmetic ------------------------------------------------------------
+/** op one of + - * / % ^ */
+case class Arith(op: String, lhs: Expr, rhs: Expr) extends Expr
+case class Neg(expr: Expr) extends Expr
+
+// --- calls & control -------------------------------------------------------
+case class FuncCall(name: String, args: Seq[Expr], distinct: Boolean) extends Expr
+case object CountStar extends Expr
+case class CaseExpr(subject: Option[Expr], alternatives: Seq[(Expr, Expr)],
+    default: Option[Expr]) extends Expr
+/** list[idx] or map[key] */
+case class Index(subject: Expr, idx: Expr) extends Expr
+/** list[from..to] */
+case class Slice(subject: Expr, from: Option[Expr], to: Option[Expr]) extends Expr
+/** [x IN list WHERE pred | proj] */
+case class ListComprehension(variable: String, list: Expr, where: Option[Expr],
+    projection: Option[Expr]) extends Expr
+/** any/all/none/single(x IN list WHERE pred) */
+case class IterablePredicate(kind: String, variable: String, list: Expr,
+    where: Expr) extends Expr
+/** reduce(acc = init, x IN list | expr) */
+case class Reduce(acc: String, init: Expr, variable: String, list: Expr,
+    step: Expr) extends Expr
+/** EXISTS { (a)-[:T]->(b) } / bare pattern predicate in WHERE. */
+case class PatternPredicate(pattern: PatternPart, negated: Boolean) extends Expr
+
+// --- patterns --------------------------------------------------------------
+sealed trait Direction
+case object OUT extends Direction
+case object IN extends Direction
+case object BOTH extends Direction
+
+case class NodePattern(variable: Option[String], labels: Seq[String],
+    props: Seq[(String, Expr)])
+case class RelPattern(variable: Option[String], types: Seq[String],
+    props: Seq[(String, Expr)], direction: Direction,
+    varLength: Option[(Int, Option[Int])])
+case class PatternPart(head: NodePattern, tail: Seq[(RelPattern, NodePattern)],
+    pathVar: Option[String] = None)
+case class Pattern(parts: Seq[PatternPart])
+
+// --- clauses ---------------------------------------------------------------
+sealed trait Clause
+case class Match(optional: Boolean, pattern: Pattern, where: Option[Expr])
+    extends Clause
+case class Unwind(expr: Expr, alias: String) extends Clause
+case class ReturnItem(expr: Expr, alias: Option[String])
+case class SortItem(expr: Expr, ascending: Boolean)
+case class With(distinct: Boolean, star: Boolean, items: Seq[ReturnItem],
+    orderBy: Seq[SortItem], skip: Option[Expr], limit: Option[Expr],
+    where: Option[Expr]) extends Clause
+case class Return(distinct: Boolean, star: Boolean, items: Seq[ReturnItem],
+    orderBy: Seq[SortItem], skip: Option[Expr], limit: Option[Expr])
+    extends Clause
+
+case class SingleQuery(clauses: Seq[Clause])
+/** rest entries are (unionAll, query). */
+case class Query(first: SingleQuery, rest: Seq[(Boolean, SingleQuery)])

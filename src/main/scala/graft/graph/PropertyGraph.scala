@@ -1,0 +1,120 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Property graph over Spark DataFrames.
+  *
+  * Follows the reference's "schema-full property graph over element tables"
+  * model (okapi-relational/.../impl/graph/ScanGraph.scala:43,
+  * okapi-api/.../io/conversion/ElementMapping.scala:53): a graph is a set of
+  * node tables (one per label combination) and relationship tables (one per
+  * type), each backed by an arbitrary DataFrame plus a column mapping.
+  *
+  * Element ids are LongType with an id-space tag in the high byte
+  * (SURVEY §1.4: long + tag bits instead of the reference's binary-encoded
+  * ids — plain long arithmetic stays inside whole-stage codegen and joins at
+  * native speed, which the reference's own JoinBenchmark shows is the fastest
+  * encoding). Raw ids must fit in 56 bits.
+  */
+case class NodeTableDef(
+    labels: Set[String],
+    df: DataFrame,
+    idCol: String,
+    properties: Map[String, String], // property key -> source column
+    idSpace: String)
+
+case class RelTableDef(
+    relType: String,
+    df: DataFrame,
+    idCol: String,
+    srcCol: String,
+    tgtCol: String,
+    properties: Map[String, String],
+    idSpace: String,
+    srcSpace: String,
+    tgtSpace: String)
+
+/** Canonical node scan: `_id` (tagged long) + `p_<key>` property columns. */
+case class NodeScanTable(labels: Set[String], df: DataFrame,
+    propTypes: Map[String, DataType])
+
+/** Canonical rel scan: `_id`, `_src`, `_tgt`, `_type` + `p_<key>` columns. */
+case class RelScanTable(relType: String, df: DataFrame,
+    propTypes: Map[String, DataType])
+
+object PropertyGraph {
+  val ID = "_id"
+  val SRC = "_src"
+  val TGT = "_tgt"
+  val TYPE = "_type"
+  val TagBits = 56
+
+  def propCol(key: String): String = "p_" + key
+
+  def apply(nodes: Seq[NodeTableDef], rels: Seq[RelTableDef] = Seq.empty): PropertyGraph =
+    new PropertyGraph(nodes, rels)
+}
+
+class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDef]) {
+  import PropertyGraph._
+
+  /** Stable tag per id space; id spaces shared between tables produce
+    * colliding ids on purpose (same logical entity). */
+  val tags: Map[String, Long] = {
+    val spaces = (nodeDefs.map(_.idSpace) ++
+      relDefs.flatMap(r => Seq(r.idSpace, r.srcSpace, r.tgtSpace))).distinct
+    spaces.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+  }
+
+  private def tagged(space: String, c: Column): Column =
+    shiftleft(lit(tags(space)), TagBits).bitwiseOR(c.cast(LongType))
+
+  /** All labels appearing in the graph. */
+  lazy val labels: Set[String] = nodeDefs.flatMap(_.labels).toSet
+  lazy val relTypes: Set[String] = relDefs.map(_.relType).toSet
+
+  lazy val nodeTables: Seq[NodeScanTable] = nodeDefs.map { d =>
+    val fields = d.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = tagged(d.idSpace, col(d.idCol)).as(ID) +:
+      d.properties.toSeq.map { case (k, src) => col(src).as(propCol(k)) }
+    NodeScanTable(d.labels, d.df.select(cols: _*),
+      d.properties.map { case (k, src) => k -> fields(src) })
+  }
+
+  lazy val relTables: Seq[RelScanTable] = relDefs.map { d =>
+    val fields = d.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = Seq(
+      tagged(d.idSpace, col(d.idCol)).as(ID),
+      tagged(d.srcSpace, col(d.srcCol)).as(SRC),
+      tagged(d.tgtSpace, col(d.tgtCol)).as(TGT),
+      lit(d.relType).as(TYPE)) ++
+      d.properties.toSeq.map { case (k, src) => col(src).as(propCol(k)) }
+    RelScanTable(d.relType, d.df.select(cols: _*),
+      d.properties.map { case (k, src) => k -> fields(src) })
+  }
+
+  /** Node tables whose label set contains every requested label. */
+  def nodeScansFor(requested: Seq[String]): Seq[NodeScanTable] =
+    nodeTables.filter(t => requested.forall(t.labels.contains))
+
+  /** Rel tables matching any of the requested types (all if empty). */
+  def relScansFor(requested: Seq[String]): Seq[RelScanTable] =
+    if (requested.isEmpty) relTables
+    else relTables.filter(t => requested.contains(t.relType))
+
+  /** Persist all canonical scans (useful before repeated traversals,
+    * mirroring the reference's Cache operator / InsertCachingOperators). */
+  def cache(): this.type = {
+    nodeTables.foreach(_.df.persist())
+    relTables.foreach(_.df.persist())
+    this
+  }
+
+  def unpersist(): this.type = {
+    nodeTables.foreach(_.df.unpersist())
+    relTables.foreach(_.df.unpersist())
+    this
+  }
+}

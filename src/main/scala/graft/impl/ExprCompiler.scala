@@ -1,0 +1,456 @@
+package graft.impl
+
+import graft.ast
+import graft.ast._
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CypherCompileException(msg: String) extends RuntimeException(msg)
+
+object ExprCompiler {
+  /** Aggregating function names (SURVEY §2.4 inventory). */
+  val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
+    "stdev", "stdevp", "percentilecont", "percentiledisc")
+}
+
+/** Compiles graft.ast.Expr to Spark Columns against a RecordHeader.
+  *
+  * Mirrors the behavior spec of the reference's Spark mapper
+  * (morpheus-spark-cypher/.../impl/SparkSQLExprMapper.scala) but targets only
+  * public `org.apache.spark.sql.functions` / Column combinators so every
+  * expression stays inside whole-stage codegen.
+  *
+  * @param schema physical schema of the DataFrame the header describes;
+  *               used for static type dispatch (string-vs-numeric `+`,
+  *               size-of-string vs size-of-list, …).
+  * @param env    lambda-bound variables (list comprehensions / reduce).
+  */
+class ExprCompiler(header: RecordHeader, schema: StructType,
+    params: Map[String, Any] = Map.empty,
+    env: Map[String, (Column, Option[DataType])] = Map.empty) {
+
+  private def colType(name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  def withEnv(name: String, c: Column, t: Option[DataType]): ExprCompiler =
+    new ExprCompiler(header, schema, params, env + (name -> ((c, t))))
+
+  // ------------------------------------------------------------ type infer
+  /** Best-effort static type; None when unknown. */
+  def inferType(e: Expr): Option[DataType] = e match {
+    case Var(n) if env.contains(n) => env(n)._2
+    case Var(n) => header.kindOf(n) match {
+      case Some(ValueKind) => header.get(ValueSlot(n)).flatMap(colType)
+      case Some(NodeKind(_)) | Some(RelKind(_)) => Some(LongType)
+      case Some(ListRelKind(_)) => Some(ArrayType(LongType))
+      case None => None
+    }
+    case Prop(Var(n), k) if !env.contains(n) =>
+      header.get(PropSlot(n, k)).flatMap(colType)
+    case Prop(sub, k) => inferType(sub) match {
+      case Some(st: StructType) => st.fields.find(_.name == k).map(_.dataType)
+      case Some(MapType(_, vt, _)) => Some(vt)
+      case _ => None
+    }
+    case IntLit(_) => Some(LongType)
+    case FloatLit(_) => Some(DoubleType)
+    case StrLit(_) => Some(StringType)
+    case BoolLit(_) => Some(BooleanType)
+    case NullLit => Some(NullType)
+    case ListLit(items) =>
+      Some(ArrayType(items.flatMap(inferType).headOption.getOrElse(NullType)))
+    case Arith("+", l, r) =>
+      (inferType(l), inferType(r)) match {
+        case (Some(StringType), _) | (_, Some(StringType)) => Some(StringType)
+        case (Some(a: ArrayType), _) => Some(a)
+        case (_, Some(a: ArrayType)) => Some(a)
+        case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
+        case (Some(LongType), Some(LongType)) => Some(LongType)
+        case _ => None
+      }
+    case Arith(op @ ("-" | "*" | "%"), l, r) =>
+      (inferType(l), inferType(r)) match {
+        case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
+        case (Some(LongType), Some(LongType)) => Some(LongType)
+        case _ => None
+      }
+    case Arith("/", l, r) =>
+      (inferType(l), inferType(r)) match {
+        case (Some(LongType), Some(LongType)) => Some(LongType)
+        case _ => Some(DoubleType)
+      }
+    case Arith("^", _, _) => Some(DoubleType)
+    case Neg(x) => inferType(x)
+    case Param(n) => params.get(n).map(litType)
+    case CaseExpr(_, alts, default) =>
+      (alts.map(_._2) ++ default.toSeq).flatMap(inferType).headOption
+    case FuncCall(name, args, _) => name match {
+      case "tostring" | "toupper" | "tolower" | "trim" | "ltrim" | "rtrim" |
+           "reverse" | "replace" | "substring" | "left" | "right" | "type" => Some(StringType)
+      case "tointeger" | "id" | "size" | "length" | "count" | "timestamp" |
+           "sign" => Some(LongType)
+      case "tofloat" | "avg" | "sqrt" | "exp" | "log" | "log10" | "sin" |
+           "cos" | "tan" | "asin" | "acos" | "atan" | "atan2" | "degrees" |
+           "radians" | "rand" | "pi" | "e" | "stdev" | "stdevp" |
+           "percentilecont" | "percentiledisc" => Some(DoubleType)
+      case "toboolean" | "exists" => Some(BooleanType)
+      case "labels" | "keys" | "split" => Some(ArrayType(StringType))
+      case "range" => Some(ArrayType(LongType))
+      case "collect" => args.headOption.flatMap(inferType).map(ArrayType(_))
+      case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" |
+           "head" | "last" | "coalesce" => args.headOption.flatMap(inferType)
+      case _ => None
+    }
+    case Index(sub, _) => inferType(sub) match {
+      case Some(ArrayType(et, _)) => Some(et)
+      case _ => None
+    }
+    case Slice(sub, _, _) => inferType(sub)
+    case ListComprehension(v, l, _, proj) =>
+      val et = inferType(l).collect { case ArrayType(t, _) => t }
+      proj match {
+        case None => inferType(l)
+        case Some(pe) =>
+          val inner = new ExprCompiler(header, schema, params,
+            env + (v -> ((lit(0), et)))).inferType(pe)
+          inner.map(ArrayType(_))
+      }
+    case _: Cmp | _: Ands | _: Ors | _: Not | _: Xor | _: IsNull | _: In |
+         _: StartsWith | _: EndsWith | _: Contains | _: RegexMatch |
+         _: HasLabels | _: IterablePredicate => Some(BooleanType)
+    case _ => None
+  }
+
+  private def litType(v: Any): DataType = v match {
+    case _: Int | _: Long => LongType
+    case _: Double | _: Float => DoubleType
+    case _: String => StringType
+    case _: Boolean => BooleanType
+    case s: Seq[_] => ArrayType(s.headOption.map(litType).getOrElse(NullType))
+    case _ => NullType
+  }
+
+  private def isStringy(e: Expr): Boolean = inferType(e).contains(StringType)
+  private def isArrayT(e: Expr): Boolean =
+    inferType(e).exists(_.isInstanceOf[ArrayType])
+
+  // --------------------------------------------------------------- compile
+  def compile(e: Expr): Column = e match {
+    case Var(n) if env.contains(n) => env(n)._1
+    case Var(n) => header.kindOf(n) match {
+      case Some(ValueKind) => col(header.col(ValueSlot(n)))
+      case Some(NodeKind(_)) | Some(RelKind(_)) => col(header.col(IdSlot(n)))
+      case Some(ListRelKind(_)) => col(header.col(PathSlot(n)))
+      case None => throw new CypherCompileException(s"unknown variable $n")
+    }
+    case Prop(Var(n), k) if !env.contains(n) && header.kinds.contains(n) =>
+      header.kindOf(n) match {
+        case Some(NodeKind(_)) | Some(RelKind(_)) =>
+          header.get(PropSlot(n, k)) match {
+            case Some(c) => col(c)
+            case None => lit(null) // property absent from schema -> null
+          }
+        case _ => compileFieldAccess(compile(Var(n)), inferType(Var(n)), k)
+      }
+    case Prop(sub, k) => compileFieldAccess(compile(sub), inferType(sub), k)
+    case Param(n) => litAny(params.getOrElse(n,
+      throw new CypherCompileException(s"missing parameter $n")))
+    case IntLit(v) => lit(v)
+    case FloatLit(v) => lit(v)
+    case StrLit(v) => lit(v)
+    case BoolLit(v) => lit(v)
+    case NullLit => lit(null)
+    case ListLit(items) => array(items.map(compile): _*)
+    case MapLit(items) =>
+      struct(items.map { case (k, v) => compile(v).as(k) }: _*)
+
+    case Ands(es) => es.map(compile).reduce(_ && _)
+    case Ors(es) => es.map(compile).reduce(_ || _)
+    case Xor(l, r) => compile(l) =!= compile(r)
+    case Not(x) => !compile(x)
+    case Cmp("=", l, r) => compile(l) === compile(r)
+    case Cmp("<>", l, r) => compile(l) =!= compile(r)
+    case Cmp("<", l, r) => compile(l) < compile(r)
+    case Cmp("<=", l, r) => compile(l) <= compile(r)
+    case Cmp(">", l, r) => compile(l) > compile(r)
+    case Cmp(">=", l, r) => compile(l) >= compile(r)
+    case IsNull(x, false) => compile(x).isNull
+    case IsNull(x, true) => compile(x).isNotNull
+    case In(l, ListLit(items)) if items.nonEmpty =>
+      compile(l).isin(items.map(compile): _*)
+    case In(l, r) => array_contains(compile(r), compile(l))
+    case StartsWith(l, r) => compile(l).startsWith(compile(r))
+    case EndsWith(l, r) => compile(l).endsWith(compile(r))
+    case ast.Contains(l, r) => compile(l).contains(compile(r))
+    case RegexMatch(l, r) => regexp_like(compile(l), compile(r))
+    case HasLabels(Var(n), labels) =>
+      labels.map { l =>
+        header.get(LabelSlot(n, l)).map(col).getOrElse(lit(false))
+      }.reduce(_ && _)
+    case HasLabels(_, _) =>
+      throw new CypherCompileException("label predicate on non-variable")
+
+    case Arith("+", l, r) if isStringy(l) || isStringy(r) =>
+      concat(compile(l).cast(StringType), compile(r).cast(StringType))
+    case Arith("+", l, r) if isArrayT(l) && isArrayT(r) =>
+      concat(compile(l), compile(r))
+    case Arith("+", l, r) => compile(l) + compile(r)
+    case Arith("-", l, r) => compile(l) - compile(r)
+    case Arith("*", l, r) => compile(l) * compile(r)
+    case Arith("/", l, r) =>
+      (inferType(l), inferType(r)) match {
+        case (Some(LongType), Some(LongType)) =>
+          try_divide(compile(l), compile(r)).cast(LongType)
+        case _ => compile(l) / compile(r)
+      }
+    case Arith("%", l, r) => compile(l) % compile(r)
+    case Arith("^", l, r) => pow(compile(l), compile(r))
+    case Arith(op, _, _) =>
+      throw new CypherCompileException(s"unknown arithmetic op $op")
+    case Neg(x) => negate(compile(x))
+
+    case CountStar => count(lit(1))
+    case fc: FuncCall => compileFunc(fc)
+
+    case CaseExpr(Some(subject), alts, default) =>
+      val s = compile(subject)
+      val first = when(s === compile(alts.head._1), compile(alts.head._2))
+      val chained = alts.tail.foldLeft(first) { case (acc, (c, v)) =>
+        acc.when(s === compile(c), compile(v))
+      }
+      default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
+    case CaseExpr(None, alts, default) =>
+      val first = when(compile(alts.head._1), compile(alts.head._2))
+      val chained = alts.tail.foldLeft(first) { case (acc, (c, v)) =>
+        acc.when(compile(c), compile(v))
+      }
+      default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
+
+    case Index(sub, idx) => inferType(sub) match {
+      case Some(_: MapType) | Some(_: StructType) =>
+        compileFieldAccessDyn(compile(sub), inferType(sub), compile(idx))
+      case _ =>
+        // Cypher list index is 0-based; negative counts from the end.
+        val c = compile(sub)
+        idx match {
+          case IntLit(i) if i >= 0 => F.get(c, lit(i.toInt))
+          case IntLit(i) => element_at(c, i.toInt)
+          case _ =>
+            val i = compile(idx)
+            when(i >= 0, F.get(c, i.cast(IntegerType)))
+              .otherwise(element_at(c, i.cast(IntegerType)))
+        }
+    }
+    case ast.Slice(sub, from, to) =>
+      // Cypher [a..b]: 0-based, end-exclusive.
+      val c = compile(sub)
+      val f = from.map(compile(_).cast(IntegerType)).getOrElse(lit(0))
+      val t = to.map(compile(_).cast(IntegerType)).getOrElse(F.size(c))
+      val fNorm = when(f < 0, F.size(c) + f).otherwise(f)
+      val tNorm = when(t < 0, F.size(c) + t).otherwise(t)
+      F.slice(c, fNorm + 1, greatest(tNorm - fNorm, lit(0)))
+
+    case ListComprehension(v, listE, whereE, projE) =>
+      val listC = compile(listE)
+      val et = inferType(listE).collect { case ArrayType(t, _) => t }
+      val filtered = whereE match {
+        case Some(w) => F.filter(listC, x => lambda(v, x, et).compile(w))
+        case None => listC
+      }
+      projE match {
+        case Some(pe) => transform(filtered, x => lambda(v, x, et).compile(pe))
+        case None => filtered
+      }
+    case IterablePredicate(kind, v, listE, pred) =>
+      val listC = compile(listE)
+      val et = inferType(listE).collect { case ArrayType(t, _) => t }
+      def p(x: Column) = lambda(v, x, et).compile(pred)
+      kind match {
+        case "any" => exists(listC, p)
+        case "all" => forall(listC, p)
+        case "none" => !exists(listC, p)
+        case "single" => F.size(F.filter(listC, x => p(x))) === 1
+      }
+    case Reduce(accName, init, v, listE, step) =>
+      val listC = compile(listE)
+      val et = inferType(listE).collect { case ArrayType(t, _) => t }
+      val initT = inferType(init)
+      F.aggregate(listC, compile(init).cast(initT.getOrElse(LongType)),
+        (acc, x) => lambda(accName, acc, initT).lambda(v, x, et).compile(step))
+
+    case PatternPredicate(_, _) =>
+      throw new CypherCompileException(
+        "pattern predicate must be planned as a subquery, not compiled inline")
+    case other =>
+      throw new CypherCompileException(s"unsupported expression $other")
+  }
+
+  private def lambda(v: String, c: Column, t: Option[DataType]): ExprCompiler =
+    withEnv(v, c, t)
+
+  private def compileFieldAccess(c: Column, t: Option[DataType], k: String): Column =
+    t match {
+      case Some(_: StructType) => c.getField(k)
+      case Some(_: MapType) => element_at(c, k)
+      case _ => c.getItem(k)
+    }
+
+  private def compileFieldAccessDyn(c: Column, t: Option[DataType], k: Column): Column =
+    element_at(c, k)
+
+  private def litAny(v: Any): Column = v match {
+    case s: Seq[_] => array(s.map(litAny): _*)
+    case other => lit(other)
+  }
+
+  // -------------------------------------------------------------- functions
+  /** True if the expression (tree) contains an aggregating function. */
+  def hasAggregation(e: Expr): Boolean = e match {
+    case CountStar => true
+    case FuncCall(n, _, _) if ExprCompiler.aggFns(n) => true
+    case FuncCall(_, args, _) => args.exists(hasAggregation)
+    case Prop(s, _) => hasAggregation(s)
+    case Ands(es) => es.exists(hasAggregation)
+    case Ors(es) => es.exists(hasAggregation)
+    case Xor(l, r) => hasAggregation(l) || hasAggregation(r)
+    case Not(x) => hasAggregation(x)
+    case Cmp(_, l, r) => hasAggregation(l) || hasAggregation(r)
+    case Arith(_, l, r) => hasAggregation(l) || hasAggregation(r)
+    case Neg(x) => hasAggregation(x)
+    case IsNull(x, _) => hasAggregation(x)
+    case In(l, r) => hasAggregation(l) || hasAggregation(r)
+    case ListLit(items) => items.exists(hasAggregation)
+    case MapLit(items) => items.exists(i => hasAggregation(i._2))
+    case CaseExpr(s, alts, d) =>
+      s.exists(hasAggregation) ||
+        alts.exists(a => hasAggregation(a._1) || hasAggregation(a._2)) ||
+        d.exists(hasAggregation)
+    case Index(s, i) => hasAggregation(s) || hasAggregation(i)
+    case ast.Slice(s, f, t) =>
+      hasAggregation(s) || f.exists(hasAggregation) || t.exists(hasAggregation)
+    case _ => false
+  }
+
+  private def compileFunc(fc: FuncCall): Column = {
+    val FuncCall(name, args, distinct) = fc
+    def a0 = compile(args(0))
+    def a1 = compile(args(1))
+    name match {
+      // ---- aggregators (SURVEY §2.4) ----
+      case "count" => if (distinct) count_distinct(a0) else count(a0)
+      case "sum" => if (distinct) sum_distinct(a0) else sum(a0)
+      case "avg" => avg(a0)
+      case "min" => min(a0)
+      case "max" => max(a0)
+      case "collect" => if (distinct) collect_set(a0) else collect_list(a0)
+      case "stdev" => stddev_samp(a0)
+      case "stdevp" => stddev_pop(a0)
+      case "percentilecont" => GraftFunctions.percentileCont(a0, a1)
+      case "percentiledisc" =>
+        // exact discrete percentile: smallest value with cume_dist >= p
+        GraftFunctions.percentileDisc(a0, a1)
+
+      // ---- element functions ----
+      case "id" => a0 // Var compiles to the id column already
+      case "labels" => args(0) match {
+        case Var(n) =>
+          val ls = header.ownedBy(n).collect { case LabelSlot(_, l) => l }.sorted
+          if (ls.isEmpty) array()
+          else array_compact(array(ls.map(l =>
+            when(col(header.col(LabelSlot(n, l))), lit(l))): _*))
+        case _ => throw new CypherCompileException("labels() needs a node var")
+      }
+      case "type" => args(0) match {
+        case Var(n) => col(header.col(TypeSlot(n)))
+        case _ => throw new CypherCompileException("type() needs a rel var")
+      }
+      case "startnode" => args(0) match {
+        case Var(n) => col(header.col(SrcSlot(n)))
+        case _ => throw new CypherCompileException("startNode() needs a rel var")
+      }
+      case "endnode" => args(0) match {
+        case Var(n) => col(header.col(TgtSlot(n)))
+        case _ => throw new CypherCompileException("endNode() needs a rel var")
+      }
+      case "keys" => args(0) match {
+        case Var(n) =>
+          val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
+          if (ks.isEmpty) array()
+          else array_compact(array(ks.map(k =>
+            when(col(header.col(PropSlot(n, k))).isNotNull, lit(k))): _*))
+        case _ => throw new CypherCompileException("keys() needs an element var")
+      }
+      case "properties" => args(0) match {
+        case Var(n) =>
+          val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
+          struct(ks.map(k => col(header.col(PropSlot(n, k))).as(k)): _*)
+        case _ => throw new CypherCompileException("properties() needs an element var")
+      }
+      case "exists" => a0.isNotNull
+
+      // ---- strings ----
+      case "toupper" => upper(a0)
+      case "tolower" => lower(a0)
+      case "trim" => trim(a0)
+      case "ltrim" => ltrim(a0)
+      case "rtrim" => rtrim(a0)
+      case "reverse" => F.reverse(a0)
+      case "replace" => F.replace(a0, a1, compile(args(2)))
+      case "substring" =>
+        // Cypher substring(s, start[, length]) is 0-based
+        if (args.length >= 3)
+          a0.substr(a1.cast(IntegerType) + 1, compile(args(2)).cast(IntegerType))
+        else a0.substr(a1.cast(IntegerType) + 1, F.length(a0))
+      case "left" => a0.substr(lit(1), a1.cast(IntegerType))
+      case "right" => a0.substr(F.length(a0) - a1.cast(IntegerType) + 1, a1.cast(IntegerType))
+      case "split" => F.split(a0, a1)
+      case "tostring" => a0.cast(StringType)
+
+      // ---- casts ----
+      case "tointeger" => a0.try_cast(LongType)
+      case "tofloat" => a0.try_cast(DoubleType)
+      case "toboolean" => a0.try_cast(BooleanType)
+
+      // ---- math ----
+      case "abs" => F.abs(a0)
+      case "sqrt" => F.sqrt(a0)
+      case "exp" => F.exp(a0)
+      case "log" => F.log(a0)
+      case "log10" => F.log(10.0, a0)
+      case "ceil" => F.ceil(a0)
+      case "floor" => F.floor(a0)
+      case "round" => F.round(a0, 0)
+      case "sign" => F.signum(a0).cast(LongType)
+      case "acos" => F.acos(a0)
+      case "asin" => F.asin(a0)
+      case "atan" => F.atan(a0)
+      case "atan2" => F.atan2(a0, a1)
+      case "cos" => F.cos(a0)
+      case "cot" => lit(1.0) / F.tan(a0)
+      case "sin" => F.sin(a0)
+      case "tan" => F.tan(a0)
+      case "degrees" => F.degrees(a0)
+      case "radians" => F.radians(a0)
+      case "haversin" => (lit(1.0) - F.cos(a0)) / 2.0
+      case "rand" => F.rand()
+      case "pi" => lit(math.Pi)
+      case "e" => lit(math.E)
+      case "timestamp" => unix_millis(current_timestamp())
+
+      // ---- lists / containers ----
+      case "size" | "length" =>
+        if (isStringy(args(0))) F.length(a0).cast(LongType)
+        else F.size(a0).cast(LongType)
+      case "head" => element_at(a0, 1)
+      case "last" => element_at(a0, -1)
+      case "range" =>
+        val step = if (args.length >= 3) compile(args(2)) else lit(1L)
+        sequence(a0, a1, step)
+      case "coalesce" => F.coalesce(args.map(compile): _*)
+
+      case other =>
+        throw new CypherCompileException(s"unknown function $other")
+    }
+  }
+}

@@ -1,0 +1,27 @@
+package graft.impl
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregate/scalar helpers that Spark's public API lacks as direct calls.
+  * Exact percentile semantics follow the reference's collect-based UDAFs
+  * (morpheus-spark-cypher/.../impl/PercentileUdafs.scala:41-76) but are
+  * expressed as compositions over built-in aggregates so Catalyst still
+  * plans a single hash aggregation.
+  */
+object GraftFunctions {
+
+  /** Exact continuous percentile (linear interpolation). */
+  def percentileCont(c: Column, p: Column): Column =
+    call_function("percentile", c, p)
+
+  /** Exact discrete percentile: the smallest value v such that at least a
+    * fraction p of the rows are <= v. Collects the group to an array —
+    * matches the reference's approach; at very large group sizes prefer
+    * percentile_approx. */
+  def percentileDisc(c: Column, p: Column): Column = {
+    val arr = array_sort(collect_list(c))
+    element_at(arr, greatest(F.ceil(p * F.size(arr)).cast(IntegerType), lit(1)))
+  }
+}

@@ -1,0 +1,742 @@
+package graft.impl
+
+import graft.ast._
+import graft.graph.{PropertyGraph, NodeScanTable, RelScanTable}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Compiles a parsed Cypher query straight to DataFrame operations.
+  *
+  * Collapses the reference's logical + relational layers
+  * (okapi-logical/.../impl/LogicalPlanner.scala,
+  * okapi-relational/.../impl/planning/RelationalPlanner.scala) into one pass:
+  * the DataFrame *is* the logical plan and Catalyst does all physical
+  * optimization (join selection, pushdown, pruning, AQE). Pattern planning is
+  * greedy like the reference's planExpansions (LogicalPlanner.scala:369-433):
+  * anchor on a bound endpoint, attach connections as joins, cross-join
+  * disconnected components.
+  */
+object Planner {
+  /** Upper bound substituted for unbounded var-length patterns (`[*]`). */
+  val VarLengthCap = 10
+
+  sealed trait OutItem
+  /** Plain value output column. */
+  case class OutCol(internal: String, display: String) extends OutItem
+  /** Whole-element output (node/rel/paths var) — assembled to a struct. */
+  case class OutVar(v: String, display: String) extends OutItem
+}
+
+class Planner(spark: SparkSession, graph: PropertyGraph,
+    params: Map[String, Any] = Map.empty) {
+  import Planner._
+  import PropertyGraph.{ID, SRC, TGT, TYPE, propCol}
+
+  private var anonCounter = 0
+  private def freshVar(): String = { anonCounter += 1; s"_a$anonCounter" }
+
+  case class Ctx(df: DataFrame, header: RecordHeader) {
+    def compiler: ExprCompiler = new ExprCompiler(header, df.schema, params)
+    def isUnit: Boolean = header.slots.isEmpty && df.columns.isEmpty
+  }
+
+  private def unitCtx: Ctx = Ctx(spark.range(1).select(), RecordHeader.empty)
+
+  // ------------------------------------------------------------------ entry
+  def plan(q: Query): (DataFrame, Seq[OutItem], RecordHeader) = {
+    val (first, outs) = planSingle(q.first)
+    val combined = q.rest.foldLeft(first) { case (acc, (all, sq)) =>
+      val (r, rOuts) = planSingle(sq)
+      require(rOuts.map(outDisplay) == outs.map(outDisplay),
+        "UNION sides must return the same columns")
+      val u = acc.df.unionByName(r.df, allowMissingColumns = true)
+      Ctx(if (all) u else u.dropDuplicates(), acc.header)
+    }
+    (combined.df, outs, combined.header)
+  }
+
+  private def outDisplay(o: OutItem): String = o match {
+    case OutCol(_, d) => d
+    case OutVar(_, d) => d
+  }
+
+  /** Render the final user-facing DataFrame (display names, structs for
+    * whole elements). */
+  def render(df: DataFrame, outs: Seq[OutItem], header: RecordHeader): DataFrame = {
+    val cols = outs.map {
+      case OutCol(internal, display) => col(internal).as(display)
+      case OutVar(v, display) => header.kindOf(v) match {
+        case Some(NodeKind(_)) =>
+          val labels = header.ownedBy(v).collect { case s @ LabelSlot(_, l) =>
+            when(col(header.col(s)), lit(l))
+          }
+          val props = header.ownedBy(v).collect { case s @ PropSlot(_, k) =>
+            col(header.col(s)).as(k)
+          }
+          val labelCol =
+            if (labels.nonEmpty) Seq(array_compact(array(labels: _*)).as("_labels"))
+            else Seq(array().cast(ArrayType(StringType)).as("_labels"))
+          val propCols =
+            if (props.nonEmpty) Seq(struct(props: _*).as("_properties"))
+            else Seq.empty
+          struct((Seq(col(header.col(IdSlot(v))).as("_id")) ++ labelCol ++
+            propCols): _*).as(display)
+        case Some(RelKind(_)) =>
+          val props = header.ownedBy(v).collect { case s @ PropSlot(_, k) =>
+            col(header.col(s)).as(k)
+          }
+          struct(
+            (Seq(col(header.col(IdSlot(v))).as("_id"),
+              col(header.col(SrcSlot(v))).as("_src"),
+              col(header.col(TgtSlot(v))).as("_tgt"),
+              col(header.col(TypeSlot(v))).as("_type")) ++
+              (if (props.nonEmpty) Seq(struct(props: _*).as("_properties"))
+              else Seq.empty)): _*).as(display)
+        case Some(ListRelKind(_)) => col(header.col(PathSlot(v))).as(display)
+        case _ => col(header.col(ValueSlot(v))).as(display)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  // ---------------------------------------------------------- single query
+  private def planSingle(sq: SingleQuery): (Ctx, Seq[OutItem]) = {
+    var ctx = unitCtx
+    var outs: Seq[OutItem] = Seq.empty
+    sq.clauses.foreach {
+      case m @ Match(false, _, _) => ctx = planMatch(ctx, m.pattern, m.where)
+      case m @ Match(true, _, _) => ctx = planOptionalMatch(ctx, m.pattern, m.where)
+      case Unwind(e, alias) => ctx = planUnwind(ctx, e, alias)
+      case w: With =>
+        ctx = planProjection(ctx, w.distinct, w.star, w.items, w.orderBy,
+          w.skip, w.limit, w.where)._1
+      case r: Return =>
+        val (c, o) = planProjection(ctx, r.distinct, r.star, r.items,
+          r.orderBy, r.skip, r.limit, None)
+        ctx = c
+        outs = o
+    }
+    (ctx, outs)
+  }
+
+  // -------------------------------------------------------------- patterns
+  private case class NodeCons(v: String, labels: Seq[String],
+      props: Seq[(String, Expr)])
+  private case class EdgeCons(v: String, src: String, tgt: String,
+      types: Seq[String], props: Seq[(String, Expr)], dir: Direction,
+      varLength: Option[(Int, Option[Int])])
+
+  private def normalizePattern(pattern: Pattern): (Map[String, NodeCons], Seq[EdgeCons]) = {
+    val nodes = mutable.LinkedHashMap.empty[String, NodeCons]
+    val edges = mutable.ArrayBuffer.empty[EdgeCons]
+    def addNode(np: NodePattern): String = {
+      val v = np.variable.getOrElse(freshVar())
+      val prev = nodes.getOrElse(v, NodeCons(v, Seq.empty, Seq.empty))
+      nodes(v) = NodeCons(v, (prev.labels ++ np.labels).distinct,
+        prev.props ++ np.props)
+      v
+    }
+    pattern.parts.foreach { part =>
+      var cur = addNode(part.head)
+      part.tail.foreach { case (rp, np) =>
+        val nxt = addNode(np)
+        edges += EdgeCons(rp.variable.getOrElse(freshVar()), cur, nxt,
+          rp.types, rp.props, rp.direction, rp.varLength)
+        cur = nxt
+      }
+    }
+    (nodes.toMap, edges.toSeq)
+  }
+
+  private def planMatch(ctx0: Ctx, pattern: Pattern, where: Option[Expr]): Ctx = {
+    val (nodes, edges) = normalizePattern(pattern)
+    var ctx = ctx0
+    val bound = mutable.Set.empty[String]
+    ctx0.header.kinds.foreach { case (v, _) => bound += v }
+
+    // Apply label/prop constraints to an already-bound node var as filters.
+    def constrainBound(c: Ctx, nc: NodeCons): Ctx = {
+      var cur = c
+      if (nc.labels.nonEmpty)
+        cur = cur.copy(df = cur.df.filter(
+          cur.compiler.compile(HasLabels(Var(nc.v), nc.labels))))
+      nc.props.foreach { case (k, e) =>
+        cur = cur.copy(df = cur.df.filter(
+          cur.compiler.compile(Cmp("=", Prop(Var(nc.v), k), e))))
+      }
+      cur
+    }
+
+    // Process edges greedily, preferring ones with a bound endpoint.
+    val remaining = mutable.ArrayBuffer(edges: _*)
+    while (remaining.nonEmpty) {
+      val idx = remaining.indexWhere(e => bound(e.src) || bound(e.tgt))
+      val e = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
+      ctx = planEdge(ctx, e, nodes, bound)
+    }
+    // Standalone / leftover nodes.
+    nodes.values.foreach { nc =>
+      if (!bound(nc.v)) {
+        ctx = planNodeScanInto(ctx, nc)
+        bound += nc.v
+      } else if (edges.forall(e => e.src != nc.v && e.tgt != nc.v) &&
+          ctx0.header.kinds.contains(nc.v) &&
+          (nc.labels.nonEmpty || nc.props.nonEmpty)) {
+        ctx = constrainBound(ctx, nc)
+      }
+    }
+
+    // Relationship-uniqueness (Cypher edge-isomorphism) within this MATCH:
+    // mirror VarLengthExpandPlanner.scala:178-180's pairwise Not(Equals).
+    val relVars = edges.map(e => (e.v, e.varLength.isDefined, e.types.toSet))
+    for {
+      i <- relVars.indices
+      j <- (i + 1) until relVars.size
+      (v1, list1, t1) = relVars(i)
+      (v2, list2, t2) = relVars(j)
+      if t1.isEmpty || t2.isEmpty || (t1 & t2).nonEmpty
+    } {
+      val h = ctx.header
+      val cond = (list1, list2) match {
+        case (false, false) =>
+          col(h.col(IdSlot(v1))) =!= col(h.col(IdSlot(v2)))
+        case (true, false) =>
+          !array_contains(col(h.col(PathSlot(v1))), col(h.col(IdSlot(v2))))
+        case (false, true) =>
+          !array_contains(col(h.col(PathSlot(v2))), col(h.col(IdSlot(v1))))
+        case (true, true) =>
+          !arrays_overlap(col(h.col(PathSlot(v1))), col(h.col(PathSlot(v2))))
+      }
+      ctx = ctx.copy(df = ctx.df.filter(cond))
+    }
+
+    // WHERE: pattern predicates become semi/anti joins, the rest a filter.
+    where.foreach { w =>
+      val (patterns, residual) = splitPredicates(w)
+      patterns.foreach { case (part, negated) =>
+        ctx = planPatternPredicate(ctx, part, negated)
+      }
+      residual.foreach { r =>
+        ctx = ctx.copy(df = ctx.df.filter(ctx.compiler.compile(r)))
+      }
+    }
+    ctx
+  }
+
+  private def splitPredicates(e: Expr): (Seq[(PatternPart, Boolean)], Option[Expr]) = {
+    val conjuncts = e match {
+      case Ands(es) => es
+      case other => Seq(other)
+    }
+    val pats = Seq.newBuilder[(PatternPart, Boolean)]
+    val rest = Seq.newBuilder[Expr]
+    conjuncts.foreach {
+      case PatternPredicate(part, neg) => pats += ((part, neg))
+      case Not(PatternPredicate(part, neg)) => pats += ((part, !neg))
+      case other => rest += other
+    }
+    val restSeq = rest.result()
+    val residual =
+      if (restSeq.isEmpty) None
+      else if (restSeq.size == 1) Some(restSeq.head)
+      else Some(Ands(restSeq))
+    (pats.result(), residual)
+  }
+
+  /** EXISTS-style pattern predicate -> left semi (or anti) join, the Spark
+    * formulation of the reference's ExistsSubQuery
+    * (RelationalPlanner.scala:224-247). */
+  private def planPatternPredicate(ctx: Ctx, part: PatternPart,
+      negated: Boolean): Ctx = {
+    val sub = planMatch(unitCtx, Pattern(Seq(part)), None)
+    val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
+      .filter(v => sub.header.contains(IdSlot(v)) && ctx.header.contains(IdSlot(v)))
+    require(shared.nonEmpty, "pattern predicate must share a variable with the enclosing query")
+    val renamed = shared.toSeq.map { v =>
+      val c = sub.header.col(IdSlot(v))
+      (v, c, "_pp_" + c)
+    }
+    val subDf = sub.df
+      .select(renamed.map { case (_, c, r) => col(c).as(r) }: _*).distinct()
+    val cond = renamed.map { case (v, _, r) =>
+      col(ctx.header.col(IdSlot(v))) === col(r)
+    }.reduce(_ && _)
+    ctx.copy(df = ctx.df.join(subDf, cond,
+      if (negated) "left_anti" else "left_semi"))
+  }
+
+  /** OPTIONAL MATCH: plan the pattern standalone, then left-outer join on
+    * the shared variables (RelationalPlanner.planOptional :298-330). */
+  private def planOptionalMatch(ctx: Ctx, pattern: Pattern,
+      where: Option[Expr]): Ctx = {
+    if (ctx.isUnit) return planMatch(ctx, pattern, where)
+    val sub = planMatch(unitCtx, pattern, where)
+    val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
+    // Columns of shared vars already exist on the lhs: join on ids, drop the
+    // rhs copies of every shared-var column.
+    val sharedIdCols = shared.toSeq.flatMap { v =>
+      (sub.header.get(IdSlot(v)), ctx.header.get(IdSlot(v))) match {
+        case (Some(s), Some(l)) => Some((v, s, l))
+        case _ =>
+          (sub.header.get(ValueSlot(v)), ctx.header.get(ValueSlot(v))) match {
+            case (Some(s), Some(l)) => Some((v, s, l))
+            case _ => None
+          }
+      }
+    }
+    val dropCols = shared.toSeq.flatMap(v => sub.header.colsOf(v))
+    val renames = sharedIdCols.map { case (_, s, _) => s -> ("_om_" + s) }
+    var subDf = sub.df
+    renames.foreach { case (from, to) => subDf = subDf.withColumnRenamed(from, to) }
+    subDf = subDf.drop(dropCols.filterNot(c => renames.exists(_._1 == c)): _*)
+    if (sharedIdCols.isEmpty) {
+      // No shared vars: every lhs row pairs with every match (or null row).
+      val joined = ctx.df.crossJoin(subDf)
+      val newHeader = ctx.header ++ RecordHeader(
+        sub.header.slots.filterNot { case (s, _) => shared(s.owner) },
+        sub.header.kinds.view.filterKeys(!shared(_)).toMap)
+      return Ctx(joined, newHeader) // empty rhs -> no rows; acceptable for v1
+    }
+    val cond = sharedIdCols.map { case (_, s, l) =>
+      col(l) === col("_om_" + s)
+    }.reduce(_ && _)
+    val joined = ctx.df.join(subDf, cond, "left_outer")
+      .drop(renames.map(_._2): _*)
+    val newHeader = ctx.header ++ RecordHeader(
+      sub.header.slots.filterNot { case (s, _) => shared(s.owner) },
+      sub.header.kinds.view.filterKeys(!shared(_)).toMap)
+    Ctx(joined, newHeader)
+  }
+
+  // ------------------------------------------------------------ node scans
+  /** Spark type normalization: Cypher integers are 64-bit, floats double
+    * (SparkConversions.scala:54-75). */
+  private def normalizeType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType => LongType
+    case FloatType => DoubleType
+    case other => other
+  }
+
+  /** Build a scan DataFrame for a node var: per-matching-table align to a
+    * common header then unionByName — the reference's scan-union
+    * (ScanGraph.scanOperator, RelationalPlanner.planScan :263-297). */
+  private def nodeScanDf(nc: NodeCons): (DataFrame, RecordHeader) = {
+    val tables = graph.nodeScansFor(nc.labels)
+    val v = nc.v
+    if (tables.isEmpty) {
+      val labelSlots = nc.labels.map(l => LabelSlot(v, l))
+      val header = RecordHeader.empty.withSlot(IdSlot(v)).withSlots(labelSlots)
+        .withVar(v, NodeKind(nc.labels.toSet))
+      val schema = StructType(
+        StructField(header.col(IdSlot(v)), LongType) +:
+          labelSlots.map(s => StructField(header.col(s), BooleanType)).toSeq)
+      return (spark.createDataFrame(new java.util.ArrayList[Row](), schema), header)
+    }
+    val allLabels = tables.flatMap(_.labels).toSet ++ nc.labels
+    val propTypes = unifyProps(tables.map(_.propTypes))
+    var header = RecordHeader.empty.withSlot(IdSlot(v))
+      .withSlots(allLabels.map(l => LabelSlot(v, l)))
+      .withSlots(propTypes.keys.map(k => PropSlot(v, k)))
+      .withVar(v, NodeKind(nc.labels.toSet))
+    val dfs = tables.map { t =>
+      val cols = col(ID).as(header.col(IdSlot(v))) +:
+        (allLabels.toSeq.sorted.map(l =>
+          lit(t.labels.contains(l)).as(header.col(LabelSlot(v, l)))) ++
+          propTypes.toSeq.sortBy(_._1).map { case (k, dt) =>
+            val c =
+              if (t.propTypes.contains(k)) col(propCol(k)).cast(dt)
+              else lit(null).cast(dt)
+            c.as(header.col(PropSlot(v, k)))
+          })
+      t.df.select(cols: _*)
+    }
+    var df = dfs.reduce(_.unionByName(_))
+    // Inline property equality filters ({k: v}).
+    if (nc.props.nonEmpty) {
+      val compiler = new ExprCompiler(header, df.schema, params)
+      nc.props.foreach { case (k, e) =>
+        df = df.filter(compiler.compile(Cmp("=", Prop(Var(v), k), e)))
+      }
+    }
+    (df, header)
+  }
+
+  private def unifyProps(maps: Seq[Map[String, DataType]]): Map[String, DataType] = {
+    val keys = maps.flatMap(_.keys).distinct
+    keys.map { k =>
+      val types = maps.flatMap(_.get(k)).map(normalizeType).distinct
+      val unified = types.reduce { (a, b) =>
+        if (a == b) a
+        else if (Seq(a, b).forall(t => t == LongType || t == DoubleType)) DoubleType
+        else if (Seq(a, b).forall(t => t == DateType || t == TimestampType)) TimestampType
+        else StringType
+      }
+      k -> unified
+    }.toMap
+  }
+
+  private def planNodeScanInto(ctx: Ctx, nc: NodeCons): Ctx = {
+    val (df, header) = nodeScanDf(nc)
+    if (ctx.isUnit) Ctx(df, header)
+    else Ctx(ctx.df.crossJoin(df), ctx.header ++ header)
+  }
+
+  // ------------------------------------------------------------- rel scans
+  private def relScanDf(v: String, types: Seq[String],
+      props: Seq[(String, Expr)], undirected: Boolean): (DataFrame, RecordHeader) = {
+    val tables = graph.relScansFor(types)
+    val propTypes = unifyProps(tables.map(_.propTypes))
+    var header = RecordHeader.empty
+      .withSlots(Seq(IdSlot(v), SrcSlot(v), TgtSlot(v), TypeSlot(v)))
+      .withSlots(propTypes.keys.map(k => PropSlot(v, k)))
+      .withVar(v, RelKind(types.toSet))
+    if (tables.isEmpty) {
+      val schema = StructType(Seq(
+        StructField(header.col(IdSlot(v)), LongType),
+        StructField(header.col(SrcSlot(v)), LongType),
+        StructField(header.col(TgtSlot(v)), LongType),
+        StructField(header.col(TypeSlot(v)), StringType)))
+      return (spark.createDataFrame(new java.util.ArrayList[Row](), schema), header)
+    }
+    val dfs = tables.map { t =>
+      val cols = Seq(
+        col(ID).as(header.col(IdSlot(v))),
+        col(SRC).as(header.col(SrcSlot(v))),
+        col(TGT).as(header.col(TgtSlot(v))),
+        col(TYPE).as(header.col(TypeSlot(v)))) ++
+        propTypes.toSeq.sortBy(_._1).map { case (k, dt) =>
+          val c =
+            if (t.propTypes.contains(k)) col(propCol(k)).cast(dt)
+            else lit(null).cast(dt)
+          c.as(header.col(PropSlot(v, k)))
+        }
+      t.df.select(cols: _*)
+    }
+    var df = dfs.reduce(_.unionByName(_))
+    if (undirected) {
+      // Union with the reversed orientation; exclude self-loops from the
+      // reversed copy so they match once (RelationalPlanner.scala:154-164).
+      val s = header.col(SrcSlot(v))
+      val t = header.col(TgtSlot(v))
+      val reversed = df
+        .withColumnRenamed(s, "_swap").withColumnRenamed(t, s)
+        .withColumnRenamed("_swap", t)
+        .filter(col(s) =!= col(t))
+        .select(df.columns.map(col): _*)
+      df = df.unionByName(reversed)
+    }
+    if (props.nonEmpty) {
+      val compiler = new ExprCompiler(header, df.schema, params)
+      props.foreach { case (k, e) =>
+        df = df.filter(compiler.compile(Cmp("=", Prop(Var(v), k), e)))
+      }
+    }
+    (df, header)
+  }
+
+  // --------------------------------------------------------------- expand
+  private def planEdge(ctx0: Ctx, e: EdgeCons, nodes: Map[String, NodeCons],
+      bound: mutable.Set[String]): Ctx = {
+    var ctx = ctx0
+    // Ensure an anchor endpoint is bound; scan the source if neither is.
+    if (!bound(e.src) && !bound(e.tgt)) {
+      ctx = planNodeScanInto(ctx, nodes(e.src))
+      bound += e.src
+    }
+    if (e.varLength.isDefined) return planVarLengthEdge(ctx, e, nodes, bound)
+
+    val undirected = e.dir == BOTH
+    val (relDf, relHeader) = relScanDf(e.v, e.types, e.props, undirected)
+    // Orientation: for OUT src joins _src; for IN src joins _tgt.
+    val (srcSideSlot, tgtSideSlot) =
+      if (e.dir == IN) (TgtSlot(e.v), SrcSlot(e.v))
+      else (SrcSlot(e.v), TgtSlot(e.v))
+
+    var df = ctx.df
+    var header = ctx.header ++ relHeader
+    if (bound(e.src)) {
+      df = df.join(relDf,
+        col(ctx.header.col(IdSlot(e.src))) === col(relHeader.col(srcSideSlot)))
+      // Other endpoint.
+      if (bound(e.tgt)) {
+        df = df.filter(
+          col(ctx.header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
+      } else {
+        val (nodeDf, nodeHeader) = nodeScanDf(nodes(e.tgt))
+        df = df.join(nodeDf,
+          col(relHeader.col(tgtSideSlot)) === col(nodeHeader.col(IdSlot(e.tgt))))
+        header = header ++ nodeHeader
+        bound += e.tgt
+      }
+    } else {
+      // Only tgt bound: anchor from the target side.
+      df = df.join(relDf,
+        col(ctx.header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
+      val (nodeDf, nodeHeader) = nodeScanDf(nodes(e.src))
+      df = df.join(nodeDf,
+        col(relHeader.col(srcSideSlot)) === col(nodeHeader.col(IdSlot(e.src))))
+      header = header ++ nodeHeader
+      bound += e.src
+    }
+    Ctx(df, header)
+  }
+
+  /** Bounded var-length expand as unrolled joins with edge-isomorphism
+    * filters (VarLengthExpandPlanner.scala:82-309), path = array of rel ids.
+    * The per-hop rel scan is cached (InsertCachingOperators's purpose). */
+  private def planVarLengthEdge(ctx0: Ctx, e: EdgeCons,
+      nodes: Map[String, NodeCons], bound: mutable.Set[String]): Ctx = {
+    val (lo, hiOpt) = e.varLength.get
+    val hi = hiOpt.getOrElse(math.max(lo, VarLengthCap))
+    require(hi >= lo && hi <= 30, s"var-length bounds out of range: $lo..$hi")
+    val undirected = e.dir == BOTH
+    val rv = freshVar()
+    val (relDf0, relHeader0) = relScanDf(rv, e.types, e.props, undirected)
+    val s0 = relHeader0.col(SrcSlot(rv))
+    val t0 = relHeader0.col(TgtSlot(rv))
+    val i0 = relHeader0.col(IdSlot(rv))
+    // Minimal hop table: (s, t, id); orientation handled by role swap below.
+    val hop = relDf0.select(col(s0).as("_h_s"), col(t0).as("_h_t"),
+      col(i0).as("_h_i")).persist()
+
+    val psrc = "_vl_src_" + e.v
+    val ptgt = "_vl_tgt_" + e.v
+    val pids = RecordHeader.colName(PathSlot(e.v))
+    var paths: DataFrame = null
+    var frontier = hop.select(col("_h_s").as(psrc), col("_h_t").as(ptgt),
+      array(col("_h_i")).as(pids))
+    for (k <- 1 to hi) {
+      if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
+      if (k < hi) {
+        val h2 = hop.select(col("_h_s").as("_n_s"), col("_h_t").as("_n_t"),
+          col("_h_i").as("_n_i"))
+        frontier = frontier.join(h2,
+            col(ptgt) === col("_n_s") && !array_contains(col(pids), col("_n_i")))
+          .select(col(psrc), col("_n_t").as(ptgt),
+            concat(col(pids), array(col("_n_i"))).as(pids))
+      }
+    }
+    if (lo == 0) {
+      // Zero-length: source pairs with itself, empty path.
+      val zero = ctx0.df.select(col(ctx0.header.col(IdSlot(e.src))).as(psrc))
+        .distinct()
+        .select(col(psrc), col(psrc).as(ptgt),
+          array().cast(ArrayType(LongType)).as(pids))
+      paths = if (paths == null) zero else paths.unionByName(zero)
+    }
+
+    // Orientation: for IN, the pattern's src is the path's target side.
+    val (anchorCol, otherCol) =
+      if (e.dir == IN) (ptgt, psrc) else (psrc, ptgt)
+    var df = ctx0.df.join(paths,
+      col(ctx0.header.col(IdSlot(e.src))) === col(anchorCol))
+    var header = ctx0.header
+      .withSlot(PathSlot(e.v)).withVar(e.v, ListRelKind(e.types.toSet))
+    if (bound(e.tgt)) {
+      df = df.filter(col(ctx0.header.col(IdSlot(e.tgt))) === col(otherCol))
+    } else {
+      val (nodeDf, nodeHeader) = nodeScanDf(nodes(e.tgt))
+      df = df.join(nodeDf, col(otherCol) === col(nodeHeader.col(IdSlot(e.tgt))))
+      header = header ++ nodeHeader
+      bound += e.tgt
+    }
+    Ctx(df.drop(psrc, ptgt), header)
+  }
+
+  // --------------------------------------------------------------- unwind
+  private def planUnwind(ctx: Ctx, e: Expr, alias: String): Ctx = {
+    val c = ctx.compiler.compile(e)
+    val slot = ValueSlot(alias)
+    val name = RecordHeader.colName(slot)
+    val df = ctx.df.withColumn(name, explode(c))
+    Ctx(df, ctx.header.withSlot(slot).withVar(alias, ValueKind))
+  }
+
+  // ----------------------------------------------------------- projection
+  private def planProjection(ctx0: Ctx, distinct: Boolean, star: Boolean,
+      items0: Seq[ReturnItem], orderBy: Seq[SortItem], skip: Option[Expr],
+      limit: Option[Expr], where: Option[Expr]): (Ctx, Seq[OutItem]) = {
+    var ctx = ctx0
+    val starItems =
+      if (star) ctx.header.kinds.keys.toSeq.sorted.filterNot(_.startsWith("_a"))
+        .map(v => ReturnItem(Var(v), None))
+      else Seq.empty
+    val items = starItems ++ items0
+    val compiler = ctx.compiler
+    val hasAgg = items.exists(i => compiler.hasAggregation(i.expr))
+
+    case class Planned(item: ReturnItem, display: String, out: OutItem,
+        newVar: Option[(String, VarKind)], copyVar: Option[String])
+
+    def displayName(i: ReturnItem): String =
+      i.alias.getOrElse(Pretty.print(i.expr))
+
+    if (!hasAgg) {
+      // 1. Compute value columns / var renames while old scope is intact.
+      var df = ctx.df
+      var newHeader = RecordHeader.empty
+      val outs = Seq.newBuilder[OutItem]
+      items.foreach { i =>
+        val display = displayName(i)
+        i.expr match {
+          case Var(n) if ctx.header.kinds.contains(n) &&
+              ctx.header.kindOf(n) != Some(ValueKind) =>
+            val target = i.alias.getOrElse(n)
+            if (target == n) {
+              newHeader = newHeader ++ RecordHeader(
+                ctx.header.slots.filter(_._1.owner == n),
+                Map(n -> ctx.header.kinds(n)))
+            } else {
+              // WITH n AS m: copy all slots under the new name.
+              val (renamedHeader, renames) = RecordHeader(
+                ctx.header.slots.filter(_._1.owner == n),
+                Map(n -> ctx.header.kinds(n))).renameVar(n, target)
+              renames.foreach { case (from, to) =>
+                df = df.withColumn(to, col(from))
+              }
+              newHeader = newHeader ++ renamedHeader
+            }
+            outs += OutVar(target, display)
+          case expr =>
+            val target = i.alias.getOrElse(display)
+            val slot = ValueSlot(target)
+            val name = RecordHeader.colName(slot)
+            df = df.withColumn(name,
+              new ExprCompiler(ctx.header, df.schema, params).compile(expr))
+            newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
+            outs += OutCol(name, display)
+        }
+      }
+      val keepCols = newHeader.slots.values.toSeq.distinct
+      var ctx2 = Ctx(df, ctx.header ++ newHeader) // old scope visible for ORDER BY
+      if (distinct) {
+        ctx2 = Ctx(ctx2.df.select(keepCols.map(col): _*).dropDuplicates(),
+          newHeader)
+      }
+      where.foreach { w =>
+        ctx2 = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(w)))
+      }
+      ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit)
+      val finalDf = ctx2.df.select(keepCols.map(col): _*)
+      (Ctx(finalDf, newHeader), outs.result())
+    } else {
+      // Aggregation: non-aggregate items are grouping keys
+      // (implicit grouping, SURVEY §2.4).
+      var df = ctx.df
+      var newHeader = RecordHeader.empty
+      val outs = Seq.newBuilder[OutItem]
+      val groupCols = Seq.newBuilder[String]
+      val aggCols = Seq.newBuilder[Column]
+      items.foreach { i =>
+        val display = displayName(i)
+        val isAgg = compiler.hasAggregation(i.expr)
+        i.expr match {
+          case Var(n) if !isAgg && ctx.header.kinds.contains(n) &&
+              ctx.header.kindOf(n) != Some(ValueKind) =>
+            val target = i.alias.getOrElse(n)
+            if (target != n) {
+              val (renamedHeader, renames) = RecordHeader(
+                ctx.header.slots.filter(_._1.owner == n),
+                Map(n -> ctx.header.kinds(n))).renameVar(n, target)
+              renames.foreach { case (from, to) =>
+                df = df.withColumn(to, col(from))
+              }
+              newHeader = newHeader ++ renamedHeader
+              groupCols ++= renamedHeader.slots.values
+            } else {
+              newHeader = newHeader ++ RecordHeader(
+                ctx.header.slots.filter(_._1.owner == n),
+                Map(n -> ctx.header.kinds(n)))
+              groupCols ++= ctx.header.colsOf(n)
+            }
+            outs += OutVar(target, display)
+          case expr if !isAgg =>
+            val target = i.alias.getOrElse(display)
+            val slot = ValueSlot(target)
+            val name = RecordHeader.colName(slot)
+            df = df.withColumn(name,
+              new ExprCompiler(ctx.header, df.schema, params).compile(expr))
+            newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
+            groupCols += name
+            outs += OutCol(name, display)
+          case expr =>
+            val target = i.alias.getOrElse(display)
+            val slot = ValueSlot(target)
+            val name = RecordHeader.colName(slot)
+            aggCols += new ExprCompiler(ctx.header, df.schema, params)
+              .compile(expr).as(name)
+            newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
+            outs += OutCol(name, display)
+        }
+      }
+      val gCols = groupCols.result().distinct
+      val aCols = aggCols.result()
+      val aggDf =
+        if (gCols.isEmpty) df.agg(aCols.head, aCols.tail: _*)
+        else df.groupBy(gCols.map(col): _*).agg(aCols.head, aCols.tail: _*)
+      var ctx2 = Ctx(aggDf, newHeader)
+      if (distinct) ctx2 = ctx2.copy(df = ctx2.df.dropDuplicates())
+      where.foreach { w =>
+        ctx2 = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(w)))
+      }
+      ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit)
+      (ctx2, outs.result())
+    }
+  }
+
+  private def applyOrderSkipLimit(ctx0: Ctx, orderBy: Seq[SortItem],
+      skip: Option[Expr], limit: Option[Expr]): Ctx = {
+    var ctx = ctx0
+    if (orderBy.nonEmpty) {
+      val cols = orderBy.map { s =>
+        val c = ctx.compiler.compile(s.expr)
+        // Neo4j ordering: nulls largest (last on ASC, first on DESC).
+        if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
+      }
+      ctx = ctx.copy(df = ctx.df.orderBy(cols: _*))
+    }
+    skip.foreach { e => ctx = ctx.copy(df = ctx.df.offset(evalInt(e))) }
+    limit.foreach { e => ctx = ctx.copy(df = ctx.df.limit(evalInt(e))) }
+    ctx
+  }
+
+  private def evalInt(e: Expr): Int = e match {
+    case IntLit(v) => v.toInt
+    case Param(n) => params(n) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new CypherCompileException(s"SKIP/LIMIT param not an int: $other")
+    }
+    case other => throw new CypherCompileException(s"SKIP/LIMIT must be a literal: $other")
+  }
+}
+
+/** Minimal expression pretty-printer for default column names. */
+object Pretty {
+  def print(e: Expr): String = e match {
+    case Var(n) => n
+    case Prop(s, k) => print(s) + "." + k
+    case Param(n) => "$" + n
+    case IntLit(v) => v.toString
+    case FloatLit(v) => v.toString
+    case StrLit(v) => "'" + v + "'"
+    case BoolLit(v) => v.toString
+    case NullLit => "null"
+    case CountStar => "count(*)"
+    case FuncCall(n, args, d) =>
+      n + "(" + (if (d) "DISTINCT " else "") + args.map(print).mkString(", ") + ")"
+    case Arith(op, l, r) => print(l) + " " + op + " " + print(r)
+    case Cmp(op, l, r) => print(l) + " " + op + " " + print(r)
+    case Ands(es) => es.map(print).mkString(" AND ")
+    case Ors(es) => es.map(print).mkString(" OR ")
+    case Not(x) => "NOT " + print(x)
+    case Neg(x) => "-" + print(x)
+    case IsNull(x, false) => print(x) + " IS NULL"
+    case IsNull(x, true) => print(x) + " IS NOT NULL"
+    case ListLit(items) => "[" + items.map(print).mkString(", ") + "]"
+    case Index(s, i) => print(s) + "[" + print(i) + "]"
+    case other => other.getClass.getSimpleName.toLowerCase
+  }
+}

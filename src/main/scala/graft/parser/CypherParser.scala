@@ -1,0 +1,649 @@
+package graft.parser
+
+import graft.ast._
+
+/** Hand-rolled lexer + recursive-descent parser for the openCypher subset
+  * in graft.ast. The reference free-rides on Neo4j's v9_0 front end
+  * (okapi-ir/.../impl/parse/CypherParser.scala:66-78), which is unavailable
+  * on Scala 2.13/Spark 4, so the grammar is reimplemented directly.
+  */
+object CypherParser {
+  def parse(query: String): Query = new Parser(Lexer.tokenize(query)).parseQuery()
+
+  // ------------------------------------------------------------------ lexer
+  sealed trait Tok { def pos: Int }
+  case class Ident(s: String, pos: Int) extends Tok      // bare or `quoted`
+  case class Kw(s: String, orig: String, pos: Int) extends Tok // upper-cased keyword + original text
+  case class NumTok(s: String, pos: Int) extends Tok
+  case class StrTok(s: String, pos: Int) extends Tok
+  case class Punct(s: String, pos: Int) extends Tok
+  case class Eof(pos: Int) extends Tok
+
+  /** Words that the lexer promotes from Ident to Kw (case-insensitive). */
+  private val keywords = Set(
+    "MATCH", "OPTIONAL", "WHERE", "WITH", "RETURN", "UNWIND", "AS", "UNION",
+    "ALL", "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "ASCENDING",
+    "DESC", "DESCENDING", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL",
+    "TRUE", "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN",
+    "ELSE", "END", "EXISTS", "ANY", "NONE", "SINGLE", "REDUCE", "COUNT")
+
+  object Lexer {
+    def tokenize(s: String): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      val n = s.length
+      def err(msg: String) = throw new CypherParseException(s"$msg at offset $i in: $s")
+      while (i < n) {
+        val c = s(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '/' && i + 1 < n && s(i + 1) == '/') {
+          while (i < n && s(i) != '\n') i += 1
+        } else if (c == '/' && i + 1 < n && s(i + 1) == '*') {
+          i += 2
+          while (i + 1 < n && !(s(i) == '*' && s(i + 1) == '/')) i += 1
+          i += 2
+        } else if (c.isDigit || (c == '.' && i + 1 < n && s(i + 1).isDigit)) {
+          val st = i
+          while (i < n && s(i).isDigit) i += 1
+          // '..' is the range operator, not a decimal point
+          if (i + 1 < n && s(i) == '.' && s(i + 1).isDigit) {
+            i += 1
+            while (i < n && s(i).isDigit) i += 1
+          }
+          if (i < n && (s(i) == 'e' || s(i) == 'E')) {
+            i += 1
+            if (i < n && (s(i) == '+' || s(i) == '-')) i += 1
+            while (i < n && s(i).isDigit) i += 1
+          }
+          out += NumTok(s.substring(st, i), st)
+        } else if (c.isLetter || c == '_') {
+          val st = i
+          while (i < n && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          val word = s.substring(st, i)
+          if (keywords.contains(word.toUpperCase)) out += Kw(word.toUpperCase, word, st)
+          else out += Ident(word, st)
+        } else if (c == '`') {
+          val st = i
+          i += 1
+          val sb = new StringBuilder
+          while (i < n && s(i) != '`') { sb += s(i); i += 1 }
+          if (i >= n) err("unterminated backtick identifier")
+          i += 1
+          out += Ident(sb.toString, st)
+        } else if (c == '\'' || c == '"') {
+          val st = i
+          val quote = c
+          i += 1
+          val sb = new StringBuilder
+          while (i < n && s(i) != quote) {
+            if (s(i) == '\\' && i + 1 < n) {
+              i += 1
+              sb += (s(i) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case '\\' => '\\'; case '\'' => '\''; case '"' => '"'
+                case other => other
+              })
+            } else sb += s(i)
+            i += 1
+          }
+          if (i >= n) err("unterminated string literal")
+          i += 1
+          out += StrTok(sb.toString, st)
+        } else {
+          val st = i
+          val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+          val multi = Seq("<=", ">=", "<>", "=~", "->", "<-", "..")
+          if (multi.contains(two)) { out += Punct(two, st); i += 2 }
+          else {
+            val singles = "()[]{},.:;|+-*/%^=<>$"
+            if (singles.indexOf(c) >= 0) { out += Punct(c.toString, st); i += 1 }
+            else err(s"unexpected character '$c'")
+          }
+        }
+      }
+      out += Eof(n)
+      out.result()
+    }
+  }
+
+  class CypherParseException(msg: String) extends RuntimeException(msg)
+
+  // ----------------------------------------------------------------- parser
+  private class Parser(toks: Vector[Tok]) {
+    private var p = 0
+    private def peek: Tok = toks(p)
+    private def peek2: Tok = if (p + 1 < toks.length) toks(p + 1) else toks.last
+    private def advance(): Tok = { val t = toks(p); p += 1; t }
+    private def fail(msg: String): Nothing =
+      throw new CypherParseException(s"$msg near offset ${peek.pos} (token $peek)")
+
+    private def isKw(s: String): Boolean = peek match {
+      case Kw(k, _, _) => k == s
+      case _ => false
+    }
+    private def eatKw(s: String): Unit =
+      if (isKw(s)) p += 1 else fail(s"expected $s")
+    private def tryKw(s: String): Boolean = if (isKw(s)) { p += 1; true } else false
+    private def isPunct(s: String): Boolean = peek match {
+      case Punct(x, _) => x == s
+      case _ => false
+    }
+    private def eatPunct(s: String): Unit =
+      if (isPunct(s)) p += 1 else fail(s"expected '$s'")
+    private def tryPunct(s: String): Boolean = if (isPunct(s)) { p += 1; true } else false
+
+    /** Identifier; keywords that double as function/variable names allowed. */
+    private def ident(): String = advance() match {
+      case Ident(s, _) => s
+      case Kw(_, orig, _) => orig
+      case t => fail(s"expected identifier, got $t")
+    }
+
+    // ---- query / clauses ----
+    def parseQuery(): Query = {
+      val first = parseSingleQuery()
+      val rest = Seq.newBuilder[(Boolean, SingleQuery)]
+      while (tryKw("UNION")) {
+        val all = tryKw("ALL")
+        rest += ((all, parseSingleQuery()))
+      }
+      peek match {
+        case Eof(_) =>
+        case Kw("UNION", _, _) =>
+        case t => fail(s"unexpected trailing token $t")
+      }
+      Query(first, rest.result())
+    }
+
+    private def parseSingleQuery(): SingleQuery = {
+      val clauses = Seq.newBuilder[Clause]
+      var done = false
+      while (!done) {
+        peek match {
+          case Kw("MATCH", _, _) => p += 1; clauses += parseMatch(optional = false)
+          case Kw("OPTIONAL", _, _) =>
+            p += 1; eatKw("MATCH"); clauses += parseMatch(optional = true)
+          case Kw("UNWIND", _, _) =>
+            p += 1
+            val e = parseExpr()
+            eatKw("AS")
+            clauses += Unwind(e, ident())
+          case Kw("WITH", _, _) => p += 1; clauses += parseWith()
+          case Kw("RETURN", _, _) => p += 1; clauses += parseReturn(); done = true
+          case _ => done = true
+        }
+      }
+      SingleQuery(clauses.result())
+    }
+
+    private def parseMatch(optional: Boolean): Match = {
+      val pattern = parsePattern()
+      val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+      Match(optional, pattern, where)
+    }
+
+    private def parseWith(): With = {
+      val distinct = tryKw("DISTINCT")
+      val (star, items) = parseReturnItems()
+      val order = parseOrderBy()
+      val skip = if (tryKw("SKIP")) Some(parseExpr()) else None
+      val limit = if (tryKw("LIMIT")) Some(parseExpr()) else None
+      val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+      With(distinct, star, items, order, skip, limit, where)
+    }
+
+    private def parseReturn(): Return = {
+      val distinct = tryKw("DISTINCT")
+      val (star, items) = parseReturnItems()
+      val order = parseOrderBy()
+      val skip = if (tryKw("SKIP")) Some(parseExpr()) else None
+      val limit = if (tryKw("LIMIT")) Some(parseExpr()) else None
+      Return(distinct, star, items, order, skip, limit)
+    }
+
+    private def parseReturnItems(): (Boolean, Seq[ReturnItem]) = {
+      var star = false
+      val items = Seq.newBuilder[ReturnItem]
+      def item(): Unit = {
+        if (isPunct("*")) { p += 1; star = true }
+        else {
+          val e = parseExpr()
+          val alias = if (tryKw("AS")) Some(ident()) else None
+          items += ReturnItem(e, alias)
+        }
+      }
+      item()
+      while (tryPunct(",")) item()
+      (star, items.result())
+    }
+
+    private def parseOrderBy(): Seq[SortItem] = {
+      if (!tryKw("ORDER")) return Seq.empty
+      eatKw("BY")
+      val items = Seq.newBuilder[SortItem]
+      def one(): Unit = {
+        val e = parseExpr()
+        val asc =
+          if (tryKw("DESC") || tryKw("DESCENDING")) false
+          else { tryKw("ASC"); tryKw("ASCENDING"); true }
+        items += SortItem(e, asc)
+      }
+      one()
+      while (tryPunct(",")) one()
+      items.result()
+    }
+
+    // ---- patterns ----
+    private def parsePattern(): Pattern = {
+      val parts = Seq.newBuilder[PatternPart]
+      parts += parsePatternPart()
+      while (tryPunct(",")) parts += parsePatternPart()
+      Pattern(parts.result())
+    }
+
+    private def parsePatternPart(): PatternPart = {
+      // optional `p = (a)-[..]->(b)` path binding
+      val pathVar = peek match {
+        case Ident(name, _) if peek2 == Punct("=", peek2.pos) =>
+          p += 2; Some(name)
+        case _ => None
+      }
+      val head = parseNodePattern()
+      val tail = Seq.newBuilder[(RelPattern, NodePattern)]
+      while (isPunct("-") || isPunct("<-")) {
+        val rel = parseRelPattern()
+        val node = parseNodePattern()
+        tail += ((rel, node))
+      }
+      PatternPart(head, tail.result(), pathVar)
+    }
+
+    private def parseNodePattern(): NodePattern = {
+      eatPunct("(")
+      val variable = peek match {
+        case Ident(name, _) => p += 1; Some(name)
+        case _ => None
+      }
+      val labels = Seq.newBuilder[String]
+      while (tryPunct(":")) labels += ident()
+      val props = if (isPunct("{")) parsePropMap() else Seq.empty
+      eatPunct(")")
+      NodePattern(variable, labels.result(), props)
+    }
+
+    private def parseRelPattern(): RelPattern = {
+      // -[r:T*1..2 {p:v}]->  |  <-[...]–  |  -[...]-  |  -->  |  <--  |  --
+      val leftArrow = tryPunct("<-")
+      if (!leftArrow) eatPunct("-")
+      var variable: Option[String] = None
+      var types = Seq.empty[String]
+      var props = Seq.empty[(String, Expr)]
+      var varLength: Option[(Int, Option[Int])] = None
+      if (tryPunct("[")) {
+        peek match {
+          case Ident(name, _) => p += 1; variable = Some(name)
+          case _ =>
+        }
+        if (tryPunct(":")) {
+          val ts = Seq.newBuilder[String]
+          ts += ident()
+          while (tryPunct("|")) { tryPunct(":"); ts += ident() }
+          types = ts.result()
+        }
+        if (tryPunct("*")) {
+          val loOpt = peek match {
+            case NumTok(v, _) => p += 1; Some(v.toInt)
+            case _ => None
+          }
+          val lo = loOpt.getOrElse(1)
+          val hi =
+            if (tryPunct("..")) peek match {
+              case NumTok(v, _) => p += 1; Some(v.toInt)
+              case _ => None // `*1..` unbounded above
+            }
+            else loOpt // `*2` = exactly 2; bare `*` = 1..unbounded
+          varLength = Some((lo, hi))
+        }
+        if (isPunct("{")) props = parsePropMap()
+        eatPunct("]")
+      }
+      val rightArrow = tryPunct("->")
+      if (!rightArrow && !leftArrow) eatPunct("-")
+      else if (!rightArrow && leftArrow) eatPunct("-")
+      val dir =
+        if (rightArrow && !leftArrow) OUT
+        else if (leftArrow && !rightArrow) IN
+        else BOTH
+      RelPattern(variable, types, props, dir, varLength)
+    }
+
+    private def parsePropMap(): Seq[(String, Expr)] = {
+      eatPunct("{")
+      val props = Seq.newBuilder[(String, Expr)]
+      if (!isPunct("}")) {
+        def one(): Unit = {
+          val k = ident()
+          eatPunct(":")
+          props += ((k, parseExpr()))
+        }
+        one()
+        while (tryPunct(",")) one()
+      }
+      eatPunct("}")
+      props.result()
+    }
+
+    // ---- expressions (precedence climbing) ----
+    def parseExpr(): Expr = parseOr()
+
+    private def parseOr(): Expr = {
+      var e = parseXor()
+      if (isKw("OR")) {
+        val parts = Seq.newBuilder[Expr]
+        parts += e
+        while (tryKw("OR")) parts += parseXor()
+        e = Ors(parts.result())
+      }
+      e
+    }
+
+    private def parseXor(): Expr = {
+      var e = parseAnd()
+      while (tryKw("XOR")) e = Xor(e, parseAnd())
+      e
+    }
+
+    private def parseAnd(): Expr = {
+      var e = parseNot()
+      if (isKw("AND")) {
+        val parts = Seq.newBuilder[Expr]
+        parts += e
+        while (tryKw("AND")) parts += parseNot()
+        e = Ands(parts.result())
+      }
+      e
+    }
+
+    private def parseNot(): Expr =
+      if (tryKw("NOT")) Not(parseNot()) else parseComparison()
+
+    private def parseComparison(): Expr = {
+      var e = parseAddSub()
+      var done = false
+      while (!done) {
+        peek match {
+          case Punct(op @ ("=" | "<>" | "<" | "<=" | ">" | ">="), _) =>
+            p += 1
+            e = Cmp(op, e, parseAddSub())
+          case Punct("=~", _) =>
+            p += 1
+            e = RegexMatch(e, parseAddSub())
+          case Kw("IS", _, _) =>
+            p += 1
+            val negated = tryKw("NOT")
+            eatKw("NULL")
+            e = IsNull(e, negated)
+          case Kw("IN", _, _) =>
+            p += 1
+            e = In(e, parseAddSub())
+          case Kw("STARTS", _, _) =>
+            p += 1; eatKw("WITH"); e = StartsWith(e, parseAddSub())
+          case Kw("ENDS", _, _) =>
+            p += 1; eatKw("WITH"); e = EndsWith(e, parseAddSub())
+          case Kw("CONTAINS", _, _) =>
+            p += 1; e = Contains(e, parseAddSub())
+          case _ => done = true
+        }
+      }
+      e
+    }
+
+    private def parseAddSub(): Expr = {
+      var e = parseMulDiv()
+      var done = false
+      while (!done) {
+        if (tryPunct("+")) e = Arith("+", e, parseMulDiv())
+        else if (tryPunct("-")) e = Arith("-", e, parseMulDiv())
+        else done = true
+      }
+      e
+    }
+
+    private def parseMulDiv(): Expr = {
+      var e = parsePow()
+      var done = false
+      while (!done) {
+        if (tryPunct("*")) e = Arith("*", e, parsePow())
+        else if (tryPunct("/")) e = Arith("/", e, parsePow())
+        else if (tryPunct("%")) e = Arith("%", e, parsePow())
+        else done = true
+      }
+      e
+    }
+
+    private def parsePow(): Expr = {
+      val e = parseUnary()
+      if (tryPunct("^")) Arith("^", e, parsePow()) else e
+    }
+
+    private def parseUnary(): Expr =
+      if (tryPunct("-")) Neg(parseUnary())
+      else if (tryPunct("+")) parseUnary()
+      else parsePostfix()
+
+    private def parsePostfix(): Expr = {
+      var e = parseAtom()
+      var done = false
+      while (!done) {
+        if (isPunct(".")) {
+          p += 1
+          e = Prop(e, ident())
+        } else if (isPunct("[")) {
+          p += 1
+          // slice or index
+          if (isPunct("..")) {
+            p += 1
+            val to = if (!isPunct("]")) Some(parseExpr()) else None
+            eatPunct("]")
+            e = Slice(e, None, to)
+          } else {
+            val first = parseExpr()
+            if (tryPunct("..")) {
+              val to = if (!isPunct("]")) Some(parseExpr()) else None
+              eatPunct("]")
+              e = Slice(e, Some(first), to)
+            } else {
+              eatPunct("]")
+              e = Index(e, first)
+            }
+          }
+        } else if (isPunct(":") && canBeLabelPredicate(e)) {
+          val labels = Seq.newBuilder[String]
+          while (tryPunct(":")) labels += ident()
+          e = HasLabels(e, labels.result())
+        } else done = true
+      }
+      e
+    }
+
+    /** `x:Label` only valid right after a variable/property-less atom; avoids
+      * consuming the `:` of map literals etc. */
+    private def canBeLabelPredicate(e: Expr): Boolean = e match {
+      case Var(_) => true
+      case _ => false
+    }
+
+    private def parseAtom(): Expr = {
+      peek match {
+        case NumTok(s, _) =>
+          p += 1
+          if (s.contains('.') || s.toLowerCase.contains('e')) FloatLit(s.toDouble)
+          else IntLit(s.toLong)
+        case StrTok(s, _) => p += 1; StrLit(s)
+        case Punct("$", _) => p += 1; Param(ident())
+        case Kw("TRUE", _, _) => p += 1; BoolLit(true)
+        case Kw("FALSE", _, _) => p += 1; BoolLit(false)
+        case Kw("NULL", _, _) => p += 1; NullLit
+        case Kw("COUNT", _, _) if peek2 == Punct("(", peek2.pos) =>
+          // count(*) | count(expr) | count(DISTINCT expr)
+          p += 2
+          if (tryPunct("*")) { eatPunct(")"); CountStar }
+          else {
+            val distinct = tryKw("DISTINCT")
+            val e = parseExpr()
+            eatPunct(")")
+            FuncCall("count", Seq(e), distinct)
+          }
+        case Kw("CASE", _, _) => p += 1; parseCase()
+        case Kw("EXISTS", _, _) => p += 1; parseExists()
+        case Kw(kind @ ("ANY" | "ALL" | "NONE" | "SINGLE"), _, _)
+            if peek2 == Punct("(", peek2.pos) =>
+          p += 2
+          val v = ident()
+          eatKw("IN")
+          val list = parseExpr()
+          eatKw("WHERE")
+          val pred = parseExpr()
+          eatPunct(")")
+          IterablePredicate(kind.toLowerCase, v, list, pred)
+        case Kw("REDUCE", _, _) =>
+          p += 1
+          eatPunct("(")
+          val acc = ident()
+          eatPunct("=")
+          val init = parseExpr()
+          eatPunct(",")
+          val v = ident()
+          eatKw("IN")
+          val list = parseExpr()
+          eatPunct("|")
+          val step = parseExpr()
+          eatPunct(")")
+          Reduce(acc, init, v, list, step)
+        case Punct("(", _) =>
+          // parenthesized expr OR inline pattern predicate like (a)-->(b)
+          if (looksLikePattern()) PatternPredicate(parsePatternPart(), negated = false)
+          else {
+            p += 1
+            val e = parseExpr()
+            eatPunct(")")
+            e
+          }
+        case Punct("[", _) =>
+          // list literal or list comprehension
+          p += 1
+          if (isPunct("]")) { p += 1; ListLit(Seq.empty) }
+          else {
+            val savept = p
+            // try comprehension: ident IN ...
+            peek match {
+              case Ident(v, _) if (peek2 match { case Kw("IN", _, _) => true; case _ => false }) =>
+                p += 2
+                val list = parseExpr()
+                val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+                val proj = if (tryPunct("|")) Some(parseExpr()) else None
+                eatPunct("]")
+                ListComprehension(v, list, where, proj)
+              case _ =>
+                p = savept
+                val items = Seq.newBuilder[Expr]
+                items += parseExpr()
+                while (tryPunct(",")) items += parseExpr()
+                eatPunct("]")
+                ListLit(items.result())
+            }
+          }
+        case Punct("{", _) =>
+          MapLit(parsePropMap())
+        case Ident(name, _) if peek2 == Punct("(", peek2.pos) =>
+          p += 2
+          if (tryPunct("*")) { eatPunct(")"); CountStar } // e.g. size(*) guard
+          else if (isPunct(")")) { p += 1; FuncCall(name.toLowerCase, Seq.empty, distinct = false) }
+          else {
+            val distinct = tryKw("DISTINCT")
+            val args = Seq.newBuilder[Expr]
+            args += parseExpr()
+            while (tryPunct(",")) args += parseExpr()
+            eatPunct(")")
+            FuncCall(name.toLowerCase, args.result(), distinct)
+          }
+        case Ident(name, _) => p += 1; Var(name)
+        case t => fail(s"unexpected token $t in expression")
+      }
+    }
+
+    /** Lookahead: does `(` start a node pattern followed by a relationship?
+      * Distinguishes `(a)-->(b)` pattern predicates from `(a+1)*2`. */
+    private def looksLikePattern(): Boolean = {
+      var i = p
+      def tok(j: Int): Tok = if (j < toks.length) toks(j) else toks.last
+      if (!tok(i).isInstanceOf[Punct] || tok(i).asInstanceOf[Punct].s != "(") return false
+      i += 1
+      tok(i) match {
+        case Ident(_, _) => i += 1
+        case _ =>
+      }
+      // labels / props
+      var guard = 0
+      while (guard < 64 && (tok(i) match {
+            case Punct(":", _) => i += 2; true
+            case Punct("{", _) =>
+              var depth = 1
+              i += 1
+              while (depth > 0 && i < toks.length) {
+                tok(i) match {
+                  case Punct("{", _) => depth += 1
+                  case Punct("}", _) => depth -= 1
+                  case _ =>
+                }
+                i += 1
+              }
+              true
+            case _ => false
+          })) guard += 1
+      tok(i) match {
+        case Punct(")", _) =>
+          tok(i + 1) match {
+            case Punct("-", _) | Punct("<-", _) => true
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+
+    private def parseCase(): Expr = {
+      val subject = if (!isKw("WHEN")) Some(parseExpr()) else None
+      val alts = Seq.newBuilder[(Expr, Expr)]
+      while (tryKw("WHEN")) {
+        val cond = parseExpr()
+        eatKw("THEN")
+        alts += ((cond, parseExpr()))
+      }
+      val default = if (tryKw("ELSE")) Some(parseExpr()) else None
+      eatKw("END")
+      CaseExpr(subject, alts.result(), default)
+    }
+
+    private def parseExists(): Expr = {
+      // EXISTS { pattern } | EXISTS { MATCH pattern } | EXISTS(expr)
+      if (tryPunct("{")) {
+        tryKw("MATCH")
+        val part = parsePatternPart()
+        // optional WHERE inside subquery not supported yet
+        eatPunct("}")
+        PatternPredicate(part, negated = false)
+      } else {
+        eatPunct("(")
+        if (looksLikePattern()) {
+          val part = parsePatternPart()
+          eatPunct(")")
+          PatternPredicate(part, negated = false)
+        } else {
+          val e = parseExpr()
+          eatPunct(")")
+          FuncCall("exists", Seq(e), distinct = false)
+        }
+      }
+    }
+  }
+}
