@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's t2 correctness gate.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <name>/ parquet result written by graft.Verify, runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB over the same
+parquet tables, and compares as multisets (columns sorted by name, rows
+sorted, floats rounded to 6 significant-ish digits).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0:
+            return 0.0
+        return round(v, 6 - int(math.floor(math.log10(abs(v)))) - 1) if abs(v) > 1e-12 else 0.0
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got_rel.description]
+            got_rows = got_rel.fetchall()
+        except Exception as e:
+            results[name] = f"FAIL (no result: {e})"
+            continue
+        try:
+            exp_rel = con.execute(sql)
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rows = exp_rel.fetchall()
+        except Exception as e:
+            results[name] = f"FAIL (oracle error: {e})"
+            continue
+        gc, gr = rows_canon(got_cols, got_rows)
+        ec, er = rows_canon(exp_cols, exp_rows)
+        if gc != ec:
+            results[name] = f"FAIL (schema: got {gc} vs oracle {ec})"
+        elif len(gr) != len(er):
+            results[name] = f"FAIL (rows: got {len(gr)} vs oracle {len(er)})"
+        elif gr != er:
+            diff = next((i for i, (a, b) in enumerate(zip(gr, er)) if a != b), -1)
+            results[name] = (f"FAIL (values differ at sorted row {diff}: "
+                             f"got {gr[diff]} vs {er[diff]})")
+        else:
+            results[name] = "PASS"
+    n_pass = sum(1 for v in results.values() if v == "PASS")
+    for name, v in sorted(results.items()):
+        print(f"{'✓' if v == 'PASS' else '✗'} {name}: {v}")
+    print(f"\n{n_pass}/{len(results)} oracle queries pass")
+    # rows-only entries (no oracle): report row counts
+    import glob, os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            try:
+                n = con.execute(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+                print(f"· {name}: rows-only, {n} rows")
+            except Exception as e:
+                print(f"✗ {name}: rows-only, unreadable: {e}")
+    sys.exit(0 if n_pass == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,159 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api.GraftSession
+import graft.tpch.TpchGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY §2 through
+  * the full Cypher pipeline (parse -> plan -> DataFrame); `oracleSql` holds
+  * the equivalent SQL that the driver runs in DuckDB over the same parquet.
+  * Pipeline (dedup / similarity / text) entries run through the
+  * graft.pipeline DataFrame operators instead.
+  */
 object SparkEntry {
+
+  /** Graph-query entries: (name, cypher, duckdb oracle). Column names are
+    * aligned on both sides — the driver compare sorts columns by name. */
+  private val cypherQueries: Seq[(String, String, Option[String])] = Seq(
+    // --- scans / filter / project (Start, Select, Filter) ---
+    ("q_scan",
+      "MATCH (c:Customer) RETURN c.c_custkey AS c_custkey, c.c_name AS c_name, c.c_acctbal AS c_acctbal, c.c_mktsegment AS c_mktsegment",
+      Some("SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer")),
+    ("q_filter",
+      "MATCH (o:Order) WHERE o.o_totalprice > 300000.0 AND o.o_orderstatus = 'O' RETURN o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice",
+      Some("SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0 AND o_orderstatus = 'O'")),
+    // --- expand (join pipelines) ---
+    ("q_expand",
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN c.c_custkey AS c_custkey, c.c_mktsegment AS seg, o.o_orderkey AS o_orderkey",
+      Some("SELECT c_custkey, c_mktsegment AS seg, o_orderkey FROM customer JOIN orders ON o_custkey = c_custkey")),
+    ("q_expand_2hop",
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) RETURN c.c_custkey AS c_custkey, n.n_name AS n_name, r.r_name AS r_name",
+      Some("SELECT c_custkey, n_name, r_name FROM customer JOIN nation ON n_nationkey = c_nationkey JOIN region ON r_regionkey = n_regionkey")),
+    ("q_expand_reverse",
+      "MATCH (n:Nation)<-[:FROM_NATION]-(s:Supplier) RETURN n.n_name AS n_name, s.s_name AS s_name",
+      Some("SELECT n_name, s_name FROM nation JOIN supplier ON s_nationkey = n_nationkey")),
+    ("q_expand_undirected",
+      "MATCH (n:Nation)-[:FROM_NATION]-(x) RETURN n.n_name AS n_name, count(*) AS degree",
+      Some("SELECT n_name, count(*) AS degree FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) j JOIN nation ON n_nationkey = j.k GROUP BY n_name")),
+    // --- aggregation (Aggregate; SURVEY §2.4 aggregators) ---
+    ("q_agg",
+      "MATCH (l:LineItem) RETURN l.l_returnflag AS l_returnflag, l.l_linestatus AS l_linestatus, sum(l.l_quantity) AS sum_qty, sum(l.l_extendedprice) AS sum_price, avg(l.l_discount) AS avg_disc, count(*) AS cnt",
+      Some("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus")),
+    ("q_agg_minmax",
+      "MATCH (o:Order) RETURN o.o_orderstatus AS st, min(o.o_totalprice) AS min_p, max(o.o_totalprice) AS max_p, count(DISTINCT o.o_orderpriority) AS n_prio",
+      Some("SELECT o_orderstatus AS st, min(o_totalprice) AS min_p, max(o_totalprice) AS max_p, count(DISTINCT o_orderpriority) AS n_prio FROM orders GROUP BY o_orderstatus")),
+    ("q_agg_global",
+      "MATCH (l:LineItem) RETURN count(*) AS n, sum(l.l_quantity) AS total_qty, avg(l.l_extendedprice) AS avg_price, min(l.l_shipdate) AS min_ship, max(l.l_shipdate) AS max_ship, count(DISTINCT l.l_orderkey) AS n_orders",
+      Some("SELECT count(*) AS n, sum(l_quantity) AS total_qty, avg(l_extendedprice) AS avg_price, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship, count(DISTINCT l_orderkey) AS n_orders FROM lineitem")),
+    ("q_agg_stats",
+      "MATCH (o:Order) RETURN stDev(o.o_totalprice) AS sd, percentileCont(o.o_totalprice, 0.5) AS med",
+      Some("SELECT stddev_samp(o_totalprice) AS sd, percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med FROM orders")),
+    // --- order / skip / limit (OrderBy, Skip, Limit) ---
+    ("q_orderby_limit",
+      "MATCH (o:Order) RETURN o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10",
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+    ("q_skip_limit",
+      "MATCH (o:Order) RETURN o.o_orderkey AS o_orderkey ORDER BY o.o_orderkey SKIP 100 LIMIT 20",
+      Some("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100")),
+    // --- distinct / union (Distinct, TabularUnionAll) ---
+    ("q_distinct",
+      "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg",
+      Some("SELECT DISTINCT c_mktsegment AS seg FROM customer")),
+    ("q_union",
+      "MATCH (c:Customer) RETURN c.c_mktsegment AS val UNION MATCH (o:Order) RETURN o.o_orderstatus AS val",
+      Some("SELECT c_mktsegment AS val FROM customer UNION SELECT o_orderstatus AS val FROM orders")),
+    ("q_union_all",
+      "MATCH (n:Nation) RETURN n.n_name AS name UNION ALL MATCH (r:Region) RETURN r.r_name AS name",
+      Some("SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region")),
+    // --- unwind (Explode) ---
+    ("q_unwind",
+      "UNWIND [1,2,3,4,5] AS x RETURN x, x * x AS sq",
+      Some("SELECT CAST(x AS BIGINT) AS x, CAST(x*x AS BIGINT) AS sq FROM (SELECT unnest([1,2,3,4,5]) AS x) t")),
+    // --- optional match (left outer join) ---
+    ("q_optional",
+      "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > 450000.0 RETURN c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey",
+      Some("SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 450000.0")),
+    // --- exists / not-exists pattern predicates (semi / anti join) ---
+    ("q_exists",
+      "MATCH (p:Part) WHERE (p)<-[:OF_PART]-(:LineItem) RETURN p.p_partkey AS p_partkey",
+      Some("SELECT p_partkey FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)")),
+    ("q_not_exists",
+      "MATCH (o:Order) WHERE NOT (o)-[:HAS_ITEM]->(:LineItem) RETURN o.o_orderkey AS o_orderkey",
+      Some("SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)")),
+    // --- var-length expand (BoundedVarLengthExpand) ---
+    ("q_varexpand",
+      "MATCH (c:Customer)-[*1..2]->(x) RETURN c.c_custkey AS c_custkey, count(*) AS paths",
+      Some("""SELECT c_custkey, count(*) AS paths FROM (
+        SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+        UNION ALL SELECT c_custkey FROM customer
+        UNION ALL SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        UNION ALL SELECT c_custkey FROM customer JOIN nation ON n_nationkey = c_nationkey JOIN region ON r_regionkey = n_regionkey
+      ) paths GROUP BY c_custkey""")),
+    ("q_varexpand_zero",
+      "MATCH (n:Nation)-[:IN_REGION*0..1]->(x) RETURN n.n_nationkey AS nk, count(*) AS n",
+      Some("""SELECT n_nationkey AS nk, count(*) AS n FROM (
+        SELECT n_nationkey FROM nation
+        UNION ALL SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+      ) p GROUP BY n_nationkey""")),
+    // --- WITH pipeline + aggregation-then-filter (having) ---
+    ("q_with_having",
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) WITH c.c_custkey AS ck, sum(o.o_totalprice) AS total WHERE total > 3000000.0 RETURN ck, total",
+      Some("SELECT c_custkey AS ck, sum(o_totalprice) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey HAVING sum(o_totalprice) > 3000000.0")),
+    // --- scalar expression gauntlet (SURVEY §2.5) ---
+    ("q_expressions",
+      "MATCH (c:Customer) RETURN c.c_custkey AS ck, toUpper(c.c_name) AS upper_name, substring(c.c_name, 0, 4) AS pre, c.c_acctbal * 1.1 + 5 AS adj, abs(c.c_acctbal) AS ab, CASE WHEN c.c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign_cls, coalesce(c.c_mktsegment, 'NA') AS seg",
+      Some("SELECT c_custkey AS ck, upper(c_name) AS upper_name, substring(c_name, 1, 4) AS pre, c_acctbal * 1.1 + 5 AS adj, abs(c_acctbal) AS ab, CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign_cls, coalesce(c_mktsegment, 'NA') AS seg FROM customer")),
+    ("q_strings",
+      "MATCH (p:Part) WHERE p.p_name STARTS WITH 'PART_1' AND p.p_type CONTAINS 'a' RETURN p.p_partkey AS pk, p.p_name AS name, toLower(p.p_type) AS lo_type",
+      Some("SELECT p_partkey AS pk, p_name AS name, lower(p_type) AS lo_type FROM part WHERE starts_with(p_name, 'PART_1') AND contains(p_type, 'a')")),
+    ("q_math",
+      "MATCH (s:Supplier) RETURN s.s_suppkey AS sk, floor(s.s_acctbal) AS fl, ceil(s.s_acctbal) AS ce, sqrt(abs(s.s_acctbal)) AS sq, s.s_acctbal % 7 AS md",
+      Some("SELECT s_suppkey AS sk, CAST(floor(s_acctbal) AS BIGINT) AS fl, CAST(ceil(s_acctbal) AS BIGINT) AS ce, sqrt(abs(s_acctbal)) AS sq, s_acctbal - 7 * trunc(s_acctbal / 7) AS md FROM supplier")),
+    ("q_case_buckets",
+      "MATCH (o:Order) RETURN CASE WHEN o.o_totalprice < 100000 THEN 'low' WHEN o.o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n",
+      Some("SELECT CASE WHEN o_totalprice < 100000 THEN 'low' WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n FROM orders GROUP BY 1")),
+    ("q_in_list",
+      "MATCH (n:Nation) WHERE n.n_name IN ['NATION_1', 'NATION_5', 'NATION_9'] RETURN n.n_nationkey AS nk, n.n_name AS name",
+      Some("SELECT n_nationkey AS nk, n_name AS name FROM nation WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')")),
+    // --- cartesian product ---
+    ("q_cartesian",
+      "MATCH (r:Region), (o:Order) RETURN DISTINCT r.r_name AS rn, o.o_orderstatus AS st",
+      Some("SELECT DISTINCT r_name AS rn, o_orderstatus AS st FROM region CROSS JOIN orders")),
+    // --- relationship properties ---
+    ("q_rel_prop",
+      "MATCH (c:Customer)-[p:PLACED]->(o:Order) RETURN o.o_orderkey AS ok, p.o_orderdate AS od",
+      Some("SELECT o_orderkey AS ok, o_orderdate AS od FROM orders")),
+    // --- list operations / comprehensions (higher-order functions) ---
+    ("q_list_ops",
+      "WITH [1,2,3,4,5] AS xs RETURN size(xs) AS sz, head(xs) AS hd, last(xs) AS lst, xs[1] AS second, xs[1..3] AS mid",
+      Some("SELECT CAST(len(xs) AS BIGINT) AS sz, xs[1] AS hd, xs[-1] AS lst, xs[2] AS second, xs[2:3] AS mid FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")),
+    ("q_list_comp",
+      "WITH [1,2,3,4,5] AS xs RETURN [x IN xs WHERE x % 2 = 1 | x * 10] AS odds, reduce(a = 0, x IN xs | a + x) AS total",
+      Some("SELECT list_transform(list_filter(xs, x -> x % 2 = 1), x -> x * 10) AS odds, list_sum(xs) AS total FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")))
+
+  private def cy(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => GraftSession(s).cypher(TpchGraph(s, dir), q)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    GraftSession(spark).cypher(TpchGraph(spark, "/root/testdata/sf0.001"),
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region),
+        |      (c)-[:PLACED]->(o:Order)
+        |WHERE o.o_totalprice > 100000.0
+        |RETURN r.r_name AS region, count(*) AS orders,
+        |       sum(o.o_totalprice) AS revenue
+        |ORDER BY region""".stripMargin)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    cypherQueries.map { case (name, q, _) => name -> cy(q) }.toMap ++
+      graft.pipeline.PipelineQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    cypherQueries.flatMap { case (name, _, sql) => sql.map(name -> _) }.toMap ++
+      graft.pipeline.PipelineQueries.oracleSql
 }

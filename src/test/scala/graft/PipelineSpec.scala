@@ -1,0 +1,129 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Correctness tests for the pipeline operators whose outputs the DuckDB
+  * oracle cannot express (hash-based LSH, stubs): planted near-duplicates
+  * must be found, LSH recall must track brute force. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "in the warm afternoon sun near the old wooden fence"
+
+  lazy val docs = Seq(
+    (0L, base),
+    (1L, base.replace("lazy", "sleepy")), // near-dup of 0
+    (2L, base),                           // exact dup of 0
+    (3L, "completely different content about spark dataframes and " +
+      "catalyst optimizer rules for distributed query planning"),
+    (4L, "yet another unrelated document mentioning minhash locality " +
+      "sensitive hashing and jaccard similarity estimation at scale"),
+    (5L, base.replace("fox", "wolf").replace("dog", "hound")) // near-dup
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per key") {
+    val ids = Dedup.exactIds(docs, "doc_id", Seq("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 1L, 3L, 4L, 5L)) // 2 collapsed into 0
+    val rows = Dedup.exact(docs, "doc_id", Seq("text"))
+    assert(rows.count() === 5)
+    assert(rows.columns.toSeq === Seq("doc_id", "text"))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), "exact dup must be found")
+    assert(pairs.contains((0L, 1L)), "near dup must be found")
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    val est = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.0)
+      .filter(col("id1") === 0 && col("id2") === 2)
+      .collect().head.getDouble(2)
+    assert(est === 1.0, "identical docs estimate 1.0")
+  }
+
+  test("simhash pairs exact and near duplicates") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard exact pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("LSH top-k recall tracks brute force") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val query = (0 until dim).map(_ => rnd.nextGaussian())
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(vecs, "vec_id", "embedding", query, 10,
+        bits = 12, probeHamming = 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("cosine of identical vectors is 1") {
+    val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val c = v.select(Similarity.cosine(col("embedding"), col("embedding")))
+      .collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
+  test("text stats are sane") {
+    val row = TextAnalysis.stats(docs.filter(col("doc_id") === 0),
+      "doc_id", "text").collect().head
+    assert(row.getAs[Long]("n_chars") === base.length.toLong)
+    assert(row.getAs[Long]("n_tokens") === base.split("\\s+").length.toLong)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fps = d.select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("language id picks marker-matched language") {
+    val d = Seq((1L, "the cat and the dog"), (2L, "der Hund und die Katze"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.languageId(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "und")
+  }
+
+  test("multimodal pipeline: media wrap + stub feature extraction") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "content", "mime", "meta"))
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+    assert(feats.count() === 6)
+    val row = feats.filter(col("media_id") === 0).collect().head
+    assert(row.getAs[Seq[Double]]("features").length === 4)
+    assert(row.getAs[Int]("width") > 0)
+    // determinism: same content -> same features
+    val f0 = feats.filter(col("media_id") === 0).collect().head.getSeq[Double](3)
+    val f2 = feats.filter(col("media_id") === 2).collect().head.getSeq[Double](3)
+    assert(f0 === f2)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local SparkSession across all suites (getOrCreate). */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Multiset compare helper (Bag semantics, like the reference's
+    * okapi-testing Bag.scala). */
+  def bag(rows: Seq[Seq[Any]]): Map[Seq[Any], Int] =
+    rows.groupBy(identity).view.mapValues(_.size).toMap
+
+  def dfBag(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    bag(df.collect().toSeq.map(_.toSeq.map {
+      case d: java.lang.Double => BigDecimal(d).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)
+      case other => other
+    }))
+}
