@@ -21,14 +21,23 @@ class GraftSession(val spark: SparkSession) {
   def graphByName(name: String): PropertyGraph = catalog(name)
 
   /** Compile and plan a Cypher query against a graph; the result is a lazy
-    * DataFrame with user-facing column names. */
+    * DataFrame with user-facing column names. An optional driving table's
+    * columns are visible to the query as value variables (reference entry
+    * point 3, RelationalCypherSession driving tables). */
   def cypher(graph: PropertyGraph, query: String,
-      params: Map[String, Any] = Map.empty): DataFrame = {
+      params: Map[String, Any] = Map.empty,
+      drivingTable: Option[DataFrame] = None): DataFrame = {
     val ast = CypherParser.parse(query)
-    val planner = new Planner(spark, graph, params)
+    val planner = new Planner(spark, graph, params, drivingTable)
     val (df, outs, header) = planner.plan(ast)
     planner.render(df, outs, header)
   }
+
+  /** Collect results as Cypher values (rowToCypherMap parity). */
+  def cypherValues(graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): Seq[graft.values.CypherMap] =
+    cypher(graph, query, params).collect().toSeq
+      .map(graft.values.CypherValue.rowToCypherMap)
 
   /** Raw SQL passthrough (CAPFSession.sql / MorpheusSession.sql:84-86). */
   def sql(query: String): DataFrame = spark.sql(query)

@@ -30,7 +30,8 @@ object Planner {
 }
 
 class Planner(spark: SparkSession, graph: PropertyGraph,
-    params: Map[String, Any] = Map.empty) {
+    params: Map[String, Any] = Map.empty,
+    drivingTable: Option[DataFrame] = None) {
   import Planner._
   import PropertyGraph.{ID, SRC, TGT, TYPE, propCol}
 
@@ -43,6 +44,22 @@ class Planner(spark: SparkSession, graph: PropertyGraph,
   }
 
   private def unitCtx: Ctx = Ctx(spark.range(1).select(), RecordHeader.empty)
+
+  /** Leaf context for the query: the driving table's columns become value
+    * vars (DrivingTable leaf, LogicalOperator.scala:342). Pattern-predicate
+    * and OPTIONAL MATCH subplans still start from the plain unit. */
+  private def startCtx: Ctx = drivingTable match {
+    case None => unitCtx
+    case Some(df) =>
+      var header = RecordHeader.empty
+      var out = df
+      df.columns.foreach { c =>
+        val slot = ValueSlot(c)
+        header = header.withSlot(slot).withVar(c, ValueKind)
+        out = out.withColumnRenamed(c, RecordHeader.colName(slot))
+      }
+      Ctx(out, header)
+  }
 
   // ------------------------------------------------------------------ entry
   def plan(q: Query): (DataFrame, Seq[OutItem], RecordHeader) = {
@@ -103,7 +120,7 @@ class Planner(spark: SparkSession, graph: PropertyGraph,
 
   // ---------------------------------------------------------- single query
   private def planSingle(sq: SingleQuery): (Ctx, Seq[OutItem]) = {
-    var ctx = unitCtx
+    var ctx = startCtx
     var outs: Seq[OutItem] = Seq.empty
     sq.clauses.foreach {
       case m @ Match(false, _, _) => ctx = planMatch(ctx, m.pattern, m.where)
@@ -497,39 +514,48 @@ class Planner(spark: SparkSession, graph: PropertyGraph,
     val s0 = relHeader0.col(SrcSlot(rv))
     val t0 = relHeader0.col(TgtSlot(rv))
     val i0 = relHeader0.col(IdSlot(rv))
-    // Minimal hop table: (s, t, id); orientation handled by role swap below.
-    val hop = relDf0.select(col(s0).as("_h_s"), col(t0).as("_h_t"),
+    // Minimal oriented hop table (_h_from, _h_to, _h_i): traversal always
+    // grows from the pattern's src toward its tgt; for IN the underlying
+    // relationship is walked target->source.
+    val (fromCol, toCol) = if (e.dir == IN) (t0, s0) else (s0, t0)
+    val hop = relDf0.select(col(fromCol).as("_h_from"), col(toCol).as("_h_to"),
       col(i0).as("_h_i")).persist()
 
-    val psrc = "_vl_src_" + e.v
-    val ptgt = "_vl_tgt_" + e.v
+    val pfrom = "_vl_from_" + e.v
+    val pto = "_vl_to_" + e.v
     val pids = RecordHeader.colName(PathSlot(e.v))
+    // Seed the frontier from the anchored side: a semi-join against the
+    // bound ids keeps hop 1 (and everything grown from it) proportional to
+    // the anchor instead of enumerating every relationship in the graph —
+    // the difference between O(anchor·deg^k) and O(|E|·deg^(k-1)) work.
+    val anchorIds = ctx0.df
+      .select(col(ctx0.header.col(IdSlot(e.src))).as("_vl_anchor")).distinct()
     var paths: DataFrame = null
-    var frontier = hop.select(col("_h_s").as(psrc), col("_h_t").as(ptgt),
-      array(col("_h_i")).as(pids))
+    var frontier = hop
+      .join(anchorIds, col("_h_from") === col("_vl_anchor"), "left_semi")
+      .select(col("_h_from").as(pfrom), col("_h_to").as(pto),
+        array(col("_h_i")).as(pids))
     for (k <- 1 to hi) {
       if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
       if (k < hi) {
-        val h2 = hop.select(col("_h_s").as("_n_s"), col("_h_t").as("_n_t"),
+        val h2 = hop.select(col("_h_from").as("_n_f"), col("_h_to").as("_n_t"),
           col("_h_i").as("_n_i"))
         frontier = frontier.join(h2,
-            col(ptgt) === col("_n_s") && !array_contains(col(pids), col("_n_i")))
-          .select(col(psrc), col("_n_t").as(ptgt),
+            col(pto) === col("_n_f") && !array_contains(col(pids), col("_n_i")))
+          .select(col(pfrom), col("_n_t").as(pto),
             concat(col(pids), array(col("_n_i"))).as(pids))
       }
     }
     if (lo == 0) {
       // Zero-length: source pairs with itself, empty path.
-      val zero = ctx0.df.select(col(ctx0.header.col(IdSlot(e.src))).as(psrc))
+      val zero = ctx0.df.select(col(ctx0.header.col(IdSlot(e.src))).as(pfrom))
         .distinct()
-        .select(col(psrc), col(psrc).as(ptgt),
+        .select(col(pfrom), col(pfrom).as(pto),
           array().cast(ArrayType(LongType)).as(pids))
       paths = if (paths == null) zero else paths.unionByName(zero)
     }
 
-    // Orientation: for IN, the pattern's src is the path's target side.
-    val (anchorCol, otherCol) =
-      if (e.dir == IN) (ptgt, psrc) else (psrc, ptgt)
+    val (anchorCol, otherCol) = (pfrom, pto)
     var df = ctx0.df.join(paths,
       col(ctx0.header.col(IdSlot(e.src))) === col(anchorCol))
     var header = ctx0.header
@@ -542,7 +568,7 @@ class Planner(spark: SparkSession, graph: PropertyGraph,
       header = header ++ nodeHeader
       bound += e.tgt
     }
-    Ctx(df.drop(psrc, ptgt), header)
+    Ctx(df.drop(pfrom, pto), header)
   }
 
   // --------------------------------------------------------------- unwind

@@ -40,10 +40,33 @@ object Dedup {
       i => norm.substr(i + 1, lit(k))))
   }
 
-  /** MinHash signature: for seed i, min over shingles of xxhash64(s, i). */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleCol, s => xxhash64(s, seed))))
+  /** MinHash signatures for a whole DataFrame: explode shingles to rows,
+    * then one codegen'd hash aggregation with 64 `min(xxhash64(s, i))`
+    * columns. (The tempting nested higher-order-function formulation runs
+    * interpreted and single-partition on small files — ~100x slower; this
+    * shape is one shuffle and fully codegen'd, which is what survives at
+    * 100 TB.) Output: (_mh_id, _mh_sig array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    val exploded = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("_mh_id"),
+        explode(shingles(col(textCol), shingleSize)).as("_sh"))
+      .withColumn("_h0", xxhash64(col("_sh")))
+    // Universal hashing: hash each shingle once, derive the i-th hash as
+    // a_i * h + b_i (overflowing long arithmetic) — 64 multiply-adds per
+    // shingle instead of 64 string hashes.
+    val rnd = new scala.util.Random(42)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val bs = Array.fill(numHashes)(rnd.nextLong())
+    val aggs = (0 until numHashes).map(i =>
+      min(col("_h0") * as(i) + bs(i)).as(s"_h$i"))
+    exploded.groupBy(col("_mh_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_mh_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_mh_sig"))
+  }
 
   /** MinHash + banded LSH near-duplicate candidate pairs.
     *
@@ -59,9 +82,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("_mh_id"),
-        minhashSignature(shingles(col(textCol), shingleSize), numHashes)
-          .as("_mh_sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
       .persist()
     // band j = hash of the j-th signature slice; explode to bucket rows.
     val banded = sigs.select(col("_mh_id"), col("_mh_sig"),
@@ -89,23 +110,27 @@ object Dedup {
       .select(col("id1"), col("id2"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per bit, +1/-1 votes from each
-    * token's xxhash64; the sign becomes the bit. */
-  def simhash(text: Column): Column = {
-    val tokens = F.split(lower(trim(text)), "\\s+")
-    val votes = F.aggregate(tokens,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftrightunsigned", xxhash64(t), b)
-              .bitwiseAND(1) === 1,
-            lit(1L)).otherwise(lit(-1L))),
-        (a, v) => a + v))
-    F.aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  /** 64-bit SimHash per document: explode tokens, then 64 codegen'd
+    * sum(+-1) aggregates (one per bit) combined into a long. Same
+    * explode-then-aggregate shape as minhashSignatures and for the same
+    * scale reason. Output: (_sh_id, _sh_hash). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val exploded = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("_sh_id"),
+        explode(F.split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .withColumn("_th", xxhash64(col("_tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("_th"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"_v$b")
+    }
+    exploded.groupBy(col("_sh_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("_sh_id"),
+        (0 until 64).map(b =>
+          when(col(s"_v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, c) => a.bitwiseOR(c)).as("_sh_hash"))
   }
 
   /** SimHash near-dup candidate pairs: bucket on 4 16-bit slices (any pair
@@ -113,8 +138,7 @@ object Dedup {
     * maxHamming <= 3), verify with bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("_sh_id"),
-      simhash(col(textCol)).as("_sh_hash")).persist()
+    val sh = simhashes(df, idCol, textCol).persist()
     val banded = sh.select(col("_sh_id"), col("_sh_hash"),
       posexplode(transform(sequence(lit(0), lit(3)), j =>
         call_function("shiftrightunsigned", col("_sh_hash"), j * 16)

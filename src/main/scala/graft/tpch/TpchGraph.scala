@@ -47,10 +47,15 @@ object TpchGraph {
     val liWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey"), col("l_linenumber"))
       .orderBy(liRaw.columns.map(col): _*)
+    // Persisted: the id-assigning window would otherwise recompute in every
+    // query that touches LineItem (the node table and three rel tables all
+    // derive from this frame). At cluster scale this materialization is the
+    // one-off "assign surrogate ids" preparation step.
     val lineitem = liRaw
       .withColumn("_li_id",
         col("l_orderkey") * 128 + col("l_linenumber") * 16 +
           row_number().over(liWin))
+      .persist()
 
     val nodes = Seq(
       NodeTableDef(Set("Region"), region, "r_regionkey",

@@ -1,0 +1,80 @@
+package graft
+
+import graft.api.GraftSession
+import graft.sources.{EdgeListSource, FsGraphSource}
+import graft.tpch.TpchGraph
+import graft.types._
+import graft.values._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val session = new GraftSession(spark)
+
+  test("FS graph source round-trips a graph (store + load + query)") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft_fs").toString
+    FsGraphSource.store(g, dir)
+    val loaded = FsGraphSource.load(spark, dir)
+    val got = session.cypher(loaded,
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(got === 25L)
+  }
+
+  test("edge list source: V nodes and E relationships") {
+    val dir = Files.createTempDirectory("graft_el")
+    Files.writeString(dir.resolve("graph.txt"),
+      "# comment\n0 1\n1 2\n2 0\n2 3\n")
+    val g = EdgeListSource.load(spark, dir.resolve("graph.txt").toString)
+    assert(session.cypher(g, "MATCH (v:V) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 4L)
+    assert(session.cypher(g, "MATCH ()-[e:E]->() RETURN count(*) AS n")
+      .collect().head.getLong(0) === 4L)
+    // triangle: 0->1->2->0
+    assert(session.cypher(g,
+      "MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(a) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 3L) // each rotation of the triangle
+  }
+
+  test("driving table columns are visible as variables") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val driving = Seq((0L, "even"), (1L, "odd")).toDF("rk", "parity")
+    val got = session.cypher(g,
+      "MATCH (r:Region) WHERE r.r_regionkey = rk " +
+        "RETURN r.r_name AS name, parity ORDER BY name",
+      drivingTable = Some(driving))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("AFRICA", "even"), ("AMERICA", "odd")))
+  }
+
+  test("catalog stores and retrieves graphs by name") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    session.store("tpch", g)
+    assert(session.graphByName("tpch") eq g)
+  }
+
+  test("cypherValues returns CypherMap rows with nodes") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val maps = session.cypherValues(g,
+      "MATCH (r:Region) RETURN r, r.r_name AS name ORDER BY name LIMIT 1")
+    val node = maps.head("r").asInstanceOf[CypherNode]
+    assert(node.labels === Set("Region"))
+    assert(node.properties("r_name") === CypherString("AFRICA"))
+    assert(maps.head("name") === CypherString("AFRICA"))
+  }
+
+  test("type lattice join/meet/subtype") {
+    assert(CTInteger.join(CTFloat) === CTNumber)
+    assert(CTInteger.join(CTNull) === CTNullable(CTInteger))
+    assert(CTNode(Set("A")).join(CTNode(Set("A", "B"))) === CTNode(Set("A")))
+    assert(CTNode(Set("A")).meet(CTNode(Set("B"))) === CTNode(Set("A", "B")))
+    assert(CTInteger.subTypeOf(CTNumber))
+    assert(!CTString.subTypeOf(CTInteger))
+    assert(CTList(CTInteger).join(CTList(CTFloat)) === CTList(CTNumber))
+    assert(CypherType.fromSparkType(
+      org.apache.spark.sql.types.IntegerType) === CTInteger)
+  }
+}
