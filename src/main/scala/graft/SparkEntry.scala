@@ -117,6 +117,13 @@ object SparkEntry {
     ("q_in_list",
       "MATCH (n:Nation) WHERE n.n_name IN ['NATION_1', 'NATION_5', 'NATION_9'] RETURN n.n_nationkey AS nk, n.n_name AS name",
       Some("SELECT n_nationkey AS nk, n_name AS name FROM nation WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')")),
+    // --- temporal accessors (DateProperty / LocalDateTimeProperty) ---
+    ("q_temporal",
+      "MATCH (l:LineItem) RETURN l.l_shipdate.year AS y, l.l_shipdate.month AS m, count(*) AS n",
+      Some("SELECT CAST(year(l_shipdate) AS BIGINT) AS y, CAST(month(l_shipdate) AS BIGINT) AS m, count(*) AS n FROM lineitem GROUP BY 1, 2")),
+    ("q_temporal_filter",
+      "MATCH (o:Order) WHERE o.o_orderdate >= localdatetime('1998-01-01 00:00:00') RETURN count(*) AS n",
+      Some("SELECT count(*) AS n FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'")),
     // --- cartesian product ---
     ("q_cartesian",
       "MATCH (r:Region), (o:Order) RETURN DISTINCT r.r_name AS rn, o.o_orderstatus AS st",

@@ -28,9 +28,30 @@ class GraftSession(val spark: SparkSession) {
       params: Map[String, Any] = Map.empty,
       drivingTable: Option[DataFrame] = None): DataFrame = {
     val ast = CypherParser.parse(query)
-    val planner = new Planner(spark, graph, params, drivingTable)
+    val planner = new Planner(spark, graph, params, drivingTable, graphByName)
     val (df, outs, header) = planner.plan(ast)
     planner.render(df, outs, header)
+  }
+
+  /** Run a query ending in CONSTRUCT ... RETURN GRAPH; returns the built
+    * graph (reference multiple-graphs support, SURVEY §2.6). */
+  def cypherGraph(graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): PropertyGraph = {
+    val ast = CypherParser.parse(query)
+    val planner = new Planner(spark, graph, params, None, graphByName)
+    planner.plan(ast)
+    planner.constructedGraph.getOrElse(
+      throw new IllegalArgumentException(
+        "query does not end in CONSTRUCT ... RETURN GRAPH"))
+  }
+
+  /** CATALOG CREATE GRAPH equivalent: run a graph-returning query and
+    * register the result under a name. */
+  def createGraph(name: String, source: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): PropertyGraph = {
+    val g = cypherGraph(source, query, params)
+    store(name, g)
+    g
   }
 
   /** Collect results as Cypher values (rowToCypherMap parity). */

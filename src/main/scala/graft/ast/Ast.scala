@@ -91,6 +91,13 @@ case class With(distinct: Boolean, star: Boolean, items: Seq[ReturnItem],
 case class Return(distinct: Boolean, star: Boolean, items: Seq[ReturnItem],
     orderBy: Seq[SortItem], skip: Option[Expr], limit: Option[Expr])
     extends Clause
+/** FROM GRAPH <name> / USE <name>: switch the ambient graph (plan-time,
+  * reference FromCatalogGraph / SwitchContext). */
+case class FromGraph(name: String) extends Clause
+/** CONSTRUCT [NEW pattern]* [RETURN GRAPH]: build a new graph from the
+  * current driving table (reference ConstructGraphPlanner, SURVEY §2.6).
+  * Bound node vars are cloned; unbound ones are created per row. */
+case class Construct(news: Seq[PatternPart]) extends Clause
 
 case class SingleQuery(clauses: Seq[Clause])
 /** rest entries are (unionAll, query). */

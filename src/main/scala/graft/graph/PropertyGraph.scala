@@ -61,15 +61,19 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
   import PropertyGraph._
 
   /** Stable tag per id space; id spaces shared between tables produce
-    * colliding ids on purpose (same logical entity). */
+    * colliding ids on purpose (same logical entity). Spaces starting with
+    * "!" carry pre-tagged ids and are passed through untouched (used by
+    * CONSTRUCT, whose cloned elements keep their source-graph ids). */
   val tags: Map[String, Long] = {
     val spaces = (nodeDefs.map(_.idSpace) ++
-      relDefs.flatMap(r => Seq(r.idSpace, r.srcSpace, r.tgtSpace))).distinct
+      relDefs.flatMap(r => Seq(r.idSpace, r.srcSpace, r.tgtSpace)))
+      .distinct.filterNot(_.startsWith("!"))
     spaces.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
   }
 
   private def tagged(space: String, c: Column): Column =
-    shiftleft(lit(tags(space)), TagBits).bitwiseOR(c.cast(LongType))
+    if (space.startsWith("!")) c.cast(LongType)
+    else shiftleft(lit(tags(space)), TagBits).bitwiseOR(c.cast(LongType))
 
   /** All labels appearing in the graph. */
   lazy val labels: Set[String] = nodeDefs.flatMap(_.labels).toSet
@@ -116,5 +120,24 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
     nodeTables.foreach(_.df.unpersist())
     relTables.foreach(_.df.unpersist())
     this
+  }
+
+  /** N-ary graph union with id retagging: each input graph's id spaces are
+    * prefixed with a per-graph ordinal so elements never collide — the
+    * PrefixGraph + GraphUnionAll semantics
+    * (RelationalOperator.scala:185,505). */
+  def unionAll(others: PropertyGraph*): PropertyGraph = {
+    val graphs = this +: others
+    // "!"-spaces carry pre-tagged ids and keep them across the union (the
+    // caller guarantees their uniqueness, e.g. CONSTRUCT output).
+    def remap(s: String, i: Int) = if (s.startsWith("!")) s else s"g$i/$s"
+    val nodes = graphs.zipWithIndex.flatMap { case (g, i) =>
+      g.nodeDefs.map(d => d.copy(idSpace = remap(d.idSpace, i)))
+    }
+    val rels = graphs.zipWithIndex.flatMap { case (g, i) =>
+      g.relDefs.map(d => d.copy(idSpace = remap(d.idSpace, i),
+        srcSpace = remap(d.srcSpace, i), tgtSpace = remap(d.tgtSpace, i)))
+    }
+    new PropertyGraph(nodes, rels)
   }
 }

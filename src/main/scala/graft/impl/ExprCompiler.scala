@@ -51,6 +51,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Prop(sub, k) => inferType(sub) match {
       case Some(st: StructType) => st.fields.find(_.name == k).map(_.dataType)
       case Some(MapType(_, vt, _)) => Some(vt)
+      case Some(DateType) | Some(TimestampType) | Some(TimestampNTZType) =>
+        Some(LongType)
       case _ => None
     }
     case IntLit(_) => Some(LongType)
@@ -96,6 +98,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
            "percentilecont" | "percentiledisc" => Some(DoubleType)
       case "toboolean" | "exists" => Some(BooleanType)
       case "labels" | "keys" | "split" => Some(ArrayType(StringType))
+      case "date" => Some(DateType)
+      case "localdatetime" | "datetime" => Some(TimestampType)
       case "range" => Some(ArrayType(LongType))
       case "collect" => args.headOption.flatMap(inferType).map(ArrayType(_))
       case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" |
@@ -291,6 +295,23 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
 
   private def compileFieldAccess(c: Column, t: Option[DataType], k: String): Column =
     t match {
+      // Temporal accessors: d.year, ts.month, ... (reference's
+      // DateProperty/LocalDateTimeProperty, SparkSQLExprMapper :153-155).
+      case Some(DateType) | Some(TimestampType) | Some(TimestampNTZType) =>
+        k.toLowerCase match {
+        case "year" => year(c).cast(LongType)
+        case "quarter" => quarter(c).cast(LongType)
+        case "month" => month(c).cast(LongType)
+        case "week" => weekofyear(c).cast(LongType)
+        case "day" => dayofmonth(c).cast(LongType)
+        case "dayofweek" | "weekday" => dayofweek(c).cast(LongType)
+        case "ordinalday" => dayofyear(c).cast(LongType)
+        case "hour" => hour(c).cast(LongType)
+        case "minute" => F.minute(c).cast(LongType)
+        case "second" => F.second(c).cast(LongType)
+        case other =>
+          throw new CypherCompileException(s"unknown temporal accessor $other")
+      }
       case Some(_: StructType) => c.getField(k)
       case Some(_: MapType) => element_at(c, k)
       case _ => c.getItem(k)
@@ -444,6 +465,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         else F.size(a0).cast(LongType)
       case "head" => element_at(a0, 1)
       case "last" => element_at(a0, -1)
+
+      // ---- temporal constructors (Expr.scala :1269-1273) ----
+      case "date" =>
+        if (args.isEmpty) current_date() else to_date(a0)
+      case "localdatetime" | "datetime" =>
+        if (args.isEmpty) current_timestamp() else to_timestamp(a0)
+
+      // ---- bitwise (Expr.scala :916-949) ----
+      case "shiftleft" => call_function("shiftleft", a0, a1)
+      case "shiftright" => call_function("shiftright", a0, a1)
+      case "shiftrightunsigned" => call_function("shiftrightunsigned", a0, a1)
+      case "bitwiseand" => a0.bitwiseAND(a1)
+      case "bitwiseor" => a0.bitwiseOR(a1)
+      case "bitwisexor" => a0.bitwiseXOR(a1)
       case "range" =>
         val step = if (args.length >= 3) compile(args(2)) else lit(1L)
         sequence(a0, a1, step)

@@ -1,7 +1,7 @@
 package graft.impl
 
 import graft.ast._
-import graft.graph.{PropertyGraph, NodeScanTable, RelScanTable}
+import graft.graph.{NodeScanTable, NodeTableDef, PropertyGraph, RelScanTable, RelTableDef}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -29,9 +29,17 @@ object Planner {
   case class OutVar(v: String, display: String) extends OutItem
 }
 
-class Planner(spark: SparkSession, graph: PropertyGraph,
+class Planner(spark: SparkSession, graph0: PropertyGraph,
     params: Map[String, Any] = Map.empty,
-    drivingTable: Option[DataFrame] = None) {
+    drivingTable: Option[DataFrame] = None,
+    resolveGraph: String => PropertyGraph = n =>
+      throw new CypherCompileException(s"unknown graph $n (no catalog)")) {
+
+  /** Ambient graph; FROM GRAPH / USE switches it (plan-time only). */
+  private var graph: PropertyGraph = graph0
+
+  /** Set when the query ends in CONSTRUCT ... RETURN GRAPH. */
+  var constructedGraph: Option[PropertyGraph] = None
   import Planner._
   import PropertyGraph.{ID, SRC, TGT, TYPE, propCol}
 
@@ -134,8 +142,101 @@ class Planner(spark: SparkSession, graph: PropertyGraph,
           r.orderBy, r.skip, r.limit, None)
         ctx = c
         outs = o
+      case FromGraph(name) => graph = resolveGraph(name)
+      case Construct(news) => constructedGraph = Some(planConstruct(ctx, news))
     }
     (ctx, outs)
+  }
+
+  // ------------------------------------------------------------- construct
+  /** CONSTRUCT NEW ...: build a new PropertyGraph from the current driving
+    * table (ConstructGraphPlanner, SURVEY §2.6). Bound node vars are cloned
+    * (keeping their ids and statically-known labels); unbound vars create
+    * one element per row with fresh tagged ids. The construct table is
+    * persisted before slicing into scans so monotonically_increasing_id is
+    * evaluated exactly once (the determinism hazard SURVEY §4 flags). */
+  private def planConstruct(ctx: Ctx, news: Seq[PatternPart]): PropertyGraph = {
+    val (nodes, edges) = normalizePattern(Pattern(news))
+    edges.foreach { e =>
+      require(e.varLength.isEmpty && e.dir == OUT,
+        "CONSTRUCT supports plain directed relationships")
+    }
+    var df = ctx.df
+    val compiler = () => new ExprCompiler(ctx.header, df.schema, params)
+    // Fresh ids live in construct-private spaces above any source tag.
+    val ConstructTagBase = 200L
+    val nodeIdCols: Map[String, String] =
+      nodes.keys.toSeq.zipWithIndex.map { case (v, idx) =>
+        if (ctx.header.contains(IdSlot(v))) v -> ctx.header.col(IdSlot(v))
+        else {
+          val cname = s"_ct_id_$idx"
+          df = df.withColumn(cname,
+            shiftleft(lit(ConstructTagBase + idx), 56)
+              .bitwiseOR(monotonically_increasing_id()))
+          v -> cname
+        }
+      }.toMap
+    // Evaluate NEW-pattern property expressions.
+    val nodePropCols: Map[String, Seq[(String, String)]] = nodes.map {
+      case (v, nc) =>
+        v -> nc.props.zipWithIndex.map { case ((k, e), i) =>
+          val cname = s"_ct_np_${v}_$i"
+          df = df.withColumn(cname, compiler().compile(e))
+          k -> cname
+        }
+    }
+    val relIdCols: Seq[String] = edges.zipWithIndex.map { case (e, idx) =>
+      val cname = s"_ct_rid_$idx"
+      df = df.withColumn(cname,
+        shiftleft(lit(ConstructTagBase + 32 + idx), 56)
+          .bitwiseOR(monotonically_increasing_id()))
+      cname
+    }
+    val relPropCols: Seq[Seq[(String, String)]] = edges.zipWithIndex.map {
+      case (e, idx) =>
+        e.props.zipWithIndex.map { case ((k, ex), i) =>
+          val cname = s"_ct_rp_${idx}_$i"
+          df = df.withColumn(cname, compiler().compile(ex))
+          k -> cname
+        }
+    }
+    val mat = df.persist()
+
+    val nodeDefs = nodes.toSeq.map { case (v, nc) =>
+      val cloned = ctx.header.contains(IdSlot(v))
+      val labels: Set[String] =
+        if (nc.labels.nonEmpty) nc.labels.toSet
+        else ctx.header.kindOf(v) match {
+          case Some(NodeKind(ls)) => ls
+          case _ => Set.empty
+        }
+      val clonedProps: Seq[(String, String)] =
+        if (cloned) ctx.header.ownedBy(v).collect {
+          case s @ PropSlot(_, k) => k -> ctx.header.col(s)
+        } else Seq.empty
+      val props = (clonedProps ++ nodePropCols(v)).toMap
+      val idCol = nodeIdCols(v)
+      val table = mat
+        .select((col(idCol).as("_cid") +: props.toSeq.map { case (k, c) =>
+          col(c).as("_cp_" + k)
+        }): _*)
+        .dropDuplicates("_cid")
+      NodeTableDef(labels, table, "_cid",
+        props.keys.map(k => k -> ("_cp_" + k)).toMap, "!construct")
+    }
+    val relDefs = edges.zipWithIndex.map { case (e, idx) =>
+      val relType = e.types.headOption.getOrElse("REL")
+      val props = relPropCols(idx).toMap
+      val table = mat.select((Seq(
+        col(relIdCols(idx)).as("_cid"),
+        col(nodeIdCols(e.src)).as("_csrc"),
+        col(nodeIdCols(e.tgt)).as("_ctgt")) ++
+        props.toSeq.map { case (k, c) => col(c).as("_cp_" + k) }): _*)
+      RelTableDef(relType, table, "_cid", "_csrc", "_ctgt",
+        props.keys.map(k => k -> ("_cp_" + k)).toMap,
+        "!construct", "!construct", "!construct")
+    }
+    PropertyGraph(nodeDefs, relDefs)
   }
 
   // -------------------------------------------------------------- patterns
@@ -236,7 +337,13 @@ class Planner(spark: SparkSession, graph: PropertyGraph,
         ctx = planPatternPredicate(ctx, part, negated)
       }
       residual.foreach { r =>
-        ctx = ctx.copy(df = ctx.df.filter(ctx.compiler.compile(r)))
+        // Disjunctive / nested pattern predicates can't use the semi-join
+        // fast path; materialize them as marker columns.
+        val (ctx2, r2) =
+          if (ExprOps.containsPatternPredicate(r))
+            materializePatternPredicates(ctx, r)
+          else (ctx, r)
+        ctx = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(r2)))
       }
     }
     ctx
@@ -260,6 +367,46 @@ class Planner(spark: SparkSession, graph: PropertyGraph,
       else if (restSeq.size == 1) Some(restSeq.head)
       else Some(Ands(restSeq))
     (pats.result(), residual)
+  }
+
+  /** Pattern predicate in *value* position (RETURN exists(...), OR-nested,
+    * CASE, ...): plan the subpattern, left-outer-join a distinct marker,
+    * rewrite the expression to IS NOT NULL on the marker — the reference's
+    * ExistsSubQuery formulation (RelationalPlanner.scala:224-247). Returns
+    * the augmented context and the rewritten expression. */
+  private def materializePatternPredicates(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
+    var ctx = ctx0
+    val rewritten = ExprOps.transformUp(e) {
+      case PatternPredicate(part, negated) =>
+        val sub = planMatch(unitCtx, Pattern(Seq(part)), None)
+        val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
+          .filter(v => sub.header.contains(IdSlot(v)) &&
+            ctx.header.contains(IdSlot(v)))
+        require(shared.nonEmpty,
+          "pattern predicate must share a variable with the enclosing query")
+        val marker = freshVar()
+        val markerSlot = ValueSlot(marker)
+        val markerCol = RecordHeader.colName(markerSlot)
+        val renamed = shared.toSeq.map { v =>
+          val c = sub.header.col(IdSlot(v))
+          (v, c, "_pp_" + c)
+        }
+        val subDf = sub.df
+          .select(renamed.map { case (_, c, r) => col(c).as(r) }: _*)
+          .distinct()
+          .withColumn(markerCol, lit(true))
+        val cond = renamed.map { case (v, _, r) =>
+          col(ctx.header.col(IdSlot(v))) === col(r)
+        }.reduce(_ && _)
+        ctx = Ctx(
+          ctx.df.join(subDf, cond, "left_outer")
+            .drop(renamed.map(_._3): _*),
+          ctx.header.withSlot(markerSlot).withVar(marker, ValueKind))
+        val base = IsNull(Var(marker), negated = true)
+        if (negated) Not(base) else base
+      case other => other
+    }
+    (ctx, rewritten)
   }
 
   /** EXISTS-style pattern predicate -> left semi (or anti) join, the Spark
@@ -589,7 +736,15 @@ class Planner(spark: SparkSession, graph: PropertyGraph,
       if (star) ctx.header.kinds.keys.toSeq.sorted.filterNot(_.startsWith("_a"))
         .map(v => ReturnItem(Var(v), None))
       else Seq.empty
-    val items = starItems ++ items0
+    val items1 = starItems ++ items0
+    // Pattern predicates in value position (RETURN exists(...) AS flag).
+    val items = items1.map { i =>
+      if (ExprOps.containsPatternPredicate(i.expr)) {
+        val (c2, e2) = materializePatternPredicates(ctx, i.expr)
+        ctx = c2
+        i.copy(expr = e2)
+      } else i
+    }
     val compiler = ctx.compiler
     val hasAgg = items.exists(i => compiler.hasAggregation(i.expr))
 

@@ -25,7 +25,8 @@ object CypherParser {
     "ALL", "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "ASCENDING",
     "DESC", "DESCENDING", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL",
     "TRUE", "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN",
-    "ELSE", "END", "EXISTS", "ANY", "NONE", "SINGLE", "REDUCE", "COUNT")
+    "ELSE", "END", "EXISTS", "ANY", "NONE", "SINGLE", "REDUCE", "COUNT",
+    "FROM", "GRAPH", "CONSTRUCT", "NEW", "USE")
 
   object Lexer {
     def tokenize(s: String): Vector[Tok] = {
@@ -169,7 +170,22 @@ object CypherParser {
             eatKw("AS")
             clauses += Unwind(e, ident())
           case Kw("WITH", _, _) => p += 1; clauses += parseWith()
-          case Kw("RETURN", _, _) => p += 1; clauses += parseReturn(); done = true
+          case Kw("FROM", _, _) =>
+            p += 1; eatKw("GRAPH"); clauses += FromGraph(ident())
+          case Kw("USE", _, _) => p += 1; clauses += FromGraph(ident())
+          case Kw("CONSTRUCT", _, _) =>
+            p += 1
+            val parts = Seq.newBuilder[PatternPart]
+            while (tryKw("NEW")) {
+              parts += parsePatternPart()
+              while (tryPunct(",")) parts += parsePatternPart()
+            }
+            if (tryKw("RETURN")) eatKw("GRAPH")
+            clauses += Construct(parts.result())
+            done = true
+          case Kw("RETURN", _, _) =>
+            // RETURN GRAPH handled inside CONSTRUCT; plain RETURN here.
+            p += 1; clauses += parseReturn(); done = true
           case _ => done = true
         }
       }

@@ -1,0 +1,104 @@
+package graft
+
+import graft.api.GraftSession
+import graft.graph.{NodeTableDef, PropertyGraph, RelTableDef}
+import graft.tpch.TpchGraph
+import org.apache.spark.sql.functions._
+
+class MultiGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val session = new GraftSession(spark)
+
+  private def miniGraph(names: Seq[String], label: String): PropertyGraph = {
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    PropertyGraph(Seq(
+      NodeTableDef(Set(label), df, "id", Map("name" -> "name"), "n")))
+  }
+
+  test("graph unionAll retags ids so elements never collide") {
+    val g1 = miniGraph(Seq("a", "b"), "X")
+    val g2 = miniGraph(Seq("c", "d"), "X")
+    val u = g1.unionAll(g2)
+    val rows = session.cypher(u, "MATCH (x:X) RETURN id(x) AS i, x.name AS n")
+      .collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getLong(0)).distinct.length === 4, "ids must be unique")
+  }
+
+  test("FROM GRAPH switches the ambient graph mid-query") {
+    session.store("left", miniGraph(Seq("a", "b"), "X"))
+    session.store("right", miniGraph(Seq("c", "d", "e"), "X"))
+    val got = session.cypher(miniGraph(Seq.empty, "X"),
+      "FROM GRAPH right MATCH (x:X) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(got === 3L)
+  }
+
+  test("CONSTRUCT clones matched nodes and creates new relationships") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val built = session.cypherGraph(g,
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |CONSTRUCT NEW (n)-[:GROUPED_IN {via: 'region'}]->(r)
+        |RETURN GRAPH""".stripMargin)
+    // built graph: 25 nations + 5 regions, 25 GROUPED_IN rels
+    assert(session.cypher(built, "MATCH (x) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 30L)
+    val rels = session.cypher(built,
+      "MATCH (a:Nation)-[g:GROUPED_IN]->(b:Region) " +
+        "RETURN a.n_name AS n, g.via AS v, b.r_name AS r")
+    assert(rels.count() === 25L)
+    assert(rels.collect().forall(_.getString(1) == "region"))
+  }
+
+  test("CONSTRUCT creates fresh nodes per row with evaluated properties") {
+    val g = miniGraph(Seq("a", "b", "c"), "X")
+    val built = session.cypherGraph(g,
+      "MATCH (x:X) CONSTRUCT NEW (:Copy {orig: x.name, up: toUpper(x.name)}) " +
+        "RETURN GRAPH")
+    val rows = session.cypher(built,
+      "MATCH (c:Copy) RETURN c.orig AS o, c.up AS u ORDER BY o")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("a", "A"), ("b", "B"), ("c", "C")))
+  }
+
+  test("createGraph registers a constructed graph in the catalog") {
+    val g = miniGraph(Seq("a"), "X")
+    session.createGraph("copies", g,
+      "MATCH (x:X) CONSTRUCT NEW (:C {v: x.name}) RETURN GRAPH")
+    assert(session.cypher(session.graphByName("copies"),
+      "MATCH (c:C) RETURN c.v AS v").collect().head.getString(0) === "a")
+  }
+
+  test("exists pattern predicate in value position") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val rows = session.cypher(g,
+      "MATCH (o:Order) RETURN ((o)-[:HAS_ITEM]->()) AS has_items, " +
+        "count(*) AS n")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
+    assert(rows.values.sum === 1500L)
+    assert(rows.keySet === Set(true, false))
+  }
+
+  test("disjunction containing a pattern predicate") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val n = session.cypher(g,
+      "MATCH (o:Order) WHERE (o)-[:HAS_ITEM]->() OR o.o_totalprice > 0 " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n === 1500L)
+  }
+
+  test("temporal accessors and constructors") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val rows = session.cypher(g,
+      "MATCH (o:Order) RETURN o.o_orderdate.year AS y, count(*) AS n " +
+        "ORDER BY y").collect()
+    assert(rows.map(_.getLong(0)).forall(y => y >= 1995 && y <= 2001))
+    val d = session.cypher(g,
+      "RETURN date('2024-03-05') AS d, date('2024-03-05').month AS m")
+      .collect().head
+    assert(d.getDate(0).toString === "2024-03-05")
+    assert(d.getLong(1) === 3L)
+  }
+}
