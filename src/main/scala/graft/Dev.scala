@@ -19,10 +19,18 @@ object Dev {
       "UNWIND [1,2,3] AS x RETURN x, x * 2 AS dbl",
       "MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->() RETURN count(*) AS inactive",
       "MATCH (o:Order) RETURN o.o_orderstatus AS st, count(*) AS cnt, avg(o.o_totalprice) AS avg_price ORDER BY st")
-    queries.foreach { q =>
+    val explain = args.headOption.contains("--explain")
+    val qs = if (explain) queries.drop(1) else queries
+    qs.foreach { q =>
       println(s"=== $q")
-      try session.cypher(g, q).show(10, truncate = false)
-      catch { case e: Throwable =>
+      try {
+        val df =
+          if (q.startsWith("q_")) SparkEntry.queries(q)(session.spark, "/root/testdata/sf0.001")
+          else session.cypher(g, q)
+        if (explain) println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        else df.show(10, truncate = false)
+      } catch { case e: Throwable =>
         println(s"FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }

