@@ -62,6 +62,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case NullLit => Some(NullType)
     case ListLit(items) =>
       Some(ArrayType(items.flatMap(inferType).headOption.getOrElse(NullType)))
+    case Arith("+" | "-", l, r) if (r match {
+          case FuncCall("duration", _, _) => true
+          case _ => false
+        }) => inferType(l)
     case Arith("+", l, r) =>
       (inferType(l), inferType(r)) match {
         case (Some(StringType), _) | (_, Some(StringType)) => Some(StringType)
@@ -100,6 +104,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "labels" | "keys" | "split" => Some(ArrayType(StringType))
       case "date" => Some(DateType)
       case "localdatetime" | "datetime" => Some(TimestampType)
+      case "duration" => Some(StructType(Seq(
+        StructField("months", LongType), StructField("days", LongType),
+        StructField("micros", LongType))))
       case "range" => Some(ArrayType(LongType))
       case "collect" => args.headOption.flatMap(inferType).map(ArrayType(_))
       case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" |
@@ -136,6 +143,30 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
   }
 
   private def isStringy(e: Expr): Boolean = inferType(e).contains(StringType)
+
+  /** Durations are (months, days, micros) structs (CTDuration). */
+  private def isDuration(e: Expr): Boolean = e match {
+    case FuncCall("duration", _, _) => true
+    case _ => inferType(e) match {
+      case Some(StructType(fs)) =>
+        fs.map(_.name).toSeq == Seq("months", "days", "micros")
+      case _ => false
+    }
+  }
+
+  /** date/timestamp ± duration via make_interval; dates stay dates. */
+  private def addDuration(l: Column, lType: Option[DataType], dur: Column,
+      negate: Boolean): Column = {
+    val sign = if (negate) -1L else 1L
+    val interval = call_function("make_interval",
+      lit(0), dur.getField("months") * sign, lit(0),
+      dur.getField("days") * sign, lit(0), lit(0),
+      (dur.getField("micros") * sign).cast(DoubleType) / 1000000.0)
+    lType match {
+      case Some(DateType) => (l.cast(TimestampType) + interval).cast(DateType)
+      case _ => l + interval
+    }
+  }
   private def isArrayT(e: Expr): Boolean =
     inferType(e).exists(_.isInstanceOf[ArrayType])
 
@@ -195,6 +226,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case HasLabels(_, _) =>
       throw new CypherCompileException("label predicate on non-variable")
 
+    case Arith("+", l, r) if isDuration(r) =>
+      addDuration(compile(l), inferType(l), compile(r), negate = false)
+    case Arith("-", l, r) if isDuration(r) =>
+      addDuration(compile(l), inferType(l), compile(r), negate = true)
     case Arith("+", l, r) if isStringy(l) || isStringy(r) =>
       concat(compile(l).cast(StringType), compile(r).cast(StringType))
     case Arith("+", l, r) if isArrayT(l) && isArrayT(r) =>
@@ -471,6 +506,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         if (args.isEmpty) current_date() else to_date(a0)
       case "localdatetime" | "datetime" =>
         if (args.isEmpty) current_timestamp() else to_timestamp(a0)
+      case "duration" => args(0) match {
+        // duration({years:…, months:…, days:…, hours:…, minutes:…,
+        // seconds:…}) -> (months, days, micros) struct, matching the
+        // reference's Duration encoding (okapi-api/.../temporal/Duration.scala).
+        case MapLit(items) =>
+          val m = items.toMap
+          def part(k: String): Column =
+            m.get(k).map(e => compile(e).cast(LongType)).getOrElse(lit(0L))
+          struct(
+            (part("years") * 12 + part("months")).as("months"),
+            (part("weeks") * 7 + part("days")).as("days"),
+            ((part("hours") * 3600L + part("minutes") * 60L +
+              part("seconds")) * 1000000L).as("micros"))
+        case other => throw new CypherCompileException(
+          s"duration() expects a map literal, got $other")
+      }
 
       // ---- bitwise (Expr.scala :916-949) ----
       case "shiftleft" => call_function("shiftleft", a0, a1)

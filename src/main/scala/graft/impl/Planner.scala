@@ -791,6 +791,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         }
       }
       val keepCols = newHeader.slots.values.toSeq.distinct
+      val aliasMap: Map[Expr, String] = items.collect {
+        case ReturnItem(e, alias) if !e.isInstanceOf[Var] =>
+          e -> RecordHeader.colName(ValueSlot(alias.getOrElse(displayName(ReturnItem(e, alias)))))
+      }.toMap
       var ctx2 = Ctx(df, ctx.header ++ newHeader) // old scope visible for ORDER BY
       if (distinct) {
         ctx2 = Ctx(ctx2.df.select(keepCols.map(col): _*).dropDuplicates(),
@@ -799,7 +803,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       where.foreach { w =>
         ctx2 = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(w)))
       }
-      ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit)
+      ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit, aliasMap)
       val finalDf = ctx2.df.select(keepCols.map(col): _*)
       (Ctx(finalDf, newHeader), outs.result())
     } else {
@@ -857,22 +861,31 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val aggDf =
         if (gCols.isEmpty) df.agg(aCols.head, aCols.tail: _*)
         else df.groupBy(gCols.map(col): _*).agg(aCols.head, aCols.tail: _*)
+      val aliasMap: Map[Expr, String] = items.collect {
+        case ReturnItem(e, alias) if !e.isInstanceOf[Var] =>
+          e -> RecordHeader.colName(ValueSlot(alias.getOrElse(displayName(ReturnItem(e, alias)))))
+      }.toMap
       var ctx2 = Ctx(aggDf, newHeader)
       if (distinct) ctx2 = ctx2.copy(df = ctx2.df.dropDuplicates())
       where.foreach { w =>
         ctx2 = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(w)))
       }
-      ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit)
+      ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit, aliasMap)
       (ctx2, outs.result())
     }
   }
 
   private def applyOrderSkipLimit(ctx0: Ctx, orderBy: Seq[SortItem],
-      skip: Option[Expr], limit: Option[Expr]): Ctx = {
+      skip: Option[Expr], limit: Option[Expr],
+      exprAliases: Map[Expr, String] = Map.empty): Ctx = {
     var ctx = ctx0
     if (orderBy.nonEmpty) {
       val cols = orderBy.map { s =>
-        val c = ctx.compiler.compile(s.expr)
+        // ORDER BY may repeat a projected expression (ORDER BY count(*));
+        // resolve it to the already-computed column instead of recompiling
+        // the aggregate after the aggregation.
+        val c = exprAliases.get(s.expr).map(col)
+          .getOrElse(ctx.compiler.compile(s.expr))
         // Neo4j ordering: nulls largest (last on ASC, first on DESC).
         if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
       }

@@ -49,10 +49,19 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
+    // Explode shingle *positions* and slice with substr so the whole
+    // shingling stage stays in codegen (the transform+array_distinct
+    // formulation runs interpreted and quadratic — measured 6.5s vs <1s on
+    // 5k docs). Duplicate shingles are harmless: min() is idempotent.
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
     val exploded = df
       .repartition(spark.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("_mh_id"),
-        explode(shingles(col(textCol), shingleSize)).as("_sh"))
+      .select(col(idCol).as("_mh_id"), norm.as("_norm"))
+      .select(col("_mh_id"), col("_norm"),
+        explode(sequence(lit(0),
+          greatest(F.length(col("_norm")) - shingleSize, lit(0)))).as("_i"))
+      .select(col("_mh_id"),
+        col("_norm").substr(col("_i") + 1, lit(shingleSize)).as("_sh"))
       .withColumn("_h0", xxhash64(col("_sh")))
     // Universal hashing: hash each shingle once, derive the i-th hash as
     // a_i * h + b_i (overflowing long arithmetic) — 64 multiply-adds per

@@ -50,6 +50,14 @@ object PipelineQueries {
           "vec_id", "embedding", q, 10, bits = 16, probeHamming = 4)
         .withColumn("cosine", round(col("cosine"), 4))
     }),
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.buildIvf(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          nCells = 8).search(q, 10, nProbe = 3)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(docs(s, dir), "doc_id", "text")),

@@ -68,6 +68,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: k-means partitions the vector space;
+    * a query probes only the nProbe nearest cells, turning a full scan
+    * into a centroid lookup + bounded cell scan. The assignment frame is
+    * persisted — at 100 TB it would be written out partitioned by cell so
+    * cell scans prune at the file level. */
+  case class IvfIndex(
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      assigned: DataFrame, idCol: String, vecCol: String) {
+
+    def search(query: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
+      val qArr = query.toArray
+      def cos(c: Array[Double]): Double = {
+        val dot = c.zip(qArr).map { case (a, b) => a * b }.sum
+        val n1 = math.sqrt(c.map(x => x * x).sum)
+        val n2 = math.sqrt(qArr.map(x => x * x).sum)
+        if (n1 == 0 || n2 == 0) -1 else dot / (n1 * n2)
+      }
+      val probes = model.clusterCenters.zipWithIndex
+        .sortBy { case (c, _) => -cos(c.toArray) }
+        .take(nProbe).map(_._2)
+      assigned
+        .filter(col("_ivf_cell").isin(probes.map(Integer.valueOf): _*))
+        .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
+  /** Build an IVF index over an embedding column. */
+  def buildIvf(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast(ArrayType(DoubleType))).as("_features"))
+    val fitted = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("_features").setPredictionCol("_ivf_cell")
+      .fit(featured)
+    val assigned = fitted.transform(featured)
+      .select(col(idCol), col(vecCol), col("_ivf_cell"))
+      .persist()
+    IvfIndex(fitted, assigned, idCol, vecCol)
+  }
+
   /** All-pairs cosine above a threshold via LSH signatures (embedding-based
     * near-duplicate detection): bucket on signature bands, verify by exact
     * cosine. */

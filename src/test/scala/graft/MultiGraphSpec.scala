@@ -89,6 +89,27 @@ class MultiGraphSpec extends SparkTestBase {
     assert(n === 1500L)
   }
 
+  test("ORDER BY an aggregate expression") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val rows = session.cypher(g,
+      "MATCH (o:Order) RETURN o.o_orderstatus AS st, count(*) AS n " +
+        "ORDER BY count(*) DESC, st LIMIT 2").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(1) >= rows(1).getLong(1))
+  }
+
+  test("duration arithmetic on dates and timestamps") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val r = session.cypher(g,
+      "RETURN date('2024-01-30') + duration({days: 3}) AS d, " +
+        "localdatetime('2024-01-01 00:00:00') + duration({hours: 25}) AS t, " +
+        "date('2024-03-15') - duration({months: 1, days: 14}) AS e")
+      .collect().head
+    assert(r.getDate(0).toString === "2024-02-02")
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-02 01:00:00"))
+    assert(r.getDate(2).toString === "2024-02-01")
+  }
+
   test("temporal accessors and constructors") {
     val g = TpchGraph(spark, "/root/testdata/sf0.001")
     val rows = session.cypher(g,

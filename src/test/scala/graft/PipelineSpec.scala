@@ -79,6 +79,22 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k recall tracks brute force") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val query = (0 until dim).map(_ => rnd.nextGaussian())
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = Similarity.buildIvf(vecs, "vec_id", "embedding", nCells = 6)
+    val approx = idx.search(query, 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("cosine of identical vectors is 1") {
     val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val c = v.select(Similarity.cosine(col("embedding"), col("embedding")))
