@@ -114,6 +114,21 @@ object SparkEntry {
     ("q_case_buckets",
       "MATCH (o:Order) RETURN CASE WHEN o.o_totalprice < 100000 THEN 'low' WHEN o.o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n",
       Some("SELECT CASE WHEN o_totalprice < 100000 THEN 'low' WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n FROM orders GROUP BY 1")),
+    ("q_func_strings",
+      "MATCH (n:Nation) RETURN n.n_nationkey AS nk, reverse(n.n_name) AS rev, replace(n.n_name, 'A', '@') AS rep, size(split(n.n_name, 'A')) AS parts, trim(n.n_name) AS t",
+      Some("SELECT n_nationkey AS nk, reverse(n_name) AS rev, replace(n_name, 'A', '@') AS rep, CAST(len(string_split(n_name, 'A')) AS BIGINT) AS parts, trim(n_name) AS t FROM nation")),
+    ("q_func_math",
+      "MATCH (s:Supplier) RETURN s.s_suppkey AS sk, sign(s.s_acctbal) AS sg, log(abs(s.s_acctbal) + 1) AS ln_bal, s.s_acctbal ^ 2 AS sq",
+      Some("SELECT s_suppkey AS sk, CAST(sign(s_acctbal) AS BIGINT) AS sg, ln(abs(s_acctbal) + 1) AS ln_bal, power(s_acctbal, 2) AS sq FROM supplier")),
+    ("q_case_subject",
+      "MATCH (n:Nation) RETURN CASE n.n_regionkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'other' END AS cls, count(*) AS n",
+      Some("SELECT CASE n_regionkey WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'other' END AS cls, count(*) AS n FROM nation GROUP BY 1")),
+    ("q_xor",
+      "MATCH (o:Order) WHERE (o.o_orderstatus = 'O') XOR (o.o_totalprice > 200000.0) RETURN count(*) AS n",
+      Some("SELECT count(*) AS n FROM orders WHERE (o_orderstatus = 'O') <> (o_totalprice > 200000.0)")),
+    ("q_regex",
+      "MATCH (n:Nation) WHERE n.n_name =~ '.*IA' RETURN n.n_name AS name",
+      Some("SELECT n_name AS name FROM nation WHERE regexp_full_match(n_name, '.*IA')")),
     ("q_in_list",
       "MATCH (n:Nation) WHERE n.n_name IN ['NATION_1', 'NATION_5', 'NATION_9'] RETURN n.n_nationkey AS nk, n.n_name AS name",
       Some("SELECT n_nationkey AS nk, n_name AS name FROM nation WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')")),

@@ -62,6 +62,12 @@ class GraftSession(val spark: SparkSession) {
 
   /** Raw SQL passthrough (CAPFSession.sql / MorpheusSession.sql:84-86). */
   def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Formatted physical plan of a Cypher query (debug / plan review). */
+  def explain(graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): String =
+    cypher(graph, query, params).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
 }
 
 object GraftSession {

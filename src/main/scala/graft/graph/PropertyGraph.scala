@@ -36,6 +36,26 @@ case class RelTableDef(
     srcSpace: String,
     tgtSpace: String)
 
+/** Label combinations + rel types with property Cypher types — the fixed,
+  * known-up-front schema the planner leans on (SURVEY §1.1). */
+case class PropertyGraphSchema(
+    labelCombinations: Map[Set[String], Map[String, graft.types.CypherType]],
+    relTypes: Map[String, Map[String, graft.types.CypherType]]) {
+  def labels: Set[String] = labelCombinations.keySet.flatten
+  /** Properties visible for a label (union over combinations containing it). */
+  def nodePropertyKeys(label: String): Map[String, graft.types.CypherType] =
+    labelCombinations.filter(_._1.contains(label)).values
+      .foldLeft(Map.empty[String, graft.types.CypherType])(_ ++ _)
+  def relPropertyKeys(relType: String): Map[String, graft.types.CypherType] =
+    relTypes.getOrElse(relType, Map.empty)
+  /** Combinations implied by a label (ImpliedLabels analogue). */
+  def impliedLabels(label: String): Set[String] = {
+    val combos = labelCombinations.keySet.filter(_.contains(label))
+    if (combos.isEmpty) Set.empty
+    else combos.reduce(_ intersect _)
+  }
+}
+
 /** Canonical node scan: `_id` (tagged long) + `p_<key>` property columns. */
 case class NodeScanTable(labels: Set[String], df: DataFrame,
     propTypes: Map[String, DataType])
@@ -78,6 +98,28 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
   /** All labels appearing in the graph. */
   lazy val labels: Set[String] = nodeDefs.flatMap(_.labels).toSet
   lazy val relTypes: Set[String] = relDefs.map(_.relType).toSet
+
+  /** Schema-full property graph schema: label combinations and rel types
+    * with their property Cypher types (PropertyGraphSchema,
+    * okapi-api/.../api/schema/PropertyGraphSchema.scala:62-366). */
+  lazy val schema: PropertyGraphSchema = {
+    def props(df: org.apache.spark.sql.DataFrame,
+        mapping: Map[String, String]): Map[String, graft.types.CypherType] = {
+      val fields = df.schema.fields.map(f => f.name -> f).toMap
+      mapping.map { case (k, src) =>
+        k -> graft.types.CypherType.fromSparkType(
+          fields(src).dataType, fields(src).nullable)
+      }
+    }
+    PropertyGraphSchema(
+      nodeDefs.groupBy(_.labels).map { case (ls, defs) =>
+        ls -> defs.map(d => props(d.df, d.properties))
+          .reduce(_ ++ _)
+      },
+      relDefs.groupBy(_.relType).map { case (t, defs) =>
+        t -> defs.map(d => props(d.df, d.properties)).reduce(_ ++ _)
+      })
+  }
 
   lazy val nodeTables: Seq[NodeScanTable] = nodeDefs.map { d =>
     val fields = d.df.schema.fields.map(f => f.name -> f.dataType).toMap

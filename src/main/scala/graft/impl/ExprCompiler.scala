@@ -218,7 +218,11 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case StartsWith(l, r) => compile(l).startsWith(compile(r))
     case EndsWith(l, r) => compile(l).endsWith(compile(r))
     case ast.Contains(l, r) => compile(l).contains(compile(r))
-    case RegexMatch(l, r) => regexp_like(compile(l), compile(r))
+    case RegexMatch(l, r) =>
+      // Cypher =~ matches the ENTIRE string (Neo4j semantics); Spark's
+      // regexp_like is a substring search, so anchor the pattern.
+      regexp_like(compile(l),
+        concat(lit("^(?:"), compile(r).cast(StringType), lit(")$")))
     case HasLabels(Var(n), labels) =>
       labels.map { l =>
         header.get(LabelSlot(n, l)).map(col).getOrElse(lit(false))
