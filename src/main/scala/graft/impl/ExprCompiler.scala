@@ -107,7 +107,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "duration" => Some(StructType(Seq(
         StructField("months", LongType), StructField("days", LongType),
         StructField("micros", LongType))))
-      case "range" => Some(ArrayType(LongType))
+      case "range" | "nodes" | "relationships" => Some(ArrayType(LongType))
       case "collect" => args.headOption.flatMap(inferType).map(ArrayType(_))
       case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" |
            "head" | "last" | "coalesce" => args.headOption.flatMap(inferType)
@@ -143,6 +143,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
   }
 
   private def isStringy(e: Expr): Boolean = inferType(e).contains(StringType)
+
+  /** Path values are (nodes, rels) structs bound by the planner. */
+  private def isPathStruct(e: Expr): Boolean = inferType(e) match {
+    case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("nodes", "rels")
+    case _ => false
+  }
 
   /** Durations are (months, days, micros) structs (CTDuration). */
   private def isDuration(e: Expr): Boolean = e match {
@@ -498,9 +504,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "e" => lit(math.E)
       case "timestamp" => unix_millis(current_timestamp())
 
+      // ---- paths ----
+      case "nodes" => a0.getField("nodes")
+      case "relationships" => a0.getField("rels")
+
       // ---- lists / containers ----
       case "size" | "length" =>
         if (isStringy(args(0))) F.length(a0).cast(LongType)
+        else if (isPathStruct(args(0)))
+          F.size(a0.getField("rels")).cast(LongType)
         else F.size(a0).cast(LongType)
       case "head" => element_at(a0, 1)
       case "last" => element_at(a0, -1)

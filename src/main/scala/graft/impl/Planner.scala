@@ -246,9 +246,16 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       types: Seq[String], props: Seq[(String, Expr)], dir: Direction,
       varLength: Option[(Int, Option[Int])])
 
+  /** Path binding: (pathVar, headNodeVar, hops of (edge, isVarLength, node)). */
+  private case class PathBind(v: String, head: String,
+      hops: Seq[(String, Boolean, String)])
+
+  private var pathBinds: Seq[PathBind] = Seq.empty
+
   private def normalizePattern(pattern: Pattern): (Map[String, NodeCons], Seq[EdgeCons]) = {
     val nodes = mutable.LinkedHashMap.empty[String, NodeCons]
     val edges = mutable.ArrayBuffer.empty[EdgeCons]
+    val binds = Seq.newBuilder[PathBind]
     def addNode(np: NodePattern): String = {
       val v = np.variable.getOrElse(freshVar())
       val prev = nodes.getOrElse(v, NodeCons(v, Seq.empty, Seq.empty))
@@ -257,15 +264,52 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       v
     }
     pattern.parts.foreach { part =>
-      var cur = addNode(part.head)
+      val head = addNode(part.head)
+      var cur = head
+      val hops = Seq.newBuilder[(String, Boolean, String)]
       part.tail.foreach { case (rp, np) =>
         val nxt = addNode(np)
-        edges += EdgeCons(rp.variable.getOrElse(freshVar()), cur, nxt,
+        val ev = rp.variable.getOrElse(freshVar())
+        edges += EdgeCons(ev, cur, nxt,
           rp.types, rp.props, rp.direction, rp.varLength)
+        hops += ((ev, rp.varLength.isDefined, nxt))
         cur = nxt
       }
+      part.pathVar.foreach(pv => binds += PathBind(pv, head, hops.result()))
     }
+    pathBinds = pathBinds ++ binds.result()
     (nodes.toMap, edges.toSeq)
+  }
+
+  /** Bind path variables as (nodes, rels) structs. For paths containing a
+    * var-length segment the intermediate node ids are not materialized, so
+    * `nodes` is null there; `rels`/`length` always work. */
+  private def bindPaths(ctx0: Ctx): Ctx = {
+    var ctx = ctx0
+    val (ready, pending) = pathBinds.partition(b =>
+      ctx.header.contains(IdSlot(b.head)))
+    pathBinds = pending
+    ready.foreach { b =>
+      val h = ctx.header
+      val relCols = b.hops.map {
+        case (e, true, _) => col(h.col(PathSlot(e)))
+        case (e, false, _) => array(col(h.col(IdSlot(e))))
+      }
+      val rels =
+        if (relCols.isEmpty) array().cast(ArrayType(LongType))
+        else concat(relCols: _*)
+      val hasVarLen = b.hops.exists(_._2)
+      val nodeIds = (b.head +: b.hops.map(_._3)).map(v => col(h.col(IdSlot(v))))
+      val nodes =
+        if (hasVarLen) lit(null).cast(ArrayType(LongType))
+        else array(nodeIds: _*)
+      val slot = ValueSlot(b.v)
+      ctx = Ctx(
+        ctx.df.withColumn(RecordHeader.colName(slot),
+          struct(nodes.as("nodes"), rels.as("rels"))),
+        ctx.header.withSlot(slot).withVar(b.v, ValueKind))
+    }
+    ctx
   }
 
   private def planMatch(ctx0: Ctx, pattern: Pattern, where: Option[Expr]): Ctx = {
@@ -329,6 +373,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
       ctx = ctx.copy(df = ctx.df.filter(cond))
     }
+
+    ctx = bindPaths(ctx)
 
     // WHERE: pattern predicates become semi/anti joins, the rest a filter.
     where.foreach { w =>

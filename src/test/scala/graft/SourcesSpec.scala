@@ -50,6 +50,23 @@ class SourcesSpec extends SparkTestBase {
     assert(got === Seq(("AFRICA", "even"), ("AMERICA", "odd")))
   }
 
+  test("SQL table mapping builds a graph from registered views") {
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .createOrReplaceTempView("v_nation")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("v_region")
+    val g = graft.sources.SqlGraphSource.load(spark,
+      Seq(
+        graft.sources.SqlGraphSource.NodeMapping("v_nation", Set("Nation"), "n_nationkey"),
+        graft.sources.SqlGraphSource.NodeMapping("v_region", Set("Region"), "r_regionkey")),
+      Seq(graft.sources.SqlGraphSource.RelMapping("v_nation", "IN_REGION",
+        "n_nationkey", "n_nationkey", "n_regionkey", "v_nation", "v_region")))
+    val n = session.cypher(g,
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n === 25L)
+  }
+
   test("catalog stores and retrieves graphs by name") {
     val g = TpchGraph(spark, "/root/testdata/sf0.001")
     session.store("tpch", g)
