@@ -1,0 +1,166 @@
+package graft
+
+import graft.api.GraftSession
+import graft.graph.{NodeTableDef, PropertyGraph, RelTableDef}
+
+/** Compact port of representative behaviors from the reference's acceptance
+  * suites (morpheus-testing/.../impl/acceptance/: Aggregation, Expression,
+  * With, Predicate, Return, Union, Unwind tests) — value-level assertions
+  * on a small inline graph. */
+class AcceptanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val session = new GraftSession(spark)
+
+  lazy val graph: PropertyGraph = {
+    val vals = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 4L))
+      .toDF("id", "val")
+    val links = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 1L, 3L),
+      (13L, 3L, 4L)).toDF("id", "src", "tgt")
+    PropertyGraph(
+      Seq(NodeTableDef(Set("N"), vals, "id", Map("val" -> "val"), "n")),
+      Seq(RelTableDef("L", links, "id", "src", "tgt", Map.empty, "l", "n", "n")))
+  }
+
+  private def one(q: String): Any =
+    session.cypher(graph, q).collect().head.get(0)
+  private def col0(q: String): Seq[Any] =
+    session.cypher(graph, q).collect().toSeq.map(_.get(0))
+
+  // --- Aggregation ---
+  test("avg/sum/min/max/count over vals") {
+    assert(one("MATCH (n:N) RETURN avg(n.val) AS a") === 4.0)
+    assert(one("MATCH (n:N) RETURN sum(n.val) AS s") === 16L)
+    assert(one("MATCH (n:N) RETURN min(n.val) AS m") === 2L)
+    assert(one("MATCH (n:N) RETURN max(n.val) AS m") === 6L)
+    assert(one("MATCH (n:N) RETURN count(DISTINCT n.val) AS c") === 3L)
+  }
+
+  test("collect returns all values; collect distinct dedupes") {
+    assert(col0("MATCH (n:N) RETURN collect(n.val) AS c")
+      .head.asInstanceOf[scala.collection.Seq[Long]].toSeq.sorted ===
+      Seq(2L, 4L, 4L, 6L))
+    assert(col0("MATCH (n:N) RETURN collect(DISTINCT n.val) AS c")
+      .head.asInstanceOf[scala.collection.Seq[Long]].toSeq.sorted ===
+      Seq(2L, 4L, 6L))
+  }
+
+  test("grouped aggregation with expression keys") {
+    val rows = session.cypher(graph,
+      "MATCH (n:N) RETURN n.val % 4 AS k, count(*) AS c ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((0L, 2L), (2L, 2L)))
+  }
+
+  // --- Expression ---
+  test("arithmetic precedence and literals") {
+    assert(one("RETURN 2 + 3 * 4 AS x") === 14L)
+    assert(one("RETURN (2 + 3) * 4 AS x") === 20L)
+    assert(one("RETURN 2 ^ 3 AS x") === 8.0)
+    assert(one("RETURN 7 / 2 AS x") === 3L)   // integer division
+    assert(one("RETURN 7.0 / 2 AS x") === 3.5)
+    assert(one("RETURN 7 % 3 AS x") === 1L)
+    assert(one("RETURN -(-5) AS x") === 5L)
+  }
+
+  test("string operations") {
+    assert(one("RETURN 'a' + 'b' AS x") === "ab")
+    assert(one("RETURN toUpper('ab') + toLower('CD') AS x") === "ABcd")
+    assert(one("RETURN substring('hello', 1, 3) AS x") === "ell")
+    assert(one("RETURN split('a,b,c', ',') AS x") === Seq("a", "b", "c"))
+    assert(one("RETURN reverse('abc') AS x") === "cba")
+    assert(one("RETURN trim('  x  ') AS x") === "x")
+    assert(one("RETURN toString(42) AS x") === "42")
+  }
+
+  test("list expressions") {
+    assert(one("RETURN [1,2,3][0] AS x") === 1L)
+    assert(one("RETURN [1,2,3][-1] AS x") === 3L)
+    assert(one("RETURN [1,2,3,4][1..3] AS x") === Seq(2L, 3L))
+    assert(one("RETURN size([1,2,3]) AS x") === 3L)
+    assert(one("RETURN head([7,8]) AS x") === 7L)
+    assert(one("RETURN last([7,8]) AS x") === 8L)
+    assert(one("RETURN range(1, 4) AS x") === Seq(1L, 2L, 3L, 4L))
+    assert(one("RETURN range(0, 10, 5) AS x") === Seq(0L, 5L, 10L))
+    assert(one("RETURN 1 IN [1,2] AS x") === true)
+    assert(one("RETURN [x IN range(1,5) WHERE x % 2 = 0 | x * x] AS r") ===
+      Seq(4L, 16L))
+    assert(one("RETURN reduce(acc = 0, x IN [1,2,3] | acc + x) AS r") === 6L)
+    assert(one("RETURN any(x IN [1,2] WHERE x > 1) AS r") === true)
+    assert(one("RETURN all(x IN [1,2] WHERE x > 1) AS r") === false)
+    assert(one("RETURN none(x IN [1,2] WHERE x > 5) AS r") === true)
+    assert(one("RETURN single(x IN [1,2] WHERE x = 2) AS r") === true)
+  }
+
+  test("boolean expressions and comparisons") {
+    assert(one("RETURN true AND false OR true AS x") === true)
+    assert(one("RETURN true XOR true AS x") === false)
+    assert(one("RETURN NOT false AS x") === true)
+    assert(one("RETURN 1 < 2 AS x") === true)
+    assert(one("RETURN 'abc' STARTS WITH 'ab' AS x") === true)
+    assert(one("RETURN 'abc' ENDS WITH 'bc' AS x") === true)
+    assert(one("RETURN 'abc' CONTAINS 'b' AS x") === true)
+    assert(one("RETURN 'abc' =~ 'a.c' AS x") === true)
+    assert(one("RETURN 'abcd' =~ 'a.c' AS x") === false) // full match
+  }
+
+  test("maps") {
+    assert(one("RETURN {a: 1, b: 'x'}.a AS x") === 1L)
+    assert(one("RETURN {a: {b: 2}}.a.b AS x") === 2L)
+  }
+
+  // --- With ---
+  test("WITH pipelines restrict scope") {
+    val e = intercept[Exception] {
+      session.cypher(graph,
+        "MATCH (n:N) WITH n.val AS v RETURN n.val AS x").collect()
+    }
+    assert(e.getMessage.contains("unknown variable") ||
+      e.getMessage.toLowerCase.contains("unresolved"))
+  }
+
+  test("WITH DISTINCT then aggregate") {
+    assert(one("MATCH (n:N) WITH DISTINCT n.val AS v RETURN count(*) AS c") === 3L)
+  }
+
+  test("WITH ORDER BY LIMIT then continue") {
+    // top node by val is id 3 (val 6); it has two incoming :L edges
+    assert(one("MATCH (n:N) WITH n ORDER BY n.val DESC LIMIT 1 " +
+      "MATCH (m:N)-[:L]->(n) RETURN count(*) AS c") === 2L)
+  }
+
+  // --- Predicate ---
+  test("predicate connectives over pattern") {
+    assert(one("MATCH (a:N)-[:L]->(b:N) WHERE a.val < b.val RETURN count(*) AS c") === 3L)
+    assert(one("MATCH (a:N) WHERE a.val = 2 OR a.val = 6 RETURN count(*) AS c") === 2L)
+  }
+
+  // --- Union / Unwind ---
+  test("unwind over collected list") {
+    assert(col0("MATCH (n:N) WITH collect(n.val) AS vs UNWIND vs AS v " +
+      "RETURN v ORDER BY v") === Seq(2L, 4L, 4L, 6L))
+  }
+
+  test("double unwind is a cross product") {
+    assert(one("UNWIND [1,2] AS a UNWIND [10,20] AS b " +
+      "RETURN count(*) AS c") === 4L)
+  }
+
+  test("union dedupe vs union all") {
+    assert(col0("RETURN 1 AS x UNION RETURN 1 AS x").length === 1)
+    assert(col0("RETURN 1 AS x UNION ALL RETURN 1 AS x").length === 2)
+  }
+
+  // --- Return ---
+  test("RETURN * returns all variables") {
+    val df = session.cypher(graph, "MATCH (a:N)-[r:L]->(b:N) RETURN *")
+    assert(df.columns.toSet === Set("a", "b", "r"))
+    assert(df.count() === 4)
+  }
+
+  test("LIMIT 0 returns empty with schema") {
+    val df = session.cypher(graph, "MATCH (n:N) RETURN n.val AS v LIMIT 0")
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("v"))
+  }
+}
