@@ -1,0 +1,122 @@
+package graft.algos
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Whole-graph analytics over the same element-table scans the Cypher
+  * planner uses — DataFrame-native iterative algorithms (no RDD/GraphX
+  * legacy): each iteration is a keyed join + aggregation that Catalyst/AQE
+  * plans like any other, and intermediate state is persisted + localCheckpoint'd
+  * to truncate lineage (the standard scale pattern for iterative Spark).
+  */
+object GraphAlgorithms {
+
+  /** (src, dst) edge frame over the requested rel types (all if empty). */
+  def edges(graph: PropertyGraph, relTypes: Seq[String] = Seq.empty): DataFrame =
+    graph.relScansFor(relTypes).map(_.df.select(
+        col(PropertyGraph.SRC).as("src"), col(PropertyGraph.TGT).as("dst")))
+      .reduce(_.unionByName(_))
+
+  def nodeIds(graph: PropertyGraph): DataFrame =
+    graph.nodeTables.map(_.df.select(col(PropertyGraph.ID).as("id")))
+      .reduce(_.unionByName(_)).distinct()
+
+  /** In/out/total degree per node id. */
+  def degrees(graph: PropertyGraph, relTypes: Seq[String] = Seq.empty): DataFrame = {
+    val e = edges(graph, relTypes)
+    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    nodeIds(graph)
+      .join(out, Seq("id"), "left_outer")
+      .join(in, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("degree", col("out_degree") + col("in_degree"))
+  }
+
+  /** PageRank with damping; returns (id, rank). Each iteration: one join
+    * (ranks x edges) + one aggregation; dangling mass redistributed
+    * uniformly so ranks sum to the node count. */
+  def pageRank(graph: PropertyGraph, iterations: Int = 10,
+      damping: Double = 0.85, relTypes: Seq[String] = Seq.empty): DataFrame = {
+    val ids = nodeIds(graph).persist()
+    val n = ids.count()
+    val e = edges(graph, relTypes)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val links = e.join(outDeg, "src").persist()
+    var ranks = ids.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = links
+        .join(ranks, links("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      val received = ids.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("contrib"), lit(0.0)).as("contrib"))
+      // Dangling nodes' rank mass is spread uniformly.
+      val totalContrib = received.agg(sum("contrib")).head().getDouble(0)
+      val danglingMass = n - totalContrib
+      ranks = received.select(col("id"),
+        (lit(1.0 - damping) +
+          lit(damping) * (col("contrib") + lit(danglingMass / n))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    links.unpersist()
+    ranks
+  }
+
+  /** Connected components (undirected) by iterative min-id propagation;
+    * returns (id, component). Converges in O(diameter) rounds; each round
+    * is one join + aggregation and prints no driver-side state beyond the
+    * convergence counter. */
+  def connectedComponents(graph: PropertyGraph,
+      relTypes: Seq[String] = Seq.empty, maxIterations: Int = 20): DataFrame = {
+    val e0 = edges(graph, relTypes)
+    val und = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().persist()
+    var comp = nodeIds(graph).select(col("id"), col("id").as("component"))
+      .persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      val neighborMin = und
+        .join(comp, und("dst") === comp("id"))
+        .select(und("src").as("id"), col("component"))
+        .groupBy("id").agg(min("component").as("nbr_min"))
+      val next = comp.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(eager = true)
+      changed = next.join(comp.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      comp.unpersist()
+      comp = next
+      it += 1
+    }
+    und.unpersist()
+    comp
+  }
+
+  /** Count of triangles (undirected, each counted once). */
+  def triangleCount(graph: PropertyGraph,
+      relTypes: Seq[String] = Seq.empty): Long = {
+    val e0 = edges(graph, relTypes).filter(col("src") =!= col("dst"))
+    // canonical orientation: low id -> high id, deduped
+    val canon = e0.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    val ab = canon.select(col("a"), col("b"))
+    val bc = canon.select(col("a").as("b2"), col("b").as("c"))
+    val wedges = ab.join(bc, col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+    val closing = canon.select(col("a").as("ca"), col("b").as("cb"))
+    val n = wedges.join(closing,
+      col("a") === col("ca") && col("c") === col("cb")).count()
+    canon.unpersist()
+    n
+  }
+}

@@ -76,6 +76,16 @@ object PipelineQueries {
         Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1), 4).as("f0"))),
+    // --- whole-graph analytics (DataFrame-native iterative algos) ---
+    "q_algo_pagerank" -> ((s, dir) =>
+      graft.algos.GraphAlgorithms.pageRank(
+        graft.tpch.TpchGraph(s, dir), iterations = 5)
+        .withColumn("rank", round(col("rank"), 6))),
+    "q_algo_components" -> ((s, dir) =>
+      graft.algos.GraphAlgorithms.connectedComponents(
+        graft.tpch.TpchGraph(s, dir),
+        relTypes = Seq("IN_REGION", "FROM_NATION"))
+        .groupBy(col("component")).agg(count(lit(1)).as("n"))),
     // --- events (timestamped table ops) ---
     "q_events_daily" -> ((s, dir) =>
       events(s, dir).groupBy(

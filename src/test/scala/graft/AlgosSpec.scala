@@ -1,0 +1,56 @@
+package graft
+
+import graft.algos.GraphAlgorithms
+import graft.graph.{NodeTableDef, PropertyGraph, RelTableDef}
+import org.apache.spark.sql.functions._
+
+class AlgosSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Two components: a triangle 1-2-3 and a chain 4-5. */
+  lazy val graph: PropertyGraph = {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 1L),
+      (13L, 4L, 5L)).toDF("id", "src", "tgt")
+    PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+  }
+
+  test("degrees") {
+    val d = GraphAlgorithms.degrees(graph).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getLong(3))).toMap
+    assert(d(1L) === 2L) // one out (1->2), one in (3->1)
+    assert(d(4L) === 1L)
+    assert(d(5L) === 1L)
+  }
+
+  test("connected components: triangle and chain are separate") {
+    val comps = GraphAlgorithms.connectedComponents(graph).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getLong(1) & 0xFFFFFFFFL))
+      .toMap
+    assert(comps(1L) === comps(2L) && comps(2L) === comps(3L))
+    assert(comps(4L) === comps(5L))
+    assert(comps(1L) !== comps(4L))
+  }
+
+  test("pagerank: symmetric triangle nodes tie, ranks sum to n") {
+    val pr = GraphAlgorithms.pageRank(graph, iterations = 15).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    assert(math.abs(pr.values.sum - 5.0) < 1e-6, s"ranks: $pr")
+    assert(math.abs(pr(1L) - pr(2L)) < 1e-6)
+    assert(math.abs(pr(2L) - pr(3L)) < 1e-6)
+    assert(pr(5L) > pr(4L)) // 5 receives, 4 only sends
+  }
+
+  test("triangle count") {
+    assert(GraphAlgorithms.triangleCount(graph) === 1L)
+  }
+
+  test("pagerank on the TPC-H graph runs and is positive") {
+    val g = graft.tpch.TpchGraph(spark, "/root/testdata/sf0.001")
+    val pr = GraphAlgorithms.pageRank(g, iterations = 3,
+      relTypes = Seq("IN_REGION", "FROM_NATION"))
+    assert(pr.filter(col("rank") <= 0).count() === 0)
+  }
+}
