@@ -17,6 +17,14 @@ class GraftSession(val spark: SparkSession) {
   /** Named-graph catalog (SessionGraphDataSource equivalent). */
   val catalog: TrieMap[String, PropertyGraph] = TrieMap.empty
 
+  /** User-registered Cypher functions (procedure-like extension hook):
+    * `registerFunction("sq", args => args.head * args.head)` makes `sq(x)`
+    * callable from any query in this session. */
+  private val functions = TrieMap.empty[String, Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column]
+  def registerFunction(name: String,
+      fn: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+    functions.put(name.toLowerCase, fn)
+
   def store(name: String, g: PropertyGraph): Unit = catalog.put(name, g)
   def graphByName(name: String): PropertyGraph = catalog(name)
 
@@ -28,7 +36,8 @@ class GraftSession(val spark: SparkSession) {
       params: Map[String, Any] = Map.empty,
       drivingTable: Option[DataFrame] = None): DataFrame = {
     val ast = CypherParser.parse(query)
-    val planner = new Planner(spark, graph, params, drivingTable, graphByName)
+    val planner = new Planner(spark, graph, params, drivingTable,
+      graphByName, functions.toMap)
     val (df, outs, header) = planner.plan(ast)
     planner.render(df, outs, header)
   }
@@ -38,7 +47,8 @@ class GraftSession(val spark: SparkSession) {
   def cypherGraph(graph: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): PropertyGraph = {
     val ast = CypherParser.parse(query)
-    val planner = new Planner(spark, graph, params, None, graphByName)
+    val planner = new Planner(spark, graph, params, None, graphByName,
+      functions.toMap)
     planner.plan(ast)
     planner.constructedGraph.getOrElse(
       throw new IllegalArgumentException(

@@ -63,6 +63,14 @@ case class Reduce(acc: String, init: Expr, variable: String, list: Expr,
 /** EXISTS { (a)-[:T]->(b) } / bare pattern predicate in WHERE. */
 case class PatternPredicate(pattern: PatternPart, negated: Boolean) extends Expr
 
+/** Map projection `n {.name, .*, extra: expr, other}` (Expr.scala :518). */
+sealed trait MapProjItem
+case class ProjProp(key: String) extends MapProjItem
+case class ProjExpr(key: String, expr: Expr) extends MapProjItem
+case object ProjAll extends MapProjItem
+case class ProjVar(name: String) extends MapProjItem
+case class MapProjection(variable: String, items: Seq[MapProjItem]) extends Expr
+
 // --- patterns --------------------------------------------------------------
 sealed trait Direction
 case object OUT extends Direction

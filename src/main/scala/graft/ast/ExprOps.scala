@@ -36,6 +36,10 @@ object ExprOps {
       ListComprehension(v, f(l), w.map(f), p.map(f))
     case IterablePredicate(k, v, l, w) => IterablePredicate(k, v, f(l), f(w))
     case Reduce(a, i, v, l, s) => Reduce(a, f(i), v, f(l), f(s))
+    case MapProjection(v, items) => MapProjection(v, items.map {
+      case ProjExpr(k, ex) => ProjExpr(k, f(ex))
+      case other => other
+    })
     case leaf => leaf
   }
 

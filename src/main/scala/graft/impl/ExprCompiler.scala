@@ -28,13 +28,14 @@ object ExprCompiler {
   */
 class ExprCompiler(header: RecordHeader, schema: StructType,
     params: Map[String, Any] = Map.empty,
-    env: Map[String, (Column, Option[DataType])] = Map.empty) {
+    env: Map[String, (Column, Option[DataType])] = Map.empty,
+    extensions: Map[String, Seq[Column] => Column] = Map.empty) {
 
   private def colType(name: String): Option[DataType] =
     schema.fields.find(_.name == name).map(_.dataType)
 
   def withEnv(name: String, c: Column, t: Option[DataType]): ExprCompiler =
-    new ExprCompiler(header, schema, params, env + (name -> ((c, t))))
+    new ExprCompiler(header, schema, params, env + (name -> ((c, t))), extensions)
 
   // ------------------------------------------------------------ type infer
   /** Best-effort static type; None when unknown. */
@@ -124,7 +125,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case None => inferType(l)
         case Some(pe) =>
           val inner = new ExprCompiler(header, schema, params,
-            env + (v -> ((lit(0), et)))).inferType(pe)
+            env + (v -> ((lit(0), et))), extensions).inferType(pe)
           inner.map(ArrayType(_))
       }
     case _: Cmp | _: Ands | _: Ors | _: Not | _: Xor | _: IsNull | _: In |
@@ -327,6 +328,27 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       val initT = inferType(init)
       F.aggregate(listC, compile(init).cast(initT.getOrElse(LongType)),
         (acc, x) => lambda(accName, acc, initT).lambda(v, x, et).compile(step))
+
+    case MapProjection(v, items) =>
+      val isElement = header.kindOf(v) match {
+        case Some(NodeKind(_)) | Some(RelKind(_)) => true
+        case _ => false
+      }
+      val fields = items.flatMap {
+        case ProjProp(k) =>
+          if (isElement)
+            Seq(header.get(PropSlot(v, k)).map(c => col(c).as(k))
+              .getOrElse(lit(null).as(k)))
+          else Seq(compile(Var(v)).getField(k).as(k))
+        case ProjExpr(k, e2) => Seq(compile(e2).as(k))
+        case ProjAll =>
+          if (isElement)
+            header.ownedBy(v).collect { case s @ PropSlot(_, k) => (k, s) }
+              .sortBy(_._1).map { case (k, s) => col(header.col(s)).as(k) }
+          else Seq.empty
+        case ProjVar(name) => Seq(compile(Var(name)).as(name))
+      }
+      struct(fields: _*)
 
     case PatternPredicate(_, _) =>
       throw new CypherCompileException(
@@ -551,8 +573,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         sequence(a0, a1, step)
       case "coalesce" => F.coalesce(args.map(compile): _*)
 
-      case other =>
-        throw new CypherCompileException(s"unknown function $other")
+      case other => extensions.get(other) match {
+        // session-registered extension functions (procedure-like hooks)
+        case Some(fn) => fn(args.map(compile))
+        case None =>
+          throw new CypherCompileException(s"unknown function $other")
+      }
     }
   }
 }

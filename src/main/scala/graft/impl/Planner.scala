@@ -33,7 +33,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     params: Map[String, Any] = Map.empty,
     drivingTable: Option[DataFrame] = None,
     resolveGraph: String => PropertyGraph = n =>
-      throw new CypherCompileException(s"unknown graph $n (no catalog)")) {
+      throw new CypherCompileException(s"unknown graph $n (no catalog)"),
+    extensions: Map[String, Seq[Column] => Column] = Map.empty) {
 
   /** Ambient graph; FROM GRAPH / USE switches it (plan-time only). */
   private var graph: PropertyGraph = graph0
@@ -47,7 +48,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def freshVar(): String = { anonCounter += 1; s"_a$anonCounter" }
 
   case class Ctx(df: DataFrame, header: RecordHeader) {
-    def compiler: ExprCompiler = new ExprCompiler(header, df.schema, params)
+    def compiler: ExprCompiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
     def isUnit: Boolean = header.slots.isEmpty && df.columns.isEmpty
   }
 
@@ -162,7 +163,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         "CONSTRUCT supports plain directed relationships")
     }
     var df = ctx.df
-    val compiler = () => new ExprCompiler(ctx.header, df.schema, params)
+    val compiler = () => new ExprCompiler(ctx.header, df.schema, params, Map.empty, extensions)
     // Fresh ids live in construct-private spaces above any source tag.
     val ConstructTagBase = 200L
     val nodeIdCols: Map[String, String] =
@@ -565,7 +566,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     var df = dfs.reduce(_.unionByName(_))
     // Inline property equality filters ({k: v}).
     if (nc.props.nonEmpty) {
-      val compiler = new ExprCompiler(header, df.schema, params)
+      val compiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
       nc.props.foreach { case (k, e) =>
         df = df.filter(compiler.compile(Cmp("=", Prop(Var(v), k), e)))
       }
@@ -638,7 +639,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       df = df.unionByName(reversed)
     }
     if (props.nonEmpty) {
-      val compiler = new ExprCompiler(header, df.schema, params)
+      val compiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
       props.foreach { case (k, e) =>
         df = df.filter(compiler.compile(Cmp("=", Prop(Var(v), k), e)))
       }
@@ -831,7 +832,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             val slot = ValueSlot(target)
             val name = RecordHeader.colName(slot)
             df = df.withColumn(name,
-              new ExprCompiler(ctx.header, df.schema, params).compile(expr))
+              new ExprCompiler(ctx.header, df.schema, params, Map.empty, extensions).compile(expr))
             newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
             outs += OutCol(name, display)
         }
@@ -888,7 +889,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             val slot = ValueSlot(target)
             val name = RecordHeader.colName(slot)
             df = df.withColumn(name,
-              new ExprCompiler(ctx.header, df.schema, params).compile(expr))
+              new ExprCompiler(ctx.header, df.schema, params, Map.empty, extensions).compile(expr))
             newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
             groupCols += name
             outs += OutCol(name, display)
@@ -896,7 +897,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             val target = i.alias.getOrElse(display)
             val slot = ValueSlot(target)
             val name = RecordHeader.colName(slot)
-            aggCols += new ExprCompiler(ctx.header, df.schema, params)
+            aggCols += new ExprCompiler(ctx.header, df.schema, params, Map.empty, extensions)
               .compile(expr).as(name)
             newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
             outs += OutCol(name, display)

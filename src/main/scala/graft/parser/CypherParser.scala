@@ -473,6 +473,26 @@ object CypherParser {
               e = Index(e, first)
             }
           }
+        } else if (isPunct("{") && e.isInstanceOf[Var]) {
+          // map projection: n {.name, .*, extra: expr, other}
+          p += 1
+          val items = Seq.newBuilder[MapProjItem]
+          if (!isPunct("}")) {
+            def item(): Unit = {
+              if (tryPunct(".")) {
+                if (tryPunct("*")) items += ProjAll
+                else items += ProjProp(ident())
+              } else {
+                val name = ident()
+                if (tryPunct(":")) items += ProjExpr(name, parseExpr())
+                else items += ProjVar(name)
+              }
+            }
+            item()
+            while (tryPunct(",")) item()
+          }
+          eatPunct("}")
+          e = MapProjection(e.asInstanceOf[Var].name, items.result())
         } else if (isPunct(":") && canBeLabelPredicate(e)) {
           val labels = Seq.newBuilder[String]
           while (tryPunct(":")) labels += ident()

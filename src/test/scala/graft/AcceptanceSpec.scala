@@ -158,6 +158,23 @@ class AcceptanceSpec extends SparkTestBase {
     assert(df.count() === 4)
   }
 
+  test("map projection") {
+    val r = session.cypher(graph,
+      "MATCH (n:N) WHERE n.val = 6 RETURN n {.val, doubled: n.val * 2} AS m")
+      .collect().head.getStruct(0)
+    assert(r.getAs[Long]("val") === 6L)
+    assert(r.getAs[Long]("doubled") === 12L)
+    val all = session.cypher(graph,
+      "MATCH (n:N) WHERE n.val = 2 RETURN n {.*} AS m")
+      .collect().head.getStruct(0)
+    assert(all.getAs[Long]("val") === 2L)
+  }
+
+  test("session-registered extension functions") {
+    session.registerFunction("cube", args => args.head * args.head * args.head)
+    assert(one("RETURN cube(3) AS x") === 27L)
+  }
+
   test("LIMIT 0 returns empty with schema") {
     val df = session.cypher(graph, "MATCH (n:N) RETURN n.val AS v LIMIT 0")
     assert(df.count() === 0)
