@@ -102,10 +102,17 @@ case class Return(distinct: Boolean, star: Boolean, items: Seq[ReturnItem],
 /** FROM GRAPH <name> / USE <name>: switch the ambient graph (plan-time,
   * reference FromCatalogGraph / SwitchContext). */
 case class FromGraph(name: String) extends Clause
-/** CONSTRUCT [NEW pattern]* [RETURN GRAPH]: build a new graph from the
-  * current driving table (reference ConstructGraphPlanner, SURVEY §2.6).
-  * Bound node vars are cloned; unbound ones are created per row. */
-case class Construct(news: Seq[PatternPart]) extends Clause
+/** SET item inside CONSTRUCT: property assignment or label addition. */
+sealed trait SetItem
+case class SetProp(variable: String, key: String, value: Expr) extends SetItem
+case class SetLabel(variable: String, labels: Seq[String]) extends SetItem
+
+/** CONSTRUCT [ON graph*] [NEW pattern]* [SET ...]* [RETURN GRAPH]: build a
+  * new graph from the current driving table (reference
+  * ConstructGraphPlanner, SURVEY §2.6). Bound node vars are cloned; unbound
+  * ones are created per row; ON merges catalog graphs into the result. */
+case class Construct(on: Seq[String], news: Seq[PatternPart],
+    sets: Seq[SetItem]) extends Clause
 
 case class SingleQuery(clauses: Seq[Clause])
 /** rest entries are (unionAll, query). */

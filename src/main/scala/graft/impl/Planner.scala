@@ -144,7 +144,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         ctx = c
         outs = o
       case FromGraph(name) => graph = resolveGraph(name)
-      case Construct(news) => constructedGraph = Some(planConstruct(ctx, news))
+      case Construct(on, news, sets) =>
+        constructedGraph = Some(planConstruct(ctx, on, news, sets))
     }
     (ctx, outs)
   }
@@ -156,12 +157,30 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * one element per row with fresh tagged ids. The construct table is
     * persisted before slicing into scans so monotonically_increasing_id is
     * evaluated exactly once (the determinism hazard SURVEY §4 flags). */
-  private def planConstruct(ctx: Ctx, news: Seq[PatternPart]): PropertyGraph = {
-    val (nodes, edges) = normalizePattern(Pattern(news))
+  private def planConstruct(ctx: Ctx, on: Seq[String], news: Seq[PatternPart],
+      sets: Seq[SetItem]): PropertyGraph = {
+    val (nodes0, edges0) = normalizePattern(Pattern(news))
+    // SET items fold into the pattern constraints: properties append to the
+    // var's NEW property list, labels extend its label set.
+    var nodes = nodes0
+    var edges = edges0
+    sets.foreach {
+      case SetProp(v, k, e) if nodes.contains(v) =>
+        nodes = nodes.updated(v, nodes(v).copy(props = nodes(v).props :+ (k, e)))
+      case SetProp(v, k, e) if edges.exists(_.v == v) =>
+        edges = edges.map(ed =>
+          if (ed.v == v) ed.copy(props = ed.props :+ (k, e)) else ed)
+      case SetLabel(v, ls) if nodes.contains(v) =>
+        nodes = nodes.updated(v,
+          nodes(v).copy(labels = (nodes(v).labels ++ ls).distinct))
+      case other =>
+        throw new CypherCompileException(s"SET target not in CONSTRUCT: $other")
+    }
     edges.foreach { e =>
       require(e.varLength.isEmpty && e.dir == OUT,
         "CONSTRUCT supports plain directed relationships")
     }
+    val baseGraphs = on.map(resolveGraph)
     var df = ctx.df
     val compiler = () => new ExprCompiler(ctx.header, df.schema, params, Map.empty, extensions)
     // Fresh ids live in construct-private spaces above any source tag.
@@ -203,8 +222,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     }
     val mat = df.persist()
 
-    val nodeDefs = nodes.toSeq.map { case (v, nc) =>
+    val nodeDefs = nodes.toSeq.flatMap { case (v, nc) =>
       val cloned = ctx.header.contains(IdSlot(v))
+      // With ON, cloned elements are already present in a base graph —
+      // emitting a clone table would duplicate them.
+      if (cloned && baseGraphs.nonEmpty) None
+      else Some {
       val labels: Set[String] =
         if (nc.labels.nonEmpty) nc.labels.toSet
         else ctx.header.kindOf(v) match {
@@ -224,6 +247,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         .dropDuplicates("_cid")
       NodeTableDef(labels, table, "_cid",
         props.keys.map(k => k -> ("_cp_" + k)).toMap, "!construct")
+      }
     }
     val relDefs = edges.zipWithIndex.map { case (e, idx) =>
       val relType = e.types.headOption.getOrElse("REL")
@@ -237,7 +261,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         props.keys.map(k => k -> ("_cp_" + k)).toMap,
         "!construct", "!construct", "!construct")
     }
-    PropertyGraph(nodeDefs, relDefs)
+    // CONSTRUCT ON: merge the base graphs' element tables ahead of the
+    // constructed scans, preserving their id-space order so cloned ids
+    // (baked literals under the source tag assignment) keep matching.
+    if (baseGraphs.isEmpty) PropertyGraph(nodeDefs, relDefs)
+    else new PropertyGraph(
+      baseGraphs.flatMap(_.nodeDefs) ++ nodeDefs,
+      baseGraphs.flatMap(_.relDefs) ++ relDefs)
   }
 
   // -------------------------------------------------------------- patterns

@@ -26,7 +26,7 @@ object CypherParser {
     "DESC", "DESCENDING", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL",
     "TRUE", "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN",
     "ELSE", "END", "EXISTS", "ANY", "NONE", "SINGLE", "REDUCE", "COUNT",
-    "FROM", "GRAPH", "CONSTRUCT", "NEW", "USE")
+    "FROM", "GRAPH", "CONSTRUCT", "NEW", "USE", "ON", "SET")
 
   object Lexer {
     def tokenize(s: String): Vector[Tok] = {
@@ -175,13 +175,37 @@ object CypherParser {
           case Kw("USE", _, _) => p += 1; clauses += FromGraph(ident())
           case Kw("CONSTRUCT", _, _) =>
             p += 1
+            val on = Seq.newBuilder[String]
+            if (tryKw("ON")) {
+              on += ident()
+              while (tryPunct(",")) on += ident()
+            }
             val parts = Seq.newBuilder[PatternPart]
-            while (tryKw("NEW")) {
-              parts += parsePatternPart()
-              while (tryPunct(",")) parts += parsePatternPart()
+            val sets = Seq.newBuilder[SetItem]
+            var more = true
+            while (more) {
+              if (tryKw("NEW")) {
+                parts += parsePatternPart()
+                while (tryPunct(",")) parts += parsePatternPart()
+              } else if (tryKw("SET")) {
+                def setItem(): Unit = {
+                  val v = ident()
+                  if (tryPunct(".")) {
+                    val k = ident()
+                    eatPunct("=")
+                    sets += SetProp(v, k, parseExpr())
+                  } else {
+                    val ls = Seq.newBuilder[String]
+                    while (tryPunct(":")) ls += ident()
+                    sets += SetLabel(v, ls.result())
+                  }
+                }
+                setItem()
+                while (tryPunct(",")) setItem()
+              } else more = false
             }
             if (tryKw("RETURN")) eatKw("GRAPH")
-            clauses += Construct(parts.result())
+            clauses += Construct(on.result(), parts.result(), sets.result())
             done = true
           case Kw("RETURN", _, _) =>
             // RETURN GRAPH handled inside CONSTRUCT; plain RETURN here.

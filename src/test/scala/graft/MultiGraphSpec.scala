@@ -63,6 +63,33 @@ class MultiGraphSpec extends SparkTestBase {
     assert(rows === Seq(("a", "A"), ("b", "B"), ("c", "C")))
   }
 
+  test("CONSTRUCT SET adds properties and labels") {
+    val g = miniGraph(Seq("a", "b"), "X")
+    val built = session.cypherGraph(g,
+      "MATCH (x:X) CONSTRUCT NEW (c:Copy {orig: x.name}) " +
+        "SET c.stamped = true, c:Extra RETURN GRAPH")
+    val rows = session.cypher(built,
+      "MATCH (c:Copy:Extra) WHERE c.stamped RETURN c.orig AS o ORDER BY o")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("a", "b"))
+  }
+
+  test("CONSTRUCT ON merges the base graph with new elements") {
+    val g = miniGraph(Seq("a", "b"), "X")
+    session.store("base", g)
+    val built = session.cypherGraph(g,
+      "MATCH (x:X) CONSTRUCT ON base NEW (x)-[:TAGGED]->(:Tag {of: x.name}) " +
+        "RETURN GRAPH")
+    // base nodes + 2 fresh Tag nodes
+    assert(session.cypher(built, "MATCH (n) RETURN count(*) AS c")
+      .collect().head.getLong(0) === 4L)
+    // cloned x ids must match the base graph's, so this traversal works:
+    val got = session.cypher(built,
+      "MATCH (x:X)-[:TAGGED]->(t:Tag) RETURN x.name AS n, t.of AS o")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "a"), ("b", "b")))
+  }
+
   test("createGraph registers a constructed graph in the catalog") {
     val g = miniGraph(Seq("a"), "X")
     session.createGraph("copies", g,
