@@ -157,6 +157,8 @@ object CypherParser {
     }
 
     private def parseSingleQuery(): SingleQuery = {
+      if (peek.isInstanceOf[Eof])
+        fail("empty query")
       val clauses = Seq.newBuilder[Clause]
       var done = false
       while (!done) {

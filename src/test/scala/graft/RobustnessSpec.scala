@@ -1,0 +1,99 @@
+package graft
+
+import graft.api.GraftSession
+import graft.parser.CypherParser
+import graft.impl.CypherCompileException
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Driver-contract smoke + grammar fuzzing: generated queries must either
+  * run or fail with a *clean* engine exception (parse/compile/analysis) —
+  * never a MatchError/NPE from the planner internals. */
+class RobustnessSpec extends SparkTestBase {
+
+  lazy val session = new GraftSession(spark)
+  lazy val g = graft.tpch.TpchGraph(spark, "/root/testdata/sf0.001")
+
+  test("driver entry() returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every registered query returns a schema at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  // ---- grammar fuzz ----
+  private val labels = Gen.oneOf("Customer", "Order", "Nation", "Zzz")
+  private val props = Gen.oneOf("c_custkey", "o_totalprice", "n_name", "nope")
+  private val relTypes = Gen.oneOf("PLACED", "IN_REGION", "NOPE")
+
+  private val nodePat: Gen[String] = for {
+    v <- Gen.oneOf("a", "b", "c")
+    l <- Gen.option(labels)
+  } yield s"($v${l.map(":" + _).getOrElse("")})"
+
+  private val relPat: Gen[String] = for {
+    t <- Gen.option(relTypes)
+    vl <- Gen.oneOf("", "*1..2")
+    dir <- Gen.oneOf(("-", "->"), ("<-", "-"), ("-", "-"))
+  } yield s"${dir._1}[${t.map(":" + _).getOrElse("")}$vl]${dir._2}"
+
+  private val wherePart: Gen[String] = for {
+    v <- Gen.oneOf("a", "b")
+    p <- props
+    op <- Gen.oneOf(">", "<", "=", "<>")
+    lit <- Gen.oneOf("1", "'x'", "null", "3.5")
+  } yield s" WHERE $v.$p $op $lit"
+
+  private val queryGen: Gen[String] = for {
+    n1 <- nodePat
+    r <- relPat
+    n2 <- nodePat
+    w <- Gen.option(wherePart)
+    ret <- Gen.oneOf("count(*) AS n", "a AS x", "a.c_custkey AS k",
+      "labels(a) AS ls", "b.nope AS m")
+    lim <- Gen.option(Gen.choose(0, 5).map(" LIMIT " + _))
+  } yield s"MATCH $n1$r$n2${w.getOrElse("")} RETURN $ret${lim.getOrElse("")}"
+
+  test("generated pattern queries run or fail cleanly") {
+    val queries = (0 until 60).flatMap(i =>
+      queryGen.apply(Gen.Parameters.default, Seed(42L + i)))
+    assert(queries.size >= 50)
+    queries.foreach { q =>
+      try {
+        session.cypher(g, q).limit(3).collect()
+        ()
+      } catch {
+        case _: CypherParser.CypherParseException => ()
+        case _: CypherCompileException => ()
+        case e: org.apache.spark.sql.AnalysisException =>
+          fail(s"analysis leak for: $q\n${e.getMessage}")
+        case e: Throwable =>
+          fail(s"unclean failure for: $q\n${e.getClass}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("malformed inputs produce parse errors, not crashes") {
+    val bad = Seq("", "MATCH", "MATCH (", "RETURN", "MATCH (a RETURN a",
+      "MATCH (a)-->", "WITH RETURN x", "MATCH (a) RETURN a LIMIT",
+      "MATCH (a:) RETURN a", "MATCH (a) WHERE RETURN a",
+      "UNWIND AS x RETURN x", "MATCH (a) RETURN a ORDER LIMIT 1",
+      ")( weird", "MATCH (a) RETURN a UNION MATCH (b) RETURN c")
+    bad.foreach { q =>
+      val threw =
+        try { session.cypher(g, q).collect(); false }
+        catch {
+          case _: CypherParser.CypherParseException => true
+          case _: CypherCompileException => true
+          case _: IllegalArgumentException => true
+          case e: Throwable => fail(s"unclean failure for '$q': ${e.getClass}")
+        }
+      assert(threw, s"expected failure for: '$q'")
+    }
+  }
+}
