@@ -39,17 +39,17 @@ object SparkEntry {
       Some("SELECT n_name, count(*) AS degree FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) j JOIN nation ON n_nationkey = j.k GROUP BY n_name")),
     // --- aggregation (Aggregate; SURVEY §2.4 aggregators) ---
     ("q_agg",
-      "MATCH (l:LineItem) RETURN l.l_returnflag AS l_returnflag, l.l_linestatus AS l_linestatus, sum(l.l_quantity) AS sum_qty, sum(l.l_extendedprice) AS sum_price, avg(l.l_discount) AS avg_disc, count(*) AS cnt",
-      Some("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus")),
+      "MATCH (l:LineItem) RETURN l.l_returnflag AS l_returnflag, l.l_linestatus AS l_linestatus, round(sum(l.l_quantity), 4) AS sum_qty, round(sum(l.l_extendedprice), 4) AS sum_price, round(avg(l.l_discount), 4) AS avg_disc, count(*) AS cnt",
+      Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, round(sum(l_extendedprice), 4) AS sum_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus")),
     ("q_agg_minmax",
       "MATCH (o:Order) RETURN o.o_orderstatus AS st, min(o.o_totalprice) AS min_p, max(o.o_totalprice) AS max_p, count(DISTINCT o.o_orderpriority) AS n_prio",
       Some("SELECT o_orderstatus AS st, min(o_totalprice) AS min_p, max(o_totalprice) AS max_p, count(DISTINCT o_orderpriority) AS n_prio FROM orders GROUP BY o_orderstatus")),
     ("q_agg_global",
-      "MATCH (l:LineItem) RETURN count(*) AS n, sum(l.l_quantity) AS total_qty, avg(l.l_extendedprice) AS avg_price, min(l.l_shipdate) AS min_ship, max(l.l_shipdate) AS max_ship, count(DISTINCT l.l_orderkey) AS n_orders",
-      Some("SELECT count(*) AS n, sum(l_quantity) AS total_qty, avg(l_extendedprice) AS avg_price, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship, count(DISTINCT l_orderkey) AS n_orders FROM lineitem")),
+      "MATCH (l:LineItem) RETURN count(*) AS n, round(sum(l.l_quantity), 4) AS total_qty, round(avg(l.l_extendedprice), 4) AS avg_price, min(l.l_shipdate) AS min_ship, max(l.l_shipdate) AS max_ship, count(DISTINCT l.l_orderkey) AS n_orders",
+      Some("SELECT count(*) AS n, round(sum(l_quantity), 4) AS total_qty, round(avg(l_extendedprice), 4) AS avg_price, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship, count(DISTINCT l_orderkey) AS n_orders FROM lineitem")),
     ("q_agg_stats",
-      "MATCH (o:Order) RETURN stDev(o.o_totalprice) AS sd, percentileCont(o.o_totalprice, 0.5) AS med",
-      Some("SELECT stddev_samp(o_totalprice) AS sd, percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med FROM orders")),
+      "MATCH (o:Order) RETURN round(stDev(o.o_totalprice), 4) AS sd, round(percentileCont(o.o_totalprice, 0.5), 4) AS med",
+      Some("SELECT round(stddev_samp(o_totalprice), 4) AS sd, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med FROM orders")),
     // --- order / skip / limit (OrderBy, Skip, Limit) ---
     ("q_orderby_limit",
       "MATCH (o:Order) RETURN o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10",
@@ -99,8 +99,8 @@ object SparkEntry {
       ) p GROUP BY n_nationkey""")),
     // --- WITH pipeline + aggregation-then-filter (having) ---
     ("q_with_having",
-      "MATCH (c:Customer)-[:PLACED]->(o:Order) WITH c.c_custkey AS ck, sum(o.o_totalprice) AS total WHERE total > 3000000.0 RETURN ck, total",
-      Some("SELECT c_custkey AS ck, sum(o_totalprice) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey HAVING sum(o_totalprice) > 3000000.0")),
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) WITH c.c_custkey AS ck, sum(o.o_totalprice) AS total WHERE total > 3000000.0 RETURN ck, round(total, 4) AS total",
+      Some("SELECT c_custkey AS ck, round(sum(o_totalprice), 4) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey HAVING sum(o_totalprice) > 3000000.0")),
     // --- scalar expression gauntlet (SURVEY §2.5) ---
     ("q_expressions",
       "MATCH (c:Customer) RETURN c.c_custkey AS ck, toUpper(c.c_name) AS upper_name, substring(c.c_name, 0, 4) AS pre, c.c_acctbal * 1.1 + 5 AS adj, abs(c.c_acctbal) AS ab, CASE WHEN c.c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign_cls, coalesce(c.c_mktsegment, 'NA') AS seg",

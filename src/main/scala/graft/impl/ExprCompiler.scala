@@ -508,7 +508,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "log10" => F.log(10.0, a0)
       case "ceil" => F.ceil(a0)
       case "floor" => F.floor(a0)
-      case "round" => F.round(a0, 0)
+      case "round" =>
+        if (args.length >= 2) args(1) match {
+          case IntLit(s) => F.round(a0, s.toInt)
+          case other => throw new CypherCompileException(
+            s"round() scale must be an integer literal, got $other")
+        }
+        else F.round(a0, 0)
       case "sign" => F.signum(a0).cast(LongType)
       case "acos" => F.acos(a0)
       case "asin" => F.asin(a0)
