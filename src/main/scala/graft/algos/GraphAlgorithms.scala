@@ -55,15 +55,18 @@ object GraphAlgorithms {
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
       val received = ids.join(contribs, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("contrib"), lit(0.0)).as("contrib"))
-      // Dangling nodes' rank mass is spread uniformly.
-      val totalContrib = received.agg(sum("contrib")).head().getDouble(0)
-      val danglingMass = n - totalContrib
-      ranks = received.select(col("id"),
+      // Dangling nodes' rank mass is spread uniformly. The total arrives
+      // via a broadcast 1-row aggregate, keeping each iteration a single
+      // job (no driver-side collect inside the loop).
+      val total = received.agg(sum("contrib").as("_tc"))
+      ranks = received.crossJoin(broadcast(total)).select(col("id"),
         (lit(1.0 - damping) +
-          lit(damping) * (col("contrib") + lit(danglingMass / n))).as("rank"))
-        .localCheckpoint(eager = false)
+          lit(damping) * (col("contrib") + (lit(n) - col("_tc")) / n))
+          .as("rank"))
+        .localCheckpoint(eager = true)
     }
     links.unpersist()
+    ids.unpersist()
     ranks
   }
 

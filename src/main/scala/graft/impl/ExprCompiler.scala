@@ -427,7 +427,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     name match {
       // ---- aggregators (SURVEY §2.4) ----
       case "count" => if (distinct) count_distinct(a0) else count(a0)
+      case "sum" if isDuration(args(0)) =>
+        // duration aggregate (TemporalUdafs parity): per-component sums
+        struct(sum(a0.getField("months")).as("months"),
+          sum(a0.getField("days")).as("days"),
+          sum(a0.getField("micros")).as("micros"))
       case "sum" => if (distinct) sum_distinct(a0) else sum(a0)
+      case "avg" if isDuration(args(0)) =>
+        struct(avg(a0.getField("months")).cast(LongType).as("months"),
+          avg(a0.getField("days")).cast(LongType).as("days"),
+          avg(a0.getField("micros")).cast(LongType).as("micros"))
       case "avg" => avg(a0)
       case "min" => min(a0)
       case "max" => max(a0)
@@ -496,6 +505,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "tostring" => a0.cast(StringType)
 
       // ---- casts ----
+      case "bigdecimal" | "tobigdecimal" =>
+        (args(1), args(2)) match {
+          case (IntLit(p), IntLit(sc)) =>
+            a0.cast(DecimalType(p.toInt, sc.toInt))
+          case other => throw new CypherCompileException(
+            s"bigDecimal(x, precision, scale) needs integer literals: $other")
+        }
       case "tointeger" => a0.try_cast(LongType)
       case "tofloat" => a0.try_cast(DoubleType)
       case "toboolean" => a0.try_cast(BooleanType)

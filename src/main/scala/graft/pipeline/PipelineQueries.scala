@@ -79,7 +79,8 @@ object PipelineQueries {
     // --- whole-graph analytics (DataFrame-native iterative algos) ---
     "q_algo_pagerank" -> ((s, dir) =>
       graft.algos.GraphAlgorithms.pageRank(
-        graft.tpch.TpchGraph(s, dir), iterations = 5)
+        graft.tpch.TpchGraph(s, dir), iterations = 3,
+        relTypes = Seq("IN_REGION", "FROM_NATION", "PLACED"))
         .withColumn("rank", round(col("rank"), 6))),
     "q_algo_components" -> ((s, dir) =>
       graft.algos.GraphAlgorithms.connectedComponents(
