@@ -50,6 +50,9 @@ object SparkEntry {
     ("q_agg_stats",
       "MATCH (o:Order) RETURN round(stDev(o.o_totalprice), 4) AS sd, round(percentileCont(o.o_totalprice, 0.5), 4) AS med",
       Some("SELECT round(stddev_samp(o_totalprice), 4) AS sd, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med FROM orders")),
+    ("q_percentile_disc",
+      "MATCH (o:Order) RETURN o.o_orderstatus AS st, percentileDisc(o.o_totalprice, 0.25) AS p25",
+      Some("SELECT o_orderstatus AS st, percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25 FROM orders GROUP BY 1")),
     // --- order / skip / limit (OrderBy, Skip, Limit) ---
     ("q_orderby_limit",
       "MATCH (o:Order) RETURN o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10",

@@ -205,6 +205,23 @@ class CypherEngineSpec extends SparkTestBase {
     assert(got === Set("name", "luckyNumber", "language"))
   }
 
+  test("chained OPTIONAL MATCH keeps earlier nulls") {
+    val got = run(
+      "MATCH (p:Person) OPTIONAL MATCH (p)-[:READS]->(b:Book) " +
+        "OPTIONAL MATCH (p)-[:KNOWS]->(q:Person) " +
+        "RETURN p.name AS p, b.title AS t, q.name AS q")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSet
+    assert(got.contains(("Stefan", None, Some("Carol"))))
+    assert(got.contains(("Carol", Some("1984"), None)))
+  }
+
+  test("UNION of whole-node returns across label combos") {
+    val df = run("MATCH (p:Person:Swedish) RETURN p " +
+      "UNION ALL MATCH (b:Book) RETURN b AS p")
+    assert(df.count() === 3)
+  }
+
   test("exists() on property and IS NULL") {
     assert(run("MATCH (p:Person) WHERE exists(p.language) " +
       "RETURN p.name AS n").collect().map(_.getString(0)).toSet === Set("Carol"))
