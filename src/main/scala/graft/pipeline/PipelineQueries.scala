@@ -35,6 +35,13 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(
         docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text", 0.8)
         .withColumn("jaccard", round(col("jaccard"), 4))),
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosinePairsExact(
+          embs(s, dir).filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
+        .withColumn("cosine", round(col("cosine"), 4))),
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.35)
+        .withColumn("cosine", round(col("cosine"), 4))),
     // --- similarity search ---
     "q_sim_bruteforce" -> ((s, dir) => {
       val q = embs(s, dir).filter(col("vec_id") === 0)
@@ -110,6 +117,16 @@ object PipelineQueries {
            ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
            (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""",
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 200 AND b.vec_id < 200
+           AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35""",
     "q_sim_bruteforce" ->
       """SELECT e.vec_id AS vec_id,
            round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /

@@ -112,6 +112,18 @@ object Similarity {
     IvfIndex(fitted, assigned, idCol, vecCol)
   }
 
+  /** Exact all-pairs cosine above a threshold (brute force — bound the
+    * input; the scale path is cosineNearDupPairs below). */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val l = df.select(col(idCol).as("id1"), col(vecCol).as("_v1"))
+    val r = df.select(col(idCol).as("id2"), col(vecCol).as("_v2"))
+    l.join(r, col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("_v1"), col("_v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
   /** All-pairs cosine above a threshold via LSH signatures (embedding-based
     * near-duplicate detection): bucket on signature bands, verify by exact
     * cosine. */
