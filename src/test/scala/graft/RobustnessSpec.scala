@@ -59,10 +59,25 @@ class RobustnessSpec extends SparkTestBase {
     lim <- Gen.option(Gen.choose(0, 5).map(" LIMIT " + _))
   } yield s"MATCH $n1$r$n2${w.getOrElse("")} RETURN $ret${lim.getOrElse("")}"
 
+  private val pipelineGen: Gen[String] = for {
+    n1 <- nodePat
+    p <- props
+    mid <- Gen.oneOf(
+      s"WITH a, count(*) AS c",
+      s"WITH a.$p AS v",
+      s"WITH DISTINCT a.$p AS v",
+      "UNWIND [1,2,3] AS u",
+      "WITH collect(a) AS xs UNWIND xs AS x")
+    ret <- Gen.oneOf("count(*) AS n", "1 AS one")
+    ord <- Gen.option(Gen.const(" ORDER BY n"))
+  } yield s"MATCH $n1 $mid RETURN $ret${ord.getOrElse("")}"
+
   test("generated pattern queries run or fail cleanly") {
     val queries = (0 until 60).flatMap(i =>
-      queryGen.apply(Gen.Parameters.default, Seed(42L + i)))
-    assert(queries.size >= 50)
+      queryGen.apply(Gen.Parameters.default, Seed(42L + i))) ++
+      (0 until 40).flatMap(i =>
+        pipelineGen.apply(Gen.Parameters.default, Seed(1042L + i)))
+    assert(queries.size >= 80)
     queries.foreach { q =>
       try {
         session.cypher(g, q).limit(3).collect()
