@@ -67,6 +67,26 @@ class SourcesSpec extends SparkTestBase {
     assert(n === 25L)
   }
 
+  test("Graph DDL text maps tables to a queryable graph") {
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .createOrReplaceTempView("ddl_nation")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("ddl_region")
+    val g = graft.sources.GraphDdl.parse(spark,
+      """CREATE GRAPH (
+        |  NODE (Nation) FROM ddl_nation KEY n_nationkey PROPERTIES (n_name),
+        |  NODE (Region) FROM ddl_region KEY r_regionkey,  -- all columns
+        |  REL IN_REGION FROM ddl_nation KEY n_nationkey
+        |    SOURCE ddl_nation(n_nationkey) TARGET ddl_region(n_regionkey)
+        |)""".stripMargin)
+    val rows = session.cypher(g,
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) " +
+        "RETURN r.r_name AS rn, count(*) AS c ORDER BY rn")
+      .collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(1)).sum === 25L)
+  }
+
   test("catalog stores and retrieves graphs by name") {
     val g = TpchGraph(spark, "/root/testdata/sf0.001")
     session.store("tpch", g)
