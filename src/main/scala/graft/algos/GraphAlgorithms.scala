@@ -81,9 +81,14 @@ object GraphAlgorithms {
       col("src").as("dst"))).distinct().persist()
     var comp = nodeIds(graph).select(col("id"), col("id").as("component"))
       .persist()
-    var changed = 1L
+    // Convergence via the monotone invariant sum(component): min-id
+    // propagation only ever decreases labels, so the sum strictly
+    // decreases until the fixpoint — one cheap aggregate per round
+    // instead of a full old-vs-new join.
+    var prevSum = BigDecimal(-1)
+    var curSum = BigDecimal(0)
     var it = 0
-    while (changed > 0 && it < maxIterations) {
+    while (prevSum != curSum && it < maxIterations) {
       val neighborMin = und
         .join(comp, und("dst") === comp("id"))
         .select(und("src").as("id"), col("component"))
@@ -93,8 +98,12 @@ object GraphAlgorithms {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint(eager = true)
-      changed = next.join(comp.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
+      prevSum = curSum
+      curSum = BigDecimal(next.agg(coalesce(
+        sum(col("component").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0))
       comp.unpersist()
       comp = next
       it += 1
