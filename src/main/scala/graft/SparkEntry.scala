@@ -104,6 +104,22 @@ object SparkEntry {
     ("q_with_having",
       "MATCH (c:Customer)-[:PLACED]->(o:Order) WITH c.c_custkey AS ck, sum(o.o_totalprice) AS total WHERE total > 3000000.0 RETURN ck, round(total, 4) AS total",
       Some("SELECT c_custkey AS ck, round(sum(o_totalprice), 4) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey HAVING sum(o_totalprice) > 3000000.0")),
+    // --- multi-stage pipelines (WITH chaining across MATCHes) ---
+    ("q_multi_match",
+      "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) WITH n.n_name AS nation, count(*) AS custs MATCH (s:Supplier)-[:FROM_NATION]->(n2:Nation) WHERE n2.n_name = nation RETURN nation, custs, count(*) AS supps",
+      Some("""SELECT n_name AS nation, custs, count(*) AS supps FROM (
+        SELECT n_nationkey, n_name, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS custs
+        FROM nation) n JOIN supplier ON s_nationkey = n.n_nationkey
+        WHERE custs > 0 GROUP BY n_name, custs""")),
+    ("q_optional_agg",
+      "MATCH (n:Nation) OPTIONAL MATCH (s:Supplier)-[:FROM_NATION]->(n) RETURN n.n_name AS nation, count(s.s_suppkey) AS n_supp",
+      Some("SELECT n_name AS nation, count(s_suppkey) AS n_supp FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_name")),
+    ("q_varexpand_deep",
+      "MATCH (c:Customer)-[*3..3]->(x) RETURN count(*) AS paths",
+      Some("""SELECT count(*) AS paths FROM (
+        SELECT 1 FROM customer JOIN orders ON o_custkey = c_custkey JOIN lineitem l ON l.l_orderkey = o_orderkey
+        UNION ALL SELECT 1 FROM customer JOIN orders ON o_custkey = c_custkey JOIN lineitem l ON l.l_orderkey = o_orderkey
+      ) p""")),
     // --- scalar expression gauntlet (SURVEY §2.5) ---
     ("q_expressions",
       "MATCH (c:Customer) RETURN c.c_custkey AS ck, toUpper(c.c_name) AS upper_name, substring(c.c_name, 0, 4) AS pre, c.c_acctbal * 1.1 + 5 AS adj, abs(c.c_acctbal) AS ab, CASE WHEN c.c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign_cls, coalesce(c.c_mktsegment, 'NA') AS seg",
