@@ -21,6 +21,9 @@ object Prof {
       r
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("simhash cold")(graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
+    time("simhash warm")(graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
+    time("simhashes only")(graft.pipeline.Dedup.simhashes(docs, "doc_id", "text").count())
     time("docs count")(docs.count())
     val shingled = docs.repartition(32, col("doc_id"))
       .select(col("doc_id"),

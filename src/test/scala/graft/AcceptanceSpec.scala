@@ -175,6 +175,13 @@ class AcceptanceSpec extends SparkTestBase {
     assert(one("RETURN cube(3) AS x") === 27L)
   }
 
+  test("aggregates over node variables (count/collect by id)") {
+    assert(one("MATCH (n:N) RETURN count(n) AS c") === 4L)
+    assert(one("MATCH (n:N) RETURN count(DISTINCT n) AS c") === 4L)
+    assert(one("MATCH (n:N)-[:L]->(m:N) RETURN count(DISTINCT m) AS c") === 3L)
+    assert(one("MATCH (n:N) WITH collect(n) AS ns RETURN size(ns) AS c") === 4L)
+  }
+
   test("LIMIT 0 returns empty with schema") {
     val df = session.cypher(graph, "MATCH (n:N) RETURN n.val AS v LIMIT 0")
     assert(df.count() === 0)
