@@ -151,6 +151,13 @@ object SparkEntry {
     ("q_in_list",
       "MATCH (n:Nation) WHERE n.n_name IN ['NATION_1', 'NATION_5', 'NATION_9'] RETURN n.n_nationkey AS nk, n.n_name AS name",
       Some("SELECT n_nationkey AS nk, n_name AS name FROM nation WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')")),
+    // --- multi-type relationship patterns [:A|B] ---
+    ("q_multi_type",
+      "MATCH (c:Customer)-[r:PLACED|FROM_NATION]->(x) RETURN type(r) AS t, count(*) AS n",
+      Some("SELECT 'PLACED' AS t, count(*) AS n FROM orders UNION ALL SELECT 'FROM_NATION' AS t, count(*) AS n FROM customer")),
+    ("q_strings_more",
+      "MATCH (n:Nation) RETURN n.n_nationkey AS nk, left(n.n_name, 3) AS l3, right(n.n_name, 2) AS r2, ltrim(n.n_name) AS lt, head(split(n.n_name, 'A')) AS h",
+      Some("SELECT n_nationkey AS nk, left(n_name, 3) AS l3, right(n_name, 2) AS r2, ltrim(n_name) AS lt, string_split(n_name, 'A')[1] AS h FROM nation")),
     // --- temporal accessors (DateProperty / LocalDateTimeProperty) ---
     ("q_temporal",
       "MATCH (l:LineItem) RETURN l.l_shipdate.year AS y, l.l_shipdate.month AS m, count(*) AS n",
