@@ -38,7 +38,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(8) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -81,6 +81,33 @@ class DifferentialSpec extends SparkTestBase {
             s"MATCH ($v:$label) RETURN $v.$col AS x ORDER BY x $dirn, " +
               s"$v.$id LIMIT $k",
             s"SELECT $col AS x FROM d_$table ORDER BY $col $dirn, $id LIMIT $k")
+        case 5 => // OPTIONAL MATCH <-> LEFT JOIN with join-side predicate
+          val thr = 100000 + rnd.nextInt(400000)
+          Pair(
+            s"MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order) " +
+              s"WHERE o.o_totalprice > $thr " +
+              "RETURN c.c_custkey AS ck, o.o_orderkey AS ok",
+            s"SELECT c_custkey AS ck, o_orderkey AS ok FROM d_customer " +
+              s"LEFT JOIN d_orders ON o_custkey = c_custkey " +
+              s"AND o_totalprice > $thr")
+        case 6 => // pattern-exists <-> EXISTS subquery (random negation)
+          val thr = 100000 + rnd.nextInt(400000)
+          val neg = rnd.nextBoolean()
+          Pair(
+            s"MATCH (c:Customer) WHERE ${if (neg) "NOT " else ""}" +
+              s"(c)-[:PLACED]->(:Order {o_orderstatus: 'O'}) " +
+              s"RETURN c.c_custkey AS ck",
+            s"SELECT c_custkey AS ck FROM d_customer WHERE " +
+              s"${if (neg) "NOT " else ""}EXISTS (SELECT 1 FROM d_orders " +
+              s"WHERE o_custkey = c_custkey AND o_orderstatus = 'O')")
+        case 7 => // undirected degree count
+          Pair(
+            "MATCH (n:Nation)-[:FROM_NATION]-(x) " +
+              "RETURN n.n_nationkey AS nk, count(*) AS deg",
+            "SELECT n_nationkey AS nk, count(*) AS deg FROM (" +
+              "SELECT c_nationkey AS k FROM d_customer UNION ALL " +
+              "SELECT s_nationkey AS k FROM d_supplier) j " +
+              "JOIN d_nation ON n_nationkey = j.k GROUP BY n_nationkey")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
@@ -94,7 +121,7 @@ class DifferentialSpec extends SparkTestBase {
 
   test("randomized cypher/sql pairs agree (seeded)") {
     registerViews()
-    val pairs = genPairs(new Random(20260812L), 60)
+    val pairs = genPairs(new Random(20260812L), 100)
     var checked = 0
     pairs.foreach { p =>
       val got = dfBag(session.cypher(g, p.cypher))
@@ -103,6 +130,6 @@ class DifferentialSpec extends SparkTestBase {
         s"differential mismatch\ncypher: ${p.cypher}\nsql: ${p.sql}")
       checked += 1
     }
-    assert(checked === 60)
+    assert(checked === 100)
   }
 }
