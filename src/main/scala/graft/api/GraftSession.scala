@@ -25,6 +25,33 @@ class GraftSession(val spark: SparkSession) {
       fn: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
     functions.put(name.toLowerCase, fn)
 
+  /** Table procedures callable via `CALL name(args) YIELD cols`. Built-ins
+    * expose the graph algorithms; users can register more. */
+  private val procedures =
+    TrieMap.empty[String, (PropertyGraph, Seq[Any]) => DataFrame]
+  def registerProcedure(name: String,
+      proc: (PropertyGraph, Seq[Any]) => DataFrame): Unit =
+    procedures.put(name.toLowerCase, proc)
+
+  private def intArg(args: Seq[Any], i: Int, default: Int): Int =
+    args.lift(i).map { case l: Long => l.toInt; case x: Int => x
+      case other => throw new IllegalArgumentException(s"int expected: $other")
+    }.getOrElse(default)
+
+  registerProcedure("pagerank", (g, args) =>
+    graft.algos.GraphAlgorithms.pageRank(g, iterations = intArg(args, 0, 10))
+      .toDF("id", "rank"))
+  registerProcedure("connectedcomponents", (g, _) =>
+    graft.algos.GraphAlgorithms.connectedComponents(g)
+      .toDF("id", "component"))
+  registerProcedure("degrees", (g, _) =>
+    graft.algos.GraphAlgorithms.degrees(g))
+  registerProcedure("trianglecount", (g, _) => {
+    val n = graft.algos.GraphAlgorithms.triangleCount(g)
+    spark.range(1).select(
+      org.apache.spark.sql.functions.lit(n).as("triangles"))
+  })
+
   def store(name: String, g: PropertyGraph): Unit = catalog.put(name, g)
   def graphByName(name: String): PropertyGraph = catalog(name)
 
@@ -37,7 +64,7 @@ class GraftSession(val spark: SparkSession) {
       drivingTable: Option[DataFrame] = None): DataFrame = {
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, drivingTable,
-      graphByName, functions.toMap)
+      graphByName, functions.toMap, procedures.toMap)
     val (df, outs, header) = planner.plan(ast)
     planner.render(df, outs, header)
   }
@@ -48,7 +75,7 @@ class GraftSession(val spark: SparkSession) {
       params: Map[String, Any] = Map.empty): PropertyGraph = {
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, None, graphByName,
-      functions.toMap)
+      functions.toMap, procedures.toMap)
     planner.plan(ast)
     planner.constructedGraph.getOrElse(
       throw new IllegalArgumentException(
@@ -69,6 +96,18 @@ class GraftSession(val spark: SparkSession) {
       params: Map[String, Any] = Map.empty): Seq[graft.values.CypherMap] =
     cypher(graph, query, params).collect().toSeq
       .map(graft.values.CypherValue.rowToCypherMap)
+
+  /** All nodes (optionally label-filtered) as element structs —
+    * PropertyGraph.nodes() parity (PropertyGraph.scala:46-117). */
+  def nodes(graph: PropertyGraph, labels: Seq[String] = Seq.empty): DataFrame =
+    cypher(graph, s"MATCH (n${labels.map(":" + _).mkString}) RETURN n")
+
+  /** All relationships (optionally typed) as element structs. */
+  def relationships(graph: PropertyGraph,
+      relTypes: Seq[String] = Seq.empty): DataFrame = {
+    val t = if (relTypes.isEmpty) "" else relTypes.mkString(":", "|", "")
+    cypher(graph, s"MATCH ()-[r$t]->() RETURN r")
+  }
 
   /** Raw SQL passthrough (CAPFSession.sql / MorpheusSession.sql:84-86). */
   def sql(query: String): DataFrame = spark.sql(query)

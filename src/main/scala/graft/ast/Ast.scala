@@ -102,6 +102,11 @@ case class Return(distinct: Boolean, star: Boolean, items: Seq[ReturnItem],
 /** FROM GRAPH <name> / USE <name>: switch the ambient graph (plan-time,
   * reference FromCatalogGraph / SwitchContext). */
 case class FromGraph(name: String) extends Clause
+/** CALL proc(args) [YIELD cols]: table procedure invocation (beyond-parity;
+  * the reference has no procedure surface). */
+case class CallProc(name: String, args: Seq[Expr],
+    yields: Seq[String]) extends Clause
+
 /** SET item inside CONSTRUCT: property assignment or label addition. */
 sealed trait SetItem
 case class SetProp(variable: String, key: String, value: Expr) extends SetItem

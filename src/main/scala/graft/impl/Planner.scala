@@ -34,7 +34,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     drivingTable: Option[DataFrame] = None,
     resolveGraph: String => PropertyGraph = n =>
       throw new CypherCompileException(s"unknown graph $n (no catalog)"),
-    extensions: Map[String, Seq[Column] => Column] = Map.empty) {
+    extensions: Map[String, Seq[Column] => Column] = Map.empty,
+    procedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] = Map.empty) {
 
   /** Ambient graph; FROM GRAPH / USE switches it (plan-time only). */
   private var graph: PropertyGraph = graph0
@@ -144,10 +145,41 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         ctx = c
         outs = o
       case FromGraph(name) => graph = resolveGraph(name)
+      case CallProc(name, args, yields) => ctx = planCall(ctx, name, args, yields)
       case Construct(on, news, sets) =>
         constructedGraph = Some(planConstruct(ctx, on, news, sets))
     }
     (ctx, outs)
+  }
+
+  // ------------------------------------------------------------------ call
+  /** CALL proc(args) [YIELD cols]: the procedure's DataFrame columns become
+    * value variables (cross-joined if rows already exist). */
+  private def planCall(ctx: Ctx, name: String, args: Seq[Expr],
+      yields: Seq[String]): Ctx = {
+    val proc = procedures.getOrElse(name,
+      throw new CypherCompileException(s"unknown procedure $name"))
+    def evalLit(e: Expr): Any = e match {
+      case IntLit(v) => v
+      case FloatLit(v) => v
+      case StrLit(v) => v
+      case BoolLit(v) => v
+      case NullLit => null
+      case Param(n) => params(n)
+      case other =>
+        throw new CypherCompileException(s"CALL argument must be a literal: $other")
+    }
+    var df = proc(graph, args.map(evalLit))
+    val cols = if (yields.nonEmpty) yields else df.columns.toSeq
+    df = df.select(cols.map(col): _*)
+    var header = RecordHeader.empty
+    cols.foreach { c =>
+      val slot = ValueSlot(c)
+      header = header.withSlot(slot).withVar(c, ValueKind)
+      df = df.withColumnRenamed(c, RecordHeader.colName(slot))
+    }
+    if (ctx.isUnit) Ctx(df, header)
+    else Ctx(ctx.df.crossJoin(df), ctx.header ++ header)
   }
 
   // ------------------------------------------------------------- construct

@@ -26,7 +26,8 @@ object CypherParser {
     "DESC", "DESCENDING", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL",
     "TRUE", "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN",
     "ELSE", "END", "EXISTS", "ANY", "NONE", "SINGLE", "REDUCE", "COUNT",
-    "FROM", "GRAPH", "CONSTRUCT", "NEW", "USE", "ON", "SET")
+    "FROM", "GRAPH", "CONSTRUCT", "NEW", "USE", "ON", "SET", "CALL",
+    "YIELD")
 
   object Lexer {
     def tokenize(s: String): Vector[Tok] = {
@@ -175,6 +176,23 @@ object CypherParser {
           case Kw("FROM", _, _) =>
             p += 1; eatKw("GRAPH"); clauses += FromGraph(ident())
           case Kw("USE", _, _) => p += 1; clauses += FromGraph(ident())
+          case Kw("CALL", _, _) =>
+            p += 1
+            val name = ident()
+            val args = Seq.newBuilder[Expr]
+            if (tryPunct("(")) {
+              if (!isPunct(")")) {
+                args += parseExpr()
+                while (tryPunct(",")) args += parseExpr()
+              }
+              eatPunct(")")
+            }
+            val yields = Seq.newBuilder[String]
+            if (tryKw("YIELD")) {
+              yields += ident()
+              while (tryPunct(",")) yields += ident()
+            }
+            clauses += CallProc(name.toLowerCase, args.result(), yields.result())
           case Kw("CONSTRUCT", _, _) =>
             p += 1
             val on = Seq.newBuilder[String]

@@ -47,6 +47,21 @@ class AlgosSpec extends SparkTestBase {
     assert(GraphAlgorithms.triangleCount(graph) === 1L)
   }
 
+  test("CALL procedures from Cypher with YIELD and post-processing") {
+    val session = new graft.api.GraftSession(spark)
+    val top = session.cypher(graph,
+      "CALL pagerank(10) YIELD id, rank RETURN id, rank " +
+        "ORDER BY rank DESC, id LIMIT 2").collect()
+    assert(top.length === 2)
+    assert(top(0).getDouble(1) >= top(1).getDouble(1))
+    assert(session.cypher(graph, "CALL trianglecount() YIELD triangles " +
+      "RETURN triangles").collect().head.getLong(0) === 1L)
+    val comps = session.cypher(graph,
+      "CALL connectedcomponents() YIELD component " +
+        "RETURN count(DISTINCT component) AS n").collect().head.getLong(0)
+    assert(comps === 2L)
+  }
+
   test("pagerank on the TPC-H graph runs and is positive") {
     val g = graft.tpch.TpchGraph(spark, "/root/testdata/sf0.001")
     val pr = GraphAlgorithms.pageRank(g, iterations = 3,

@@ -137,6 +137,39 @@ class MultiGraphSpec extends SparkTestBase {
     assert(r.getDate(2).toString === "2024-02-01")
   }
 
+  test("nodes()/relationships() API returns element structs") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    assert(session.nodes(g, Seq("Region")).count() === 5L)
+    val r = session.relationships(g, Seq("IN_REGION")).collect().head
+      .getStruct(0)
+    assert(r.getAs[String]("_type") === "IN_REGION")
+    assert(session.relationships(g).count() > 10000L)
+  }
+
+  test("constructed graph round-trips through the FS store") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val built = session.cypherGraph(g,
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) " +
+        "CONSTRUCT NEW (n)-[:GROUPED]->(r) RETURN GRAPH")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ct").toString
+    graft.sources.FsGraphSource.store(built, dir)
+    val loaded = graft.sources.FsGraphSource.load(spark, dir)
+    assert(session.cypher(loaded,
+      "MATCH (:Nation)-[:GROUPED]->(:Region) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 25L)
+  }
+
+  test("null propagation through scalar functions") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val r = session.cypher(g,
+      "RETURN toUpper(null) AS a, size(null) AS b, abs(null) AS c, " +
+        "substring(null, 0, 2) AS d, null + 1 AS e, " +
+        "coalesce(null, null, 7) AS f")
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+    assert(r.getLong(5) === 7L)
+  }
+
   test("temporal accessors and constructors") {
     val g = TpchGraph(spark, "/root/testdata/sf0.001")
     val rows = session.cypher(g,
