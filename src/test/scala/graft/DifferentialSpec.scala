@@ -10,7 +10,10 @@ import scala.util.Random
   * much wider predicate/aggregation space. */
 class DifferentialSpec extends SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.001"
+  // Overridable for deeper one-off sweeps: GRAFT_DIFF_DIR / GRAFT_DIFF_N.
+  private val dir =
+    sys.env.getOrElse("GRAFT_DIFF_DIR", "/root/testdata/sf0.001")
+  private val nPairs = sys.env.getOrElse("GRAFT_DIFF_N", "100").toInt
   lazy val session = new GraftSession(spark)
   lazy val g = graft.tpch.TpchGraph(spark, dir)
 
@@ -121,7 +124,7 @@ class DifferentialSpec extends SparkTestBase {
 
   test("randomized cypher/sql pairs agree (seeded)") {
     registerViews()
-    val pairs = genPairs(new Random(20260812L), 100)
+    val pairs = genPairs(new Random(20260812L), nPairs)
     var checked = 0
     pairs.foreach { p =>
       val got = dfBag(session.cypher(g, p.cypher))
@@ -130,6 +133,6 @@ class DifferentialSpec extends SparkTestBase {
         s"differential mismatch\ncypher: ${p.cypher}\nsql: ${p.sql}")
       checked += 1
     }
-    assert(checked === 100)
+    assert(checked === nPairs)
   }
 }
