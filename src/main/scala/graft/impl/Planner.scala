@@ -78,8 +78,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val (r, rOuts) = planSingle(sq)
       require(rOuts.map(outDisplay) == outs.map(outDisplay),
         "UNION sides must return the same columns")
+      // Merge headers across branches: a branch may bind the same var with
+      // different label/property sets ("RETURN n UNION ... RETURN m AS n");
+      // unionByName null-fills the missing columns on each side, so the
+      // merged header must carry every slot of every branch (the reference's
+      // TabularUnionAll header alignment).
       val u = acc.df.unionByName(r.df, allowMissingColumns = true)
-      Ctx(if (all) u else u.dropDuplicates(), acc.header)
+      Ctx(if (all) u else u.dropDuplicates(), acc.header ++ r.header)
     }
     (combined.df, outs, combined.header)
   }
@@ -401,13 +406,16 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val e = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
       ctx = planEdge(ctx, e, nodes, bound)
     }
-    // Standalone / leftover nodes.
+    // Standalone / leftover nodes; also re-apply label/property constraints
+    // to vars that entered this MATCH already bound from an earlier clause —
+    // planEdge joins such endpoints by id only, so "WITH a MATCH (a:Person)
+    // -->(b)" must still filter a on :Person (the reference filters on bound
+    // nodes in planExpansions regardless of edge participation).
     nodes.values.foreach { nc =>
       if (!bound(nc.v)) {
         ctx = planNodeScanInto(ctx, nc)
         bound += nc.v
-      } else if (edges.forall(e => e.src != nc.v && e.tgt != nc.v) &&
-          ctx0.header.kinds.contains(nc.v) &&
+      } else if (ctx0.header.kinds.contains(nc.v) &&
           (nc.labels.nonEmpty || nc.props.nonEmpty)) {
         ctx = constrainBound(ctx, nc)
       }
@@ -544,7 +552,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * the shared variables (RelationalPlanner.planOptional :298-330). */
   private def planOptionalMatch(ctx: Ctx, pattern: Pattern,
       where: Option[Expr]): Ctx = {
-    if (ctx.isUnit) return planMatch(ctx, pattern, where)
+    if (ctx.isUnit) {
+      // OPTIONAL MATCH as the first clause: Cypher returns one all-null row
+      // when nothing matches, not zero rows — left-outer join the unit row
+      // to the subplan.
+      val sub = planMatch(unitCtx, pattern, where)
+      val joined = spark.range(1).select(lit(1).as("_om_unit"))
+        .join(sub.df, lit(true), "left_outer").drop("_om_unit")
+      return Ctx(joined, sub.header)
+    }
     val sub = planMatch(unitCtx, pattern, where)
     val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
     // Columns of shared vars already exist on the lhs: join on ids, drop the
@@ -565,12 +581,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     renames.foreach { case (from, to) => subDf = subDf.withColumnRenamed(from, to) }
     subDf = subDf.drop(dropCols.filterNot(c => renames.exists(_._1 == c)): _*)
     if (sharedIdCols.isEmpty) {
-      // No shared vars: every lhs row pairs with every match (or null row).
-      val joined = ctx.df.crossJoin(subDf)
+      // No shared vars: every lhs row pairs with every match, but an empty
+      // rhs must null-pad instead of dropping lhs rows (Cypher OPTIONAL
+      // semantics) — a left-outer join on TRUE gives exactly that.
+      val joined = ctx.df.join(subDf, lit(true), "left_outer")
       val newHeader = ctx.header ++ RecordHeader(
         sub.header.slots.filterNot { case (s, _) => shared(s.owner) },
         sub.header.kinds.view.filterKeys(!shared(_)).toMap)
-      return Ctx(joined, newHeader) // empty rhs -> no rows; acceptable for v1
+      return Ctx(joined, newHeader)
     }
     val cond = sharedIdCols.map { case (_, s, l) =>
       col(l) === col("_om_" + s)
@@ -780,15 +798,22 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val pfrom = "_vl_from_" + e.v
     val pto = "_vl_to_" + e.v
     val pids = RecordHeader.colName(PathSlot(e.v))
+    // Anchor from whichever endpoint is bound. When only the target is
+    // pre-bound ("MATCH (a:X) MATCH (b)-[*1..2]->(a)") the frontier grows
+    // backwards over the reversed hop table and path ids are prepended, so
+    // pids stays in src->tgt order either way.
+    val anchorIsSrc = bound(e.src)
+    val anchorVar = if (anchorIsSrc) e.src else e.tgt
     // Seed the frontier from the anchored side: a semi-join against the
     // bound ids keeps hop 1 (and everything grown from it) proportional to
     // the anchor instead of enumerating every relationship in the graph —
     // the difference between O(anchor·deg^k) and O(|E|·deg^(k-1)) work.
     val anchorIds = ctx0.df
-      .select(col(ctx0.header.col(IdSlot(e.src))).as("_vl_anchor")).distinct()
+      .select(col(ctx0.header.col(IdSlot(anchorVar))).as("_vl_anchor")).distinct()
+    val (seedCol, growCol) = if (anchorIsSrc) ("_h_from", "_h_to") else ("_h_to", "_h_from")
     var paths: DataFrame = null
     var frontier = hop
-      .join(anchorIds, col("_h_from") === col("_vl_anchor"), "left_semi")
+      .join(anchorIds, col(seedCol) === col("_vl_anchor"), "left_semi")
       .select(col("_h_from").as(pfrom), col("_h_to").as(pto),
         array(col("_h_i")).as(pids))
     for (k <- 1 to hi) {
@@ -796,33 +821,41 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       if (k < hi) {
         val h2 = hop.select(col("_h_from").as("_n_f"), col("_h_to").as("_n_t"),
           col("_h_i").as("_n_i"))
-        frontier = frontier.join(h2,
-            col(pto) === col("_n_f") && !array_contains(col(pids), col("_n_i")))
-          .select(col(pfrom), col("_n_t").as(pto),
-            concat(col(pids), array(col("_n_i"))).as(pids))
+        frontier =
+          if (anchorIsSrc)
+            frontier.join(h2,
+                col(pto) === col("_n_f") && !array_contains(col(pids), col("_n_i")))
+              .select(col(pfrom), col("_n_t").as(pto),
+                concat(col(pids), array(col("_n_i"))).as(pids))
+          else
+            frontier.join(h2,
+                col(pfrom) === col("_n_t") && !array_contains(col(pids), col("_n_i")))
+              .select(col("_n_f").as(pfrom), col(pto),
+                concat(array(col("_n_i")), col(pids)).as(pids))
       }
     }
     if (lo == 0) {
-      // Zero-length: source pairs with itself, empty path.
-      val zero = ctx0.df.select(col(ctx0.header.col(IdSlot(e.src))).as(pfrom))
+      // Zero-length: anchored endpoint pairs with itself, empty path.
+      val zero = ctx0.df.select(col(ctx0.header.col(IdSlot(anchorVar))).as(pfrom))
         .distinct()
         .select(col(pfrom), col(pfrom).as(pto),
           array().cast(ArrayType(LongType)).as(pids))
       paths = if (paths == null) zero else paths.unionByName(zero)
     }
 
-    val (anchorCol, otherCol) = (pfrom, pto)
+    val (anchorCol, otherCol, otherVar) =
+      if (anchorIsSrc) (pfrom, pto, e.tgt) else (pto, pfrom, e.src)
     var df = ctx0.df.join(paths,
-      col(ctx0.header.col(IdSlot(e.src))) === col(anchorCol))
+      col(ctx0.header.col(IdSlot(anchorVar))) === col(anchorCol))
     var header = ctx0.header
       .withSlot(PathSlot(e.v)).withVar(e.v, ListRelKind(e.types.toSet))
-    if (bound(e.tgt)) {
-      df = df.filter(col(ctx0.header.col(IdSlot(e.tgt))) === col(otherCol))
+    if (bound(otherVar)) {
+      df = df.filter(col(ctx0.header.col(IdSlot(otherVar))) === col(otherCol))
     } else {
-      val (nodeDf, nodeHeader) = nodeScanDf(nodes(e.tgt))
-      df = df.join(nodeDf, col(otherCol) === col(nodeHeader.col(IdSlot(e.tgt))))
+      val (nodeDf, nodeHeader) = nodeScanDf(nodes(otherVar))
+      df = df.join(nodeDf, col(otherCol) === col(nodeHeader.col(IdSlot(otherVar))))
       header = header ++ nodeHeader
-      bound += e.tgt
+      bound += otherVar
     }
     Ctx(df.drop(pfrom, pto), header)
   }

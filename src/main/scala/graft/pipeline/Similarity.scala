@@ -128,8 +128,14 @@ object Similarity {
     * near-duplicate detection): bucket on signature bands, verify by exact
     * cosine. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 16, seed: Long = 42L): DataFrame = {
-    val dim = 64 // caller's embedding dimensionality; planes sized lazily
+      threshold: Double, bits: Int = 16, seed: Long = 42L,
+      dim0: Option[Int] = None): DataFrame = {
+    // Embedding dimensionality: caller-supplied, else probed from the first
+    // row (one cheap driver job). A wrong dim degrades the LSH silently —
+    // shorter vectors hash to one bucket, longer ones hash only a prefix.
+    val dim = dim0.getOrElse(
+      df.select(F.size(col(vecCol)).as("_d")).filter(col("_d") > 0)
+        .head(1).headOption.map(_.getInt(0)).getOrElse(1))
     val sig = hyperplaneSignature(col(vecCol), dim, bits, seed)
     val withSig = df.select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
       sig.as("_csig")).persist()

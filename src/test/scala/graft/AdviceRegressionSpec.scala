@@ -1,0 +1,112 @@
+package graft
+
+import graft.api.GraftSession
+import graft.graph.{NodeTableDef, PropertyGraph, RelTableDef}
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+/** Regression tests for the round-1 advisor findings (ADVICE.md): bound-node
+  * constraints on edge endpoints, target-anchored var-length expand, UNION
+  * header alignment, OPTIONAL MATCH null-padding, LSH dimensionality. */
+class AdviceRegressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val session = new GraftSession(spark)
+
+  // Person 1-alice, 2-bob, 3-carol; Thing 4-box. KNOWS 1->2->3; OWNS 3->4.
+  lazy val graph: PropertyGraph = {
+    val persons = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+      .toDF("id", "name")
+    val things = Seq((4L, "box")).toDF("id", "name")
+    val knows = Seq((100L, 1L, 2L), (101L, 2L, 3L)).toDF("id", "src", "tgt")
+    val owns = Seq((102L, 3L, 4L)).toDF("id", "src", "tgt")
+    PropertyGraph(
+      Seq(
+        NodeTableDef(Set("Person"), persons, "id", Map("name" -> "name"), "n"),
+        NodeTableDef(Set("Thing"), things, "id", Map("name" -> "name"), "n")),
+      Seq(
+        RelTableDef("KNOWS", knows, "id", "src", "tgt", Map.empty, "r", "n", "n"),
+        RelTableDef("OWNS", owns, "id", "src", "tgt", Map.empty, "r", "n", "n")))
+  }
+
+  private def rows(q: String): Seq[Seq[Any]] =
+    session.cypher(graph, q).collect().toSeq.map(_.toSeq)
+
+  // --- high: label constraint on an already-bound edge endpoint ---
+  test("label constraint applies to a re-bound node used as edge endpoint") {
+    // Without the fix, :Thing on re-bound a is dropped and alice/bob leak in.
+    val r = rows(
+      """MATCH (a) WITH a MATCH (a:Thing)<-[:OWNS]-(b)
+        |RETURN a.name AS an, b.name AS bn""".stripMargin)
+    assert(r === Seq(Seq("box", "carol")))
+  }
+
+  test("property constraint applies to a re-bound node used as edge endpoint") {
+    val r = rows(
+      """MATCH (a) WITH a MATCH (a {name: 'alice'})-[:KNOWS]->(b)
+        |RETURN b.name AS bn""".stripMargin)
+    assert(r === Seq(Seq("bob")))
+  }
+
+  // --- medium: var-length expand with only the target bound ---
+  test("var-length expand anchored from a pre-bound target") {
+    val r = rows(
+      """MATCH (a {name: 'carol'}) MATCH (b:Person)-[:KNOWS*1..2]->(a)
+        |RETURN b.name AS bn ORDER BY bn""".stripMargin)
+    assert(r === Seq(Seq("alice"), Seq("bob")))
+  }
+
+  test("var-length with both endpoints pre-bound") {
+    val r = rows(
+      """MATCH (a {name: 'alice'}) MATCH (c {name: 'carol'})
+        |MATCH (a)-[:KNOWS*1..3]->(c) RETURN a.name AS an""".stripMargin)
+    assert(r === Seq(Seq("alice")))
+  }
+
+  // --- medium: UNION header alignment across branches ---
+  test("UNION of differently-labelled entity vars keeps labels and props") {
+    val df = session.cypher(graph,
+      "MATCH (n:Thing) RETURN n UNION MATCH (m:Person {name:'alice'}) RETURN m AS n")
+    val got = df.collect().map { r =>
+      val s = r.getStruct(0)
+      val labels = s.getSeq[String](s.fieldIndex("_labels")).toSet
+      val props = s.getStruct(s.fieldIndex("_properties"))
+      (labels, props.getAs[String]("name"))
+    }.toSet
+    assert(got === Set((Set("Thing"), "box"), (Set("Person"), "alice")))
+  }
+
+  // --- low: OPTIONAL MATCH null-padding ---
+  test("OPTIONAL MATCH as first clause returns one null row on no match") {
+    val df = session.cypher(graph, "OPTIONAL MATCH (n:Nope) RETURN n.name AS x")
+    val r = df.collect()
+    assert(r.length === 1 && r.head.isNullAt(0))
+  }
+
+  test("OPTIONAL MATCH with no shared vars null-pads on empty rhs") {
+    val r = rows(
+      """MATCH (a:Thing) OPTIONAL MATCH (z:Nope)
+        |RETURN a.name AS an, z.name AS zn""".stripMargin)
+    assert(r === Seq(Seq("box", null)))
+  }
+
+  test("OPTIONAL MATCH with no shared vars cross-pairs on non-empty rhs") {
+    val r = rows(
+      """MATCH (a:Thing) OPTIONAL MATCH (z:Person)
+        |RETURN a.name AS an, z.name AS zn ORDER BY zn""".stripMargin)
+    assert(r === Seq(Seq("box", "alice"), Seq("box", "bob"), Seq("box", "carol")))
+  }
+
+  // --- low: LSH near-dup pairs must use the data's true dimensionality ---
+  test("cosineNearDupPairs probes embedding dim from the data") {
+    // 8-dim vectors (<< the old hardcoded 64): two near-identical, one far.
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.01, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+    ).toDF("id", "vec")
+    val pairs = Similarity.cosineNearDupPairs(df, "id", "vec", 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
