@@ -21,7 +21,12 @@ object Bench {
     g.relTables.last.df.count()
     val prepSec = (System.nanoTime() - tPrep) / 1e9
     System.err.println(f"[bench] prepare: $prepSec%.2f s")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for local iteration on specific queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -42,11 +42,14 @@ object GraphAlgorithms {
     * uniformly so ranks sum to the node count. */
   def pageRank(graph: PropertyGraph, iterations: Int = 10,
       damping: Double = 0.85, relTypes: Seq[String] = Seq.empty): DataFrame = {
-    val ids = nodeIds(graph).persist()
+    // Loop-invariant tables are persisted pre-partitioned on their join
+    // keys so each iteration only shuffles the rank updates, not the edge
+    // list — at 100 TB the edge re-shuffle would dominate every round.
+    val ids = nodeIds(graph).repartition(col("id")).persist()
     val n = ids.count()
     val e = edges(graph, relTypes)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val links = e.join(outDeg, "src").persist()
+    val links = e.join(outDeg, "src").repartition(col("src")).persist()
     var ranks = ids.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = links
@@ -78,7 +81,7 @@ object GraphAlgorithms {
       relTypes: Seq[String] = Seq.empty, maxIterations: Int = 20): DataFrame = {
     val e0 = edges(graph, relTypes)
     val und = e0.unionByName(e0.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().persist()
+      col("src").as("dst"))).distinct().repartition(col("dst")).persist()
     var comp = nodeIds(graph).select(col("id"), col("id").as("component"))
       .persist()
     // Convergence via the monotone invariant sum(component): min-id
