@@ -12,6 +12,27 @@ object ExprCompiler {
   /** Aggregating function names (SURVEY §2.4 inventory). */
   val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  /** ISO-8601 duration -> (months, days, micros), the reference's Duration
+    * encoding (okapi-api/.../impl/temporal/Duration.scala). Fractional
+    * values are only allowed in the seconds position. */
+  def parseIsoDuration(s: String): (Long, Long, Long) = {
+    val re = ("""(?i)^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?""" +
+      """(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$""").r
+    s match {
+      case re(neg, y, mo, w, d, h, mi, sec) =>
+        def l(x: String): Long = if (x == null) 0L else x.toLong
+        val months = l(y) * 12 + l(mo)
+        val days = l(w) * 7 + l(d)
+        val secs = if (sec == null) BigDecimal(0) else BigDecimal(sec)
+        val micros = (l(h) * 3600L + l(mi) * 60L) * 1000000L +
+          (secs * 1000000).toLong
+        val sign = if (neg == null) 1L else -1L
+        (sign * months, sign * days, sign * micros)
+      case _ => throw new CypherCompileException(
+        s"malformed ISO-8601 duration literal: $s")
+    }
+  }
 }
 
 /** Compiles graft.ast.Expr to Spark Columns against a RecordHeader.
@@ -579,8 +600,14 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             (part("weeks") * 7 + part("days")).as("days"),
             ((part("hours") * 3600L + part("minutes") * 60L +
               part("seconds")) * 1000000L).as("micros"))
+        // duration('P1DT2H30M') — ISO-8601 string parsed driver-side into
+        // the same (months, days, micros) struct (TemporalTypesHelper
+        // parity: okapi-api/.../impl/temporal/TemporalTypesHelper.scala).
+        case StrLit(s) =>
+          val (mo, d, us) = ExprCompiler.parseIsoDuration(s)
+          struct(lit(mo).as("months"), lit(d).as("days"), lit(us).as("micros"))
         case other => throw new CypherCompileException(
-          s"duration() expects a map literal, got $other")
+          s"duration() expects a map or string literal, got $other")
       }
 
       // ---- bitwise (Expr.scala :916-949) ----

@@ -263,27 +263,54 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val cloned = ctx.header.contains(IdSlot(v))
       // With ON, cloned elements are already present in a base graph —
       // emitting a clone table would duplicate them.
-      if (cloned && baseGraphs.nonEmpty) None
-      else Some {
-      val labels: Set[String] =
-        if (nc.labels.nonEmpty) nc.labels.toSet
-        else ctx.header.kindOf(v) match {
-          case Some(NodeKind(ls)) => ls
-          case _ => Set.empty
-        }
+      if (cloned && baseGraphs.nonEmpty) Seq.empty
+      else {
       val clonedProps: Seq[(String, String)] =
         if (cloned) ctx.header.ownedBy(v).collect {
           case s @ PropSlot(_, k) => k -> ctx.header.col(s)
         } else Seq.empty
       val props = (clonedProps ++ nodePropCols(v)).toMap
       val idCol = nodeIdCols(v)
-      val table = mat
-        .select((col(idCol).as("_cid") +: props.toSeq.map { case (k, c) =>
-          col(c).as("_cp_" + k)
-        }): _*)
-        .dropDuplicates("_cid")
-      NodeTableDef(labels, table, "_cid",
-        props.keys.map(k => k -> ("_cp_" + k)).toMap, "!construct")
+      def defFor(labels: Set[String], rows: DataFrame): NodeTableDef = {
+        val table = rows
+          .select((col(idCol).as("_cid") +: props.toSeq.map { case (k, c) =>
+            col(c).as("_cp_" + k)
+          }): _*)
+          .dropDuplicates("_cid")
+        NodeTableDef(labels, table, "_cid",
+          props.keys.map(k => k -> ("_cp_" + k)).toMap, "!construct")
+      }
+      val labelSlots = ctx.header.ownedBy(v).collect {
+        case s @ LabelSlot(_, l) => l -> ctx.header.col(s)
+      }.sortBy(_._1)
+      if (cloned && labelSlots.nonEmpty) {
+        // Cloned var with per-row label flags: the rows may mix label
+        // combinations ("MATCH (a) CONSTRUCT CLONE a"), so emit one table
+        // per distinct combination actually present, extended by any static
+        // labels from the CONSTRUCT pattern / SET — the reference's
+        // extractScanGraph grouping (ConstructGraphPlanner.scala:291-450).
+        // The combo count is bounded by the source schema, so the driver-side
+        // distinct stays tiny even at 100 TB.
+        val combos = mat
+          .select(labelSlots.map { case (_, c) => (col(c) <=> lit(true)).as(c) }: _*)
+          .distinct().collect()
+        combos.toSeq.map { row =>
+          val present = labelSlots.zipWithIndex
+            .filter { case (_, i) => row.getBoolean(i) }.map(_._1._1)
+          val cond = labelSlots.zipWithIndex.map { case ((_, c), i) =>
+            col(c) <=> lit(row.getBoolean(i))
+          }.reduce(_ && _)
+          defFor(present.toSet ++ nc.labels, mat.filter(cond))
+        }
+      } else {
+        val labels: Set[String] =
+          if (nc.labels.nonEmpty) nc.labels.toSet
+          else ctx.header.kindOf(v) match {
+            case Some(NodeKind(ls)) => ls
+            case _ => Set.empty
+          }
+        Seq(defFor(labels, mat))
+      }
       }
     }
     val relDefs = edges.zipWithIndex.map { case (e, idx) =>
@@ -448,20 +475,28 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     ctx = bindPaths(ctx)
 
     // WHERE: pattern predicates become semi/anti joins, the rest a filter.
-    where.foreach { w =>
-      val (patterns, residual) = splitPredicates(w)
-      patterns.foreach { case (part, negated) =>
-        ctx = planPatternPredicate(ctx, part, negated)
-      }
-      residual.foreach { r =>
-        // Disjunctive / nested pattern predicates can't use the semi-join
-        // fast path; materialize them as marker columns.
-        val (ctx2, r2) =
-          if (ExprOps.containsPatternPredicate(r))
-            materializePatternPredicates(ctx, r)
-          else (ctx, r)
-        ctx = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(r2)))
-      }
+    where.foreach { w => ctx = applyWhere(ctx, w) }
+    ctx
+  }
+
+  /** Apply a WHERE expression to a context: top-level pattern predicates
+    * become semi/anti joins, disjunctive/nested ones marker columns, the
+    * residue a plain filter. Shared by MATCH and WITH (post-aggregation
+    * "WITH ... WHERE exists((a)-->(b))" uses the same path). */
+  private def applyWhere(ctx0: Ctx, w: Expr): Ctx = {
+    var ctx = ctx0
+    val (patterns, residual) = splitPredicates(w)
+    patterns.foreach { case (part, negated) =>
+      ctx = planPatternPredicate(ctx, part, negated)
+    }
+    residual.foreach { r =>
+      // Disjunctive / nested pattern predicates can't use the semi-join
+      // fast path; materialize them as marker columns.
+      val (ctx2, r2) =
+        if (ExprOps.containsPatternPredicate(r))
+          materializePatternPredicates(ctx, r)
+        else (ctx, r)
+      ctx = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(r2)))
     }
     ctx
   }
@@ -942,9 +977,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         ctx2 = Ctx(ctx2.df.select(keepCols.map(col): _*).dropDuplicates(),
           newHeader)
       }
-      where.foreach { w =>
-        ctx2 = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(w)))
-      }
+      where.foreach { w => ctx2 = applyWhere(ctx2, w) }
       ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit, aliasMap)
       val finalDf = ctx2.df.select(keepCols.map(col): _*)
       (Ctx(finalDf, newHeader), outs.result())
@@ -1009,9 +1042,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }.toMap
       var ctx2 = Ctx(aggDf, newHeader)
       if (distinct) ctx2 = ctx2.copy(df = ctx2.df.dropDuplicates())
-      where.foreach { w =>
-        ctx2 = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(w)))
-      }
+      where.foreach { w => ctx2 = applyWhere(ctx2, w) }
       ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit, aliasMap)
       (ctx2, outs.result())
     }

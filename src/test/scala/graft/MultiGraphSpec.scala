@@ -182,4 +182,54 @@ class MultiGraphSpec extends SparkTestBase {
     assert(d.getDate(0).toString === "2024-03-05")
     assert(d.getLong(1) === 3L)
   }
+
+  test("duration ISO-8601 string literals and duration aggregates") {
+    val g = miniGraph(Seq("a"), "X")
+    val r = session.cypher(g,
+      "RETURN duration('P1Y2M3DT4H5M6.5S') AS d").collect().head.getStruct(0)
+    assert(r.getLong(0) === 14L)       // months
+    assert(r.getLong(1) === 3L)        // days
+    assert(r.getLong(2) === (4 * 3600L + 5 * 60L + 6) * 1000000L + 500000L)
+    val agg = session.cypher(g,
+      "UNWIND [duration('P1D'), duration('P2DT12H')] AS d " +
+        "RETURN sum(d) AS s, min(d) AS mn, max(d) AS mx").collect().head
+    assert(agg.getStruct(0).getLong(1) === 3L)
+    assert(agg.getStruct(0).getLong(2) === 12 * 3600L * 1000000L)
+    assert(agg.getStruct(1).getLong(1) === 1L)
+    assert(agg.getStruct(2).getLong(1) === 2L)
+    val neg = session.cypher(g, "RETURN duration('-PT30M') AS d")
+      .collect().head.getStruct(0)
+    assert(neg.getLong(2) === -30 * 60L * 1000000L)
+  }
+
+  test("WITH after aggregation supports pattern-predicate WHERE") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val n = session.cypher(g,
+      """MATCH (c:Customer) WITH c, count(*) AS cnt
+        |WHERE exists((c)-[:PLACED]->()) RETURN count(*) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n === 150L)
+    val none = session.cypher(g,
+      """MATCH (c:Customer) WITH c, count(*) AS cnt
+        |WHERE NOT exists((c)-[:PLACED]->()) RETURN count(*) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(none === 0L)
+  }
+
+  test("CONSTRUCT clone keeps per-row label combinations") {
+    // Mixed-label source: MATCH (a) binds X and Y nodes; the clone must
+    // land each row under its own label combination, not one static set.
+    val xs = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val ys = Seq((3L, "c")).toDF("id", "name")
+    val g = PropertyGraph(Seq(
+      NodeTableDef(Set("X"), xs, "id", Map("name" -> "name"), "n"),
+      NodeTableDef(Set("Y"), ys, "id", Map("name" -> "name"), "n")))
+    val built = session.cypherGraph(g, "MATCH (a) CONSTRUCT NEW (a) RETURN GRAPH")
+    assert(session.cypher(built, "MATCH (v:X) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 2L)
+    assert(session.cypher(built, "MATCH (v:Y) RETURN v.name AS n")
+      .collect().map(_.getString(0)).toSeq === Seq("c"))
+    assert(session.cypher(built, "MATCH (v) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 3L)
+  }
 }
