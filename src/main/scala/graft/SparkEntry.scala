@@ -182,7 +182,43 @@ object SparkEntry {
       Some("SELECT CAST(len(xs) AS BIGINT) AS sz, xs[1] AS hd, xs[-1] AS lst, xs[2] AS second, xs[2:3][1] AS mid0, CAST(len(xs[2:3]) AS BIGINT) AS midsz FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")),
     ("q_list_comp",
       "WITH [1,2,3,4,5] AS xs RETURN reduce(a = 0, x IN [x IN xs WHERE x % 2 = 1 | x * 10] | a + x) AS odds_sum, size([x IN xs WHERE x % 2 = 1]) AS n_odds, reduce(a = 0, x IN xs | a + x) AS total",
-      Some("SELECT CAST(list_sum(list_transform(list_filter(xs, x -> x % 2 = 1), x -> x * 10)) AS BIGINT) AS odds_sum, CAST(len(list_filter(xs, x -> x % 2 = 1)) AS BIGINT) AS n_odds, CAST(list_sum(xs) AS BIGINT) AS total FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")))
+      Some("SELECT CAST(list_sum(list_transform(list_filter(xs, x -> x % 2 = 1), x -> x * 10)) AS BIGINT) AS odds_sum, CAST(len(list_filter(xs, x -> x % 2 = 1)) AS BIGINT) AS n_odds, CAST(list_sum(xs) AS BIGINT) AS total FROM (SELECT [1,2,3,4,5]::BIGINT[] AS xs) t")),
+    // --- iterable predicates any/all/none/single (ListAny/ListAll/...) ---
+    ("q_quantifiers",
+      "WITH [1,2,3,4] AS xs RETURN any(x IN xs WHERE x > 3) AS a, all(x IN xs WHERE x > 0) AS b, none(x IN xs WHERE x > 4) AS c, single(x IN xs WHERE x = 2) AS d",
+      Some("SELECT len(list_filter(xs, x -> x > 3)) > 0 AS a, len(list_filter(xs, x -> NOT x > 0)) = 0 AS b, len(list_filter(xs, x -> x > 4)) = 0 AS c, len(list_filter(xs, x -> x = 2)) = 1 AS d FROM (SELECT [1,2,3,4]::BIGINT[] AS xs) t")),
+    // --- startNode / endNode element functions ---
+    ("q_startend",
+      "MATCH (c:Customer)-[p:PLACED]->(o:Order) RETURN id(startNode(p)) = id(c) AS sok, id(endNode(p)) = id(o) AS eok, count(*) AS n",
+      Some("SELECT TRUE AS sok, TRUE AS eok, count(*) AS n FROM orders")),
+    // --- continuous percentile aggregator ---
+    ("q_percentile_cont",
+      "MATCH (l:LineItem) RETURN percentileCont(l.l_quantity, 0.5) AS p",
+      Some("SELECT quantile_cont(l_quantity, 0.5) AS p FROM lineitem")),
+    // --- keys() over node properties (null-aware) ---
+    ("q_keys",
+      "MATCH (n:Region) RETURN n.r_name AS rn, size(keys(n)) AS nk",
+      Some("SELECT r_name AS rn, CAST(CASE WHEN r_regionkey IS NOT NULL THEN 1 ELSE 0 END + CASE WHEN r_name IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS nk FROM region")),
+    // --- OPTIONAL MATCH as first clause: one null row on no match ---
+    ("q_optional_first",
+      "OPTIONAL MATCH (x:Customer) WHERE x.c_acctbal > 999999999.0 RETURN x.c_name AS name",
+      Some("SELECT c_name AS name FROM customer WHERE c_acctbal > 999999999.0 UNION ALL SELECT NULL AS name WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_acctbal > 999999999.0)")),
+    // --- var-length expand anchored from a pre-bound target ---
+    ("q_varexpand_bound_tgt",
+      "MATCH (r:Region {r_name: 'ASIA'}) MATCH (n:Nation)-[:IN_REGION*1..1]->(r) RETURN n.n_name AS name",
+      Some("SELECT n_name AS name FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'")),
+    // --- label constraint on a var re-bound from a previous clause ---
+    ("q_rebound_label",
+      "MATCH (x) WITH x MATCH (x:Region)<-[:IN_REGION]-(n:Nation) RETURN count(*) AS n",
+      Some("SELECT count(*) AS n FROM nation")),
+    // --- UNION across different source labels ---
+    ("q_union_mixed",
+      "MATCH (n:Nation) RETURN n.n_name AS name UNION MATCH (r:Region) RETURN r.r_name AS name",
+      Some("SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region")),
+    // --- collect aggregator (size-projected: list results break the driver compare) ---
+    ("q_collect_size",
+      "MATCH (n:Nation) RETURN n.n_regionkey AS rk, size(collect(n.n_name)) AS c",
+      Some("SELECT n_regionkey AS rk, CAST(count(n_name) AS BIGINT) AS c FROM nation GROUP BY 1")))
 
   private def cy(q: String): (SparkSession, String) => DataFrame =
     (s, dir) => GraftSession(s).cypher(TpchGraph(s, dir), q)
