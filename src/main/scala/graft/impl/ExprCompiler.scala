@@ -240,8 +240,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Cmp(">=", l, r) => compile(l) >= compile(r)
     case IsNull(x, false) => compile(x).isNull
     case IsNull(x, true) => compile(x).isNotNull
-    case In(l, ListLit(items)) if items.nonEmpty =>
+    // Cypher: `x IN []` is false for every x, including null.
+    case In(_, ListLit(items)) if items.isEmpty => lit(false)
+    case In(l, ListLit(items)) =>
       compile(l).isin(items.map(compile): _*)
+    // Null needle against a dynamic list: false when empty, else null
+    // (array_contains rejects NullType literals outright).
+    case In(NullLit, r) =>
+      when(F.size(compile(r)) === 0, lit(false))
+        .otherwise(lit(null).cast(BooleanType))
     case In(l, r) => array_contains(compile(r), compile(l))
     case StartsWith(l, r) => compile(l).startsWith(compile(r))
     case EndsWith(l, r) => compile(l).endsWith(compile(r))
@@ -292,9 +299,14 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
     case CaseExpr(None, alts, default) =>
-      val first = when(compile(alts.head._1), compile(alts.head._2))
+      // A literal-null condition must type as boolean (never taken),
+      // not crash analysis with VOID.
+      def cond(c: Expr): Column =
+        if (inferType(c).contains(NullType)) lit(null).cast(BooleanType)
+        else compile(c)
+      val first = when(cond(alts.head._1), compile(alts.head._2))
       val chained = alts.tail.foldLeft(first) { case (acc, (c, v)) =>
-        acc.when(compile(c), compile(v))
+        acc.when(cond(c), compile(v))
       }
       default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
 

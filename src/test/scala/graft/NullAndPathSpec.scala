@@ -85,4 +85,24 @@ class NullAndPathSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(rows === Seq(1L, 2L))
   }
+
+  test("IN over empty lists and null needles (ternary logic)") {
+    val r = run("RETURN 1 IN [] AS a, null IN [] AS b, null IN [1] AS c, " +
+      "1 IN [null, 1] AS d, 2 IN [null, 1] AS e").collect().head
+    assert(r.getBoolean(0) === false)
+    assert(r.getBoolean(1) === false)
+    assert(r.isNullAt(2))
+    assert(r.getBoolean(3) === true)
+    assert(r.isNullAt(4))
+    val dyn = run("WITH [] AS xs RETURN null IN xs AS a, 3 IN xs AS b")
+      .collect().head
+    assert(dyn.getBoolean(0) === false && dyn.getBoolean(1) === false)
+  }
+
+  test("CASE with literal-null conditions") {
+    val r = run("RETURN CASE WHEN null THEN 1 ELSE 2 END AS a, " +
+      "CASE null WHEN null THEN 1 ELSE 2 END AS b").collect().head
+    assert(r.getLong(0) === 2L) // null condition is never taken
+    assert(r.getLong(1) === 2L) // simple CASE: null = null -> null -> ELSE
+  }
 }
