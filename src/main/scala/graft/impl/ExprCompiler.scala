@@ -484,6 +484,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // ---- element functions ----
       case "id" => a0 // Var compiles to the id column already
       case "labels" => args(0) match {
+        case NullLit => lit(null)
         case Var(n) =>
           val ls = header.ownedBy(n).collect { case LabelSlot(_, l) => l }.sorted
           if (ls.isEmpty) array()
@@ -492,18 +493,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case _ => throw new CypherCompileException("labels() needs a node var")
       }
       case "type" => args(0) match {
+        case NullLit => lit(null)
         case Var(n) => col(header.col(TypeSlot(n)))
         case _ => throw new CypherCompileException("type() needs a rel var")
       }
       case "startnode" => args(0) match {
+        case NullLit => lit(null)
         case Var(n) => col(header.col(SrcSlot(n)))
         case _ => throw new CypherCompileException("startNode() needs a rel var")
       }
       case "endnode" => args(0) match {
+        case NullLit => lit(null)
         case Var(n) => col(header.col(TgtSlot(n)))
         case _ => throw new CypherCompileException("endNode() needs a rel var")
       }
       case "keys" => args(0) match {
+        case NullLit => lit(null)
         case Var(n) =>
           val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
           if (ks.isEmpty) array()
@@ -512,6 +517,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case _ => throw new CypherCompileException("keys() needs an element var")
       }
       case "properties" => args(0) match {
+        case NullLit => lit(null)
         case Var(n) =>
           val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
           struct(ks.map(k => col(header.col(PropSlot(n, k))).as(k)): _*)

@@ -897,7 +897,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   // --------------------------------------------------------------- unwind
   private def planUnwind(ctx: Ctx, e: Expr, alias: String): Ctx = {
-    val c = ctx.compiler.compile(e)
+    // UNWIND null produces no rows (openCypher); a literal null would not
+    // even type-check under explode, so substitute an empty list.
+    val c =
+      if (e == NullLit) array().cast(ArrayType(StringType))
+      else ctx.compiler.compile(e)
     val slot = ValueSlot(alias)
     val name = RecordHeader.colName(slot)
     val df = ctx.df.withColumn(name, explode(c))
