@@ -41,7 +41,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(12) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -111,6 +111,38 @@ class DifferentialSpec extends SparkTestBase {
               "SELECT c_nationkey AS k FROM d_customer UNION ALL " +
               "SELECT s_nationkey AS k FROM d_supplier) j " +
               "JOIN d_nation ON n_nationkey = j.k GROUP BY n_nationkey")
+        case 8 => // label constraint on a re-bound var (round-2 fix path)
+          val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
+          val thr = rnd.nextInt(200000)
+          Pair(
+            s"MATCH ($v) WITH $v MATCH ($v:$label) WHERE $v.$col > $thr " +
+              s"RETURN count(*) AS n",
+            s"SELECT count(*) AS n FROM d_$table WHERE $col > $thr")
+        case 9 => // UNION across differently-labelled branches
+          val k = rnd.nextInt(25)
+          val all = if (rnd.nextBoolean()) " ALL" else ""
+          Pair(
+            s"MATCH (n:Nation) WHERE n.n_nationkey < $k RETURN n.n_name AS x " +
+              s"UNION$all MATCH (r:Region) RETURN r.r_name AS x",
+            s"SELECT n_name AS x FROM d_nation WHERE n_nationkey < $k " +
+              s"UNION$all SELECT r_name AS x FROM d_region")
+        case 10 => // var-length expand anchored from a pre-bound target
+          val rn = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")(
+            rnd.nextInt(5))
+          Pair(
+            s"MATCH (r:Region {r_name: '$rn'}) " +
+              s"MATCH (n:Nation)-[:IN_REGION*1..2]->(r) " +
+              "RETURN n.n_nationkey AS nk",
+            s"SELECT n_nationkey AS nk FROM d_nation JOIN d_region " +
+              s"ON n_regionkey = r_regionkey WHERE r_name = '$rn'")
+        case 11 => // first-clause OPTIONAL MATCH (null row on empty)
+          val thr = rnd.nextInt(20000)
+          Pair(
+            s"OPTIONAL MATCH (c:Customer) WHERE c.c_acctbal > $thr " +
+              "RETURN c.c_custkey AS ck",
+            s"SELECT c_custkey AS ck FROM d_customer WHERE c_acctbal > $thr " +
+              "UNION ALL SELECT NULL AS ck WHERE NOT EXISTS " +
+              s"(SELECT 1 FROM d_customer WHERE c_acctbal > $thr)")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
