@@ -827,8 +827,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // grows from the pattern's src toward its tgt; for IN the underlying
     // relationship is walked target->source.
     val (fromCol, toCol) = if (e.dir == IN) (t0, s0) else (s0, t0)
+    // The hop table is joined on _h_from once per unrolled hop; persisting
+    // it pre-partitioned on that key means only the (smaller) growing
+    // frontier shuffles each round — at 100 TB re-shuffling the edge table
+    // per hop would dominate the expand.
     val hop = relDf0.select(col(fromCol).as("_h_from"), col(toCol).as("_h_to"),
-      col(i0).as("_h_i")).persist()
+      col(i0).as("_h_i")).repartition(col("_h_from")).persist()
 
     val pfrom = "_vl_from_" + e.v
     val pto = "_vl_to_" + e.v
