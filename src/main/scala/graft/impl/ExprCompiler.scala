@@ -90,9 +90,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         }) => inferType(l)
     case Arith("+", l, r) =>
       (inferType(l), inferType(r)) match {
-        case (Some(StringType), _) | (_, Some(StringType)) => Some(StringType)
+        // List concat/append before string concat (reference Add dispatch);
+        // appending to an empty (null-typed) list adopts the element's type.
+        case (Some(ArrayType(NullType, n)), Some(ArrayType(et, _))) =>
+          Some(ArrayType(et, n))
+        case (Some(ArrayType(NullType, n)), Some(et)) => Some(ArrayType(et, n))
         case (Some(a: ArrayType), _) => Some(a)
+        case (Some(et), Some(ArrayType(NullType, n))) => Some(ArrayType(et, n))
         case (_, Some(a: ArrayType)) => Some(a)
+        case (Some(StringType), _) | (_, Some(StringType)) => Some(StringType)
         case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
         case (Some(LongType), Some(LongType)) => Some(LongType)
         case _ => None
@@ -269,10 +275,17 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       addDuration(compile(l), inferType(l), compile(r), negate = false)
     case Arith("-", l, r) if isDuration(r) =>
       addDuration(compile(l), inferType(l), compile(r), negate = true)
-    case Arith("+", l, r) if isStringy(l) || isStringy(r) =>
-      concat(compile(l).cast(StringType), compile(r).cast(StringType))
+    // List concat/append take precedence over string concat (the
+    // reference's Add dispatch, SparkSQLExprMapper.scala:170-187):
+    // list+list concatenates, list+scalar / scalar+list appends.
     case Arith("+", l, r) if isArrayT(l) && isArrayT(r) =>
       concat(compile(l), compile(r))
+    case Arith("+", l, r) if isArrayT(l) =>
+      concat(compile(l), array(compile(r)))
+    case Arith("+", l, r) if isArrayT(r) =>
+      concat(array(compile(l)), compile(r))
+    case Arith("+", l, r) if isStringy(l) || isStringy(r) =>
+      concat(compile(l).cast(StringType), compile(r).cast(StringType))
     case Arith("+", l, r) => compile(l) + compile(r)
     case Arith("-", l, r) => compile(l) - compile(r)
     case Arith("*", l, r) => compile(l) * compile(r)

@@ -99,6 +99,18 @@ class NullAndPathSpec extends SparkTestBase {
     assert(dyn.getBoolean(0) === false && dyn.getBoolean(1) === false)
   }
 
+  test("list concat and element append via +") {
+    val r = run("RETURN size([1,2] + 3) AS a, size([1,2] + [3]) AS b, " +
+      "size([] + 'x') AS c, size(1 + [2]) AS d, ([1,2] + 3)[2] AS e, " +
+      "'n' + 1 AS f").collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(3) === 2L)
+    assert(r.getLong(4) === 3L)
+    assert(r.getString(5) === "n1")
+  }
+
   test("CASE with literal-null conditions") {
     val r = run("RETURN CASE WHEN null THEN 1 ELSE 2 END AS a, " +
       "CASE null WHEN null THEN 1 ELSE 2 END AS b").collect().head
