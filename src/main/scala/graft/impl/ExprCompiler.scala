@@ -33,6 +33,71 @@ object ExprCompiler {
         s"malformed ISO-8601 duration literal: $s")
     }
   }
+
+  /** Cypher-compatible date strings (TemporalTests.scala:207-227):
+    * calendar (2010-10-10, 20101010, 2010-12, 201012, 2010), ISO week
+    * (2015-W30-2, 2015W302, 2015-W30), quarter (2015-Q2-60, 2015Q2),
+    * ordinal (2015-202, 2015202). */
+  def parseCypherDate(s0: String): java.time.LocalDate = {
+    import java.time.LocalDate
+    import java.time.temporal.{ChronoField, IsoFields}
+    val s = s0.trim
+    val W = """(\d{4})-?W(\d{1,2})-?(\d)?""".r
+    val Q = """(\d{4})-?Q([1-4])-?(\d{1,2})?""".r
+    val Ymd = """(\d{4})-(\d{1,2})-(\d{1,2})""".r
+    val Compact8 = """(\d{4})(\d{2})(\d{2})""".r
+    val Ord = """(\d{4})-?(\d{3})""".r
+    val Ym = """(\d{4})-(\d{1,2})""".r
+    val Compact6 = """(\d{4})(\d{2})""".r
+    val Y = """(\d{4})""".r
+    s match {
+      case W(y, w, d) =>
+        LocalDate.of(2000, 1, 4) // a Tuesday; week fields need a base
+          .`with`(IsoFields.WEEK_BASED_YEAR, y.toLong)
+          .`with`(IsoFields.WEEK_OF_WEEK_BASED_YEAR, w.toLong)
+          .`with`(ChronoField.DAY_OF_WEEK, if (d == null) 1L else d.toLong)
+      case Q(y, q, d) =>
+        LocalDate.of(y.toInt, 1, 1)
+          .`with`(IsoFields.QUARTER_OF_YEAR, q.toLong)
+          .`with`(IsoFields.DAY_OF_QUARTER, if (d == null) 1L else d.toLong)
+      case Ymd(y, m, d) => LocalDate.of(y.toInt, m.toInt, d.toInt)
+      case Compact8(y, m, d) => LocalDate.of(y.toInt, m.toInt, d.toInt)
+      case Ord(y, ddd) => LocalDate.ofYearDay(y.toInt, ddd.toInt)
+      case Ym(y, m) => LocalDate.of(y.toInt, m.toInt, 1)
+      case Compact6(y, m) => LocalDate.of(y.toInt, m.toInt, 1)
+      case Y(y) => LocalDate.of(y.toInt, 1, 1)
+      case _ => throw new CypherCompileException(s"malformed date literal: $s0")
+    }
+  }
+
+  /** Cypher-compatible localdatetime strings: <date>[T<time>] where the
+    * date accepts every parseCypherDate form and the time is
+    * HH[:MM[:SS[.fff]]] or compact HH[MM[SS[.fff]]]. */
+  def parseCypherLocalDateTime(s0: String): java.time.LocalDateTime = {
+    import java.time.{LocalDateTime, LocalTime}
+    val s = s0.trim.replace(' ', 'T')
+    val (datePart, timePart) = s.indexOf('T') match {
+      case -1 => (s, None)
+      case i => (s.substring(0, i), Some(s.substring(i + 1)))
+    }
+    val d = parseCypherDate(datePart)
+    val t = timePart match {
+      case None => LocalTime.MIDNIGHT
+      case Some(tp) =>
+        val T = """(\d{2}):?(\d{2})?:?(\d{2})?(?:\.(\d{1,9}))?""".r
+        tp match {
+          case T(h, mi, sec, frac) =>
+            val nanos =
+              if (frac == null) 0L else frac.padTo(9, '0').toLong
+            LocalTime.of(h.toInt,
+              if (mi == null) 0 else mi.toInt,
+              if (sec == null) 0 else sec.toInt, nanos.toInt)
+          case _ => throw new CypherCompileException(
+            s"malformed time in localdatetime literal: $s0")
+        }
+    }
+    LocalDateTime.of(d, t)
+  }
 }
 
 /** Compiles graft.ast.Expr to Spark Columns against a RecordHeader.
@@ -615,9 +680,42 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
 
       // ---- temporal constructors (Expr.scala :1269-1273) ----
       case "date" =>
-        if (args.isEmpty) current_date() else to_date(a0)
+        if (args.isEmpty) current_date()
+        else args(0) match {
+          // Literal strings accept every Cypher date form (week/quarter/
+          // ordinal/compact — TemporalTests.scala:207); dynamic strings
+          // fall back to Spark's ISO to_date.
+          case StrLit(s) =>
+            lit(java.sql.Date.valueOf(ExprCompiler.parseCypherDate(s)))
+          case MapLit(items) =>
+            val m = items.toMap
+            def part(k: String, dflt: Int): Column =
+              m.get(k).map(e => compile(e).cast(IntegerType))
+                .getOrElse(lit(dflt))
+            if (!m.contains("year")) throw new CypherCompileException(
+              "date() map requires a year")
+            make_date(part("year", 0), part("month", 1), part("day", 1))
+          case _ => to_date(a0)
+        }
       case "localdatetime" | "datetime" =>
-        if (args.isEmpty) current_timestamp() else to_timestamp(a0)
+        if (args.isEmpty) current_timestamp()
+        else args(0) match {
+          case StrLit(s) => lit(java.sql.Timestamp.valueOf(
+            ExprCompiler.parseCypherLocalDateTime(s)))
+          case MapLit(items) =>
+            val m = items.toMap
+            def part(k: String, dflt: Int): Column =
+              m.get(k).map(e => compile(e).cast(IntegerType))
+                .getOrElse(lit(dflt))
+            if (!m.contains("year")) throw new CypherCompileException(
+              "localdatetime() map requires a year")
+            call_function("make_timestamp",
+              part("year", 0), part("month", 1), part("day", 1),
+              part("hour", 0), part("minute", 0),
+              m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
+                .getOrElse(lit(java.math.BigDecimal.ZERO)))
+          case _ => to_timestamp(a0)
+        }
       case "duration" => args(0) match {
         // duration({years:…, months:…, days:…, hours:…, minutes:…,
         // seconds:…}) -> (months, days, micros) struct, matching the

@@ -183,6 +183,34 @@ class MultiGraphSpec extends SparkTestBase {
     assert(d.getLong(1) === 3L)
   }
 
+  test("cypher date string forms: compact, week, quarter, ordinal, maps") {
+    // Expected values from the reference's TemporalTests.scala:207-227.
+    val g = miniGraph(Seq("a"), "X")
+    val cases = Seq(
+      "date('2010-10-10')" -> "2010-10-10",
+      "date('20101010')" -> "2010-10-10",
+      "date('2010-12')" -> "2010-12-01",
+      "date('201012')" -> "2010-12-01",
+      "date('2015-W30-2')" -> "2015-07-21",
+      "date('2015W302')" -> "2015-07-21",
+      "date('2015-W30')" -> "2015-07-20",
+      "date('2015-Q2-60')" -> "2015-05-30",
+      "date('2015Q2')" -> "2015-04-01",
+      "date('2015-202')" -> "2015-07-21",
+      "date('2010')" -> "2010-01-01",
+      "date({year: 2015, month: 10, day: 12})" -> "2015-10-12",
+      "date({year: 2015})" -> "2015-01-01")
+    cases.foreach { case (expr, want) =>
+      val got = session.cypher(g, s"RETURN $expr AS d")
+        .collect().head.getDate(0).toString
+      assert(got === want, s"for $expr")
+    }
+    val ldt = session.cypher(g,
+      "RETURN localdatetime('2015-07-21T21:40:32.142') AS t")
+      .collect().head.getTimestamp(0).toString
+    assert(ldt === "2015-07-21 21:40:32.142")
+  }
+
   test("duration ISO-8601 string literals and duration aggregates") {
     val g = miniGraph(Seq("a"), "X")
     val r = session.cypher(g,
