@@ -481,12 +481,28 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case "quarter" => quarter(c).cast(LongType)
         case "month" => month(c).cast(LongType)
         case "week" => weekofyear(c).cast(LongType)
+        // ISO week-based year ('1813-01-01'.weekYear = 1812).
+        case "weekyear" => call_function("date_part", lit("YEAROFWEEK"), c)
+          .cast(LongType)
         case "day" => dayofmonth(c).cast(LongType)
-        case "dayofweek" | "weekday" => dayofweek(c).cast(LongType)
+        // Cypher dayOfWeek is ISO: Monday=1..Sunday=7 (Spark's dayofweek
+        // is Sunday=1); weekday() is Monday=0.
+        case "dayofweek" | "weekday" => (F.weekday(c) + lit(1)).cast(LongType)
         case "ordinalday" => dayofyear(c).cast(LongType)
+        case "dayofquarter" =>
+          (datediff(c.cast(DateType), F.date_trunc("quarter", c).cast(DateType))
+            + lit(1)).cast(LongType)
         case "hour" => hour(c).cast(LongType)
         case "minute" => F.minute(c).cast(LongType)
         case "second" => F.second(c).cast(LongType)
+        // Spark's extract(SECOND) is a decimal with the fraction; slice out
+        // the sub-second components from it.
+        case "millisecond" =>
+          ((call_function("date_part", lit("SECOND"), c) * 1000) % 1000)
+            .cast(LongType)
+        case "microsecond" =>
+          ((call_function("date_part", lit("SECOND"), c) * 1000000) % 1000000)
+            .cast(LongType)
         case other =>
           throw new CypherCompileException(s"unknown temporal accessor $other")
       }
@@ -709,11 +725,14 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
                 .getOrElse(lit(dflt))
             if (!m.contains("year")) throw new CypherCompileException(
               "localdatetime() map requires a year")
+            val secs = m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
+              .getOrElse(lit(java.math.BigDecimal.ZERO).cast(DecimalType(16, 6)))
+            val millis = m.get("millisecond")
+              .map(e => compile(e).cast(DecimalType(16, 6)) / 1000)
+              .getOrElse(lit(java.math.BigDecimal.ZERO))
             call_function("make_timestamp",
               part("year", 0), part("month", 1), part("day", 1),
-              part("hour", 0), part("minute", 0),
-              m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
-                .getOrElse(lit(java.math.BigDecimal.ZERO)))
+              part("hour", 0), part("minute", 0), secs + millis)
           case _ => to_timestamp(a0)
         }
       case "duration" => args(0) match {
@@ -728,7 +747,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             (part("years") * 12 + part("months")).as("months"),
             (part("weeks") * 7 + part("days")).as("days"),
             ((part("hours") * 3600L + part("minutes") * 60L +
-              part("seconds")) * 1000000L).as("micros"))
+              part("seconds")) * 1000000L +
+              part("milliseconds") * 1000L + part("microseconds")).as("micros"))
         // duration('P1DT2H30M') — ISO-8601 string parsed driver-side into
         // the same (months, days, micros) struct (TemporalTypesHelper
         // parity: okapi-api/.../impl/temporal/TemporalTypesHelper.scala).

@@ -211,6 +211,23 @@ class MultiGraphSpec extends SparkTestBase {
     assert(ldt === "2015-07-21 21:40:32.142")
   }
 
+  test("temporal accessors: ISO dayOfWeek, weekYear, dayOfQuarter, sub-second") {
+    // Expected values from the reference's TemporalTests accessor section.
+    val g = miniGraph(Seq("a"), "X")
+    val r = session.cypher(g,
+      "RETURN date('2019-05-10').dayOfWeek AS dow, " +
+        "date('1813-01-01').weekYear AS wy, " +
+        "date('2019-01-01').dayOfQuarter AS doq, " +
+        "localdatetime('2019-05-10T10:10:12.113').millisecond AS ms, " +
+        "localdatetime('2019-05-10T10:10:12.113').microsecond AS us")
+      .collect().head
+    assert(r.getLong(0) === 5L)  // 2019-05-10 is a Friday; ISO Monday=1
+    assert(r.getLong(1) === 1812L)
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(3) === 113L)
+    assert(r.getLong(4) === 113000L)
+  }
+
   test("duration ISO-8601 string literals and duration aggregates") {
     val g = miniGraph(Seq("a"), "X")
     val r = session.cypher(g,
