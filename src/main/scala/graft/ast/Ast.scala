@@ -78,7 +78,7 @@ case object IN extends Direction
 case object BOTH extends Direction
 
 case class NodePattern(variable: Option[String], labels: Seq[String],
-    props: Seq[(String, Expr)])
+    props: Seq[(String, Expr)], copyOf: Option[String] = None)
 case class RelPattern(variable: Option[String], types: Seq[String],
     props: Seq[(String, Expr)], direction: Direction,
     varLength: Option[(Int, Option[Int])])
@@ -117,7 +117,8 @@ case class SetLabel(variable: String, labels: Seq[String]) extends SetItem
   * ConstructGraphPlanner, SURVEY §2.6). Bound node vars are cloned; unbound
   * ones are created per row; ON merges catalog graphs into the result. */
 case class Construct(on: Seq[String], news: Seq[PatternPart],
-    sets: Seq[SetItem]) extends Clause
+    sets: Seq[SetItem], clones: Seq[(String, String)] = Seq.empty)
+    extends Clause
 
 case class SingleQuery(clauses: Seq[Clause])
 /** rest entries are (unionAll, query). */

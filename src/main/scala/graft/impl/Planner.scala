@@ -151,8 +151,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         outs = o
       case FromGraph(name) => graph = resolveGraph(name)
       case CallProc(name, args, yields) => ctx = planCall(ctx, name, args, yields)
-      case Construct(on, news, sets) =>
-        constructedGraph = Some(planConstruct(ctx, on, news, sets))
+      case Construct(on, news, sets, clones) =>
+        constructedGraph = Some(planConstruct(ctx, on, news, sets, clones))
     }
     (ctx, outs)
   }
@@ -194,13 +194,42 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * one element per row with fresh tagged ids. The construct table is
     * persisted before slicing into scans so monotonically_increasing_id is
     * evaluated exactly once (the determinism hazard SURVEY §4 flags). */
-  private def planConstruct(ctx: Ctx, on: Seq[String], news: Seq[PatternPart],
-      sets: Seq[SetItem]): PropertyGraph = {
+  private def planConstruct(ctx0: Ctx, on: Seq[String], news: Seq[PatternPart],
+      sets: Seq[SetItem], clones: Seq[(String, String)] = Seq.empty)
+      : PropertyGraph = {
+    // CLONE src AS alias: the alias shares the source's physical columns,
+    // so downstream it looks like a bound (clone-able) var.
+    var ctx = ctx0
+    clones.foreach { case (src, alias) =>
+      if (alias != src) {
+        require(ctx.header.kinds.contains(src), s"CLONE of unbound var $src")
+        val aliased = ctx.header.ownedBy(src).map { sl =>
+          val ns: Slot = sl match {
+            case IdSlot(_) => IdSlot(alias)
+            case LabelSlot(_, l) => LabelSlot(alias, l)
+            case PropSlot(_, k) => PropSlot(alias, k)
+            case SrcSlot(_) => SrcSlot(alias)
+            case TgtSlot(_) => TgtSlot(alias)
+            case TypeSlot(_) => TypeSlot(alias)
+            case ValueSlot(_) => ValueSlot(alias)
+            case PathSlot(_) => PathSlot(alias)
+          }
+          ns -> ctx.header.col(sl)
+        }
+        ctx = Ctx(ctx.df, RecordHeader(ctx.header.slots ++ aliased,
+          ctx.header.kinds + (alias -> ctx.header.kinds(src))))
+      }
+    }
     val (nodes0, edges0) = normalizePattern(Pattern(news))
     // SET items fold into the pattern constraints: properties append to the
     // var's NEW property list, labels extend its label set.
     var nodes = nodes0
     var edges = edges0
+    // Clone targets not mentioned in a NEW pattern still land in the graph.
+    clones.foreach { case (_, alias) =>
+      if (!nodes.contains(alias))
+        nodes = nodes + (alias -> NodeCons(alias, Seq.empty, Seq.empty))
+    }
     sets.foreach {
       case SetProp(v, k, e) if nodes.contains(v) =>
         nodes = nodes.updated(v, nodes(v).copy(props = nodes(v).props :+ (k, e)))
@@ -265,10 +294,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       // emitting a clone table would duplicate them.
       if (cloned && baseGraphs.nonEmpty) Seq.empty
       else {
+      // COPY OF: a fresh element that inherits the source's labels and
+      // properties (MultipleGraphTests "creates multiple copies").
+      val copySrc = nc.copyOf.filter(sv => ctx.header.contains(IdSlot(sv)))
+      val propOwner: Option[String] = if (cloned) Some(v) else copySrc
       val clonedProps: Seq[(String, String)] =
-        if (cloned) ctx.header.ownedBy(v).collect {
+        propOwner.map(o => ctx.header.ownedBy(o).collect {
           case s @ PropSlot(_, k) => k -> ctx.header.col(s)
-        } else Seq.empty
+        }.toSeq).getOrElse(Seq.empty)
       val props = (clonedProps ++ nodePropCols(v)).toMap
       val idCol = nodeIdCols(v)
       def defFor(labels: Set[String], rows: DataFrame): NodeTableDef = {
@@ -280,10 +313,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         NodeTableDef(labels, table, "_cid",
           props.keys.map(k => k -> ("_cp_" + k)).toMap, "!construct")
       }
-      val labelSlots = ctx.header.ownedBy(v).collect {
+      val labelSlots = propOwner.map(o => ctx.header.ownedBy(o).collect {
         case s @ LabelSlot(_, l) => l -> ctx.header.col(s)
-      }.sortBy(_._1)
-      if (cloned && labelSlots.nonEmpty) {
+      }.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
+      if (propOwner.isDefined && labelSlots.nonEmpty) {
         // Cloned var with per-row label flags: the rows may mix label
         // combinations ("MATCH (a) CONSTRUCT CLONE a"), so emit one table
         // per distinct combination actually present, extended by any static
@@ -336,7 +369,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   // -------------------------------------------------------------- patterns
   private case class NodeCons(v: String, labels: Seq[String],
-      props: Seq[(String, Expr)])
+      props: Seq[(String, Expr)], copyOf: Option[String] = None)
   private case class EdgeCons(v: String, src: String, tgt: String,
       types: Seq[String], props: Seq[(String, Expr)], dir: Direction,
       varLength: Option[(Int, Option[Int])])
@@ -355,7 +388,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val v = np.variable.getOrElse(freshVar())
       val prev = nodes.getOrElse(v, NodeCons(v, Seq.empty, Seq.empty))
       nodes(v) = NodeCons(v, (prev.labels ++ np.labels).distinct,
-        prev.props ++ np.props)
+        prev.props ++ np.props, prev.copyOf.orElse(np.copyOf))
       v
     }
     pattern.parts.foreach { part =>

@@ -26,8 +26,8 @@ object CypherParser {
     "DESC", "DESCENDING", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL",
     "TRUE", "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN",
     "ELSE", "END", "EXISTS", "ANY", "NONE", "SINGLE", "REDUCE", "COUNT",
-    "FROM", "GRAPH", "CONSTRUCT", "NEW", "USE", "ON", "SET", "CALL",
-    "YIELD")
+    "FROM", "GRAPH", "CONSTRUCT", "NEW", "CREATE", "CLONE", "COPY", "OF",
+    "USE", "ON", "SET", "CALL", "YIELD")
 
   object Lexer {
     def tokenize(s: String): Vector[Tok] = {
@@ -202,9 +202,11 @@ object CypherParser {
             }
             val parts = Seq.newBuilder[PatternPart]
             val sets = Seq.newBuilder[SetItem]
+            val clones = Seq.newBuilder[(String, String)]
             var more = true
             while (more) {
-              if (tryKw("NEW")) {
+              // NEW is the original okapi keyword; later Morpheus uses CREATE.
+              if (tryKw("NEW") || tryKw("CREATE")) {
                 parts += parsePatternPart()
                 while (tryPunct(",")) parts += parsePatternPart()
               } else if (tryKw("SET")) {
@@ -222,10 +224,19 @@ object CypherParser {
                 }
                 setItem()
                 while (tryPunct(",")) setItem()
+              } else if (tryKw("CLONE")) {
+                def cloneItem(): Unit = {
+                  val src = ident()
+                  val alias = if (tryKw("AS")) ident() else src
+                  clones += ((src, alias))
+                }
+                cloneItem()
+                while (tryPunct(",")) cloneItem()
               } else more = false
             }
             if (tryKw("RETURN")) eatKw("GRAPH")
-            clauses += Construct(on.result(), parts.result(), sets.result())
+            clauses += Construct(on.result(), parts.result(), sets.result(),
+              clones.result())
             done = true
           case Kw("RETURN", _, _) =>
             // RETURN GRAPH handled inside CONSTRUCT; plain RETURN here.
@@ -324,11 +335,14 @@ object CypherParser {
         case Ident(name, _) => p += 1; Some(name)
         case _ => None
       }
+      // (f COPY OF a): new element copying a's labels and properties.
+      val copyOf =
+        if (tryKw("COPY")) { eatKw("OF"); Some(ident()) } else None
       val labels = Seq.newBuilder[String]
       while (tryPunct(":")) labels += ident()
       val props = if (isPunct("{")) parsePropMap() else Seq.empty
       eatPunct(")")
-      NodePattern(variable, labels.result(), props)
+      NodePattern(variable, labels.result(), props, copyOf)
     }
 
     private def parseRelPattern(): RelPattern = {

@@ -261,6 +261,48 @@ class MultiGraphSpec extends SparkTestBase {
     assert(none === 0L)
   }
 
+  test("CONSTRUCT CREATE syntax and standalone construction") {
+    // MultipleGraphTests "should construct a graph" — CREATE == NEW.
+    val g = miniGraph(Seq.empty, "X")
+    val built = session.cypherGraph(g,
+      "CONSTRUCT CREATE (:A)-[:KNOWS]->(:B) RETURN GRAPH")
+    assert(session.cypher(built, "MATCH (n) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 2L)
+    assert(session.cypher(built, "MATCH (:A)-[:KNOWS]->(:B) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 1L)
+    // Multiple connected CREATE clauses share bound vars.
+    val built2 = session.cypherGraph(g,
+      "CONSTRUCT CREATE (a:A)-[:KNOWS]->(b:B) CREATE (b)-[:KNOWS]->(c:C) RETURN GRAPH")
+    assert(session.cypher(built2, "MATCH (n) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 3L)
+    assert(session.cypher(built2, "MATCH ()-[e:KNOWS]->() RETURN count(*) AS n")
+      .collect().head.getLong(0) === 2L)
+  }
+
+  test("CONSTRUCT COPY OF creates fresh elements with inherited labels/props") {
+    // MultipleGraphTests "creates multiple copies of the same node".
+    val g = miniGraph(Seq("orig"), "X")
+    val built = session.cypherGraph(g,
+      "MATCH (a:X) CONSTRUCT CREATE (f COPY OF a)-[:FOO]->(g COPY OF a) RETURN GRAPH")
+    val rows = session.cypher(built, "MATCH (n) RETURN id(n) AS i, n.name AS nm")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(0)).distinct.length === 2, "fresh distinct ids")
+    assert(rows.forall(_.getString(1) == "orig"), "copied properties")
+    assert(session.cypher(built, "MATCH (:X)-[:FOO]->(:X) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 1L)
+  }
+
+  test("CONSTRUCT CLONE with alias lands the clone in the graph") {
+    // MultipleGraphTests "CLONEs with an alias".
+    val g = miniGraph(Seq("a", "b"), "X")
+    val built = session.cypherGraph(g,
+      "MATCH (n:X) CONSTRUCT CLONE n AS m RETURN GRAPH")
+    val names = session.cypher(built, "MATCH (v:X) RETURN v.name AS nm")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(names === Seq("a", "b"))
+  }
+
   test("CONSTRUCT clone keeps per-row label combinations") {
     // Mixed-label source: MATCH (a) binds X and Y nodes; the clone must
     // land each row under its own label combination, not one static set.
