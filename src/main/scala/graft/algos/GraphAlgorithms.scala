@@ -51,7 +51,7 @@ object GraphAlgorithms {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val links = e.join(outDeg, "src").repartition(col("src")).persist()
     var ranks = ids.select(col("id"), lit(1.0).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = links
         .join(ranks, links("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
@@ -66,7 +66,11 @@ object GraphAlgorithms {
         (lit(1.0 - damping) +
           lit(damping) * (col("contrib") + (lit(n) - col("_tc")) / n))
           .as("rank"))
-        .localCheckpoint(eager = true)
+      // Eager localCheckpoint EVERY round: the dangling-mass broadcast
+      // aggregate reads `received` a second time, so un-truncated lineage
+      // would recompute all prior rounds twice per iteration (measured 2x
+      // slower with a 3-round cadence).
+      ranks = ranks.localCheckpoint(eager = true)
     }
     links.unpersist()
     ids.unpersist()
