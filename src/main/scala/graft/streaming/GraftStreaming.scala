@@ -93,6 +93,26 @@ object GraftStreaming {
       }
   }
 
+  /** Stream-stream interval join: pair each left event with right events
+    * that share `key` and arrive within [0, maxDelay] of it in event time —
+    * the impression↔click / prompt↔response attribution shape. Both sides
+    * are watermarked so join state is bounded; at cluster scale the state
+    * store holds only `maxDelay + watermark` of data per key. Right-side
+    * columns come back `r_`-prefixed. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String = "ts", maxDelay: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c")
+    }
+    val r = r0.withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Run a streaming query to completion against a bounded source and
     * return the collected sink table (test/bench harness). */
   def runToMemorySink(df: DataFrame, name: String,

@@ -45,6 +45,35 @@ class StreamingSpec extends SparkTestBase {
     assert(n === distinctIds)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val l = GraftStreaming.eventsStream(spark, streamDir)
+      .select("event_id", "ts", "user_id")
+    val r = GraftStreaming.eventsStream(spark, streamDir)
+      .select("event_id", "ts", "user_id")
+    val joined = GraftStreaming.intervalJoin(l, r, "user_id",
+      maxDelay = "30 minutes", watermark = "1 day")
+      .select(col("event_id"), col("r_event_id"))
+    val got = GraftStreaming.runToMemorySink(joined, "ij", "append")
+    // Batch equivalent over the same file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .select("event_id", "ts", "user_id")
+    val evR = ev.select(col("event_id").as("r_event_id"),
+      col("ts").as("r_ts"), col("user_id").as("r_user_id"))
+    val batch = ev.join(evR,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr("INTERVAL 30 minutes"))
+      .select(col("event_id"), col("r_event_id"))
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchSet = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet.nonEmpty)
+    // Append mode may withhold pairs near the watermark frontier; everything
+    // emitted must be correct.
+    assert(gotSet.subsetOf(batchSet))
+  }
+
   test("sessionization produces closed sessions with event counts") {
     val stream = GraftStreaming.eventsStream(spark, streamDir)
     val sessions = GraftStreaming.sessionize(stream, gapMs = 60 * 60 * 1000L)
