@@ -53,7 +53,86 @@ class GraftSession(val spark: SparkSession) {
   })
 
   def store(name: String, g: PropertyGraph): Unit = catalog.put(name, g)
-  def graphByName(name: String): PropertyGraph = catalog(name)
+  def graphByName(name: String): PropertyGraph = resolveGraphRef(name)
+
+  /** Parameterized graph views (CatalogDDLTests' CATALOG CREATE VIEW):
+    * name -> (parameter names without '$', body text ending RETURN GRAPH). */
+  private val views = TrieMap.empty[String, (Seq[String], String)]
+  private val viewArgCounter = new java.util.concurrent.atomic.AtomicLong()
+  def storeView(name: String, params: Seq[String], body: String): Unit =
+    views.put(name, (params, body))
+  def dropView(name: String): Unit = views.remove(name)
+  def viewNames: Set[String] = views.keySet.toSet
+
+  /** Resolve a graph reference: a catalog name, or a view invocation
+    * `v(ref, ...)` whose arguments are themselves graph references
+    * (recursively — `inc(inc(a))`). View bodies run with their `$param`
+    * occurrences bound to the resolved argument graphs. */
+  def resolveGraphRef(ref: String): PropertyGraph = {
+    val call = """(?s)\s*([\w`]+)\s*\((.*)\)\s*""".r
+    ref match {
+      case call(name, argsStr) if views.contains(name) =>
+        val (params, body) = views(name)
+        val args = splitTopLevel(argsStr).filter(_.nonEmpty)
+        require(args.size == params.size,
+          s"view $name expects ${params.size} graph arguments, got ${args.size}")
+        val bound = args.map(resolveGraphRef)
+        var text = body
+        val temps = params.zip(bound).map { case (p, g) =>
+          val tmp = s"__viewarg_${viewArgCounter.incrementAndGet()}"
+          catalog.put(tmp, g)
+          text = text.replace("$" + p, tmp)
+          tmp
+        }
+        try cypherGraph(PropertyGraph(Seq.empty), text)
+        finally temps.foreach(catalog.remove)
+      case _ =>
+        catalog.getOrElse(ref.trim,
+          throw new IllegalArgumentException(s"unknown graph or view: $ref"))
+    }
+  }
+
+  /** Split "a,b(c,d),e" on top-level commas only. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  // CATALOG DDL statements handled at the session level (the reference's
+  // CatalogDDL surface: CATALOG CREATE GRAPH/VIEW, CATALOG DROP ...).
+  private val CatalogCreateGraphRe =
+    """(?is)\s*CATALOG\s+CREATE\s+GRAPH\s+([\w`]+)\s*\{(.*)\}\s*""".r
+  private val CatalogCreateViewRe =
+    """(?is)\s*CATALOG\s+CREATE\s+VIEW\s+([\w`]+)\s*\(([^)]*)\)\s*\{(.*)\}\s*""".r
+  private val CatalogDropRe =
+    """(?is)\s*CATALOG\s+DROP\s+(GRAPH|VIEW)\s+([\w`]+)\s*""".r
+
+  /** Intercept CATALOG DDL; returns Some(empty DF) when `query` was DDL. */
+  private def handleCatalogDdl(graph: PropertyGraph, query: String)
+      : Option[DataFrame] = query match {
+    case CatalogCreateGraphRe(name, body) =>
+      store(name, cypherGraph(graph, body))
+      Some(spark.emptyDataFrame)
+    case CatalogCreateViewRe(name, paramsStr, body) =>
+      val params = paramsStr.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(p => if (p.startsWith("$")) p.substring(1) else p)
+      storeView(name, params.toSeq, body)
+      Some(spark.emptyDataFrame)
+    case CatalogDropRe(kind, name) =>
+      if (kind.equalsIgnoreCase("VIEW")) dropView(name) else catalog.remove(name)
+      Some(spark.emptyDataFrame) // idempotent, like the reference
+    case _ => None
+  }
 
   /** Compile and plan a Cypher query against a graph; the result is a lazy
     * DataFrame with user-facing column names. An optional driving table's
@@ -62,6 +141,10 @@ class GraftSession(val spark: SparkSession) {
   def cypher(graph: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty,
       drivingTable: Option[DataFrame] = None): DataFrame = {
+    handleCatalogDdl(graph, query) match {
+      case Some(ddlResult) => return ddlResult
+      case None =>
+    }
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, drivingTable,
       graphByName, functions.toMap, procedures.toMap)

@@ -290,9 +290,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
     val nodeDefs = nodes.toSeq.flatMap { case (v, nc) =>
       val cloned = ctx.header.contains(IdSlot(v))
-      // With ON, cloned elements are already present in a base graph —
-      // emitting a clone table would duplicate them.
-      if (cloned && baseGraphs.nonEmpty) Seq.empty
+      // With ON including the ambient graph, cloned elements are already
+      // present in that base — emitting a clone table would duplicate them.
+      // ON over *other* graphs must still emit the clones.
+      if (cloned && baseGraphs.exists(_ eq graph)) Seq.empty
       else {
       // COPY OF: a fresh element that inherits the source's labels and
       // properties (MultipleGraphTests "creates multiple copies").
@@ -359,12 +360,38 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         "!construct", "!construct", "!construct")
     }
     // CONSTRUCT ON: merge the base graphs' element tables ahead of the
-    // constructed scans, preserving their id-space order so cloned ids
-    // (baked literals under the source tag assignment) keep matching.
+    // constructed scans. The ambient graph (if among the bases) keeps its
+    // raw defs FIRST, preserving its id-space order so cloned ids (baked
+    // literals under the source tag assignment) keep matching. Foreign
+    // base graphs are folded in as pre-tagged scans with their tag bytes
+    // shifted into a reserved region (64 + 32·i) so they can never collide
+    // with ambient-tagged clone ids (region 0..63) or fresh construct ids
+    // (region 200+).
     if (baseGraphs.isEmpty) PropertyGraph(nodeDefs, relDefs)
-    else new PropertyGraph(
-      baseGraphs.flatMap(_.nodeDefs) ++ nodeDefs,
-      baseGraphs.flatMap(_.relDefs) ++ relDefs)
+    else {
+      val (own, foreign) = baseGraphs.partition(_ eq graph)
+      def shiftIds(df: DataFrame, cols: Seq[String], off: Long): DataFrame =
+        cols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(off << PropertyGraph.TagBits)))
+      val foreignNodes = foreign.zipWithIndex.flatMap { case (g, i) =>
+        val off = 64L + i * 32L
+        g.nodeTables.map { t =>
+          NodeTableDef(t.labels, shiftIds(t.df, Seq(ID), off), ID,
+            t.propTypes.keys.map(k => k -> propCol(k)).toMap, s"!on$i")
+        }
+      }
+      val foreignRels = foreign.zipWithIndex.flatMap { case (g, i) =>
+        val off = 64L + i * 32L
+        g.relTables.map { t =>
+          RelTableDef(t.relType, shiftIds(t.df, Seq(ID, SRC, TGT), off),
+            ID, SRC, TGT, t.propTypes.keys.map(k => k -> propCol(k)).toMap,
+            s"!on$i", s"!on$i", s"!on$i")
+        }
+      }
+      new PropertyGraph(
+        own.flatMap(_.nodeDefs) ++ foreignNodes ++ nodeDefs,
+        own.flatMap(_.relDefs) ++ foreignRels ++ relDefs)
+    }
   }
 
   // -------------------------------------------------------------- patterns

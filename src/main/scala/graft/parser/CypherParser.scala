@@ -174,8 +174,8 @@ object CypherParser {
             clauses += Unwind(e, ident())
           case Kw("WITH", _, _) => p += 1; clauses += parseWith()
           case Kw("FROM", _, _) =>
-            p += 1; eatKw("GRAPH"); clauses += FromGraph(ident())
-          case Kw("USE", _, _) => p += 1; clauses += FromGraph(ident())
+            p += 1; eatKw("GRAPH"); clauses += FromGraph(parseGraphRef())
+          case Kw("USE", _, _) => p += 1; clauses += FromGraph(parseGraphRef())
           case Kw("CALL", _, _) =>
             p += 1
             val name = ident()
@@ -261,6 +261,21 @@ object CypherParser {
       val limit = if (tryKw("LIMIT")) Some(parseExpr()) else None
       val where = if (tryKw("WHERE")) Some(parseExpr()) else None
       With(distinct, star, items, order, skip, limit, where)
+    }
+
+    /** Graph reference: a plain name or a view invocation name(ref, ...),
+      * kept as text — the session resolves it (possibly recursively). */
+    private def parseGraphRef(): String = {
+      val n = ident()
+      if (tryPunct("(")) {
+        val args = Seq.newBuilder[String]
+        if (!isPunct(")")) {
+          args += parseGraphRef()
+          while (tryPunct(",")) args += parseGraphRef()
+        }
+        eatPunct(")")
+        n + "(" + args.result().mkString(",") + ")"
+      } else n
     }
 
     private def parseReturn(): Return = {

@@ -261,6 +261,66 @@ class MultiGraphSpec extends SparkTestBase {
     assert(none === 0L)
   }
 
+  test("CATALOG CREATE GRAPH stores the constructed graph on the session") {
+    // CatalogDDLTests:47.
+    session.store("cg_foo", miniGraph(Seq("x"), "A"))
+    val r = session.cypher(miniGraph(Seq.empty, "A"),
+      "CATALOG CREATE GRAPH cg_bar { FROM GRAPH cg_foo MATCH (a:A) CONSTRUCT CLONE a RETURN GRAPH }")
+    assert(r.collect().isEmpty) // DDL returns no records
+    val n = session.cypher(session.graphByName("cg_bar"),
+      "MATCH (a:A) RETURN a.name AS nm").collect().map(_.getString(0)).toSeq
+    assert(n === Seq("x"))
+  }
+
+  test("CATALOG CREATE VIEW applies recursively (inc(inc(inc(inc(a)))))") {
+    // CatalogDDLTests:175 — each application adds 1 to the node's val.
+    import spark.implicits._
+    val base = PropertyGraph(Seq(NodeTableDef(Set("A"),
+      Seq((0L, 0L)).toDF("id", "val"), "id", Map("val" -> "val"), "n")))
+    session.store("cv_a", base)
+    session.cypher(base,
+      """CATALOG CREATE VIEW inc($g1) {
+        | FROM GRAPH $g1
+        | MATCH (a:A)
+        | CONSTRUCT CREATE (:A { val: a.val + 1 })
+        | RETURN GRAPH
+        |}""".stripMargin)
+    assert(session.viewNames.contains("inc"))
+    val got = session.cypher(base,
+      "FROM GRAPH inc(inc(inc(inc(cv_a)))) MATCH (n) RETURN n.val AS val")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L))
+  }
+
+  test("CATALOG CREATE VIEW with two graph parameters") {
+    // CatalogDDLTests:243-style — union of two parameter graphs.
+    val g1 = miniGraph(Seq("l"), "L")
+    val g2 = miniGraph(Seq("r"), "R")
+    session.store("cv_l", g1)
+    session.store("cv_r", g2)
+    session.cypher(g1,
+      """CATALOG CREATE VIEW both($a, $b) {
+        | FROM GRAPH $a
+        | MATCH (x:L)
+        | CONSTRUCT ON $b
+        |   CLONE x
+        | RETURN GRAPH
+        |}""".stripMargin)
+    val names = session.cypher(g1,
+      "FROM GRAPH both(cv_l, cv_r) MATCH (n) RETURN n.name AS nm ORDER BY nm")
+      .collect().map(_.getString(0)).toSeq
+    assert(names === Seq("l", "r"))
+  }
+
+  test("CATALOG DROP VIEW is idempotent") {
+    val g = miniGraph(Seq.empty, "X")
+    session.cypher(g, "CATALOG CREATE VIEW dropme($g1) { FROM GRAPH $g1 MATCH (n) CONSTRUCT CLONE n RETURN GRAPH }")
+    assert(session.viewNames.contains("dropme"))
+    session.cypher(g, "CATALOG DROP VIEW dropme")
+    assert(!session.viewNames.contains("dropme"))
+    session.cypher(g, "CATALOG DROP VIEW dropme") // second drop: no error
+  }
+
   test("CONSTRUCT CREATE syntax and standalone construction") {
     // MultipleGraphTests "should construct a graph" — CREATE == NEW.
     val g = miniGraph(Seq.empty, "X")
