@@ -111,4 +111,17 @@ class RobustnessSpec extends SparkTestBase {
       assert(threw, s"expected failure for: '$q'")
     }
   }
+
+  test("catalog errors are clean: unknown graph/view, arity mismatch") {
+    val sess = new graft.api.GraftSession(spark)
+    intercept[IllegalArgumentException] {
+      sess.cypher(g, "FROM GRAPH no_such_graph MATCH (n) RETURN n").collect()
+    }
+    sess.cypher(g,
+      "CATALOG CREATE VIEW rv($g1) { FROM GRAPH $g1 MATCH (n) CONSTRUCT CLONE n RETURN GRAPH }")
+    intercept[IllegalArgumentException] {
+      // both args missing and unknown inner ref produce clean errors
+      sess.cypher(g, "FROM GRAPH rv(missing_graph) MATCH (n) RETURN n").collect()
+    }
+  }
 }
