@@ -87,10 +87,31 @@ class GraftSession(val spark: SparkSession) {
         try cypherGraph(PropertyGraph(Seq.empty), text)
         finally temps.foreach(catalog.remove)
       case _ =>
-        catalog.getOrElse(ref.trim,
-          throw new IllegalArgumentException(s"unknown graph or view: $ref"))
+        val t = ref.trim
+        catalog.get(t) match { // literal names win (incl. backticked dots)
+          case Some(g) => g
+          case None =>
+            val i = t.indexOf('.')
+            if (i > 0) graphSources.get(t.substring(0, i)) match {
+              case Some(src) => src(t.substring(i + 1))
+              case None => throw new IllegalArgumentException(
+                s"unknown graph namespace: ${t.substring(0, i)}")
+            }
+            else throw new IllegalArgumentException(
+              s"unknown graph or view: $ref")
+        }
     }
   }
+
+  /** Graph namespaces (the reference's PGDS namespaces / qualified graph
+    * names): `FROM GRAPH ns.name` resolves via the source registered for
+    * `ns`. "session" is pre-registered as the catalog itself; register an
+    * FS or SQL source to address stored graphs by name. */
+  private val graphSources = TrieMap[String, String => PropertyGraph](
+    "session" -> ((n: String) => catalog.getOrElse(n,
+      throw new IllegalArgumentException(s"unknown session graph: $n"))))
+  def registerSource(namespace: String, src: String => PropertyGraph): Unit =
+    graphSources.put(namespace, src)
 
   /** Split "a,b(c,d),e" on top-level commas only. */
   private def splitTopLevel(s: String): Seq[String] = {

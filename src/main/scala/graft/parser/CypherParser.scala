@@ -263,10 +263,12 @@ object CypherParser {
       With(distinct, star, items, order, skip, limit, where)
     }
 
-    /** Graph reference: a plain name or a view invocation name(ref, ...),
-      * kept as text — the session resolves it (possibly recursively). */
+    /** Graph reference: a possibly-qualified name (ns.graph, backticked
+      * segments allowed) or a view invocation name(ref, ...), kept as
+      * text — the session resolves it (possibly recursively). */
     private def parseGraphRef(): String = {
-      val n = ident()
+      var n = ident()
+      while (tryPunct(".")) n += "." + ident()
       if (tryPunct("(")) {
         val args = Seq.newBuilder[String]
         if (!isPunct(")")) {

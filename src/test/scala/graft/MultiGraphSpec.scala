@@ -312,6 +312,26 @@ class MultiGraphSpec extends SparkTestBase {
     assert(names === Seq("l", "r"))
   }
 
+  test("qualified graph names: session namespace, registered sources, escaped names") {
+    // QualifiedGraphNameAcceptance — ns.graph forms with backtick escapes.
+    val g = miniGraph(Seq("q1", "q2"), "Q")
+    session.store("qgn_plain", g)
+    session.store("my best graph", g)
+    val viaSession = session.cypher(g,
+      "FROM GRAPH session.qgn_plain MATCH (n:Q) RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(viaSession === 2L)
+    val viaEscaped = session.cypher(g,
+      "FROM GRAPH session.`my best graph` MATCH (n:Q) RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(viaEscaped === 2L)
+    session.registerSource("fixture", _ => g)
+    val viaSource = session.cypher(g,
+      "FROM GRAPH fixture.anything MATCH (n:Q) RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(viaSource === 2L)
+  }
+
   test("CATALOG DROP VIEW is idempotent") {
     val g = miniGraph(Seq.empty, "X")
     session.cypher(g, "CATALOG CREATE VIEW dropme($g1) { FROM GRAPH $g1 MATCH (n) CONSTRUCT CLONE n RETURN GRAPH }")
