@@ -60,6 +60,32 @@ class MatchParitySpec extends SparkTestBase {
     assert(rows === Seq(("a", "c")))
   }
 
+  test("expand-into closing a cycle through a var-length segment (LDBC shape)") {
+    // ExpandIntoTests "Expand into after var expand".
+    val persons = Seq((0L, "Alice"), (1L, "Bob")).toDF("id", "name")
+    val comments = Seq((2L, null.asInstanceOf[String])).toDF("id", "content")
+    val posts = Seq((3L, "asdf"), (4L, "foobar")).toDF("id", "content")
+    val knows = Seq((10L, 0L, 1L)).toDF("id", "src", "tgt")
+    val hascreator = Seq((11L, 2L, 1L), (12L, 4L, 0L)).toDF("id", "src", "tgt")
+    val replyof = Seq((13L, 2L, 3L), (14L, 3L, 4L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("Person"), persons, "id", Map("name" -> "name"), "n"),
+        NodeTableDef(Set("Comment"), comments, "id", Map("content" -> "content"), "n"),
+        NodeTableDef(Set("Post"), posts, "id", Map("content" -> "content"), "n")),
+      Seq(RelTableDef("KNOWS", knows, "id", "src", "tgt", Map.empty, "r", "n", "n"),
+        RelTableDef("HASCREATOR", hascreator, "id", "src", "tgt", Map.empty, "r", "n", "n"),
+        RelTableDef("REPLYOF", replyof, "id", "src", "tgt", Map.empty, "r", "n", "n")))
+    val rows = session.cypher(g,
+      """MATCH (p1:Person)-[e1:KNOWS]->(p2:Person),
+        |      (p2)<-[e2:HASCREATOR]-(comment:Comment),
+        |      (comment)-[e3:REPLYOF*1..10]->(post:Post),
+        |      (p1)<-[:HASCREATOR]-(post)
+        |WHERE p1.name = 'Alice'
+        |RETURN p1.name AS a, p2.name AS b, post.content AS c""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows === Seq(("Alice", "Bob", "foobar")))
+  }
+
   test("disjunction of rel types with var-length expand") {
     // MatchTests:468-style — [:X|Y*1..2] walks across both types.
     val ns = Seq((0L, "s"), (1L, "m"), (2L, "e")).toDF("id", "prop")
