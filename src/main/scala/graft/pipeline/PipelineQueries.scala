@@ -29,6 +29,17 @@ object PipelineQueries {
     // --- dedup ---
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactIds(docs(s, dir), "doc_id", Seq("text"))),
+    // Cluster canonicalization: exact-dup pairs -> min-id per cluster,
+    // singletons map to themselves (the dedup pipeline's terminal step).
+    "q_dedup_canonical" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val l = d.select(col("doc_id").as("id1"), col("text").as("_t1"))
+      val r = d.select(col("doc_id").as("id2"), col("text").as("_t2"))
+      val pairs = l.join(r,
+        col("_t1") === col("_t2") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
+      Dedup.canonicalize(d, pairs)
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)),
@@ -115,6 +126,8 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_dedup_canonical" ->
+      "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical FROM documents",
     "q_dedup_jaccard" ->
       """SELECT a.doc_id AS id1, b.doc_id AS id2,
            round(len(list_intersect(a.toks, b.toks))::DOUBLE /

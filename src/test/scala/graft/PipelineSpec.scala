@@ -128,6 +128,17 @@ class PipelineSpec extends SparkTestBase {
     assert(got(3L) === "und")
   }
 
+  test("canonicalize collapses transitive near-dup chains to min id") {
+    import spark.implicits._
+    // Pair graph 1-2, 2-3 (no direct 1-3 pair) plus singleton 4: the
+    // cluster must close transitively, which a per-pair min cannot do.
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = Dedup.canonicalize(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("multimodal pipeline: media wrap + stub feature extraction") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq ===
