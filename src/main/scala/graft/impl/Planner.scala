@@ -708,7 +708,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   /** Build a scan DataFrame for a node var: per-matching-table align to a
     * common header then unionByName — the reference's scan-union
     * (ScanGraph.scanOperator, RelationalPlanner.planScan :263-297). */
-  private def nodeScanDf(nc: NodeCons): (DataFrame, RecordHeader) = {
+  private def nodeScanDf(nc: NodeCons): (DataFrame, RecordHeader, Seq[Expr]) = {
     val tables = graph.nodeScansFor(nc.labels)
     val v = nc.v
     if (tables.isEmpty) {
@@ -718,7 +718,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val schema = StructType(
         StructField(header.col(IdSlot(v)), LongType) +:
           labelSlots.map(s => StructField(header.col(s), BooleanType)).toSeq)
-      return (spark.createDataFrame(new java.util.ArrayList[Row](), schema), header)
+      return (spark.createDataFrame(new java.util.ArrayList[Row](), schema), header, Seq.empty)
     }
     val allLabels = tables.flatMap(_.labels).toSet ++ nc.labels
     val propTypes = unifyProps(tables.map(_.propTypes))
@@ -739,15 +739,25 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       t.df.select(cols: _*)
     }
     var df = dfs.reduce(_.unionByName(_))
-    // Inline property equality filters ({k: v}).
-    if (nc.props.nonEmpty) {
+    // Inline property equality filters ({k: v}): only self-contained
+    // expressions (no variable references) can compile against the bare
+    // scan; props referencing outer scope ("{seg: s}" after WITH) are
+    // returned for the caller to apply once the scan is joined into ctx.
+    val (closed, deferred) = nc.props.partition { case (_, e) =>
+      !ExprOps.exists(e) { case Var(_) => true; case _ => false }
+    }
+    if (closed.nonEmpty) {
       val compiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
-      nc.props.foreach { case (k, e) =>
+      closed.foreach { case (k, e) =>
         df = df.filter(compiler.compile(Cmp("=", Prop(Var(v), k), e)))
       }
     }
-    (df, header)
+    (df, header, deferred.map { case (k, e) => Cmp("=", Prop(Var(v), k), e): Expr })
   }
+
+  /** Apply scan filters that needed outer-scope variables. */
+  private def applyDeferred(ctx: Ctx, deferred: Seq[Expr]): Ctx =
+    deferred.foldLeft(ctx)((c, e) => c.copy(df = c.df.filter(c.compiler.compile(e))))
 
   private def unifyProps(maps: Seq[Map[String, DataType]]): Map[String, DataType] = {
     val keys = maps.flatMap(_.keys).distinct
@@ -764,9 +774,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   }
 
   private def planNodeScanInto(ctx: Ctx, nc: NodeCons): Ctx = {
-    val (df, header) = nodeScanDf(nc)
-    if (ctx.isUnit) Ctx(df, header)
-    else Ctx(ctx.df.crossJoin(df), ctx.header ++ header)
+    val (df, header, deferred) = nodeScanDf(nc)
+    val joined =
+      if (ctx.isUnit) Ctx(df, header)
+      else Ctx(ctx.df.crossJoin(df), ctx.header ++ header)
+    applyDeferred(joined, deferred)
   }
 
   // ------------------------------------------------------------- rel scans
@@ -850,21 +862,25 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         df = df.filter(
           col(ctx.header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
       } else {
-        val (nodeDf, nodeHeader) = nodeScanDf(nodes(e.tgt))
+        val (nodeDf, nodeHeader, defTgt) = nodeScanDf(nodes(e.tgt))
         df = df.join(nodeDf,
           col(relHeader.col(tgtSideSlot)) === col(nodeHeader.col(IdSlot(e.tgt))))
         header = header ++ nodeHeader
         bound += e.tgt
+        val c2 = applyDeferred(Ctx(df, header), defTgt)
+        df = c2.df; header = c2.header
       }
     } else {
       // Only tgt bound: anchor from the target side.
       df = df.join(relDf,
         col(ctx.header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
-      val (nodeDf, nodeHeader) = nodeScanDf(nodes(e.src))
+      val (nodeDf, nodeHeader, defSrc) = nodeScanDf(nodes(e.src))
       df = df.join(nodeDf,
         col(relHeader.col(srcSideSlot)) === col(nodeHeader.col(IdSlot(e.src))))
       header = header ++ nodeHeader
       bound += e.src
+      val c2 = applyDeferred(Ctx(df, header), defSrc)
+      df = c2.df; header = c2.header
     }
     Ctx(df, header)
   }
@@ -951,10 +967,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     if (bound(otherVar)) {
       df = df.filter(col(ctx0.header.col(IdSlot(otherVar))) === col(otherCol))
     } else {
-      val (nodeDf, nodeHeader) = nodeScanDf(nodes(otherVar))
+      val (nodeDf, nodeHeader, defOther) = nodeScanDf(nodes(otherVar))
       df = df.join(nodeDf, col(otherCol) === col(nodeHeader.col(IdSlot(otherVar))))
       header = header ++ nodeHeader
       bound += otherVar
+      val c2 = applyDeferred(Ctx(df, header), defOther)
+      df = c2.df; header = c2.header
     }
     Ctx(df.drop(pfrom, pto), header)
   }

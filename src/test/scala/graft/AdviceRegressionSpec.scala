@@ -97,6 +97,14 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(r === Seq(Seq("box", "alice"), Seq("box", "bob"), Seq("box", "carol")))
   }
 
+  // --- inline props referencing outer-scope variables ---
+  test("pattern property map can reference a variable projected by WITH") {
+    val r = rows(
+      """MATCH (p {name: 'alice'}) WITH p.name AS nm
+        |MATCH (q:Person {name: nm}) RETURN q.name AS qn""".stripMargin)
+    assert(r === Seq(Seq("alice")))
+  }
+
   // --- low: LSH near-dup pairs must use the data's true dimensionality ---
   test("cosineNearDupPairs probes embedding dim from the data") {
     // 8-dim vectors (<< the old hardcoded 64): two near-identical, one far.
