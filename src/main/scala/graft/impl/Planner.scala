@@ -783,7 +783,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   // ------------------------------------------------------------- rel scans
   private def relScanDf(v: String, types: Seq[String],
-      props: Seq[(String, Expr)], undirected: Boolean): (DataFrame, RecordHeader) = {
+      props: Seq[(String, Expr)], undirected: Boolean)
+      : (DataFrame, RecordHeader, Seq[Expr]) = {
     val tables = graph.relScansFor(types)
     val propTypes = unifyProps(tables.map(_.propTypes))
     var header = RecordHeader.empty
@@ -796,7 +797,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         StructField(header.col(SrcSlot(v)), LongType),
         StructField(header.col(TgtSlot(v)), LongType),
         StructField(header.col(TypeSlot(v)), StringType)))
-      return (spark.createDataFrame(new java.util.ArrayList[Row](), schema), header)
+      return (spark.createDataFrame(new java.util.ArrayList[Row](), schema), header, Seq.empty)
     }
     val dfs = tables.map { t =>
       val cols = Seq(
@@ -825,13 +826,18 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         .select(df.columns.map(col): _*)
       df = df.unionByName(reversed)
     }
-    if (props.nonEmpty) {
+    // Same closed/deferred split as nodeScanDf: var-free props filter the
+    // scan here; outer-scope ones come back for the caller.
+    val (closed, deferred) = props.partition { case (_, e) =>
+      !ExprOps.exists(e) { case Var(_) => true; case _ => false }
+    }
+    if (closed.nonEmpty) {
       val compiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
-      props.foreach { case (k, e) =>
+      closed.foreach { case (k, e) =>
         df = df.filter(compiler.compile(Cmp("=", Prop(Var(v), k), e)))
       }
     }
-    (df, header)
+    (df, header, deferred.map { case (k, e) => Cmp("=", Prop(Var(v), k), e): Expr })
   }
 
   // --------------------------------------------------------------- expand
@@ -846,7 +852,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     if (e.varLength.isDefined) return planVarLengthEdge(ctx, e, nodes, bound)
 
     val undirected = e.dir == BOTH
-    val (relDf, relHeader) = relScanDf(e.v, e.types, e.props, undirected)
+    val (relDf, relHeader, relDeferred) = relScanDf(e.v, e.types, e.props, undirected)
     // Orientation: for OUT src joins _src; for IN src joins _tgt.
     val (srcSideSlot, tgtSideSlot) =
       if (e.dir == IN) (TgtSlot(e.v), SrcSlot(e.v))
@@ -882,7 +888,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val c2 = applyDeferred(Ctx(df, header), defSrc)
       df = c2.df; header = c2.header
     }
-    Ctx(df, header)
+    applyDeferred(Ctx(df, header), relDeferred)
   }
 
   /** Bounded var-length expand as unrolled joins with edge-isomorphism
@@ -895,7 +901,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     require(hi >= lo && hi <= 30, s"var-length bounds out of range: $lo..$hi")
     val undirected = e.dir == BOTH
     val rv = freshVar()
-    val (relDf0, relHeader0) = relScanDf(rv, e.types, e.props, undirected)
+    val (relDf0, relHeader0, vlDeferred) = relScanDf(rv, e.types, e.props, undirected)
+    require(vlDeferred.isEmpty,
+      "var-length relationship properties cannot reference outer variables")
     val s0 = relHeader0.col(SrcSlot(rv))
     val t0 = relHeader0.col(TgtSlot(rv))
     val i0 = relHeader0.col(IdSlot(rv))
