@@ -34,6 +34,13 @@ object ExprCompiler {
     }
   }
 
+  /** Total-microseconds estimate of a (months, days, micros) duration
+    * struct for ordering: months at their Gregorian average length
+    * (365.2425 / 12 days), Neo4j's duration comparison rule. */
+  def durationTotalMicros(c: Column): Column =
+    c.getField("months") * 2629746000000L +
+      c.getField("days") * 86400000000L + c.getField("micros")
+
   /** Cypher-compatible date strings (TemporalTests.scala:207-227):
     * calendar (2010-10-10, 20101010, 2010-12, 201012, 2010), ISO week
     * (2015-W30-2, 2015W302, 2015-W30), quarter (2015-Q2-60, 2015Q2),
@@ -565,6 +572,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           avg(a0.getField("days")).cast(LongType).as("days"),
           avg(a0.getField("micros")).cast(LongType).as("micros"))
       case "avg" => avg(a0)
+      case "min" if isDuration(args(0)) =>
+        min_by(a0, ExprCompiler.durationTotalMicros(a0))
+      case "max" if isDuration(args(0)) =>
+        max_by(a0, ExprCompiler.durationTotalMicros(a0))
       case "min" => min(a0)
       case "max" => max(a0)
       case "collect" => if (distinct) collect_set(a0) else collect_list(a0)

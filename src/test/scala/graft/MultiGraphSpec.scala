@@ -245,6 +245,13 @@ class MultiGraphSpec extends SparkTestBase {
     val neg = session.cypher(g, "RETURN duration('-PT30M') AS d")
       .collect().head.getStruct(0)
     assert(neg.getLong(2) === -30 * 60L * 1000000L)
+    // Ordering compares total length (avg-month), not struct fields:
+    // 1 month (~30.44 days) < 31 days even though months-field is larger.
+    val ord = session.cypher(g,
+      "UNWIND [duration({days: 31}), duration({months: 1})] AS d " +
+        "RETURN min(d) AS mn, max(d) AS mx").collect().head
+    assert(ord.getStruct(0).getLong(0) === 1L) // min is the 1-month value
+    assert(ord.getStruct(1).getLong(1) === 31L) // max is the 31-day value
   }
 
   test("WITH after aggregation supports pattern-predicate WHERE") {
