@@ -41,7 +41,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(12) match {
+      rnd.nextInt(14) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -143,6 +143,21 @@ class DifferentialSpec extends SparkTestBase {
             s"SELECT c_custkey AS ck FROM d_customer WHERE c_acctbal > $thr " +
               "UNION ALL SELECT NULL AS ck WHERE NOT EXISTS " +
               s"(SELECT 1 FROM d_customer WHERE c_acctbal > $thr)")
+        case 12 => // temporal predicate on order dates
+          val y = 1995 + rnd.nextInt(6)
+          val m = 1 + rnd.nextInt(12)
+          Pair(
+            s"MATCH (o:Order) WHERE o.o_orderdate >= " +
+              f"localdatetime('$y-$m%02d-01 00:00:00') " +
+              "RETURN count(*) AS n",
+            f"SELECT count(*) AS n FROM d_orders WHERE o_orderdate >= " +
+              f"TIMESTAMP '$y-$m%02d-01 00:00:00'")
+        case 13 => // list quantifier over a per-row constructed list
+          val t = rnd.nextInt(150000)
+          Pair(
+            s"MATCH (o:Order) WHERE any(x IN [o.o_totalprice] WHERE x > $t) " +
+              "RETURN count(*) AS n",
+            s"SELECT count(*) AS n FROM d_orders WHERE o_totalprice > $t")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
