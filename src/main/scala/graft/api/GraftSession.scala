@@ -78,10 +78,14 @@ class GraftSession(val spark: SparkSession) {
           s"view $name expects ${params.size} graph arguments, got ${args.size}")
         val bound = args.map(resolveGraphRef)
         var text = body
-        val temps = params.zip(bound).map { case (p, g) =>
+        // Bind longest parameter names first and replace on a word boundary
+        // so $a never clobbers the prefix of $ab.
+        val temps = params.zip(bound).sortBy(-_._1.length).map { case (p, g) =>
           val tmp = s"__viewarg_${viewArgCounter.incrementAndGet()}"
           catalog.put(tmp, g)
-          text = text.replace("$" + p, tmp)
+          text = text.replaceAll(
+            java.util.regex.Pattern.quote("$" + p) + "\\b",
+            java.util.regex.Matcher.quoteReplacement(tmp))
           tmp
         }
         try cypherGraph(PropertyGraph(Seq.empty), text)
@@ -232,6 +236,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,12 +18,19 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
-    * read nanos as long and convert to microsecond timestamps. */
+    * read nanos as long and convert to microsecond timestamps. The
+    * nanosAsLong conf is set by every graft session builder; setting it here
+    * too keeps the reader usable from a bare session (idempotent, no-op). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
   }
+
+  /** Schema of the events.props JSON column. Parsed once per row with
+    * from_json (single parse + codegen'd struct access) rather than
+    * get_json_object (per-access JSON-path engine re-parse). */
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup ---
@@ -120,7 +127,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))),
     "q_events_json" -> ((s, dir) =>
       events(s, dir).select(
-          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          from_json(col("props"), propsSchema).getField("k").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))))
 
   val oracleSql: Map[String, String] = Map(
