@@ -218,7 +218,104 @@ object SparkEntry {
     // --- collect aggregator (size-projected: list results break the driver compare) ---
     ("q_collect_size",
       "MATCH (n:Nation) RETURN n.n_regionkey AS rk, size(collect(n.n_name)) AS c",
-      Some("SELECT n_regionkey AS rk, CAST(count(n_name) AS BIGINT) AS c FROM nation GROUP BY 1")))
+      Some("SELECT n_regionkey AS rk, CAST(count(n_name) AS BIGINT) AS c FROM nation GROUP BY 1")),
+    // --- duration aggregates (sum/avg/min/max over (months,days,micros)
+    //     structs; projected to fields so DuckDB can replay as arithmetic.
+    //     min/max order by total length (avg-month rule); days<8 and
+    //     minutes<60 make the decomposition of a total unique, so arg_min
+    //     over the total is deterministic in the oracle too. ---
+    ("q_duration_agg",
+      "MATCH (l:LineItem) WITH duration({days: l.l_linenumber, minutes: l.l_partkey % 60}) AS d " +
+        "WITH sum(d) AS s, avg(d) AS a, min(d) AS mn, max(d) AS mx " +
+        "RETURN s.days AS sum_days, s.micros AS sum_micros, a.days AS avg_days, " +
+        "mn.days AS min_days, mn.micros AS min_micros, mx.days AS max_days, mx.micros AS max_micros",
+      Some("""SELECT CAST(sum(l_linenumber) AS BIGINT) AS sum_days,
+           CAST(sum((l_partkey % 60) * 60000000) AS BIGINT) AS sum_micros,
+           CAST(trunc(avg(l_linenumber)) AS BIGINT) AS avg_days,
+           CAST(arg_min(l_linenumber, l_linenumber * 86400000000 + (l_partkey % 60) * 60000000) AS BIGINT) AS min_days,
+           CAST(arg_min((l_partkey % 60) * 60000000, l_linenumber * 86400000000 + (l_partkey % 60) * 60000000) AS BIGINT) AS min_micros,
+           CAST(arg_max(l_linenumber, l_linenumber * 86400000000 + (l_partkey % 60) * 60000000) AS BIGINT) AS max_days,
+           CAST(arg_max((l_partkey % 60) * 60000000, l_linenumber * 86400000000 + (l_partkey % 60) * 60000000) AS BIGINT) AS max_micros
+         FROM lineitem""")),
+    // --- path value: length / nodes / relationships on a named path ---
+    ("q_path_funcs",
+      "MATCH p = (c:Customer)-[:PLACED]->(o:Order)-[:HAS_ITEM]->(l:LineItem) " +
+        "RETURN length(p) AS len, size(nodes(p)) AS nn, size(relationships(p)) AS nr, count(*) AS cnt",
+      Some("SELECT CAST(2 AS BIGINT) AS len, CAST(3 AS BIGINT) AS nn, CAST(2 AS BIGINT) AS nr, count(*) AS cnt FROM lineitem")),
+    ("q_path_varlen",
+      "MATCH p = (n:Nation)-[:IN_REGION*0..1]->(x) RETURN length(p) AS len, count(*) AS n",
+      Some("""SELECT CAST(0 AS BIGINT) AS len, count(*) AS n FROM nation
+         UNION ALL
+         SELECT CAST(1 AS BIGINT) AS len, count(*) AS n FROM nation JOIN region ON r_regionkey = n_regionkey""")),
+    // --- CALL procedure with YIELD + post-aggregation: whole-graph degree
+    //     distribution (ids drop out, so the tagged id space is irrelevant
+    //     to the oracle, which rebuilds the edge multiset in SQL) ---
+    ("q_call_degrees",
+      "CALL degrees() YIELD degree RETURN degree, count(*) AS n",
+      Some("""WITH li AS (SELECT row_number() OVER () AS lid, l_orderkey, l_partkey, l_suppkey FROM lineitem),
+         edges AS (
+           SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src, 'r' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+           UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+           UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR), 'o' || CAST(o_orderkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'o' || CAST(l_orderkey AS VARCHAR), 'l' || CAST(lid AS VARCHAR) FROM li
+           UNION ALL SELECT 'l' || CAST(lid AS VARCHAR), 'p' || CAST(l_partkey AS VARCHAR) FROM li
+           UNION ALL SELECT 'l' || CAST(lid AS VARCHAR), 's' || CAST(l_suppkey AS VARCHAR) FROM li),
+         outs AS (SELECT src AS id, count(*) AS od FROM edges GROUP BY 1),
+         ins AS (SELECT dst AS id, count(*) AS idg FROM edges GROUP BY 1),
+         deg AS (SELECT coalesce(od, 0) + coalesce(idg, 0) AS degree
+                 FROM outs FULL OUTER JOIN ins ON outs.id = ins.id)
+         SELECT degree, count(*) AS n FROM deg GROUP BY 1""")))
+
+  /** Multi-step entries that exercise the graph-returning surface
+    * (CONSTRUCT, CONSTRUCT ON, graph union, FROM GRAPH + catalog): each
+    * builds/derives a graph through the session API, then projects it back
+    * to a table the DuckDB oracle can replay relationally. */
+  private val graphQueries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    // CONSTRUCT cloning matched nodes + a NEW relationship per match row.
+    ("q_construct_clone", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      val built = session.cypherGraph(TpchGraph(s, dir),
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) CONSTRUCT NEW (c)-[:LIVES_IN]->(n) RETURN GRAPH")
+      session.cypher(built,
+        "MATCH (p:Customer)-[:LIVES_IN]->(n:Nation) RETURN p.c_custkey AS ck, n.n_name AS nation")
+    }, Some("SELECT c_custkey AS ck, n_name AS nation FROM customer JOIN nation ON n_nationkey = c_nationkey")),
+    // CONSTRUCT creating fresh nodes with evaluated properties.
+    ("q_construct_new", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      val built = session.cypherGraph(TpchGraph(s, dir),
+        "MATCH (o:Order) CONSTRUCT NEW (:Receipt {ok: o.o_orderkey, gross: o.o_totalprice * 1.1}) RETURN GRAPH")
+      session.cypher(built,
+        "MATCH (r:Receipt) RETURN r.ok AS ok, round(r.gross, 4) AS gross")
+    }, Some("SELECT o_orderkey AS ok, round(o_totalprice * 1.1, 4) AS gross FROM orders")),
+    // CONSTRUCT ON: merge new elements into a catalog base graph, then
+    // traverse base rels and new rels in one pattern.
+    ("q_construct_on", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      val g = TpchGraph(s, dir)
+      session.store("construct_base", g)
+      val built = session.cypherGraph(g,
+        "MATCH (r:Region) CONSTRUCT ON construct_base NEW (r)-[:TAGGED]->(:Tag {of: r.r_name}) RETURN GRAPH")
+      session.cypher(built,
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region)-[:TAGGED]->(t:Tag) RETURN n.n_name AS nation, t.of AS tag")
+    }, Some("SELECT n_name AS nation, r_name AS tag FROM nation JOIN region ON r_regionkey = n_regionkey")),
+    // GraphUnionAll: retagged union of a graph with itself — every name
+    // appears twice, rels stay within their own copy.
+    ("q_graph_union", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      val g = TpchGraph(s, dir)
+      session.cypher(g.unionAll(g),
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN r.r_name AS rn, count(*) AS n")
+    }, Some("""SELECT r_name AS rn, count(*) AS n
+         FROM (SELECT n_regionkey FROM nation UNION ALL SELECT n_regionkey FROM nation) nn
+         JOIN region ON r_regionkey = nn.n_regionkey GROUP BY 1""")),
+    // FROM GRAPH: switch the ambient graph to a session-catalog entry.
+    ("q_from_graph", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      session.store("tpch_cat", TpchGraph(s, dir))
+      session.cypher(graft.graph.PropertyGraph(Seq.empty),
+        "FROM GRAPH session.tpch_cat MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN n.n_name AS nation, count(*) AS n")
+    }, Some("SELECT n_name AS nation, count(*) AS n FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1")))
 
   private def cy(q: String): (SparkSession, String) => DataFrame =
     (s, dir) => GraftSession(s).cypher(TpchGraph(s, dir), q)
@@ -236,11 +333,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cypherQueries.map { case (name, q, _) => name -> cy(q) }.toMap ++
+      graphQueries.map { case (name, fn, _) => name -> fn }.toMap ++
       graft.pipeline.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     cypherQueries.flatMap { case (name, _, sql) => sql.map(name -> _) }.toMap ++
+      graphQueries.flatMap { case (name, _, sql) => sql.map(name -> _) }.toMap ++
       graft.pipeline.PipelineQueries.oracleSql
 }

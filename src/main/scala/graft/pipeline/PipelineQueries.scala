@@ -32,6 +32,55 @@ object PipelineQueries {
     * get_json_object (per-access JSON-path engine re-parse). */
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
+  /** Exact near-duplicate ground truth the DuckDB oracle can rebuild
+    * cheaply: pairs sharing a 64-char normalized prefix (the synthetic
+    * near-dups are suffix mutations, so prefix blocking is a complete and
+    * O(n) candidate generator for them) verified by exact character-5-gram
+    * Jaccard >= `threshold`. Columns (id1, id2, j). */
+  private def trueNearDupPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val sh = d.select(col("doc_id"), substring(norm, 1, 64).as("_pre"),
+      Dedup.shingles(col("text"), 5).as("_gs"))
+    val a = sh.select(col("doc_id").as("id1"), col("_pre").as("_p1"),
+      col("_gs").as("_g1"))
+    val b = sh.select(col("doc_id").as("id2"), col("_pre").as("_p2"),
+      col("_gs").as("_g2"))
+    val inter = size(array_intersect(col("_g1"), col("_g2"))).cast(DoubleType)
+    val j = inter / (size(col("_g1")) + size(col("_g2")) - inter)
+    a.join(b, col("_p1") === col("_p2") && col("id1") < col("id2"))
+      .withColumn("j", round(j, 4))
+      .filter(col("j") >= threshold)
+      .select(col("id1"), col("id2"), col("j"))
+  }
+
+  /** Summary row for an ANN result vs the exact top-k: (k, top1_ok,
+    * overlap >= 8). The oracle replays `k` (brute force in SQL) and pins the
+    * two flags to TRUE. The exact top-k is tiny — both joins broadcast. */
+  private def annRecallSummary(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("vec_id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine").desc, col("vec_id"))).as("_rk"))
+    val hit = e.join(approx, Seq("vec_id"), "left_semi")
+    e.agg(count(lit(1)).as("k")).crossJoin(
+        hit.agg(count(lit(1)).as("_c"),
+          coalesce(min(col("_rk")), lit(99L)).as("_best")))
+      .select(col("k"), (col("_best") === 1).as("top1_ok"),
+        (col("_c") >= 8).as("ok"))
+  }
+
+  /** DuckDB replay of [[trueNearDupPairs]] (same normalization, same
+    * prefix blocking, same 5-gram Jaccard). */
+  private def trueNearDupSql(threshold: Double): String =
+    s"""WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS s FROM documents),
+       sh AS (SELECT doc_id, substr(s, 1, 64) AS pre,
+              list_distinct(list_transform(range(0, greatest(length(s)-5, 0)+1), i -> substr(s, i+1, 5))) AS gs FROM t)
+       SELECT a.doc_id AS id1, b.doc_id AS id2,
+         round(len(list_intersect(a.gs, b.gs))::DOUBLE /
+           (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4) AS j
+       FROM sh a JOIN sh b ON a.pre = b.pre AND a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+         (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= $threshold"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup ---
     "q_dedup_exact" -> ((s, dir) =>
@@ -47,11 +96,31 @@ object PipelineQueries {
         .select(col("id1"), col("id2"))
       Dedup.canonicalize(d, pairs)
     }),
-    "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)),
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+    // MinHash LSH with a hard recall gate: the output is the LSH candidate
+    // pairs intersected with the exact ground truth (prefix-blocked 5-gram
+    // Jaccard >= 0.7) — it hash-matches the oracle's exact pair set iff LSH
+    // recall is 1.0 on it. Seeded hashes make this deterministic.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lsh = Dedup.minhashLsh(d, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)
+      trueNearDupPairs(d, 0.7)
+        .join(lsh.select(col("id1"), col("id2")), Seq("id1", "id2"), "left_semi")
+    }),
+    // SimHash recall gate: hamming <= 3 is a narrower net than minhash
+    // banding, so the gate is a summary row — ground-truth pair count
+    // (oracle-computable) plus a recall >= 0.6 flag (seeded-deterministic).
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val t = trueNearDupPairs(d, 0.7).select(col("id1"), col("id2"))
+      val caught = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+        .select(col("id1"), col("id2"))
+      t.agg(count(lit(1)).as("n_true")).crossJoin(
+          t.join(caught, Seq("id1", "id2"), "left_semi")
+            .agg(count(lit(1)).as("_c")))
+        .select(col("n_true"),
+          (col("_c") >= col("n_true").cast(DoubleType) * 0.6).as("ok"))
+    }),
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
         docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text", 0.8)
@@ -60,9 +129,22 @@ object PipelineQueries {
       Similarity.cosinePairsExact(
           embs(s, dir).filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
         .withColumn("cosine", round(col("cosine"), 4))),
-    "q_dedup_embedding_lsh" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.35)
-        .withColumn("cosine", round(col("cosine"), 4))),
+    // Embedding-LSH recall gate: ground truth = exact cosine pairs on the
+    // vec_id < 200 subset (the oracle already replays that in SQL); the
+    // summary row asserts LSH recall >= 0.8 on it (seeded-deterministic).
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val t = Similarity.cosinePairsExact(
+          embs(s, dir).filter(col("vec_id") < 200), "vec_id", "embedding", 0.35)
+        .select(col("id1"), col("id2"))
+      val caught = Similarity.cosineNearDupPairs(
+          embs(s, dir), "vec_id", "embedding", 0.35)
+        .select(col("id1"), col("id2"))
+      t.agg(count(lit(1)).as("n_true")).crossJoin(
+          t.join(caught, Seq("id1", "id2"), "left_semi")
+            .agg(count(lit(1)).as("_c")))
+        .select(col("n_true"),
+          (col("_c") >= col("n_true").cast(DoubleType) * 0.8).as("ok"))
+    }),
     // --- similarity search ---
     "q_sim_bruteforce" -> ((s, dir) => {
       val q = embs(s, dir).filter(col("vec_id") === 0)
@@ -71,24 +153,30 @@ object PipelineQueries {
           embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
         .withColumn("cosine", round(col("cosine"), 4))
     }),
+    // ANN recall gates: exact top-10 (brute force, oracle-replayable) vs
+    // the approximate search — the summary row asserts >= 8/10 overlap and
+    // that the true nearest neighbor is found (seeded-deterministic).
     "q_sim_lsh" -> ((s, dir) => {
-      val q = embs(s, dir).filter(col("vec_id") === 0)
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0),
-          "vec_id", "embedding", q, 10, bits = 16, probeHamming = 4)
-        .withColumn("cosine", round(col("cosine"), 4))
+      val rest = e.filter(col("vec_id") =!= 0)
+      val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      val approx = Similarity.lshTopK(rest, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"))
+      annRecallSummary(exact, approx)
     }),
     "q_sim_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val rest = e.filter(col("vec_id") =!= 0)
       // The IVF index is built once per dataset and reused across queries
       // (that is the point of an index); cache it like the graph itself.
       val idx = ivfCache.getOrElseUpdate(dir,
-        Similarity.buildIvf(e.filter(col("vec_id") =!= 0), "vec_id",
-          "embedding", nCells = 8))
-      idx.search(q, 10, nProbe = 3)
-        .withColumn("cosine", round(col("cosine"), 4))
+        Similarity.buildIvf(rest, "vec_id", "embedding", nCells = 8))
+      val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      annRecallSummary(exact, idx.search(q, 10, nProbe = 4).select(col("vec_id")))
     }),
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) =>
@@ -133,6 +221,32 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_dedup_minhash" -> trueNearDupSql(0.7),
+    "q_dedup_simhash" ->
+      s"SELECT count(*) AS n_true, TRUE AS ok FROM (${trueNearDupSql(0.7)}) t",
+    "q_dedup_embedding_lsh" ->
+      """SELECT count(*) AS n_true, TRUE AS ok FROM (
+           SELECT 1 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE a.vec_id < 200 AND b.vec_id < 200
+             AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35) t""",
+    "q_sim_lsh" ->
+      """SELECT count(*) AS k, TRUE AS top1_ok, TRUE AS ok FROM (
+           SELECT e.vec_id FROM embeddings e WHERE e.vec_id <> 0
+           ORDER BY (SELECT list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+             FROM embeddings q WHERE q.vec_id = 0) DESC, e.vec_id
+           LIMIT 10) t""",
+    "q_sim_ivf" ->
+      """SELECT count(*) AS k, TRUE AS top1_ok, TRUE AS ok FROM (
+           SELECT e.vec_id FROM embeddings e WHERE e.vec_id <> 0
+           ORDER BY (SELECT list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+             FROM embeddings q WHERE q.vec_id = 0) DESC, e.vec_id
+           LIMIT 10) t""",
     "q_dedup_canonical" ->
       "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical FROM documents",
     "q_dedup_jaccard" ->

@@ -5,12 +5,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor / similarity search over embedding columns
-  * (`Array[Float]`), expressed with Spark higher-order functions so the dot
-  * products run inside codegen without UDFs.
+  * (`Array[Float]`).
+  *
+  * The LSH family is signed-random-hyperplane (SimHash for vectors) with
+  * multiple independent bands: a pair/query-point is a candidate when it
+  * agrees with the target on ALL bits of at least one band. Recall at
+  * similarity s is 1 - (1 - p^b)^L with p = 1 - acos(s)/pi, b = bitsPerBand,
+  * L = bands — the classic OR-of-ANDs construction. Defaults (L=64, b=6)
+  * target >= 0.95 recall down to cosine ~0.35 on the synthetic embeddings;
+  * at billions of rows raise bitsPerBand (bucket count 2^b must exceed
+  * n/bucket-size) and retune L for the same recall.
+  *
+  * Signature computation is explode + codegen'd sum aggregates (one shuffle,
+  * no interpreted higher-order functions in the per-element hot path — the
+  * same shape as Dedup.minhashSignatures and for the same 100-TB reason).
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate, computed in double. */
+  /** dot(a, b) via zip_with + aggregate, computed in double. Fine for
+    * per-row verification against a handful of candidates; the bulk
+    * signature path below deliberately avoids this interpreted form. */
   def dot(a: Column, b: Column): Column =
     F.aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
@@ -30,39 +44,82 @@ object Similarity {
       .limit(k)
   }
 
-  /** Signed random hyperplane signature (SimHash-for-vectors): bit i is the
-    * sign of dot(vec, plane_i). Planes are generated deterministically from
-    * the seed driver-side and shipped as literals. */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+  /** The hyperplane matrix for (bands * bitsPerBand) planes — deterministic
+    * from the seed so driver-side query hashing and executor-side row
+    * hashing agree. */
+  private def planes(dim: Int, bands: Int, bitsPerBand: Int,
+      seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p.toSeq)) > 0,
-        shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    Array.fill(bands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH-bucketed ANN top-k: probe only vectors whose hyperplane signature
-    * is within `probeHamming` of the query's, then rank by exact cosine.
-    * At 100 TB this turns a full scan into a bucketed lookup; recall is
-    * tuned via bits/probeHamming.
-    */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, bits: Int = 16, seed: Long = 42L,
-      probeHamming: Int = 2): DataFrame = {
-    val dim = query.length
-    val sigCol = hyperplaneSignature(col(vecCol), dim, bits, seed)
-    // Query signature computed with the same planes on a literal vector.
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    var qSig = 0L
-    planes.zipWithIndex.foreach { case (p, i) =>
-      val d = p.zip(query).map { case (a, b) => a * b }.sum
-      if (d > 0) qSig |= (1L << i)
+  /** Band keys for every row in ONE explode + aggregate pass: explode the
+    * vector to (id, pos, x) rows, compute all plane dot products as
+    * codegen'd `sum(x * plane[pos])` aggregates, then assemble each band's
+    * sign bits into a long key with the band index in the high bits (so
+    * keys from different bands never collide and the candidate join needs
+    * only one equality). Output: (_lsh_id, _lsh_keys array<long>). */
+  private def bandKeyFrame(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int, seed: Long, dim: Int): DataFrame = {
+    val pl = planes(dim, bands, bitsPerBand, seed)
+    val nb = bands * bitsPerBand
+    val spark = df.sparkSession
+    val exploded = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("_lsh_id"), posexplode(col(vecCol)))
+      .select(col("_lsh_id"), col("pos"),
+        col("col").cast(DoubleType).as("_x"))
+    val aggs = (0 until nb).map { b =>
+      sum(col("_x") * element_at(typedLit(pl(b).toSeq), col("pos") + 1))
+        .as(s"_d$b")
     }
-    df.select(col(idCol), col(vecCol), sigCol.as("_sig"))
-      .filter(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+    val dots = exploded.groupBy(col("_lsh_id")).agg(aggs.head, aggs.tail: _*)
+    val keys = (0 until bands).map { j =>
+      (0 until bitsPerBand).map { i =>
+        when(col(s"_d${j * bitsPerBand + i}") > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+        .bitwiseOR(lit(j.toLong << bitsPerBand)).as(s"_k$j")
+    }
+    dots.select(col("_lsh_id"), array(keys: _*).as("_lsh_keys"))
+  }
+
+  /** Driver-side band keys of a literal query vector with the same planes. */
+  private def queryBandKeys(query: Seq[Double], bands: Int, bitsPerBand: Int,
+      seed: Long): Seq[Long] = {
+    val pl = planes(query.length, bands, bitsPerBand, seed)
+    (0 until bands).map { j =>
+      (0 until bitsPerBand).foldLeft(j.toLong << bitsPerBand) { (acc, i) =>
+        val d = pl(j * bitsPerBand + i).zip(query)
+          .map { case (a, b) => a * b }.sum
+        if (d > 0) acc | (1L << i) else acc
+      }
+    }
+  }
+
+  /** Embedding dimensionality: caller-supplied, else probed from the first
+    * non-empty row (one cheap driver job). A wrong dim degrades the LSH
+    * silently — shorter vectors hash to one bucket, longer ones hash only
+    * a prefix. */
+  private def probeDim(df: DataFrame, vecCol: String, dim0: Option[Int]): Int =
+    dim0.getOrElse(
+      df.select(F.size(col(vecCol)).as("_d")).filter(col("_d") > 0)
+        .head(1).headOption.map(_.getInt(0)).getOrElse(1))
+
+  /** LSH-bucketed ANN top-k: candidates are rows sharing at least one band
+    * key with the query (arrays_overlap against a literal key set — no
+    * shuffle, pure scan-side filter), ranked by exact cosine. At 100 TB the
+    * band keys are precomputed and bucketed/partitioned, turning this into
+    * a bounded multi-bucket lookup instead of a full scan. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, bands: Int = 64, bitsPerBand: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val qKeys = queryBandKeys(query, bands, bitsPerBand, seed)
+    val cand = bandKeyFrame(df, idCol, vecCol, bands, bitsPerBand, seed, dim)
+      .filter(arrays_overlap(col("_lsh_keys"), typedLit(qKeys)))
+      .select(col("_lsh_id"))
+    df.join(cand, df(idCol) === cand("_lsh_id"), "left_semi")
       .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -79,14 +136,14 @@ object Similarity {
 
     def search(query: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
       val qArr = query.toArray
-      def cos(c: Array[Double]): Double = {
-        val dot = c.zip(qArr).map { case (a, b) => a * b }.sum
-        val n1 = math.sqrt(c.map(x => x * x).sum)
-        val n2 = math.sqrt(qArr.map(x => x * x).sum)
-        if (n1 == 0 || n2 == 0) -1 else dot / (n1 * n2)
-      }
+      // Rank probe cells by squared Euclidean distance — the SAME metric
+      // k-means assigned rows with. Ranking by cosine here would probe the
+      // wrong cells when centroid norms differ (they always do: a mean of
+      // unit vectors is inside the sphere).
+      def sqDist(c: Array[Double]): Double =
+        c.zip(qArr).map { case (a, b) => val d = a - b; d * d }.sum
       val probes = model.clusterCenters.zipWithIndex
-        .sortBy { case (c, _) => -cos(c.toArray) }
+        .sortBy { case (c, _) => sqDist(c.toArray) }
         .take(nProbe).map(_._2)
       assigned
         .filter(col("_ivf_cell").isin(probes.map(Integer.valueOf): _*))
@@ -124,31 +181,25 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
-  /** All-pairs cosine above a threshold via LSH signatures (embedding-based
-    * near-duplicate detection): bucket on signature bands, verify by exact
-    * cosine. */
+  /** All-pairs cosine above a threshold via banded LSH (embedding-based
+    * near-duplicate detection): one equality bucket-join on band keys, then
+    * exact-cosine verification — bucketed, never all-pairs. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 16, seed: Long = 42L,
-      dim0: Option[Int] = None): DataFrame = {
-    // Embedding dimensionality: caller-supplied, else probed from the first
-    // row (one cheap driver job). A wrong dim degrades the LSH silently —
-    // shorter vectors hash to one bucket, longer ones hash only a prefix.
-    val dim = dim0.getOrElse(
-      df.select(F.size(col(vecCol)).as("_d")).filter(col("_d") > 0)
-        .head(1).headOption.map(_.getInt(0)).getOrElse(1))
-    val sig = hyperplaneSignature(col(vecCol), dim, bits, seed)
-    val withSig = df.select(col(idCol).as("_cid"), col(vecCol).as("_cvec"),
-      sig.as("_csig")).persist()
-    // Band on two halves of the signature: pairs agreeing on either half.
-    val banded = withSig.select(col("_cid"), col("_cvec"),
-      posexplode(F.array(col("_csig").bitwiseAND(0xFF),
-        shiftrightunsigned(col("_csig"), 8).bitwiseAND(0xFF))))
-    val l = banded.select(col("pos").as("_b1"), col("col").as("_k1"),
-      col("_cid").as("id1"), col("_cvec").as("_v1"))
-    val r = banded.select(col("pos").as("_b2"), col("col").as("_k2"),
-      col("_cid").as("id2"), col("_cvec").as("_v2"))
-    l.join(r, col("_b1") === col("_b2") && col("_k1") === col("_k2") &&
-        col("id1") < col("id2"))
+      threshold: Double, bands: Int = 64, bitsPerBand: Int = 6,
+      seed: Long = 42L, dim0: Option[Int] = None): DataFrame = {
+    val dim = probeDim(df, vecCol, dim0)
+    val withKeys = df.select(col(idCol).as("_cid"), col(vecCol).as("_cvec"))
+      .join(bandKeyFrame(df, idCol, vecCol, bands, bitsPerBand, seed, dim),
+        col("_cid") === col("_lsh_id"))
+      .select(col("_cid"), col("_cvec"), col("_lsh_keys"))
+      .persist()
+    val banded = withKeys.select(col("_cid"), col("_cvec"),
+      explode(col("_lsh_keys")).as("_key"))
+    val l = banded.select(col("_key").as("_k1"), col("_cid").as("id1"),
+      col("_cvec").as("_v1"))
+    val r = banded.select(col("_key").as("_k2"), col("_cid").as("id2"),
+      col("_cvec").as("_v2"))
+    l.join(r, col("_k1") === col("_k2") && col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
       .withColumn("cosine", cosine(col("_v1"), col("_v2")))
       .filter(col("cosine") >= threshold)

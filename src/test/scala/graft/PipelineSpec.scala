@@ -73,10 +73,10 @@ class PipelineSpec extends SparkTestBase {
     val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", query, 10)
       .collect().map(_.getLong(0)).toSet
     val approx = Similarity.lshTopK(vecs, "vec_id", "embedding", query, 10,
-        bits = 12, probeHamming = 5)
+        bands = 48, bitsPerBand = 5)
       .collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    assert(recall >= 0.7, s"LSH recall too low: $recall")
   }
 
   test("IVF top-k recall tracks brute force") {
