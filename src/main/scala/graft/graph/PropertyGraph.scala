@@ -60,9 +60,15 @@ case class PropertyGraphSchema(
 case class NodeScanTable(labels: Set[String], df: DataFrame,
     propTypes: Map[String, DataType])
 
-/** Canonical rel scan: `_id`, `_src`, `_tgt`, `_type` + `p_<key>` columns. */
+/** Canonical rel scan: `_id`, `_src`, `_tgt`, `_type` + `p_<key>` columns.
+  * `srcLabels`/`tgtLabels` are the labels GUARANTEED for the endpoint id
+  * spaces (intersection over the node tables of that space) — the planner
+  * uses them to elide endpoint node-table joins whose label constraint the
+  * relationship schema already implies. */
 case class RelScanTable(relType: String, df: DataFrame,
-    propTypes: Map[String, DataType])
+    propTypes: Map[String, DataType],
+    srcLabels: Set[String] = Set.empty,
+    tgtLabels: Set[String] = Set.empty)
 
 object PropertyGraph {
   val ID = "_id"
@@ -129,6 +135,13 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
       d.properties.map { case (k, src) => k -> fields(src) })
   }
 
+  /** Labels guaranteed for every node of an id space: the intersection of
+    * the label sets of the node tables in that space. */
+  private lazy val spaceLabels: Map[String, Set[String]] =
+    nodeDefs.groupBy(_.idSpace).map { case (s, defs) =>
+      s -> defs.map(_.labels).reduce(_ intersect _)
+    }
+
   lazy val relTables: Seq[RelScanTable] = relDefs.map { d =>
     val fields = d.df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = Seq(
@@ -138,7 +151,9 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
       lit(d.relType).as(TYPE)) ++
       d.properties.toSeq.map { case (k, src) => col(src).as(propCol(k)) }
     RelScanTable(d.relType, d.df.select(cols: _*),
-      d.properties.map { case (k, src) => k -> fields(src) })
+      d.properties.map { case (k, src) => k -> fields(src) },
+      spaceLabels.getOrElse(d.srcSpace, Set.empty),
+      spaceLabels.getOrElse(d.tgtSpace, Set.empty))
   }
 
   /** Node tables whose label set contains every requested label. */

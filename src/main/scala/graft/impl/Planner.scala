@@ -48,6 +48,16 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private var anonCounter = 0
   private def freshVar(): String = { anonCounter += 1; s"_a$anonCounter" }
 
+  /** Inside a pattern-predicate subplan every node var is a candidate for
+    * endpoint elision (only shared ids escape the subplan); elsewhere only
+    * anonymous vars are. Saved/restored because subplans can nest. */
+  private var elideAllNodes = false
+  private def withElideAll[T](f: => T): T = {
+    val saved = elideAllNodes
+    elideAllNodes = true
+    try f finally elideAllNodes = saved
+  }
+
   case class Ctx(df: DataFrame, header: RecordHeader) {
     def compiler: ExprCompiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
     def isUnit: Boolean = header.slots.isEmpty && df.columns.isEmpty
@@ -286,7 +296,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           k -> cname
         }
     }
-    val mat = df.persist()
+    // Lazy localCheckpoint instead of persist: the node/rel tables of the
+    // constructed graph all derive from this frame, so it must materialize
+    // once — but a session running many CONSTRUCTs must not accumulate
+    // cached tables forever. Checkpoint blocks are freed by the
+    // ContextCleaner as soon as the constructed graph becomes unreachable;
+    // persist() entries would sit in the cache manager until evicted.
+    val mat = df.localCheckpoint(eager = false)
 
     val nodeDefs = nodes.toSeq.flatMap { case (v, nc) =>
       val cloned = ctx.header.contains(IdSlot(v))
@@ -590,7 +606,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     var ctx = ctx0
     val rewritten = ExprOps.transformUp(e) {
       case PatternPredicate(part, negated) =>
-        val sub = planMatch(unitCtx, Pattern(Seq(part)), None)
+        val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), None) }
         val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
           .filter(v => sub.header.contains(IdSlot(v)) &&
             ctx.header.contains(IdSlot(v)))
@@ -626,7 +642,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * (RelationalPlanner.scala:224-247). */
   private def planPatternPredicate(ctx: Ctx, part: PatternPart,
       negated: Boolean): Ctx = {
-    val sub = planMatch(unitCtx, Pattern(Seq(part)), None)
+    val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), None) }
     val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
       .filter(v => sub.header.contains(IdSlot(v)) && ctx.header.contains(IdSlot(v)))
     require(shared.nonEmpty, "pattern predicate must share a variable with the enclosing query")
@@ -841,11 +857,40 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   }
 
   // --------------------------------------------------------------- expand
+
+  /** True when the endpoint's node-table join can be skipped: its id can be
+    * bound straight off the relationship column because (a) the var is
+    * structurally unobservable beyond its id (anonymous, or inside a
+    * pattern-predicate subplan where only shared ids escape), (b) it has no
+    * inline property predicates, and (c) every matching rel table's endpoint
+    * space already guarantees the requested labels. Assumes referential
+    * integrity of rel endpoints (the property-graph contract; the reference
+    * makes the same assumption in its pattern scans,
+    * okapi-logical/.../impl/LogicalOptimizer.scala:67-134). Skipping the
+    * join matters at scale: an EXISTS over a fact-table rel otherwise pays
+    * a node-table join only to discard it. */
+  private def canElideEndpoint(nc: NodeCons, e: EdgeCons,
+      isPatternSrc: Boolean): Boolean =
+    (elideAllNodes || nc.v.startsWith("_a")) && nc.props.isEmpty &&
+      nc.copyOf.isEmpty && {
+        val tables = graph.relScansFor(e.types)
+        tables.nonEmpty && tables.forall { t =>
+          val implied =
+            if (e.dir == BOTH) t.srcLabels intersect t.tgtLabels
+            else if ((e.dir != IN) == isPatternSrc) t.srcLabels
+            else t.tgtLabels
+          nc.labels.toSet.subsetOf(implied)
+        }
+      }
+
   private def planEdge(ctx0: Ctx, e: EdgeCons, nodes: Map[String, NodeCons],
       bound: mutable.Set[String]): Ctx = {
     var ctx = ctx0
-    // Ensure an anchor endpoint is bound; scan the source if neither is.
-    if (!bound(e.src) && !bound(e.tgt)) {
+    val srcElide = !bound(e.src) && !bound(e.tgt) && e.varLength.isEmpty &&
+      canElideEndpoint(nodes(e.src), e, isPatternSrc = true)
+    // Ensure an anchor endpoint is bound; scan the source if neither is
+    // (unless the source can ride on the rel scan's endpoint column).
+    if (!bound(e.src) && !bound(e.tgt) && !srcElide) {
       ctx = planNodeScanInto(ctx, nodes(e.src))
       bound += e.src
     }
@@ -860,13 +905,21 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
     var df = ctx.df
     var header = ctx.header ++ relHeader
-    if (bound(e.src)) {
-      df = df.join(relDf,
-        col(ctx.header.col(IdSlot(e.src))) === col(relHeader.col(srcSideSlot)))
-      // Other endpoint.
+
+    // Bind an endpoint id straight off the rel column (elided node join).
+    def elideInto(v: String, sideSlot: Slot): Unit = {
+      header = header.withSlot(IdSlot(v))
+        .withVar(v, NodeKind(nodes(v).labels.toSet))
+      df = df.withColumn(header.col(IdSlot(v)), col(relHeader.col(sideSlot)))
+      bound += v
+    }
+
+    def bindTgt(): Unit = {
       if (bound(e.tgt)) {
         df = df.filter(
-          col(ctx.header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
+          col(header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
+      } else if (canElideEndpoint(nodes(e.tgt), e, isPatternSrc = false)) {
+        elideInto(e.tgt, tgtSideSlot)
       } else {
         val (nodeDf, nodeHeader, defTgt) = nodeScanDf(nodes(e.tgt))
         df = df.join(nodeDf,
@@ -876,17 +929,34 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         val c2 = applyDeferred(Ctx(df, header), defTgt)
         df = c2.df; header = c2.header
       }
+    }
+
+    if (srcElide) {
+      // Neither endpoint bound and the source is elidable: the rel scan
+      // itself is the driving table.
+      df = if (ctx.isUnit) relDf else ctx.df.crossJoin(relDf)
+      header = ctx.header ++ relHeader
+      elideInto(e.src, srcSideSlot)
+      bindTgt()
+    } else if (bound(e.src)) {
+      df = df.join(relDf,
+        col(ctx.header.col(IdSlot(e.src))) === col(relHeader.col(srcSideSlot)))
+      bindTgt()
     } else {
       // Only tgt bound: anchor from the target side.
       df = df.join(relDf,
         col(ctx.header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
-      val (nodeDf, nodeHeader, defSrc) = nodeScanDf(nodes(e.src))
-      df = df.join(nodeDf,
-        col(relHeader.col(srcSideSlot)) === col(nodeHeader.col(IdSlot(e.src))))
-      header = header ++ nodeHeader
-      bound += e.src
-      val c2 = applyDeferred(Ctx(df, header), defSrc)
-      df = c2.df; header = c2.header
+      if (canElideEndpoint(nodes(e.src), e, isPatternSrc = true)) {
+        elideInto(e.src, srcSideSlot)
+      } else {
+        val (nodeDf, nodeHeader, defSrc) = nodeScanDf(nodes(e.src))
+        df = df.join(nodeDf,
+          col(relHeader.col(srcSideSlot)) === col(nodeHeader.col(IdSlot(e.src))))
+        header = header ++ nodeHeader
+        bound += e.src
+        val c2 = applyDeferred(Ctx(df, header), defSrc)
+        df = c2.df; header = c2.header
+      }
     }
     applyDeferred(Ctx(df, header), relDeferred)
   }
@@ -911,12 +981,16 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // grows from the pattern's src toward its tgt; for IN the underlying
     // relationship is walked target->source.
     val (fromCol, toCol) = if (e.dir == IN) (t0, s0) else (s0, t0)
-    // The hop table is joined on _h_from once per unrolled hop; persisting
+    // The hop table is joined on _h_from once per unrolled hop; materializing
     // it pre-partitioned on that key means only the (smaller) growing
     // frontier shuffles each round — at 100 TB re-shuffling the edge table
-    // per hop would dominate the expand.
+    // per hop would dominate the expand. Lazy localCheckpoint rather than
+    // persist: blocks are GC-released with the query's DataFrame, so a
+    // long-lived session running many var-length queries does not
+    // accumulate cached hop tables (persist() entries would).
     val hop = relDf0.select(col(fromCol).as("_h_from"), col(toCol).as("_h_to"),
-      col(i0).as("_h_i")).repartition(col("_h_from")).persist()
+      col(i0).as("_h_i")).repartition(col("_h_from"))
+      .localCheckpoint(eager = false)
 
     val pfrom = "_vl_from_" + e.v
     val pto = "_vl_to_" + e.v

@@ -38,17 +38,41 @@ object PipelineQueries {
     * O(n) candidate generator for them) verified by exact character-5-gram
     * Jaccard >= `threshold`. Columns (id1, id2, j). */
   private def trueNearDupPairs(d: DataFrame, threshold: Double): DataFrame = {
+    val spark = d.sparkSession
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
-    val sh = d.select(col("doc_id"), substring(norm, 1, 64).as("_pre"),
-      Dedup.shingles(col("text"), 5).as("_gs"))
-    val a = sh.select(col("doc_id").as("id1"), col("_pre").as("_p1"),
-      col("_gs").as("_g1"))
-    val b = sh.select(col("doc_id").as("id2"), col("_pre").as("_p2"),
-      col("_gs").as("_g2"))
-    val inter = size(array_intersect(col("_g1"), col("_g2"))).cast(DoubleType)
-    val j = inter / (size(col("_g1")) + size(col("_g2")) - inter)
-    a.join(b, col("_p1") === col("_p2") && col("id1") < col("id2"))
-      .withColumn("j", round(j, 4))
+    val base = d
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), norm.as("_s"))
+    // Prefix-blocked candidate pairs (tiny) ...
+    val pre = base.select(col("doc_id"), substring(col("_s"), 1, 64).as("_pre"))
+    val cand = pre.select(col("doc_id").as("id1"), col("_pre"))
+      .join(pre.select(col("doc_id").as("id2"), col("_pre")), "_pre")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    // ... verified by exact 5-gram Jaccard computed relationally: distinct
+    // shingles as rows (codegen explode + substr — the interpreted
+    // transform/array_distinct HOF form measured 20x slower at sf0.1),
+    // intersection size via a pair/shingle join.
+    // Referenced three times below (sizes + both sides of the intersection
+    // join); lazy localCheckpoint materializes the explode+distinct once.
+    val sh = base
+      .select(col("doc_id"), col("_s"), explode(sequence(lit(0),
+        greatest(length(col("_s")) - 5, lit(0)))).as("_i"))
+      .select(col("doc_id"), col("_s").substr(col("_i") + 1, lit(5)).as("_sh"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("_n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id1"), col("_sh")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("_sh")), Seq("id2", "_sh"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("_int"))
+    cand
+      .join(inter, Seq("id1", "id2"), "left_outer")
+      .na.fill(0L, Seq("_int"))
+      .join(sizes.select(col("doc_id").as("id1"), col("_n").as("_n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("_n").as("_n2")), "id2")
+      .withColumn("j", round(col("_int").cast(DoubleType) /
+        (col("_n1") + col("_n2") - col("_int")), 4))
       .filter(col("j") >= threshold)
       .select(col("id1"), col("id2"), col("j"))
   }

@@ -53,35 +53,49 @@ object Similarity {
     Array.fill(bands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Band keys for every row in ONE explode + aggregate pass: explode the
-    * vector to (id, pos, x) rows, compute all plane dot products as
-    * codegen'd `sum(x * plane[pos])` aggregates, then assemble each band's
-    * sign bits into a long key with the band index in the high bits (so
-    * keys from different bands never collide and the candidate join needs
-    * only one equality). Output: (_lsh_id, _lsh_keys array<long>). */
+  /** Band keys for every row via a per-partition dense matrix multiply
+    * (mapPartitions): each vector is multiplied by the (bands*bitsPerBand x
+    * dim) plane matrix in tight primitive loops, signs assembled into one
+    * long key per band with the band index in the high bits (so keys from
+    * different bands never collide and the candidate join needs only one
+    * equality). A Column formulation needs hundreds of aggregate columns,
+    * which exceeds spark.sql.codegen.maxFields and silently drops to
+    * interpreted evaluation (~20x slower measured) — dense linear algebra
+    * is the documented mapPartitions exception (SURVEY custom-operator
+    * preference (d)). Embarrassingly parallel, no shuffle. Output:
+    * (_lsh_id, _lsh_keys array<long>). */
   private def bandKeyFrame(df: DataFrame, idCol: String, vecCol: String,
       bands: Int, bitsPerBand: Int, seed: Long, dim: Int): DataFrame = {
     val pl = planes(dim, bands, bitsPerBand, seed)
-    val nb = bands * bitsPerBand
-    val spark = df.sparkSession
-    val exploded = df
-      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("_lsh_id"), posexplode(col(vecCol)))
-      .select(col("_lsh_id"), col("pos"),
-        col("col").cast(DoubleType).as("_x"))
-    val aggs = (0 until nb).map { b =>
-      sum(col("_x") * element_at(typedLit(pl(b).toSeq), col("pos") + 1))
-        .as(s"_d$b")
-    }
-    val dots = exploded.groupBy(col("_lsh_id")).agg(aggs.head, aggs.tail: _*)
-    val keys = (0 until bands).map { j =>
-      (0 until bitsPerBand).map { i =>
-        when(col(s"_d${j * bitsPerBand + i}") > 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-        .bitwiseOR(lit(j.toLong << bitsPerBand)).as(s"_k$j")
-    }
-    dots.select(col("_lsh_id"), array(keys: _*).as("_lsh_keys"))
+    val idField = df.schema(idCol)
+    val out = StructType(Seq(
+      StructField("_lsh_id", idField.dataType, idField.nullable),
+      StructField("_lsh_keys", ArrayType(LongType, containsNull = false))))
+    val in = df.select(col(idCol),
+      col(vecCol).cast(ArrayType(DoubleType)).as("_v"))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = math.min(v.length, dim)
+        val keys = new Array[Long](bands)
+        var j = 0
+        while (j < bands) {
+          var key = j.toLong << bitsPerBand
+          var i = 0
+          while (i < bitsPerBand) {
+            val p = pl(j * bitsPerBand + i)
+            var d = 0.0
+            var k = 0
+            while (k < n) { d += v(k) * p(k); k += 1 }
+            if (d > 0) key |= (1L << i)
+            i += 1
+          }
+          keys(j) = key
+          j += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), keys.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
   }
 
   /** Driver-side band keys of a literal query vector with the same planes. */
