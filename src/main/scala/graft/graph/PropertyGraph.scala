@@ -60,7 +60,19 @@ case class PropertyGraphSchema(
 case class NodeScanTable(labels: Set[String], df: DataFrame,
     propTypes: Map[String, DataType])
 
-/** Canonical rel scan: `_id`, `_src`, `_tgt`, `_type` + `p_<key>` columns.
+/** An endpoint node co-stored in the SAME table as a relationship (the
+  * reference's NodeRelPattern / TripletPattern,
+  * okapi-api/.../api/graph/Pattern.scala:135-182): the endpoint id space
+  * has exactly one node table, backed by the same DataFrame, keyed by the
+  * rel's endpoint column. The rel scan then carries the node's properties
+  * (`nps_<key>` / `npt_<key>` columns) and the planner reads node slots
+  * straight off the rel scan instead of self-joining the table — the
+  * rewrite the reference performs in
+  * okapi-logical/.../impl/LogicalOptimizer.scala:67-134. */
+case class CoStoredNode(labels: Set[String], propTypes: Map[String, DataType])
+
+/** Canonical rel scan: `_id`, `_src`, `_tgt`, `_type` + `p_<key>` columns
+  * (+ co-stored endpoint properties, see [[CoStoredNode]]).
   * `srcLabels`/`tgtLabels` are the labels GUARANTEED for the endpoint id
   * spaces (intersection over the node tables of that space) — the planner
   * uses them to elide endpoint node-table joins whose label constraint the
@@ -68,7 +80,9 @@ case class NodeScanTable(labels: Set[String], df: DataFrame,
 case class RelScanTable(relType: String, df: DataFrame,
     propTypes: Map[String, DataType],
     srcLabels: Set[String] = Set.empty,
-    tgtLabels: Set[String] = Set.empty)
+    tgtLabels: Set[String] = Set.empty,
+    srcNode: Option[CoStoredNode] = None,
+    tgtNode: Option[CoStoredNode] = None)
 
 object PropertyGraph {
   val ID = "_id"
@@ -142,18 +156,36 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
       s -> defs.map(_.labels).reduce(_ intersect _)
     }
 
+  /** The single node table of `space` when it is co-stored with rel def `d`
+    * (same DataFrame, keyed by the rel's endpoint column). */
+  private def coStoredWith(d: RelTableDef, space: String,
+      endCol: String): Option[NodeTableDef] =
+    nodeDefs.filter(_.idSpace == space) match {
+      case Seq(nd) if (nd.df eq d.df) && nd.idCol == endCol => Some(nd)
+      case _ => None
+    }
+
   lazy val relTables: Seq[RelScanTable] = relDefs.map { d =>
     val fields = d.df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val srcCo = coStoredWith(d, d.srcSpace, d.srcCol)
+    val tgtCo = coStoredWith(d, d.tgtSpace, d.tgtCol)
+    def nodeCols(nd: NodeTableDef, prefix: String) =
+      nd.properties.toSeq.map { case (k, src) => col(src).as(prefix + k) }
     val cols = Seq(
       tagged(d.idSpace, col(d.idCol)).as(ID),
       tagged(d.srcSpace, col(d.srcCol)).as(SRC),
       tagged(d.tgtSpace, col(d.tgtCol)).as(TGT),
       lit(d.relType).as(TYPE)) ++
-      d.properties.toSeq.map { case (k, src) => col(src).as(propCol(k)) }
+      d.properties.toSeq.map { case (k, src) => col(src).as(propCol(k)) } ++
+      srcCo.toSeq.flatMap(nodeCols(_, "nps_")) ++
+      tgtCo.toSeq.flatMap(nodeCols(_, "npt_"))
+    def coInfo(nd: NodeTableDef) = CoStoredNode(nd.labels,
+      nd.properties.map { case (k, src) => k -> fields(src) })
     RelScanTable(d.relType, d.df.select(cols: _*),
       d.properties.map { case (k, src) => k -> fields(src) },
       spaceLabels.getOrElse(d.srcSpace, Set.empty),
-      spaceLabels.getOrElse(d.tgtSpace, Set.empty))
+      spaceLabels.getOrElse(d.tgtSpace, Set.empty),
+      srcCo.map(coInfo), tgtCo.map(coInfo))
   }
 
   /** Node tables whose label set contains every requested label. */

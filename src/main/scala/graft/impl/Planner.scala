@@ -798,6 +798,30 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   }
 
   // ------------------------------------------------------------- rel scans
+  /** Unified co-stored endpoint info across every rel table matching
+    * `types` (reference NodeRelPattern/TripletPattern): available when all
+    * tables co-store that side with an identical label set. Undirected
+    * scans union a reversed copy, so their endpoint columns alternate
+    * sides and never qualify. */
+  private def coStoredSide(types: Seq[String], relSrc: Boolean,
+      undirected: Boolean): Option[graft.graph.CoStoredNode] = {
+    if (undirected) return None
+    val tables = graph.relScansFor(types)
+    if (tables.isEmpty) return None
+    val infos = tables.flatMap(t => if (relSrc) t.srcNode else t.tgtNode)
+    if (infos.size != tables.size) return None
+    if (infos.map(_.labels).distinct.size != 1) return None
+    Some(graft.graph.CoStoredNode(infos.head.labels,
+      unifyProps(infos.map(_.propTypes))))
+  }
+
+  /** Physical column carrying co-stored node property `k` in the scan of
+    * rel var `v` (var-qualified so two scans of the same type in one
+    * pattern never collide). */
+  private def npCol(v: String, relSrc: Boolean, k: String): String =
+    "_np_" + v.map(c => if (c.isLetterOrDigit || c == '_') c else '_') +
+      (if (relSrc) "_s_" else "_t_") + k
+
   private def relScanDf(v: String, types: Seq[String],
       props: Seq[(String, Expr)], undirected: Boolean)
       : (DataFrame, RecordHeader, Seq[Expr]) = {
@@ -815,7 +839,23 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         StructField(header.col(TypeSlot(v)), StringType)))
       return (spark.createDataFrame(new java.util.ArrayList[Row](), schema), header, Seq.empty)
     }
+    // Pass co-stored endpoint properties through the scan under fixed
+    // names; Catalyst prunes them when the planner does not bind them.
+    val srcCo = coStoredSide(types, relSrc = true, undirected)
+    val tgtCo = coStoredSide(types, relSrc = false, undirected)
     val dfs = tables.map { t =>
+      def coCols(co: Option[graft.graph.CoStoredNode], relSrc: Boolean) =
+        co.toSeq.flatMap { u =>
+          val present = (if (relSrc) t.srcNode else t.tgtNode)
+            .map(_.propTypes.keySet).getOrElse(Set.empty)
+          val raw = if (relSrc) "nps_" else "npt_"
+          u.propTypes.toSeq.sortBy(_._1).map { case (k, dt) =>
+            val c =
+              if (present(k)) col(raw + k).cast(dt)
+              else lit(null).cast(dt)
+            c.as(npCol(v, relSrc, k))
+          }
+        }
       val cols = Seq(
         col(ID).as(header.col(IdSlot(v))),
         col(SRC).as(header.col(SrcSlot(v))),
@@ -826,7 +866,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             if (t.propTypes.contains(k)) col(propCol(k)).cast(dt)
             else lit(null).cast(dt)
           c.as(header.col(PropSlot(v, k)))
-        }
+        } ++ coCols(srcCo, relSrc = true) ++ coCols(tgtCo, relSrc = false)
       t.df.select(cols: _*)
     }
     var df = dfs.reduce(_.unionByName(_))
@@ -886,19 +926,32 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def planEdge(ctx0: Ctx, e: EdgeCons, nodes: Map[String, NodeCons],
       bound: mutable.Set[String]): Ctx = {
     var ctx = ctx0
+    val undirected = e.dir == BOTH
+    // relSrc side of a pattern endpoint: for OUT the pattern src sits on
+    // the rel's _src column, for IN on its _tgt column.
+    def relSrcOf(isPatternSrc: Boolean): Boolean = (e.dir != IN) == isPatternSrc
+    def coStoredFor(nc: NodeCons, isPatternSrc: Boolean)
+        : Option[graft.graph.CoStoredNode] =
+      if (nc.copyOf.nonEmpty) None
+      else coStoredSide(e.types, relSrcOf(isPatternSrc), undirected)
+        .filter(co => nc.labels.toSet.subsetOf(co.labels))
+
     val srcElide = !bound(e.src) && !bound(e.tgt) && e.varLength.isEmpty &&
       canElideEndpoint(nodes(e.src), e, isPatternSrc = true)
+    val srcCoDrive: Option[graft.graph.CoStoredNode] =
+      if (!srcElide && !bound(e.src) && !bound(e.tgt) && e.varLength.isEmpty)
+        coStoredFor(nodes(e.src), isPatternSrc = true)
+      else None
     // Ensure an anchor endpoint is bound; scan the source if neither is
-    // (unless the source can ride on the rel scan's endpoint column).
-    if (!bound(e.src) && !bound(e.tgt) && !srcElide) {
+    // (unless the source can ride on the rel scan's endpoint column —
+    // elided id-only, or a co-stored NodeRelPattern/TripletPattern read).
+    if (!bound(e.src) && !bound(e.tgt) && !srcElide && srcCoDrive.isEmpty) {
       ctx = planNodeScanInto(ctx, nodes(e.src))
       bound += e.src
     }
     if (e.varLength.isDefined) return planVarLengthEdge(ctx, e, nodes, bound)
 
-    val undirected = e.dir == BOTH
     val (relDf, relHeader, relDeferred) = relScanDf(e.v, e.types, e.props, undirected)
-    // Orientation: for OUT src joins _src; for IN src joins _tgt.
     val (srcSideSlot, tgtSideSlot) =
       if (e.dir == IN) (TgtSlot(e.v), SrcSlot(e.v))
       else (SrcSlot(e.v), TgtSlot(e.v))
@@ -914,29 +967,60 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       bound += v
     }
 
+    // Bind a co-stored endpoint: id, label flags, and properties all come
+    // off the rel scan's passthrough columns — no node-table self-join.
+    // Inline props filter afterwards; Catalyst pushes the closed ones into
+    // the scan.
+    def coStoredInto(v: String, co: graft.graph.CoStoredNode,
+        sideSlot: Slot, isPatternSrc: Boolean): Unit = {
+      val nc = nodes(v)
+      val allLabels = co.labels ++ nc.labels
+      header = header.withSlot(IdSlot(v))
+        .withSlots(allLabels.map(l => LabelSlot(v, l)))
+        .withSlots(co.propTypes.keys.map(k => PropSlot(v, k)))
+        .withVar(v, NodeKind(nc.labels.toSet))
+      df = df.withColumn(header.col(IdSlot(v)), col(relHeader.col(sideSlot)))
+      allLabels.foreach { l =>
+        df = df.withColumn(header.col(LabelSlot(v, l)), lit(co.labels.contains(l)))
+      }
+      co.propTypes.toSeq.sortBy(_._1).foreach { case (k, _) =>
+        df = df.withColumn(header.col(PropSlot(v, k)),
+          col(npCol(e.v, relSrcOf(isPatternSrc), k)))
+      }
+      bound += v
+      if (nc.props.nonEmpty) {
+        val c2 = applyDeferred(Ctx(df, header),
+          nc.props.map { case (k, ex) => Cmp("=", Prop(Var(v), k), ex): Expr })
+        df = c2.df; header = c2.header
+      }
+    }
+
     def bindTgt(): Unit = {
       if (bound(e.tgt)) {
         df = df.filter(
           col(header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
       } else if (canElideEndpoint(nodes(e.tgt), e, isPatternSrc = false)) {
         elideInto(e.tgt, tgtSideSlot)
-      } else {
-        val (nodeDf, nodeHeader, defTgt) = nodeScanDf(nodes(e.tgt))
-        df = df.join(nodeDf,
-          col(relHeader.col(tgtSideSlot)) === col(nodeHeader.col(IdSlot(e.tgt))))
-        header = header ++ nodeHeader
-        bound += e.tgt
-        val c2 = applyDeferred(Ctx(df, header), defTgt)
-        df = c2.df; header = c2.header
+      } else coStoredFor(nodes(e.tgt), isPatternSrc = false) match {
+        case Some(co) => coStoredInto(e.tgt, co, tgtSideSlot, isPatternSrc = false)
+        case None =>
+          val (nodeDf, nodeHeader, defTgt) = nodeScanDf(nodes(e.tgt))
+          df = df.join(nodeDf,
+            col(relHeader.col(tgtSideSlot)) === col(nodeHeader.col(IdSlot(e.tgt))))
+          header = header ++ nodeHeader
+          bound += e.tgt
+          val c2 = applyDeferred(Ctx(df, header), defTgt)
+          df = c2.df; header = c2.header
       }
     }
 
-    if (srcElide) {
-      // Neither endpoint bound and the source is elidable: the rel scan
-      // itself is the driving table.
+    if (srcElide || srcCoDrive.nonEmpty) {
+      // Neither endpoint bound and the source rides on the rel scan: the
+      // rel scan itself is the driving table.
       df = if (ctx.isUnit) relDf else ctx.df.crossJoin(relDf)
       header = ctx.header ++ relHeader
-      elideInto(e.src, srcSideSlot)
+      if (srcElide) elideInto(e.src, srcSideSlot)
+      else coStoredInto(e.src, srcCoDrive.get, srcSideSlot, isPatternSrc = true)
       bindTgt()
     } else if (bound(e.src)) {
       df = df.join(relDf,
@@ -948,16 +1032,24 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         col(ctx.header.col(IdSlot(e.tgt))) === col(relHeader.col(tgtSideSlot)))
       if (canElideEndpoint(nodes(e.src), e, isPatternSrc = true)) {
         elideInto(e.src, srcSideSlot)
-      } else {
-        val (nodeDf, nodeHeader, defSrc) = nodeScanDf(nodes(e.src))
-        df = df.join(nodeDf,
-          col(relHeader.col(srcSideSlot)) === col(nodeHeader.col(IdSlot(e.src))))
-        header = header ++ nodeHeader
-        bound += e.src
-        val c2 = applyDeferred(Ctx(df, header), defSrc)
-        df = c2.df; header = c2.header
+      } else coStoredFor(nodes(e.src), isPatternSrc = true) match {
+        case Some(co) => coStoredInto(e.src, co, srcSideSlot, isPatternSrc = true)
+        case None =>
+          val (nodeDf, nodeHeader, defSrc) = nodeScanDf(nodes(e.src))
+          df = df.join(nodeDf,
+            col(relHeader.col(srcSideSlot)) === col(nodeHeader.col(IdSlot(e.src))))
+          header = header ++ nodeHeader
+          bound += e.src
+          val c2 = applyDeferred(Ctx(df, header), defSrc)
+          df = c2.df; header = c2.header
       }
     }
+    // Drop this edge's unconsumed co-stored passthrough columns so they
+    // never leak into later joins or the final projection.
+    val npPrefix = "_np_" + e.v.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    val leftover = df.columns.filter(c =>
+      c.startsWith(npPrefix + "_s_") || c.startsWith(npPrefix + "_t_"))
+    if (leftover.nonEmpty) df = df.drop(leftover: _*)
     applyDeferred(Ctx(df, header), relDeferred)
   }
 
