@@ -247,6 +247,16 @@ object SparkEntry {
       Some("""SELECT CAST(0 AS BIGINT) AS len, count(*) AS n FROM nation
          UNION ALL
          SELECT CAST(1 AS BIGINT) AS len, count(*) AS n FROM nation JOIN region ON r_regionkey = n_regionkey""")),
+    // --- composite pattern scans (NodeRelPattern/TripletPattern): the
+    //     lineitem fact table co-stores HAS_ITEM/OF_PART rels with the
+    //     LineItem node, so these plan with zero / one join (no self-join;
+    //     asserted in PatternScanSpec) ---
+    ("q_pattern_scan",
+      "MATCH ()-[:HAS_ITEM]->(l:LineItem) RETURN l.l_linenumber AS ln, count(*) AS n",
+      Some("SELECT l_linenumber AS ln, count(*) AS n FROM lineitem GROUP BY 1")),
+    ("q_pattern_triplet",
+      "MATCH (l:LineItem)-[:OF_PART]->(p:Part) RETURN p.p_name AS pn, round(sum(l.l_quantity), 4) AS q",
+      Some("SELECT p_name AS pn, round(sum(l_quantity), 4) AS q FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1")),
     // --- CALL procedure with YIELD + post-aggregation: whole-graph degree
     //     distribution (ids drop out, so the tagged id space is irrelevant
     //     to the oracle, which rebuilds the edge multiset in SQL) ---

@@ -207,8 +207,19 @@ class GraftSession(val spark: SparkSession) {
 
   /** All nodes (optionally label-filtered) as element structs —
     * PropertyGraph.nodes() parity (PropertyGraph.scala:46-117). */
-  def nodes(graph: PropertyGraph, labels: Seq[String] = Seq.empty): DataFrame =
-    cypher(graph, s"MATCH (n${labels.map(":" + _).mkString}) RETURN n")
+  /** All nodes with the given labels. `exactLabelMatch = true` returns only
+    * nodes whose label set equals the requested combination exactly (the
+    * reference's `nodes(name, ct, exactLabelMatch = true)`,
+    * okapi-api/.../api/graph/PropertyGraph.scala:46-117) — expressed as a
+    * size(labels(n)) guard so the whole check stays one Cypher plan. */
+  def nodes(graph: PropertyGraph, labels: Seq[String] = Seq.empty,
+      exactLabelMatch: Boolean = false): DataFrame = {
+    val pat = s"(n${labels.map(":" + _).mkString})"
+    if (exactLabelMatch)
+      cypher(graph,
+        s"MATCH $pat WHERE size(labels(n)) = ${labels.size} RETURN n")
+    else cypher(graph, s"MATCH $pat RETURN n")
+  }
 
   /** All relationships (optionally typed) as element structs. */
   def relationships(graph: PropertyGraph,

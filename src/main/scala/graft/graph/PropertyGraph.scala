@@ -192,6 +192,12 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
   def nodeScansFor(requested: Seq[String]): Seq[NodeScanTable] =
     nodeTables.filter(t => requested.forall(t.labels.contains))
 
+  /** Node tables whose label set EXACTLY equals the requested combination
+    * (the reference's exactLabelMatch scan mode,
+    * okapi-api/.../api/graph/PropertyGraph.scala:46-117). */
+  def nodeScansForExact(requested: Seq[String]): Seq[NodeScanTable] =
+    nodeTables.filter(_.labels == requested.toSet)
+
   /** Rel tables matching any of the requested types (all if empty). */
   def relScansFor(requested: Seq[String]): Seq[RelScanTable] =
     if (requested.isEmpty) relTables

@@ -14,14 +14,22 @@ object SqlGraphSource {
 
   case class NodeMapping(table: String, labels: Set[String], idCol: String,
       properties: Map[String, String] = Map.empty)
+
+  /** `srcJoinCol`/`tgtJoinCol`: the reference Graph DDL's JOIN mappings
+    * (graph-ddl/.../GraphDdl.scala:49) — when set, the rel table's endpoint
+    * column equates to that (non-key) column of the node table, and the
+    * loader joins through it to resolve the node key. When empty the
+    * endpoint column IS the node key (plain foreign key). */
   case class RelMapping(table: String, relType: String, idCol: String,
       srcCol: String, tgtCol: String, srcTable: String, tgtTable: String,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      srcJoinCol: Option[String] = None, tgtJoinCol: Option[String] = None)
 
   /** Build a graph from table names; property map defaults to every column
     * except the id/endpoint columns. */
   def load(spark: SparkSession, nodes: Seq[NodeMapping],
       rels: Seq[RelMapping]): PropertyGraph = {
+    import org.apache.spark.sql.functions.col
     val nodeDefs = nodes.map { m =>
       val df = spark.table(m.table)
       val props =
@@ -29,14 +37,36 @@ object SqlGraphSource {
         else df.columns.filterNot(_ == m.idCol).map(c => c -> c).toMap
       NodeTableDef(m.labels, df, m.idCol, props, m.table)
     }
+    val nodeByTable = nodes.map(m => m.table -> m).toMap
     val relDefs = rels.map { m =>
-      val df = spark.table(m.table)
+      var df = spark.table(m.table)
+      // Props from the ORIGINAL columns (before any join-resolution adds
+      // derived key columns).
       val props =
         if (m.properties.nonEmpty) m.properties
         else df.columns
           .filterNot(Set(m.idCol, m.srcCol, m.tgtCol))
           .map(c => c -> c).toMap
-      RelTableDef(m.relType, df, m.idCol, m.srcCol, m.tgtCol, props,
+      // JOIN mapping: derive the endpoint node key by joining through the
+      // declared node column — one broadcast-friendly equi-join per mapped
+      // endpoint, done once at load.
+      def resolve(relCol: String, nodeTable: String,
+          joinCol: Option[String]): String = joinCol match {
+        case None => relCol
+        case Some(jc) =>
+          val nm = nodeByTable.getOrElse(nodeTable, throw new
+              IllegalArgumentException(s"JOIN mapping references unmapped node table $nodeTable"))
+          val derived = "_fk_" + relCol
+          val keys = spark.table(nodeTable)
+            .select(col(jc).as("_jk_" + relCol),
+              col(nm.idCol).as(derived))
+          df = df.join(keys, col(relCol) === col("_jk_" + relCol))
+            .drop("_jk_" + relCol)
+          derived
+      }
+      val srcKey = resolve(m.srcCol, m.srcTable, m.srcJoinCol)
+      val tgtKey = resolve(m.tgtCol, m.tgtTable, m.tgtJoinCol)
+      RelTableDef(m.relType, df, m.idCol, srcKey, tgtKey, props,
         "rel/" + m.table + "/" + m.relType, m.srcTable, m.tgtTable)
     }
     PropertyGraph(nodeDefs, relDefs)

@@ -87,6 +87,49 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum === 25L)
   }
 
+  test("Graph DDL SET SCHEMA + JOIN mapping round-trips a two-table join") {
+    import spark.implicits._
+    // The edge table references persons by EMAIL, not by key — the JOIN
+    // mapping resolves the node key through that column at load
+    // (reference graph-ddl/.../GraphDdl.scala:49 JOIN syntax).
+    Seq((1L, "ann@x.io", "Ann"), (2L, "bob@x.io", "Bob"))
+      .toDF("pid", "email", "pname").createOrReplaceGlobalTempView("gd_persons")
+    Seq((10L, "eng"), (11L, "ops"))
+      .toDF("gid", "gname").createOrReplaceGlobalTempView("gd_groups")
+    Seq((100L, "ann@x.io", 10L), (101L, "bob@x.io", 10L), (102L, "ann@x.io", 11L))
+      .toDF("mid", "m_email", "m_gid").createOrReplaceGlobalTempView("gd_members")
+    val g = graft.sources.GraphDdl.parse(spark,
+      """SET SCHEMA global_temp;
+        |CREATE GRAPH (
+        |  NODE (Person) FROM gd_persons KEY pid PROPERTIES (pname),
+        |  NODE (Group) FROM gd_groups KEY gid,
+        |  REL MEMBER_OF FROM gd_members KEY mid
+        |    SOURCE gd_persons(m_email JOIN email) TARGET gd_groups(m_gid)
+        |)""".stripMargin)
+    val rows = session.cypher(g,
+      "MATCH (p:Person)-[:MEMBER_OF]->(gr:Group) " +
+        "RETURN p.pname AS pn, gr.gname AS gn ORDER BY pn, gn").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Ann", "eng"), ("Ann", "ops"), ("Bob", "eng")))
+  }
+
+  test("exactLabelMatch scans only the exact label combination") {
+    import spark.implicits._
+    val plain = Seq((1L, "solo")).toDF("id", "name")
+    val admin = Seq((2L, "root")).toDF("id", "name")
+    val g = graft.graph.PropertyGraph(Seq(
+      graft.graph.NodeTableDef(Set("Person"), plain, "id",
+        Map("name" -> "name"), "plain"),
+      graft.graph.NodeTableDef(Set("Person", "Admin"), admin, "id",
+        Map("name" -> "name"), "admin")))
+    // superset matching: both tables; exact: only the bare Person table
+    assert(session.nodes(g, Seq("Person")).count() === 2L)
+    assert(session.nodes(g, Seq("Person"), exactLabelMatch = true).count() === 1L)
+    assert(session.nodes(g, Seq("Person", "Admin"), exactLabelMatch = true)
+      .count() === 1L)
+    assert(g.nodeScansForExact(Seq("Person")).map(_.labels) === Seq(Set("Person")))
+  }
+
   test("catalog stores and retrieves graphs by name") {
     val g = TpchGraph(spark, "/root/testdata/sf0.001")
     session.store("tpch", g)
