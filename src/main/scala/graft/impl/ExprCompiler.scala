@@ -210,7 +210,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "range" | "nodes" | "relationships" => Some(ArrayType(LongType))
       case "collect" => args.headOption.flatMap(inferType).map(ArrayType(_))
       case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" |
-           "head" | "last" | "coalesce" => args.headOption.flatMap(inferType)
+           "coalesce" => args.headOption.flatMap(inferType)
+      case "head" | "last" => args.headOption.flatMap(inferType).map {
+        case ArrayType(et, _) => et
+        case other => other
+      }
+      case "tail" => args.headOption.flatMap(inferType)
       case _ => None
     }
     case Index(sub, _) => inferType(sub) match {
@@ -704,6 +709,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         else F.size(a0).cast(LongType)
       case "head" => element_at(a0, 1)
       case "last" => element_at(a0, -1)
+      case "tail" => F.slice(a0, 2, greatest(F.size(a0) - 1, lit(0)))
 
       // ---- temporal constructors (Expr.scala :1269-1273) ----
       case "date" =>
