@@ -709,7 +709,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         else F.size(a0).cast(LongType)
       case "head" => element_at(a0, 1)
       case "last" => element_at(a0, -1)
-      case "tail" => F.slice(a0, 2, greatest(F.size(a0) - 1, lit(0)))
+      case "tail" => F.slice(a0, lit(2), greatest(F.size(a0) - 1, lit(0)))
 
       // ---- temporal constructors (Expr.scala :1269-1273) ----
       case "date" =>
