@@ -23,14 +23,22 @@ object GraphAlgorithms {
     graph.nodeTables.map(_.df.select(col(PropertyGraph.ID).as("id")))
       .reduce(_.unionByName(_)).distinct()
 
-  /** In/out/total degree per node id. */
+  /** In/out/total degree per node id. Single pass over the edge frame:
+    * each edge contributes one (src, out) and one (dst, in) endpoint row
+    * and one groupBy counts both directions — vs the naive two-groupBy +
+    * full-outer-join shape, this halves the edge scans and shuffles
+    * narrow (id, flag) rows once, which is what survives when the edge
+    * list is the 100-TB fact table. */
   def degrees(graph: PropertyGraph, relTypes: Seq[String] = Seq.empty): DataFrame = {
-    val e = edges(graph, relTypes)
-    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
-    val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    val endpoints = edges(graph, relTypes)
+      .select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))).as("ep"))
+      .select(col("ep.id").as("id"), col("ep.o").as("o"), col("ep.i").as("i"))
+    val deg = endpoints.groupBy(col("id"))
+      .agg(sum(col("o")).as("out_degree"), sum(col("i")).as("in_degree"))
     nodeIds(graph)
-      .join(out, Seq("id"), "left_outer")
-      .join(in, Seq("id"), "left_outer")
+      .join(deg, Seq("id"), "left_outer")
       .select(col("id"),
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
