@@ -83,9 +83,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   // ------------------------------------------------------------------ entry
   def plan(q: Query): (DataFrame, Seq[OutItem], RecordHeader) = {
-    val (first, outs) = planSingle(q.first)
+    val shared = planSharedPrefixes((q.first +: q.rest.map(_._2)).map(_.clauses))
+    val (first, outs) = planSingle(q.first, shared)
     val combined = q.rest.foldLeft(first) { case (acc, (all, sq)) =>
-      val (r, rOuts) = planSingle(sq)
+      graph = graph0 // FROM GRAPH scopes to its branch, not the whole union
+      val (r, rOuts) = planSingle(sq, shared)
       require(rOuts.map(outDisplay) == outs.map(outDisplay),
         "UNION sides must return the same columns")
       // Merge headers across branches: a branch may bind the same var with
@@ -144,25 +146,86 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   }
 
   // ---------------------------------------------------------- single query
-  private def planSingle(sq: SingleQuery): (Ctx, Seq[OutItem]) = {
-    var ctx = startCtx
+
+  /** Reading clauses that depend only on the incoming context (no planner
+    * state mutated) — the unit of shared-prefix caching across UNION
+    * branches. */
+  private def planReadingClause(ctx: Ctx, c: Clause): Ctx = c match {
+    case m @ Match(false, _, _) => planMatch(ctx, m.pattern, m.where)
+    case m @ Match(true, _, _) => planOptionalMatch(ctx, m.pattern, m.where)
+    case Unwind(e, alias) => planUnwind(ctx, e, alias)
+    case w: With =>
+      planProjection(ctx, w.distinct, w.star, w.items, w.orderBy,
+        w.skip, w.limit, w.where)._1
+    case CallProc(name, args, yields) => planCall(ctx, name, args, yields)
+    case other =>
+      throw new CypherCompileException(s"not a reading clause: $other")
+  }
+
+  private def isReadingClause(c: Clause): Boolean = c match {
+    case _: Match | _: Unwind | _: With | _: CallProc => true
+    case _ => false
+  }
+
+  /** Duplicate-subtree caching across UNION branches (the reference's
+    * InsertCachingOperators, okapi-relational/.../impl/planning/
+    * RelationalOptimizer.scala:42-93, re-expressed for direct DataFrame
+    * planning): with clause-by-clause compilation a duplicated subtree IS a
+    * duplicated clause prefix, so shared prefixes are detected statically,
+    * planned once, and lazily localCheckpoint'd — every branch then scans
+    * the materialized blocks instead of re-running the prefix's scans and
+    * joins, and the blocks are GC-released with the query (no cache-manager
+    * growth, same lifecycle as the var-length hop table). Only prefixes
+    * ending in a MATCH are cached: anything cheaper than a scan+join is not
+    * worth materializing. */
+  private def planSharedPrefixes(branches: Seq[Seq[Clause]])
+      : Map[Seq[Clause], Ctx] = {
+    if (branches.size < 2) return Map.empty
+    val counts = scala.collection.mutable.Map.empty[Seq[Clause], Int]
+    branches.foreach { cls =>
+      val safeLen = cls.segmentLength(isReadingClause, 0)
+      (1 to safeLen).foreach { k =>
+        if (cls(k - 1).isInstanceOf[Match]) {
+          val p = cls.take(k)
+          counts(p) = counts.getOrElse(p, 0) + 1
+        }
+      }
+    }
+    // Longest shared prefix per branch; shorter shared prefixes seed longer
+    // ones so nothing is planned twice.
+    val chosen = branches.flatMap { cls =>
+      val safeLen = cls.segmentLength(isReadingClause, 0)
+      (safeLen to 1 by -1)
+        .find(k => cls(k - 1).isInstanceOf[Match] && counts(cls.take(k)) >= 2)
+        .map(k => cls.take(k))
+    }.distinct.sortBy(_.length)
+    val memo = scala.collection.mutable.Map.empty[Seq[Clause], Ctx]
+    chosen.foreach { prefix =>
+      val seedLen = (prefix.length - 1 to 1 by -1)
+        .find(k => memo.contains(prefix.take(k))).getOrElse(0)
+      var ctx = if (seedLen == 0) startCtx else memo(prefix.take(seedLen))
+      prefix.drop(seedLen).foreach(c => ctx = planReadingClause(ctx, c))
+      memo(prefix) = ctx.copy(df = ctx.df.localCheckpoint(eager = false))
+    }
+    memo.toMap
+  }
+
+  private def planSingle(sq: SingleQuery,
+      shared: Map[Seq[Clause], Ctx] = Map.empty): (Ctx, Seq[OutItem]) = {
+    val prefixLen = (sq.clauses.length to 1 by -1)
+      .find(k => shared.contains(sq.clauses.take(k))).getOrElse(0)
+    var ctx = if (prefixLen == 0) startCtx else shared(sq.clauses.take(prefixLen))
     var outs: Seq[OutItem] = Seq.empty
-    sq.clauses.foreach {
-      case m @ Match(false, _, _) => ctx = planMatch(ctx, m.pattern, m.where)
-      case m @ Match(true, _, _) => ctx = planOptionalMatch(ctx, m.pattern, m.where)
-      case Unwind(e, alias) => ctx = planUnwind(ctx, e, alias)
-      case w: With =>
-        ctx = planProjection(ctx, w.distinct, w.star, w.items, w.orderBy,
-          w.skip, w.limit, w.where)._1
+    sq.clauses.drop(prefixLen).foreach {
       case r: Return =>
         val (c, o) = planProjection(ctx, r.distinct, r.star, r.items,
           r.orderBy, r.skip, r.limit, None)
         ctx = c
         outs = o
       case FromGraph(name) => graph = resolveGraph(name)
-      case CallProc(name, args, yields) => ctx = planCall(ctx, name, args, yields)
       case Construct(on, news, sets, clones) =>
         constructedGraph = Some(planConstruct(ctx, on, news, sets, clones))
+      case reading => ctx = planReadingClause(ctx, reading)
     }
     (ctx, outs)
   }
