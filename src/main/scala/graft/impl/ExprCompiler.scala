@@ -156,6 +156,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case NullLit => Some(NullType)
     case ListLit(items) =>
       Some(ArrayType(items.flatMap(inferType).headOption.getOrElse(NullType)))
+    case MapLit(items) =>
+      Some(StructType(items.map { case (k, v) =>
+        StructField(k, inferType(v).getOrElse(NullType))
+      }))
     case Arith("+" | "-", l, r) if (r match {
           case FuncCall("duration", _, _) => true
           case _ => false
@@ -524,7 +528,17 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     }
 
   private def compileFieldAccessDyn(c: Column, t: Option[DataType], k: Column): Column =
-    element_at(c, k)
+    t match {
+      // Map literals compile to structs (heterogeneous value types); a
+      // string-key lookup becomes a field-dispatch chain, which constant-
+      // folds to a plain getField when the key is a literal.
+      case Some(st: StructType) if st.fields.nonEmpty =>
+        val first = when(k === lit(st.fields.head.name),
+          c.getField(st.fields.head.name))
+        st.fields.tail.foldLeft(first)((acc, f) =>
+          acc.when(k === lit(f.name), c.getField(f.name)))
+      case _ => element_at(c, k)
+    }
 
   private def litAny(v: Any): Column = v match {
     case s: Seq[_] => array(s.map(litAny): _*)
@@ -706,7 +720,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         if (isStringy(args(0))) F.length(a0).cast(LongType)
         else if (isPathStruct(args(0)))
           F.size(a0.getField("rels")).cast(LongType)
-        else F.size(a0).cast(LongType)
+        // size(null) is null in Cypher; Spark's legacy size returns -1.
+        else when(a0.isNull, lit(null))
+          .otherwise(F.size(a0)).cast(LongType)
       case "head" => element_at(a0, 1)
       case "last" => element_at(a0, -1)
       case "tail" => F.slice(a0, lit(2), greatest(F.size(a0) - 1, lit(0)))

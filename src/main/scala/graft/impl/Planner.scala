@@ -125,19 +125,24 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           val propCols =
             if (props.nonEmpty) Seq(struct(props: _*).as("_properties"))
             else Seq.empty
-          struct((Seq(col(header.col(IdSlot(v))).as("_id")) ++ labelCol ++
-            propCols): _*).as(display)
+          // Unmatched OPTIONAL vars render as null, not a struct of nulls.
+          val idc = col(header.col(IdSlot(v)))
+          when(idc.isNull, lit(null))
+            .otherwise(struct((Seq(idc.as("_id")) ++ labelCol ++
+              propCols): _*)).as(display)
         case Some(RelKind(_)) =>
           val props = header.ownedBy(v).collect { case s @ PropSlot(_, k) =>
             col(header.col(s)).as(k)
           }
-          struct(
-            (Seq(col(header.col(IdSlot(v))).as("_id"),
-              col(header.col(SrcSlot(v))).as("_src"),
-              col(header.col(TgtSlot(v))).as("_tgt"),
-              col(header.col(TypeSlot(v))).as("_type")) ++
-              (if (props.nonEmpty) Seq(struct(props: _*).as("_properties"))
-              else Seq.empty)): _*).as(display)
+          val ridc = col(header.col(IdSlot(v)))
+          when(ridc.isNull, lit(null))
+            .otherwise(struct(
+              (Seq(ridc.as("_id"),
+                col(header.col(SrcSlot(v))).as("_src"),
+                col(header.col(TgtSlot(v))).as("_tgt"),
+                col(header.col(TypeSlot(v))).as("_type")) ++
+                (if (props.nonEmpty) Seq(struct(props: _*).as("_properties"))
+                else Seq.empty)): _*)).as(display)
         case Some(ListRelKind(_)) => col(header.col(PathSlot(v))).as(display)
         case _ => col(header.col(ValueSlot(v))).as(display)
       }
@@ -622,6 +627,48 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * become semi/anti joins, disjunctive/nested ones marker columns, the
     * residue a plain filter. Shared by MATCH and WITH (post-aggregation
     * "WITH ... WHERE exists((a)-->(b))" uses the same path). */
+  /** startNode()/endNode() used as a node VALUE (property access, labels(),
+    * a bare return) binds the endpoint to a fresh node var: the all-labels
+    * node scan is left-joined on the rel's endpoint id and the call
+    * rewritten to that var. `id(startNode(r))` keeps the no-join fast path
+    * (the endpoint id is already a column of the rel scan). Reference
+    * resolves these during IR translation (okapi-ir ExpressionConverter);
+    * here it is a planner rewrite so the join only appears when needed. */
+  private def bindEndpointNodes(ctx0: Ctx, exprs: Seq[Expr])
+      : (Ctx, Seq[Expr]) = {
+    def endpointOf(e: Expr): Option[(Boolean, String)] = e match {
+      case FuncCall(n, Seq(Var(r)), _) =>
+        val ln = n.toLowerCase
+        if ((ln == "startnode" || ln == "endnode") &&
+            ctx0.header.kinds.get(r).exists(_.isInstanceOf[RelKind]))
+          Some((ln == "startnode", r))
+        else None
+      case _ => None
+    }
+    val targets =
+      scala.collection.mutable.LinkedHashMap.empty[(Boolean, String), String]
+    def rw(e: Expr): Expr = e match {
+      case FuncCall(idn, Seq(inner), _)
+          if idn.toLowerCase == "id" && endpointOf(inner).isDefined =>
+        e
+      case other => endpointOf(other) match {
+        case Some(key) => Var(targets.getOrElseUpdate(key, freshVar()))
+        case None => ExprOps.mapChildren(other, rw)
+      }
+    }
+    val rewritten = exprs.map(rw)
+    var ctx = ctx0
+    targets.foreach { case ((isSrc, r), v) =>
+      val (df, header, deferred) = nodeScanDf(NodeCons(v, Seq.empty, Seq.empty))
+      require(deferred.isEmpty, "all-labels scan has no inline props")
+      val endCol = ctx.header.col(if (isSrc) SrcSlot(r) else TgtSlot(r))
+      val joined = ctx.df.join(df,
+        col(endCol) === col(header.col(IdSlot(v))), "left_outer")
+      ctx = Ctx(joined, ctx.header ++ header)
+    }
+    (ctx, rewritten)
+  }
+
   private def applyWhere(ctx0: Ctx, w: Expr): Ctx = {
     var ctx = ctx0
     val (patterns, residual) = splitPredicates(w)
@@ -631,11 +678,19 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     residual.foreach { r =>
       // Disjunctive / nested pattern predicates can't use the semi-join
       // fast path; materialize them as marker columns.
-      val (ctx2, r2) =
+      val (ctx1, r1) =
         if (ExprOps.containsPatternPredicate(r))
           materializePatternPredicates(ctx, r)
         else (ctx, r)
-      ctx = ctx2.copy(df = ctx2.df.filter(ctx2.compiler.compile(r2)))
+      val (ctx2, r2) = bindEndpointNodes(ctx1, Seq(r1)) match {
+        case (c, Seq(e2)) => (c, e2)
+      }
+      // WHERE null (or any null-typed predicate) keeps no rows; Spark's
+      // Filter rejects a VOID condition outright.
+      val pred =
+        if (ctx2.compiler.inferType(r2).contains(NullType)) lit(false)
+        else ctx2.compiler.compile(r2)
+      ctx = ctx2.copy(df = ctx2.df.filter(pred))
     }
     ctx
   }
@@ -1238,13 +1293,20 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       else Seq.empty
     val items1 = starItems ++ items0
     // Pattern predicates in value position (RETURN exists(...) AS flag).
-    val items = items1.map { i =>
+    val items2 = items1.map { i =>
       if (ExprOps.containsPatternPredicate(i.expr)) {
         val (c2, e2) = materializePatternPredicates(ctx, i.expr)
         ctx = c2
         i.copy(expr = e2)
       } else i
     }
+    // startNode()/endNode() used as node values bind joined endpoint vars.
+    val (ctxB, boundExprs) = bindEndpointNodes(ctx,
+      items2.map(_.expr) ++ orderBy.map(_.expr))
+    ctx = ctxB
+    val (itemExprs, obExprs) = boundExprs.splitAt(items2.size)
+    val items = items2.zip(itemExprs).map { case (i, e) => i.copy(expr = e) }
+    val orderBy2 = orderBy.zip(obExprs).map { case (s, e) => s.copy(expr = e) }
     val compiler = ctx.compiler
     val hasAgg = items.exists(i => compiler.hasAggregation(i.expr))
 
@@ -1301,7 +1363,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           newHeader)
       }
       where.foreach { w => ctx2 = applyWhere(ctx2, w) }
-      ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit, aliasMap)
+      ctx2 = applyOrderSkipLimit(ctx2, orderBy2, skip, limit, aliasMap)
       val finalDf = ctx2.df.select(keepCols.map(col): _*)
       (Ctx(finalDf, newHeader), outs.result())
     } else {
@@ -1366,7 +1428,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       var ctx2 = Ctx(aggDf, newHeader)
       if (distinct) ctx2 = ctx2.copy(df = ctx2.df.dropDuplicates())
       where.foreach { w => ctx2 = applyWhere(ctx2, w) }
-      ctx2 = applyOrderSkipLimit(ctx2, orderBy, skip, limit, aliasMap)
+      ctx2 = applyOrderSkipLimit(ctx2, orderBy2, skip, limit, aliasMap)
       (ctx2, outs.result())
     }
   }
