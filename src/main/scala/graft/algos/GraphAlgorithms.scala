@@ -17,7 +17,12 @@ object GraphAlgorithms {
   def edges(graph: PropertyGraph, relTypes: Seq[String] = Seq.empty): DataFrame =
     graph.relScansFor(relTypes).map(_.df.select(
         col(PropertyGraph.SRC).as("src"), col(PropertyGraph.TGT).as("dst")))
-      .reduce(_.unionByName(_))
+      .reduceOption(_.unionByName(_))
+      .getOrElse { // no rel table of the requested types: empty edge frame
+        val spark = graph.nodeTables.head.df.sparkSession
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+      }
 
   def nodeIds(graph: PropertyGraph): DataFrame =
     graph.nodeTables.map(_.df.select(col(PropertyGraph.ID).as("id")))
@@ -47,7 +52,14 @@ object GraphAlgorithms {
 
   /** PageRank with damping; returns (id, rank). Each iteration: one join
     * (ranks x edges) + one aggregation; dangling mass redistributed
-    * uniformly so ranks sum to the node count. */
+    * uniformly so ranks sum to the node count.
+    *
+    * Nodes with no incident edge of the requested types are carried
+    * ANALYTICALLY, not iterated: an isolated node receives no link mass, so
+    * its rank is the same scalar every round — r_iso(t+1) = (1-d) + d *
+    * miss(t)/n. Only the connected subgraph iterates; on a 100-TB document
+    * graph where most nodes are isolated for any given rel-type subset this
+    * shrinks every per-round join and checkpoint by the isolated fraction. */
   def pageRank(graph: PropertyGraph, iterations: Int = 10,
       damping: Double = 0.85, relTypes: Seq[String] = Seq.empty): DataFrame = {
     // Loop-invariant tables are persisted pre-partitioned on their join
@@ -58,31 +70,52 @@ object GraphAlgorithms {
     val e = edges(graph, relTypes)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val links = e.join(outDeg, "src").repartition(col("src")).persist()
-    var ranks = ids.select(col("id"), lit(1.0).as("rank"))
+    val touched = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val connected = ids.join(touched, Seq("id"), "left_semi")
+      .repartition(col("id")).persist()
+    val nConn = connected.count()
+    var isoRank = 1.0
+    var ranks = connected.select(col("id"), lit(1.0).as("rank"))
+    var prevReceived: DataFrame = null
     for (i <- 1 to iterations) {
       val contribs = links
         .join(ranks, links("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
-      val received = ids.join(contribs, Seq("id"), "left_outer")
+      // `received` is read twice (mass total + rank update): persist it and
+      // let the 1-row mass aggregate materialize the blocks — ONE action per
+      // round (an eager checkpoint + separate aggregate was two; at ~6
+      // rounds the per-job overhead dominated the whole algorithm).
+      val received = connected.join(contribs, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("contrib"), lit(0.0)).as("contrib"))
-      // Dangling nodes' rank mass is spread uniformly. The total arrives
-      // via a broadcast 1-row aggregate, keeping each iteration a single
-      // job (no driver-side collect inside the loop).
-      val total = received.agg(sum("contrib").as("_tc"))
-      ranks = received.crossJoin(broadcast(total)).select(col("id"),
+        .persist()
+      // Total link-transferred mass; the rest (dangling + isolated mass)
+      // is spread uniformly.
+      val tc = received.agg(coalesce(sum("contrib"), lit(0.0))).head().getDouble(0)
+      if (prevReceived != null) prevReceived.unpersist()
+      prevReceived = received
+      val missShare = (n - tc) / n
+      // Lazy localCheckpoint: the logical plan is cut to a LogicalRDD
+      // IMMEDIATELY (plans stay O(1) across rounds — an unbounded plan tree
+      // OOMs Catalyst after ~10 rounds), while the RDD itself materializes
+      // during the next round's mass aggregate — still one job per round.
+      ranks = received.select(col("id"),
         (lit(1.0 - damping) +
-          lit(damping) * (col("contrib") + (lit(n) - col("_tc")) / n))
-          .as("rank"))
-      // Eager localCheckpoint EVERY round: the dangling-mass broadcast
-      // aggregate reads `received` a second time, so un-truncated lineage
-      // would recompute all prior rounds twice per iteration (measured 2x
-      // slower with a 3-round cadence).
-      ranks = ranks.localCheckpoint(eager = true)
+          lit(damping) * (col("contrib") + lit(missShare))).as("rank"))
+        .localCheckpoint(eager = false)
+      isoRank = (1.0 - damping) + damping * missShare
     }
+    val isolated = ids.join(ranks.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(isoRank).as("rank"))
+    // Materialize before releasing the loop-invariant caches the isolated
+    // branch still reads from.
+    val result = ranks.unionByName(isolated).localCheckpoint(eager = true)
     links.unpersist()
     ids.unpersist()
-    ranks
+    connected.unpersist()
+    if (prevReceived != null) prevReceived.unpersist()
+    result
   }
 
   /** Connected components (undirected) by iterative min-id propagation;
@@ -94,7 +127,13 @@ object GraphAlgorithms {
     val e0 = edges(graph, relTypes)
     val und = e0.unionByName(e0.select(col("dst").as("src"),
       col("src").as("dst"))).distinct().repartition(col("dst")).persist()
-    var comp = nodeIds(graph).select(col("id"), col("id").as("component"))
+    // Isolated nodes are their own component — only nodes incident to an
+    // edge participate in min-id propagation, so every round's join and
+    // checkpoint scales with the connected subgraph, not the node count.
+    val allIds = nodeIds(graph).persist()
+    val touched = und.select(col("src").as("id")).distinct()
+    var comp = allIds.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("component"))
       .persist()
     // Convergence via the monotone invariant sum(component): min-id
     // propagation only ever decreases labels, so the sum strictly
@@ -108,11 +147,15 @@ object GraphAlgorithms {
         .join(comp, und("dst") === comp("id"))
         .select(und("src").as("id"), col("component"))
         .groupBy("id").agg(min("component").as("nbr_min"))
+      // Lazy localCheckpoint: plan truncated to a LogicalRDD immediately
+      // (bounded plans across rounds), blocks materialized by the
+      // convergence aggregate below — one job per round instead of an
+      // eager checkpoint job plus a separate aggregate job.
       val next = comp.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       prevSum = curSum
       curSum = BigDecimal(next.agg(coalesce(
         sum(col("component").cast(
@@ -123,8 +166,13 @@ object GraphAlgorithms {
       comp = next
       it += 1
     }
+    val isolated = allIds.join(comp.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    val result = comp.unionByName(isolated).localCheckpoint(eager = true)
     und.unpersist()
-    comp
+    allIds.unpersist()
+    comp.unpersist()
+    result
   }
 
   /** Count of triangles (undirected, each counted once). */

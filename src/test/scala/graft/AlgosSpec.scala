@@ -62,6 +62,69 @@ class AlgosSpec extends SparkTestBase {
     assert(comps === 2L)
   }
 
+  /** Graph with two isolated nodes (6, 7) next to the triangle+chain. */
+  lazy val graphIso: PropertyGraph = {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 1L),
+      (13L, 4L, 5L)).toDF("id", "src", "tgt")
+    PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+  }
+
+  /** Dense driver-side PageRank oracle: dangling mass (nodes without
+    * out-links, including isolated ones) spread uniformly over all n. */
+  private def densePageRank(n: Int, edges: Seq[(Int, Int)], iters: Int,
+      d: Double = 0.85): Array[Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = Array.fill(n)(1.0)
+    for (_ <- 1 to iters) {
+      val contrib = Array.fill(n)(0.0)
+      var transferred = 0.0
+      for ((s, ts) <- out; t <- ts) {
+        contrib(t - 1) += r(s - 1) / ts.size; transferred += r(s - 1) / ts.size
+      }
+      val miss = (n - transferred) / n
+      r = Array.tabulate(n)(i => (1 - d) + d * (contrib(i) + miss))
+    }
+    r
+  }
+
+  test("pagerank: isolated nodes get the analytic rank, sum conserved") {
+    val pr = GraphAlgorithms.pageRank(graphIso, iterations = 7).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    val expect = densePageRank(7,
+      Seq((1, 2), (2, 3), (3, 1), (4, 5)), iters = 7)
+    assert(pr.size === 7)
+    assert(math.abs(pr.values.sum - 7.0) < 1e-6)
+    for (i <- 1 to 7)
+      assert(math.abs(pr(i.toLong) - expect(i - 1)) < 1e-9,
+        s"node $i: got ${pr(i.toLong)}, want ${expect(i - 1)}")
+  }
+
+  test("connected components: isolated nodes are their own singleton") {
+    val comps = GraphAlgorithms.connectedComponents(graphIso).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getLong(1) & 0xFFFFFFFFL))
+      .toMap
+    assert(comps.size === 7)
+    assert(comps(6L) !== comps(7L))
+    assert(comps(6L) !== comps(1L))
+    assert(comps(6L) !== comps(4L))
+  }
+
+  test("pagerank and components on a graph with zero matching edges") {
+    // relTypes that match nothing: every node is isolated.
+    val pr = GraphAlgorithms.pageRank(graph, iterations = 3,
+      relTypes = Seq("NO_SUCH_TYPE")).collect()
+      .map(r => r.getDouble(1))
+    assert(pr.length === 5)
+    assert(pr.forall(r => math.abs(r - 1.0) < 1e-9)) // all mass recycles
+    val cc = GraphAlgorithms.connectedComponents(graph,
+      relTypes = Seq("NO_SUCH_TYPE")).collect()
+    assert(cc.length === 5)
+    assert(cc.map(_.getLong(1)).distinct.length === 5)
+  }
+
   test("pagerank on the TPC-H graph runs and is positive") {
     val g = graft.tpch.TpchGraph(spark, "/root/testdata/sf0.001")
     val pr = GraphAlgorithms.pageRank(g, iterations = 3,
