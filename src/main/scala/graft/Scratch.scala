@@ -23,29 +23,16 @@ object Scratch {
       val n = f
       System.err.println(f"[scratch] $name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  ($n rows)")
     }
+    import graft.algos.GraphAlgorithms._
     for (round <- 1 to 3) {
       System.err.println(s"--- round $round")
-      time("pagerank") {
-        SparkEntry.queries("q_algo_pagerank")(spark, sfDir).count()
-      }
-      time("components") {
-        SparkEntry.queries("q_algo_components")(spark, sfDir).count()
-      }
-      time("varexpand") {
-        SparkEntry.queries("q_varexpand")(spark, sfDir).count()
-      }
-      time("varexpand_deep") {
-        SparkEntry.queries("q_varexpand_deep")(spark, sfDir).count()
-      }
-      time("dedup_minhash") {
-        SparkEntry.queries("q_dedup_minhash")(spark, sfDir).count()
-      }
-      time("dedup_simhash") {
-        SparkEntry.queries("q_dedup_simhash")(spark, sfDir).count()
-      }
-      time("sim_ivf") {
-        SparkEntry.queries("q_sim_ivf")(spark, sfDir).count()
-      }
+      time("nodeIds")          { nodeIds(g).count() }
+      time("edges(pr-types)")  { edges(g, Seq("IN_REGION", "FROM_NATION", "PLACED")).count() }
+      time("edges(cc-types)")  { edges(g, Seq("IN_REGION", "FROM_NATION")).count() }
+      time("pagerank it=1")    { pageRank(g, 1, relTypes = Seq("IN_REGION", "FROM_NATION", "PLACED")).count() }
+      time("pagerank it=3")    { pageRank(g, 3, relTypes = Seq("IN_REGION", "FROM_NATION", "PLACED")).count() }
+      time("components max=1") { connectedComponents(g, Seq("IN_REGION", "FROM_NATION"), maxIterations = 1).count() }
+      time("components full")  { connectedComponents(g, Seq("IN_REGION", "FROM_NATION")).count() }
     }
     spark.stop()
   }

@@ -24,9 +24,7 @@ object GraphAlgorithms {
           StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
       }
 
-  def nodeIds(graph: PropertyGraph): DataFrame =
-    graph.nodeTables.map(_.df.select(col(PropertyGraph.ID).as("id")))
-      .reduce(_.unionByName(_)).distinct()
+  def nodeIds(graph: PropertyGraph): DataFrame = graph.nodeIdFrame
 
   /** In/out/total degree per node id. Single pass over the edge frame:
     * each edge contributes one (src, out) and one (dst, in) endpoint row
@@ -62,60 +60,55 @@ object GraphAlgorithms {
     * shrinks every per-round join and checkpoint by the isolated fraction. */
   def pageRank(graph: PropertyGraph, iterations: Int = 10,
       damping: Double = 0.85, relTypes: Seq[String] = Seq.empty): DataFrame = {
-    // Loop-invariant tables are persisted pre-partitioned on their join
-    // keys so each iteration only shuffles the rank updates, not the edge
-    // list — at 100 TB the edge re-shuffle would dominate every round.
-    val ids = nodeIds(graph).repartition(col("id")).persist()
-    val n = ids.count()
+    // All intermediate state uses LAZY localCheckpoint, never persist():
+    // lineage is cut immediately (bounded plans across rounds), blocks are
+    // materialized by the next action that reads them and freed by the
+    // ContextCleaner once the frames go unreachable — no manual lifecycle,
+    // no leaked cache entries in long-lived sessions (RobustnessSpec).
+    val n = nodeIds(graph).count()
     val e = edges(graph, relTypes)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val links = e.join(outDeg, "src").repartition(col("src")).persist()
-    val touched = e.select(col("src").as("id"))
+    // The src-keyed equi-join already hash-partitions links on src — the
+    // partitioning every per-round join needs. localCheckpoint preserves
+    // the partitioning, so no iteration ever re-shuffles the edge list (at
+    // 100 TB the edge re-shuffle would dominate every round).
+    val links = e.join(outDeg, "src").localCheckpoint(eager = false)
+    // Edge endpoints ARE node ids, so the distinct endpoint set IS the
+    // connected-node set — no semi-join against the full node table. The
+    // distinct also leaves it hash-partitioned on id for the loop's joins.
+    val connected = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-    val connected = ids.join(touched, Seq("id"), "left_semi")
-      .repartition(col("id")).persist()
-    val nConn = connected.count()
+      .localCheckpoint(eager = false)
     var isoRank = 1.0
     var ranks = connected.select(col("id"), lit(1.0).as("rank"))
-    var prevReceived: DataFrame = null
     for (i <- 1 to iterations) {
       val contribs = links
         .join(ranks, links("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
-      // `received` is read twice (mass total + rank update): persist it and
-      // let the 1-row mass aggregate materialize the blocks — ONE action per
-      // round (an eager checkpoint + separate aggregate was two; at ~6
-      // rounds the per-job overhead dominated the whole algorithm).
+      // `received` is read twice (mass total + rank update): the lazy
+      // checkpoint is materialized by the 1-row mass aggregate — ONE job
+      // per round (an eager checkpoint + separate aggregate was two; the
+      // per-job overhead dominated the whole algorithm).
       val received = connected.join(contribs, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("contrib"), lit(0.0)).as("contrib"))
-        .persist()
+        .localCheckpoint(eager = false)
       // Total link-transferred mass; the rest (dangling + isolated mass)
       // is spread uniformly.
       val tc = received.agg(coalesce(sum("contrib"), lit(0.0))).head().getDouble(0)
-      if (prevReceived != null) prevReceived.unpersist()
-      prevReceived = received
       val missShare = (n - tc) / n
-      // Lazy localCheckpoint: the logical plan is cut to a LogicalRDD
-      // IMMEDIATELY (plans stay O(1) across rounds — an unbounded plan tree
-      // OOMs Catalyst after ~10 rounds), while the RDD itself materializes
-      // during the next round's mass aggregate — still one job per round.
       ranks = received.select(col("id"),
         (lit(1.0 - damping) +
           lit(damping) * (col("contrib") + lit(missShare))).as("rank"))
         .localCheckpoint(eager = false)
       isoRank = (1.0 - damping) + damping * missShare
     }
-    val isolated = ids.join(ranks.select(col("id")), Seq("id"), "left_anti")
+    // Isolated nodes receive no link mass, so their rank is the closed-form
+    // scalar of the last round; returned lazily — the caller's action reads
+    // the checkpointed ranks, no extra materialization pass here.
+    val isolated = nodeIds(graph).join(ranks.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit(isoRank).as("rank"))
-    // Materialize before releasing the loop-invariant caches the isolated
-    // branch still reads from.
-    val result = ranks.unionByName(isolated).localCheckpoint(eager = true)
-    links.unpersist()
-    ids.unpersist()
-    connected.unpersist()
-    if (prevReceived != null) prevReceived.unpersist()
-    result
+    ranks.unionByName(isolated)
   }
 
   /** Connected components (undirected) by iterative min-id propagation;
@@ -125,16 +118,21 @@ object GraphAlgorithms {
   def connectedComponents(graph: PropertyGraph,
       relTypes: Seq[String] = Seq.empty, maxIterations: Int = 20): DataFrame = {
     val e0 = edges(graph, relTypes)
+    // Lazy localCheckpoint everywhere (see pageRank): lineage cut now,
+    // blocks materialized by the first convergence aggregate, freed by the
+    // ContextCleaner. The dst repartition is the partitioning the per-round
+    // join consumes, so the edge list never re-shuffles inside the loop.
     val und = e0.unionByName(e0.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().repartition(col("dst")).persist()
+      col("src").as("dst"))).distinct().repartition(col("dst"))
+      .localCheckpoint(eager = false)
     // Isolated nodes are their own component — only nodes incident to an
     // edge participate in min-id propagation, so every round's join and
     // checkpoint scales with the connected subgraph, not the node count.
-    val allIds = nodeIds(graph).persist()
-    val touched = und.select(col("src").as("id")).distinct()
-    var comp = allIds.join(touched, Seq("id"), "left_semi")
+    // Edge endpoints ARE node ids (the symmetrized src column covers both
+    // directions), so no semi-join against the full node table is needed.
+    var comp = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .persist()
+      .localCheckpoint(eager = false)
     // Convergence via the monotone invariant sum(component): min-id
     // propagation only ever decreases labels, so the sum strictly
     // decreases until the fixpoint — one cheap aggregate per round
@@ -162,17 +160,14 @@ object GraphAlgorithms {
           org.apache.spark.sql.types.DecimalType(38, 0))),
         lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head().getDecimal(0))
-      comp.unpersist()
       comp = next
       it += 1
     }
-    val isolated = allIds.join(comp.select(col("id")), Seq("id"), "left_anti")
+    // Isolated singletons appended lazily; the caller's action reads the
+    // checkpointed comp frame — no extra materialization pass here.
+    val isolated = nodeIds(graph).join(comp.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
-    val result = comp.unionByName(isolated).localCheckpoint(eager = true)
-    und.unpersist()
-    allIds.unpersist()
-    comp.unpersist()
-    result
+    comp.unionByName(isolated)
   }
 
   /** Count of triangles (undirected, each counted once). */

@@ -141,6 +141,24 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
       })
   }
 
+  /** Distinct node-id frame, lazily checkpointed and memoized: the graph
+    * analytics (PageRank, components, degrees) all anchor on it, so the
+    * union-distinct over every node table runs once per graph instance;
+    * blocks are freed by the ContextCleaner with the graph. */
+  lazy val nodeIdFrame: org.apache.spark.sql.DataFrame =
+    nodeTables.map(_.df.select(col(ID).as("id")))
+      .reduceOption(_.unionByName(_))
+      .map(_.distinct().localCheckpoint(eager = false))
+      .getOrElse {
+        val spark = (nodeDefs.map(_.df) ++ relDefs.map(_.df)).headOption
+          .map(_.sparkSession)
+          .getOrElse(org.apache.spark.sql.SparkSession.active)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", LongType))))
+      }
+
   lazy val nodeTables: Seq[NodeScanTable] = nodeDefs.map { d =>
     val fields = d.df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = tagged(d.idSpace, col(d.idCol)).as(ID) +:
