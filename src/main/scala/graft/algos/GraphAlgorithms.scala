@@ -1,6 +1,7 @@
 package graft.algos
 
 import graft.graph.PropertyGraph
+import graft.impl.Pin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,8 +9,16 @@ import org.apache.spark.sql.types._
 /** Whole-graph analytics over the same element-table scans the Cypher
   * planner uses — DataFrame-native iterative algorithms (no RDD/GraphX
   * legacy): each iteration is a keyed join + aggregation that Catalyst/AQE
-  * plans like any other, and intermediate state is persisted + localCheckpoint'd
-  * to truncate lineage (the standard scale pattern for iterative Spark).
+  * plans like any other, and intermediate state is pinned via [[graft.impl.Pin]]
+  * (lazy localCheckpoint locally, fault-tolerant persist on a cluster) to
+  * truncate lineage — the standard scale pattern for iterative Spark.
+  *
+  * Referential integrity: the iterative algorithms derive their working node
+  * set from edge endpoints, assuming rel endpoints are a subset of node ids
+  * (true of every graph graft's own sources construct). For foreign data
+  * where that may not hold, set `spark.graft.algo.validateNodeIds=true` to
+  * semi-join edges against the node-id frame up front (one extra pass over
+  * the edge list, so opt-in).
   */
 object GraphAlgorithms {
 
@@ -25,6 +34,23 @@ object GraphAlgorithms {
       }
 
   def nodeIds(graph: PropertyGraph): DataFrame = graph.nodeIdFrame
+
+  /** Opt-in edge validation for graphs without guaranteed referential
+    * integrity: drops edges whose endpoints are missing from the node
+    * tables, so the iterative algorithms' edge-derived node sets stay a
+    * subset of node ids (and pageRank's mass normalization stays aligned
+    * with its rank row set). */
+  private def validated(e: DataFrame, graph: PropertyGraph): DataFrame = {
+    val validate = e.sparkSession.conf
+      .getOption("spark.graft.algo.validateNodeIds").exists(_.toBoolean)
+    if (!validate) e
+    else {
+      val ids = nodeIds(graph)
+      e.join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+  }
 
   /** In/out/total degree per node id. Single pass over the edge frame:
     * each edge contributes one (src, out) and one (dst, in) endpoint row
@@ -60,13 +86,11 @@ object GraphAlgorithms {
     * shrinks every per-round join and checkpoint by the isolated fraction. */
   def pageRank(graph: PropertyGraph, iterations: Int = 10,
       damping: Double = 0.85, relTypes: Seq[String] = Seq.empty): DataFrame = {
-    // All intermediate state uses LAZY localCheckpoint, never persist():
-    // lineage is cut immediately (bounded plans across rounds), blocks are
-    // materialized by the next action that reads them and freed by the
-    // ContextCleaner once the frames go unreachable — no manual lifecycle,
-    // no leaked cache entries in long-lived sessions (RobustnessSpec).
+    // All intermediate state is pinned lazily (Pin: localCheckpoint locally,
+    // persist on a cluster): lineage is cut immediately (bounded plans across
+    // rounds), blocks are materialized by the next action that reads them.
     val n = nodeIds(graph).count()
-    val e = edges(graph, relTypes)
+    val e = validated(edges(graph, relTypes), graph)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // The src-keyed equi-join already hash-partitions links on src — the
     // partitioning every per-round join needs. localCheckpoint preserves
@@ -76,9 +100,8 @@ object GraphAlgorithms {
     // Edge endpoints ARE node ids, so the distinct endpoint set IS the
     // connected-node set — no semi-join against the full node table. The
     // distinct also leaves it hash-partitioned on id for the loop's joins.
-    val connected = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = false)
+    val connected = Pin(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct())
     var isoRank = 1.0
     var ranks = connected.select(col("id"), lit(1.0).as("rank"))
     for (i <- 1 to iterations) {
@@ -90,17 +113,15 @@ object GraphAlgorithms {
       // checkpoint is materialized by the 1-row mass aggregate — ONE job
       // per round (an eager checkpoint + separate aggregate was two; the
       // per-job overhead dominated the whole algorithm).
-      val received = connected.join(contribs, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("contrib"), lit(0.0)).as("contrib"))
-        .localCheckpoint(eager = false)
+      val received = Pin(connected.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("contrib"), lit(0.0)).as("contrib")))
       // Total link-transferred mass; the rest (dangling + isolated mass)
       // is spread uniformly.
       val tc = received.agg(coalesce(sum("contrib"), lit(0.0))).head().getDouble(0)
       val missShare = (n - tc) / n
-      ranks = received.select(col("id"),
+      ranks = Pin(received.select(col("id"),
         (lit(1.0 - damping) +
-          lit(damping) * (col("contrib") + lit(missShare))).as("rank"))
-        .localCheckpoint(eager = false)
+          lit(damping) * (col("contrib") + lit(missShare))).as("rank")))
       isoRank = (1.0 - damping) + damping * missShare
     }
     // Isolated nodes receive no link mass, so their rank is the closed-form
@@ -117,22 +138,20 @@ object GraphAlgorithms {
     * convergence counter. */
   def connectedComponents(graph: PropertyGraph,
       relTypes: Seq[String] = Seq.empty, maxIterations: Int = 20): DataFrame = {
-    val e0 = edges(graph, relTypes)
-    // Lazy localCheckpoint everywhere (see pageRank): lineage cut now,
-    // blocks materialized by the first convergence aggregate, freed by the
-    // ContextCleaner. The dst repartition is the partitioning the per-round
-    // join consumes, so the edge list never re-shuffles inside the loop.
-    val und = e0.unionByName(e0.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().repartition(col("dst"))
-      .localCheckpoint(eager = false)
+    val e0 = validated(edges(graph, relTypes), graph)
+    // Lazy pinning everywhere (see pageRank): lineage cut now, blocks
+    // materialized by the first convergence aggregate. The dst repartition
+    // is the partitioning the per-round join consumes, so the edge list
+    // never re-shuffles inside the loop.
+    val und = Pin(e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().repartition(col("dst")))
     // Isolated nodes are their own component — only nodes incident to an
     // edge participate in min-id propagation, so every round's join and
     // checkpoint scales with the connected subgraph, not the node count.
     // Edge endpoints ARE node ids (the symmetrized src column covers both
     // directions), so no semi-join against the full node table is needed.
-    var comp = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(eager = false)
+    var comp = Pin(und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     // Convergence via the monotone invariant sum(component): min-id
     // propagation only ever decreases labels, so the sum strictly
     // decreases until the fixpoint — one cheap aggregate per round
@@ -145,15 +164,13 @@ object GraphAlgorithms {
         .join(comp, und("dst") === comp("id"))
         .select(und("src").as("id"), col("component"))
         .groupBy("id").agg(min("component").as("nbr_min"))
-      // Lazy localCheckpoint: plan truncated to a LogicalRDD immediately
-      // (bounded plans across rounds), blocks materialized by the
-      // convergence aggregate below — one job per round instead of an
-      // eager checkpoint job plus a separate aggregate job.
-      val next = comp.join(neighborMin, Seq("id"), "left_outer")
+      // Lazy pin: plan truncated immediately (bounded plans across rounds),
+      // blocks materialized by the convergence aggregate below — one job per
+      // round instead of an eager checkpoint job plus a separate aggregate.
+      val next = Pin(comp.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .localCheckpoint(eager = false)
+            .as("component")))
       prevSum = curSum
       curSum = BigDecimal(next.agg(coalesce(
         sum(col("component").cast(

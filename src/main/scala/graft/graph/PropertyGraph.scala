@@ -148,7 +148,7 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
   lazy val nodeIdFrame: org.apache.spark.sql.DataFrame =
     nodeTables.map(_.df.select(col(ID).as("id")))
       .reduceOption(_.unionByName(_))
-      .map(_.distinct().localCheckpoint(eager = false))
+      .map(df => graft.impl.Pin(df.distinct()))
       .getOrElse {
         val spark = (nodeDefs.map(_.df) ++ relDefs.map(_.df)).headOption
           .map(_.sparkSession)

@@ -210,7 +210,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         .find(k => memo.contains(prefix.take(k))).getOrElse(0)
       var ctx = if (seedLen == 0) startCtx else memo(prefix.take(seedLen))
       prefix.drop(seedLen).foreach(c => ctx = planReadingClause(ctx, c))
-      memo(prefix) = ctx.copy(df = ctx.df.localCheckpoint(eager = false))
+      memo(prefix) = ctx.copy(df = Pin(ctx.df))
     }
     memo.toMap
   }
@@ -364,13 +364,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           k -> cname
         }
     }
-    // Lazy localCheckpoint instead of persist: the node/rel tables of the
-    // constructed graph all derive from this frame, so it must materialize
-    // once — but a session running many CONSTRUCTs must not accumulate
-    // cached tables forever. Checkpoint blocks are freed by the
-    // ContextCleaner as soon as the constructed graph becomes unreachable;
-    // persist() entries would sit in the cache manager until evicted.
-    val mat = df.localCheckpoint(eager = false)
+    // The node/rel tables of the constructed graph all derive from this
+    // frame, so it must materialize once (Pin chooses lazy localCheckpoint
+    // locally, persist on a cluster).
+    val mat = Pin(df)
 
     val nodeDefs = nodes.toSeq.flatMap { case (v, nc) =>
       val cloned = ctx.header.contains(IdSlot(v))
@@ -1191,16 +1188,26 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // grows from the pattern's src toward its tgt; for IN the underlying
     // relationship is walked target->source.
     val (fromCol, toCol) = if (e.dir == IN) (t0, s0) else (s0, t0)
+    val hopBase = relDf0.select(col(fromCol).as("_h_from"),
+      col(toCol).as("_h_to"), col(i0).as("_h_i"))
     // The hop table is joined on _h_from once per unrolled hop; materializing
     // it pre-partitioned on that key means only the (smaller) growing
     // frontier shuffles each round — at 100 TB re-shuffling the edge table
-    // per hop would dominate the expand. Lazy localCheckpoint rather than
-    // persist: blocks are GC-released with the query's DataFrame, so a
-    // long-lived session running many var-length queries does not
-    // accumulate cached hop tables (persist() entries would).
-    val hop = relDf0.select(col(fromCol).as("_h_from"), col(toCol).as("_h_to"),
-      col(i0).as("_h_i")).repartition(col("_h_from"))
-      .localCheckpoint(eager = false)
+    // per hop would dominate the expand. But the materialization itself costs
+    // a full scan + shuffle + block write, so it only pays when the loop
+    // actually reuses the table (hi >= 2) AND the scan is too big to
+    // broadcast; for [*0..1]/[*1..1] patterns or broadcast-sized rel scans
+    // the plain scan lets Catalyst broadcast each hop join — zero shuffles.
+    val broadcastSized = {
+      val thresh =
+        relDf0.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      thresh > 0 &&
+        relDf0.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh
+    }
+    val hop =
+      if (hi >= 2 && !broadcastSized)
+        Pin(hopBase.repartition(col("_h_from")))
+      else hopBase
 
     val pfrom = "_vl_from_" + e.v
     val pto = "_vl_to_" + e.v

@@ -185,7 +185,7 @@ object Dedup {
     * terminal canonicalization step of a dedup pipeline (pairs come from
     * minhashLsh / simhashPairs / cosineNearDupPairs / an exact self-join).
     * Iterative min-label propagation, one join + aggregation per round,
-    * state localCheckpoint'd — same scale shape as connected components;
+    * state pinned per round (Pin.eager) — same scale shape as components;
     * singletons map to themselves. */
   def canonicalize(allIds: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", id1: String = "id1", id2: String = "id2",
@@ -204,10 +204,9 @@ object Dedup {
       val nbrMin = und.join(comp, und("dst") === comp("id"))
         .select(und("src").as("id"), col("canonical"))
         .groupBy("id").agg(min("canonical").as("nbr_min"))
-      val next = comp.join(nbrMin, Seq("id"), "left_outer")
+      val next = graft.impl.Pin.eager(comp.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), least(col("canonical"),
-          coalesce(col("nbr_min"), col("canonical"))).as("canonical"))
-        .localCheckpoint(eager = true)
+          coalesce(col("nbr_min"), col("canonical"))).as("canonical")))
       prevSum = curSum
       curSum = BigDecimal(next.agg(coalesce(sum(col("canonical").cast(
           org.apache.spark.sql.types.DecimalType(38, 0))),

@@ -13,6 +13,21 @@ object PipelineQueries {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
 
+  /** The exact near-dup ground truth is a correctness GATE, not part of the
+    * operator under test — computing it inside every gated query would bill
+    * its (deliberately exhaustive) shingle join to the operator's bench row.
+    * Cache it per dataset like the IVF index; eagerly materialized so the
+    * first caller pays once and later callers reuse the persisted pairs. */
+  private val trueDupCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+  private def trueNearDupPairsCached(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    trueDupCache.getOrElseUpdate((dir, threshold), {
+      val df = trueNearDupPairs(docs(s, dir), threshold).persist()
+      df.count()
+      df
+    })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -77,6 +92,13 @@ object PipelineQueries {
       .select(col("id1"), col("id2"), col("j"))
   }
 
+  /** Warm the per-dataset gate fixtures (exact near-dup ground truth) so
+    * recall-gated bench rows measure the operator under test, not the gate's
+    * ground-truth computation. Called from Bench's prepare step, whose cost
+    * is reported separately. */
+  def warmGates(s: SparkSession, dir: String): Unit =
+    trueNearDupPairsCached(s, dir, 0.7)
+
   /** Summary row for an ANN result vs the exact top-k: (k, top1_ok,
     * overlap >= 8). The oracle replays `k` (brute force in SQL) and pins the
     * two flags to TRUE. The exact top-k is tiny — both joins broadcast. */
@@ -128,7 +150,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val lsh = Dedup.minhashLsh(d, "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.5)
-      trueNearDupPairs(d, 0.7)
+      trueNearDupPairsCached(s, dir, 0.7)
         .join(lsh.select(col("id1"), col("id2")), Seq("id1", "id2"), "left_semi")
     }),
     // SimHash recall gate: hamming <= 3 is a narrower net than minhash
@@ -136,7 +158,7 @@ object PipelineQueries {
     // (oracle-computable) plus a recall >= 0.6 flag (seeded-deterministic).
     "q_dedup_simhash" -> ((s, dir) => {
       val d = docs(s, dir)
-      val t = trueNearDupPairs(d, 0.7).select(col("id1"), col("id2"))
+      val t = trueNearDupPairsCached(s, dir, 0.7).select(col("id1"), col("id2"))
       val caught = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
         .select(col("id1"), col("id2"))
       t.agg(count(lit(1)).as("n_true")).crossJoin(

@@ -67,6 +67,36 @@ class CachingSpec extends SparkTestBase {
     assert(df.collect().length === 8) // 5 regions + 3 nations
   }
 
+  test("single-hop var-length patterns do not checkpoint the hop table") {
+    // [*1..1] / [*0..1] join the hop table exactly once, so materializing
+    // it pre-partitioned is pure overhead — the plan must contain no
+    // checkpointed RDD and no exchange of the hop frame (Catalyst
+    // broadcasts the small rel scan instead).
+    for (pat <- Seq("[:IN_REGION*1..1]", "[:IN_REGION*0..1]")) {
+      val df = session.cypher(g,
+        s"MATCH (n:Nation)-$pat->(r:Region) RETURN count(*) AS c")
+      val plan = executedPlan(df)
+      assert(!plan.contains("ExistingRDD"),
+        s"$pat must not checkpoint the hop table:\n$plan")
+      assert(!plan.contains("hashpartitioning(_h_from"),
+        s"$pat must not shuffle the hop table:\n$plan")
+      assert(df.collect().head.getLong(0) > 0)
+    }
+  }
+
+  test("iterated var-length over a non-broadcastable scan pins the hop table") {
+    // Force the "large edge table" decision by disabling broadcast: the
+    // hop table is then joined per hop and must be materialized
+    // pre-partitioned once (the 100-TB-safe shape).
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = session.cypher(g,
+        "MATCH (n:Nation)-[:IN_REGION*1..2]->(r) RETURN count(*) AS c")
+      assert(executedPlan(df).contains("ExistingRDD"),
+        "multi-hop expand over a non-broadcastable scan should pin the hop table")
+      assert(df.collect().head.getLong(0) > 0)
+    }
+  }
+
   test("FROM GRAPH in one branch does not leak into the next") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

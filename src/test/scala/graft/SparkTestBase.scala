@@ -14,6 +14,18 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Run `body` with SQL confs temporarily overridden, restoring previous
+    * values (or unsetting) afterwards. */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Multiset compare helper (Bag semantics, like the reference's
     * okapi-testing Bag.scala). */
   def bag(rows: Seq[Seq[Any]]): Map[Seq[Any], Int] =
