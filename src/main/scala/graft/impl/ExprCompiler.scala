@@ -405,7 +405,18 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
 
     case Index(sub, idx) => inferType(sub) match {
-      case Some(_: MapType) | Some(_: StructType) =>
+      // Struct-backed map with a LITERAL key: exact field access — routing
+      // it through the dynamic when-chain would let CaseWhen coerce all
+      // value types to a common one (e.g. {name:'x', age:1}['age'] -> '1').
+      case Some(st: StructType) =>
+        idx match {
+          case StrLit(key) =>
+            if (st.fieldNames.contains(key)) compile(sub).getField(key)
+            else lit(null) // missing key -> null (map semantics)
+          case _ =>
+            compileFieldAccessDyn(compile(sub), inferType(sub), compile(idx))
+        }
+      case Some(_: MapType) =>
         compileFieldAccessDyn(compile(sub), inferType(sub), compile(idx))
       case _ =>
         // Cypher list index is 0-based; negative counts from the end.
@@ -529,10 +540,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
 
   private def compileFieldAccessDyn(c: Column, t: Option[DataType], k: Column): Column =
     t match {
-      // Map literals compile to structs (heterogeneous value types); a
-      // string-key lookup becomes a field-dispatch chain, which constant-
-      // folds to a plain getField when the key is a literal.
-      case Some(st: StructType) if st.fields.nonEmpty =>
+      // An empty map literal has no keys: any lookup is null (element_at on
+      // a zero-field struct would fail analysis instead).
+      case Some(st: StructType) if st.fields.isEmpty => lit(null)
+      // Map literals compile to structs; a non-literal string-key lookup
+      // becomes a field-dispatch chain. That is only type-sound when all
+      // value types agree — CaseWhen silently widens mixed branches to a
+      // common type (age 1 would come back as the string '1'), so
+      // heterogeneous dynamic access is rejected. (Literal keys never reach
+      // here; they take the exact getField path at the Index case.)
+      case Some(st: StructType) =>
+        val valueTypes = st.fields.map(_.dataType).distinct
+        if (valueTypes.length > 1)
+          throw new CypherCompileException(
+            "dynamic key access on a map with heterogeneous value types (" +
+              valueTypes.mkString(", ") + ") is not supported; use a " +
+              "literal key, e.g. m['age']")
         val first = when(k === lit(st.fields.head.name),
           c.getField(st.fields.head.name))
         st.fields.tail.foldLeft(first)((acc, f) =>

@@ -117,4 +117,40 @@ class AdviceRegressionSpec extends SparkTestBase {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  // --- round-4 advice: dynamic map access must not widen value types ---
+  test("literal key access on a heterogeneous map keeps the value type") {
+    val r = session.cypher(graph,
+      "WITH {name: 'x', age: 1} AS m RETURN m['age'] AS a, m['name'] AS n")
+    val row = r.collect().head
+    assert(row.getLong(0) === 1L, "age must stay a number, not become '1'")
+    assert(row.getString(1) === "x")
+  }
+
+  test("missing literal key on a map literal returns null") {
+    val r = session.cypher(graph,
+      "WITH {name: 'x'} AS m RETURN m['nope'] AS v").collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("empty map literal access returns null, not an analysis error") {
+    val r = session.cypher(graph,
+      "WITH {} AS m, 'k' AS k RETURN m[k] AS v").collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("dynamic key access on homogeneous map dispatches by key") {
+    val r = session.cypher(graph,
+      "UNWIND ['a','b'] AS k WITH {a: 1, b: 2} AS m, k RETURN m[k] AS v ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r === Seq(1L, 2L))
+  }
+
+  test("dynamic key access on heterogeneous map is a clear compile error") {
+    val e = intercept[Exception] {
+      session.cypher(graph,
+        "WITH {name: 'x', age: 1} AS m, 'age' AS k RETURN m[k] AS v").collect()
+    }
+    assert(e.getMessage.contains("heterogeneous"))
+  }
 }
