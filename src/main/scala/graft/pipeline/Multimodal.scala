@@ -37,12 +37,23 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
   /** STUB decode: derives a deterministic fake (width, height, channels)
-    * from the byte content. A real implementation decodes the image header
-    * here; signature and batching are what a production decoder needs. */
+    * from the byte content — a plain and a position-weighted byte checksum
+    * standing in for "parse the header" (chosen to be replayable by the
+    * DuckDB oracle, which recomputes them over encode(text)). A real
+    * implementation decodes the image header here; signature and batching
+    * are what a production decoder needs. */
   private def decodeStub(content: Array[Byte]): (Int, Int, Int) = {
     // ??? — real codec goes here; deterministic fake below.
-    val h = java.util.Arrays.hashCode(content)
-    (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, 3)
+    var sum = 0L
+    var wsum = 0L
+    var i = 0
+    while (i < content.length) {
+      val b = (content(i) & 0xFF).toLong
+      sum += b
+      wsum += (i + 1L) * b
+      i += 1
+    }
+    ((sum % 1920L).toInt + 1, (wsum % 1080L).toInt + 1, 3)
   }
 
   /** Feature extraction over media rows via mapPartitions: the partition

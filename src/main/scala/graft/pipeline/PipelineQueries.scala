@@ -243,16 +243,21 @@ object PipelineQueries {
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1), 4).as("f0"))),
     // --- whole-graph analytics (DataFrame-native iterative algos) ---
+    // Both project to id-free shapes (rank / component-size histograms) so
+    // the DuckDB oracle can replay them without knowing graft's internal
+    // surrogate ids; exact per-node membership is asserted in AlgosSpec.
     "q_algo_pagerank" -> ((s, dir) =>
       graft.algos.GraphAlgorithms.pageRank(
         graft.tpch.TpchGraph(s, dir), iterations = 3,
         relTypes = Seq("IN_REGION", "FROM_NATION", "PLACED"))
-        .withColumn("rank", round(col("rank"), 6))),
+        .groupBy(round(col("rank"), 5).as("rank"))
+        .agg(count(lit(1)).as("n"))),
     "q_algo_components" -> ((s, dir) =>
       graft.algos.GraphAlgorithms.connectedComponents(
         graft.tpch.TpchGraph(s, dir),
         relTypes = Seq("IN_REGION", "FROM_NATION"))
-        .groupBy(col("component")).agg(count(lit(1)).as("n"))),
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))),
     // --- events (timestamped table ops) ---
     "q_events_daily" -> ((s, dir) =>
       events(s, dir).groupBy(
@@ -264,7 +269,69 @@ object PipelineQueries {
           from_json(col("props"), propsSchema).getField("k").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))))
 
+  /** PageRank oracle: the same 3 damped iterations with uniform dangling-
+    * mass redistribution, unrolled as chained CTEs over a string-keyed
+    * rebuild of the edge multiset (same trick as the q_call_degrees
+    * oracle). Iterating over ALL nodes is equivalent to the engine's
+    * connected-only loop + closed-form isolated rank: isolated nodes are
+    * dangling, so they only ever receive the uniform missing-mass share. */
+  private val pageRankSql: String = {
+    def round(k: Int, prev: String) =
+      s"""c$k AS (SELECT e.dst AS id, sum($prev.rank / g.d) AS contrib
+            FROM edges e JOIN deg g ON e.src = g.src
+            JOIN $prev ON $prev.id = e.src GROUP BY e.dst),
+          m$k AS (SELECT (nn.n - coalesce((SELECT sum(contrib) FROM c$k), 0)) / nn.n AS miss FROM nn),
+          r$k AS (SELECT nodes.id, 0.15 + 0.85 * (coalesce(c$k.contrib, 0) + m$k.miss) AS rank
+            FROM nodes LEFT JOIN c$k ON nodes.id = c$k.id CROSS JOIN m$k)"""
+    s"""WITH nodes AS (
+         SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS id FROM region
+         UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+         UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR) FROM customer
+         UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier
+         UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR) FROM orders
+         UNION ALL SELECT 'l' || CAST(row_number() OVER () AS VARCHAR) FROM lineitem
+         UNION ALL SELECT 'p' || CAST(p_partkey AS VARCHAR) FROM part),
+       edges AS (
+         SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src, 'r' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+         UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+         UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+         UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR), 'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       r0 AS (SELECT id, 1.0 AS rank FROM nodes),
+       ${round(1, "r0")},
+       ${round(2, "r1")},
+       ${round(3, "r2")}
+       SELECT round(rank, 5) AS rank, count(*) AS n FROM r3 GROUP BY 1"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_algo_pagerank" -> pageRankSql,
+    // Component-size histogram over IN_REGION + FROM_NATION edges: each
+    // region anchors one component {region, its nations, their customers
+    // and suppliers}; orders/lineitems/parts have no edge of these types
+    // and are singletons.
+    "q_algo_components" ->
+      """WITH members AS (
+           SELECT r_regionkey AS rk FROM region
+           UNION ALL SELECT n_regionkey FROM nation
+           UNION ALL SELECT n_regionkey FROM customer JOIN nation ON n_nationkey = c_nationkey
+           UNION ALL SELECT n_regionkey FROM supplier JOIN nation ON n_nationkey = s_nationkey),
+         comp AS (SELECT rk, count(*) AS sz FROM members GROUP BY rk),
+         singles AS (SELECT (SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem)
+                          + (SELECT count(*) FROM part) AS n1)
+         SELECT sz, CAST(count(*) AS BIGINT) AS n_components FROM comp GROUP BY sz
+         UNION ALL SELECT CAST(1 AS BIGINT) AS sz, n1 AS n_components FROM singles""",
+    // Multimodal stub features are pure byte arithmetic over the utf-8
+    // payload; documents are ASCII, so byte k == ascii(char k).
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+           CAST(list_sum(bs) % 1920 + 1 AS INTEGER) AS width,
+           CAST(list_sum(list_transform(range(1, length(text)+1), i -> i * ascii(text[i]))) % 1080 + 1 AS INTEGER) AS height,
+           round(len(list_filter(bs, b -> b % 2 = 1))::DOUBLE / greatest(len(bs), 1), 4) AS f0
+         FROM (SELECT doc_id, text,
+                 list_transform(range(1, length(text)+1), i -> ascii(text[i])) AS bs
+               FROM documents) t""",
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_dedup_minhash" -> trueNearDupSql(0.7),
