@@ -1,47 +1,77 @@
 package graft.sources
 
 import graft.graph.{NodeTableDef, PropertyGraph, RelTableDef}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-/** Filesystem graph source: a graph directory holds one parquet dataset per
-  * element table plus a schema.json describing labels/types and column
-  * mappings — the Spark-native equivalent of the reference's FSGraphSource
+/** Filesystem graph source: a graph directory holds one dataset per element
+  * table plus a schema.json describing labels/types, column mappings, the
+  * storage format, and each table's Spark schema — the Spark-native
+  * equivalent of the reference's FSGraphSource
   * (flink-cypher/.../api/io/fs/FSGraphSource.scala:47-146,
   * morpheus-spark-cypher/.../api/io/fs/FSGraphSource.scala) with its JSON
   * schema sidecar (JsonSerialization.scala).
   *
+  * Formats (reference StorageFormat.scala:33-45): parquet (default), orc,
+  * csv, json. The per-table Spark schema recorded in the sidecar is applied
+  * on read, so type-erasing formats (csv/json) round-trip exactly and no
+  * format pays a schema-inference pass. Avro is omitted: the spark-avro
+  * datasource module does not ship in this Spark distribution.
+  *
   * Layout:
   *   <dir>/schema.json
-  *   <dir>/nodes/<i>/   (parquet)
-  *   <dir>/rels/<i>/    (parquet)
+  *   <dir>/nodes/<i>/   (data files in the chosen format)
+  *   <dir>/rels/<i>/
   */
 object FsGraphSource {
 
+  val SupportedFormats: Set[String] = Set("parquet", "orc", "csv", "json")
+
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  def store(graph: PropertyGraph, dir: String): Unit = {
+  private def writeTable(df: DataFrame, path: String, format: String): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    // CSV needs a header to keep column order human-debuggable; types come
+    // back from the sidecar schema, not from inference.
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+  }
+
+  private def readTable(spark: SparkSession, path: String, format: String,
+      schema: Option[StructType]): DataFrame = {
+    val r = spark.read.format(format)
+    val withSchema = schema.map(r.schema).getOrElse(r)
+    (if (format == "csv") withSchema.option("header", "true") else withSchema)
+      .load(path)
+  }
+
+  def store(graph: PropertyGraph, dir: String, format: String = "parquet"): Unit = {
+    require(SupportedFormats(format),
+      s"unsupported storage format '$format' (supported: ${SupportedFormats.mkString(", ")})")
     val nodeEntries = graph.nodeDefs.zipWithIndex.map { case (d, i) =>
-      d.df.write.mode("overwrite").parquet(s"$dir/nodes/$i")
+      writeTable(d.df, s"$dir/nodes/$i", format)
       s"""{"labels": [${d.labels.toSeq.sorted.map(q).mkString(",")}],
          |"idCol": ${q(d.idCol)}, "idSpace": ${q(d.idSpace)},
          |"properties": {${d.properties.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",")}}}"""
+            .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",")}},
+         |"sparkSchema": ${q(d.df.schema.json)}}"""
         .stripMargin.replace("\n", " ")
     }
     val relEntries = graph.relDefs.zipWithIndex.map { case (d, i) =>
-      d.df.write.mode("overwrite").parquet(s"$dir/rels/$i")
+      writeTable(d.df, s"$dir/rels/$i", format)
       s"""{"type": ${q(d.relType)}, "idCol": ${q(d.idCol)},
          |"srcCol": ${q(d.srcCol)}, "tgtCol": ${q(d.tgtCol)},
          |"idSpace": ${q(d.idSpace)}, "srcSpace": ${q(d.srcSpace)},
          |"tgtSpace": ${q(d.tgtSpace)},
          |"properties": {${d.properties.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",")}}}"""
+            .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",")}},
+         |"sparkSchema": ${q(d.df.schema.json)}}"""
         .stripMargin.replace("\n", " ")
     }
     val json =
-      s"""{"nodes": [${nodeEntries.mkString(",\n")}],
+      s"""{"format": ${q(format)},
+         |"nodes": [${nodeEntries.mkString(",\n")}],
          |"rels": [${relEntries.mkString(",\n")}]}""".stripMargin
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(s"$dir/schema.json"), json)
@@ -50,12 +80,17 @@ object FsGraphSource {
   def load(spark: SparkSession, dir: String): PropertyGraph = {
     val json = Files.readString(Paths.get(s"$dir/schema.json"))
     val parsed = MiniJson.parse(json).asInstanceOf[Map[String, Any]]
+    // Sidecars written before the format field default to parquet.
+    val format = parsed.get("format").map(_.toString).getOrElse("parquet")
+    def tableSchema(e: Map[String, Any]): Option[StructType] =
+      e.get("sparkSchema").map(j =>
+        DataType.fromJson(j.toString).asInstanceOf[StructType])
     val nodes = parsed("nodes").asInstanceOf[Seq[Any]].zipWithIndex.map {
       case (e0, i) =>
         val e = e0.asInstanceOf[Map[String, Any]]
         NodeTableDef(
           e("labels").asInstanceOf[Seq[Any]].map(_.toString).toSet,
-          spark.read.parquet(s"$dir/nodes/$i"),
+          readTable(spark, s"$dir/nodes/$i", format, tableSchema(e)),
           e("idCol").toString,
           e("properties").asInstanceOf[Map[String, Any]]
             .map { case (k, v) => k -> v.toString },
@@ -66,7 +101,7 @@ object FsGraphSource {
         val e = e0.asInstanceOf[Map[String, Any]]
         RelTableDef(
           e("type").toString,
-          spark.read.parquet(s"$dir/rels/$i"),
+          readTable(spark, s"$dir/rels/$i", format, tableSchema(e)),
           e("idCol").toString, e("srcCol").toString, e("tgtCol").toString,
           e("properties").asInstanceOf[Map[String, Any]]
             .map { case (k, v) => k -> v.toString },

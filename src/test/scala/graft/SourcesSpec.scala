@@ -24,6 +24,36 @@ class SourcesSpec extends SparkTestBase {
     assert(got === 25L)
   }
 
+  test("FS graph source round-trips through csv, orc, and json identically") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val reference = session.cypher(g,
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN r.r_name AS rn, count(*) AS n, round(sum(c.c_acctbal), 4) AS bal
+        |ORDER BY rn""".stripMargin).collect().map(_.toSeq).toSeq
+    for (fmt <- Seq("csv", "orc", "json")) {
+      val dir = Files.createTempDirectory(s"graft_fs_$fmt").toString
+      FsGraphSource.store(g, dir, fmt)
+      val loaded = FsGraphSource.load(spark, dir)
+      // Schema must survive type-erasing formats via the sidecar schema.
+      val origSchemas = g.nodeDefs.map(d => d.df.schema).toSet
+      val loadSchemas = loaded.nodeDefs.map(d => d.df.schema).toSet
+      assert(loadSchemas === origSchemas, s"$fmt must round-trip types exactly")
+      val got = session.cypher(loaded,
+        """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+          |RETURN r.r_name AS rn, count(*) AS n, round(sum(c.c_acctbal), 4) AS bal
+          |ORDER BY rn""".stripMargin).collect().map(_.toSeq).toSeq
+      assert(got === reference, s"$fmt round-trip must match parquet results")
+    }
+  }
+
+  test("FS graph source rejects an unsupported format") {
+    val g = TpchGraph(spark, "/root/testdata/sf0.001")
+    val e = intercept[IllegalArgumentException] {
+      FsGraphSource.store(g, "/tmp/never_written", "avro")
+    }
+    assert(e.getMessage.contains("unsupported storage format"))
+  }
+
   test("edge list source: V nodes and E relationships") {
     val dir = Files.createTempDirectory("graft_el")
     Files.writeString(dir.resolve("graph.txt"),
