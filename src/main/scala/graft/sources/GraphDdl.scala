@@ -4,83 +4,354 @@ import graft.graph.PropertyGraph
 import org.apache.spark.sql.SparkSession
 
 /** Text form of the SQL-table → property-graph mapping — the role of the
-  * reference's Graph DDL (graph-ddl/.../GraphDdl.scala:49), with a
-  * simplified declarative syntax over registered tables/views:
+  * reference's Graph DDL (graph-ddl/.../GraphDdl.scala, GraphDdlParser.scala,
+  * grammar exercised by graph-ddl/.../GraphDdlTest.scala), re-expressed over
+  * Spark-registered tables/views.
   *
   * {{{
-  * SET SCHEMA global_temp;                              -- optional prefix
-  * CREATE GRAPH (
-  *   NODE (Person) FROM persons KEY id PROPERTIES (name, age),
-  *   NODE (Person, Admin) FROM admins KEY id,            -- all non-key cols
-  *   REL KNOWS FROM knows KEY id SOURCE persons(src) TARGET persons(tgt)
-  *     PROPERTIES (since),
-  *   REL MEMBER_OF FROM memberships KEY mid
-  *     SOURCE persons(m_email JOIN email) TARGET groups(gid)
+  * SET SCHEMA global_temp;                       -- name prefix for views
+  *
+  * CREATE ELEMENT TYPE Person ( name STRING, age INTEGER )
+  * CREATE ELEMENT TYPE Employee EXTENDS Person ( salary FLOAT )
+  * CREATE ELEMENT TYPE READS ( rating FLOAT )
+  *
+  * CREATE GRAPH TYPE fooSchema (
+  *   Book ( title STRING ),                      -- local element type
+  *   (Person), (Employee), (Book),               -- node types
+  *   (Person)-[READS]->(Book)                    -- relationship type
+  * )
+  *
+  * CREATE GRAPH fooGraph OF fooSchema (
+  *   (Person)   FROM personView KEY id ( person_name AS name ),
+  *   (Employee) FROM employeeView KEY eid,
+  *   (Book)     FROM bookView KEY book_id ( book_title AS title ),
+  *   (Person)-[READS]->(Book)
+  *     FROM readsView e ( value1 AS rating )
+  *       START NODES (Person) FROM personView p JOIN ON p.person_id = e.person
+  *       END   NODES (Book)   FROM bookView   b JOIN ON e.book = b.book_id
   * )
   * }}}
   *
-  * `PROPERTIES` omitted = every column except key/endpoint columns.
-  * `SET SCHEMA p` prefixes unqualified table names with `p.` (the
-  * reference Graph DDL's SET SCHEMA, graph-ddl/.../GraphDdl.scala:49).
-  * `SOURCE t(c JOIN nc)` is a JOIN mapping: rel column `c` equates to the
-  * node table's non-key column `nc` and the loader joins through it.
-  * `--` starts a line comment. Table names resolve via `spark.table`.
+  * Semantics mirrored from the reference:
+  *  - element-type inheritance: `A EXTENDS B, C` — a node type (A) carries
+  *    labels {A} ∪ ancestors and the merged property set; conflicting
+  *    property types in the hierarchy, unresolved parents, and inheritance
+  *    cycles are errors (GraphDdlTest "fails on …" scenarios).
+  *  - graph types: local element types shadow global ones; a graph `OF t`
+  *    may only map node/rel types declared in `t`.
+  *  - multiple `FROM` views per node/rel type, each with its own column →
+  *    property renaming `( col AS prop )`; unmapped declared properties
+  *    default to the same-named column.
+  *  - JOIN mappings: `START/END NODES (T) FROM view alias JOIN ON
+  *    a.col = b.col` resolves an endpoint through a non-key node column.
+  *  - `SET SCHEMA p` prefixes unqualified view names.
+  *
+  * Deviations (documented): node mappings take `KEY col` — Spark-side
+  * graphs need a stable id column rather than the reference's load-time
+  * generated ids; rel mappings may omit KEY (a deterministic synthetic id
+  * is derived at load). The legacy compact forms `NODE (A) FROM t KEY k
+  * [PROPERTIES (…)]` / `REL R FROM t KEY k SOURCE t(c[ JOIN c2]) TARGET …`
+  * remain accepted inside CREATE GRAPH.
   */
 object GraphDdl {
 
+  // ------------------------------------------------------------- AST bits
+  private case class ElementType(name: String, parents: Seq[String],
+      props: Map[String, String])
+  private case class GraphType(name: String, local: Map[String, ElementType],
+      nodeTypes: Set[Seq[String]], relTypes: Set[(Seq[String], String, Seq[String])])
+
   def parse(spark: SparkSession, ddl: String): PropertyGraph = {
-    val toks = tokenize(ddl)
-    val p = new P(toks)
+    val p = new P(tokenize(ddl))
     var schema = ""
-    if (p.peekWordIs("SET")) {
-      p.next()
-      p.expectWord("SCHEMA")
-      schema = p.next() + "."
-      if (p.peekIs(";")) p.next()
-    }
     def qualify(t: String): String =
       if (schema.isEmpty || t.contains(".")) t else schema + t
-    p.expectWord("CREATE")
-    p.expectWord("GRAPH")
-    // optional graph name
-    if (!p.peekIs("(")) p.next()
+
+    val globalTypes = scala.collection.mutable.Map.empty[String, ElementType]
+    val graphTypes = scala.collection.mutable.Map.empty[String, GraphType]
+    var graph: Option[PropertyGraph] = None
+
+    while (p.hasNext && graph.isEmpty) {
+      if (p.peekWordIs("SET")) {
+        p.next(); p.expectWord("SCHEMA")
+        schema = p.next() + "."
+        if (p.peekIs(";")) p.next()
+      } else {
+        p.expectWord("CREATE")
+        if (p.peekWordIs("ELEMENT")) {
+          p.next(); p.expectWord("TYPE")
+          val et = parseElementType(p)
+          if (globalTypes.contains(et.name))
+            fail(s"duplicate global element type ${et.name}")
+          globalTypes(et.name) = et
+        } else if (p.peekWordIs("GRAPH") && p.peekWordIs2("TYPE")) {
+          p.next(); p.next()
+          val gt = parseGraphType(p)
+          if (graphTypes.contains(gt.name)) fail(s"duplicate graph type ${gt.name}")
+          graphTypes(gt.name) = gt
+        } else {
+          p.expectWord("GRAPH")
+          graph = Some(parseGraph(spark, p, qualify,
+            globalTypes.toMap, graphTypes.toMap))
+        }
+      }
+    }
+    graph.getOrElse(fail("DDL contains no CREATE GRAPH"))
+  }
+
+  // --------------------------------------------------- element/graph types
+  /** `Name [EXTENDS A, B] [( prop TYPE, ... )]` (cursor after TYPE/name). */
+  private def parseElementType(p: P): ElementType = {
+    val name = p.next()
+    val parents = Seq.newBuilder[String]
+    if (p.peekWordIs("EXTENDS")) {
+      p.next()
+      parents += p.next()
+      while (p.peekIs(",")) { p.next(); parents += p.next() }
+    }
+    val props = Map.newBuilder[String, String]
+    if (p.peekIs("(")) {
+      p.next()
+      if (!p.peekIs(")")) {
+        props += (p.next() -> p.next())
+        while (p.peekIs(",")) { p.next(); props += (p.next() -> p.next()) }
+      }
+      p.expect(")")
+    }
+    ElementType(name, parents.result(), props.result())
+  }
+
+  private def parseGraphType(p: P): GraphType = {
+    val name = p.next()
+    p.expect("(")
+    val local = scala.collection.mutable.Map.empty[String, ElementType]
+    val nodeTypes = Set.newBuilder[Seq[String]]
+    val relTypes = Set.newBuilder[(Seq[String], String, Seq[String])]
+    var more = !p.peekIs(")")
+    while (more) {
+      if (p.peekIs("(")) {
+        val src = parseNodeTypeRef(p)
+        if (p.peekIs("-")) {
+          val rel = parseRelArrow(p)
+          val tgt = parseNodeTypeRef(p)
+          relTypes += ((src, rel, tgt))
+        } else nodeTypes += src
+      } else {
+        val et = parseElementType(p)
+        if (local.contains(et.name)) fail(s"duplicate local element type ${et.name}")
+        local(et.name) = et
+      }
+      if (p.peekIs(",")) p.next() else more = false
+    }
+    p.expect(")")
+    GraphType(name, local.toMap, nodeTypes.result(), relTypes.result())
+  }
+
+  /** `(A[, B])` → type names. */
+  private def parseNodeTypeRef(p: P): Seq[String] = {
+    p.expect("(")
+    val ts = Seq.newBuilder[String]
+    ts += p.next()
+    while (p.peekIs(",")) { p.next(); ts += p.next() }
+    p.expect(")")
+    ts.result()
+  }
+
+  /** `-[R]->` (cursor on `-`). */
+  private def parseRelArrow(p: P): String = {
+    p.expect("-"); p.expect("[")
+    val r = p.next()
+    p.expect("]"); p.expect("-"); p.expect(">")
+    r
+  }
+
+  // ------------------------------------------------------ type resolution
+  /** labels ∪ merged props up the EXTENDS chain; cycle/unknown/conflict →
+    * error (mirrors GraphDdlTest failure scenarios). */
+  private def resolve(name: String, types: Map[String, ElementType],
+      seen: Set[String] = Set.empty): (Set[String], Map[String, String]) = {
+    if (seen(name)) fail(s"cyclic element type inheritance at $name")
+    val et = types.getOrElse(name, fail(s"unresolved element type $name"))
+    et.parents.foldLeft((Set(name), et.props)) { case ((ls, ps), parent) =>
+      val (pls, pps) = resolve(parent, types, seen + name)
+      pps.foreach { case (k, t) =>
+        ps.get(k).filter(_ != t).foreach(t2 => fail(
+          s"conflicting property types in inheritance hierarchy: $name.$k is $t2, $parent.$k is $t"))
+      }
+      (ls ++ pls, pps ++ ps)
+    }
+  }
+
+  // ------------------------------------------------------------ mappings
+  private def parseGraph(spark: SparkSession, p: P,
+      qualify: String => String,
+      globalTypes: Map[String, ElementType],
+      graphTypes: Map[String, GraphType]): PropertyGraph = {
+    if (!p.peekIs("(")) p.next() // optional graph name
+    val declared: Option[GraphType] =
+      if (p.peekWordIs("OF")) {
+        p.next()
+        val tn = p.next()
+        Some(graphTypes.getOrElse(tn, fail(s"unresolved graph type $tn")))
+      } else None
+    // local graph-type elements shadow globals (GraphDdlTest "prefers
+    // local label over global label")
+    val types = globalTypes ++ declared.map(_.local).getOrElse(Map.empty)
+    def checkNodeType(ts: Seq[String]): Unit = declared.foreach { gt =>
+      if (!gt.nodeTypes(ts))
+        fail(s"node type (${ts.mkString(",")}) is not declared in graph type ${gt.name}")
+    }
+    def checkRelType(src: Seq[String], r: String, tgt: Seq[String]): Unit =
+      declared.foreach { gt =>
+        if (!gt.relTypes((src, r, tgt)))
+          fail(s"relationship type (${src.mkString(",")})-[$r]->(${tgt.mkString(",")}) " +
+            s"is not declared in graph type ${gt.name}")
+      }
+
     p.expect("(")
     val nodes = Seq.newBuilder[SqlGraphSource.NodeMapping]
     val rels = Seq.newBuilder[SqlGraphSource.RelMapping]
-    var more = true
+    // KEY column per qualified node view, for plain-FK detection in JOIN ON.
+    val nodeKeyByTable = scala.collection.mutable.Map.empty[String, String]
+
+    /** labels + properties for a node/rel type list; implicit element types
+      * (not declared anywhere) contribute just their name as label and no
+      * declared props ("creates implicit node/edge types from mappings"). */
+    def labelsAndProps(ts: Seq[String]): (Set[String], Map[String, String]) =
+      ts.foldLeft((Set.empty[String], Map.empty[String, String])) {
+        case ((ls, ps), t) =>
+          if (types.contains(t)) {
+            val (tls, tps) = resolve(t, types)
+            (ls ++ tls, ps ++ tps)
+          } else (ls + t, ps)
+      }
+
+    /** `( col AS prop, ... )` — returns prop -> col. */
+    def parseRenames(): Map[String, String] =
+      if (!p.peekIs("(")) Map.empty
+      else {
+        p.next()
+        val m = Map.newBuilder[String, String]
+        def one(): Unit = {
+          val col = p.next(); p.expectWord("AS"); m += (p.next() -> col)
+        }
+        one()
+        while (p.peekIs(",")) { p.next(); one() }
+        p.expect(")")
+        m.result()
+      }
+
+    /** Final property map for a mapping: declared props default to the
+      * same-named column, renames override; no declared props → empty map
+      * (= SqlGraphSource's "all non-key columns" default). */
+    def propMap(declaredProps: Map[String, String],
+        renames: Map[String, String]): Map[String, String] =
+      if (declaredProps.isEmpty && renames.isEmpty) Map.empty
+      else declaredProps.keys.map(k => k -> renames.getOrElse(k, k)).toMap ++
+        renames
+
+    /** `alias.column` → (alias, column). */
+    def aliasCol(tok: String): (String, String) = tok.split("\\.", 2) match {
+      case Array(a, c) => (a, c)
+      case _ => fail(s"JOIN ON operand must be alias.column, got $tok")
+    }
+
+    var more = !p.peekIs(")")
     while (more) {
       p.peekWord.map(_.toUpperCase) match {
+        // ---- legacy compact forms (round-2 grammar) ----
         case Some("NODE") =>
           p.next()
-          p.expect("(")
-          val labels = Seq.newBuilder[String]
-          labels += p.next()
-          while (p.peekIs(",")) { p.next(); labels += p.next() }
-          p.expect(")")
-          p.expectWord("FROM")
-          val table = p.next()
-          p.expectWord("KEY")
-          val key = p.next()
-          val props = parseProps(p)
-          nodes += SqlGraphSource.NodeMapping(qualify(table),
-            labels.result().toSet, key, props.map(k => k -> k).toMap)
+          val ts = parseNodeTypeRef(p)
+          p.expectWord("FROM"); val table = p.next()
+          p.expectWord("KEY"); val key = p.next()
+          val legacyProps = parseLegacyProps(p)
+          val (labels, declaredProps) = labelsAndProps(ts)
+          checkNodeType(ts)
+          val props =
+            if (legacyProps.nonEmpty) legacyProps.map(k => k -> k).toMap
+            else propMap(declaredProps, Map.empty)
+          nodeKeyByTable(qualify(table)) = key
+          nodes += SqlGraphSource.NodeMapping(qualify(table), labels, key, props)
         case Some("REL") | Some("RELATIONSHIP") =>
           p.next()
           val relType = p.next()
-          p.expectWord("FROM")
-          val table = p.next()
-          p.expectWord("KEY")
-          val key = p.next()
+          p.expectWord("FROM"); val table = p.next()
+          p.expectWord("KEY"); val key = p.next()
           p.expectWord("SOURCE")
-          val (srcTable, srcCol, srcJoin) = parseEndpoint(p)
+          val (srcTable, srcCol, srcJoin) = parseLegacyEndpoint(p)
           p.expectWord("TARGET")
-          val (tgtTable, tgtCol, tgtJoin) = parseEndpoint(p)
-          val props = parseProps(p)
+          val (tgtTable, tgtCol, tgtJoin) = parseLegacyEndpoint(p)
+          val legacyProps = parseLegacyProps(p)
           rels += SqlGraphSource.RelMapping(qualify(table), relType, key,
             srcCol, tgtCol, qualify(srcTable), qualify(tgtTable),
-            props.map(k => k -> k).toMap, srcJoin, tgtJoin)
-        case other =>
-          throw new IllegalArgumentException(s"expected NODE or REL, got $other")
+            legacyProps.map(k => k -> k).toMap, srcJoin, tgtJoin)
+        // ---- reference-shaped forms ----
+        case _ =>
+          val ts = parseNodeTypeRef(p)
+          if (p.peekIs("-")) {
+            // (A)-[R]->(B) FROM view alias (renames)
+            //   START NODES (A) FROM nview a JOIN ON a.c = e.c …
+            val rel = parseRelArrow(p)
+            val tgtTs = parseNodeTypeRef(p)
+            checkRelType(ts, rel, tgtTs)
+            val (_, declaredProps) = labelsAndProps(Seq(rel))
+            while (p.peekWordIs("FROM")) {
+              p.next()
+              val table = qualify(p.next())
+              val edgeAlias =
+                if (p.peekWord.exists(w => !reservedCheck(w))) p.next()
+                else "edge"
+              val renames = parseRenames()
+              var key = ""
+              if (p.peekWordIs("KEY")) { p.next(); key = p.next() }
+              def endpoint(kw: String): (String, String, Option[String]) = {
+                p.expectWord(kw); p.expectWord("NODES")
+                val ets = parseNodeTypeRef(p)
+                checkNodeType(ets)
+                p.expectWord("FROM")
+                val nTable = qualify(p.next())
+                val nAlias =
+                  if (p.peekWord.exists(w => !reservedCheck(w))) p.next()
+                  else "node"
+                p.expectWord("JOIN"); p.expectWord("ON")
+                val (a1, c1) = aliasCol(p.next())
+                p.expect("=")
+                val (a2, c2) = aliasCol(p.next())
+                val (nodeCol, relCol) =
+                  if (a1 == nAlias && a2 == edgeAlias) (c1, c2)
+                  else if (a1 == edgeAlias && a2 == nAlias) (c2, c1)
+                  else fail(s"JOIN ON must relate $nAlias and $edgeAlias, got $a1 = $a2")
+                // joining on the node's KEY is a plain foreign key; any
+                // other node column is a JOIN mapping resolved at load
+                if (nodeKeyByTable.get(nTable).contains(nodeCol))
+                  (nTable, relCol, None)
+                else (nTable, relCol, Some(nodeCol))
+              }
+              val (srcTable, srcCol, srcJoin) = endpoint("START")
+              val (tgtTable, tgtCol, tgtJoin) = endpoint("END")
+              rels += SqlGraphSource.RelMapping(table, rel, key, srcCol,
+                tgtCol, srcTable, tgtTable, propMap(declaredProps, renames),
+                srcJoin, tgtJoin)
+            }
+          } else {
+            // (A[,B]) FROM view KEY id (renames) [FROM …]*
+            checkNodeType(ts)
+            val (labels, declaredProps) = labelsAndProps(ts)
+            var any = false
+            while (p.peekWordIs("FROM")) {
+              any = true
+              p.next()
+              val table = qualify(p.next())
+              p.expectWord("KEY")
+              val key = p.next()
+              val renames = parseRenames()
+              nodeKeyByTable(table) = key
+              nodes += SqlGraphSource.NodeMapping(table, labels, key,
+                propMap(declaredProps, renames))
+            }
+            if (!any) fail(s"node mapping (${ts.mkString(",")}) needs FROM <view> KEY <col>")
+          }
       }
       if (p.peekIs(",")) p.next() else more = false
     }
@@ -88,7 +359,13 @@ object GraphDdl {
     SqlGraphSource.load(spark, nodes.result(), rels.result())
   }
 
-  private def parseEndpoint(p: P): (String, String, Option[String]) = {
+  private val reserved = Set("START", "END", "FROM", "KEY", "JOIN", "ON",
+    "NODES", "AS", "OF")
+  private def reservedCheck(w: String): Boolean = reserved(w.toUpperCase)
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException("Graph DDL: " + msg)
+
+  private def parseLegacyEndpoint(p: P): (String, String, Option[String]) = {
     val table = p.next()
     p.expect("(")
     val c = p.next()
@@ -97,7 +374,7 @@ object GraphDdl {
     (table, c, join)
   }
 
-  private def parseProps(p: P): Seq[String] =
+  private def parseLegacyProps(p: P): Seq[String] =
     if (p.peekWordIs("PROPERTIES")) {
       p.next()
       p.expect("(")
@@ -108,8 +385,10 @@ object GraphDdl {
       ps.result()
     } else Seq.empty
 
-  // -- tiny tokenizer ("("/")"/"," punctuation, words, -- comments) --
+  // -- tiny tokenizer: punctuation "()[],;=<>-", words (dots kept inside),
+  //    -- line comments --
   private def tokenize(s: String): Vector[String] = {
+    val punct = "()[],;=<>-"
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < s.length) {
@@ -117,10 +396,10 @@ object GraphDdl {
       if (c.isWhitespace) i += 1
       else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
         while (i < s.length && s(i) != '\n') i += 1
-      } else if ("(),;".contains(c)) { out += c.toString; i += 1 }
+      } else if (punct.contains(c)) { out += c.toString; i += 1 }
       else {
         val st = i
-        while (i < s.length && !s(i).isWhitespace && !"(),;".contains(s(i)))
+        while (i < s.length && !s(i).isWhitespace && !punct.contains(s(i)))
           i += 1
         out += s.substring(st, i)
       }
@@ -130,18 +409,22 @@ object GraphDdl {
 
   private class P(toks: Vector[String]) {
     private var i = 0
+    def hasNext: Boolean = i < toks.length
     def next(): String = { val t = toks(i); i += 1; t }
     def peekIs(t: String): Boolean = i < toks.length && toks(i) == t
     def peekWord: Option[String] =
-      if (i < toks.length && !"(),;".contains(toks(i))) Some(toks(i)) else None
-    def peekWordIs(w: String): Boolean =
-      peekWord.exists(_.equalsIgnoreCase(w))
+      if (i < toks.length && toks(i).length > 0 &&
+        !"()[],;=<>-".contains(toks(i).charAt(0))) Some(toks(i))
+      else None
+    def peekWordIs(w: String): Boolean = peekWord.exists(_.equalsIgnoreCase(w))
+    def peekWordIs2(w: String): Boolean =
+      i + 1 < toks.length && toks(i + 1).equalsIgnoreCase(w)
     def expect(t: String): Unit = {
-      require(peekIs(t), s"expected '$t' at token $i, got ${toks.lift(i)}")
+      require(peekIs(t), s"Graph DDL: expected '$t' at token $i, got ${toks.lift(i)}")
       i += 1
     }
     def expectWord(w: String): Unit = {
-      require(peekWordIs(w), s"expected $w at token $i, got ${toks.lift(i)}")
+      require(peekWordIs(w), s"Graph DDL: expected $w at token $i, got ${toks.lift(i)}")
       i += 1
     }
   }

@@ -19,7 +19,12 @@ object SqlGraphSource {
     * (graph-ddl/.../GraphDdl.scala:49) — when set, the rel table's endpoint
     * column equates to that (non-key) column of the node table, and the
     * loader joins through it to resolve the node key. When empty the
-    * endpoint column IS the node key (plain foreign key). */
+    * endpoint column IS the node key (plain foreign key).
+    *
+    * `idCol = ""` means the view has no key column (the reference generates
+    * edge ids at load, GraphDdl mappings may omit KEY): a synthetic id is
+    * derived at load and the frame is pinned so the assignment is stable
+    * across actions. */
   case class RelMapping(table: String, relType: String, idCol: String,
       srcCol: String, tgtCol: String, srcTable: String, tgtTable: String,
       properties: Map[String, String] = Map.empty,
@@ -47,6 +52,13 @@ object SqlGraphSource {
         else df.columns
           .filterNot(Set(m.idCol, m.srcCol, m.tgtCol))
           .map(c => c -> c).toMap
+      // No key column: synthesize one. Pinning makes the assignment stable
+      // across actions (partition-local counters re-evaluate otherwise).
+      val idCol = if (m.idCol.nonEmpty) m.idCol else {
+        df = graft.impl.Pin(df.withColumn("_rel_id",
+          org.apache.spark.sql.functions.monotonically_increasing_id()))
+        "_rel_id"
+      }
       // JOIN mapping: derive the endpoint node key by joining through the
       // declared node column — one broadcast-friendly equi-join per mapped
       // endpoint, done once at load.
@@ -66,7 +78,7 @@ object SqlGraphSource {
       }
       val srcKey = resolve(m.srcCol, m.srcTable, m.srcJoinCol)
       val tgtKey = resolve(m.tgtCol, m.tgtTable, m.tgtJoinCol)
-      RelTableDef(m.relType, df, m.idCol, srcKey, tgtKey, props,
+      RelTableDef(m.relType, df, idCol, srcKey, tgtKey, props,
         "rel/" + m.table + "/" + m.relType, m.srcTable, m.tgtTable)
     }
     PropertyGraph(nodeDefs, relDefs)

@@ -117,6 +117,131 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum === 25L)
   }
 
+  // ---- reference GraphDdlTest mirror scenarios (graph-ddl/.../GraphDdlTest.scala) ----
+
+  private def ddlFixtures(): Unit = {
+    import spark.implicits._
+    Seq((1L, "Alice", 30L), (2L, "Bob", 40L))
+      .toDF("person_id1", "person_name1", "age").createOrReplaceTempView("personView1")
+    Seq((10L, "Carol", 50L))
+      .toDF("person_id2", "person_name2", "age").createOrReplaceTempView("personView2")
+    Seq((100L, "Dune"), (101L, "Emma"))
+      .toDF("book_id", "book_title").createOrReplaceTempView("bookView")
+    Seq((1L, 100L, 4.5), (2L, 101L, 3.0))
+      .toDF("person", "book", "value1").createOrReplaceTempView("readsView1")
+    Seq((10L, 100L, 5.0))
+      .toDF("person", "book", "value2").createOrReplaceTempView("readsView2")
+  }
+
+  test("Graph DDL: graph type, multi-view node mappings, JOIN ON rel views " +
+    "(GraphDdlTest ddlString)") {
+    ddlFixtures()
+    val g = graft.sources.GraphDdl.parse(spark,
+      """CREATE GRAPH TYPE fooSchema (
+        |  Person ( name STRING, age INTEGER ),
+        |  Book   ( title STRING ),
+        |  READS  ( rating FLOAT ),
+        |  (Person), (Book),
+        |  (Person)-[READS]->(Book)
+        |)
+        |CREATE GRAPH fooGraph OF fooSchema (
+        |  (Person) FROM personView1 KEY person_id1 ( person_name1 AS name )
+        |           FROM personView2 KEY person_id2 ( person_name2 AS name ),
+        |  (Book)   FROM bookView KEY book_id ( book_title AS title ),
+        |  (Person)-[READS]->(Book)
+        |    FROM readsView1 e ( value1 AS rating )
+        |      START NODES (Person) FROM personView1 p JOIN ON p.person_id1 = e.person
+        |      END   NODES (Book)   FROM bookView    b JOIN ON e.book = b.book_id
+        |    FROM readsView2 e ( value2 AS rating )
+        |      START NODES (Person) FROM personView2 p JOIN ON p.person_id2 = e.person
+        |      END   NODES (Book)   FROM bookView    b JOIN ON e.book = b.book_id
+        |)""".stripMargin)
+    val rows = session.cypher(g,
+      "MATCH (p:Person)-[r:READS]->(b:Book) " +
+        "RETURN p.name AS n, b.title AS t, r.rating AS v ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq(("Alice", "Dune", 4.5), ("Bob", "Emma", 3.0),
+      ("Carol", "Dune", 5.0)))
+    // column renames apply per view; age defaults to the same-named column
+    val ages = session.cypher(g,
+      "MATCH (p:Person) RETURN p.age AS a ORDER BY a")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ages === Seq(30L, 40L, 50L))
+  }
+
+  test("Graph DDL: element-type inheritance carries parent labels and props " +
+    "(GraphDdlTest 'schema with inherited node and edge labels')") {
+    import spark.implicits._
+    Seq((1L, "Ann", 95000.0), (2L, "Ben", 80000.0))
+      .toDF("eid", "name", "salary").createOrReplaceTempView("employeeView")
+    val g = graft.sources.GraphDdl.parse(spark,
+      """CREATE ELEMENT TYPE Person ( name STRING )
+        |CREATE ELEMENT TYPE Employee EXTENDS Person ( salary FLOAT )
+        |CREATE GRAPH g (
+        |  (Employee) FROM employeeView KEY eid
+        |)""".stripMargin)
+    // the Employee node type must also carry the Person label ...
+    val viaParent = session.cypher(g,
+      "MATCH (p:Person) RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaParent === Seq("Ann", "Ben"))
+    // ... and the merged property set (own salary + inherited name)
+    val merged = session.cypher(g,
+      "MATCH (e:Employee) WHERE e.salary > 90000.0 RETURN e.name AS n")
+      .collect().map(_.getString(0)).toSeq
+    assert(merged === Seq("Ann"))
+  }
+
+  test("Graph DDL: local element type shadows global " +
+    "(GraphDdlTest 'prefers local label over global label')") {
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y"))
+      .toDF("id", "localprop").createOrReplaceTempView("shadowView")
+    val g = graft.sources.GraphDdl.parse(spark,
+      """CREATE ELEMENT TYPE Node ( globalprop STRING )
+        |CREATE GRAPH TYPE t ( Node ( localprop STRING ), (Node) )
+        |CREATE GRAPH g OF t (
+        |  (Node) FROM shadowView KEY id
+        |)""".stripMargin)
+    val got = session.cypher(g,
+      "MATCH (n:Node) RETURN n.localprop AS p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("x", "y"))
+  }
+
+  test("Graph DDL failure scenarios (GraphDdlTest 'fails on ...')") {
+    ddlFixtures()
+    def err(ddl: String): String =
+      intercept[IllegalArgumentException] {
+        graft.sources.GraphDdl.parse(spark, ddl)
+      }.getMessage
+    // cyclic element type inheritance
+    assert(err(
+      """CREATE ELEMENT TYPE A EXTENDS B ( x STRING )
+        |CREATE ELEMENT TYPE B EXTENDS A ( y STRING )
+        |CREATE GRAPH g ( (A) FROM personView1 KEY person_id1 )""".stripMargin)
+      .contains("cyclic"))
+    // unresolved inherited element type
+    assert(err(
+      """CREATE ELEMENT TYPE A EXTENDS Nope ( x STRING )
+        |CREATE GRAPH g ( (A) FROM personView1 KEY person_id1 )""".stripMargin)
+      .contains("unresolved element type"))
+    // unresolved graph type
+    assert(err("CREATE GRAPH g OF missing ( (A) FROM personView1 KEY person_id1 )")
+      .contains("unresolved graph type"))
+    // node type not declared in the graph type
+    assert(err(
+      """CREATE GRAPH TYPE t ( Person ( name STRING ), (Person) )
+        |CREATE GRAPH g OF t ( (Book) FROM bookView KEY book_id )""".stripMargin)
+      .contains("not declared"))
+    // conflicting property types in the inheritance hierarchy
+    assert(err(
+      """CREATE ELEMENT TYPE A ( x STRING )
+        |CREATE ELEMENT TYPE B EXTENDS A ( x INTEGER )
+        |CREATE GRAPH g ( (B) FROM personView1 KEY person_id1 )""".stripMargin)
+      .contains("conflicting property types"))
+  }
+
   test("Graph DDL SET SCHEMA + JOIN mapping round-trips a two-table join") {
     import spark.implicits._
     // The edge table references persons by EMAIL, not by key — the JOIN
