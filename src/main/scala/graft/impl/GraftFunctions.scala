@@ -18,10 +18,23 @@ object GraftFunctions {
 
   /** Exact discrete percentile: the smallest value v such that at least a
     * fraction p of the rows are <= v. Collects the group to an array —
-    * matches the reference's approach; at very large group sizes prefer
-    * percentile_approx. */
+    * matches the reference's approach and is exact, but degrades when a
+    * single group holds billions of rows.
+    *
+    * Scale path: set `spark.graft.percentileDisc.approx=true` (optionally
+    * `spark.graft.percentileDisc.accuracy=N`, default 10000) to compute it
+    * with approx_percentile instead — bounded memory per group at the cost
+    * of rank error <= 1/accuracy, the right trade for 100-TB groups. Exact
+    * remains the default. */
   def percentileDisc(c: Column, p: Column): Column = {
-    val arr = array_sort(collect_list(c))
-    element_at(arr, greatest(F.ceil(p * F.size(arr)).cast(IntegerType), lit(1)))
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    if (conf.getOption("spark.graft.percentileDisc.approx").exists(_.toBoolean)) {
+      val acc = conf.getOption("spark.graft.percentileDisc.accuracy")
+        .map(_.toInt).getOrElse(10000)
+      call_function("approx_percentile", c, p, lit(acc))
+    } else {
+      val arr = array_sort(collect_list(c))
+      element_at(arr, greatest(F.ceil(p * F.size(arr)).cast(IntegerType), lit(1)))
+    }
   }
 }

@@ -146,6 +146,22 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(r === Seq(1L, 2L))
   }
 
+  test("percentileDisc: exact default, approx_percentile behind session conf") {
+    val q = "UNWIND [1,2,3,4,5,6,7,8,9,10] AS x RETURN percentileDisc(x, 0.3) AS p"
+    val exact = session.cypher(graph, q)
+    assert(exact.queryExecution.analyzed.toString.contains("collect_list"),
+      "exact (collect-based) percentileDisc must remain the default")
+    assert(exact.collect().head.getLong(0) === 3L)
+    withSQLConf("spark.graft.percentileDisc.approx" -> "true") {
+      val approx = session.cypher(graph, q)
+      val plan = approx.queryExecution.analyzed.toString
+      assert(!plan.contains("collect_list") &&
+        plan.toLowerCase.contains("percentile"),
+        s"conf must switch to approx_percentile:\n$plan")
+      assert(approx.collect().head.getLong(0) === 3L)
+    }
+  }
+
   test("dynamic key access on heterogeneous map is a clear compile error") {
     val e = intercept[Exception] {
       session.cypher(graph,
