@@ -93,10 +93,10 @@ object GraphAlgorithms {
     val e = validated(edges(graph, relTypes), graph)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // The src-keyed equi-join already hash-partitions links on src — the
-    // partitioning every per-round join needs. localCheckpoint preserves
-    // the partitioning, so no iteration ever re-shuffles the edge list (at
+    // partitioning every per-round join needs. Pinning preserves the
+    // partitioning, so no iteration ever re-shuffles the edge list (at
     // 100 TB the edge re-shuffle would dominate every round).
-    val links = e.join(outDeg, "src").localCheckpoint(eager = false)
+    val links = Pin(e.join(outDeg, "src"))
     // Edge endpoints ARE node ids, so the distinct endpoint set IS the
     // connected-node set — no semi-join against the full node table. The
     // distinct also leaves it hash-partitioned on id for the loop's joins.
