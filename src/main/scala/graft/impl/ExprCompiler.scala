@@ -336,6 +336,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case In(NullLit, r) =>
       when(F.size(compile(r)) === 0, lit(false))
         .otherwise(lit(null).cast(BooleanType))
+    // `x IN null` is null (array_contains rejects the VOID-typed literal).
+    case In(_, NullLit) => lit(null).cast(BooleanType)
     case In(l, r) => array_contains(compile(r), compile(l))
     case StartsWith(l, r) => compile(l).startsWith(compile(r))
     case EndsWith(l, r) => compile(l).endsWith(compile(r))
@@ -439,6 +441,11 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       val tNorm = when(t < 0, F.size(c) + t).otherwise(t)
       F.slice(c, fNorm + 1, greatest(tNorm - fNorm, lit(0)))
 
+    // HOFs over a literal null: Cypher yields null, but Spark's array HOFs
+    // reject the VOID-typed null at analysis — short-circuit them here.
+    case ListComprehension(_, NullLit, _, _) => lit(null)
+    case IterablePredicate(_, _, NullLit, _) => lit(null)
+    case Reduce(_, _, _, NullLit, _) => lit(null)
     case ListComprehension(v, listE, whereE, projE) =>
       val listC = compile(listE)
       val et = inferType(listE).collect { case ArrayType(t, _) => t }
@@ -533,7 +540,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case other =>
           throw new CypherCompileException(s"unknown temporal accessor $other")
       }
-      case Some(_: StructType) => c.getField(k)
+      // Missing key on a struct-backed map is null (Cypher map semantics);
+      // getField on an absent field would fail analysis instead.
+      case Some(st: StructType) =>
+        if (st.fieldNames.contains(k)) c.getField(k) else lit(null)
       case Some(_: MapType) => element_at(c, k)
       case _ => c.getItem(k)
     }
@@ -633,10 +643,14 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "labels" => args(0) match {
         case NullLit => lit(null)
         case Var(n) =>
-          val ls = header.ownedBy(n).collect { case LabelSlot(_, l) => l }.sorted
-          if (ls.isEmpty) array()
-          else array_compact(array(ls.map(l =>
-            when(col(header.col(LabelSlot(n, l))), lit(l))): _*))
+          // labels(null) is null (optional-unmatched node), not []
+          val built =
+            if (header.ownedBy(n).collect { case LabelSlot(_, l) => l }.isEmpty)
+              array()
+            else array_compact(array(header.ownedBy(n)
+              .collect { case LabelSlot(_, l) => l }.sorted.map(l =>
+                when(col(header.col(LabelSlot(n, l))), lit(l))): _*))
+          when(compile(Var(n)).isNull, lit(null)).otherwise(built)
         case _ => throw new CypherCompileException("labels() needs a node var")
       }
       case "type" => args(0) match {
@@ -658,16 +672,21 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case NullLit => lit(null)
         case Var(n) =>
           val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
-          if (ks.isEmpty) array()
-          else array_compact(array(ks.map(k =>
-            when(col(header.col(PropSlot(n, k))).isNotNull, lit(k))): _*))
+          // keys(null) is null (optional-unmatched element), not []
+          val built =
+            if (ks.isEmpty) array()
+            else array_compact(array(ks.map(k =>
+              when(col(header.col(PropSlot(n, k))).isNotNull, lit(k))): _*))
+          when(compile(Var(n)).isNull, lit(null)).otherwise(built)
         case _ => throw new CypherCompileException("keys() needs an element var")
       }
       case "properties" => args(0) match {
         case NullLit => lit(null)
         case Var(n) =>
           val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
-          struct(ks.map(k => col(header.col(PropSlot(n, k))).as(k)): _*)
+          // properties(null) is null (optional-unmatched element)
+          when(compile(Var(n)).isNull, lit(null))
+            .otherwise(struct(ks.map(k => col(header.col(PropSlot(n, k))).as(k)): _*))
         case _ => throw new CypherCompileException("properties() needs an element var")
       }
       case "exists" => a0.isNotNull
@@ -823,8 +842,18 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "bitwiseor" => a0.bitwiseOR(a1)
       case "bitwisexor" => a0.bitwiseXOR(a1)
       case "range" =>
-        val step = if (args.length >= 3) compile(args(2)) else lit(1L)
-        sequence(a0, a1, step)
+        // Cypher range(): a direction/step mismatch (range(2,1) or
+        // range(1,2,-1)) yields [] — Spark's sequence instead throws, and
+        // for literal args it throws at constant-folding time, so the
+        // mismatch case must never reach sequence: route it through a safe
+        // stop (= start) and emit an empty slice for it.
+        val step = (if (args.length >= 3) compile(args(2)) else lit(1L))
+          .cast(LongType)
+        val start = a0.cast(LongType)
+        val stop = a1.cast(LongType)
+        val mismatch = (stop > start && step < 0) || (stop < start && step > 0)
+        when(mismatch, F.slice(sequence(start, start, lit(1L)), 1, 0))
+          .otherwise(sequence(start, when(mismatch, start).otherwise(stop), step))
       case "coalesce" => F.coalesce(args.map(compile): _*)
 
       case other => extensions.get(other) match {

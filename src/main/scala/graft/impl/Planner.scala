@@ -291,6 +291,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             case TypeSlot(_) => TypeSlot(alias)
             case ValueSlot(_) => ValueSlot(alias)
             case PathSlot(_) => PathSlot(alias)
+            case PathNodesSlot(_) => PathNodesSlot(alias)
           }
           ns -> ctx.header.col(sl)
         }
@@ -517,9 +518,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     (nodes.toMap, edges.toSeq)
   }
 
-  /** Bind path variables as (nodes, rels) structs. For paths containing a
-    * var-length segment the intermediate node ids are not materialized, so
-    * `nodes` is null there; `rels`/`length` always work. */
+  /** Bind path variables as (nodes, rels) structs. Var-length segments
+    * contribute their tracked visited-node arrays (PathNodesSlot, populated
+    * by planVarExpand whenever a path variable spans the hop). */
   private def bindPaths(ctx0: Ctx): Ctx = {
     var ctx = ctx0
     val (ready, pending) = pathBinds.partition(b =>
@@ -534,11 +535,16 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val rels =
         if (relCols.isEmpty) array().cast(ArrayType(LongType))
         else concat(relCols: _*)
-      val hasVarLen = b.hops.exists(_._2)
-      val nodeIds = (b.head +: b.hops.map(_._3)).map(v => col(h.col(IdSlot(v))))
-      val nodes =
-        if (hasVarLen) lit(null).cast(ArrayType(LongType))
-        else array(nodeIds: _*)
+      // Node sequence: the head node, then each hop's nodes after its start
+      // (a var-length hop's tracked array includes both endpoints, so drop
+      // its first element — it is the previous hop's end).
+      val nodeCols = array(col(h.col(IdSlot(b.head)))) +: b.hops.map {
+        case (e, true, _) =>
+          val pn = col(h.col(PathNodesSlot(e)))
+          F.slice(pn, lit(2), greatest(F.size(pn) - 1, lit(0)))
+        case (_, false, nxt) => array(col(h.col(IdSlot(nxt))))
+      }
+      val nodes = concat(nodeCols: _*)
       val slot = ValueSlot(b.v)
       ctx = Ctx(
         ctx.df.withColumn(RecordHeader.colName(slot),
@@ -1212,6 +1218,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val pfrom = "_vl_from_" + e.v
     val pto = "_vl_to_" + e.v
     val pids = RecordHeader.colName(PathSlot(e.v))
+    // nodes(p) needs the intermediate node ids; accumulate them only when a
+    // bound path variable spans this var-length hop (one extra array column
+    // per frontier row otherwise wasted).
+    val trackNodes = pathBinds.exists(_.hops.exists(h => h._1 == e.v && h._2))
+    val pnodes = RecordHeader.colName(PathNodesSlot(e.v))
     // Anchor from whichever endpoint is bound. When only the target is
     // pre-bound ("MATCH (a:X) MATCH (b)-[*1..2]->(a)") the frontier grows
     // backwards over the reversed hop table and path ids are prepended, so
@@ -1226,34 +1237,44 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       .select(col(ctx0.header.col(IdSlot(anchorVar))).as("_vl_anchor")).distinct()
     val (seedCol, growCol) = if (anchorIsSrc) ("_h_from", "_h_to") else ("_h_to", "_h_from")
     var paths: DataFrame = null
-    var frontier = hop
+    val seed = hop
       .join(anchorIds, col(seedCol) === col("_vl_anchor"), "left_semi")
       .select(col("_h_from").as(pfrom), col("_h_to").as(pto),
         array(col("_h_i")).as(pids))
+    var frontier =
+      if (trackNodes)
+        seed.withColumn(pnodes, array(col(pfrom), col(pto)))
+      else seed
     for (k <- 1 to hi) {
       if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
       if (k < hi) {
         val h2 = hop.select(col("_h_from").as("_n_f"), col("_h_to").as("_n_t"),
           col("_h_i").as("_n_i"))
+        val extra = if (trackNodes) Seq(
+          if (anchorIsSrc) concat(col(pnodes), array(col("_n_t"))).as(pnodes)
+          else concat(array(col("_n_f")), col(pnodes)).as(pnodes)) else Seq.empty
         frontier =
           if (anchorIsSrc)
             frontier.join(h2,
                 col(pto) === col("_n_f") && !array_contains(col(pids), col("_n_i")))
-              .select(col(pfrom), col("_n_t").as(pto),
-                concat(col(pids), array(col("_n_i"))).as(pids))
+              .select(col(pfrom) +: col("_n_t").as(pto) +:
+                concat(col(pids), array(col("_n_i"))).as(pids) +: extra: _*)
           else
             frontier.join(h2,
                 col(pfrom) === col("_n_t") && !array_contains(col(pids), col("_n_i")))
-              .select(col("_n_f").as(pfrom), col(pto),
-                concat(array(col("_n_i")), col(pids)).as(pids))
+              .select(col("_n_f").as(pfrom) +: col(pto) +:
+                concat(array(col("_n_i")), col(pids)).as(pids) +: extra: _*)
       }
     }
     if (lo == 0) {
       // Zero-length: anchored endpoint pairs with itself, empty path.
-      val zero = ctx0.df.select(col(ctx0.header.col(IdSlot(anchorVar))).as(pfrom))
+      val zero0 = ctx0.df.select(col(ctx0.header.col(IdSlot(anchorVar))).as(pfrom))
         .distinct()
         .select(col(pfrom), col(pfrom).as(pto),
           array().cast(ArrayType(LongType)).as(pids))
+      val zero =
+        if (trackNodes) zero0.withColumn(pnodes, array(col(pfrom)))
+        else zero0
       paths = if (paths == null) zero else paths.unionByName(zero)
     }
 
@@ -1263,6 +1284,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       col(ctx0.header.col(IdSlot(anchorVar))) === col(anchorCol))
     var header = ctx0.header
       .withSlot(PathSlot(e.v)).withVar(e.v, ListRelKind(e.types.toSet))
+    if (trackNodes) header = header.withSlot(PathNodesSlot(e.v))
     if (bound(otherVar)) {
       df = df.filter(col(ctx0.header.col(IdSlot(otherVar))) === col(otherCol))
     } else {

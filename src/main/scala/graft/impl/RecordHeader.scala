@@ -17,6 +17,9 @@ case class TypeSlot(owner: String) extends Slot
 case class ValueSlot(owner: String) extends Slot
 /** Var-length relationship: column holds an array of relationship ids. */
 case class PathSlot(owner: String) extends Slot
+/** Var-length relationship under a bound path variable: array of the
+  * visited node ids in src->tgt order (both endpoints included). */
+case class PathNodesSlot(owner: String) extends Slot
 
 sealed trait VarKind
 case class NodeKind(labels: Set[String]) extends VarKind
@@ -37,6 +40,7 @@ object RecordHeader {
     case TypeSlot(v) => esc(v) + "__type"
     case ValueSlot(v) => esc(v) + "__v"
     case PathSlot(v) => esc(v) + "__path"
+    case PathNodesSlot(v) => esc(v) + "__pathnodes"
   }
 
   private def esc(s: String): String =

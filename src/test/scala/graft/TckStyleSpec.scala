@@ -73,10 +73,8 @@ object TckFixtures {
   }
 }
 
-class TckStyleSpec extends SparkTestBase {
+class TckStyleSpec extends TckScenarioBase {
   import TckFixtures._
-
-  lazy val session = new GraftSession(spark)
 
   // ------------------------------------------------------------ fixtures
   /** a:A {name:'a', num:1} -KNOWS{since:2010}-> b:B {name:'b', num:2}
@@ -118,47 +116,6 @@ class TckStyleSpec extends SparkTestBase {
       N(3, Set("V"), Map("s" -> "world", "x" -> 3, "flag" -> false))))
 
   lazy val gEmpty = graph(spark, Seq(N(1, Set("Unrelated"))))
-
-  // ------------------------------------------------------------ framework
-  private def norm(v: Any): Any = v match {
-    case null => null
-    case i: java.lang.Integer => i.longValue
-    case i: java.lang.Long => i.longValue
-    case f: java.lang.Float => f.doubleValue
-    case d: java.math.BigDecimal => d.doubleValue
-    case s: scala.collection.Seq[_] => s.map(norm).toList
-    case a: Array[_] => a.map(norm).toList
-    case m: scala.collection.Map[_, _] =>
-      m.map { case (k, x) => k.toString -> norm(x) }.toMap
-    case r: Row =>
-      r.schema.fieldNames.zip(r.toSeq).map { case (n, x) => n -> norm(x) }.toMap
-    case other => other
-  }
-
-  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Map[String, Any]] =
-    df.collect().toSeq.map(r =>
-      r.schema.fieldNames.zip(r.toSeq).map { case (n, v) => n -> norm(v) }.toMap)
-
-  private def rowBag(rows: Seq[Map[String, Any]]): Map[Map[String, Any], Int] =
-    rows.groupBy(identity).map { case (k, v) => k -> v.size }
-
-  /** Register one scenario as its own test. `expected` is a bag of rows
-    * (ordered = true compares as a sequence). */
-  private var count = 0
-  private def scenario(name: String, g: => PropertyGraph, query: String,
-      expected: Seq[Map[String, Any]], ordered: Boolean = false): Unit = {
-    count += 1
-    test(f"[$count%03d] $name") {
-      val got = rowsOf(session.cypher(g, query))
-      val want = expected.map(_.map { case (k, v) => k -> norm(v) })
-      if (ordered) assert(got === want)
-      else assert(rowBag(got) === rowBag(want),
-        s"\nquery: $query\ngot:  $got\nwant: $want")
-    }
-  }
-
-  private def rows(ms: Map[String, Any]*): Seq[Map[String, Any]] = ms.toSeq
-  private def value(v: Any): Seq[Map[String, Any]] = Seq(Map("x" -> v))
 
   // ============================================================ MATCH basics
   scenario("match all nodes", gAbc, "MATCH (n) RETURN count(*) AS x", value(4))
