@@ -540,6 +540,40 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case other =>
           throw new CypherCompileException(s"unknown temporal accessor $other")
       }
+      // Duration component accessors (Cypher semantics: each accessor is
+      // the truncated total of its unit WITHIN its component group —
+      // months / days / seconds groups do not convert into each other).
+      case Some(st: StructType)
+          if st.fieldNames.toSeq == Seq("months", "days", "micros") =>
+        val months = c.getField("months")
+        val days = c.getField("days")
+        val micros = c.getField("micros")
+        // Column./ is double division; accessors are whole units truncated
+        // toward zero, which cast(long) of the double quotient gives.
+        def idiv(a: Column, b: Long) = (a / b).cast(LongType)
+        k.toLowerCase match {
+          case "years" => idiv(months, 12)
+          case "quarters" => idiv(months, 3)
+          case "months" => months
+          case "weeks" => idiv(days, 7)
+          case "days" => days
+          case "hours" => idiv(micros, 3600000000L)
+          case "minutes" => idiv(micros, 60000000L)
+          case "seconds" => idiv(micros, 1000000L)
+          case "milliseconds" => idiv(micros, 1000L)
+          // raw storage field, used by the oracle's field projection
+          case "micros" => micros
+          case "microseconds" => micros
+          case "quartersofyear" => idiv(months % 12, 3)
+          case "monthsofquarter" => months % 3
+          case "monthsofyear" => months % 12
+          case "minutesofhour" => idiv(micros, 60000000L) % 60
+          case "secondsofminute" => idiv(micros, 1000000L) % 60
+          case "millisecondsofsecond" => idiv(micros, 1000L) % 1000
+          case "microsecondsofsecond" => micros % 1000000L
+          case other =>
+            throw new CypherCompileException(s"unknown duration accessor $other")
+        }
       // Missing key on a struct-backed map is null (Cypher map semantics);
       // getField on an absent field would fail analysis instead.
       case Some(st: StructType) =>

@@ -1490,6 +1490,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case l: Long => l.toInt
       case other => throw new CypherCompileException(s"SKIP/LIMIT param not an int: $other")
     }
+    // Statically-evaluable arithmetic (the TCK uses forms like `LIMIT 1 + 1`)
+    case Arith("+", l, r) => evalInt(l) + evalInt(r)
+    case Arith("-", l, r) => evalInt(l) - evalInt(r)
+    case Arith("*", l, r) => evalInt(l) * evalInt(r)
+    case Arith("/", l, r) => evalInt(l) / evalInt(r)
+    case Arith("%", l, r) => evalInt(l) % evalInt(r)
     case other => throw new CypherCompileException(s"SKIP/LIMIT must be a literal: $other")
   }
 }

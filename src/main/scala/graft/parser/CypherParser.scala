@@ -501,26 +501,28 @@ object CypherParser {
     }
 
     private def parseMulDiv(): Expr = {
-      var e = parsePow()
+      var e = parseUnary()
       var done = false
       while (!done) {
-        if (tryPunct("*")) e = Arith("*", e, parsePow())
-        else if (tryPunct("/")) e = Arith("/", e, parsePow())
-        else if (tryPunct("%")) e = Arith("%", e, parsePow())
+        if (tryPunct("*")) e = Arith("*", e, parseUnary())
+        else if (tryPunct("/")) e = Arith("/", e, parseUnary())
+        else if (tryPunct("%")) e = Arith("%", e, parseUnary())
         else done = true
       }
       e
     }
 
-    private def parsePow(): Expr = {
-      val e = parseUnary()
-      if (tryPunct("^")) Arith("^", e, parsePow()) else e
-    }
-
+    // Exponentiation binds TIGHTER than unary minus (-2 ^ 2 = -4) and is
+    // right-associative; its right operand may itself be signed (2 ^ -1).
     private def parseUnary(): Expr =
       if (tryPunct("-")) Neg(parseUnary())
       else if (tryPunct("+")) parseUnary()
-      else parsePostfix()
+      else parsePow()
+
+    private def parsePow(): Expr = {
+      val e = parsePostfix()
+      if (tryPunct("^")) Arith("^", e, parseUnary()) else e
+    }
 
     private def parsePostfix(): Expr = {
       var e = parseAtom()
