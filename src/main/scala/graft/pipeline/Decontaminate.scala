@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share long
+  * character n-grams with a probe (benchmark/eval) set — the standard
+  * train/test-overlap scrub an LLM data pipeline runs before training.
+  *
+  * Scale shape: both sides explode to (gram, id) rows; grams are compared
+  * via their 64-bit hash so the shuffle carries longs, not strings; the
+  * probe side of a real run is a benchmark suite (tiny vs the corpus), so
+  * Catalyst broadcasts it and the corpus never shuffles. minHits collisions
+  * are counted per document with one hash aggregation.
+  */
+object Decontaminate {
+
+  /** (id, gram-hash) rows: distinct n-grams per document, hashed. */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_gram"))
+      .select(col(idCol), xxhash64(col("_gram")).as("_gh"))
+
+  /** Corpus documents sharing at least `minHits` distinct n-grams with any
+    * probe document. Returns (idCol, n_hits) — n_hits = number of distinct
+    * contaminated grams, for triage/ranking. */
+  def flag(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int = 20, minHits: Int = 1): DataFrame = {
+    val corpusGrams = gramHashes(corpus, idCol, textCol, n)
+    val probeGrams = gramHashes(probes, idCol, textCol, n)
+      .select(col("_gh")).distinct()
+    corpusGrams
+      .join(probeGrams, Seq("_gh")) // broadcast-sized in a real run
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("_gh")).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** The complement: corpus with contaminated documents removed. */
+  def scrub(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int = 20, minHits: Int = 1): DataFrame =
+    corpus.join(flag(corpus, probes, idCol, textCol, n, minHits)
+      .select(col(idCol)), Seq(idCol), "left_anti")
+}

@@ -258,6 +258,24 @@ object PipelineQueries {
         relTypes = Seq("IN_REGION", "FROM_NATION"))
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))),
+    // --- curation: decontamination + deterministic sampling ---
+    // Probe set = every 47th document (a stand-in benchmark suite); flag
+    // corpus docs sharing any 20-char gram with a probe.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.flag(
+        d.filter(pmod(col("doc_id"), lit(47)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(47)) === 0),
+        "doc_id", "text", n = 20, minHits = 1)
+    }),
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(docs(s, dir), "doc_id", 0.1)
+        .select(col("doc_id"), col("lang"))),
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id", k = 5)
+        .select(col("lang"), col("doc_id"))),
+    "q_domain_mix" -> ((s, dir) =>
+      Sampling.domainMix(docs(s, dir), "source")),
     // --- events (timestamped table ops) ---
     "q_events_daily" -> ((s, dir) =>
       events(s, dir).groupBy(
@@ -332,6 +350,27 @@ object PipelineQueries {
          FROM (SELECT doc_id, text,
                  list_transform(range(1, length(text)+1), i -> ascii(text[i])) AS bs
                FROM documents) t""",
+    // Same normalization + 20-gram extraction as Decontaminate.flag; gram
+    // equality replayed on the strings themselves (the engine compares
+    // xxhash64 of the grams — collision-free at these cardinalities).
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(length(s)-20, 0)+1), i -> substr(s, i+1, 20)))) AS gram FROM t),
+         probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 47 = 0)
+         SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+         FROM g JOIN probe USING (gram) WHERE g.doc_id % 47 <> 0
+         GROUP BY 1 HAVING count(DISTINCT g.gram) >= 1""",
+    "q_sample_hash" ->
+      "SELECT doc_id, lang FROM documents WHERE (doc_id * 1103515245 + 12345) % 2048 < 204",
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY (doc_id * 1103515245 + 12345) % 2048, doc_id) AS rk
+           FROM documents) t WHERE rk <= 5""",
+    "q_domain_mix" ->
+      """SELECT source, count(*) AS n,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4) AS frac
+         FROM documents GROUP BY source""",
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_dedup_minhash" -> trueNearDupSql(0.7),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Correctness tests for the pipeline operators whose outputs the DuckDB
@@ -137,6 +137,53 @@ class PipelineSpec extends SparkTestBase {
     val got = Dedup.canonicalize(ids, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("decontamination flags gram overlap with probes, scrub removes it") {
+    // probe = doc 0; docs 1/2/5 share 20-char grams with it, 3/4 do not
+    val probes = docs.filter(col("doc_id") === 0)
+    val corpus = docs.filter(col("doc_id") =!= 0)
+    val flagged = Decontaminate.flag(corpus, probes, "doc_id", "text", n = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(1L) && flagged.contains(2L))
+    assert(!flagged.contains(3L) && !flagged.contains(4L))
+    val clean = Decontaminate.scrub(corpus, probes, "doc_id", "text", n = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean.intersect(flagged).isEmpty)
+    assert(clean.contains(3L) && clean.contains(4L))
+    // exact dup of the probe has the most contaminated grams
+    val hits = Decontaminate.flag(corpus, probes, "doc_id", "text", n = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(2L) >= hits(1L))
+  }
+
+  test("hash sampling is deterministic and repartition-stable") {
+    val big = spark.range(0, 10000).toDF("id")
+    val s1 = Sampling.hashSample(big, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(big.repartition(7), "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    // ~10% with generous tolerance (LCG buckets are near-uniform on a range)
+    assert(s1.size > 700 && s1.size < 1300)
+  }
+
+  test("stratified sampling keeps k per stratum deterministically") {
+    val rows = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val got = Sampling.stratifiedSample(rows, "grp", "id", k = 4)
+    val byGrp = got.collect().groupBy(_.getString(1))
+    assert(byGrp("a").length === 4 && byGrp("b").length === 4)
+    val again = Sampling.stratifiedSample(rows.repartition(5), "grp", "id", k = 4)
+    assert(got.collect().map(_.toSeq).toSet === again.collect().map(_.toSeq).toSet)
+  }
+
+  test("domain mix fractions sum to one") {
+    val rows = Seq((1L, "web"), (2L, "web"), (3L, "code"), (4L, "books"))
+      .toDF("id", "source")
+    val mix = Sampling.domainMix(rows, "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(mix("web") === ((2L, 0.5)))
+    assert(math.abs(mix.values.map(_._2).sum - 1.0) < 1e-9)
   }
 
   test("multimodal pipeline: media wrap + stub feature extraction") {
