@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** (id, gram-hash) rows: distinct n-grams per document, hashed. */
+  /** (id, gram-hash) rows: distinct n-grams per document, hashed. The
+    * input is fanned out across the session's shuffle parallelism first —
+    * a compact text file scans as few partitions, and the ~(len-n)×
+    * shingle expansion is the expensive step (same pattern as
+    * Dedup.minhashSignatures). */
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_gram"))
+      n: Int): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(parts, col(idCol))
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_gram"))
       .select(col(idCol), xxhash64(col("_gram")).as("_gh"))
+  }
 
   /** Corpus documents sharing at least `minHits` distinct n-grams with any
     * probe document. Returns (idCol, n_hits) — n_hits = number of distinct
