@@ -15,17 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** (id, gram-hash) rows: distinct n-grams per document, hashed. The
-    * input is fanned out across the session's shuffle parallelism first —
-    * a compact text file scans as few partitions, and the ~(len-n)×
-    * shingle expansion is the expensive step (same pattern as
-    * Dedup.minhashSignatures). */
+  /** (id, gram-hash) rows per document. Two deliberate shapes for scale:
+    * the input is fanned out across the session's shuffle parallelism
+    * before the ~(len-n)× expansion (a compact text file scans as few
+    * partitions), and grams come from exploding POSITIONS over a
+    * projected normalized column with a codegen substr — the
+    * transform/array_distinct HOF form runs interpreted and re-evaluates
+    * the normalization per element (measured 6× slower; same finding as
+    * trueNearDupPairs' 20×). Duplicate grams per doc are fine: every
+    * consumer distincts or count-distincts downstream. */
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     df.repartition(parts, col(idCol))
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_gram"))
-      .select(col(idCol), xxhash64(col("_gram")).as("_gh"))
+      .select(col(idCol),
+        lower(regexp_replace(col(textCol), "\\s+", " ")).as("_s"))
+      .select(col(idCol), col("_s"), explode(sequence(lit(0),
+        greatest(length(col("_s")) - n, lit(0)))).as("_i"))
+      .select(col(idCol),
+        xxhash64(col("_s").substr(col("_i") + 1, lit(n))).as("_gh"))
   }
 
   /** Corpus documents sharing at least `minHits` distinct n-grams with any

@@ -31,7 +31,13 @@ object Dedup {
       .select(df.columns.map(c => col("_row." + c).as(c)): _*)
   }
 
-  /** Character shingles of size k over whitespace-normalized lower-cased
+  /** PERF NOTE: this HOF form runs interpreted and re-evaluates the inlined
+    * normalization once per element — fine for small fixtures and single
+    * values, but hot paths should explode positions over a projected
+    * normalized column with a codegen substr instead (see
+    * minhashSignatures, Decontaminate.gramHashes, trueNearDupPairs).
+    *
+    * Character shingles of size k over whitespace-normalized lower-cased
     * text, deduplicated. */
   def shingles(text: Column, k: Int): Column = {
     val norm = lower(regexp_replace(text, "\\s+", " "))

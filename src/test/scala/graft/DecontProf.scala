@@ -21,6 +21,15 @@ object DecontProf {
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("docs count")(docs.count())
+    // Hypothesis: inlined norm re-evaluates per lambda element; hoisting it
+    // into a projected column should collapse the per-gram cost.
+    val hoisted = docs
+      .withColumn("_norm", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), greatest(length(col("_norm")) - 20, lit(0))),
+        i => col("_norm").substr(i + 1, lit(20))))).as("_g"))
+    time("hoisted-norm 20-gram count")(hoisted.count())
+    time("hoisted-norm again")(hoisted.count())
     val explode5 = docs.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 5)).as("_g"))
     time("explode 5-gram count")(explode5.count())
