@@ -253,6 +253,24 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
 
   private def isStringy(e: Expr): Boolean = inferType(e).contains(StringType)
 
+  /** Comparability class per openCypher: numbers coerce among themselves;
+    * everything else only compares within its own class. None = unknown. */
+  private def cmpClass(t: DataType): Option[Int] = t match {
+    case _: NumericType => Some(1)
+    case StringType => Some(2)
+    case BooleanType => Some(3)
+    case DateType => Some(4)
+    case TimestampType | TimestampNTZType => Some(5)
+    case _ => None // arrays/structs/null: leave to Spark semantics
+  }
+
+  /** True iff both operand types are statically known and in different
+    * comparability classes. */
+  private def crossClass(l: Expr, r: Expr): Boolean = (for {
+    lt <- inferType(l); lc <- cmpClass(lt)
+    rt <- inferType(r); rc <- cmpClass(rt)
+  } yield lc != rc).getOrElse(false)
+
   /** Path values are (nodes, rels) structs bound by the planner. */
   private def isPathStruct(e: Expr): Boolean = inferType(e) match {
     case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("nodes", "rels")
@@ -319,6 +337,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Ors(es) => es.map(compile).reduce(_ || _)
     case Xor(l, r) => compile(l) =!= compile(r)
     case Not(x) => !compile(x)
+    // Cross-type-class semantics (openCypher): values of different type
+    // classes are never EQUAL (false, null-propagating) and never ORDERED
+    // (null). Spark would instead coerce ('1' = 1 -> true) or fail analysis
+    // (true < 1), so the class check runs at compile time where both types
+    // are statically known; unknown types fall through to Spark behavior.
+    case Cmp("=", l, r) if crossClass(l, r) =>
+      when(compile(l).isNull || compile(r).isNull, lit(null))
+        .otherwise(lit(false))
+    case Cmp("<>", l, r) if crossClass(l, r) =>
+      when(compile(l).isNull || compile(r).isNull, lit(null))
+        .otherwise(lit(true))
+    case Cmp(op, l, r) if crossClass(l, r) &&
+        Seq("<", "<=", ">", ">=").contains(op) =>
+      // evaluate operands for their effects-free nullness only; result is
+      // null either way (incomparable)
+      lit(null).cast(BooleanType)
     case Cmp("=", l, r) => compile(l) === compile(r)
     case Cmp("<>", l, r) => compile(l) =!= compile(r)
     case Cmp("<", l, r) => compile(l) < compile(r)
@@ -470,7 +504,17 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Reduce(accName, init, v, listE, step) =>
       val listC = compile(listE)
       val et = inferType(listE).collect { case ArrayType(t, _) => t }
-      val initT = inferType(init)
+      // An empty-list initial value types as ARRAY<VOID>, which Spark's
+      // aggregate rejects; retype it from the list's element type — the
+      // accumulator of a concat-flatten IS the element type (an array),
+      // that of an append is an array OF the element type.
+      val initT = inferType(init) match {
+        case Some(ArrayType(NullType, _)) => et.map {
+          case a: ArrayType => a: DataType
+          case other => ArrayType(other): DataType
+        }.orElse(inferType(init))
+        case other => other
+      }
       F.aggregate(listC, compile(init).cast(initT.getOrElse(LongType)),
         (acc, x) => lambda(accName, acc, initT).lambda(v, x, et).compile(step))
 

@@ -41,7 +41,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(14) match {
+      rnd.nextInt(17) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -158,6 +158,33 @@ class DifferentialSpec extends SparkTestBase {
             s"MATCH (o:Order) WHERE any(x IN [o.o_totalprice] WHERE x > $t) " +
               "RETURN count(*) AS n",
             s"SELECT count(*) AS n FROM d_orders WHERE o_totalprice > $t")
+        case 14 => // string predicates STARTS WITH / ENDS WITH / CONTAINS
+          val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
+          val letter = ('A' + rnd.nextInt(15)).toChar
+          val (cy, sq) = rnd.nextInt(3) match {
+            case 0 => (s"STARTS WITH '$letter'", s"LIKE '$letter%'")
+            case 1 => (s"ENDS WITH '$letter'", s"LIKE '%$letter'")
+            case _ => (s"CONTAINS '$letter'", s"LIKE '%$letter%'")
+          }
+          Pair(
+            s"MATCH ($v:$label) WHERE $v.$col $cy RETURN count(*) AS n",
+            s"SELECT count(*) AS n FROM d_$table WHERE $col $sq")
+        case 15 => // CASE bucketing aggregation
+          val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
+          val t = rnd.nextInt(200000)
+          Pair(
+            s"MATCH ($v:$label) RETURN CASE WHEN $v.$col > $t THEN 'hi' " +
+              s"ELSE 'lo' END AS k, count(*) AS n",
+            s"SELECT CASE WHEN $col > $t THEN 'hi' ELSE 'lo' END AS k, " +
+              s"count(*) AS n FROM d_$table GROUP BY 1")
+        case 16 => // arithmetic with ^ and unary minus (precedence parity)
+          val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
+          val t = rnd.nextInt(100000)
+          Pair(
+            s"MATCH ($v:$label) WHERE $v.$col > $t " +
+              s"RETURN round(-($v.$col) ^ 2 + $v.$col, 4) AS x",
+            s"SELECT round(-power($col, 2) + $col, 4) AS x FROM d_$table " +
+              s"WHERE $col > $t")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
