@@ -51,6 +51,21 @@ object GraftStreaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static dedup against an already-ingested corpus: drop incoming
+    * documents whose content hash exists in the (batch) corpus — the
+    * ingest-side decontamination/dedup step of a training-data pipeline.
+    * The corpus side is a static DataFrame joined per micro-batch; Spark
+    * re-plans it each batch, so a broadcast-sized hash set stays broadcast
+    * and a large one is a shuffled left_anti — no streaming state at all,
+    * which is what keeps this viable when the corpus is the 100-TB side. */
+  def dedupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val corpusHashes = corpus
+      .select(xxhash64(col(textCol)).as("_corpus_h")).distinct()
+    stream.join(corpusHashes,
+      xxhash64(col(textCol)) === col("_corpus_h"), "left_anti")
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
   case class UserSession(user_id: Long, startTs: java.sql.Timestamp,

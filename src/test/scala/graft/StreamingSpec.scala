@@ -45,6 +45,24 @@ class StreamingSpec extends SparkTestBase {
     assert(n === distinctIds)
   }
 
+  test("stream-static dedup drops documents already in the corpus") {
+    import spark.implicits._
+    // stage a tiny documents stream: 2 seen (in corpus), 2 new
+    val d = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    val corpus = Seq((1L, "seen one"), (2L, "seen two"), (9L, "other"))
+      .toDF("doc_id", "text")
+    Seq((10L, "seen one"), (11L, "brand new"), (12L, "seen two"),
+      (13L, "also new")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(d.resolve("in").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(d.resolve("in").toString)
+    val fresh = GraftStreaming.dedupAgainstCorpus(stream, corpus, "text")
+    val got = GraftStreaming.runToMemorySink(fresh, "fresh_docs", "append")
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(11L, 13L))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val l = GraftStreaming.eventsStream(spark, streamDir)
       .select("event_id", "ts", "user_id")
