@@ -34,6 +34,11 @@ object ExprCompiler {
     }
   }
 
+  /** The (months, days, micros) duration normal form's Spark type. */
+  val durationType: StructType = StructType(Seq(
+    StructField("months", LongType), StructField("days", LongType),
+    StructField("micros", LongType)))
+
   /** Total-microseconds estimate of a (months, days, micros) duration
     * struct for ordering: months at their Gregorian average length
     * (365.2425 / 12 days), Neo4j's duration comparison rule. */
@@ -160,6 +165,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       Some(StructType(items.map { case (k, v) =>
         StructField(k, inferType(v).getOrElse(NullType))
       }))
+    // Duration algebra keeps the duration struct type.
+    case Arith("+" | "-", l, r) if isDuration(l) && isDuration(r) =>
+      Some(ExprCompiler.durationType)
+    case Arith("*" | "/", l, _) if isDuration(l) =>
+      Some(ExprCompiler.durationType)
+    case Arith("*", _, r) if isDuration(r) =>
+      Some(ExprCompiler.durationType)
     case Arith("+" | "-", l, r) if (r match {
           case FuncCall("duration", _, _) => true
           case _ => false
@@ -287,6 +299,23 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     }
   }
 
+  /** duration ± duration: fieldwise on the normal form. */
+  private def durFieldwise(a: Column, b: Column)
+      (op: (Column, Column) => Column): Column =
+    struct(
+      op(a.getField("months"), b.getField("months")).as("months"),
+      op(a.getField("days"), b.getField("days")).as("days"),
+      op(a.getField("micros"), b.getField("micros")).as("micros"))
+
+  /** duration × scalar (also /k as ×(1/k) and unary minus as ×(-1)):
+    * each component group scales independently, fractions truncate toward
+    * zero — groups never convert into each other. */
+  private def durScale(d: Column, k: Column): Column =
+    struct(
+      (d.getField("months") * k).cast(LongType).as("months"),
+      (d.getField("days") * k).cast(LongType).as("days"),
+      (d.getField("micros") * k).cast(LongType).as("micros"))
+
   /** date/timestamp ± duration via make_interval; dates stay dates. */
   private def addDuration(l: Column, lType: Option[DataType], dur: Column,
       negate: Boolean): Column = {
@@ -388,6 +417,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case HasLabels(_, _) =>
       throw new CypherCompileException("label predicate on non-variable")
 
+    // Duration algebra first: duration ± duration is fieldwise on the
+    // (months, days, micros) normal form; scaling multiplies each group
+    // and truncates toward zero (no cross-group carry — groups never
+    // convert into each other, same rule as the component accessors).
+    case Arith("+", l, r) if isDuration(l) && isDuration(r) =>
+      durFieldwise(compile(l), compile(r))(_ + _)
+    case Arith("-", l, r) if isDuration(l) && isDuration(r) =>
+      durFieldwise(compile(l), compile(r))(_ - _)
+    case Arith("*", l, r) if isDuration(l) =>
+      durScale(compile(l), compile(r))
+    case Arith("*", l, r) if isDuration(r) =>
+      durScale(compile(r), compile(l))
+    case Arith("/", l, r) if isDuration(l) =>
+      durScale(compile(l), lit(1.0) / compile(r))
+    case Neg(x) if isDuration(x) =>
+      durScale(compile(x), lit(-1L))
     case Arith("+", l, r) if isDuration(r) =>
       addDuration(compile(l), inferType(l), compile(r), negate = false)
     case Arith("-", l, r) if isDuration(r) =>

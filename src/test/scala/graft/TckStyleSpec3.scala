@@ -177,6 +177,23 @@ class TckStyleSpec3 extends TckScenarioBase {
     value("2020-02-29"))
   scenario("duration equality", g,
     "RETURN duration('PT60M') = duration('PT1H') AS x", value(true))
+  scenario("duration addition is fieldwise", g,
+    "RETURN (duration('P1D') + duration('PT12H')).hours AS x", value(12))
+  scenario("duration subtraction can go negative per field", g,
+    "RETURN (duration('P1M') - duration('P1D')).days AS x", value(-1))
+  scenario("duration scaling by integer", g,
+    "RETURN (duration('P1DT2H') * 2).hours AS x", value(4))
+  scenario("scalar times duration commutes", g,
+    "RETURN (2 * duration('P3D')).days AS x", value(6))
+  scenario("duration division", g,
+    "RETURN (duration('P2DT2H') / 2).days AS d, " +
+      "(duration('P2DT2H') / 2).hours AS h",
+    rows(Map("d" -> 1, "h" -> 1)))
+  scenario("unary minus negates every component", g,
+    "RETURN (-duration('P1MT1H')).months AS m, (-duration('P1MT1H')).hours AS h",
+    rows(Map("m" -> -1, "h" -> -1)))
+  scenario("duration ordering by total length", g,
+    "RETURN duration('P1D') < duration('P2D') AS x", value(true))
   scenario("date difference ordering", g,
     "RETURN date('2020-01-01') < date('2020-01-02') AS x", value(true))
 
