@@ -47,6 +47,31 @@ class AlgosSpec extends SparkTestBase {
     assert(GraphAlgorithms.triangleCount(graph) === 1L)
   }
 
+  test("validateNodeIds drops edges with dangling endpoints (opt-in)") {
+    // edge 2->9 references node 9 absent from the node table
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 2L, 9L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    def prIds() = GraphAlgorithms.pageRank(g, iterations = 3).collect()
+      .map(_.getLong(0) & 0xFFFFFFFFL).toSet
+    // default: edge endpoints define the participating set -> 9 appears
+    assert(prIds().contains(9L))
+    spark.conf.set("spark.graft.algo.validateNodeIds", "true")
+    try {
+      // opt-in: dangling edge dropped, rank rows = real nodes only, mass
+      // normalization stays aligned with the row set
+      val pr = GraphAlgorithms.pageRank(g, iterations = 3).collect()
+        .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+      assert(pr.keySet === Set(1L, 2L, 3L))
+      assert(math.abs(pr.values.sum - 3.0) < 1e-6)
+      val comps = GraphAlgorithms.connectedComponents(g).collect()
+        .map(_.getLong(0) & 0xFFFFFFFFL).toSet
+      assert(comps === Set(1L, 2L, 3L))
+    } finally spark.conf.unset("spark.graft.algo.validateNodeIds")
+  }
+
   test("CALL procedures from Cypher with YIELD and post-processing") {
     val session = new graft.api.GraftSession(spark)
     val top = session.cypher(graph,
