@@ -82,7 +82,12 @@ object CypherParser {
               i += 1
               sb += (s(i) match {
                 case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case 'b' => '\b'; case 'f' => '\f'
                 case '\\' => '\\'; case '\'' => '\''; case '"' => '"'
+                case 'u' if i + 4 < n => // \uXXXX unicode escape
+                  val hex = s.substring(i + 1, i + 5)
+                  i += 4
+                  Integer.parseInt(hex, 16).toChar
                 case other => other
               })
             } else sb += s(i)
