@@ -157,6 +157,19 @@ class PipelineSpec extends SparkTestBase {
     assert(hits(2L) >= hits(1L))
   }
 
+  test("decontamination plan broadcasts the probe side, never the corpus") {
+    val probes = docs.filter(col("doc_id") === 0)
+    val corpus = docs.filter(col("doc_id") =!= 0)
+    val plan = Decontaminate.flag(corpus, probes, "doc_id", "text", n = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe side should broadcast:\n$plan")
+    // the corpus-sized side must not be the build/broadcast side: the only
+    // corpus shuffle allowed is the id repartition + hit-count aggregation
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the probe join:\n$plan")
+  }
+
   test("hash sampling is deterministic and repartition-stable") {
     val big = spark.range(0, 10000).toDF("id")
     val s1 = Sampling.hashSample(big, "id", 0.1).collect().map(_.getLong(0)).toSet
