@@ -765,6 +765,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "id" => a0 // Var compiles to the id column already
       case "labels" => args(0) match {
         case NullLit => lit(null)
+        case Var(n) if header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
+          throw new CypherCompileException(
+            s"labels() expects a node, got relationship $n")
         case Var(n) =>
           // labels(null) is null (optional-unmatched node), not []
           val built =

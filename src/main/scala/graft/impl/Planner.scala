@@ -1044,9 +1044,50 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         }
       }
 
+  /** Re-match of an already-bound relationship variable (carried through
+    * WITH): reuse its src/tgt/type columns instead of planning a fresh rel
+    * scan, whose header columns would collide with the bound ones.
+    * Endpoints constrain by id equality; unbound endpoints join their node
+    * scan on the rel's endpoint column. */
+  private def planBoundRelEdge(ctx0: Ctx, e: EdgeCons,
+      nodes: Map[String, NodeCons], bound: mutable.Set[String]): Ctx = {
+    var df = ctx0.df
+    var header = ctx0.header
+    val srcC = col(header.col(SrcSlot(e.v)))
+    val tgtC = col(header.col(TgtSlot(e.v)))
+    if (e.types.nonEmpty)
+      df = df.filter(col(header.col(TypeSlot(e.v))).isin(e.types: _*))
+    def bindEnd(v: String, c: Column): Unit =
+      if (bound(v)) df = df.filter(col(header.col(IdSlot(v))) === c)
+      else {
+        val (nodeDf, nodeHeader, deferred) = nodeScanDf(nodes(v))
+        df = df.join(nodeDf, c === col(nodeHeader.col(IdSlot(v))))
+        header = header ++ nodeHeader
+        bound += v
+        val c2 = applyDeferred(Ctx(df, header), deferred)
+        df = c2.df; header = c2.header
+      }
+    if (e.dir == BOTH) {
+      if (bound(e.src) && bound(e.tgt)) {
+        val s = col(header.col(IdSlot(e.src)))
+        val t = col(header.col(IdSlot(e.tgt)))
+        df = df.filter((s === srcC && t === tgtC) || (s === tgtC && t === srcC))
+      } else throw new CypherCompileException(
+        "re-matching a bound relationship undirected requires both endpoints bound")
+    } else {
+      val (patSrcC, patTgtC) = if (e.dir == IN) (tgtC, srcC) else (srcC, tgtC)
+      bindEnd(e.src, patSrcC)
+      bindEnd(e.tgt, patTgtC)
+    }
+    applyDeferred(Ctx(df, header),
+      e.props.map { case (k, ex) => Cmp("=", Prop(Var(e.v), k), ex): Expr }.toSeq)
+  }
+
   private def planEdge(ctx0: Ctx, e: EdgeCons, nodes: Map[String, NodeCons],
       bound: mutable.Set[String]): Ctx = {
     var ctx = ctx0
+    if (bound(e.v) && ctx.header.contains(SrcSlot(e.v)))
+      return planBoundRelEdge(ctx, e, nodes, bound)
     val undirected = e.dir == BOTH
     // relSrc side of a pattern endpoint: for OUT the pattern src sits on
     // the rel's _src column, for IN on its _tgt column.

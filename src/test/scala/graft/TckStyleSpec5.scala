@@ -125,6 +125,25 @@ class TckStyleSpec5 extends TckScenarioBase {
   scenario("left of null is null", g, "RETURN left(null, 2) AS x",
     value(null))
 
+  // ================================ var-length property/type constraints
+  scenario("var-length with inline rel property filters every hop", g,
+    "MATCH (a)-[:KNOWS*1..1 {since: 2010}]->(b) RETURN b.name AS x",
+    value("b"))
+  scenario("var-length inline property blocks mismatched hops", g,
+    // a-KNOWS{2010}->b-KNOWS{2012}->c: requiring 2012 on both hops of a
+    // 2-hop path fails (first hop is 2010)
+    "MATCH (a {name:'a'})-[:KNOWS*2..2 {since: 2012}]->(c) " +
+      "RETURN count(*) AS x", value(0))
+  scenario("var-length inline property all hops match", g,
+    "MATCH (a {name:'a'})-[:KNOWS*1..2 {since: 2010}]->(b) " +
+      "RETURN b.name AS x", value("b"))
+  scenario("multi-type var-length walks both types", g,
+    "MATCH (a {name:'a'})-[:KNOWS|LIKES*1..1]->(b) RETURN b.name AS x",
+    rows(Map("x" -> "b"), Map("x" -> "c")))
+  scenario("multi-type var-length two hops", g,
+    "MATCH (a {name:'a'})-[:KNOWS|LIKES*2..2]->(c) RETURN c.name AS x",
+    value("c"))
+
   // =============================================== DISTINCT interactions
   scenario("DISTINCT on two columns", g,
     "MATCH (a)-[r]->(b) RETURN DISTINCT a.name AS x, type(r) AS t",

@@ -1,0 +1,112 @@
+package graft
+
+/** TCK-style conformance, part 6 — error classification (the TCK's
+  * SyntaxError/SemanticError categories, asserted as engine exceptions
+  * with a message check), mixed-direction patterns, and WITH-scope rules
+  * (see TckStyleSpec for why these are hand-authored). */
+class TckStyleSpec6 extends TckScenarioBase {
+  import TckFixtures._
+
+  lazy val g = graph(spark,
+    Seq(
+      N(1, Set("A"), Map("name" -> "a", "num" -> 1)),
+      N(2, Set("B"), Map("name" -> "b", "num" -> 2)),
+      N(3, Set("C"), Map("name" -> "c"))),
+    Seq(
+      R(10, 1, 2, "KNOWS", Map("since" -> 2010)),
+      R(11, 2, 3, "KNOWS", Map("since" -> 2012)),
+      R(12, 1, 3, "LIKES")))
+
+  private def errors(query: String, fragment: String = ""): Unit = {
+    val e = intercept[Exception](session.cypher(g, query).collect())
+    if (fragment.nonEmpty)
+      assert(e.getMessage.toLowerCase.contains(fragment.toLowerCase),
+        s"expected '$fragment' in: ${e.getMessage}")
+  }
+
+  // ================================================ error classification
+  test("[err] unknown variable in RETURN") {
+    errors("MATCH (n) RETURN m AS x", "unknown variable")
+  }
+  test("[err] unknown variable in WHERE") {
+    errors("MATCH (n) WHERE m.x = 1 RETURN n", "unknown variable")
+  }
+  test("[err] unknown function") {
+    errors("RETURN nope(1) AS x", "unknown function")
+  }
+  test("[err] variable redeclared as different kind") {
+    errors("MATCH (n)-[n]->() RETURN n")
+  }
+  test("[err] unclosed parenthesis") {
+    errors("MATCH (n RETURN n")
+  }
+  test("[err] unterminated string") {
+    errors("RETURN 'abc AS x")
+  }
+  test("[err] aggregation nested in aggregation") {
+    errors("MATCH (n) RETURN sum(count(n)) AS x")
+  }
+  test("[err] ORDER BY without RETURN or WITH") {
+    errors("MATCH (n) ORDER BY n.name RETURN n")
+  }
+  test("[err] negative LIMIT") {
+    errors("MATCH (n) RETURN n LIMIT -1")
+  }
+  test("[err] unknown duration accessor") {
+    errors("RETURN duration('P1D').fortnights AS x", "duration accessor")
+  }
+  test("[err] unknown temporal accessor") {
+    errors("RETURN date('2020-01-01').lightyears AS x", "temporal accessor")
+  }
+  test("[err] labels() of a relationship variable") {
+    errors("MATCH ()-[r]->() RETURN labels(r) AS x")
+  }
+  test("[err] type() of a node variable") {
+    errors("MATCH (n) RETURN type(n) AS x")
+  }
+
+  // ============================================= mixed-direction patterns
+  scenario("chain with both directions", g,
+    "MATCH (x)<-[:KNOWS]-(m)-[:LIKES]->(y) RETURN m.name AS x", value("a"))
+  scenario("three-hop with alternating directions", g,
+    "MATCH (a)-[:KNOWS]->(b)-[:KNOWS]->(c)<-[:LIKES]-(d) " +
+      "RETURN a.name AS a, d.name AS d",
+    rows(Map("a" -> "a", "d" -> "a")))
+  scenario("undirected middle segment", g,
+    "MATCH (a {name:'a'})-[:KNOWS]-(b)-[:KNOWS]-(c {name:'c'}) " +
+      "RETURN b.name AS x", value("b"))
+  scenario("shared source fan pattern", g,
+    "MATCH (b)<-[:KNOWS]-(a)-[:LIKES]->(c) " +
+      "RETURN a.name AS a, b.name AS b, c.name AS c",
+    rows(Map("a" -> "a", "b" -> "b", "c" -> "c")))
+  scenario("shared target convergence pattern", g,
+    "MATCH (x)-[:KNOWS]->(t)<-[:LIKES]-(y) " +
+      "RETURN x.name AS x, t.name AS t, y.name AS y",
+    rows(Map("x" -> "b", "t" -> "c", "y" -> "a")))
+  scenario("relationship variable reused via WITH", g,
+    "MATCH ()-[r:KNOWS]->() WITH r WHERE r.since = 2012 " +
+      "MATCH (a)-[r]->(b) RETURN a.name AS x, b.name AS y",
+    rows(Map("x" -> "b", "y" -> "c")))
+  scenario("anonymous everything counts rows", g,
+    "MATCH ()-->() RETURN count(*) AS x", value(3))
+  scenario("anonymous undirected doubles directed count", g,
+    "MATCH ()--() RETURN count(*) AS x", value(6))
+
+  // =================================================== WITH scope rules
+  scenario("WITH drops unprojected variables", g,
+    "MATCH (n)-[r]->(m) WITH n.name AS nn RETURN count(*) AS x", value(3))
+  scenario("variable projected through WITH keeps identity", g,
+    "MATCH (n {name:'a'}) WITH n MATCH (n)-[:KNOWS]->(m) " +
+      "RETURN m.name AS x", value("b"))
+  scenario("WITH expression invisible to later clause unless aliased", g,
+    "MATCH (n) WITH n.num * 2 AS dbl WHERE dbl = 4 RETURN dbl AS x",
+    value(4))
+  scenario("aggregate in WITH resets cardinality", g,
+    "MATCH (n) WITH count(*) AS total MATCH (m:C) RETURN total, m.name AS x",
+    rows(Map("total" -> 3, "x" -> "c")))
+  scenario("ORDER BY in WITH may use pre-projection columns", g,
+    "MATCH (n) WHERE n.num IS NOT NULL WITH n ORDER BY n.num DESC " +
+      "RETURN collect(n.name) AS x", Seq(Map("x" -> List("b", "a"))))
+  scenario("WHERE after WITH star filters", g,
+    "MATCH (n) WITH * WHERE n.num = 1 RETURN n.name AS x", value("a"))
+}
