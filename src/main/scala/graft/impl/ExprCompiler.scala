@@ -804,7 +804,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             else array_compact(array(ks.map(k =>
               when(col(header.col(PropSlot(n, k))).isNotNull, lit(k))): _*))
           when(compile(Var(n)).isNull, lit(null)).otherwise(built)
-        case _ => throw new CypherCompileException("keys() needs an element var")
+        // keys() of a map value: field names of the struct, null keys
+        // (absent values) kept — map keys exist even when values are null
+        case m if inferType(m).exists(_.isInstanceOf[StructType]) =>
+          val ks = inferType(m).collect { case st: StructType =>
+            st.fieldNames.toSeq.sorted }.getOrElse(Seq.empty)
+          when(compile(m).isNull, lit(null))
+            .otherwise(array(ks.map(lit(_)): _*))
+        case m if inferType(m).exists(_.isInstanceOf[MapType]) =>
+          map_keys(compile(m))
+        case _ => throw new CypherCompileException("keys() needs an element var or map")
       }
       case "properties" => args(0) match {
         case NullLit => lit(null)

@@ -41,7 +41,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(17) match {
+      rnd.nextInt(18) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -177,6 +177,13 @@ class DifferentialSpec extends SparkTestBase {
               s"ELSE 'lo' END AS k, count(*) AS n",
             s"SELECT CASE WHEN $col > $t THEN 'hi' ELSE 'lo' END AS k, " +
               s"count(*) AS n FROM d_$table GROUP BY 1")
+        case 17 => // bound-relationship re-match through WITH
+          val t = rnd.nextInt(150000)
+          Pair(
+            s"MATCH (c:Customer)-[r:PLACED]->(o:Order) WITH r, o " +
+              s"WHERE o.o_totalprice > $t MATCH (a)-[r]->(b) " +
+              "RETURN count(*) AS n",
+            s"SELECT count(*) AS n FROM d_orders WHERE o_totalprice > $t")
         case 16 => // arithmetic with ^ and unary minus (precedence parity)
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val t = rnd.nextInt(100000)
