@@ -247,6 +247,16 @@ object SparkEntry {
       Some("""SELECT CAST(0 AS BIGINT) AS len, count(*) AS n FROM nation
          UNION ALL
          SELECT CAST(1 AS BIGINT) AS len, count(*) AS n FROM nation JOIN region ON r_regionkey = n_regionkey""")),
+    // --- shortestPath: beyond-reference surface (the reference TCK-
+    //     blacklists it); min-length pruning over the bounded var-length
+    //     expand, one window shuffle keyed on the endpoint pair ---
+    ("q_shortest_path",
+      "MATCH p = shortestPath((c:Customer)-[*1..3]->(r:Region)) " +
+        "WHERE c.c_custkey < 100 " +
+        "RETURN c.c_custkey AS ck, r.r_name AS rn, length(p) AS l",
+      Some("SELECT c_custkey AS ck, r_name AS rn, CAST(2 AS BIGINT) AS l " +
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey " +
+        "JOIN region ON r_regionkey = n_regionkey WHERE c_custkey < 100")),
     // --- composite pattern scans (NodeRelPattern/TripletPattern): the
     //     lineitem fact table co-stores HAS_ITEM/OF_PART rels with the
     //     LineItem node, so these plan with zero / one join (no self-join;

@@ -83,7 +83,10 @@ case class RelPattern(variable: Option[String], types: Seq[String],
     props: Seq[(String, Expr)], direction: Direction,
     varLength: Option[(Int, Option[Int])])
 case class PatternPart(head: NodePattern, tail: Seq[(RelPattern, NodePattern)],
-    pathVar: Option[String] = None)
+    pathVar: Option[String] = None,
+    // "shortest" (one arbitrary shortest path per endpoint pair) or
+    // "allshortest" (every minimal-length path); None = plain pattern
+    shortest: Option[String] = None)
 case class Pattern(parts: Seq[PatternPart])
 
 // --- clauses ---------------------------------------------------------------

@@ -489,6 +489,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   private var pathBinds: Seq[PathBind] = Seq.empty
 
+  /** shortestPath/allShortestPaths over one var-length segment:
+    * (mode, head node var, target node var, edge var). */
+  private case class ShortestSpec(mode: String, head: String, tgt: String,
+      edge: String)
+  private var shortestSpecs: Seq[ShortestSpec] = Seq.empty
+
   private def normalizePattern(pattern: Pattern): (Map[String, NodeCons], Seq[EdgeCons]) = {
     val nodes = mutable.LinkedHashMap.empty[String, NodeCons]
     val edges = mutable.ArrayBuffer.empty[EdgeCons]
@@ -513,6 +519,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         cur = nxt
       }
       part.pathVar.foreach(pv => binds += PathBind(pv, head, hops.result()))
+      part.shortest.foreach { mode =>
+        val hs = hops.result()
+        if (hs.size != 1 || !hs.head._2)
+          throw new CypherCompileException(
+            "shortestPath requires a single var-length relationship pattern")
+        shortestSpecs :+= ShortestSpec(mode, head, hs.head._3, hs.head._1)
+      }
     }
     pathBinds = pathBinds ++ binds.result()
     (nodes.toMap, edges.toSeq)
@@ -617,6 +630,33 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           !arrays_overlap(col(h.col(PathSlot(v1))), col(h.col(PathSlot(v2))))
       }
       ctx = ctx.copy(df = ctx.df.filter(cond))
+    }
+
+    // shortestPath/allShortestPaths: keep minimal-length rows per endpoint
+    // pair. One window shuffle keyed on the pair — the var-length expand
+    // already enumerated the bounded path set; the window prunes it.
+    if (shortestSpecs.nonEmpty) {
+      val (ready, pending) = shortestSpecs.partition(s =>
+        ctx.header.contains(PathSlot(s.edge)))
+      shortestSpecs = pending
+      ready.foreach { s =>
+        val h = ctx.header
+        val len = F.size(col(h.col(PathSlot(s.edge))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(h.col(IdSlot(s.head))), col(h.col(IdSlot(s.tgt))))
+        if (s.mode == "allshortest")
+          ctx = ctx.copy(df = ctx.df
+            .withColumn("_sp_min", min(len).over(w))
+            .filter(len === col("_sp_min")).drop("_sp_min"))
+        else {
+          // one arbitrary-but-deterministic shortest path per pair:
+          // tiebreak on the relationship-id array
+          val ord = w.orderBy(len, col(h.col(PathSlot(s.edge))))
+          ctx = ctx.copy(df = ctx.df
+            .withColumn("_sp_rk", row_number().over(ord))
+            .filter(col("_sp_rk") === 1).drop("_sp_rk"))
+        }
+      }
     }
 
     ctx = bindPaths(ctx)

@@ -341,6 +341,17 @@ object CypherParser {
           p += 2; Some(name)
         case _ => None
       }
+      // shortestPath(...) / allShortestPaths(...) wrapper
+      val shortest = peek match {
+        case Ident(name, _)
+            if (name.equalsIgnoreCase("shortestPath") ||
+              name.equalsIgnoreCase("allShortestPaths")) &&
+              peek2 == Punct("(", peek2.pos) =>
+          p += 2
+          Some(if (name.equalsIgnoreCase("shortestPath")) "shortest"
+               else "allshortest")
+        case _ => None
+      }
       val head = parseNodePattern()
       val tail = Seq.newBuilder[(RelPattern, NodePattern)]
       while (isPunct("-") || isPunct("<-")) {
@@ -348,7 +359,8 @@ object CypherParser {
         val node = parseNodePattern()
         tail += ((rel, node))
       }
-      PatternPart(head, tail.result(), pathVar)
+      if (shortest.isDefined) eatPunct(")")
+      PatternPart(head, tail.result(), pathVar, shortest)
     }
 
     private def parseNodePattern(): NodePattern = {

@@ -92,6 +92,44 @@ class TckStyleSpec6 extends TckScenarioBase {
   scenario("anonymous undirected doubles directed count", g,
     "MATCH ()--() RETURN count(*) AS x", value(6))
 
+  /** diamond s -> {l, r} -> t plus a long way around s -> l -> m -> t */
+  lazy val gSp = graph(spark,
+    Seq(
+      N(1, Set("D"), Map("name" -> "s")), N(2, Set("D"), Map("name" -> "l")),
+      N(3, Set("D"), Map("name" -> "r")), N(4, Set("D"), Map("name" -> "t")),
+      N(5, Set("D"), Map("name" -> "m"))),
+    Seq(
+      R(20, 1, 2, "E"), R(21, 1, 3, "E"), R(22, 2, 4, "E"), R(23, 3, 4, "E"),
+      R(24, 2, 5, "E"), R(25, 5, 4, "E")))
+
+  // ================================== shortestPath / allShortestPaths
+  scenario("shortestPath returns one minimal path per pair", gSp,
+    "MATCH p = shortestPath((a {name:'s'})-[:E*1..4]->(b {name:'t'})) " +
+      "RETURN length(p) AS l, count(*) AS n",
+    rows(Map("l" -> 2, "n" -> 1)))
+  scenario("allShortestPaths returns every minimal path", gSp,
+    "MATCH p = allShortestPaths((a {name:'s'})-[:E*1..4]->(b {name:'t'})) " +
+      "RETURN length(p) AS l, count(*) AS n",
+    rows(Map("l" -> 2, "n" -> 2)))
+  scenario("shortestPath prunes per endpoint pair independently", gSp,
+    "MATCH p = shortestPath((a {name:'s'})-[:E*1..3]->(b)) " +
+      "RETURN b.name AS x, length(p) AS l",
+    rows(Map("x" -> "l", "l" -> 1), Map("x" -> "r", "l" -> 1),
+      Map("x" -> "t", "l" -> 2), Map("x" -> "m", "l" -> 2)))
+  scenario("shortestPath zero-length when endpoints coincide", gSp,
+    "MATCH p = shortestPath((a {name:'s'})-[:E*0..3]->(a)) " +
+      "RETURN length(p) AS x", value(0))
+  scenario("shortestPath with no route is empty", gSp,
+    "MATCH p = shortestPath((a {name:'t'})-[:E*1..4]->(b {name:'s'})) " +
+      "RETURN count(*) AS x", value(0))
+  scenario("nodes() of a shortest path includes intermediates", gSp,
+    "MATCH p = allShortestPaths((a {name:'s'})-[:E*1..4]->(b {name:'t'})) " +
+      "RETURN size(nodes(p)) AS x", rows(Map("x" -> 3), Map("x" -> 3)))
+  test("[err] shortestPath over a fixed-length pattern") {
+    intercept[Exception](session.cypher(gSp,
+      "MATCH p = shortestPath((a)-[:E]->(b)) RETURN p").collect())
+  }
+
   // =================================================== WITH scope rules
   scenario("WITH drops unprojected variables", g,
     "MATCH (n)-[r]->(m) WITH n.name AS nn RETURN count(*) AS x", value(3))
