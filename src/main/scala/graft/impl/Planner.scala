@@ -567,11 +567,64 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     ctx
   }
 
+  /** All variable names syntactically present in an expression (generic
+    * product walk; lambda-bound names are included, which only makes the
+    * pushdown below more conservative). */
+  private def exprVars(e: Any): Set[String] = e match {
+    case Var(n) => Set(n)
+    case s: Seq[_] => s.flatMap(exprVars).toSet
+    case o: Option[_] => o.toSeq.flatMap(exprVars).toSet
+    case p: Product => p.productIterator.flatMap(exprVars).toSet
+    case _ => Set.empty
+  }
+
+  private def containsPatternPredicate(e: Any): Boolean = e match {
+    case _: PatternPredicate => true
+    case FuncCall(n, args, _) if n.equalsIgnoreCase("exists") =>
+      args.exists(containsPatternPredicate)
+    case s: Seq[_] => s.exists(containsPatternPredicate)
+    case o: Option[_] => o.exists(containsPatternPredicate)
+    case p: Product => p.productIterator.exists(containsPatternPredicate)
+    case _ => false
+  }
+
   private def planMatch(ctx0: Ctx, pattern: Pattern, where: Option[Expr]): Ctx = {
     val (nodes, edges) = normalizePattern(pattern)
     var ctx = ctx0
     val bound = mutable.Set.empty[String]
     ctx0.header.kinds.foreach { case (v, _) => bound += v }
+
+    // Push single-variable WHERE conjuncts onto their node scan BEFORE the
+    // pattern is planned: a MATCH...WHERE filter on one pattern node is a
+    // pure row filter, so applying it at the scan is semantics-preserving —
+    // and it is what keeps a var-length expand's anchor seed proportional
+    // to the FILTERED node set (the expand materializes its frontier, so
+    // Catalyst cannot push the late filter back through it).
+    def conjunctsOf(e: Expr): Seq[Expr] = e match {
+      case Ands(es) => es.flatMap(conjunctsOf)
+      case other => Seq(other)
+    }
+    var residualWhere = where
+    where.foreach { w =>
+      val cs = conjunctsOf(w)
+      val (push, keep) = cs.partition { c =>
+        !containsPatternPredicate(c) && {
+          val vs = exprVars(c)
+          vs.size == 1 && nodes.contains(vs.head) && !bound(vs.head)
+        }
+      }
+      if (push.nonEmpty) {
+        push.groupBy(c => exprVars(c).head).foreach { case (v, preds) =>
+          ctx = planNodeScanInto(ctx, nodes(v))
+          bound += v
+          preds.foreach(p =>
+            ctx = ctx.copy(df = ctx.df.filter(ctx.compiler.compile(p))))
+        }
+        residualWhere =
+          if (keep.isEmpty) None
+          else Some(keep.reduceLeft((a, b) => Ands(Seq(a, b))))
+      }
+    }
 
     // Apply label/prop constraints to an already-bound node var as filters.
     def constrainBound(c: Ctx, nc: NodeCons): Ctx = {
@@ -662,7 +715,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     ctx = bindPaths(ctx)
 
     // WHERE: pattern predicates become semi/anti joins, the rest a filter.
-    where.foreach { w => ctx = applyWhere(ctx, w) }
+    residualWhere.foreach { w => ctx = applyWhere(ctx, w) }
     ctx
   }
 

@@ -67,6 +67,18 @@ class CachingSpec extends SparkTestBase {
     assert(df.collect().length === 8) // 5 regions + 3 nations
   }
 
+  test("single-var WHERE conjuncts push into the var-length anchor scan") {
+    // the c_custkey predicate must reach the customer parquet scan (anchor
+    // seed), not sit above the expand — at scale the anchor seed is what
+    // bounds the frontier
+    val df = session.cypher(g,
+      "MATCH p = shortestPath((c:Customer)-[*1..3]->(r:Region)) " +
+        "WHERE c.c_custkey < 100 RETURN length(p) AS l")
+    val plan = executedPlan(df)
+    assert(plan.contains("LessThan(c_custkey,100)"),
+      s"pushed filter should reach the parquet scan:\n$plan")
+  }
+
   test("single-hop var-length patterns do not checkpoint the hop table") {
     // [*1..1] / [*0..1] join the hop table exactly once, so materializing
     // it pre-partitioned is pure overhead — the plan must contain no
