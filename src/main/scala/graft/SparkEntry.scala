@@ -257,6 +257,19 @@ object SparkEntry {
       Some("SELECT c_custkey AS ck, r_name AS rn, CAST(2 AS BIGINT) AS l " +
         "FROM customer JOIN nation ON n_nationkey = c_nationkey " +
         "JOIN region ON r_regionkey = n_regionkey WHERE c_custkey < 100")),
+    // --- pattern comprehension: correlated subquery -> grouped collect,
+    //     left-joined back on the shared var (beyond-reference: the
+    //     reference TCK-blacklists pattern comprehensions). Content checked
+    //     order-independently via size + reduce-sum ---
+    ("q_pattern_comp",
+      "MATCH (n:Nation) RETURN n.n_name AS nm, " +
+        "size([(n)<-[:FROM_NATION]-(c:Customer) | c.c_custkey]) AS nc, " +
+        "reduce(s = 0, k IN [(n)<-[:FROM_NATION]-(c:Customer) | c.c_custkey] | s + k) AS sumk",
+      Some("""SELECT n_name AS nm, CAST(coalesce(cnt, 0) AS INTEGER) AS nc,
+           CAST(coalesce(sk, 0) AS BIGINT) AS sumk
+         FROM nation LEFT JOIN (SELECT c_nationkey, count(*) AS cnt,
+           sum(c_custkey) AS sk FROM customer GROUP BY 1) j
+         ON c_nationkey = n_nationkey""")),
     // --- composite pattern scans (NodeRelPattern/TripletPattern): the
     //     lineitem fact table co-stores HAS_ITEM/OF_PART rels with the
     //     LineItem node, so these plan with zero / one join (no self-join;

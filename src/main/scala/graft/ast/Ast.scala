@@ -62,6 +62,10 @@ case class Reduce(acc: String, init: Expr, variable: String, list: Expr,
     step: Expr) extends Expr
 /** EXISTS { (a)-[:T]->(b) } / bare pattern predicate in WHERE. */
 case class PatternPredicate(pattern: PatternPart, negated: Boolean) extends Expr
+/** `[ (a)-->(b) WHERE pred | proj ]` — a correlated subquery producing a
+  * list per outer row. */
+case class PatternComp(pattern: PatternPart, where: Option[Expr],
+    proj: Expr) extends Expr
 
 /** Map projection `n {.name, .*, extra: expr, other}` (Expr.scala :518). */
 sealed trait MapProjItem

@@ -51,4 +51,7 @@ object ExprOps {
 
   def containsPatternPredicate(e: Expr): Boolean =
     exists(e)(_.isInstanceOf[PatternPredicate])
+
+  def containsPatternComp(e: Expr): Boolean =
+    exists(e)(_.isInstanceOf[PatternComp])
 }

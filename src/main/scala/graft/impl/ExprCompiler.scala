@@ -587,6 +587,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case PatternPredicate(_, _) =>
       throw new CypherCompileException(
         "pattern predicate must be planned as a subquery, not compiled inline")
+    case PatternComp(_, _, _) =>
+      throw new CypherCompileException(
+        "pattern comprehension is only supported in RETURN/WITH items and WHERE")
     case other =>
       throw new CypherCompileException(s"unsupported expression $other")
   }

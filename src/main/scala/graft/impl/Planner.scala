@@ -774,10 +774,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     residual.foreach { r =>
       // Disjunctive / nested pattern predicates can't use the semi-join
       // fast path; materialize them as marker columns.
-      val (ctx1, r1) =
+      val (ctx0b, r0b) =
         if (ExprOps.containsPatternPredicate(r))
           materializePatternPredicates(ctx, r)
         else (ctx, r)
+      // Pattern comprehensions in WHERE (e.g. size([(n)-->(b) | b]) > 1).
+      val (ctx1, r1) =
+        if (ExprOps.containsPatternComp(r0b))
+          materializePatternComps(ctx0b, r0b)
+        else (ctx0b, r0b)
       val (ctx2, r2) = bindEndpointNodes(ctx1, Seq(r1)) match {
         case (c, Seq(e2)) => (c, e2)
       }
@@ -846,6 +851,54 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           ctx.header.withSlot(markerSlot).withVar(marker, ValueKind))
         val base = IsNull(Var(marker), negated = true)
         if (negated) Not(base) else base
+      case other => other
+    }
+    (ctx, rewritten)
+  }
+
+  /** Pattern comprehension `[ (a)-->(b) WHERE p | proj ]` in value
+    * position: plan the pattern as a correlated subquery, aggregate the
+    * projection per binding of the SHARED variables, left-join the lists
+    * back, rewrite the expression to the list column. Correlating on the
+    * shared vars (not a row id) is exact: outer rows with equal shared
+    * bindings have equal lists by definition. Unmatched rows get [].
+    * List order is unspecified (as in openCypher without ORDER BY). */
+  private def materializePatternComps(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
+    var ctx = ctx0
+    val rewritten = ExprOps.transformUp(e) {
+      case PatternComp(part, where, proj) =>
+        val sub = planMatch(unitCtx, Pattern(Seq(part)), where)
+        val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
+          .filter(v => sub.header.contains(IdSlot(v)) &&
+            ctx.header.contains(IdSlot(v)))
+        require(shared.nonEmpty,
+          "pattern comprehension must share a variable with the enclosing query")
+        val listVar = freshVar()
+        val listSlot = ValueSlot(listVar)
+        val listCol = RecordHeader.colName(listSlot)
+        val projCol = sub.compiler.compile(proj)
+        val renamed = shared.toSeq.map { v =>
+          val c = sub.header.col(IdSlot(v))
+          (v, c, "_pc_" + c)
+        }
+        // struct-wrap the projection so collect_list keeps null elements
+        // (Cypher comprehension lists may contain null; bare collect_list
+        // silently drops them), then unwrap.
+        val subDf = sub.df
+          .select(renamed.map { case (_, c, r) => col(c).as(r) } :+
+            struct(projCol.as("v")).as("_pc_proj"): _*)
+          .groupBy(renamed.map { case (_, _, r) => col(r) }: _*)
+          .agg(transform(collect_list(col("_pc_proj")),
+            x => x.getField("v")).as(listCol))
+        val cond = renamed.map { case (v, _, r) =>
+          col(ctx.header.col(IdSlot(v))) === col(r)
+        }.reduce(_ && _)
+        ctx = Ctx(
+          ctx.df.join(subDf, cond, "left_outer")
+            .drop(renamed.map(_._3): _*)
+            .withColumn(listCol, coalesce(col(listCol), array())),
+          ctx.header.withSlot(listSlot).withVar(listVar, ValueKind))
+        Var(listVar)
       case other => other
     }
     (ctx, rewritten)
@@ -1455,13 +1508,19 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         .map(v => ReturnItem(Var(v), None))
       else Seq.empty
     val items1 = starItems ++ items0
-    // Pattern predicates in value position (RETURN exists(...) AS flag).
+    // Pattern predicates / comprehensions in value position
+    // (RETURN exists(...) AS flag, RETURN [(n)-->(b) | b.x] AS xs).
     val items2 = items1.map { i =>
-      if (ExprOps.containsPatternPredicate(i.expr)) {
-        val (c2, e2) = materializePatternPredicates(ctx, i.expr)
-        ctx = c2
-        i.copy(expr = e2)
-      } else i
+      var expr = i.expr
+      if (ExprOps.containsPatternPredicate(expr)) {
+        val (c2, e2) = materializePatternPredicates(ctx, expr)
+        ctx = c2; expr = e2
+      }
+      if (ExprOps.containsPatternComp(expr)) {
+        val (c3, e3) = materializePatternComps(ctx, expr)
+        ctx = c3; expr = e3
+      }
+      i.copy(expr = expr)
     }
     // startNode()/endNode() used as node values bind joined endpoint vars.
     val (ctxB, boundExprs) = bindEndpointNodes(ctx,

@@ -660,7 +660,7 @@ object CypherParser {
             e
           }
         case Punct("[", _) =>
-          // list literal or list comprehension
+          // list literal, list comprehension, or pattern comprehension
           p += 1
           if (isPunct("]")) { p += 1; ListLit(Seq.empty) }
           else {
@@ -674,6 +674,14 @@ object CypherParser {
                 val proj = if (tryPunct("|")) Some(parseExpr()) else None
                 eatPunct("]")
                 ListComprehension(v, list, where, proj)
+              case _ if looksLikePattern() =>
+                // [ (a)-->(b) WHERE pred | proj ]
+                val part = parsePatternPart()
+                val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+                eatPunct("|")
+                val proj = parseExpr()
+                eatPunct("]")
+                PatternComp(part, where, proj)
               case _ =>
                 p = savept
                 val items = Seq.newBuilder[Expr]

@@ -130,6 +130,33 @@ class TckStyleSpec6 extends TckScenarioBase {
       "MATCH p = shortestPath((a)-[:E]->(b)) RETURN p").collect())
   }
 
+  // ============================================= pattern comprehensions
+  scenario("pattern comprehension collects per outer row", g,
+    "MATCH (a:A {name:'a'}) RETURN size([(a)-[:KNOWS]->(b) | b.name]) AS x",
+    value(1))
+  scenario("pattern comprehension projects values", g,
+    "MATCH (a:A {name:'a'}) RETURN [(a)-[:KNOWS]->(b) | b.name] AS x",
+    Seq(Map("x" -> List("b"))))
+  scenario("pattern comprehension with WHERE", g,
+    "MATCH (n) RETURN n.name AS nm, " +
+      "size([(n)-[r:KNOWS]->(m) WHERE r.since > 2011 | m]) AS c",
+    rows(Map("nm" -> "a", "c" -> 0), Map("nm" -> "b", "c" -> 1),
+      Map("nm" -> "c", "c" -> 0)))
+  scenario("unmatched pattern comprehension yields empty list", g,
+    "MATCH (n:C) RETURN [(n)-[:KNOWS]->(m) | m.name] AS x",
+    Seq(Map("x" -> List())))
+  scenario("pattern comprehension result feeds reduce", g,
+    "MATCH (n:B) RETURN reduce(s = 0, v IN " +
+      "[(n)-[:KNOWS]->(m) | m.num] | s + v) AS x",
+    // b-KNOWS->c, c has no num: null element; reduce over [null] is null
+    value(null))
+  scenario("pattern comprehension in WHERE position", g,
+    "MATCH (n) WHERE size([(n)-[:KNOWS]->(m) | m]) = 1 " +
+      "RETURN n.name AS x", rows(Map("x" -> "a"), Map("x" -> "b")))
+  scenario("two comprehensions in one RETURN", g,
+    "MATCH (a:A {name:'a'}) RETURN size([(a)-[:KNOWS]->(b) | b]) AS k, " +
+      "size([(a)-[:LIKES]->(c) | c]) AS l", rows(Map("k" -> 1, "l" -> 1)))
+
   // =================================================== WITH scope rules
   scenario("WITH drops unprojected variables", g,
     "MATCH (n)-[r]->(m) WITH n.name AS nn RETURN count(*) AS x", value(3))
