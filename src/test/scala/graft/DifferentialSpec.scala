@@ -41,7 +41,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(18) match {
+      rnd.nextInt(19) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -177,6 +177,14 @@ class DifferentialSpec extends SparkTestBase {
               s"ELSE 'lo' END AS k, count(*) AS n",
             s"SELECT CASE WHEN $col > $t THEN 'hi' ELSE 'lo' END AS k, " +
               s"count(*) AS n FROM d_$table GROUP BY 1")
+        case 18 => // pattern comprehension vs correlated count subquery
+          val t = rnd.nextInt(300000)
+          Pair(
+            s"MATCH (c:Customer) RETURN c.c_custkey AS ck, " +
+              s"size([(c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > $t | o]) AS n",
+            s"SELECT c_custkey AS ck, CAST((SELECT count(*) FROM d_orders " +
+              s"WHERE o_custkey = c_custkey AND o_totalprice > $t) AS INTEGER) AS n " +
+              "FROM d_customer")
         case 17 => // bound-relationship re-match through WITH
           val t = rnd.nextInt(150000)
           Pair(
