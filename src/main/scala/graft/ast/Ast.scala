@@ -61,7 +61,8 @@ case class IterablePredicate(kind: String, variable: String, list: Expr,
 case class Reduce(acc: String, init: Expr, variable: String, list: Expr,
     step: Expr) extends Expr
 /** EXISTS { (a)-[:T]->(b) } / bare pattern predicate in WHERE. */
-case class PatternPredicate(pattern: PatternPart, negated: Boolean) extends Expr
+case class PatternPredicate(pattern: PatternPart, negated: Boolean,
+    where: Option[Expr] = None) extends Expr
 /** `[ (a)-->(b) WHERE pred | proj ]` — a correlated subquery producing a
   * list per outer row. */
 case class PatternComp(pattern: PatternPart, where: Option[Expr],

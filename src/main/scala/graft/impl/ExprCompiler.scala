@@ -584,7 +584,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       struct(fields: _*)
 
-    case PatternPredicate(_, _) =>
+    case _: PatternPredicate =>
       throw new CypherCompileException(
         "pattern predicate must be planned as a subquery, not compiled inline")
     case PatternComp(_, _, _) =>

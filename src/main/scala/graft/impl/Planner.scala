@@ -768,8 +768,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def applyWhere(ctx0: Ctx, w: Expr): Ctx = {
     var ctx = ctx0
     val (patterns, residual) = splitPredicates(w)
-    patterns.foreach { case (part, negated) =>
-      ctx = planPatternPredicate(ctx, part, negated)
+    patterns.foreach { case (part, negated, innerWhere) =>
+      ctx = planPatternPredicate(ctx, part, negated, innerWhere)
     }
     residual.foreach { r =>
       // Disjunctive / nested pattern predicates can't use the semi-join
@@ -796,16 +796,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     ctx
   }
 
-  private def splitPredicates(e: Expr): (Seq[(PatternPart, Boolean)], Option[Expr]) = {
+  private def splitPredicates(e: Expr)
+      : (Seq[(PatternPart, Boolean, Option[Expr])], Option[Expr]) = {
     val conjuncts = e match {
       case Ands(es) => es
       case other => Seq(other)
     }
-    val pats = Seq.newBuilder[(PatternPart, Boolean)]
+    val pats = Seq.newBuilder[(PatternPart, Boolean, Option[Expr])]
     val rest = Seq.newBuilder[Expr]
     conjuncts.foreach {
-      case PatternPredicate(part, neg) => pats += ((part, neg))
-      case Not(PatternPredicate(part, neg)) => pats += ((part, !neg))
+      case PatternPredicate(part, neg, iw) => pats += ((part, neg, iw))
+      case Not(PatternPredicate(part, neg, iw)) => pats += ((part, !neg, iw))
       case other => rest += other
     }
     val restSeq = rest.result()
@@ -824,8 +825,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def materializePatternPredicates(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
     var ctx = ctx0
     val rewritten = ExprOps.transformUp(e) {
-      case PatternPredicate(part, negated) =>
-        val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), None) }
+      case PatternPredicate(part, negated, innerWhere) =>
+        val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), innerWhere) }
         val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
           .filter(v => sub.header.contains(IdSlot(v)) &&
             ctx.header.contains(IdSlot(v)))
@@ -908,8 +909,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * formulation of the reference's ExistsSubQuery
     * (RelationalPlanner.scala:224-247). */
   private def planPatternPredicate(ctx: Ctx, part: PatternPart,
-      negated: Boolean): Ctx = {
-    val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), None) }
+      negated: Boolean, innerWhere: Option[Expr] = None): Ctx = {
+    val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), innerWhere) }
     val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
       .filter(v => sub.header.contains(IdSlot(v)) && ctx.header.contains(IdSlot(v)))
     require(shared.nonEmpty, "pattern predicate must share a variable with the enclosing query")

@@ -614,6 +614,16 @@ object CypherParser {
         case Kw("TRUE", _, _) => p += 1; BoolLit(true)
         case Kw("FALSE", _, _) => p += 1; BoolLit(false)
         case Kw("NULL", _, _) => p += 1; NullLit
+        // COUNT { (n)-->(m) [WHERE pred] } — GQL-style count subquery,
+        // rewritten to the size of a constant-projection comprehension.
+        case Kw("COUNT", _, _) if peek2 == Punct("{", peek2.pos) =>
+          p += 2
+          tryKw("MATCH")
+          val part = parsePatternPart()
+          val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+          eatPunct("}")
+          FuncCall("size", Seq(PatternComp(part, where, IntLit(1))),
+            distinct = false)
         case Kw("COUNT", _, _) if peek2 == Punct("(", peek2.pos) =>
           // count(*) | count(expr) | count(DISTINCT expr)
           p += 2
@@ -767,9 +777,9 @@ object CypherParser {
       if (tryPunct("{")) {
         tryKw("MATCH")
         val part = parsePatternPart()
-        // optional WHERE inside subquery not supported yet
+        val where = if (tryKw("WHERE")) Some(parseExpr()) else None
         eatPunct("}")
-        PatternPredicate(part, negated = false)
+        PatternPredicate(part, negated = false, where)
       } else {
         eatPunct("(")
         if (looksLikePattern()) {

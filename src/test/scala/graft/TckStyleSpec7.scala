@@ -62,6 +62,26 @@ class TckStyleSpec7 extends TckScenarioBase {
     "MATCH (n:A {name:'a'}) OPTIONAL MATCH (n)-[:KNOWS*1..2]->(m) " +
       "RETURN size(collect(m.name)) AS x", value(2))
 
+  // ================================= EXISTS { } / COUNT { } subqueries
+  scenario("EXISTS subquery with inner WHERE", g,
+    "MATCH (n) WHERE EXISTS { MATCH (n)-[r:KNOWS]->(m) " +
+      "WHERE r.since > 2011 } RETURN n.name AS x", value("b"))
+  scenario("EXISTS subquery abbreviated form", g,
+    "MATCH (n) WHERE EXISTS { (n)-[:LIKES]->() } RETURN n.name AS x",
+    value("a"))
+  scenario("NOT EXISTS subquery", g,
+    "MATCH (n) WHERE NOT EXISTS { (n)-[:KNOWS]->() } RETURN n.name AS x",
+    value("c"))
+  scenario("COUNT subquery in projection", g,
+    "MATCH (n) RETURN n.name AS nm, COUNT { (n)-[:KNOWS]->(m) } AS c",
+    rows(Map("nm" -> "a", "c" -> 1), Map("nm" -> "b", "c" -> 1),
+      Map("nm" -> "c", "c" -> 0)))
+  scenario("COUNT subquery with inner WHERE in predicate position", g,
+    "MATCH (n) WHERE COUNT { MATCH (n)-[r:KNOWS]->(m) " +
+      "WHERE r.since = 2010 } = 1 RETURN n.name AS x", value("a"))
+  scenario("COUNT subquery of unmatched pattern is zero", g,
+    "MATCH (n:C) RETURN COUNT { (n)-[:NOPE]->() } AS x", value(0))
+
   // =============================================== residual interplay
   scenario("WITH list literal then comprehension", g,
     "WITH [1, 2, 3] AS l RETURN [v IN l WHERE v > 1 | v * 10] AS x",
