@@ -54,4 +54,83 @@ object ExprOps {
 
   def containsPatternComp(e: Expr): Boolean =
     exists(e)(_.isInstanceOf[PatternComp])
+
+  // ------------------------------------------------------- liveness support
+
+  /** Every variable name syntactically present in an expression, including
+    * inside pattern predicates / comprehensions (whose patterns reference
+    * outer vars by name) and comprehension binders. Shadowing names stay in
+    * the set on purpose: callers use this to prove a var is NEVER observed,
+    * so over-approximation is the safe direction. */
+  def varRefs(e: Expr): Set[String] = e match {
+    case Var(n) => Set(n)
+    case MapProjection(v, items) => items.flatMap {
+        case ProjExpr(_, ex) => varRefs(ex)
+        case ProjVar(n) => Set(n)
+        case _ => Set.empty[String]
+      }.toSet + v
+    case PatternPredicate(p, _, w) =>
+      patternRefs(p) ++ w.toSeq.flatMap(varRefs)
+    case PatternComp(p, w, proj) =>
+      patternRefs(p) ++ w.toSeq.flatMap(varRefs) ++ varRefs(proj)
+    case other =>
+      var acc = Set.empty[String]
+      mapChildren(other, { c => acc ++= varRefs(c); c })
+      acc
+  }
+
+  /** Every variable a pattern part names or reads (binders included). */
+  def patternRefs(p: PatternPart): Set[String] = {
+    val nodes = p.head +: p.tail.map(_._2)
+    val rels = p.tail.map(_._1)
+    nodes.flatMap(n => n.variable.toSeq ++ n.copyOf.toSeq ++
+      n.props.flatMap { case (_, ex) => varRefs(ex) }).toSet ++
+      rels.flatMap(r => r.variable.toSeq ++
+        r.props.flatMap { case (_, ex) => varRefs(ex) }) ++
+      p.pathVar
+  }
+
+  /** Variables a clause observes, for downstream-liveness analysis.
+    * None = everything is observable (RETURN * / WITH *). Binding
+    * occurrences count as references on purpose: a later MATCH re-using a
+    * name joins on it, and a CONSTRUCT clone copies its properties. */
+  def clauseRefs(c: Clause): Option[Set[String]] = c match {
+    case Match(_, Pattern(parts), where) =>
+      Some(parts.flatMap(patternRefs).toSet ++ where.toSeq.flatMap(varRefs))
+    case Unwind(e, _) => Some(varRefs(e))
+    case With(_, star, items, orderBy, skip, limit, where) =>
+      if (star) None
+      else Some((items.map(_.expr) ++ orderBy.map(_.expr) ++ skip ++ limit ++
+        where).flatMap(varRefs).toSet)
+    case Return(_, star, items, orderBy, skip, limit) =>
+      if (star) None
+      else Some((items.map(_.expr) ++ orderBy.map(_.expr) ++ skip ++
+        limit).flatMap(varRefs).toSet)
+    case CallProc(_, args, _) => Some(args.flatMap(varRefs).toSet)
+    case Construct(_, news, sets, clones) =>
+      Some(news.flatMap(patternRefs).toSet ++
+        sets.flatMap {
+          case SetProp(v, _, e) => varRefs(e) + v
+          case SetLabel(v, _) => Set(v)
+        } ++ clones.flatMap { case (a, b) => Seq(a, b) })
+    case FromGraph(_) => Some(Set.empty)
+  }
+
+  /** Variables a MATCH clause itself observes beyond merely binding them:
+    * its WHERE, inline property expressions, COPY OF sources, and — when a
+    * part binds a path variable or is a shortestPath — every var of that
+    * part (path functions read the component elements). */
+  def matchObservedVars(m: Match): Set[String] = {
+    val inPattern = m.pattern.parts.flatMap { part =>
+      val nodes = part.head +: part.tail.map(_._2)
+      val rels = part.tail.map(_._1)
+      nodes.flatMap(n => n.copyOf.toSeq ++
+        n.props.flatMap { case (_, ex) => varRefs(ex) }) ++
+        rels.flatMap(_.props.flatMap { case (_, ex) => varRefs(ex) }) ++
+        (if (part.pathVar.isDefined || part.shortest.isDefined)
+          nodes.flatMap(_.variable) ++ rels.flatMap(_.variable)
+        else Seq.empty)
+    }.toSet
+    inPattern ++ m.where.toSeq.flatMap(varRefs)
+  }
 }

@@ -58,6 +58,33 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     try f finally elideAllNodes = saved
   }
 
+  /** Named endpoint vars of the MATCH being planned that are provably never
+    * observed afterwards (liveness over the remaining clauses) — candidates
+    * for endpoint elision exactly like anonymous vars. Set per MATCH in
+    * planSingle; a named-but-dead var must not defeat join elision (the
+    * reference's schema-driven scan pruning, LogicalOptimizer.scala:67-134,
+    * applied one step further). */
+  private var deadVars: Set[String] = Set.empty
+
+  /** Endpoint vars named in `m`'s pattern but never observed by `m` itself
+    * (WHERE / inline props / path functions) nor by any later clause.
+    * Binding occurrences downstream count as observations (a re-MATCH joins
+    * on the id); RETURN * / WITH * kills the analysis. */
+  private def deadEndpointVars(m: Match, rest: Seq[Clause]): Set[String] = {
+    val downstream = rest.foldLeft(Option(Set.empty[String])) {
+      case (None, _) => None
+      case (Some(acc), c) => ExprOps.clauseRefs(c).map(acc ++ _)
+    }
+    downstream match {
+      case None => Set.empty
+      case Some(later) =>
+        val observed = later ++ ExprOps.matchObservedVars(m)
+        m.pattern.parts.flatMap { part =>
+          (part.head +: part.tail.map(_._2)).flatMap(_.variable)
+        }.toSet -- observed
+    }
+  }
+
   case class Ctx(df: DataFrame, header: RecordHeader) {
     def compiler: ExprCompiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
     def isUnit: Boolean = header.slots.isEmpty && df.columns.isEmpty
@@ -221,16 +248,20 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       .find(k => shared.contains(sq.clauses.take(k))).getOrElse(0)
     var ctx = if (prefixLen == 0) startCtx else shared(sq.clauses.take(prefixLen))
     var outs: Seq[OutItem] = Seq.empty
-    sq.clauses.drop(prefixLen).foreach {
-      case r: Return =>
+    val rem = sq.clauses.drop(prefixLen)
+    rem.zipWithIndex.foreach {
+      case (r: Return, _) =>
         val (c, o) = planProjection(ctx, r.distinct, r.star, r.items,
           r.orderBy, r.skip, r.limit, None)
         ctx = c
         outs = o
-      case FromGraph(name) => graph = resolveGraph(name)
-      case Construct(on, news, sets, clones) =>
+      case (FromGraph(name), _) => graph = resolveGraph(name)
+      case (Construct(on, news, sets, clones), _) =>
         constructedGraph = Some(planConstruct(ctx, on, news, sets, clones))
-      case reading => ctx = planReadingClause(ctx, reading)
+      case (m: Match, i) =>
+        deadVars = deadEndpointVars(m, rem.drop(i + 1))
+        try ctx = planReadingClause(ctx, m) finally deadVars = Set.empty
+      case (reading, _) => ctx = planReadingClause(ctx, reading)
     }
     (ctx, outs)
   }
@@ -578,13 +609,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     case _ => Set.empty
   }
 
-  private def containsPatternPredicate(e: Any): Boolean = e match {
-    case _: PatternPredicate => true
+  /** True when the conjunct contains a pattern predicate or pattern
+    * comprehension — either needs subplan machinery (semi/anti join or
+    * materializePatternComps), so neither may be pushed onto a node scan
+    * where ExprCompiler would reject it. */
+  private def containsPatternExpr(e: Any): Boolean = e match {
+    case _: PatternPredicate | _: PatternComp => true
     case FuncCall(n, args, _) if n.equalsIgnoreCase("exists") =>
-      args.exists(containsPatternPredicate)
-    case s: Seq[_] => s.exists(containsPatternPredicate)
-    case o: Option[_] => o.exists(containsPatternPredicate)
-    case p: Product => p.productIterator.exists(containsPatternPredicate)
+      args.exists(containsPatternExpr)
+    case s: Seq[_] => s.exists(containsPatternExpr)
+    case o: Option[_] => o.exists(containsPatternExpr)
+    case p: Product => p.productIterator.exists(containsPatternExpr)
     case _ => false
   }
 
@@ -608,7 +643,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     where.foreach { w =>
       val cs = conjunctsOf(w)
       val (push, keep) = cs.partition { c =>
-        !containsPatternPredicate(c) && {
+        !containsPatternExpr(c) && {
           val vs = exprVars(c)
           vs.size == 1 && nodes.contains(vs.head) && !bound(vs.head)
         }
@@ -1179,7 +1214,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * a node-table join only to discard it. */
   private def canElideEndpoint(nc: NodeCons, e: EdgeCons,
       isPatternSrc: Boolean): Boolean =
-    (elideAllNodes || nc.v.startsWith("_a")) && nc.props.isEmpty &&
+    (elideAllNodes || deadVars(nc.v) || nc.v.startsWith("_a")) &&
+      nc.props.isEmpty &&
       nc.copyOf.isEmpty && {
         val tables = graph.relScansFor(e.types)
         tables.nonEmpty && tables.forall { t =>

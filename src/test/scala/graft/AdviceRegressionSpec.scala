@@ -169,4 +169,14 @@ class AdviceRegressionSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("heterogeneous"))
   }
+
+  // --- round-5 medium: a single-var WHERE conjunct containing a pattern
+  // comprehension must NOT be pushed onto the node scan (the scan compiler
+  // cannot materialize subqueries; materializePatternComps handles it).
+  test("pattern-comprehension conjunct in WHERE is not pushed onto the scan") {
+    val r = rows(
+      """MATCH (a:Person) WHERE size([(a)-[:KNOWS]->(b) | b.name]) = 1
+        |RETURN a.name AS an ORDER BY an""".stripMargin)
+    assert(r === Seq(Seq("alice"), Seq("bob")))
+  }
 }
