@@ -1,6 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Benchmark main: per-query wall time over SPARK_GRAFT_SF_DIR, printed as
+  * one JSON line.
+  *
+  * The harness defends itself against noisy neighbours on a shared machine
+  * (a contention window once inflated unchanged trivial rows 3-6x): every
+  * query runs twice and reports the per-row MIN, and a cheap q_scan sentinel
+  * brackets each group of rows — when the sentinel drifts >2x from its quiet
+  * baseline the whole group is re-run (bounded), with per-row retry counts
+  * and a `contaminated` flag recorded in the JSON so a polluted artifact is
+  * visible instead of silently wrong.
+  */
 object Bench {
+  private val GroupSize = 6
+  private val MaxWindowRetries = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,24 +42,63 @@ object Bench {
     graft.pipeline.PipelineQueries.warmGates(spark, sfDir)
     val prepSec = (System.nanoTime() - tPrep) / 1e9
     System.err.println(f"[bench] prepare: $prepSec%.2f s")
-    // Optional comma-separated filter for local iteration on specific queries.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+
+    def time(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-      name -> dt
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Sentinel: a trivial fixed query whose quiet-time cost is known from
+    // the start of this very run; drift measures machine contention, not
+    // engine behavior.
+    val sentinelFn = SparkEntry.queries("q_scan")
+    def sentinel(): Double = time("q_scan(sentinel)", sentinelFn)
+    sentinel() // warm parquet footer/page cache
+    val sentBase = math.min(sentinel(), sentinel())
+    System.err.println(f"[bench] sentinel baseline: $sentBase%.3f s")
+
+    // Optional comma-separated filter for local iteration on specific queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    val best = mutable.LinkedHashMap.empty[String, Double]
+    val retries = mutable.LinkedHashMap.empty[String, Int]
+    var contaminated = false
+    all.grouped(GroupSize).foreach { group =>
+      def pass(): Unit = group.foreach { case (name, fn) =>
+        val dt = time(name, fn)
+        best(name) = best.get(name).fold(dt)(math.min(_, dt))
+      }
+      pass(); pass() // per-row min of two passes
+      var tries = 0
+      var s = sentinel()
+      while (s > 2 * sentBase && tries < MaxWindowRetries) {
+        System.err.println(f"[bench] sentinel drift $s%.3f s vs $sentBase%.3f s " +
+          s"- re-running window ${group.head._1}..${group.last._1}")
+        group.foreach { case (n, _) => retries(n) = retries.getOrElse(n, 0) + 1 }
+        pass()
+        tries += 1
+        s = sentinel()
+      }
+      if (s > 2 * sentBase) contaminated = true
+      group.foreach { case (name, _) =>
+        System.err.println(f"[bench] $name%-24s ${best(name)}%8.2f s")
+      }
+    }
+
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prepare_sec":$prepSec,"sf":"$sfDir"}""")
+    val rj = retries.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = best.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""prepare_sec":$prepSec,"sentinel_base_sec":$sentBase,""" +
+      s""""passes":2,"retries":$rj,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

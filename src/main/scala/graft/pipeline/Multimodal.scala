@@ -63,7 +63,11 @@ object Multimodal {
   def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Small parquet inputs scan as a single partition; the per-byte feature
+    // loop below must not run single-core. Spread rows across the shuffle
+    // parallelism first (same trap and fix as Decontaminate's gram explode).
     df.select(col("media_id").cast(LongType), col("content"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("media_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition init happens once here (codec/model handle)

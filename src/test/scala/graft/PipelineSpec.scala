@@ -213,4 +213,15 @@ class PipelineSpec extends SparkTestBase {
     val f2 = feats.filter(col("media_id") === 2).collect().head.getSeq[Double](3)
     assert(f0 === f2)
   }
+
+  test("feature extraction spreads a single-partition input across cores") {
+    // Small parquet scans arrive as 1 partition; the mapPartitions byte loop
+    // must still run on the full shuffle parallelism.
+    val media = Multimodal.asMedia(docs, "doc_id", "text").coalesce(1)
+    assert(media.rdd.getNumPartitions === 1)
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+    assert(feats.rdd.getNumPartitions > 1,
+      s"expected repartition before mapPartitions, got ${feats.rdd.getNumPartitions}")
+    assert(feats.count() === 6)
+  }
 }
