@@ -221,6 +221,19 @@ class PropertyGraph(val nodeDefs: Seq[NodeTableDef], val relDefs: Seq[RelTableDe
     if (requested.isEmpty) relTables
     else relTables.filter(t => requested.contains(t.relType))
 
+  /** Memoized oriented hop tables for var-length expands, keyed by
+    * (rel types, reversed, undirected). Every var-length / shortestPath
+    * query re-walks the same edge list; materializing the pre-partitioned
+    * (_h_from, _h_to, _h_i) projection once per graph amortizes its union
+    * scan + shuffle across the session's queries (the reference's Cache
+    * operator applied to the traversal's hottest artifact). The builder is
+    * expected to pin; entries live as long as the graph object. */
+  private val hopMemo = scala.collection.concurrent.TrieMap
+    .empty[(Seq[String], Boolean, Boolean), org.apache.spark.sql.DataFrame]
+  def hopTable(types: Seq[String], reversed: Boolean, undirected: Boolean,
+      build: () => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hopMemo.getOrElseUpdate((types.sorted, reversed, undirected), build())
+
   /** Persist all canonical scans (useful before repeated traversals,
     * mirroring the reference's Cache operator / InsertCachingOperators). */
   def cache(): this.type = {

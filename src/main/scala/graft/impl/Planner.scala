@@ -737,12 +737,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             .withColumn("_sp_min", min(len).over(w))
             .filter(len === col("_sp_min")).drop("_sp_min"))
         else {
-          // one arbitrary-but-deterministic shortest path per pair:
-          // tiebreak on the relationship-id array
-          val ord = w.orderBy(len, col(h.col(PathSlot(s.edge))))
+          // One arbitrary-but-deterministic shortest path per pair, chosen
+          // by (length, rel-id array) order. Equality against the window
+          // min — NOT row_number — so outer row multiplicity survives:
+          // "UNWIND [1,2] AS i MATCH shortestPath(...)" keeps the chosen
+          // path once per outer row instead of collapsing to one row.
+          val key = struct(len.as("l"), col(h.col(PathSlot(s.edge))).as("p"))
           ctx = ctx.copy(df = ctx.df
-            .withColumn("_sp_rk", row_number().over(ord))
-            .filter(col("_sp_rk") === 1).drop("_sp_rk"))
+            .withColumn("_sp_min", min(key).over(w))
+            .filter(key === col("_sp_min")).drop("_sp_min"))
         }
       }
     }
@@ -1435,13 +1438,25 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         relDf0.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh
     }
     val hop =
-      if (hi >= 2 && !broadcastSized)
-        Pin(hopBase.repartition(col("_h_from")))
-      else hopBase
+      if (hi >= 2 && !broadcastSized) {
+        // Inline rel props make the scan query-specific; otherwise the
+        // pinned hop table is a per-graph artifact shared across queries.
+        val build = () => Pin(hopBase.repartition(col("_h_from")))
+        if (e.props.isEmpty)
+          graph.hopTable(e.types, e.dir == IN, undirected, build)
+        else build()
+      } else hopBase
 
     val pfrom = "_vl_from_" + e.v
     val pto = "_vl_to_" + e.v
     val pids = RecordHeader.colName(PathSlot(e.v))
+    // Under shortestPath/allShortestPaths the expand prunes per hop: a
+    // (anchor, reached) pair closed at a shorter length can't yield a
+    // minimal path, and prefixes of minimal paths are themselves minimal,
+    // so dropping later arrivals never loses a result (BFS closure). This
+    // bounds the frontier by the reachable-pair set instead of the full
+    // bounded path count — the difference between O(pairs) and O(deg^k).
+    val spMode = shortestSpecs.find(_.edge == e.v).map(_.mode)
     // nodes(p) needs the intermediate node ids; accumulate them only when a
     // bound path variable spans this var-length hop (one extra array column
     // per frontier row otherwise wasted).
@@ -1469,7 +1484,34 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       if (trackNodes)
         seed.withColumn(pnodes, array(col(pfrom), col(pto)))
       else seed
+    val (aCol, oCol) = if (anchorIsSrc) (pfrom, pto) else (pto, pfrom)
+    // Pairs closed at an earlier hop (shortest modes only). Zero-length
+    // paths close (a, a) before hop 1.
+    var closedPairs: DataFrame =
+      if (spMode.isDefined && lo == 0) {
+        val a = ctx0.df
+          .select(col(ctx0.header.col(IdSlot(anchorVar))).as("_sp_a")).distinct()
+        Pin(a.select(col("_sp_a"), col("_sp_a").as("_sp_o")))
+      } else null
     for (k <- 1 to hi) {
+      if (spMode.isDefined && k >= math.max(lo, 1)) {
+        if (closedPairs != null)
+          frontier = frontier.join(closedPairs,
+            col(aCol) === col("_sp_a") && col(oCol) === col("_sp_o"), "left_anti")
+        if (k < hi) {
+          // Pin: the pruned frontier is read three ways (paths union, next
+          // hop, closed-pair projection) and the anti-join lineage would
+          // otherwise grow quadratically with hop count. The closure set is
+          // a cheap union of projections over pinned frontiers — duplicates
+          // are harmless to an anti-join, so no distinct.
+          frontier = Pin(frontier)
+          val newPairs = frontier
+            .select(col(aCol).as("_sp_a"), col(oCol).as("_sp_o"))
+          closedPairs =
+            if (closedPairs == null) newPairs
+            else closedPairs.unionByName(newPairs)
+        }
+      }
       if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
       if (k < hi) {
         val h2 = hop.select(col("_h_from").as("_n_f"), col("_h_to").as("_n_t"),

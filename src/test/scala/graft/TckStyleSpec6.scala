@@ -129,6 +129,29 @@ class TckStyleSpec6 extends TckScenarioBase {
     intercept[Exception](session.cypher(gSp,
       "MATCH p = shortestPath((a)-[:E]->(b)) RETURN p").collect())
   }
+  scenario("shortestPath preserves outer row multiplicity (UNWIND)", gSp,
+    "UNWIND [1, 2] AS i " +
+      "MATCH p = shortestPath((a {name:'s'})-[:E*1..4]->(b {name:'t'})) " +
+      "RETURN i, length(p) AS l",
+    rows(Map("i" -> 1, "l" -> 2), Map("i" -> 2, "l" -> 2)))
+
+  /** Complete digraph on 7 nodes: per-hop early-stop closes every ordered
+    * pair at hop 1, so the expand does O(pairs) work instead of walking the
+    * ~7! simple-path space the [*1..7] cap would otherwise enumerate. */
+  lazy val gK = graph(spark,
+    (1 to 7).map(i => N(i, Set("K"), Map("name" -> s"n$i"))),
+    for { i <- 1 to 7; j <- 1 to 7 if i != j } yield R(100 + i * 10 + j, i, j, "E"))
+
+  scenario("shortestPath on a complete graph closes every pair at hop 1", gK,
+    "MATCH p = shortestPath((a:K)-[:E*1..7]->(b:K)) " +
+      "RETURN length(p) AS l, count(*) AS n",
+    // 42 ordered pairs at hop 1; the 7 self-pairs close at hop 2 (a->x->a).
+    rows(Map("l" -> 1, "n" -> 42), Map("l" -> 2, "n" -> 7)))
+  scenario("allShortestPaths keeps only first-arrival paths", gK,
+    "MATCH p = allShortestPaths((a:K {name:'n1'})-[:E*1..7]->(b:K)) " +
+      "RETURN count(*) AS x",
+    // 6 direct hops + 6 minimal two-hop returns to n1 (one per intermediate).
+    value(12))
 
   // ============================================= pattern comprehensions
   scenario("pattern comprehension collects per outer row", g,
