@@ -17,8 +17,10 @@ object ExprCompiler {
     * encoding (okapi-api/.../impl/temporal/Duration.scala). Fractional
     * values are only allowed in the seconds position. */
   def parseIsoDuration(s: String): (Long, Long, Long) = {
-    val re = ("""(?i)^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?""" +
-      """(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$""").r
+    // Components may carry their own sign (ISO-8601 / java.time form
+    // 'P-2D', 'PT-1H30M'); a leading '-' negates the whole duration.
+    val re = ("""(?i)^(-)?P(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)W)?(?:(-?\d+)D)?""" +
+      """(?:T(?:(-?\d+)H)?(?:(-?\d+)M)?(?:(-?\d+(?:\.\d+)?)S)?)?$""").r
     s match {
       case re(neg, y, mo, w, d, h, mi, sec) =>
         def l(x: String): Long = if (x == null) 0L else x.toLong
@@ -430,7 +432,11 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Arith("*", l, r) if isDuration(r) =>
       durScale(compile(r), compile(l))
     case Arith("/", l, r) if isDuration(l) =>
-      durScale(compile(l), lit(1.0) / compile(r))
+      // Guard the divisor: duration / 0 must be null, not the Long.MaxValue
+      // clamp that Infinity-scaled components would cast to (Neo4j errors;
+      // null is our non-ANSI analogue).
+      val k = compile(r)
+      when(k === 0, lit(null)).otherwise(durScale(compile(l), lit(1.0) / k))
     case Neg(x) if isDuration(x) =>
       durScale(compile(x), lit(-1L))
     case Arith("+", l, r) if isDuration(r) =>

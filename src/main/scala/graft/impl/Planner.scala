@@ -868,26 +868,32 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
           .filter(v => sub.header.contains(IdSlot(v)) &&
             ctx.header.contains(IdSlot(v)))
-        require(shared.nonEmpty,
-          "pattern predicate must share a variable with the enclosing query")
         val marker = freshVar()
         val markerSlot = ValueSlot(marker)
         val markerCol = RecordHeader.colName(markerSlot)
-        val renamed = shared.toSeq.map { v =>
-          val c = sub.header.col(IdSlot(v))
-          (v, c, "_pp_" + c)
+        if (shared.isEmpty) {
+          // Uncorrelated (openCypher permits it): one global existence bit,
+          // broadcast onto every outer row.
+          val subDf = sub.df.limit(1).select(lit(true).as(markerCol))
+          ctx = Ctx(ctx.df.join(subDf, lit(true), "left_outer"),
+            ctx.header.withSlot(markerSlot).withVar(marker, ValueKind))
+        } else {
+          val renamed = shared.toSeq.map { v =>
+            val c = sub.header.col(IdSlot(v))
+            (v, c, "_pp_" + c)
+          }
+          val subDf = sub.df
+            .select(renamed.map { case (_, c, r) => col(c).as(r) }: _*)
+            .distinct()
+            .withColumn(markerCol, lit(true))
+          val cond = renamed.map { case (v, _, r) =>
+            col(ctx.header.col(IdSlot(v))) === col(r)
+          }.reduce(_ && _)
+          ctx = Ctx(
+            ctx.df.join(subDf, cond, "left_outer")
+              .drop(renamed.map(_._3): _*),
+            ctx.header.withSlot(markerSlot).withVar(marker, ValueKind))
         }
-        val subDf = sub.df
-          .select(renamed.map { case (_, c, r) => col(c).as(r) }: _*)
-          .distinct()
-          .withColumn(markerCol, lit(true))
-        val cond = renamed.map { case (v, _, r) =>
-          col(ctx.header.col(IdSlot(v))) === col(r)
-        }.reduce(_ && _)
-        ctx = Ctx(
-          ctx.df.join(subDf, cond, "left_outer")
-            .drop(renamed.map(_._3): _*),
-          ctx.header.withSlot(markerSlot).withVar(marker, ValueKind))
         val base = IsNull(Var(marker), negated = true)
         if (negated) Not(base) else base
       case other => other
@@ -910,33 +916,42 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
           .filter(v => sub.header.contains(IdSlot(v)) &&
             ctx.header.contains(IdSlot(v)))
-        require(shared.nonEmpty,
-          "pattern comprehension must share a variable with the enclosing query")
         val listVar = freshVar()
         val listSlot = ValueSlot(listVar)
         val listCol = RecordHeader.colName(listSlot)
         val projCol = sub.compiler.compile(proj)
-        val renamed = shared.toSeq.map { v =>
-          val c = sub.header.col(IdSlot(v))
-          (v, c, "_pc_" + c)
-        }
         // struct-wrap the projection so collect_list keeps null elements
         // (Cypher comprehension lists may contain null; bare collect_list
         // silently drops them), then unwrap.
-        val subDf = sub.df
-          .select(renamed.map { case (_, c, r) => col(c).as(r) } :+
-            struct(projCol.as("v")).as("_pc_proj"): _*)
-          .groupBy(renamed.map { case (_, _, r) => col(r) }: _*)
-          .agg(transform(collect_list(col("_pc_proj")),
-            x => x.getField("v")).as(listCol))
-        val cond = renamed.map { case (v, _, r) =>
-          col(ctx.header.col(IdSlot(v))) === col(r)
-        }.reduce(_ && _)
-        ctx = Ctx(
-          ctx.df.join(subDf, cond, "left_outer")
-            .drop(renamed.map(_._3): _*)
-            .withColumn(listCol, coalesce(col(listCol), array())),
-          ctx.header.withSlot(listSlot).withVar(listVar, ValueKind))
+        val wrapped = struct(projCol.as("v")).as("_pc_proj")
+        if (shared.isEmpty) {
+          // Uncorrelated (openCypher permits it): one global list — the
+          // no-key aggregate always yields exactly one row ([] on empty
+          // input) — broadcast onto every outer row.
+          val subDf = sub.df.select(wrapped).groupBy()
+            .agg(transform(collect_list(col("_pc_proj")),
+              x => x.getField("v")).as(listCol))
+          ctx = Ctx(ctx.df.crossJoin(subDf),
+            ctx.header.withSlot(listSlot).withVar(listVar, ValueKind))
+        } else {
+          val renamed = shared.toSeq.map { v =>
+            val c = sub.header.col(IdSlot(v))
+            (v, c, "_pc_" + c)
+          }
+          val subDf = sub.df
+            .select(renamed.map { case (_, c, r) => col(c).as(r) } :+ wrapped: _*)
+            .groupBy(renamed.map { case (_, _, r) => col(r) }: _*)
+            .agg(transform(collect_list(col("_pc_proj")),
+              x => x.getField("v")).as(listCol))
+          val cond = renamed.map { case (v, _, r) =>
+            col(ctx.header.col(IdSlot(v))) === col(r)
+          }.reduce(_ && _)
+          ctx = Ctx(
+            ctx.df.join(subDf, cond, "left_outer")
+              .drop(renamed.map(_._3): _*)
+              .withColumn(listCol, coalesce(col(listCol), array())),
+            ctx.header.withSlot(listSlot).withVar(listVar, ValueKind))
+        }
         Var(listVar)
       case other => other
     }
@@ -951,7 +966,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), innerWhere) }
     val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
       .filter(v => sub.header.contains(IdSlot(v)) && ctx.header.contains(IdSlot(v)))
-    require(shared.nonEmpty, "pattern predicate must share a variable with the enclosing query")
+    if (shared.isEmpty)
+      // Uncorrelated: all-or-nothing on global existence — semi/anti join
+      // against a 1-row probe.
+      return ctx.copy(df = ctx.df.join(sub.df.limit(1).select(lit(true).as("_pp_g")),
+        lit(true), if (negated) "left_anti" else "left_semi"))
     val renamed = shared.toSeq.map { v =>
       val c = sub.header.col(IdSlot(v))
       (v, c, "_pp_" + c)

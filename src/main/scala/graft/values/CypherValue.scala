@@ -65,6 +65,8 @@ sealed trait CypherValue {
       s"<path nodes=${nodes.mkString("[", ", ", "]")} rels=${rels.mkString("[", ", ", "]")}>"
     case CypherFloat(d) =>
       if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    case d: CypherDuration => d.toIso8601
+    case CypherBigDecimal(b) => b.toString
     case other => String.valueOf(other.value)
   }
 
@@ -88,6 +90,34 @@ case class CypherLocalDateTime(value: java.sql.Timestamp) extends CypherValue
 case class CypherDuration(months: Long, days: Long, micros: Long)
     extends CypherValue {
   def value: Any = this
+
+  /** ISO-8601 duration form ('P1M2DT3.000000004S'), the TCK's rendering:
+    * months/days verbatim (calendar components don't normalize into each
+    * other), micros split into H/M/S. */
+  def toIso8601: String = {
+    val sb = new StringBuilder("P")
+    if (months != 0) sb.append(months).append('M')
+    if (days != 0) sb.append(days).append('D')
+    val negT = micros < 0
+    val absU = math.abs(micros)
+    val h = absU / 3600000000L
+    val m = (absU / 60000000L) % 60
+    val s = (absU / 1000000L) % 60
+    val frac = absU % 1000000L
+    if (absU != 0 || (months == 0 && days == 0)) {
+      sb.append('T')
+      def part(v: Long, unit: Char): Unit =
+        if (v != 0) sb.append(if (negT) -v else v).append(unit)
+      part(h, 'H'); part(m, 'M')
+      if (s != 0 || frac != 0 || (h == 0 && m == 0)) {
+        if (negT && (s != 0 || frac != 0)) sb.append('-')
+        sb.append(s)
+        if (frac != 0) sb.append(f".$frac%06d".reverse.dropWhile(_ == '0').reverse)
+        sb.append('S')
+      }
+    }
+    sb.toString
+  }
 }
 case class CypherList(items: Seq[CypherValue]) extends CypherValue {
   def value: Any = items.map(_.value)

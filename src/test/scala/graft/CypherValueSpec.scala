@@ -69,6 +69,16 @@ class CypherValueSpec extends SparkTestBase {
     assert(r.toCypherString == "[:KNOWS]")
   }
 
+  test("toCypherString renders durations in ISO-8601 and BigDecimal plainly") {
+    assert(CypherDuration(1, 2, 0).toCypherString == "P1M2D")
+    assert(CypherDuration(0, 0, 3723000000L).toCypherString == "PT1H2M3S")
+    assert(CypherDuration(14, 1, 500000L).toCypherString == "P14M1DT0.5S")
+    assert(CypherDuration(0, 0, 0).toCypherString == "PT0S")
+    assert(CypherDuration(0, -1, -3600000000L).toCypherString == "P-1DT-1H")
+    assert(CypherDuration(0, 0, -90500000L).toCypherString == "PT-1M-30.5S")
+    assert(CypherBigDecimal(BigDecimal("1.50")).toCypherString == "1.50")
+  }
+
   test("cypherValues returns nodes with labels and properties") {
     val vs = session.cypherValues(g, "MATCH (n:A) RETURN n")
     assert(vs.size == 1)
