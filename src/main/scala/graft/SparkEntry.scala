@@ -120,6 +120,22 @@ object SparkEntry {
         SELECT 1 FROM customer JOIN orders ON o_custkey = c_custkey JOIN lineitem l ON l.l_orderkey = o_orderkey
         UNION ALL SELECT 1 FROM customer JOIN orders ON o_custkey = c_custkey JOIN lineitem l ON l.l_orderkey = o_orderkey
       ) p""")),
+    // Unbounded [*]: fixpoint loop, not a capped unroll. The TPCH graph is
+    // a DAG with max depth 5 from Customer (c>o>li>s>n>r), so the oracle is
+    // the closed-form path count: orders 1x, customer 2x (c>n, c>n>r),
+    // lineitems 5x (li, li>p, li>s, s>n, n>r).
+    ("q_varexpand_unbounded",
+      "MATCH (c:Customer)-[*]->(x) WHERE c.c_custkey < 5 RETURN count(*) AS n",
+      Some("""SELECT count(*) AS n FROM (
+        SELECT 1 FROM orders WHERE o_custkey < 5
+        UNION ALL SELECT 1 FROM customer WHERE c_custkey < 5
+        UNION ALL SELECT 1 FROM customer WHERE c_custkey < 5
+        UNION ALL SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey < 5
+        UNION ALL SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey < 5
+        UNION ALL SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey < 5
+        UNION ALL SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey < 5
+        UNION ALL SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey < 5
+      ) p""")),
     // --- scalar expression gauntlet (SURVEY §2.5) ---
     ("q_expressions",
       "MATCH (c:Customer) RETURN c.c_custkey AS ck, toUpper(c.c_name) AS upper_name, substring(c.c_name, 0, 4) AS pre, c.c_acctbal * 1.1 + 5 AS adj, abs(c.c_acctbal) AS ab, CASE WHEN c.c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign_cls, coalesce(c.c_mktsegment, 'NA') AS seg",

@@ -19,9 +19,6 @@ import scala.collection.mutable
   * disconnected components.
   */
 object Planner {
-  /** Upper bound substituted for unbounded var-length patterns (`[*]`). */
-  val VarLengthCap = 10
-
   sealed trait OutItem
   /** Plain value output column. */
   case class OutCol(internal: String, display: String) extends OutItem
@@ -1426,8 +1423,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def planVarLengthEdge(ctx0: Ctx, e: EdgeCons,
       nodes: Map[String, NodeCons], bound: mutable.Set[String]): Ctx = {
     val (lo, hiOpt) = e.varLength.get
-    val hi = hiOpt.getOrElse(math.max(lo, VarLengthCap))
-    require(hi >= lo && hi <= 30, s"var-length bounds out of range: $lo..$hi")
+    // No upper bound (`[*]`, `[*1..]`): a dynamic fixpoint loop below, not
+    // a capped unroll. Bounded patterns keep the static (job-free) unroll.
+    val unbounded = hiOpt.isEmpty
+    val hi = hiOpt.getOrElse(math.max(lo, 1))
+    require(unbounded || (hi >= lo && hi <= 30),
+      s"var-length bounds out of range: $lo..$hi")
+    val deep = unbounded || hi >= 2
     val undirected = e.dir == BOTH
     val rv = freshVar()
     val (relDf0, relHeader0, vlDeferred) = relScanDf(rv, e.types, e.props, undirected)
@@ -1457,7 +1459,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         relDf0.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh
     }
     val hop =
-      if (hi >= 2 && !broadcastSized) {
+      if (deep && !broadcastSized) {
         // Inline rel props make the scan query-specific; otherwise the
         // pinned hop table is a per-graph artifact shared across queries.
         val build = () => Pin(hopBase.repartition(col("_h_from")))
@@ -1512,44 +1514,81 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           .select(col(ctx0.header.col(IdSlot(anchorVar))).as("_sp_a")).distinct()
         Pin(a.select(col("_sp_a"), col("_sp_a").as("_sp_o")))
       } else null
-    for (k <- 1 to hi) {
-      if (spMode.isDefined && k >= math.max(lo, 1)) {
-        if (closedPairs != null)
-          frontier = frontier.join(closedPairs,
-            col(aCol) === col("_sp_a") && col(oCol) === col("_sp_o"), "left_anti")
-        if (k < hi) {
-          // Pin: the pruned frontier is read three ways (paths union, next
-          // hop, closed-pair projection) and the anti-join lineage would
-          // otherwise grow quadratically with hop count. The closure set is
-          // a cheap union of projections over pinned frontiers — duplicates
-          // are harmless to an anti-join, so no distinct.
-          frontier = Pin(frontier)
-          val newPairs = frontier
-            .select(col(aCol).as("_sp_a"), col(oCol).as("_sp_o"))
-          closedPairs =
-            if (closedPairs == null) newPairs
-            else closedPairs.unionByName(newPairs)
+    // Grow the frontier one hop, appending the rel id (edge isomorphism via
+    // the array_contains guard) and, when tracked, the reached node id.
+    def extend(fr: DataFrame): DataFrame = {
+      val h2 = hop.select(col("_h_from").as("_n_f"), col("_h_to").as("_n_t"),
+        col("_h_i").as("_n_i"))
+      val extra = if (trackNodes) Seq(
+        if (anchorIsSrc) concat(col(pnodes), array(col("_n_t"))).as(pnodes)
+        else concat(array(col("_n_f")), col(pnodes)).as(pnodes)) else Seq.empty
+      if (anchorIsSrc)
+        fr.join(h2,
+            col(pto) === col("_n_f") && !array_contains(col(pids), col("_n_i")))
+          .select(col(pfrom) +: col("_n_t").as(pto) +:
+            concat(col(pids), array(col("_n_i"))).as(pids) +: extra: _*)
+      else
+        fr.join(h2,
+            col(pfrom) === col("_n_t") && !array_contains(col(pids), col("_n_i")))
+          .select(col("_n_f").as(pfrom) +: col(pto) +:
+            concat(array(col("_n_i")), col(pids)).as(pids) +: extra: _*)
+    }
+    // Shortest-mode BFS closure helpers: drop rows for pairs closed at a
+    // shorter length; record this level's pairs. Duplicates are harmless to
+    // an anti-join, so the closure set is a plain union of projections.
+    def prune(fr: DataFrame): DataFrame =
+      if (closedPairs == null) fr
+      else fr.join(closedPairs,
+        col(aCol) === col("_sp_a") && col(oCol) === col("_sp_o"), "left_anti")
+    def recordClosed(fr: DataFrame): Unit = {
+      val newPairs = fr.select(col(aCol).as("_sp_a"), col(oCol).as("_sp_o"))
+      closedPairs =
+        if (closedPairs == null) newPairs
+        else closedPairs.unionByName(newPairs)
+    }
+
+    if (!unbounded) {
+      for (k <- 1 to hi) {
+        if (spMode.isDefined && k >= math.max(lo, 1)) {
+          frontier = prune(frontier)
+          if (k < hi) {
+            // Pin: the pruned frontier is read three ways (paths union, next
+            // hop, closed-pair projection) and the anti-join lineage would
+            // otherwise grow quadratically with hop count.
+            frontier = Pin(frontier)
+            recordClosed(frontier)
+          }
+        }
+        if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
+        if (k < hi) frontier = extend(frontier)
+      }
+    } else {
+      // Fixpoint: iterate until the frontier is empty. Each level is
+      // eagerly pinned (the connected-components loop shape,
+      // GraphAlgorithms) so every round reads materialized blocks instead
+      // of recursively growing lineage; rel-id uniqueness guarantees
+      // termination at the longest rel-unique walk. A conf'd iteration
+      // ceiling guards pathological graphs by THROWING — never silently
+      // truncating, which is what the old VarLengthCap unroll did.
+      val maxIters = spark.conf.getOption("spark.graft.varLength.maxIterations")
+        .map(_.toInt).getOrElse(256)
+      var k = 1
+      var cont = true
+      while (cont) {
+        if (spMode.isDefined && k >= math.max(lo, 1)) frontier = prune(frontier)
+        frontier = Pin.eager(frontier)
+        if (frontier.isEmpty) cont = false
+        else {
+          if (spMode.isDefined && k >= math.max(lo, 1)) recordClosed(frontier)
+          if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
+          if (k >= maxIters) throw new CypherCompileException(
+            s"unbounded var-length expand exceeded $maxIters levels " +
+              "(raise spark.graft.varLength.maxIterations)")
+          frontier = extend(frontier)
+          k += 1
         }
       }
-      if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
-      if (k < hi) {
-        val h2 = hop.select(col("_h_from").as("_n_f"), col("_h_to").as("_n_t"),
-          col("_h_i").as("_n_i"))
-        val extra = if (trackNodes) Seq(
-          if (anchorIsSrc) concat(col(pnodes), array(col("_n_t"))).as(pnodes)
-          else concat(array(col("_n_f")), col(pnodes)).as(pnodes)) else Seq.empty
-        frontier =
-          if (anchorIsSrc)
-            frontier.join(h2,
-                col(pto) === col("_n_f") && !array_contains(col(pids), col("_n_i")))
-              .select(col(pfrom) +: col("_n_t").as(pto) +:
-                concat(col(pids), array(col("_n_i"))).as(pids) +: extra: _*)
-          else
-            frontier.join(h2,
-                col(pfrom) === col("_n_t") && !array_contains(col(pids), col("_n_i")))
-              .select(col("_n_f").as(pfrom) +: col(pto) +:
-                concat(array(col("_n_i")), col(pids)).as(pids) +: extra: _*)
-      }
+      if (paths == null) paths = frontier.limit(0)
     }
     if (lo == 0) {
       // Zero-length: anchored endpoint pairs with itself, empty path.

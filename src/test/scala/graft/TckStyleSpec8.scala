@@ -112,6 +112,45 @@ class TckStyleSpec8 extends TckScenarioBase {
   scenario("unary minus duration", g,
     "RETURN (-duration('P1DT2H')).hours AS x", value(-2))
 
+  // ================================= unbounded var-length (fixpoint expand)
+  /** cycle 1->2->3->1 plus a tail 3->4 and a disconnected self-loop 5->5:
+    * rel-id uniqueness must terminate every walk after one lap. */
+  lazy val gCyc = graph(spark,
+    Seq(
+      N(1, Set("V"), Map("name" -> "n1")), N(2, Set("V"), Map("name" -> "n2")),
+      N(3, Set("V"), Map("name" -> "n3")), N(4, Set("V"), Map("name" -> "n4")),
+      N(5, Set("V"), Map("name" -> "n5"))),
+    Seq(
+      R(20, 1, 2, "E"), R(21, 2, 3, "E"), R(22, 3, 1, "E"), R(23, 3, 4, "E"),
+      R(24, 5, 5, "E")))
+
+  // Walks from n1: [20], [20,21], [20,21,22], [20,21,23] — the lap back to
+  // n1 cannot reuse rel 20.
+  scenario("unbounded [*] enumerates all rel-unique walks on a cycle", gCyc,
+    "MATCH (a {name:'n1'})-[*]->(x) RETURN count(*) AS x", value(4))
+  scenario("unbounded [*2..] drops the short walks", gCyc,
+    "MATCH (a {name:'n1'})-[*2..]->(x) RETURN count(*) AS x", value(3))
+  scenario("unbounded [*0..] adds the zero-length row", gCyc,
+    "MATCH (a {name:'n1'})-[*0..]->(x) RETURN count(*) AS x", value(5))
+  scenario("unbounded [*] reaches the anchor itself around the cycle", gCyc,
+    "MATCH (a {name:'n1'})-[*]->(x) RETURN x.name AS x",
+    rows(Map("x" -> "n2"), Map("x" -> "n3"), Map("x" -> "n1"),
+      Map("x" -> "n4")))
+  // Walks from n2: [21], [21,22], [21,23], [21,22,20] — back at n2, rel 21
+  // is spent.
+  scenario("unbounded [*] completes exactly one lap from mid-cycle", gCyc,
+    "MATCH (a {name:'n2'})-[*]->(x) RETURN count(*) AS x", value(4))
+  scenario("shortestPath over unbounded [*]", gCyc,
+    "MATCH p = shortestPath((a {name:'n1'})-[:E*]->(b {name:'n4'})) " +
+      "RETURN length(p) AS x", value(3))
+  scenario("self-loop terminates after one traversal", gCyc,
+    "MATCH (a {name:'n5'})-[*]->(x) RETURN count(*) AS x", value(1))
+  // Undirected from n4: [23] then 3 walks down each arm of the cycle
+  // ([23,21], [23,21,20], [23,21,20,22] / [23,22], [23,22,20],
+  // [23,22,20,21]).
+  scenario("unbounded undirected walk also terminates", gCyc,
+    "MATCH (a {name:'n4'})-[*]-(x) RETURN count(*) AS x", value(7))
+
   // ================================================ error classification
   test("[err] unknown variable inside COUNT {} WHERE") {
     errors("RETURN COUNT { (a)-[:KNOWS]->(b) WHERE q.num = 1 } AS x")
