@@ -863,7 +863,17 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         }
       case "tointeger" => a0.try_cast(LongType)
       case "tofloat" => a0.try_cast(DoubleType)
-      case "toboolean" => a0.try_cast(BooleanType)
+      case "toboolean" => inferType(args.head) match {
+        // openCypher accepts exactly 'true'/'false' (case-insensitive);
+        // Spark's boolean cast also takes 'yes'/'y'/'1' etc., so strings
+        // match strictly here.
+        case Some(StringType) =>
+          val lc = F.lower(F.trim(a0))
+          when(lc === "true", lit(true))
+            .when(lc === "false", lit(false))
+            .otherwise(lit(null).cast(BooleanType))
+        case _ => a0.try_cast(BooleanType)
+      }
 
       // ---- math ----
       case "abs" => F.abs(a0)
