@@ -236,8 +236,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "tail" => args.headOption.flatMap(inferType)
       case _ => None
     }
-    case Index(sub, _) => inferType(sub) match {
+    case Index(sub, idx) => inferType(sub) match {
       case Some(ArrayType(et, _)) => Some(et)
+      // Literal-key struct access types through, so chained map access
+      // ({a: {b: 2}}['a']['b']) keeps dispatching as a map, not a list.
+      case Some(st: StructType) => idx match {
+        case StrLit(key) => st.fields.find(_.name == key).map(_.dataType)
+        case _ => None
+      }
+      case Some(MapType(_, vt, _)) => Some(vt)
       case _ => None
     }
     case Slice(sub, _, _) => inferType(sub)
