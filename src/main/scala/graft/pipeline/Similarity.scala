@@ -141,11 +141,8 @@ object Similarity {
 
   /** IVF (inverted-file) index: k-means partitions the vector space;
     * a query probes only the nProbe nearest cells, turning a full scan
-    * into a centroid lookup + bounded cell scan. The assignment frame is
-    * persisted — at 100 TB it would be written out partitioned by cell so
-    * cell scans prune at the file level. */
-  case class IvfIndex(
-      model: org.apache.spark.ml.clustering.KMeansModel,
+    * into a centroid lookup + bounded cell scan. */
+  case class IvfIndex(centers: Array[Array[Double]],
       assigned: DataFrame, idCol: String, vecCol: String) {
 
     def search(query: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
@@ -156,8 +153,8 @@ object Similarity {
       // unit vectors is inside the sphere).
       def sqDist(c: Array[Double]): Double =
         c.zip(qArr).map { case (a, b) => val d = a - b; d * d }.sum
-      val probes = model.clusterCenters.zipWithIndex
-        .sortBy { case (c, _) => sqDist(c.toArray) }
+      val probes = centers.zipWithIndex
+        .sortBy { case (c, _) => sqDist(c) }
         .take(nProbe).map(_._2)
       assigned
         .filter(col("_ivf_cell").isin(probes.map(Integer.valueOf): _*))
@@ -167,7 +164,8 @@ object Similarity {
     }
   }
 
-  /** Build an IVF index over an embedding column. */
+  /** Build an IVF index over an embedding column (the one-time indexing
+    * job; see loadOrBuildIvf for the stored form queries should use). */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -180,7 +178,42 @@ object Similarity {
     val assigned = fitted.transform(featured)
       .select(col(idCol), col(vecCol), col("_ivf_cell"))
       .persist()
-    IvfIndex(fitted, assigned, idCol, vecCol)
+    IvfIndex(fitted.clusterCenters.map(_.toArray), assigned, idCol, vecCol)
+  }
+
+  /** Stored IVF index: centroids and cell assignments persisted as parquet
+    * under `spark.graft.ivf.indexDir` (default <tmpdir>/graft_ivf), the
+    * assignment table PARTITIONED BY cell so a probe prunes untouched cells
+    * at the file level — exactly the artifact a 100 TB deployment would
+    * keep on object storage. Build (k-means) runs once per (key, params);
+    * every later session, including fresh JVMs, loads and measures only
+    * the probe. */
+  def loadOrBuildIvf(df: DataFrame, key: String, idCol: String,
+      vecCol: String, nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+    val spark = df.sparkSession
+    val base = spark.conf.getOption("spark.graft.ivf.indexDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_ivf")
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$key|$idCol|$vecCol|$nCells|$seed").toLong & 0xffffffffL)
+    val dir = s"$base/ivf_$tag"
+    val donePath = new org.apache.hadoop.fs.Path(s"$dir/_INDEXED")
+    val fs = donePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(donePath)) {
+      val centers = spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+      IvfIndex(centers, spark.read.parquet(s"$dir/cells"), idCol, vecCol)
+    } else {
+      val idx = buildIvf(df, idCol, vecCol, nCells, seed)
+      idx.assigned.write.mode("overwrite")
+        .partitionBy("_ivf_cell").parquet(s"$dir/cells")
+      val rows = idx.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      spark.createDataFrame(rows.toSeq).toDF("cell", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      fs.create(donePath, true).close()
+      idx
+    }
   }
 
   /** Exact all-pairs cosine above a threshold (brute force — bound the

@@ -95,6 +95,34 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("stored IVF index: second load probes without rebuilding") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    withSQLConf("spark.graft.ivf.indexDir" -> tmp) {
+      val query = (0 until dim).map(_ => rnd.nextGaussian())
+      val built = Similarity.loadOrBuildIvf(vecs, "k1", "vec_id", "embedding",
+        nCells = 4)
+      val r1 = built.search(query, 5, nProbe = 2).collect().map(_.getLong(0)).toSeq
+      // Second call must take the load path: same centroids, same results,
+      // assignments read from the cell-partitioned parquet.
+      val loaded = Similarity.loadOrBuildIvf(
+        vecs.limit(0), // an empty frame proves nothing is re-clustered
+        "k1", "vec_id", "embedding", nCells = 4)
+      val r2 = loaded.search(query, 5, nProbe = 2).collect().map(_.getLong(0)).toSeq
+      assert(r1 === r2)
+      assert(loaded.centers.length === 4)
+      // The stored layout is partitioned by cell (file-level probe pruning).
+      val cellDirs = new java.io.File(s"$tmp").listFiles.head.listFiles
+        .filter(_.getName == "cells").head.listFiles
+        .count(_.getName.startsWith("_ivf_cell="))
+      assert(cellDirs === 4, s"expected 4 cell partitions, got $cellDirs")
+    }
+  }
+
   test("cosine of identical vectors is 1") {
     val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val c = v.select(Similarity.cosine(col("embedding"), col("embedding")))
