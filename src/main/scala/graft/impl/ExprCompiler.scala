@@ -6,12 +6,34 @@ import org.apache.spark.sql.{Column, functions => F}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-class CypherCompileException(msg: String) extends RuntimeException(msg)
+import graft.api.{CypherError => CE}
+
+/** Planner/compiler failure. Defaults to the semantic-error bucket; sites
+  * that correspond to a TCK error class pass the precise coordinates. */
+class CypherCompileException(msg: String,
+    errorType: CE.Type = CE.SemanticError,
+    detail: String = CE.UnsupportedExpression)
+  extends graft.api.CypherException(errorType, CE.CompileTime, detail, msg)
 
 object ExprCompiler {
   /** Aggregating function names (SURVEY §2.4 inventory). */
   val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  /** Aggregate anywhere in the tree (generic walk — unlike the instance
+    * hasAggregation, covers every node kind via ExprOps.mapChildren). */
+  def containsAggregate(e: Expr): Boolean = ast.ExprOps.exists(e) {
+    case CountStar => true
+    case FuncCall(n, _, _) if aggFns(n) => true
+    case _ => false
+  }
+
+  /** An aggregate whose own arguments aggregate (`sum(count(x))`) — the
+    * TCK's NestedAggregation syntax error. */
+  def nestedAggregation(e: Expr): Boolean = ast.ExprOps.exists(e) {
+    case FuncCall(n, args, _) if aggFns(n) => args.exists(containsAggregate)
+    case _ => false
+  }
 
   /** ISO-8601 duration -> (months, days, micros), the reference's Duration
     * encoding (okapi-api/.../impl/temporal/Duration.scala). Fractional
@@ -32,7 +54,7 @@ object ExprCompiler {
         val sign = if (neg == null) 1L else -1L
         (sign * months, sign * days, sign * micros)
       case _ => throw new CypherCompileException(
-        s"malformed ISO-8601 duration literal: $s")
+        s"malformed ISO-8601 duration literal: $s", CE.ArgumentError, CE.InvalidTemporalValue)
     }
   }
 
@@ -80,7 +102,7 @@ object ExprCompiler {
       case Ym(y, m) => LocalDate.of(y.toInt, m.toInt, 1)
       case Compact6(y, m) => LocalDate.of(y.toInt, m.toInt, 1)
       case Y(y) => LocalDate.of(y.toInt, 1, 1)
-      case _ => throw new CypherCompileException(s"malformed date literal: $s0")
+      case _ => throw new CypherCompileException(s"malformed date literal: $s0", CE.ArgumentError, CE.InvalidTemporalValue)
     }
   }
 
@@ -348,7 +370,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case Some(ValueKind) => col(header.col(ValueSlot(n)))
       case Some(NodeKind(_)) | Some(RelKind(_)) => col(header.col(IdSlot(n)))
       case Some(ListRelKind(_)) => col(header.col(PathSlot(n)))
-      case None => throw new CypherCompileException(s"unknown variable $n")
+      case None => throw new CypherCompileException(s"unknown variable $n", CE.SyntaxError, CE.UndefinedVariable)
     }
     case Prop(Var(n), k) if !env.contains(n) && header.kinds.contains(n) =>
       header.kindOf(n) match {
@@ -361,7 +383,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
     case Prop(sub, k) => compileFieldAccess(compile(sub), inferType(sub), k)
     case Param(n) => litAny(params.getOrElse(n,
-      throw new CypherCompileException(s"missing parameter $n")))
+      throw new CypherCompileException(s"missing parameter $n", CE.ParameterMissing, CE.MissingParameter)))
     case IntLit(v) => lit(v)
     case FloatLit(v) => lit(v)
     case StrLit(v) => lit(v)
@@ -508,11 +530,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             if (st.fieldNames.contains(key)) compile(sub).getField(key)
             else lit(null) // missing key -> null (map semantics)
           case _ =>
+            requireKeyType(idx, wantString = true)
             compileFieldAccessDyn(compile(sub), inferType(sub), compile(idx))
         }
       case Some(_: MapType) =>
+        requireKeyType(idx, wantString = true)
         compileFieldAccessDyn(compile(sub), inferType(sub), compile(idx))
-      case _ =>
+      case subT =>
+        if (subT.exists(_.isInstanceOf[ArrayType]))
+          requireKeyType(idx, wantString = false)
         // Cypher list index is 0-based; negative counts from the end.
         val c = compile(sub)
         idx match {
@@ -687,6 +713,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case _ => c.getItem(k)
     }
 
+  /** TCK error classification for container subscripts: a map wants a
+    * string key, a list wants an integer — raised only when the key's type
+    * is statically known to be wrong (dynamic keys stay permissive). */
+  private def requireKeyType(idx: Expr, wantString: Boolean): Unit =
+    inferType(idx).foreach {
+      case StringType | NullType if wantString => ()
+      case ByteType | ShortType | IntegerType | LongType | NullType
+          if !wantString => ()
+      case bad if wantString => throw new CypherCompileException(
+        s"map element access requires a string key, got $bad",
+        CE.TypeError, CE.MapElementAccessByNonString)
+      case bad => throw new CypherCompileException(
+        s"list element access requires an integer index, got $bad",
+        CE.TypeError, CE.ListElementAccessByNonInteger)
+    }
+
   private def compileFieldAccessDyn(c: Column, t: Option[DataType], k: Column): Column =
     t match {
       // An empty map literal has no keys: any lookup is null (element_at on
@@ -783,7 +825,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case NullLit => lit(null)
         case Var(n) if header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
           throw new CypherCompileException(
-            s"labels() expects a node, got relationship $n")
+            s"labels() expects a node, got relationship $n",
+            CE.TypeError, CE.InvalidArgumentType)
         case Var(n) =>
           // labels(null) is null (optional-unmatched node), not []
           val built =
@@ -793,22 +836,34 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
               .collect { case LabelSlot(_, l) => l }.sorted.map(l =>
                 when(col(header.col(LabelSlot(n, l))), lit(l))): _*))
           when(compile(Var(n)).isNull, lit(null)).otherwise(built)
-        case _ => throw new CypherCompileException("labels() needs a node var")
+        case _ => throw new CypherCompileException("labels() needs a node var", CE.TypeError, CE.InvalidArgumentType)
       }
       case "type" => args(0) match {
         case NullLit => lit(null)
+        case Var(n) if !header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
+          throw new CypherCompileException(
+            s"type() expects a relationship, got $$n",
+            CE.TypeError, CE.InvalidArgumentType)
         case Var(n) => col(header.col(TypeSlot(n)))
-        case _ => throw new CypherCompileException("type() needs a rel var")
+        case _ => throw new CypherCompileException("type() needs a rel var", CE.TypeError, CE.InvalidArgumentType)
       }
       case "startnode" => args(0) match {
         case NullLit => lit(null)
+        case Var(n) if !header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
+          throw new CypherCompileException(
+            s"startNode() expects a relationship, got $$n",
+            CE.TypeError, CE.InvalidArgumentType)
         case Var(n) => col(header.col(SrcSlot(n)))
-        case _ => throw new CypherCompileException("startNode() needs a rel var")
+        case _ => throw new CypherCompileException("startNode() needs a rel var", CE.TypeError, CE.InvalidArgumentType)
       }
       case "endnode" => args(0) match {
         case NullLit => lit(null)
+        case Var(n) if !header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
+          throw new CypherCompileException(
+            s"endNode() expects a relationship, got $$n",
+            CE.TypeError, CE.InvalidArgumentType)
         case Var(n) => col(header.col(TgtSlot(n)))
-        case _ => throw new CypherCompileException("endNode() needs a rel var")
+        case _ => throw new CypherCompileException("endNode() needs a rel var", CE.TypeError, CE.InvalidArgumentType)
       }
       case "keys" => args(0) match {
         case NullLit => lit(null)
@@ -829,7 +884,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             .otherwise(array(ks.map(lit(_)): _*))
         case m if inferType(m).exists(_.isInstanceOf[MapType]) =>
           map_keys(compile(m))
-        case _ => throw new CypherCompileException("keys() needs an element var or map")
+        case _ => throw new CypherCompileException("keys() needs an element var or map", CE.TypeError, CE.InvalidArgumentType)
       }
       case "properties" => args(0) match {
         case NullLit => lit(null)
@@ -838,7 +893,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           // properties(null) is null (optional-unmatched element)
           when(compile(Var(n)).isNull, lit(null))
             .otherwise(struct(ks.map(k => col(header.col(PropSlot(n, k))).as(k)): _*))
-        case _ => throw new CypherCompileException("properties() needs an element var")
+        case _ => throw new CypherCompileException("properties() needs an element var", CE.TypeError, CE.InvalidArgumentType)
       }
       case "exists" => a0.isNotNull
 
@@ -1021,7 +1076,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         // session-registered extension functions (procedure-like hooks)
         case Some(fn) => fn(args.map(compile))
         case None =>
-          throw new CypherCompileException(s"unknown function $other")
+          throw new CypherCompileException(s"unknown function $other", CE.SyntaxError, CE.UnknownFunction)
       }
     }
   }

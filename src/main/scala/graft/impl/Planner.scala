@@ -1,6 +1,7 @@
 package graft.impl
 
 import graft.ast._
+import graft.api.{CypherError => CE}
 import graft.graph.{NodeScanTable, NodeTableDef, PropertyGraph, RelScanTable, RelTableDef}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
 import org.apache.spark.sql.functions._
@@ -112,8 +113,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val combined = q.rest.foldLeft(first) { case (acc, (all, sq)) =>
       graph = graph0 // FROM GRAPH scopes to its branch, not the whole union
       val (r, rOuts) = planSingle(sq, shared)
-      require(rOuts.map(outDisplay) == outs.map(outDisplay),
-        "UNION sides must return the same columns")
+      if (rOuts.map(outDisplay) != outs.map(outDisplay))
+        throw new CypherCompileException(
+          "UNION sides must return the same columns",
+          CE.SyntaxError, CE.DifferentColumnsInUnion)
       // Merge headers across branches: a branch may bind the same var with
       // different label/property sets ("RETURN n UNION ... RETURN m AS n");
       // unionByName null-fills the missing columns on each side, so the
@@ -640,7 +643,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     where.foreach { w =>
       val cs = conjunctsOf(w)
       val (push, keep) = cs.partition { c =>
-        !containsPatternExpr(c) && {
+        !containsPatternExpr(c) && !ExprCompiler.containsAggregate(c) && {
           val vs = exprVars(c)
           vs.size == 1 && nodes.contains(vs.head) && !bound(vs.head)
         }
@@ -801,6 +804,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   }
 
   private def applyWhere(ctx0: Ctx, w: Expr): Ctx = {
+    // openCypher forbids aggregates in a predicate position — filtering on
+    // an aggregate goes through `WITH ... AS alias WHERE alias` instead
+    // (TCK taxonomy: SyntaxError / InvalidAggregation).
+    if (ExprCompiler.containsAggregate(w))
+      throw new CypherCompileException(
+        "aggregation is not allowed in WHERE; project it with WITH first",
+        CE.SyntaxError, CE.InvalidAggregation)
     var ctx = ctx0
     val (patterns, residual) = splitPredicates(w)
     patterns.foreach { case (part, negated, innerWhere) =>
@@ -1736,6 +1746,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       items.foreach { i =>
         val display = displayName(i)
         val isAgg = compiler.hasAggregation(i.expr)
+        if (isAgg && ExprCompiler.nestedAggregation(i.expr))
+          throw new CypherCompileException(
+            s"nested aggregation in ${Pretty.print(i.expr)}",
+            CE.SyntaxError, CE.NestedAggregation)
         i.expr match {
           case Var(n) if !isAgg && ctx.header.kinds.contains(n) &&
               ctx.header.kindOf(n) != Some(ValueKind) =>
@@ -1808,25 +1822,43 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
       ctx = ctx.copy(df = ctx.df.orderBy(cols: _*))
     }
-    skip.foreach { e => ctx = ctx.copy(df = ctx.df.offset(evalInt(e))) }
-    limit.foreach { e => ctx = ctx.copy(df = ctx.df.limit(evalInt(e))) }
+    skip.foreach { e => ctx = ctx.copy(df = ctx.df.offset(evalInt(e, "SKIP"))) }
+    limit.foreach { e => ctx = ctx.copy(df = ctx.df.limit(evalInt(e, "LIMIT"))) }
     ctx
   }
 
-  private def evalInt(e: Expr): Int = e match {
-    case IntLit(v) => v.toInt
-    case Param(n) => params(n) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new CypherCompileException(s"SKIP/LIMIT param not an int: $other")
+  /** SKIP/LIMIT operand: a statically-evaluable non-negative integer
+    * (TCK taxonomy: a float is InvalidArgumentType, a negative is
+    * NegativeIntegerArgument — both SyntaxError at compile time). */
+  private def evalInt(e: Expr, where: String): Int = {
+    def eval(e: Expr): Int = e match {
+      case IntLit(v) => v.toInt
+      case Param(n) => params(n) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new CypherCompileException(
+          s"$where param not an int: $other",
+          CE.SyntaxError, CE.InvalidArgumentType)
+      }
+      case FloatLit(v) => throw new CypherCompileException(
+        s"$where must be an integer, got $v",
+        CE.SyntaxError, CE.InvalidArgumentType)
+      case Neg(x) => -eval(x)
+      // Statically-evaluable arithmetic (the TCK uses forms like `LIMIT 1 + 1`)
+      case Arith("+", l, r) => eval(l) + eval(r)
+      case Arith("-", l, r) => eval(l) - eval(r)
+      case Arith("*", l, r) => eval(l) * eval(r)
+      case Arith("/", l, r) => eval(l) / eval(r)
+      case Arith("%", l, r) => eval(l) % eval(r)
+      case other => throw new CypherCompileException(
+        s"$where must be a literal: $other",
+        CE.SyntaxError, CE.InvalidArgumentExpression)
     }
-    // Statically-evaluable arithmetic (the TCK uses forms like `LIMIT 1 + 1`)
-    case Arith("+", l, r) => evalInt(l) + evalInt(r)
-    case Arith("-", l, r) => evalInt(l) - evalInt(r)
-    case Arith("*", l, r) => evalInt(l) * evalInt(r)
-    case Arith("/", l, r) => evalInt(l) / evalInt(r)
-    case Arith("%", l, r) => evalInt(l) % evalInt(r)
-    case other => throw new CypherCompileException(s"SKIP/LIMIT must be a literal: $other")
+    val v = eval(e)
+    if (v < 0) throw new CypherCompileException(
+      s"$where must be non-negative, got $v",
+      CE.SyntaxError, CE.NegativeIntegerArgument)
+    v
   }
 }
 

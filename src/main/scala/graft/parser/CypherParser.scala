@@ -113,7 +113,10 @@ object CypherParser {
     }
   }
 
-  class CypherParseException(msg: String) extends RuntimeException(msg)
+  class CypherParseException(msg: String,
+      detail: String = graft.api.CypherError.InvalidSyntax)
+    extends graft.api.CypherException(graft.api.CypherError.SyntaxError,
+      graft.api.CypherError.CompileTime, detail, msg)
 
   // ----------------------------------------------------------------- parser
   private class Parser(toks: Vector[Tok]) {

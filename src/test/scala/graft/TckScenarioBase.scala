@@ -51,4 +51,24 @@ trait TckScenarioBase extends SparkTestBase {
 
   protected def rows(ms: Map[String, Any]*): Seq[Map[String, Any]] = ms.toSeq
   protected def value(v: Any): Seq[Map[String, Any]] = Seq(Map("x" -> v))
+
+  /** TCK `a <Type> should be raised at <phase>: <Detail>` step: the query
+    * must fail with a classified CypherException carrying exactly these
+    * coordinates (collect() forces execution for completeness — graft
+    * raises everything it classifies at compile time, before any job). */
+  protected def errorScenario(name: String, g: => PropertyGraph, query: String,
+      errorType: graft.api.CypherError.Type, detail: String,
+      phase: graft.api.CypherError.Phase = graft.api.CypherError.CompileTime)
+      : Unit = {
+    count += 1
+    test(f"[$count%03d] $name") {
+      val e = intercept[graft.api.CypherException] {
+        session.cypher(g, query).collect()
+      }
+      assert(e.errorType === errorType,
+        s"\nquery: $query\nraised: $e")
+      assert(e.detail === detail, s"\nquery: $query\nraised: $e")
+      assert(e.phase === phase, s"\nquery: $query\nraised: $e")
+    }
+  }
 }
