@@ -18,7 +18,8 @@ class DifferentialSpec extends SparkTestBase {
   lazy val g = graft.tpch.TpchGraph(spark, dir)
 
   private def registerViews(): Unit =
-    Seq("customer", "orders", "nation", "region", "supplier", "part")
+    Seq("customer", "orders", "nation", "region", "supplier", "part",
+      "lineitem")
       .foreach(t => spark.read.parquet(s"$dir/$t.parquet")
         .createOrReplaceTempView(s"d_$t"))
 
@@ -41,7 +42,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(19) match {
+      rnd.nextInt(22) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -200,6 +201,43 @@ class DifferentialSpec extends SparkTestBase {
               s"RETURN round(-($v.$col) ^ 2 + $v.$col, 4) AS x",
             s"SELECT round(-power($col, 2) + $col, 4) AS x FROM d_$table " +
               s"WHERE $col > $t")
+        case 19 => // unbounded [*] fixpoint vs the DAG's closed-form count
+          val k = 1 + rnd.nextInt(12)
+          Pair(
+            s"MATCH (c:Customer)-[*]->(x) WHERE c.c_custkey < $k " +
+              "RETURN count(*) AS n",
+            // Reachable set per customer: o (1 per order), n + n>r (2 per
+            // customer), and per lineitem of its orders: li, li>p, li>s,
+            // s>n, n>r (5).
+            s"SELECT (SELECT count(*) FROM d_orders WHERE o_custkey < $k) " +
+              s"+ 2 * (SELECT count(*) FROM d_customer WHERE c_custkey < $k) " +
+              "+ 5 * (SELECT count(*) FROM d_lineitem JOIN d_orders " +
+              s"ON l_orderkey = o_orderkey WHERE o_custkey < $k) AS n")
+        case 20 => // shortestPath preserves outer multiplicity (UNWIND rows)
+          val k = rnd.nextInt(10)
+          val m = 2 + rnd.nextInt(3)
+          Pair(
+            s"UNWIND range(1, $m) AS i MATCH p = shortestPath(" +
+              s"(s:Supplier {s_suppkey: $k})-[*1..4]->(r:Region)) " +
+              "RETURN i, length(p) AS len",
+            // s>n>r is the unique shortest route, once per UNWIND row.
+            s"SELECT CAST(i AS BIGINT) AS i, CAST(2 AS BIGINT) AS len " +
+              s"FROM (SELECT explode(sequence(1, $m)) AS i) " +
+              s"WHERE EXISTS (SELECT 1 FROM d_supplier WHERE s_suppkey = $k)")
+        case 21 => // uncorrelated EXISTS{} / COUNT{} (global probe join)
+          val t = rnd.nextInt(11000)
+          if (rnd.nextBoolean())
+            Pair(
+              s"MATCH (r:Region) WHERE EXISTS { (c:Customer) " +
+                s"WHERE c.c_acctbal > $t } RETURN r.r_name AS x",
+              s"SELECT r_name AS x FROM d_region WHERE EXISTS " +
+                s"(SELECT 1 FROM d_customer WHERE c_acctbal > $t)")
+          else
+            Pair(
+              s"RETURN COUNT { (c:Customer)-[:PLACED]->(o:Order) " +
+                s"WHERE o.o_totalprice > $t } AS n",
+              s"SELECT CAST(count(*) AS INTEGER) AS n FROM d_orders " +
+                s"WHERE o_totalprice > $t")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
