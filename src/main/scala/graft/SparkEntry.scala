@@ -364,7 +364,42 @@ object SparkEntry {
       session.store("tpch_cat", TpchGraph(s, dir))
       session.cypher(graft.graph.PropertyGraph(Seq.empty),
         "FROM GRAPH session.tpch_cat MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) RETURN n.n_name AS nation, count(*) AS n")
-    }, Some("SELECT n_name AS nation, count(*) AS n FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1")))
+    }, Some("SELECT n_name AS nation, count(*) AS n FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1")),
+    // --- write clauses (beyond-reference; GraftSession.update) ---
+    // CREATE: one fresh node per driving row with computed properties.
+    ("q_write_create", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      val g2 = session.update(TpchGraph(s, dir),
+        "MATCH (r:Region) CREATE (m:Marker {rname: r.r_name, ln: r.r_regionkey + 100})")
+      session.cypher(g2,
+        "MATCH (m:Marker) RETURN m.rname AS rname, m.ln AS ln")
+    }, Some("SELECT r_name AS rname, r_regionkey + 100 AS ln FROM region")),
+    // SET: id-keyed property update visible to a later read of the graph.
+    ("q_write_set", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      val g2 = session.update(TpchGraph(s, dir),
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0.0 SET c.debtor = true")
+      session.cypher(g2,
+        "MATCH (c:Customer) WHERE c.debtor RETURN count(*) AS n")
+    }, Some("SELECT count(*) AS n FROM customer WHERE c_acctbal < 0.0")),
+    // DELETE: matched relationships leave the graph, nodes stay.
+    ("q_write_delete", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      val g2 = session.update(TpchGraph(s, dir),
+        "MATCH (:Customer)-[r:PLACED]->(o:Order) WHERE o.o_totalprice < 50000.0 DELETE r")
+      session.cypher(g2,
+        "MATCH (:Customer)-[r:PLACED]->(:Order) RETURN count(*) AS n")
+    }, Some("SELECT count(*) AS n FROM orders WHERE o_totalprice >= 50000.0")),
+    // MERGE: one node per distinct key; re-running on the written graph is
+    // idempotent (the second update matches everything it created).
+    ("q_write_merge", (s: SparkSession, dir: String) => {
+      val session = GraftSession(s)
+      val g2 = session.update(TpchGraph(s, dir),
+        "MATCH (c:Customer) MERGE (m:Segment {name: c.c_mktsegment})")
+      val g3 = session.update(g2,
+        "MATCH (c:Customer) MERGE (m:Segment {name: c.c_mktsegment})")
+      session.cypher(g3, "MATCH (m:Segment) RETURN m.name AS name")
+    }, Some("SELECT DISTINCT c_mktsegment AS name FROM customer")))
 
   private def cy(q: String): (SparkSession, String) => DataFrame =
     (s, dir) => GraftSession(s).cypher(TpchGraph(s, dir), q)

@@ -24,6 +24,8 @@ object CypherError {
   case object ArgumentError extends Type("ArgumentError")
   case object ArithmeticError extends Type("ArithmeticError")
   case object ParameterMissing extends Type("ParameterMissing")
+  case object ConstraintValidationFailed
+    extends Type("ConstraintValidationFailed")
 
   sealed abstract class Phase(val name: String) {
     override def toString: String = name
@@ -49,6 +51,12 @@ object CypherError {
   val MissingParameter = "MissingParameter"
   val InvalidTemporalValue = "InvalidTemporalValue"
   val UnsupportedExpression = "UnsupportedExpression"
+  val InvalidDelete = "InvalidDelete"
+  val DeleteConnectedNode = "DeleteConnectedNode"
+  val NoSingleRelationshipType = "NoSingleRelationshipType"
+  val RequiresDirectedRelationship = "RequiresDirectedRelationship"
+  val CreatingVarLength = "CreatingVarLength"
+  val VariableAlreadyBound = "VariableAlreadyBound"
 }
 
 /** Root of every failure graft itself raises. `errorType`/`phase`/`detail`

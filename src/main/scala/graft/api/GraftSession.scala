@@ -177,6 +177,34 @@ class GraftSession(val spark: SparkSession) {
     planner.render(df, outs, header)
   }
 
+  /** Execute a write query (CREATE / SET / REMOVE / DELETE / MERGE after an
+    * optional reading prefix) and return the updated graph. Writes never
+    * mutate the input graph — the result is a new immutable PropertyGraph
+    * whose tables are lazy views over the old ones (beyond-reference
+    * surface: the reference engine is read-only). */
+  def update(graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): PropertyGraph = {
+    val ast = CypherParser.parse(query)
+    val planner = new Planner(spark, graph, params, None, graphByName,
+      functions.toMap, procedures.toMap)
+    planner.plan(ast)
+    planner.updatedGraph.getOrElse(
+      throw new IllegalArgumentException("query has no write clauses"))
+  }
+
+  /** Like update(), additionally returning the RETURN rows of the write
+    * query (`CREATE (n) RETURN n.p`). */
+  def updateWithResult(graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): (DataFrame, PropertyGraph) = {
+    val ast = CypherParser.parse(query)
+    val planner = new Planner(spark, graph, params, None, graphByName,
+      functions.toMap, procedures.toMap)
+    val (df, outs, header) = planner.plan(ast)
+    val rows = planner.render(df, outs, header)
+    (rows, planner.updatedGraph.getOrElse(
+      throw new IllegalArgumentException("query has no write clauses")))
+  }
+
   /** Run a query ending in CONSTRUCT ... RETURN GRAPH; returns the built
     * graph (reference multiple-graphs support, SURVEY §2.6). */
   def cypherGraph(graph: PropertyGraph, query: String,

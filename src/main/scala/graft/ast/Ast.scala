@@ -115,10 +115,33 @@ case class FromGraph(name: String) extends Clause
 case class CallProc(name: String, args: Seq[Expr],
     yields: Seq[String]) extends Clause
 
-/** SET item inside CONSTRUCT: property assignment or label addition. */
+/** SET item inside CONSTRUCT or a SET write clause: property assignment,
+  * label addition, or whole-map assignment (`n = {..}` / `n += {..}`). */
 sealed trait SetItem
 case class SetProp(variable: String, key: String, value: Expr) extends SetItem
 case class SetLabel(variable: String, labels: Seq[String]) extends SetItem
+case class SetAllProps(variable: String, map: Expr, additive: Boolean)
+    extends SetItem
+
+// ---------------------------------------------------------- write clauses
+// Beyond-reference surface: the reference engine is read-only (CONSTRUCT
+// builds new graphs but never mutates one). graft's writes produce a NEW
+// immutable PropertyGraph — `GraftSession.update` returns it.
+
+/** CREATE pattern: one new element per driving row per unbound var. */
+case class Create(pattern: Pattern) extends Clause
+/** SET at query level (properties / labels / whole maps). */
+case class SetClause(items: Seq[SetItem]) extends Clause
+sealed trait RemoveItem
+case class RemoveProp(variable: String, key: String) extends RemoveItem
+case class RemoveLabel(variable: String, labels: Seq[String])
+    extends RemoveItem
+case class Remove(items: Seq[RemoveItem]) extends Clause
+/** DELETE / DETACH DELETE of bound node or relationship variables. */
+case class Delete(exprs: Seq[Expr], detach: Boolean) extends Clause
+/** MERGE pattern [ON CREATE SET ...] [ON MATCH SET ...]. */
+case class Merge(part: PatternPart, onCreate: Seq[SetItem],
+    onMatch: Seq[SetItem]) extends Clause
 
 /** CONSTRUCT [ON graph*] [NEW pattern]* [SET ...]* [RETURN GRAPH]: build a
   * new graph from the current driving table (reference

@@ -109,11 +109,25 @@ object ExprOps {
     case CallProc(_, args, _) => Some(args.flatMap(varRefs).toSet)
     case Construct(_, news, sets, clones) =>
       Some(news.flatMap(patternRefs).toSet ++
-        sets.flatMap {
-          case SetProp(v, _, e) => varRefs(e) + v
-          case SetLabel(v, _) => Set(v)
-        } ++ clones.flatMap { case (a, b) => Seq(a, b) })
+        sets.flatMap(setItemRefs) ++
+        clones.flatMap { case (a, b) => Seq(a, b) })
     case FromGraph(_) => Some(Set.empty)
+    // Write clauses observe every variable they touch.
+    case Create(Pattern(parts)) => Some(parts.flatMap(patternRefs).toSet)
+    case SetClause(items) => Some(items.flatMap(setItemRefs).toSet)
+    case Remove(items) => Some(items.map {
+      case RemoveProp(v, _) => v
+      case RemoveLabel(v, _) => v
+    }.toSet)
+    case Delete(exprs, _) => Some(exprs.flatMap(varRefs).toSet)
+    case Merge(part, onCreate, onMatch) =>
+      Some(patternRefs(part) ++ (onCreate ++ onMatch).flatMap(setItemRefs))
+  }
+
+  private def setItemRefs(s: SetItem): Set[String] = s match {
+    case SetProp(v, _, e) => varRefs(e) + v
+    case SetLabel(v, _) => Set(v)
+    case SetAllProps(v, m, _) => varRefs(m) + v
   }
 
   /** Variables a MATCH clause itself observes beyond merely binding them:

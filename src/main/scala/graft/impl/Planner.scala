@@ -20,6 +20,11 @@ import scala.collection.mutable
   * disconnected components.
   */
 object Planner {
+  /** JVM-wide write-generation counter (fresh-id uniqueness across write
+    * queries; see freshWriteId). */
+  private[impl] val writeGenerations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   sealed trait OutItem
   /** Plain value output column. */
   case class OutCol(internal: String, display: String) extends OutItem
@@ -110,6 +115,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   def plan(q: Query): (DataFrame, Seq[OutItem], RecordHeader) = {
     val shared = planSharedPrefixes((q.first +: q.rest.map(_._2)).map(_.clauses))
     val (first, outs) = planSingle(q.first, shared)
+    if (writeBegun) {
+      if (q.rest.nonEmpty) throw new CypherCompileException(
+        "write clauses cannot appear in a UNION query",
+        CE.SyntaxError, CE.InvalidSyntax)
+      updatedGraph = Some(buildWrittenGraph())
+    }
     val combined = q.rest.foldLeft(first) { case (acc, (all, sq)) =>
       graph = graph0 // FROM GRAPH scopes to its branch, not the whole union
       val (r, rOuts) = planSingle(sq, shared)
@@ -255,13 +266,28 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           r.orderBy, r.skip, r.limit, None)
         ctx = c
         outs = o
-      case (FromGraph(name), _) => graph = resolveGraph(name)
+      case (FromGraph(name), _) =>
+        requireNoWrites("FROM GRAPH"); graph = resolveGraph(name)
       case (Construct(on, news, sets, clones), _) =>
+        requireNoWrites("CONSTRUCT")
         constructedGraph = Some(planConstruct(ctx, on, news, sets, clones))
+      case (w: Create, _) => ctx = planCreate(ctx, w.pattern)
+      case (w: SetClause, _) => ctx = planSetItems(ctx, w.items, None)
+      case (w: Remove, _) => ctx = planRemove(ctx, w.items)
+      case (w: Delete, _) => ctx = planDelete(ctx, w.exprs, w.detach)
+      case (w: Merge, _) => ctx = planMerge(ctx, w)
       case (m: Match, i) =>
+        requireNoWrites("MATCH")
         deadVars = deadEndpointVars(m, rem.drop(i + 1))
         try ctx = planReadingClause(ctx, m) finally deadVars = Set.empty
-      case (reading, _) => ctx = planReadingClause(ctx, reading)
+      case (reading, _) =>
+        // WITH/UNWIND only reshape the driving table — legal after writes;
+        // anything that re-reads the graph is not (documented scope).
+        reading match {
+          case _: With | _: Unwind => ()
+          case other => requireNoWrites(other.getClass.getSimpleName)
+        }
+        ctx = planReadingClause(ctx, reading)
     }
     (ctx, outs)
   }
@@ -1804,6 +1830,568 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       ctx2 = applyOrderSkipLimit(ctx2, orderBy2, skip, limit, aliasMap)
       (ctx2, outs.result())
     }
+  }
+
+  // ---------------------------------------------------------------- writes
+  // Beyond-reference surface: the reference engine is read-only (CONSTRUCT
+  // builds graphs, never mutates one). graft's CREATE/SET/REMOVE/DELETE/
+  // MERGE produce a NEW immutable PropertyGraph from the ambient one —
+  // the session's update() returns it. Execution model: reading clauses
+  // plan as usual; write clauses then transform a canonical copy of the
+  // graph's scan tables (all lazy DataFrames; one-hash-shuffle-free updates
+  // are plain id-keyed left joins, so at 100 TB each SET is one join keyed
+  // on the already-partitioned id column). Reading clauses may not follow a
+  // write clause (documented scope; WITH/RETURN may).
+
+  /** Canonical write-state tables: `_id` + `p_*` (nodes), `_id/_src/_tgt` +
+    * `p_*` (rels). */
+  private case class WNode(labels: Set[String], df: DataFrame,
+      propTypes: Map[String, DataType])
+  private case class WRel(relType: String, df: DataFrame,
+      propTypes: Map[String, DataType])
+
+  private var wNodes: Seq[WNode] = Seq.empty
+  private var wRels: Seq[WRel] = Seq.empty
+  private var writeBegun = false
+  /** Set when the query contains write clauses: the post-write graph. */
+  var updatedGraph: Option[PropertyGraph] = None
+
+  private def beginWrites(): Unit = if (!writeBegun) {
+    writeBegun = true
+    wNodes = graph.nodeTables.map(t => WNode(t.labels, t.df, t.propTypes))
+    wRels = graph.relTables.map { t =>
+      val cols = Seq(ID, SRC, TGT) ++ t.propTypes.keys.toSeq.sorted.map(propCol)
+      WRel(t.relType, t.df.select(cols.map(col): _*), t.propTypes)
+    }
+  }
+
+  def requireNoWrites(what: String): Unit = if (writeBegun)
+    throw new CypherCompileException(
+      s"$what after a write clause is not supported (run reads on the " +
+        "updated graph returned by update())",
+      CE.SyntaxError, CE.InvalidSyntax)
+
+  private[impl] def buildWrittenGraph(): PropertyGraph = {
+    val nodeDefs = wNodes.map { t =>
+      NodeTableDef(t.labels, t.df, ID,
+        t.propTypes.keys.map(k => k -> propCol(k)).toMap, "!written")
+    }
+    val relDefs = wRels.map { t =>
+      RelTableDef(t.relType, t.df, ID, SRC, TGT,
+        t.propTypes.keys.map(k => k -> propCol(k)).toMap,
+        "!written", "!written", "!written")
+    }
+    PropertyGraph(nodeDefs, relDefs)
+  }
+
+  /** Fresh element ids for write clauses, unique against every source id
+    * space: [8b tag=233][8b generation][5b var][12b partition][31b row].
+    * One generation is allocated per write query (JVM-wide counter); the
+    * partition/row fields come from monotonically_increasing_id's layout,
+    * so the frame feeding a CREATE must stay under 2^12 partitions and
+    * 2^31 rows per partition (plenty after any shuffle; a raw 100 TB scan
+    * feeding CREATE directly should be repartitioned first). The id frame
+    * is pinned so the nondeterministic generator evaluates exactly once
+    * (same hazard planConstruct documents). */
+  private def freshWriteId(gen: Int, varIdx: Int): Column = {
+    val m = monotonically_increasing_id()
+    val part = shiftright(m, 33)
+    val row = m.bitwiseAND(lit((1L << 33) - 1))
+    shiftleft(lit(233L), 56)
+      .bitwiseOR(shiftleft(lit(gen.toLong), 48))
+      .bitwiseOR(shiftleft(lit(varIdx.toLong), 43))
+      .bitwiseOR(shiftleft(part, 31))
+      .bitwiseOR(row)
+  }
+
+  private lazy val writeGen: Int = {
+    val g = Planner.writeGenerations.getAndIncrement()
+    if (g > 255) throw new CypherCompileException(
+      "write-generation limit (256 per JVM) exceeded; store the graph " +
+        "with FsGraphSource and reload to reset the id space",
+      CE.SemanticError, CE.UnsupportedExpression)
+    g
+  }
+  private var writeVarIdx = 0
+  private def nextWriteVarIdx(): Int = {
+    writeVarIdx += 1
+    if (writeVarIdx > 31) throw new CypherCompileException(
+      "too many created variables in one write query (max 31)",
+      CE.SemanticError, CE.UnsupportedExpression)
+    writeVarIdx
+  }
+
+  /** CREATE pattern: one new element per driving row per unbound var;
+    * bound vars may only appear as bare endpoints. */
+  private def planCreate(ctx0: Ctx, pattern: Pattern): Ctx = {
+    beginWrites()
+    val (nodes, edges) = normalizePattern(pattern)
+    var ctx = ctx0
+    var df = ctx.df
+    var header = ctx.header
+    def compiler() =
+      new ExprCompiler(header, df.schema, params, Map.empty, extensions)
+    // New node vars: fresh id + evaluated props + static labels.
+    val newNodeVars = nodes.values.toSeq.sortBy(_.v)
+      .filterNot(nc => header.kinds.contains(nc.v))
+    val boundNodeVars = nodes.values.toSeq
+      .filter(nc => header.kinds.contains(nc.v))
+    boundNodeVars.foreach { nc =>
+      if (nc.labels.nonEmpty || nc.props.nonEmpty)
+        throw new CypherCompileException(
+          s"CREATE cannot add labels or properties to bound variable ${nc.v}",
+        CE.SyntaxError, CE.VariableAlreadyBound)
+    }
+    newNodeVars.foreach { nc =>
+      val idSlot = IdSlot(nc.v)
+      df = df.withColumn(RecordHeader.colName(idSlot),
+        freshWriteId(writeGen, nextWriteVarIdx()))
+      header = header.withSlot(idSlot)
+        .withVar(nc.v, NodeKind(nc.labels.toSet))
+      nc.labels.foreach { l =>
+        val s = LabelSlot(nc.v, l)
+        df = df.withColumn(RecordHeader.colName(s), lit(true))
+        header = header.withSlot(s)
+      }
+      nc.props.foreach { case (k, e) =>
+        val s = PropSlot(nc.v, k)
+        df = df.withColumn(RecordHeader.colName(s), compiler().compile(e))
+        header = header.withSlot(s)
+      }
+    }
+    edges.foreach { e =>
+      if (e.varLength.isDefined) throw new CypherCompileException(
+        "CREATE of a variable-length relationship",
+        CE.SyntaxError, CE.CreatingVarLength)
+      if (e.dir == BOTH) throw new CypherCompileException(
+        "CREATE requires a directed relationship",
+        CE.SyntaxError, CE.RequiresDirectedRelationship)
+      if (e.types.size != 1) throw new CypherCompileException(
+        "CREATE requires exactly one relationship type",
+        CE.SyntaxError, CE.NoSingleRelationshipType)
+      if (ctx0.header.kinds.contains(e.v)) throw new CypherCompileException(
+        s"CREATE of already-bound relationship ${e.v}",
+        CE.SyntaxError, CE.VariableAlreadyBound)
+      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
+      val idSlot = IdSlot(e.v)
+      df = df.withColumn(RecordHeader.colName(idSlot),
+        freshWriteId(writeGen, nextWriteVarIdx()))
+      val srcSlot = SrcSlot(e.v)
+      val tgtSlot = TgtSlot(e.v)
+      val typeSlot = TypeSlot(e.v)
+      df = df
+        .withColumn(RecordHeader.colName(srcSlot),
+          col(header.col(IdSlot(srcV))))
+        .withColumn(RecordHeader.colName(tgtSlot),
+          col(header.col(IdSlot(tgtV))))
+        .withColumn(RecordHeader.colName(typeSlot), lit(e.types.head))
+      header = header.withSlots(Seq(idSlot, srcSlot, tgtSlot, typeSlot))
+        .withVar(e.v, RelKind(e.types.toSet))
+      e.props.foreach { case (k, ex) =>
+        val s = PropSlot(e.v, k)
+        df = df.withColumn(RecordHeader.colName(s), compiler().compile(ex))
+        header = header.withSlot(s)
+      }
+    }
+    // Materialize once: the fresh-id generator must not re-evaluate when the
+    // frame is both the new scan tables and the continuing driving table.
+    val mat = Pin(df)
+    newNodeVars.foreach { nc =>
+      val props = nc.props.map(_._1)
+      val cols = col(header.col(IdSlot(nc.v))).as(ID) +:
+        props.map(k => col(header.col(PropSlot(nc.v, k))).as(propCol(k)))
+      val types = props.map(k =>
+        k -> mat.schema(header.col(PropSlot(nc.v, k))).dataType).toMap
+      wNodes :+= WNode(nc.labels.toSet, mat.select(cols: _*), types)
+    }
+    edges.foreach { e =>
+      val props = e.props.map(_._1)
+      val cols = Seq(
+        col(header.col(IdSlot(e.v))).as(ID),
+        col(header.col(SrcSlot(e.v))).as(SRC),
+        col(header.col(TgtSlot(e.v))).as(TGT)) ++
+        props.map(k => col(header.col(PropSlot(e.v, k))).as(propCol(k)))
+      val types = props.map(k =>
+        k -> mat.schema(header.col(PropSlot(e.v, k))).dataType).toMap
+      wRels :+= WRel(e.types.head, mat.select(cols: _*), types)
+    }
+    Ctx(mat, header)
+  }
+
+  /** Element-var id column of a write target, with its kind. */
+  private def writeTarget(ctx: Ctx, v: String): (String, VarKind) =
+    ctx.header.kindOf(v) match {
+      case Some(k @ (NodeKind(_) | RelKind(_))) => (ctx.header.col(IdSlot(v)), k)
+      case Some(_) => throw new CypherCompileException(
+        s"$v is not a node or relationship", CE.TypeError, CE.InvalidArgumentType)
+      case None => throw new CypherCompileException(
+        s"unknown variable $v", CE.SyntaxError, CE.UndefinedVariable)
+    }
+
+  /** SET/REMOVE property: id-keyed left-join update onto every table of the
+    * element kind (ids are unique across tables, so foreign tables simply
+    * never match). `onlyWhen` restricts the driving rows (MERGE's ON CREATE
+    * / ON MATCH). */
+  private def applySetProp(ctx0: Ctx, v: String, key: String, value: Expr,
+      onlyWhen: Option[Column]): Ctx = {
+    beginWrites()
+    val (idCol, kind) = writeTarget(ctx0, v)
+    val compiled = ctx0.compiler.compile(value)
+    val rows0 = ctx0.df.filter(col(idCol).isNotNull)
+    val rows = onlyWhen.map(rows0.filter).getOrElse(rows0)
+    val upd = rows.select(col(idCol).as("_wid"), compiled.as("_wv"))
+      .dropDuplicates("_wid") // concurrent same-id rows: one write wins
+    val vt = upd.schema("_wv").dataType
+    def updateDf(df: DataFrame, hasCol: Boolean): DataFrame = {
+      val joined = df.join(upd, col(ID) === col("_wid"), "left")
+      val base = if (hasCol) col(propCol(key)) else lit(null).cast(vt)
+      joined.withColumn(propCol(key),
+        when(col("_wid").isNotNull, col("_wv")).otherwise(base))
+        .drop("_wid", "_wv")
+    }
+    kind match {
+      case NodeKind(_) => wNodes = wNodes.map { t =>
+        t.copy(df = updateDf(t.df, t.propTypes.contains(key)),
+          propTypes = t.propTypes + (key -> vt))
+      }
+      case _ => wRels = wRels.map { t =>
+        t.copy(df = updateDf(t.df, t.propTypes.contains(key)),
+          propTypes = t.propTypes + (key -> vt))
+      }
+    }
+    // The binding itself also observes the new value (RETURN n.p).
+    val slot = PropSlot(v, key)
+    val cName = RecordHeader.colName(slot)
+    val newVal = onlyWhen match {
+      case Some(c) =>
+        val base = ctx0.header.get(slot).map(col).getOrElse(lit(null).cast(vt))
+        when(c, compiled).otherwise(base)
+      case None => compiled
+    }
+    Ctx(ctx0.df.withColumn(cName, newVal), ctx0.header.withSlot(slot))
+  }
+
+  /** SET n:Label / REMOVE n:Label — matched rows migrate between
+    * label-combination tables. */
+  private def applySetLabels(ctx0: Ctx, v: String, ls: Seq[String],
+      remove: Boolean): Ctx = {
+    beginWrites()
+    val (idCol, kind) = writeTarget(ctx0, v)
+    if (!kind.isInstanceOf[NodeKind]) throw new CypherCompileException(
+      s"cannot ${if (remove) "remove" else "set"} labels on non-node $v",
+      CE.TypeError, CE.InvalidArgumentType)
+    val ids = ctx0.df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_wid")).distinct()
+    wNodes = wNodes.flatMap { t =>
+      val touched = t.df.join(ids, col(ID) === col("_wid"), "left_semi")
+      val untouched = t.df.join(ids, col(ID) === col("_wid"), "left_anti")
+      val newLabels =
+        if (remove) t.labels -- ls else t.labels ++ ls
+      Seq(t.copy(df = untouched), WNode(newLabels, touched, t.propTypes))
+    }
+    var ctx = ctx0
+    if (!remove) ls.foreach { l =>
+      val s = LabelSlot(v, l)
+      ctx = Ctx(ctx.df.withColumn(RecordHeader.colName(s), lit(true)),
+        ctx.header.withSlot(s))
+    } else ls.foreach { l =>
+      val s = LabelSlot(v, l)
+      ctx = Ctx(ctx.df.withColumn(RecordHeader.colName(s), lit(false)),
+        ctx.header.withSlot(s))
+    }
+    ctx
+  }
+
+  private def planSetItems(ctx0: Ctx, items: Seq[SetItem],
+      onlyWhen: Option[Column]): Ctx = {
+    var ctx = ctx0
+    items.foreach {
+      case SetProp(v, k, e) => ctx = applySetProp(ctx, v, k, e, onlyWhen)
+      case SetLabel(v, ls) => ctx = applySetLabels(ctx, v, ls, remove = false)
+      case SetAllProps(v, MapLit(entries), additive) =>
+        beginWrites()
+        if (!additive) {
+          // `n = {..}`: clear every property not in the map first.
+          val (_, kind) = writeTarget(ctx, v)
+          val keep = entries.map(_._1).toSet
+          val existing = kind match {
+            case NodeKind(_) => wNodes.flatMap(_.propTypes.keys)
+            case _ => wRels.flatMap(_.propTypes.keys)
+          }
+          existing.distinct.filterNot(keep).foreach { k =>
+            ctx = applySetProp(ctx, v, k, NullLit, onlyWhen)
+          }
+        }
+        entries.foreach { case (k, e) =>
+          ctx = applySetProp(ctx, v, k, e, onlyWhen)
+        }
+      case SetAllProps(v, other, _) => throw new CypherCompileException(
+        s"SET $v = requires a literal map, got ${Pretty.print(other)}",
+        CE.SemanticError, CE.UnsupportedExpression)
+    }
+    ctx
+  }
+
+  private def planRemove(ctx0: Ctx, items: Seq[RemoveItem]): Ctx = {
+    var ctx = ctx0
+    items.foreach {
+      case RemoveProp(v, k) => ctx = applySetProp(ctx, v, k, NullLit, None)
+      case RemoveLabel(v, ls) => ctx = applySetLabels(ctx, v, ls, remove = true)
+    }
+    ctx
+  }
+
+  /** DELETE / DETACH DELETE: anti-join the ids out of the state tables.
+    * Plain DELETE of a still-connected node raises at write time (one count
+    * job — the TCK's ConstraintValidationFailed / DeleteConnectedNode). */
+  private def planDelete(ctx0: Ctx, exprs: Seq[Expr], detach: Boolean): Ctx = {
+    beginWrites()
+    val targets = exprs.map {
+      case Var(v) => (v, writeTarget(ctx0, v))
+      case other => throw new CypherCompileException(
+        s"DELETE target must be a bound element variable: ${Pretty.print(other)}",
+        CE.SemanticError, CE.InvalidDelete)
+    }
+    def idsOf(sel: ((String, (String, VarKind))) => Boolean): Option[DataFrame] = {
+      val cols = targets.filter(sel).map(_._2._1)
+      if (cols.isEmpty) None
+      else Some(cols.map(c => ctx0.df.filter(col(c).isNotNull)
+        .select(col(c).as("_wid"))).reduce(_.unionByName(_)).distinct())
+    }
+    val relIds = idsOf(_._2._2.isInstanceOf[RelKind])
+    val nodeIds = idsOf(_._2._2.isInstanceOf[NodeKind])
+    relIds.foreach { ids =>
+      wRels = wRels.map(t =>
+        t.copy(df = t.df.join(ids, col(ID) === col("_wid"), "left_anti")))
+    }
+    nodeIds.foreach { ids =>
+      val pinned = Pin(ids)
+      if (detach) {
+        wRels = wRels.map { t =>
+          val gone = t.df
+            .join(pinned, col(SRC) === col("_wid"), "left_anti")
+            .join(pinned, col(TGT) === col("_wid"), "left_anti")
+          t.copy(df = gone)
+        }
+      } else {
+        // One count job: any remaining rel touching a deleted node?
+        val touching = wRels.map(t =>
+          t.df.join(pinned,
+            col(SRC) === col("_wid") || col(TGT) === col("_wid"), "left_semi"))
+        val n = touching.map(_.limit(1).count()).sum
+        if (n > 0) throw new graft.api.CypherException(
+          CE.ConstraintValidationFailed, CE.Runtime, CE.DeleteConnectedNode,
+          "cannot delete a node that still has relationships " +
+            "(use DETACH DELETE)")
+      }
+      wNodes = wNodes.map(t =>
+        t.copy(df = t.df.join(pinned, col(ID) === col("_wid"), "left_anti")))
+    }
+    ctx0
+  }
+
+  /** MERGE: single node pattern, or a single relationship whose endpoints
+    * are already bound. Matching multiplies rows exactly like MATCH; per
+    * distinct unmatched key combination ONE element is created and every
+    * unmatched row binds to it (Neo4j's row-sequential MERGE converges to
+    * the same state). */
+  private def planMerge(ctx0: Ctx, m: Merge): Ctx = {
+    beginWrites()
+    val (nodes, edges) = normalizePattern(Pattern(Seq(m.part)))
+    val createdMark = "_w_created"
+    var ctx = ctx0
+
+    if (edges.isEmpty) {
+      val nc = nodes.values.head
+      if (ctx.header.kinds.contains(nc.v)) throw new CypherCompileException(
+        s"MERGE of already-bound variable ${nc.v}",
+        CE.SyntaxError, CE.VariableAlreadyBound)
+      val keys = nc.props.map(_._1)
+      val keyCols = nc.props.zipWithIndex.map { case ((_, e), i) =>
+        val cn = s"_wm_k$i"
+        ctx = Ctx(ctx.df.withColumn(cn, ctx.compiler.compile(e)), ctx.header)
+        cn
+      }
+      // Candidates: every node whose labels cover the pattern's.
+      val cands = wNodes.filter(t => nc.labels.toSet.subsetOf(t.labels))
+        .map { t =>
+          val sel = col(ID).as("_wm_id") +: keys.zipWithIndex.map {
+            case (k, i) =>
+              (if (t.propTypes.contains(k)) col(propCol(k)) else lit(null))
+                .as(s"_wm_c$i")
+          }
+          t.df.select(sel: _*)
+        }
+        .reduceOption(_.unionByName(_))
+      val joined = cands match {
+        case Some(c) =>
+          val cond = keyCols.zipWithIndex.map { case (kc, i) =>
+            col(kc) === col(s"_wm_c$i")
+          }.reduceOption(_ && _).getOrElse(lit(true))
+          ctx.df.join(c, cond, "left").drop(keys.indices.map(i => s"_wm_c$i"): _*)
+        case None => ctx.df.withColumn("_wm_id", lit(null).cast(LongType))
+      }
+      // One fresh node per distinct unmatched key combination.
+      val varIdx = nextWriteVarIdx()
+      val unmatched = joined.filter(col("_wm_id").isNull)
+      val createdKeys = Pin(unmatched.select(keyCols.map(col): _*).distinct()
+        .withColumn("_wm_nid", freshWriteId(writeGen, varIdx)))
+      if (keys.nonEmpty) {
+        val types = keys.zipWithIndex.map { case (k, i) =>
+          k -> createdKeys.schema(s"_wm_k$i").dataType
+        }.toMap
+        wNodes :+= WNode(nc.labels.toSet,
+          createdKeys.select(col("_wm_nid").as(ID) +:
+            keys.zipWithIndex.map { case (k, i) =>
+              col(s"_wm_k$i").as(propCol(k))
+            }: _*),
+          types)
+      } else {
+        wNodes :+= WNode(nc.labels.toSet,
+          createdKeys.select(col("_wm_nid").as(ID)), Map.empty)
+      }
+      val rebound = if (keys.nonEmpty) {
+        val cond = keyCols.map(kc => col(kc) <=> col(s"${kc}_c"))
+          .reduce(_ && _)
+        val renamed = keyCols.foldLeft(createdKeys) { (d, kc) =>
+          d.withColumnRenamed(kc, s"${kc}_c")
+        }
+        joined.join(renamed, cond && col("_wm_id").isNull, "left")
+          .drop(keyCols.map(kc => s"${kc}_c"): _*)
+      } else {
+        joined.join(createdKeys, col("_wm_id").isNull, "left")
+      }
+      val idSlot = IdSlot(nc.v)
+      var df = rebound
+        .withColumn(RecordHeader.colName(idSlot),
+          coalesce(col("_wm_id"), col("_wm_nid")))
+        .withColumn(createdMark, col("_wm_id").isNull)
+        .drop("_wm_id", "_wm_nid")
+        .drop(keyCols: _*)
+      var header = ctx.header.withSlot(idSlot)
+        .withVar(nc.v, NodeKind(nc.labels.toSet))
+      nc.labels.foreach { l =>
+        val s = LabelSlot(nc.v, l)
+        df = df.withColumn(RecordHeader.colName(s), lit(true))
+        header = header.withSlot(s)
+      }
+      nc.props.foreach { case (k, e) =>
+        val s = PropSlot(nc.v, k)
+        df = df.withColumn(RecordHeader.colName(s),
+          new ExprCompiler(header, df.schema, params, Map.empty, extensions)
+            .compile(e))
+        header = header.withSlot(s)
+      }
+      ctx = Ctx(df, header)
+    } else {
+      if (edges.size > 1) throw new CypherCompileException(
+        "MERGE supports a single relationship pattern",
+        CE.SemanticError, CE.UnsupportedExpression)
+      val e = edges.head
+      if (e.types.size != 1) throw new CypherCompileException(
+        "MERGE requires exactly one relationship type",
+        CE.SyntaxError, CE.NoSingleRelationshipType)
+      if (e.dir == BOTH) throw new CypherCompileException(
+        "MERGE requires a directed relationship",
+        CE.SyntaxError, CE.RequiresDirectedRelationship)
+      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
+      if (!ctx.header.kinds.contains(srcV) || !ctx.header.kinds.contains(tgtV))
+        throw new CypherCompileException(
+          "MERGE of a relationship requires both endpoints bound " +
+            "(merge the nodes first)",
+          CE.SemanticError, CE.UnsupportedExpression)
+      if (ctx.header.kinds.contains(e.v)) throw new CypherCompileException(
+        s"MERGE of already-bound relationship ${e.v}",
+        CE.SyntaxError, CE.VariableAlreadyBound)
+      val keys = e.props.map(_._1)
+      val keyCols = e.props.zipWithIndex.map { case ((_, ex), i) =>
+        val cn = s"_wm_k$i"
+        ctx = Ctx(ctx.df.withColumn(cn, ctx.compiler.compile(ex)), ctx.header)
+        cn
+      }
+      val srcCol = col(ctx.header.col(IdSlot(srcV)))
+      val tgtCol = col(ctx.header.col(IdSlot(tgtV)))
+      val cands = wRels.filter(_.relType == e.types.head).map { t =>
+        t.df.select(col(ID).as("_wm_id") +: col(SRC).as("_wm_s") +:
+          col(TGT).as("_wm_t") +: keys.zipWithIndex.map { case (k, i) =>
+            (if (t.propTypes.contains(k)) col(propCol(k)) else lit(null))
+              .as(s"_wm_c$i")
+          }: _*)
+      }.reduceOption(_.unionByName(_))
+      val joined = cands match {
+        case Some(c) =>
+          val cond = (srcCol === col("_wm_s")) && (tgtCol === col("_wm_t")) &&
+            keyCols.zipWithIndex.map { case (kc, i) =>
+              col(kc) === col(s"_wm_c$i")
+            }.foldLeft(lit(true))(_ && _)
+          ctx.df.join(c, cond, "left")
+            .drop("_wm_s", "_wm_t")
+            .drop(keys.indices.map(i => s"_wm_c$i"): _*)
+        case None => ctx.df.withColumn("_wm_id", lit(null).cast(LongType))
+      }
+      val varIdx = nextWriteVarIdx()
+      val srcName = ctx.header.col(IdSlot(srcV))
+      val tgtName = ctx.header.col(IdSlot(tgtV))
+      val unmatched = joined.filter(col("_wm_id").isNull)
+      val createdKeys = Pin(unmatched
+        .select((col(srcName).as("_wm_cs") +: col(tgtName).as("_wm_ct") +:
+          keyCols.map(col)): _*).distinct()
+        .withColumn("_wm_nid", freshWriteId(writeGen, varIdx)))
+      val types = keys.zipWithIndex.map { case (k, i) =>
+        k -> createdKeys.schema(s"_wm_k$i").dataType
+      }.toMap
+      wRels :+= WRel(e.types.head,
+        createdKeys.select((col("_wm_nid").as(ID) +: col("_wm_cs").as(SRC) +:
+          col("_wm_ct").as(TGT) +: keys.zipWithIndex.map { case (k, i) =>
+            col(s"_wm_k$i").as(propCol(k))
+          }): _*),
+        types)
+      val cond = (col(srcName) <=> col("_wm_cs")) &&
+        (col(tgtName) <=> col("_wm_ct")) &&
+        keyCols.map(kc => col(kc) <=> col(s"${kc}_c"))
+          .foldLeft(lit(true))(_ && _)
+      val renamed = keyCols.foldLeft(createdKeys) { (d, kc) =>
+        d.withColumnRenamed(kc, s"${kc}_c")
+      }
+      val rebound = joined
+        .join(renamed, cond && col("_wm_id").isNull, "left")
+        .drop("_wm_cs", "_wm_ct")
+        .drop(keyCols.map(kc => s"${kc}_c"): _*)
+      val idSlot = IdSlot(e.v)
+      var df = rebound
+        .withColumn(RecordHeader.colName(idSlot),
+          coalesce(col("_wm_id"), col("_wm_nid")))
+        .withColumn(createdMark, col("_wm_id").isNull)
+        .drop("_wm_id", "_wm_nid")
+        .drop(keyCols: _*)
+      val srcSlot = SrcSlot(e.v)
+      val tgtSlot = TgtSlot(e.v)
+      val typeSlot = TypeSlot(e.v)
+      df = df
+        .withColumn(RecordHeader.colName(srcSlot), col(srcName))
+        .withColumn(RecordHeader.colName(tgtSlot), col(tgtName))
+        .withColumn(RecordHeader.colName(typeSlot), lit(e.types.head))
+      var header = ctx.header
+        .withSlots(Seq(idSlot, srcSlot, tgtSlot, typeSlot))
+        .withVar(e.v, RelKind(e.types.toSet))
+      e.props.foreach { case (k, ex) =>
+        val s = PropSlot(e.v, k)
+        df = df.withColumn(RecordHeader.colName(s),
+          new ExprCompiler(header, df.schema, params, Map.empty, extensions)
+            .compile(ex))
+        header = header.withSlot(s)
+      }
+      ctx = Ctx(df, header)
+    }
+
+    // ON CREATE / ON MATCH SET against the marked rows; the mark column is
+    // dropped afterwards so it never leaks into projections.
+    var out = ctx
+    if (m.onCreate.nonEmpty)
+      out = planSetItems(out, m.onCreate, Some(col(createdMark)))
+    if (m.onMatch.nonEmpty)
+      out = planSetItems(out, m.onMatch, Some(!col(createdMark)))
+    Ctx(out.df.drop(createdMark), out.header)
   }
 
   private def applyOrderSkipLimit(ctx0: Ctx, orderBy: Seq[SortItem],

@@ -27,7 +27,8 @@ object CypherParser {
     "TRUE", "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN",
     "ELSE", "END", "EXISTS", "ANY", "NONE", "SINGLE", "REDUCE", "COUNT",
     "FROM", "GRAPH", "CONSTRUCT", "NEW", "CREATE", "CLONE", "COPY", "OF",
-    "USE", "ON", "SET", "CALL", "YIELD")
+    "USE", "ON", "SET", "CALL", "YIELD",
+    "MERGE", "DELETE", "DETACH", "REMOVE")
 
   object Lexer {
     def tokenize(s: String): Vector[Tok] = {
@@ -99,7 +100,7 @@ object CypherParser {
         } else {
           val st = i
           val two = if (i + 1 < n) s.substring(i, i + 2) else ""
-          val multi = Seq("<=", ">=", "<>", "=~", "->", "<-", "..")
+          val multi = Seq("<=", ">=", "<>", "=~", "->", "<-", "..", "+=")
           if (multi.contains(two)) { out += Punct(two, st); i += 2 }
           else {
             val singles = "()[]{},.:;|+-*/%^=<>$"
@@ -201,6 +202,48 @@ object CypherParser {
               while (tryPunct(",")) yields += ident()
             }
             clauses += CallProc(name.toLowerCase, args.result(), yields.result())
+          // ---- write clauses (beyond-reference; see GraphWriter) ----
+          case Kw("CREATE", _, _) =>
+            p += 1
+            val parts = Seq.newBuilder[PatternPart]
+            parts += parsePatternPart()
+            while (tryPunct(",")) parts += parsePatternPart()
+            clauses += Create(Pattern(parts.result()))
+          case Kw("MERGE", _, _) =>
+            p += 1
+            val part = parsePatternPart()
+            val onCreate = Seq.newBuilder[SetItem]
+            val onMatch = Seq.newBuilder[SetItem]
+            while (isKw("ON")) {
+              p += 1
+              if (tryKw("CREATE")) { eatKw("SET"); onCreate ++= parseSetItems() }
+              else if (tryKw("MATCH")) { eatKw("SET"); onMatch ++= parseSetItems() }
+              else fail("expected CREATE or MATCH after ON")
+            }
+            clauses += Merge(part, onCreate.result(), onMatch.result())
+          case Kw("SET", _, _) =>
+            p += 1; clauses += SetClause(parseSetItems())
+          case Kw("REMOVE", _, _) =>
+            p += 1
+            val items = Seq.newBuilder[RemoveItem]
+            def removeItem(): Unit = {
+              val v = ident()
+              if (tryPunct(".")) items += RemoveProp(v, ident())
+              else {
+                val ls = Seq.newBuilder[String]
+                while (tryPunct(":")) ls += ident()
+                val l = ls.result()
+                if (l.isEmpty) fail("expected .prop or :Label in REMOVE")
+                items += RemoveLabel(v, l)
+              }
+            }
+            removeItem()
+            while (tryPunct(",")) removeItem()
+            clauses += Remove(items.result())
+          case Kw("DELETE", _, _) =>
+            p += 1; clauses += parseDelete(detach = false)
+          case Kw("DETACH", _, _) =>
+            p += 1; eatKw("DELETE"); clauses += parseDelete(detach = true)
           case Kw("CONSTRUCT", _, _) =>
             p += 1
             val on = Seq.newBuilder[String]
@@ -253,6 +296,40 @@ object CypherParser {
         }
       }
       SingleQuery(clauses.result())
+    }
+
+    /** SET items of a write clause: `v.k = e`, `v:L1:L2`, `v = map`,
+      * `v += map`. */
+    private def parseSetItems(): Seq[SetItem] = {
+      val items = Seq.newBuilder[SetItem]
+      def item(): Unit = {
+        val v = ident()
+        if (tryPunct(".")) {
+          val k = ident()
+          eatPunct("=")
+          items += SetProp(v, k, parseExpr())
+        } else if (tryPunct("+=")) {
+          items += SetAllProps(v, parseExpr(), additive = true)
+        } else if (tryPunct("=")) {
+          items += SetAllProps(v, parseExpr(), additive = false)
+        } else {
+          val ls = Seq.newBuilder[String]
+          while (tryPunct(":")) ls += ident()
+          val l = ls.result()
+          if (l.isEmpty) fail("expected '.prop', ':Label', '=' or '+=' in SET")
+          items += SetLabel(v, l)
+        }
+      }
+      item()
+      while (tryPunct(",")) item()
+      items.result()
+    }
+
+    private def parseDelete(detach: Boolean): Delete = {
+      val es = Seq.newBuilder[Expr]
+      es += parseExpr()
+      while (tryPunct(",")) es += parseExpr()
+      Delete(es.result(), detach)
     }
 
     private def parseMatch(optional: Boolean): Match = {

@@ -1,0 +1,257 @@
+package graft
+
+import graft.api.{CypherException, CypherError, GraftSession}
+import graft.graph.PropertyGraph
+
+/** Write clauses (CREATE/SET/REMOVE/DELETE/MERGE) — beyond-reference
+  * surface: the reference engine is read-only, graft produces a new
+  * immutable PropertyGraph per write query (GraftSession.update). */
+class WriteSpec extends SparkTestBase {
+  import TckFixtures._
+
+  lazy val session = new GraftSession(spark)
+
+  def g: PropertyGraph = graph(spark,
+    Seq(
+      N(1, Set("Person"), Map("name" -> "a", "age" -> 30)),
+      N(2, Set("Person"), Map("name" -> "b", "age" -> 40)),
+      N(3, Set("City"), Map("name" -> "x"))),
+    Seq(
+      R(10, 1, 2, "KNOWS", Map("since" -> 2010)),
+      R(11, 1, 3, "LIVES_IN")))
+
+  private def one(g: PropertyGraph, q: String): Any =
+    session.cypher(g, q).collect().head.get(0)
+
+  // ------------------------------------------------------------- CREATE
+  test("CREATE a node from the unit table") {
+    val g2 = session.update(g, "CREATE (n:Person {name: 'c', age: 50})")
+    assert(one(g2, "MATCH (n:Person) RETURN count(*) AS n") === 3L)
+    assert(one(g2, "MATCH (n:Person {name: 'c'}) RETURN n.age AS a") === 50L)
+    // the input graph is untouched
+    assert(one(g, "MATCH (n:Person) RETURN count(*) AS n") === 2L)
+  }
+
+  test("CREATE per driving row with computed properties") {
+    val g2 = session.update(g,
+      "MATCH (p:Person) CREATE (s:Shadow {of: p.name, older: p.age + 1})")
+    assert(one(g2, "MATCH (s:Shadow) RETURN count(*) AS n") === 2L)
+    assert(one(g2,
+      "MATCH (s:Shadow {of: 'a'}) RETURN s.older AS x") === 31L)
+  }
+
+  test("CREATE a relationship between bound endpoints") {
+    val g2 = session.update(g,
+      "MATCH (a:Person {name: 'a'}), (b:City) " +
+        "CREATE (a)-[r:VISITED {year: 2020}]->(b)")
+    assert(one(g2,
+      "MATCH (:Person)-[r:VISITED]->(:City) RETURN r.year AS y") === 2020L)
+  }
+
+  test("CREATE whole path with new endpoints and reversed arrow") {
+    val g2 = session.update(g,
+      "CREATE (a:P1 {k: 1})<-[:T]-(b:P2 {k: 2})")
+    assert(one(g2, "MATCH (b:P2)-[:T]->(a:P1) RETURN b.k AS k") === 2L)
+  }
+
+  test("CREATE ... RETURN sees the created values") {
+    val (rows, _) = session.updateWithResult(g,
+      "CREATE (n:Person {name: 'z'}) RETURN n.name AS x")
+    assert(rows.collect().map(_.getString(0)).toSeq === Seq("z"))
+  }
+
+  test("created ids are unique across the whole graph") {
+    val g2 = session.update(g, "MATCH (p:Person) CREATE (:Dup)")
+    val ids = session.cypher(g2, "MATCH (n) RETURN id(n) AS i")
+      .collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length)
+  }
+
+  // ---------------------------------------------------------------- SET
+  test("SET a property on matched nodes") {
+    val g2 = session.update(g,
+      "MATCH (p:Person) WHERE p.age > 35 SET p.senior = true")
+    assert(one(g2,
+      "MATCH (p:Person) WHERE p.senior RETURN p.name AS x") === "b")
+    assert(one(g2,
+      "MATCH (p:Person {name: 'a'}) RETURN p.senior AS s") === null)
+  }
+
+  test("SET overwrites and RETURN observes the new value") {
+    val (rows, g2) = session.updateWithResult(g,
+      "MATCH (p:Person {name: 'a'}) SET p.age = 31 RETURN p.age AS x")
+    assert(rows.collect().head.getLong(0) === 31L)
+    assert(one(g2, "MATCH (p:Person {name: 'a'}) RETURN p.age AS x") === 31L)
+    assert(one(g2, "MATCH (p:Person {name: 'b'}) RETURN p.age AS x") === 40L)
+  }
+
+  test("SET a relationship property") {
+    val g2 = session.update(g,
+      "MATCH ()-[r:KNOWS]->() SET r.since = 2011")
+    assert(one(g2, "MATCH ()-[r:KNOWS]->() RETURN r.since AS x") === 2011L)
+  }
+
+  test("SET a label migrates the node between label tables") {
+    val g2 = session.update(g,
+      "MATCH (p:Person {name: 'b'}) SET p:Admin")
+    assert(one(g2, "MATCH (p:Admin) RETURN p.name AS x") === "b")
+    assert(one(g2, "MATCH (p:Person) RETURN count(*) AS n") === 2L)
+    assert(one(g2,
+      "MATCH (p:Person {name: 'b'}) RETURN labels(p) AS l")
+      .asInstanceOf[scala.collection.Seq[String]].sorted === Seq("Admin", "Person"))
+  }
+
+  test("SET += adds literal-map entries, SET = replaces") {
+    val g2 = session.update(g,
+      "MATCH (p:Person {name: 'a'}) SET p += {mood: 'ok'}")
+    assert(one(g2, "MATCH (p:Person {name: 'a'}) RETURN p.mood AS x") === "ok")
+    assert(one(g2, "MATCH (p:Person {name: 'a'}) RETURN p.age AS x") === 30L)
+    val g3 = session.update(g,
+      "MATCH (p:Person {name: 'a'}) SET p = {name: 'a2'}")
+    assert(one(g3, "MATCH (p:Person {name: 'a2'}) RETURN p.age AS x") === null)
+    assert(one(g3, "MATCH (p:Person {name: 'b'}) RETURN p.age AS x") === 40L)
+  }
+
+  test("SET on OPTIONAL MATCH null rows is a no-op") {
+    val g2 = session.update(g,
+      "OPTIONAL MATCH (p:Person {name: 'nope'}) SET p.x = 1")
+    assert(one(g2,
+      "MATCH (p:Person) WHERE p.x IS NOT NULL RETURN count(*) AS n") === 0L)
+  }
+
+  // ------------------------------------------------------------- REMOVE
+  test("REMOVE a property and a label") {
+    val g2 = session.update(g,
+      "MATCH (p:Person {name: 'a'}) REMOVE p.age")
+    assert(one(g2, "MATCH (p:Person {name: 'a'}) RETURN p.age AS x") === null)
+    val g3 = session.update(g2,
+      "MATCH (p:Person {name: 'a'}) SET p:Tmp")
+    val g4 = session.update(g3,
+      "MATCH (p:Tmp) REMOVE p:Tmp")
+    assert(one(g4, "MATCH (p:Tmp) RETURN count(*) AS n") === 0L)
+    assert(one(g4,
+      "MATCH (p:Person {name: 'a'}) RETURN count(*) AS n") === 1L)
+  }
+
+  // ------------------------------------------------------------- DELETE
+  test("DELETE a relationship") {
+    val g2 = session.update(g, "MATCH ()-[r:KNOWS]->() DELETE r")
+    assert(one(g2, "MATCH ()-[r]->() RETURN count(*) AS n") === 1L)
+    assert(one(g2, "MATCH (n) RETURN count(*) AS n") === 3L)
+  }
+
+  test("DELETE of a connected node raises DeleteConnectedNode") {
+    val e = intercept[CypherException] {
+      session.update(g, "MATCH (p:Person {name: 'a'}) DELETE p")
+    }
+    assert(e.errorType === CypherError.ConstraintValidationFailed)
+    assert(e.detail === CypherError.DeleteConnectedNode)
+    assert(e.phase === CypherError.Runtime)
+  }
+
+  test("DETACH DELETE removes the node and its relationships") {
+    val g2 = session.update(g,
+      "MATCH (p:Person {name: 'a'}) DETACH DELETE p")
+    assert(one(g2, "MATCH (n) RETURN count(*) AS n") === 2L)
+    assert(one(g2, "MATCH ()-[r]->() RETURN count(*) AS n") === 0L)
+  }
+
+  test("DELETE node and its rels in the same clause") {
+    val g2 = session.update(g,
+      "MATCH (p:Person {name: 'b'})<-[r:KNOWS]-() DELETE r, p")
+    assert(one(g2, "MATCH (n:Person) RETURN count(*) AS n") === 1L)
+  }
+
+  // -------------------------------------------------------------- MERGE
+  test("MERGE matches an existing node") {
+    val (rows, g2) = session.updateWithResult(g,
+      "MERGE (p:Person {name: 'a'}) RETURN p.name AS x")
+    assert(rows.collect().map(_.getString(0)).toSeq === Seq("a"))
+    assert(one(g2, "MATCH (p:Person) RETURN count(*) AS n") === 2L)
+  }
+
+  test("MERGE creates when no match exists") {
+    val g2 = session.update(g, "MERGE (p:Person {name: 'new'})")
+    assert(one(g2, "MATCH (p:Person) RETURN count(*) AS n") === 3L)
+  }
+
+  test("MERGE creates once per distinct key combination") {
+    val g2 = session.update(g,
+      "UNWIND [1, 1, 2] AS k MERGE (p:Bucket {k: k})")
+    assert(one(g2, "MATCH (p:Bucket) RETURN count(*) AS n") === 2L)
+  }
+
+  test("MERGE ON CREATE / ON MATCH set their branches") {
+    val g2 = session.update(g,
+      "MERGE (p:Person {name: 'a'}) " +
+        "ON MATCH SET p.seen = true ON CREATE SET p.fresh = true")
+    assert(one(g2, "MATCH (p:Person {name: 'a'}) RETURN p.seen AS x") === true)
+    assert(one(g2,
+      "MATCH (p:Person {name: 'a'}) RETURN p.fresh AS x") === null)
+    val g3 = session.update(g,
+      "MERGE (p:Person {name: 'q'}) " +
+        "ON MATCH SET p.seen = true ON CREATE SET p.fresh = true")
+    assert(one(g3,
+      "MATCH (p:Person {name: 'q'}) RETURN p.fresh AS x") === true)
+  }
+
+  test("MERGE a relationship between bound endpoints") {
+    // existing rel matches: no growth
+    val g2 = session.update(g,
+      "MATCH (a:Person {name: 'a'}), (b:Person {name: 'b'}) " +
+        "MERGE (a)-[r:KNOWS {since: 2010}]->(b)")
+    assert(one(g2, "MATCH ()-[r:KNOWS]->() RETURN count(*) AS n") === 1L)
+    // different key: creates
+    val g3 = session.update(g,
+      "MATCH (a:Person {name: 'a'}), (b:Person {name: 'b'}) " +
+        "MERGE (a)-[r:KNOWS {since: 2024}]->(b)")
+    assert(one(g3, "MATCH ()-[r:KNOWS]->() RETURN count(*) AS n") === 2L)
+  }
+
+  // ------------------------------------------------- pipelines & guards
+  test("write clauses chain within one query") {
+    val g2 = session.update(g,
+      "MATCH (p:Person {name: 'a'}) " +
+        "CREATE (c:Copy {name: p.name}) SET c.stamp = 7")
+    assert(one(g2, "MATCH (c:Copy) RETURN c.stamp AS x") === 7L)
+  }
+
+  test("WITH after a write reshapes rows") {
+    val (rows, _) = session.updateWithResult(g,
+      "MATCH (p:Person) CREATE (c:Copy {name: p.name}) " +
+        "WITH c ORDER BY c.name RETURN collect(c.name) AS x")
+    assert(rows.collect().head.getSeq[String](0) === Seq("a", "b"))
+  }
+
+  test("MATCH after a write is a classified error") {
+    val e = intercept[CypherException] {
+      session.update(g, "CREATE (n:X) MATCH (m) DELETE m")
+    }
+    assert(e.errorType === CypherError.SyntaxError)
+  }
+
+  test("CREATE with labels on a bound variable is VariableAlreadyBound") {
+    val e = intercept[CypherException] {
+      session.update(g, "MATCH (p:Person) CREATE (p:Extra)")
+    }
+    assert(e.detail === CypherError.VariableAlreadyBound)
+  }
+
+  test("CREATE undirected relationship is classified") {
+    val e = intercept[CypherException] {
+      session.update(g,
+        "MATCH (a:Person {name:'a'}), (b:City) CREATE (a)-[:T]-(b)")
+    }
+    assert(e.detail === CypherError.RequiresDirectedRelationship)
+  }
+
+  test("store/load round-trip of a written graph") {
+    val g2 = session.update(g,
+      "MATCH (p:Person {name: 'a'}) SET p.age = 99")
+    val dir = java.nio.file.Files.createTempDirectory("graft_write_fs").toString
+    graft.sources.FsGraphSource.store(g2, dir)
+    val loaded = graft.sources.FsGraphSource.load(spark, dir)
+    assert(one(loaded, "MATCH (p:Person {name: 'a'}) RETURN p.age AS x") === 99L)
+    assert(one(loaded, "MATCH (n) RETURN count(*) AS n") === 3L)
+  }
+}
