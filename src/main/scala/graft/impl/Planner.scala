@@ -271,11 +271,21 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case (Construct(on, news, sets, clones), _) =>
         requireNoWrites("CONSTRUCT")
         constructedGraph = Some(planConstruct(ctx, on, news, sets, clones))
-      case (w: Create, _) => ctx = planCreate(ctx, w.pattern)
-      case (w: SetClause, _) => ctx = planSetItems(ctx, w.items, None)
-      case (w: Remove, _) => ctx = planRemove(ctx, w.items)
-      case (w: Delete, _) => ctx = planDelete(ctx, w.exprs, w.detach)
-      case (w: Merge, _) => ctx = planMerge(ctx, w)
+      case (w: Clause, _) if w.isInstanceOf[Create] || w.isInstanceOf[SetClause] ||
+          w.isInstanceOf[Remove] || w.isInstanceOf[Delete] || w.isInstanceOf[Merge] =>
+        ctx = w match {
+          case c: Create => planCreate(ctx, c.pattern)
+          case s: SetClause => planSetItems(ctx, s.items, None)
+          case r: Remove => planRemove(ctx, r.items)
+          case d: Delete => planDelete(ctx, d.exprs, d.detach)
+          case m: Merge => planMerge(ctx, m)
+          case _ => ctx
+        }
+        // The ambient graph becomes the written state, so element-binding
+        // expressions in RETURN (startNode(r), whole-element output) see
+        // the post-write tables. Reading CLAUSES stay blocked (visibility
+        // semantics of mid-query MATCH are out of scope).
+        graph = buildWrittenGraph()
       case (m: Match, i) =>
         requireNoWrites("MATCH")
         deadVars = deadEndpointVars(m, rem.drop(i + 1))
