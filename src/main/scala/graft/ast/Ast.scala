@@ -142,6 +142,10 @@ case class Delete(exprs: Seq[Expr], detach: Boolean) extends Clause
 /** MERGE pattern [ON CREATE SET ...] [ON MATCH SET ...]. */
 case class Merge(part: PatternPart, onCreate: Seq[SetItem],
     onMatch: Seq[SetItem]) extends Clause
+/** FOREACH (x IN list | updates): apply write clauses once per list
+  * element; the driving table's cardinality is unchanged. */
+case class Foreach(variable: String, list: Expr, updates: Seq[Clause])
+    extends Clause
 
 /** CONSTRUCT [ON graph*] [NEW pattern]* [SET ...]* [RETURN GRAPH]: build a
   * new graph from the current driving table (reference

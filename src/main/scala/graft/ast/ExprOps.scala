@@ -122,6 +122,8 @@ object ExprOps {
     case Delete(exprs, _) => Some(exprs.flatMap(varRefs).toSet)
     case Merge(part, onCreate, onMatch) =>
       Some(patternRefs(part) ++ (onCreate ++ onMatch).flatMap(setItemRefs))
+    case Foreach(v, list, updates) =>
+      Some(varRefs(list) ++ updates.flatMap(clauseRefs(_).getOrElse(Set.empty)) + v)
   }
 
   private def setItemRefs(s: SetItem): Set[String] = s match {

@@ -272,15 +272,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         requireNoWrites("CONSTRUCT")
         constructedGraph = Some(planConstruct(ctx, on, news, sets, clones))
       case (w: Clause, _) if w.isInstanceOf[Create] || w.isInstanceOf[SetClause] ||
-          w.isInstanceOf[Remove] || w.isInstanceOf[Delete] || w.isInstanceOf[Merge] =>
-        ctx = w match {
-          case c: Create => planCreate(ctx, c.pattern)
-          case s: SetClause => planSetItems(ctx, s.items, None)
-          case r: Remove => planRemove(ctx, r.items)
-          case d: Delete => planDelete(ctx, d.exprs, d.detach)
-          case m: Merge => planMerge(ctx, m)
-          case _ => ctx
-        }
+          w.isInstanceOf[Remove] || w.isInstanceOf[Delete] ||
+          w.isInstanceOf[Merge] || w.isInstanceOf[Foreach] =>
+        ctx = planWriteClause(ctx, w)
         // The ambient graph becomes the written state, so element-binding
         // expressions in RETURN (startNode(r), whole-element output) see
         // the post-write tables. Reading CLAUSES stay blocked (visibility
@@ -2140,6 +2134,34 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         CE.SemanticError, CE.UnsupportedExpression)
     }
     ctx
+  }
+
+  private def planWriteClause(ctx: Ctx, w: Clause): Ctx = w match {
+    case c: Create => planCreate(ctx, c.pattern)
+    case s: SetClause => planSetItems(ctx, s.items, None)
+    case r: Remove => planRemove(ctx, r.items)
+    case d: Delete => planDelete(ctx, d.exprs, d.detach)
+    case m: Merge => planMerge(ctx, m)
+    case f: Foreach => planForeach(ctx, f)
+    case _ => ctx
+  }
+
+  /** FOREACH (x IN list | updates): the update clauses run against the
+    * driving table exploded by the list (one update row per element; null
+    * or empty lists contribute nothing), but the clause itself leaves the
+    * driving table untouched — only the graph state changes. */
+  private def planForeach(ctx0: Ctx, f: Foreach): Ctx = {
+    beginWrites()
+    // FOREACH over a literal null: no elements, no updates (explode would
+    // reject the VOID-typed literal at analysis).
+    if (ctx0.compiler.inferType(f.list).contains(NullType)) return ctx0
+    val slot = ValueSlot(f.variable)
+    val listC = ctx0.compiler.compile(f.list)
+    val sub0 = Ctx(
+      ctx0.df.withColumn(RecordHeader.colName(slot), explode(listC)),
+      ctx0.header.withSlot(slot).withVar(f.variable, ValueKind))
+    f.updates.foldLeft(sub0)(planWriteClause)
+    ctx0
   }
 
   private def planRemove(ctx0: Ctx, items: Seq[RemoveItem]): Ctx = {

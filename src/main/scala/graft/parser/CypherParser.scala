@@ -28,7 +28,7 @@ object CypherParser {
     "ELSE", "END", "EXISTS", "ANY", "NONE", "SINGLE", "REDUCE", "COUNT",
     "FROM", "GRAPH", "CONSTRUCT", "NEW", "CREATE", "CLONE", "COPY", "OF",
     "USE", "ON", "SET", "CALL", "YIELD",
-    "MERGE", "DELETE", "DETACH", "REMOVE")
+    "MERGE", "DELETE", "DETACH", "REMOVE", "FOREACH")
 
   object Lexer {
     def tokenize(s: String): Vector[Tok] = {
@@ -240,6 +240,8 @@ object CypherParser {
             removeItem()
             while (tryPunct(",")) removeItem()
             clauses += Remove(items.result())
+          case Kw("FOREACH", _, _) =>
+            p += 1; clauses += parseForeach()
           case Kw("DELETE", _, _) =>
             p += 1; clauses += parseDelete(detach = false)
           case Kw("DETACH", _, _) =>
@@ -323,6 +325,64 @@ object CypherParser {
       item()
       while (tryPunct(",")) item()
       items.result()
+    }
+
+    /** FOREACH ( x IN list | write-clauses ). */
+    private def parseForeach(): Foreach = {
+      eatPunct("(")
+      val v = ident()
+      eatKw("IN")
+      val list = parseExpr()
+      eatPunct("|")
+      val body = Seq.newBuilder[Clause]
+      var more = true
+      while (more) {
+        peek match {
+          case Kw("CREATE", _, _) =>
+            p += 1
+            val parts = Seq.newBuilder[PatternPart]
+            parts += parsePatternPart()
+            while (tryPunct(",")) parts += parsePatternPart()
+            body += Create(Pattern(parts.result()))
+          case Kw("MERGE", _, _) =>
+            p += 1
+            val part = parsePatternPart()
+            val onCreate = Seq.newBuilder[SetItem]
+            val onMatch = Seq.newBuilder[SetItem]
+            while (isKw("ON")) {
+              p += 1
+              if (tryKw("CREATE")) { eatKw("SET"); onCreate ++= parseSetItems() }
+              else if (tryKw("MATCH")) { eatKw("SET"); onMatch ++= parseSetItems() }
+              else fail("expected CREATE or MATCH after ON")
+            }
+            body += Merge(part, onCreate.result(), onMatch.result())
+          case Kw("SET", _, _) => p += 1; body += SetClause(parseSetItems())
+          case Kw("REMOVE", _, _) =>
+            p += 1
+            val items = Seq.newBuilder[RemoveItem]
+            def removeItem(): Unit = {
+              val v2 = ident()
+              if (tryPunct(".")) items += RemoveProp(v2, ident())
+              else {
+                val ls = Seq.newBuilder[String]
+                while (tryPunct(":")) ls += ident()
+                items += RemoveLabel(v2, ls.result())
+              }
+            }
+            removeItem()
+            while (tryPunct(",")) removeItem()
+            body += Remove(items.result())
+          case Kw("DELETE", _, _) => p += 1; body += parseDelete(detach = false)
+          case Kw("DETACH", _, _) =>
+            p += 1; eatKw("DELETE"); body += parseDelete(detach = true)
+          case Kw("FOREACH", _, _) => p += 1; body += parseForeach()
+          case _ => more = false
+        }
+      }
+      eatPunct(")")
+      val b = body.result()
+      if (b.isEmpty) fail("FOREACH requires at least one update clause")
+      Foreach(v, list, b)
     }
 
     private def parseDelete(detach: Boolean): Delete = {

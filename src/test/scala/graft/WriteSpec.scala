@@ -254,4 +254,50 @@ class WriteSpec extends SparkTestBase {
     assert(one(loaded, "MATCH (p:Person {name: 'a'}) RETURN p.age AS x") === 99L)
     assert(one(loaded, "MATCH (n) RETURN count(*) AS n") === 3L)
   }
+
+  // ------------------------------------------------------------- FOREACH
+  test("FOREACH creates one node per list element") {
+    val g2 = session.update(g,
+      "FOREACH (i IN [1, 2, 3] | CREATE (n:F {v: i}))")
+    assert(one(g2, "MATCH (n:F) RETURN count(*) AS n") === 3L)
+    assert(one(g2,
+      "MATCH (n:F) RETURN sum(n.v) AS s") === 6L)
+  }
+
+  test("FOREACH sets properties per driving row and element") {
+    val g2 = session.update(g,
+      "MATCH (p:Person) FOREACH (k IN ['x'] | SET p.mark = k)")
+    assert(one(g2,
+      "MATCH (p:Person {mark: 'x'}) RETURN count(*) AS n") === 2L)
+  }
+
+  test("FOREACH leaves driving cardinality unchanged") {
+    val (rows, _) = session.updateWithResult(g,
+      "MATCH (p:Person) FOREACH (i IN [1, 2, 3] | SET p.t = i) " +
+        "RETURN count(*) AS n")
+    assert(rows.collect().head.getLong(0) === 2L)
+  }
+
+  test("FOREACH over an empty or null list is a no-op") {
+    val g2 = session.update(g, "FOREACH (i IN [] | CREATE (:F))")
+    assert(one(g2, "MATCH (n:F) RETURN count(*) AS n") === 0L)
+    val g3 = session.update(g, "FOREACH (i IN null | CREATE (:F))")
+    assert(one(g3, "MATCH (n:F) RETURN count(*) AS n") === 0L)
+  }
+
+  test("conditional-update idiom via FOREACH + CASE") {
+    val g2 = session.update(g,
+      "MATCH (p:Person) FOREACH (x IN CASE WHEN p.age > 35 THEN [1] " +
+        "ELSE [] END | SET p.senior = true)")
+    assert(one(g2,
+      "MATCH (p:Person) WHERE p.senior RETURN p.name AS x") === "b")
+  }
+
+  test("nested FOREACH") {
+    val g2 = session.update(g,
+      "FOREACH (i IN [1, 2] | FOREACH (j IN [10, 20] | " +
+        "CREATE (:G {v: i * j})))")
+    assert(one(g2, "MATCH (n:G) RETURN count(*) AS n") === 4L)
+    assert(one(g2, "MATCH (n:G) RETURN sum(n.v) AS s") === 90L)
+  }
 }
