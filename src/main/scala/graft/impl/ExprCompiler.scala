@@ -799,7 +799,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         struct(sum(a0.getField("months")).as("months"),
           sum(a0.getField("days")).as("days"),
           sum(a0.getField("micros")).as("micros"))
-      case "sum" => if (distinct) sum_distinct(a0) else sum(a0)
+      case "sum" =>
+        // openCypher: sum over zero rows (or all-null) is 0, not null.
+        F.coalesce(if (distinct) sum_distinct(a0) else sum(a0), lit(0L))
       case "avg" if isDuration(args(0)) =>
         struct(avg(a0.getField("months")).cast(LongType).as("months"),
           avg(a0.getField("days")).cast(LongType).as("days"),

@@ -2161,7 +2161,47 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       ctx0.df.withColumn(RecordHeader.colName(slot), explode(listC)),
       ctx0.header.withSlot(slot).withVar(f.variable, ValueKind))
     f.updates.foldLeft(sub0)(planWriteClause)
-    ctx0
+    // Outer variables whose properties the body SET: refresh their bindings
+    // from the written state so a later RETURN observes the final value
+    // (one id-keyed join per touched (var, key) pair).
+    var ctx = ctx0
+    def setKeys(cs: Seq[Clause]): Seq[(String, String)] = cs.flatMap {
+      case SetClause(items) => items.flatMap {
+        case SetProp(v, k, _) => Seq((v, k))
+        case SetAllProps(v, MapLit(es), _) => es.map { case (k, _) => (v, k) }
+        case _ => Seq.empty
+      }
+      case Merge(_, onCreate, onMatch) =>
+        setKeys(Seq(SetClause(onCreate ++ onMatch)))
+      case Foreach(_, _, inner) => setKeys(inner)
+      case _ => Seq.empty
+    }
+    setKeys(f.updates).distinct.foreach { case (v, k) =>
+      ctx0.header.kindOf(v) match {
+        case Some(kind @ (NodeKind(_) | RelKind(_))) =>
+          val tables = kind match {
+            case NodeKind(_) =>
+              wNodes.filter(_.propTypes.contains(k))
+                .map(t => t.df.select(col(ID), col(propCol(k))))
+            case _ =>
+              wRels.filter(_.propTypes.contains(k))
+                .map(t => t.df.select(col(ID), col(propCol(k))))
+          }
+          tables.reduceOption(_.unionByName(_)).foreach { vals =>
+            val slotC = PropSlot(v, k)
+            val idCol = ctx.header.col(IdSlot(v))
+            val upd = vals.select(col(ID).as("_wf_id"),
+              col(propCol(k)).as("_wf_v")).dropDuplicates("_wf_id")
+            ctx = Ctx(
+              ctx.df.join(upd, col(idCol) === col("_wf_id"), "left")
+                .withColumn(RecordHeader.colName(slotC), col("_wf_v"))
+                .drop("_wf_id", "_wf_v"),
+              ctx.header.withSlot(slotC))
+          }
+        case _ => ()
+      }
+    }
+    ctx
   }
 
   private def planRemove(ctx0: Ctx, items: Seq[RemoveItem]): Ctx = {
