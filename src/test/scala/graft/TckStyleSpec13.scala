@@ -173,4 +173,36 @@ class TckStyleSpec13 extends TckScenarioBase {
     "MATCH (n:C) RETURN n.num IS NULL AS x", value(true))
   scenario("IS NOT NULL filters", g,
     "MATCH (n) WHERE n.num IS NOT NULL RETURN count(*) AS x", value(2L))
+
+  // ------------------------------------------------ residual round-out
+  scenario("WITH * carries every binding", g,
+    "MATCH (n:A) WITH * RETURN n.name AS x", value("a"))
+  scenario("SKIP and LIMIT combine after ORDER BY", g,
+    "UNWIND [5, 3, 1, 4, 2] AS i RETURN i AS x ORDER BY i SKIP 1 LIMIT 2",
+    rows(Map("x" -> 2L), Map("x" -> 3L)), ordered = true)
+  scenario("STARTS WITH empty string is true", g,
+    "RETURN 'abc' STARTS WITH '' AS x", value(true))
+  scenario("CONTAINS null is null", g,
+    "RETURN ('abc' CONTAINS null) IS NULL AS x", value(true))
+  scenario("slice with negative from counts from the end", g,
+    "RETURN [1, 2, 3, 4][-2..] AS x", value(Seq(3L, 4L)))
+  scenario("slice beyond bounds clamps", g,
+    "RETURN [1, 2][0..10] AS x", value(Seq(1L, 2L)))
+  scenario("abs and sign of negatives", g,
+    "RETURN abs(-3) AS a, sign(-3) AS s", rows(Map("a" -> 3L, "s" -> -1L)))
+  scenario("percentileCont of a single value is that value", g,
+    "UNWIND [42.0] AS v RETURN percentileCont(v, 0.5) AS x", value(42.0))
+  scenario("type() across multiple rel types", g,
+    "MATCH (:A)-[r]->() RETURN type(r) AS x",
+    rows(Map("x" -> "KNOWS"), Map("x" -> "LIKES")))
+  scenario("exists() on a relationship property", g,
+    "MATCH ()-[r:KNOWS]->() RETURN exists(r.since) AS x", value(true))
+  scenario("labels() after removing the only extra label", g,
+    "MATCH (n:C) SET n:Tmp REMOVE n:Tmp RETURN labels(n) AS x",
+    value(Seq("C")))
+  scenario("nested map literal field access", g,
+    "RETURN {outer: {inner: 7}}['outer']['inner'] AS x", value(7L))
+  scenario("UNWIND then aggregate by parity", g,
+    "UNWIND range(1, 10) AS i RETURN i % 2 AS k, count(*) AS n",
+    rows(Map("k" -> 1L, "n" -> 5L), Map("k" -> 0L, "n" -> 5L)))
 }
