@@ -296,6 +296,11 @@ object SparkEntry {
     ("q_pattern_triplet",
       "MATCH (l:LineItem)-[:OF_PART]->(p:Part) RETURN p.p_name AS pn, round(sum(l.l_quantity), 4) AS q",
       Some("SELECT p_name AS pn, round(sum(l_quantity), 4) AS q FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1")),
+    // --- CALL { } subquery (beyond-reference): correlated per-row count
+    //     via the importing WITH; empty groups read 0 ---
+    ("q_call_subquery",
+      "MATCH (c:Customer) CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > 100000.0 RETURN count(*) AS big_orders } RETURN c.c_custkey AS ck, big_orders",
+      Some("SELECT c_custkey AS ck, (SELECT count(*) FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0) AS big_orders FROM customer")),
     // --- CALL procedure with YIELD + post-aggregation: whole-graph degree
     //     distribution (ids drop out, so the tagged id space is irrelevant
     //     to the oracle, which rebuilds the edge multiset in SQL) ---

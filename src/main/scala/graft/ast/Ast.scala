@@ -114,6 +114,10 @@ case class FromGraph(name: String) extends Clause
   * the reference has no procedure surface). */
 case class CallProc(name: String, args: Seq[Expr],
     yields: Seq[String]) extends Clause
+/** CALL { [WITH imports] ... RETURN ... }: a subquery executed once per
+  * driving row (correlated via the importing WITH) or once in total
+  * (uncorrelated). Beyond-parity — the reference has no subquery clause. */
+case class CallSubquery(inner: SingleQuery) extends Clause
 
 /** SET item inside CONSTRUCT or a SET write clause: property assignment,
   * label addition, or whole-map assignment (`n = {..}` / `n += {..}`). */

@@ -124,6 +124,10 @@ object ExprOps {
       Some(patternRefs(part) ++ (onCreate ++ onMatch).flatMap(setItemRefs))
     case Foreach(v, list, updates) =>
       Some(varRefs(list) ++ updates.flatMap(clauseRefs(_).getOrElse(Set.empty)) + v)
+    case CallSubquery(inner) =>
+      // Over-approximate with everything the inner query references —
+      // only its importing WITH actually reads outer scope.
+      Some(inner.clauses.flatMap(clauseRefs(_).getOrElse(Set.empty)).toSet)
   }
 
   private def setItemRefs(s: SetItem): Set[String] = s match {

@@ -280,6 +280,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         // the post-write tables. Reading CLAUSES stay blocked (visibility
         // semantics of mid-query MATCH are out of scope).
         graph = buildWrittenGraph()
+      case (cs: CallSubquery, _) =>
+        requireNoWrites("CALL { }")
+        ctx = planCallSubquery(ctx, cs.inner)
       case (m: Match, i) =>
         requireNoWrites("MATCH")
         deadVars = deadEndpointVars(m, rem.drop(i + 1))
@@ -1833,6 +1836,140 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       where.foreach { w => ctx2 = applyWhere(ctx2, w) }
       ctx2 = applyOrderSkipLimit(ctx2, orderBy2, skip, limit, aliasMap)
       (ctx2, outs.result())
+    }
+  }
+
+  // ------------------------------------------------------- CALL { } subquery
+  /** CALL { [WITH imports] body RETURN items }: without an importing WITH
+    * the subquery runs once against the graph and its rows cross-join onto
+    * the driving table; with one, it runs logically once per driving row.
+    * The correlated form plans the body INLINE on the driving table (so
+    * Catalyst sees one join tree, not N subplans) and keys per-row
+    * aggregation by a pinned synthetic row id — the same shape as pattern
+    * comprehensions, generalized to a full subquery. */
+  private def planCallSubquery(ctx0: Ctx, inner: SingleQuery): Ctx = {
+    def unsupported(what: String): Nothing = throw new CypherCompileException(
+      s"CALL { } $what is not supported",
+      CE.SemanticError, CE.UnsupportedExpression)
+    val (imports, body) = inner.clauses match {
+      case With(false, false, items, Seq(), None, None, None) +: rest
+          if items.nonEmpty &&
+            items.forall(i => i.alias.isEmpty && i.expr.isInstanceOf[Var]) =>
+        (items.map(_.expr.asInstanceOf[Var].name), rest)
+      case cs => (Seq.empty[String], cs)
+    }
+    val ret = body.lastOption match {
+      case Some(r: Return) => r
+      case _ => throw new CypherCompileException(
+        "CALL { } must end in RETURN",
+        CE.SyntaxError, CE.InvalidSyntax)
+    }
+    if (ret.star) unsupported("RETURN *")
+    val clauses = body.init
+
+    def checkClash(names: Iterable[String]): Unit = names.foreach { n =>
+      if (ctx0.header.kinds.contains(n)) throw new CypherCompileException(
+        s"CALL { } returns $n, which is already bound outside",
+        CE.SyntaxError, CE.VariableAlreadyBound)
+    }
+
+    if (imports.isEmpty) {
+      // Uncorrelated: plan from the unit context, cross-join the result.
+      var sub = unitCtx
+      clauses.foreach {
+        case c if isReadingClause(c) => sub = planReadingClause(sub, c)
+        case other => unsupported(s"clause ${other.getClass.getSimpleName}")
+      }
+      val (done, outs) = planProjection(sub, ret.distinct, star = false,
+        ret.items, ret.orderBy, ret.skip, ret.limit, None)
+      checkClash(done.header.kinds.keys)
+      if (ctx0.isUnit) done
+      else Ctx(ctx0.df.crossJoin(done.df), ctx0.header ++ done.header)
+    } else {
+      imports.foreach { v =>
+        if (!ctx0.header.kinds.contains(v)) throw new CypherCompileException(
+          s"CALL { } imports unbound variable $v",
+          CE.SyntaxError, CE.UndefinedVariable)
+      }
+      if (ret.orderBy.nonEmpty || ret.skip.nonEmpty || ret.limit.nonEmpty)
+        unsupported("ORDER BY / SKIP / LIMIT in a correlated subquery")
+      // Pinned synthetic row id: both the driving side and the aggregated
+      // side of the re-join must see the same generated values.
+      val rowVar = freshVar()
+      val rowSlot = ValueSlot(rowVar)
+      val keyed = Ctx(
+        Pin(ctx0.df.withColumn(RecordHeader.colName(rowSlot),
+          monotonically_increasing_id())),
+        ctx0.header.withSlot(rowSlot).withVar(rowVar, ValueKind))
+      // Body plans inline; imported vars resolve from the outer columns.
+      var sub = keyed
+      clauses.foreach {
+        case m: Match => sub = planReadingClause(sub, m)
+        case u: Unwind => sub = planReadingClause(sub, u)
+        case other => unsupported(
+          s"clause ${other.getClass.getSimpleName} in a correlated subquery")
+      }
+      val aggregating = ret.items.exists(i => sub.compiler.hasAggregation(i.expr))
+      if (aggregating) {
+        val items2 = ReturnItem(Var(rowVar), None) +: ret.items
+        val (agg, _) = planProjection(sub, distinct = false, star = false,
+          items2, Seq.empty, None, None, None)
+        checkClash(agg.header.kinds.keys.filterNot(_ == rowVar))
+        val aggKey = agg.header.col(ValueSlot(rowVar))
+        val outerKey = keyed.header.col(rowSlot)
+        // Rename the agg side's key so the equi-join condition is unambiguous.
+        val aggDf = agg.df.withColumnRenamed(aggKey, "_cs_k")
+        var df = keyed.df.join(aggDf, col(outerKey) === col("_cs_k"), "left")
+          .drop("_cs_k")
+        // Aggregates over an empty per-row group: count/sum read 0.
+        ret.items.foreach { i =>
+          val zeroish = i.expr match {
+            case CountStar => true
+            case FuncCall(n, _, _) => n == "count" || n == "sum"
+            case _ => false
+          }
+          if (zeroish) {
+            val target = i.alias.getOrElse(Pretty.print(i.expr))
+            val cName = agg.header.col(ValueSlot(target))
+            df = df.withColumn(cName, F.coalesce(col(cName), lit(0L)))
+          }
+        }
+        val header = ctx0.header ++
+          RecordHeader(agg.header.slots.filterNot(_._1.owner == rowVar),
+            agg.header.kinds - rowVar)
+        Ctx(df.drop(keyed.header.col(rowSlot)), header)
+      } else {
+        // Row-multiplying subquery: the inlined frame already is the
+        // product; project the RETURN items and drop inner-only bindings.
+        var df = sub.df
+        var newHeader = RecordHeader.empty
+        ret.items.foreach { i =>
+          val display = i.alias.getOrElse(Pretty.print(i.expr))
+          i.expr match {
+            case Var(n) if sub.header.kinds.contains(n) &&
+                sub.header.kindOf(n) != Some(ValueKind) =>
+              checkClash(Seq(display))
+              val (renamed, renames) = RecordHeader(
+                sub.header.slots.filter(_._1.owner == n),
+                Map(n -> sub.header.kinds(n))).renameVar(n, display)
+              renames.foreach { case (from, to) =>
+                df = df.withColumn(to, col(from))
+              }
+              newHeader = newHeader ++ renamed
+            case expr =>
+              checkClash(Seq(display))
+              val slot = ValueSlot(display)
+              df = df.withColumn(RecordHeader.colName(slot),
+                sub.compiler.compile(expr))
+              newHeader = newHeader.withSlot(slot).withVar(display, ValueKind)
+          }
+        }
+        val keep = (ctx0.header.slots.values ++
+          Seq(keyed.header.col(rowSlot)) ++ newHeader.slots.values).toSeq.distinct
+        df = df.select(keep.map(col): _*)
+        if (ret.distinct) df = df.dropDuplicates()
+        Ctx(df.drop(keyed.header.col(rowSlot)), ctx0.header ++ newHeader)
+      }
     }
   }
 

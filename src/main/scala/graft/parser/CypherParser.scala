@@ -185,6 +185,11 @@ object CypherParser {
           case Kw("FROM", _, _) =>
             p += 1; eatKw("GRAPH"); clauses += FromGraph(parseGraphRef())
           case Kw("USE", _, _) => p += 1; clauses += FromGraph(parseGraphRef())
+          case Kw("CALL", _, _) if peek2 == Punct("{", peek2.pos) =>
+            p += 2
+            val inner = parseSingleQuery()
+            eatPunct("}")
+            clauses += CallSubquery(inner)
           case Kw("CALL", _, _) =>
             p += 1
             val name = ident()
