@@ -42,7 +42,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(22) match {
+      rnd.nextInt(23) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -238,6 +238,15 @@ class DifferentialSpec extends SparkTestBase {
                 s"WHERE o.o_totalprice > $t } AS n",
               s"SELECT CAST(count(*) AS INTEGER) AS n FROM d_orders " +
                 s"WHERE o_totalprice > $t")
+        case 22 => // correlated CALL {} vs scalar subquery
+          val t = rnd.nextInt(400000)
+          Pair(
+            s"MATCH (c:Customer) CALL { WITH c " +
+              s"MATCH (c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > $t " +
+              "RETURN count(*) AS n } RETURN c.c_custkey AS ck, n",
+            s"SELECT c_custkey AS ck, (SELECT count(*) FROM d_orders " +
+              s"WHERE o_custkey = c_custkey AND o_totalprice > $t) AS n " +
+              "FROM d_customer")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
