@@ -1891,8 +1891,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           s"CALL { } imports unbound variable $v",
           CE.SyntaxError, CE.UndefinedVariable)
       }
-      if (ret.orderBy.nonEmpty || ret.skip.nonEmpty || ret.limit.nonEmpty)
-        unsupported("ORDER BY / SKIP / LIMIT in a correlated subquery")
+      // ORDER BY/SKIP/LIMIT in a correlated body select top-k PER DRIVING
+      // ROW — one window keyed on the synthetic row id (non-aggregating
+      // form only; an aggregate returns one row per group anyway).
       // Pinned synthetic row id: both the driving side and the aggregated
       // side of the re-join must see the same generated values.
       val rowVar = freshVar()
@@ -1911,6 +1912,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
       val aggregating = ret.items.exists(i => sub.compiler.hasAggregation(i.expr))
       if (aggregating) {
+        if (ret.orderBy.nonEmpty || ret.skip.nonEmpty || ret.limit.nonEmpty)
+          unsupported("ORDER BY / SKIP / LIMIT on an aggregating " +
+            "correlated subquery")
         val items2 = ReturnItem(Var(rowVar), None) +: ret.items
         val (agg, _) = planProjection(sub, distinct = false, star = false,
           items2, Seq.empty, None, None, None)
@@ -1963,6 +1967,27 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
                 sub.compiler.compile(expr))
               newHeader = newHeader.withSlot(slot).withVar(display, ValueKind)
           }
+        }
+        if (ret.orderBy.nonEmpty || ret.skip.nonEmpty || ret.limit.nonEmpty) {
+          // Top-k per driving row: row_number over a window on the row id.
+          val sortCols = ret.orderBy.map { s =>
+            val c = s.expr match {
+              case Var(n) if newHeader.contains(ValueSlot(n)) =>
+                col(newHeader.col(ValueSlot(n)))
+              case e => sub.compiler.compile(e)
+            }
+            if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
+          }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyed.header.col(rowSlot)))
+            .orderBy((if (sortCols.nonEmpty) sortCols
+              else Seq(lit(1))): _*) // LIMIT without ORDER BY: arbitrary k
+          val lo = ret.skip.map(e => evalInt(e, "SKIP")).getOrElse(0)
+          val hi = ret.limit.map(e => evalInt(e, "LIMIT"))
+          df = df.withColumn("_cs_rn", row_number().over(w))
+            .filter(col("_cs_rn") > lo &&
+              hi.map(h => col("_cs_rn") <= lo + h).getOrElse(lit(true)))
+            .drop("_cs_rn")
         }
         val keep = (ctx0.header.slots.values ++
           Seq(keyed.header.col(rowSlot)) ++ newHeader.slots.values).toSeq.distinct

@@ -90,9 +90,22 @@ class TckStyleSpec14 extends TckScenarioBase {
     "CALL { WITH ghost MATCH (ghost)-->(m) RETURN m.name AS t } " +
       "RETURN t AS x",
     SyntaxError, UndefinedVariable)
-  errorScenario("correlated LIMIT is out of scope", g,
-    "MATCH (n) CALL { WITH n MATCH (n)-->(m) RETURN m.name AS t LIMIT 1 } " +
-      "RETURN t AS x",
+  scenario("correlated top-1 per driving row (ORDER BY + LIMIT)", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) " +
+      "RETURN m.name AS t ORDER BY m.num LIMIT 1 } " +
+      "RETURN n.name AS x, t",
+    rows(Map("x" -> "a", "t" -> "b"))) // ASC nulls-last: b(2) before c(null)
+  scenario("correlated SKIP past the first result", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) " +
+      "RETURN m.name AS t ORDER BY t SKIP 1 } RETURN t AS x",
+    value("c"))
+  scenario("correlated LIMIT bounds each row independently", g,
+    "MATCH (n) CALL { WITH n MATCH (n)-->(m) " +
+      "RETURN m.name AS t ORDER BY t LIMIT 1 } RETURN n.name AS x, t",
+    rows(Map("x" -> "a", "t" -> "b"), Map("x" -> "b", "t" -> "c")))
+  errorScenario("aggregating correlated subquery with LIMIT", g,
+    "MATCH (n) CALL { WITH n MATCH (n)-->(m) " +
+      "RETURN count(*) AS c LIMIT 1 } RETURN c AS x",
     SemanticError, UnsupportedExpression)
   errorScenario("uncorrelated subquery referencing outer scope", g,
     "MATCH (n) CALL { MATCH (m) WHERE m.num = n.num RETURN m.name AS t } " +
