@@ -77,20 +77,104 @@ object FsGraphSource {
     Files.writeString(Paths.get(s"$dir/schema.json"), json)
   }
 
+  // ------------------------------------------------------------- bucketed
+  /** Bucketed storage for co-located joins: each CANONICAL element table
+    * (pre-tagged `_id` / `_src` ids) is written as a Spark bucketed table —
+    * nodes clustered by `_id`, relationships by `_src`, all with the same
+    * bucket count. An expand join `rel._src = node._id` over two such scans
+    * is already hash-partitioned on its keys on both sides, so Catalyst
+    * plans it WITHOUT a shuffle — the bucketing-for-co-located-joins story
+    * a 100 TB deployment relies on (BucketedSourceSpec pins the plan shape;
+    * the reverse-expand join on `_tgt` still exchanges the rel side, by
+    * design: one clustering column per table).
+    *
+    * Bucket metadata lives in the session catalog; loading in a NEW session
+    * re-registers each table as an external bucketed table over the same
+    * files (CREATE TABLE ... CLUSTERED BY ... LOCATION), so co-location
+    * survives restarts. */
+  def storeBucketed(graph: PropertyGraph, dir: String,
+      buckets: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.graph.PropertyGraph.{ID, SRC, TGT, propCol}
+    def tbl(kind: String, i: Int) =
+      s"graft_bkt_${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))}_$kind$i"
+    val nodeEntries = graph.nodeTables.zipWithIndex.map { case (t, i) =>
+      val cols = col(ID) +: t.propTypes.keys.toSeq.sorted.map(k => col(propCol(k)))
+      val df = t.df.select(cols: _*)
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, ID).sortBy(ID)
+        .option("path", s"$dir/nodes/$i")
+        .saveAsTable(tbl("n", i))
+      s"""{"labels": [${t.labels.toSeq.sorted.map(q).mkString(",")}],
+         |"idCol": ${q(ID)}, "idSpace": ${q("!fs")},
+         |"properties": {${t.propTypes.keys.toSeq.sorted
+            .map(k => s"${q(k)}: ${q(propCol(k))}").mkString(",")}},
+         |"sparkSchema": ${q(df.schema.json)}}"""
+        .stripMargin.replace("\n", " ")
+    }
+    val relEntries = graph.relTables.zipWithIndex.map { case (t, i) =>
+      val cols = Seq(col(ID), col(SRC), col(TGT)) ++
+        t.propTypes.keys.toSeq.sorted.map(k => col(propCol(k)))
+      val df = t.df.select(cols: _*)
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, SRC).sortBy(SRC)
+        .option("path", s"$dir/rels/$i")
+        .saveAsTable(tbl("r", i))
+      s"""{"type": ${q(t.relType)}, "idCol": ${q(ID)},
+         |"srcCol": ${q(SRC)}, "tgtCol": ${q(TGT)},
+         |"idSpace": ${q("!fs")}, "srcSpace": ${q("!fs")},
+         |"tgtSpace": ${q("!fs")},
+         |"properties": {${t.propTypes.keys.toSeq.sorted
+            .map(k => s"${q(k)}: ${q(propCol(k))}").mkString(",")}},
+         |"sparkSchema": ${q(df.schema.json)}}"""
+        .stripMargin.replace("\n", " ")
+    }
+    val json =
+      s"""{"format": ${q("parquet")}, "bucketed": true, "buckets": $buckets,
+         |"nodes": [${nodeEntries.mkString(",\n")}],
+         |"rels": [${relEntries.mkString(",\n")}]}""".stripMargin
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/schema.json"), json)
+  }
+
+  /** Read one bucketed table, re-registering it in the catalog when absent
+    * (fresh session): an external bucketed table over the stored files. */
+  private def readBucketed(spark: SparkSession, dir: String, kind: String,
+      i: Int, schema: StructType, clusterCol: String, buckets: Int): DataFrame = {
+    val name =
+      s"graft_bkt_${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))}_$kind$i"
+    if (!spark.catalog.tableExists(name)) {
+      val loc = Paths.get(s"$dir/${if (kind == "n") "nodes" else "rels"}/$i")
+        .toAbsolutePath.toUri.toString
+      spark.sql(
+        s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
+           |CLUSTERED BY ($clusterCol) SORTED BY ($clusterCol)
+           |INTO $buckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+    }
+    spark.table(name)
+  }
+
   def load(spark: SparkSession, dir: String): PropertyGraph = {
     val json = Files.readString(Paths.get(s"$dir/schema.json"))
     val parsed = MiniJson.parse(json).asInstanceOf[Map[String, Any]]
     // Sidecars written before the format field default to parquet.
     val format = parsed.get("format").map(_.toString).getOrElse("parquet")
+    val bucketed = parsed.get("bucketed").contains(true)
+    val buckets = parsed.get("buckets").map(_.toString.toInt).getOrElse(0)
     def tableSchema(e: Map[String, Any]): Option[StructType] =
       e.get("sparkSchema").map(j =>
         DataType.fromJson(j.toString).asInstanceOf[StructType])
     val nodes = parsed("nodes").asInstanceOf[Seq[Any]].zipWithIndex.map {
       case (e0, i) =>
         val e = e0.asInstanceOf[Map[String, Any]]
+        val df =
+          if (bucketed) readBucketed(spark, dir, "n", i,
+            tableSchema(e).get, e("idCol").toString, buckets)
+          else readTable(spark, s"$dir/nodes/$i", format, tableSchema(e))
         NodeTableDef(
           e("labels").asInstanceOf[Seq[Any]].map(_.toString).toSet,
-          readTable(spark, s"$dir/nodes/$i", format, tableSchema(e)),
+          df,
           e("idCol").toString,
           e("properties").asInstanceOf[Map[String, Any]]
             .map { case (k, v) => k -> v.toString },
@@ -99,9 +183,13 @@ object FsGraphSource {
     val rels = parsed("rels").asInstanceOf[Seq[Any]].zipWithIndex.map {
       case (e0, i) =>
         val e = e0.asInstanceOf[Map[String, Any]]
+        val df =
+          if (bucketed) readBucketed(spark, dir, "r", i,
+            tableSchema(e).get, e("srcCol").toString, buckets)
+          else readTable(spark, s"$dir/rels/$i", format, tableSchema(e))
         RelTableDef(
           e("type").toString,
-          readTable(spark, s"$dir/rels/$i", format, tableSchema(e)),
+          df,
           e("idCol").toString, e("srcCol").toString, e("tgtCol").toString,
           e("properties").asInstanceOf[Map[String, Any]]
             .map { case (k, v) => k -> v.toString },
