@@ -128,6 +128,42 @@ object GraftStreaming {
         col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** Read the documents table as a file stream (ingest-side of the text
+    * pipeline; on a cluster, a landing directory being appended to). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .parquet(dir)
+
+  /** In-flight document curation: per-document language id, token count,
+    * quality stats, and fingerprint, plus the standard quality filter
+    * (min tokens, max punctuation ratio). Every column is a pure
+    * expression over the row — ZERO streaming state, so this runs at
+    * ingest rate regardless of history size; stream-vs-batch equivalence
+    * is exact (StreamingSpec). */
+  def curateDocuments(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTokens: Long = 5,
+      maxPunctRatio: Double = 0.3): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val t = col(textCol)
+    docs
+      .withColumn("lang_id", TextAnalysis.languageId(t))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(t))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(t, "[\\w\\s]", "")).cast(DoubleType) /
+          greatest(length(t).cast(DoubleType), lit(1.0)), 4))
+      .withColumn("fp", TextAnalysis.fingerprint(t))
+      .filter(col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio)
+      .select(col(idCol), col("lang_id"), col("n_tokens"),
+        col("punct_ratio"), col("fp"))
+  }
+
   /** Run a streaming query to completion against a bounded source and
     * return the collected sink table (test/bench harness). */
   def runToMemorySink(df: DataFrame, name: String,

@@ -16,6 +16,31 @@ class StreamingSpec extends SparkTestBase {
     d.toString
   }
 
+  private lazy val docStreamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_docstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  test("streaming document curation equals the batch pass") {
+    val stream = GraftStreaming.documentsStream(spark, docStreamDir)
+    val curatedStream = GraftStreaming.curateDocuments(stream)
+    val got = GraftStreaming.runToMemorySink(curatedStream, "curated_docs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val batch = GraftStreaming.curateDocuments(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.length > 0, "curation filtered everything out")
+    assert(got.toSeq === batch.toSeq)
+    // the filter actually drops something (short/punct-heavy docs exist)
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(got.length <= total)
+  }
+
   test("windowed counts over the event stream match the batch aggregation") {
     val stream = GraftStreaming.eventsStream(spark, streamDir)
     val agg = GraftStreaming.windowedCounts(stream, "1 day", "2 days")
