@@ -286,6 +286,19 @@ object SparkEntry {
          FROM nation LEFT JOIN (SELECT c_nationkey, count(*) AS cnt,
            sum(c_custkey) AS sk FROM customer GROUP BY 1) j
          ON c_nationkey = n_nationkey""")),
+    // --- entity lambdas over path functions: reduce/quantifiers over
+    //     relationships(p) read rel PROPERTIES (the path struct stores bare
+    //     ids; the planner materializes ordered entity-struct lists per
+    //     distinct id array and the binder compiles under entity-struct
+    //     env rules). HAS_ITEM rows carry no l_quantity -> coalesce 0 ---
+    ("q_path_entity_lambda",
+      "MATCH p = (o:Order)-[:HAS_ITEM]->(:LineItem)-[:OF_PART]->(:Part) " +
+        "WHERE o.o_orderkey <= 500 " +
+        "RETURN o.o_orderkey AS ok, " +
+        "round(sum(reduce(s = 0.0, r IN relationships(p) | s + coalesce(r.l_quantity, 0.0))), 4) AS q",
+      Some("SELECT o_orderkey AS ok, round(sum(l_quantity), 4) AS q " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE o_orderkey <= 500 GROUP BY 1")),
     // --- composite pattern scans (NodeRelPattern/TripletPattern): the
     //     lineitem fact table co-stores HAS_ITEM/OF_PART rels with the
     //     LineItem node, so these plan with zero / one join (no self-join;

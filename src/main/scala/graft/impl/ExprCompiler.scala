@@ -162,7 +162,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
   // ------------------------------------------------------------ type infer
   /** Best-effort static type; None when unknown. */
   def inferType(e: Expr): Option[DataType] = e match {
-    case Var(n) if env.contains(n) => env(n)._2
+    case Var(n) if env.contains(n) =>
+      // Entity-struct binders read as their id (see entityStructOf).
+      if (entityStructOf(env(n)._2).isDefined) Some(LongType) else env(n)._2
+    case Prop(Var(n), k) if env.contains(n) &&
+        entityStructOf(env(n)._2).isDefined =>
+      entityStructOf(env(n)._2).get.fields.find(_.name == k).map(_.dataType)
     case Var(n) => header.kindOf(n) match {
       case Some(ValueKind) => header.get(ValueSlot(n)).flatMap(colType)
       case Some(NodeKind(_)) | Some(RelKind(_)) => Some(LongType)
@@ -320,6 +325,25 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case _ => false
   }
 
+  /** Entity-element structs produced by the planner's
+    * materializeEntityLists (lambdas over relationships(p)/nodes(p)):
+    * marker convention is a leading "_id" field, then "_src"/"_tgt"/"_type"
+    * for relationships or "_labels" for nodes; property fields follow under
+    * their plain names. A bare binder of this type still MEANS its id
+    * (entity identity semantics), so compile(Var) projects _id and only
+    * Prop / type() / labels() / ... read the other fields. */
+  private def entityStructOf(t: Option[DataType]): Option[StructType] = t match {
+    case Some(st: StructType) if st.fieldNames.headOption.contains("_id") =>
+      Some(st)
+    case _ => None
+  }
+
+  private def envEntity(e: Expr): Option[(Column, StructType)] = e match {
+    case Var(n) if env.contains(n) =>
+      entityStructOf(env(n)._2).map(st => (env(n)._1, st))
+    case _ => None
+  }
+
   /** Durations are (months, days, micros) structs (CTDuration). */
   private def isDuration(e: Expr): Boolean = e match {
     case FuncCall("duration", _, _) => true
@@ -365,13 +389,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
 
   // --------------------------------------------------------------- compile
   def compile(e: Expr): Column = e match {
-    case Var(n) if env.contains(n) => env(n)._1
+    case Var(n) if env.contains(n) =>
+      if (entityStructOf(env(n)._2).isDefined) env(n)._1.getField("_id")
+      else env(n)._1
     case Var(n) => header.kindOf(n) match {
       case Some(ValueKind) => col(header.col(ValueSlot(n)))
       case Some(NodeKind(_)) | Some(RelKind(_)) => col(header.col(IdSlot(n)))
       case Some(ListRelKind(_)) => col(header.col(PathSlot(n)))
       case None => throw new CypherCompileException(s"unknown variable $n", CE.SyntaxError, CE.UndefinedVariable)
     }
+    case Prop(Var(n), k) if env.contains(n) &&
+        entityStructOf(env(n)._2).isDefined =>
+      val st = entityStructOf(env(n)._2).get
+      // absent property -> null, matching header-element semantics
+      if (st.fieldNames.contains(k)) env(n)._1.getField(k) else lit(null)
     case Prop(Var(n), k) if !env.contains(n) && header.kinds.contains(n) =>
       header.kindOf(n) match {
         case Some(NodeKind(_)) | Some(RelKind(_)) =>
@@ -441,7 +472,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // regexp_like is a substring search, so anchor the pattern.
       regexp_like(compile(l),
         concat(lit("^(?:"), compile(r).cast(StringType), lit(")$")))
-    case HasLabels(Var(n), labels) =>
+    case HasLabels(Var(n), labels) if env.contains(n) &&
+        entityStructOf(env(n)._2).isDefined =>
+      val (c, st) = envEntity(Var(n)).get
+      if (!st.fieldNames.contains("_labels"))
+        throw new CypherCompileException(
+          s"label predicate on relationship $n",
+          CE.TypeError, CE.InvalidArgumentType)
+      labels.map(l => array_contains(c.getField("_labels"), l)).reduce(_ && _)
+    case HasLabels(Var(n), labels) if !env.contains(n) =>
       labels.map { l =>
         header.get(LabelSlot(n, l)).map(col).getOrElse(lit(false))
       }.reduce(_ && _)
@@ -825,6 +864,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "id" => a0 // Var compiles to the id column already
       case "labels" => args(0) match {
         case NullLit => lit(null)
+        case v if envEntity(v).isDefined =>
+          val (c, st) = envEntity(v).get
+          if (!st.fieldNames.contains("_labels"))
+            throw new CypherCompileException(
+              "labels() expects a node, got a relationship",
+              CE.TypeError, CE.InvalidArgumentType)
+          when(c.isNull, lit(null)).otherwise(c.getField("_labels"))
         case Var(n) if header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
           throw new CypherCompileException(
             s"labels() expects a node, got relationship $n",
@@ -842,6 +888,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "type" => args(0) match {
         case NullLit => lit(null)
+        case v if envEntity(v).isDefined =>
+          val (c, st) = envEntity(v).get
+          if (!st.fieldNames.contains("_type"))
+            throw new CypherCompileException(
+              "type() expects a relationship, got a node",
+              CE.TypeError, CE.InvalidArgumentType)
+          c.getField("_type")
         case Var(n) if !header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
           throw new CypherCompileException(
             s"type() expects a relationship, got $$n",
@@ -851,6 +904,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "startnode" => args(0) match {
         case NullLit => lit(null)
+        case v if envEntity(v).isDefined =>
+          val (c, st) = envEntity(v).get
+          if (!st.fieldNames.contains("_src"))
+            throw new CypherCompileException(
+              "startNode() expects a relationship, got a node",
+              CE.TypeError, CE.InvalidArgumentType)
+          c.getField("_src")
         case Var(n) if !header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
           throw new CypherCompileException(
             s"startNode() expects a relationship, got $$n",
@@ -860,6 +920,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "endnode" => args(0) match {
         case NullLit => lit(null)
+        case v if envEntity(v).isDefined =>
+          val (c, st) = envEntity(v).get
+          if (!st.fieldNames.contains("_tgt"))
+            throw new CypherCompileException(
+              "endNode() expects a relationship, got a node",
+              CE.TypeError, CE.InvalidArgumentType)
+          c.getField("_tgt")
         case Var(n) if !header.kindOf(n).exists(_.isInstanceOf[RelKind]) =>
           throw new CypherCompileException(
             s"endNode() expects a relationship, got $$n",
@@ -869,7 +936,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "keys" => args(0) match {
         case NullLit => lit(null)
-        case Var(n) =>
+        case v if envEntity(v).isDefined =>
+          val (c, st) = envEntity(v).get
+          val ks = st.fieldNames.filterNot(_.startsWith("_")).toSeq.sorted
+          val built =
+            if (ks.isEmpty) array()
+            else array_compact(array(ks.map(k =>
+              when(c.getField(k).isNotNull, lit(k))): _*))
+          when(c.isNull, lit(null)).otherwise(built)
+        case Var(n) if !env.contains(n) =>
           val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
           // keys(null) is null (optional-unmatched element), not []
           val built =
@@ -890,7 +965,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "properties" => args(0) match {
         case NullLit => lit(null)
-        case Var(n) =>
+        case v if envEntity(v).isDefined =>
+          val (c, st) = envEntity(v).get
+          val ks = st.fieldNames.filterNot(_.startsWith("_")).toSeq.sorted
+          when(c.isNull, lit(null))
+            .otherwise(struct(ks.map(k => c.getField(k).as(k)): _*))
+        case Var(n) if !env.contains(n) =>
           val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
           // properties(null) is null (optional-unmatched element)
           when(compile(Var(n)).isNull, lit(null))

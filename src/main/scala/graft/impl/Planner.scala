@@ -857,10 +857,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           materializePatternPredicates(ctx, r)
         else (ctx, r)
       // Pattern comprehensions in WHERE (e.g. size([(n)-->(b) | b]) > 1).
-      val (ctx1, r1) =
+      val (ctx0c, r0c) =
         if (ExprOps.containsPatternComp(r0b))
           materializePatternComps(ctx0b, r0b)
         else (ctx0b, r0b)
+      // Lambdas over relationships(p)/nodes(p) reading binder properties.
+      val (ctx1, r1) = materializeEntityLists(ctx0c, r0c)
       val (ctx2, r2) = bindEndpointNodes(ctx1, Seq(r1)) match {
         case (c, Seq(e2)) => (c, e2)
       }
@@ -993,6 +995,161 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             ctx.header.withSlot(listSlot).withVar(listVar, ValueKind))
         }
         Var(listVar)
+      case other => other
+    }
+    (ctx, rewritten)
+  }
+
+  // ---------------------------------------------- entity lists over paths
+  /** Functions that read a variable as an ENTITY rather than as its id. */
+  private val entityFnNames: Set[String] =
+    Set("id", "type", "labels", "keys", "properties", "startnode", "endnode")
+
+  /** True when any body expression uses `binder` beyond bare-id identity
+    * (property access, type()/labels()/keys()/..., map projection, label
+    * predicate) — the signal that the lambda needs entity structs. */
+  private def binderUsedAsEntity(binder: String, bodies: Seq[Expr]): Boolean = {
+    def walk(x: Any): Boolean = x match {
+      case Prop(Var(n), _) if n == binder => true
+      case FuncCall(f, Seq(Var(n)), _) if n == binder && entityFnNames(f) => true
+      case MapProjection(n, _) if n == binder => true
+      case HasLabels(Var(n), _) if n == binder => true
+      case s: Seq[_] => s.exists(walk)
+      case o: Option[_] => o.exists(walk)
+      case p: Product => p.productIterator.exists(walk)
+      case _ => false
+    }
+    bodies.exists(walk)
+  }
+
+  private def entityListTarget(l: Expr): Option[(String, Boolean)] = l match {
+    case FuncCall(f @ ("relationships" | "nodes"), Seq(Var(p)), _) =>
+      Some((p, f == "relationships"))
+    case _ => None
+  }
+
+  /** All (pathVar, isRels) pairs whose lambda bodies need entity values. */
+  private def entityListNeeds(e: Expr): Set[(String, Boolean)] = {
+    val out = mutable.Set.empty[(String, Boolean)]
+    def walk(x: Any): Unit = x match {
+      case ListComprehension(v, l, w, proj) =>
+        entityListTarget(l).foreach(t =>
+          if (binderUsedAsEntity(v, w.toSeq ++ proj.toSeq)) out += t)
+        (l +: (w.toSeq ++ proj.toSeq)).foreach(walk)
+      case IterablePredicate(_, v, l, pred) =>
+        entityListTarget(l).foreach(t =>
+          if (binderUsedAsEntity(v, Seq(pred))) out += t)
+        Seq(l, pred).foreach(walk)
+      case Reduce(_, init, v, l, step) =>
+        entityListTarget(l).foreach(t =>
+          if (binderUsedAsEntity(v, Seq(step))) out += t)
+        Seq(init, l, step).foreach(walk)
+      case s: Seq[_] => s.foreach(walk)
+      case o: Option[_] => o.foreach(walk)
+      case p: Product => p.productIterator.foreach(walk)
+      case _ => ()
+    }
+    walk(e)
+    out.toSet
+  }
+
+  /** Full-graph scan of all relationships (or nodes) as one (df, element
+    * struct, id column) triple for [[materializeEntityLists]]. The struct's
+    * marker fields (leading underscore: _id, then _src/_tgt/_type for rels,
+    * _labels for nodes) are the ExprCompiler entity-struct convention;
+    * property fields follow under their plain names. */
+  private def entityElementsDf(isRels: Boolean): (DataFrame, Column, String) = {
+    val v = freshVar()
+    if (isRels) {
+      val (df, h, _) = relScanDf(v, Seq.empty, Seq.empty, undirected = false)
+      val props = h.ownedBy(v).collect { case s @ PropSlot(_, k) => (k, h.col(s)) }
+        .filterNot(_._1.startsWith("_")).sortBy(_._1)
+      val elem = struct((Seq(
+        col(h.col(IdSlot(v))).as("_id"),
+        col(h.col(SrcSlot(v))).as("_src"),
+        col(h.col(TgtSlot(v))).as("_tgt"),
+        col(h.col(TypeSlot(v))).as("_type")) ++
+        props.map { case (k, c) => col(c).as(k) }): _*)
+      (df, elem, h.col(IdSlot(v)))
+    } else {
+      val (df, h, _) = nodeScanDf(NodeCons(v, Seq.empty, Seq.empty))
+      val labels = h.ownedBy(v).collect { case LabelSlot(_, l) => l }.sorted
+      val labelsCol =
+        if (labels.isEmpty) array().cast(ArrayType(StringType))
+        else array_compact(array(labels.map(l =>
+          when(col(h.col(LabelSlot(v, l))), lit(l))): _*))
+      val props = h.ownedBy(v).collect { case s @ PropSlot(_, k) => (k, h.col(s)) }
+        .filterNot(_._1.startsWith("_")).sortBy(_._1)
+      val elem = struct((Seq(
+        col(h.col(IdSlot(v))).as("_id"),
+        labelsCol.as("_labels")) ++
+        props.map { case (k, c) => col(c).as(k) }): _*)
+      (df, elem, h.col(IdSlot(v)))
+    }
+  }
+
+  /** Lambdas (quantifiers / comprehensions / reduce) over relationships(p)
+    * or nodes(p) that read the binder as an entity (`all(r IN
+    * relationships(p) WHERE r.w > 4)`) need entity VALUES, but the path
+    * struct stores bare ids (bindPaths). Materialize an ordered
+    * entity-struct list per DISTINCT id array — correlating on the array
+    * itself is exact, since equal id arrays have equal entity lists — via
+    * posexplode + id-join against the full rel/node scan, left-join the
+    * lists back, and swap the lambda's list expression for the new column.
+    * The binder then compiles under ExprCompiler's entity-struct env rules
+    * (bare binder still means the id, so identity semantics hold). One
+    * id-keyed join + one aggregation per (path, kind), paid only by queries
+    * using the shape; both sides stay key-bucketed at scale. */
+  private def materializeEntityLists(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
+    val needs = entityListNeeds(e).filter { case (p, _) =>
+      ctx0.header.get(ValueSlot(p)).exists { c =>
+        ctx0.df.schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("nodes", "rels")
+          case _ => false
+        }
+      }
+    }
+    if (needs.isEmpty) return (ctx0, e)
+    var ctx = ctx0
+    val replacement = mutable.Map.empty[(String, Boolean), String]
+    needs.toSeq.sorted.foreach { case key @ (p, isRels) =>
+      val arr = col(ctx.header.col(ValueSlot(p)))
+        .getField(if (isRels) "rels" else "nodes")
+      val (entityDf, elemStruct, idCol) = entityElementsDf(isRels)
+      val listVar = freshVar()
+      val listCol = RecordHeader.colName(ValueSlot(listVar))
+      val keys = ctx.df.select(arr.as("_el_key"))
+        .where(col("_el_key").isNotNull).distinct()
+      val exploded = keys.select(col("_el_key"),
+        posexplode(col("_el_key")).as(Seq("_el_pos", "_el_id")))
+      val agg = exploded
+        .join(entityDf, col("_el_id") === col(idCol), "left_outer")
+        .groupBy(col("_el_key"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_el_pos").as("p"),
+            elemStruct.as("e")))),
+          x => x.getField("e")).as(listCol))
+      val listT = agg.schema.fields.find(_.name == listCol).get.dataType
+      ctx = Ctx(
+        ctx.df.join(agg, arr <=> col("_el_key"), "left_outer").drop("_el_key")
+          .withColumn(listCol,
+            when(arr.isNull, lit(null).cast(listT))
+              .otherwise(coalesce(col(listCol), array().cast(listT)))),
+        ctx.header.withSlot(ValueSlot(listVar)).withVar(listVar, ValueKind))
+      replacement(key) = listVar
+    }
+    def swap(l: Expr, binder: String, bodies: Seq[Expr]): Option[Expr] =
+      entityListTarget(l).filter(t =>
+        binderUsedAsEntity(binder, bodies) && replacement.contains(t))
+        .map(t => Var(replacement(t)))
+    val rewritten = ExprOps.transformUp(e) {
+      case lc @ ListComprehension(v, l, w, proj) =>
+        swap(l, v, w.toSeq ++ proj.toSeq)
+          .map(nl => lc.copy(list = nl)).getOrElse(lc)
+      case ip @ IterablePredicate(_, v, l, pred) =>
+        swap(l, v, Seq(pred)).map(nl => ip.copy(list = nl)).getOrElse(ip)
+      case rd @ Reduce(_, _, v, l, step) =>
+        swap(l, v, Seq(step)).map(nl => rd.copy(list = nl)).getOrElse(rd)
       case other => other
     }
     (ctx, rewritten)
@@ -1699,6 +1856,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       if (ExprOps.containsPatternComp(expr)) {
         val (c3, e3) = materializePatternComps(ctx, expr)
         ctx = c3; expr = e3
+      }
+      locally {
+        val (c4, e4) = materializeEntityLists(ctx, expr)
+        ctx = c4; expr = e4
       }
       i.copy(expr = expr)
     }
