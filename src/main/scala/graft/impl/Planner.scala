@@ -275,16 +275,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           w.isInstanceOf[Remove] || w.isInstanceOf[Delete] ||
           w.isInstanceOf[Merge] || w.isInstanceOf[Foreach] =>
         ctx = planWriteClause(ctx, w)
-        // The ambient graph becomes the written state, so element-binding
-        // expressions in RETURN (startNode(r), whole-element output) see
-        // the post-write tables. Reading CLAUSES stay blocked (visibility
-        // semantics of mid-query MATCH are out of scope).
+        // The ambient graph becomes the written state, so everything after
+        // the clause boundary — element-binding in RETURN and (per
+        // openCypher visibility: each clause sees ALL preceding writes)
+        // subsequent MATCH / OPTIONAL MATCH scans — reads the post-write
+        // tables. The write frames are pinned, so re-scanning them from a
+        // later MATCH cannot re-evaluate the fresh-id generator.
         graph = buildWrittenGraph()
       case (cs: CallSubquery, _) =>
         requireNoWrites("CALL { }")
         ctx = planCallSubquery(ctx, cs.inner)
       case (m: Match, i) =>
-        requireNoWrites("MATCH")
         deadVars = deadEndpointVars(m, rem.drop(i + 1))
         try ctx = planReadingClause(ctx, m) finally deadVars = Set.empty
       case (reading, _) =>

@@ -147,9 +147,8 @@ class TckStyleSpec12 extends TckScenarioBase {
   errorScenario("MERGE of an already-bound variable", g,
     "MATCH (n:A) MERGE (n:A) RETURN 1 AS x",
     SyntaxError, VariableAlreadyBound)
-  errorScenario("MATCH after a write clause", g,
-    "CREATE (n:X) MATCH (m) RETURN m",
-    SyntaxError, InvalidSyntax)
+  scenario("MATCH after CREATE sees the created node", g,
+    "CREATE (:X) MATCH (m:X) RETURN count(*) AS x", value(1L))
   errorScenario("write clause inside UNION", g,
     "CREATE (n:X) RETURN 1 AS x UNION CREATE (m:Y) RETURN 2 AS x",
     SyntaxError, InvalidSyntax)

@@ -223,11 +223,11 @@ class WriteSpec extends SparkTestBase {
     assert(rows.collect().head.getSeq[String](0) === Seq("a", "b"))
   }
 
-  test("MATCH after a write is a classified error") {
-    val e = intercept[CypherException] {
-      session.update(g, "CREATE (n:X) MATCH (m) DELETE m")
-    }
-    assert(e.errorType === CypherError.SyntaxError)
+  test("MATCH after a write reads the written graph, and the update sticks") {
+    val (rows, g2) = session.updateWithResult(g,
+      "CREATE (n:X) MATCH (m:X) SET m.seen = true RETURN count(*) AS x")
+    assert(rows.collect().head.getLong(0) === 1L)
+    assert(one(g2, "MATCH (m:X) WHERE m.seen RETURN count(*)") === 1L)
   }
 
   test("CREATE with labels on a bound variable is VariableAlreadyBound") {
