@@ -283,16 +283,18 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         // later MATCH cannot re-evaluate the fresh-id generator.
         graph = buildWrittenGraph()
       case (cs: CallSubquery, _) =>
-        requireNoWrites("CALL { }")
+        // After writes the ambient graph IS the written state, so the
+        // (read-only) body scans post-write tables like MATCH does.
         ctx = planCallSubquery(ctx, cs.inner)
       case (m: Match, i) =>
         deadVars = deadEndpointVars(m, rem.drop(i + 1))
         try ctx = planReadingClause(ctx, m) finally deadVars = Set.empty
       case (reading, _) =>
-        // WITH/UNWIND only reshape the driving table — legal after writes;
-        // anything that re-reads the graph is not (documented scope).
+        // Clauses that read the (written) ambient graph or only reshape
+        // the driving table are legal after writes; FROM GRAPH/CONSTRUCT
+        // are not (they would switch away from the written state).
         reading match {
-          case _: With | _: Unwind => ()
+          case _: With | _: Unwind | _: CallProc => ()
           case other => requireNoWrites(other.getClass.getSimpleName)
         }
         ctx = planReadingClause(ctx, reading)
@@ -2064,11 +2066,28 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         Pin(ctx0.df.withColumn(RecordHeader.colName(rowSlot),
           monotonically_increasing_id())),
         ctx0.header.withSlot(rowSlot).withVar(rowVar, ValueKind))
-      // Body plans inline; imported vars resolve from the outer columns.
-      var sub = keyed
+      // Body input: the row id plus the IMPORTED vars only (openCypher
+      // scoping — the body cannot see other outer bindings). The body's
+      // result re-joins to the full outer frame on the row id at the end.
+      val bodySlots = keyed.header.slots.filter { case (s, _) =>
+        s.owner == rowVar || imports.contains(s.owner) }
+      var sub = Ctx(
+        keyed.df.select(bodySlots.values.toSeq.distinct.map(col): _*),
+        RecordHeader(bodySlots, keyed.header.kinds.filter { case (v, _) =>
+          v == rowVar || imports.contains(v) }))
       clauses.foreach {
         case m: Match => sub = planReadingClause(sub, m)
         case u: Unwind => sub = planReadingClause(sub, u)
+        // Intermediate WITH: append the row id to the projection so an
+        // aggregating WITH groups PER DRIVING ROW and a plain/DISTINCT
+        // WITH keeps the correlation key. Per-row SKIP/LIMIT inside an
+        // intermediate WITH would need its own window; not supported.
+        case w: With =>
+          if (w.skip.nonEmpty || w.limit.nonEmpty) unsupported(
+            "SKIP/LIMIT in an intermediate WITH of a correlated subquery")
+          sub = planProjection(sub, w.distinct, w.star,
+            w.items :+ ReturnItem(Var(rowVar), None),
+            w.orderBy, None, None, w.where)._1
         case other => unsupported(
           s"clause ${other.getClass.getSimpleName} in a correlated subquery")
       }
@@ -2105,8 +2124,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             agg.header.kinds - rowVar)
         Ctx(df.drop(keyed.header.col(rowSlot)), header)
       } else {
-        // Row-multiplying subquery: the inlined frame already is the
-        // product; project the RETURN items and drop inner-only bindings.
+        // Row-multiplying subquery: project the RETURN items per body row,
+        // then re-join the (row id, items) frame onto the outer rows —
+        // driving rows with no body rows drop out (CALL{} semantics).
         var df = sub.df
         var newHeader = RecordHeader.empty
         ret.items.foreach { i =>
@@ -2151,11 +2171,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
               hi.map(h => col("_cs_rn") <= lo + h).getOrElse(lit(true)))
             .drop("_cs_rn")
         }
-        val keep = (ctx0.header.slots.values ++
-          Seq(keyed.header.col(rowSlot)) ++ newHeader.slots.values).toSeq.distinct
-        df = df.select(keep.map(col): _*)
+        val rowCol = keyed.header.col(rowSlot)
+        df = df.select((rowCol +: newHeader.slots.values.toSeq).distinct.map(col): _*)
         if (ret.distinct) df = df.dropDuplicates()
-        Ctx(df.drop(keyed.header.col(rowSlot)), ctx0.header ++ newHeader)
+        val joined = keyed.df
+          .join(df.withColumnRenamed(rowCol, "_cs_k"),
+            col(rowCol) === col("_cs_k"), "inner")
+          .drop("_cs_k")
+        Ctx(joined.drop(rowCol), ctx0.header ++ newHeader)
       }
     }
   }

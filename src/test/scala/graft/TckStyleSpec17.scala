@@ -1,0 +1,79 @@
+package graft
+
+import graft.api.CypherError._
+
+/** TCK-style conformance, part 17 — CALL { } breadth added in round 6:
+  * intermediate WITH inside a correlated body (the body plans over the
+  * row id + imported vars only and re-joins on the row id, so an
+  * aggregating WITH groups per driving row and openCypher scoping holds),
+  * and CALL { } / CALL proc after write clauses (the body reads the
+  * written ambient graph, like MATCH does). */
+class TckStyleSpec17 extends TckScenarioBase {
+  import TckFixtures._
+
+  lazy val g = graph(spark,
+    Seq(
+      N(1, Set("A"), Map("name" -> "a", "num" -> 1)),
+      N(2, Set("B"), Map("name" -> "b", "num" -> 2)),
+      N(3, Set("C"), Map("name" -> "c"))),
+    Seq(
+      R(10, 1, 2, "KNOWS", Map("since" -> 2010)),
+      R(11, 1, 3, "LIKES"),
+      R(12, 2, 3, "LIKES")))
+
+  // -------------------------- intermediate WITH in a correlated body
+  scenario("correlated body: WITH renames before RETURN", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) WITH m.name AS nm " +
+      "RETURN nm AS t } RETURN n.name AS x, t",
+    rows(Map("x" -> "a", "t" -> "b"), Map("x" -> "a", "t" -> "c")))
+  scenario("correlated body: aggregating WITH groups per driving row", g,
+    "MATCH (n) CALL { WITH n MATCH (n)-->(m) WITH count(m) AS c " +
+      "RETURN c } RETURN n.name AS x, c",
+    rows(Map("x" -> "a", "c" -> 2L), Map("x" -> "b", "c" -> 1L)))
+  scenario("correlated body: WITH WHERE filters per row", g,
+    "MATCH (n) CALL { WITH n MATCH (n)-->(m) WITH m WHERE m.num > 1 " +
+      "RETURN m.name AS t } RETURN n.name AS x, t",
+    rows(Map("x" -> "a", "t" -> "b")))
+  scenario("correlated body: DISTINCT WITH dedupes per row", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->()-->(z) " +
+      "WITH DISTINCT z RETURN z.name AS t } RETURN t AS x",
+    value("c"))
+  scenario("correlated body: aggregate of an aggregating WITH", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) " +
+      "WITH m, 1 AS one RETURN sum(one) AS s } RETURN s AS x",
+    value(2L))
+  scenario("correlated body: chain of two WITH clauses", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) WITH m.num AS v " +
+      "WITH v * 10 AS w RETURN max(w) AS t } RETURN t AS x",
+    value(20L))
+  scenario("body WITH cannot see non-imported outer vars", g,
+    "MATCH (n:A) MATCH (other:B) " +
+      "CALL { WITH n MATCH (n)-->(m) RETURN m.name AS t } " +
+      "RETURN count(*) AS x", value(2L))
+  errorScenario("correlated body referencing a non-imported var", g,
+    "MATCH (n:A) MATCH (other:B) " +
+      "CALL { WITH n MATCH (m) WHERE m.num = other.num " +
+      "RETURN m.name AS t } RETURN t AS x",
+    SyntaxError, UndefinedVariable)
+  errorScenario("intermediate WITH with LIMIT stays unsupported", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) WITH m LIMIT 1 " +
+      "RETURN m.name AS t } RETURN t AS x",
+    SemanticError, UnsupportedExpression)
+
+  // ----------------------------------------- CALL { } after writes
+  scenario("uncorrelated CALL after CREATE reads the written graph", g,
+    "CREATE (:X {p: 9}) WITH 1 AS one " +
+      "CALL { MATCH (m:X) RETURN m.p AS v } RETURN v AS x", value(9L))
+  scenario("correlated CALL after CREATE counts written rels", g,
+    "MATCH (a:A) CREATE (a)-[:PING]->(:T) WITH a " +
+      "CALL { WITH a MATCH (a)-[r:PING]->() RETURN count(r) AS c } " +
+      "RETURN c AS x", value(1L))
+  scenario("CALL after DELETE does not see the deleted node", g,
+    "MATCH (n:C) DETACH DELETE n WITH 1 AS one " +
+      "CALL { MATCH (m) RETURN count(*) AS c } RETURN c AS x",
+    value(2L))
+  scenario("degree procedure after a write sees the written graph", g,
+    "MATCH (a:A) CREATE (a)-[:PING]->(:T) WITH count(*) AS w " +
+      "CALL degrees() YIELD degree RETURN sum(degree) AS x",
+    value(8L))
+}
