@@ -2714,14 +2714,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         "MERGE requires a directed relationship",
         CE.SyntaxError, CE.RequiresDirectedRelationship)
       val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
-      if (!ctx.header.kinds.contains(srcV) || !ctx.header.kinds.contains(tgtV))
-        throw new CypherCompileException(
-          "MERGE of a relationship requires both endpoints bound " +
-            "(merge the nodes first)",
-          CE.SemanticError, CE.UnsupportedExpression)
       if (ctx.header.kinds.contains(e.v)) throw new CypherCompileException(
         s"MERGE of already-bound relationship ${e.v}",
         CE.SyntaxError, CE.VariableAlreadyBound)
+      if (!ctx.header.kinds.contains(srcV) || !ctx.header.kinds.contains(tgtV)) {
+        ctx = planMergeUnboundRel(ctx, nodes, e, srcV, tgtV, createdMark)
+      } else {
       val keys = e.props.map(_._1)
       val keyCols = e.props.zipWithIndex.map { case ((_, ex), i) =>
         val cn = s"_wm_k$i"
@@ -2801,6 +2799,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         header = header.withSlot(s)
       }
       ctx = Ctx(df, header)
+      }
     }
 
     // ON CREATE / ON MATCH SET against the marked rows; the mark column is
@@ -2811,6 +2810,150 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     if (m.onMatch.nonEmpty)
       out = planSetItems(out, m.onMatch, Some(!col(createdMark)))
     Ctx(out.df.drop(createdMark), out.header)
+  }
+
+  /** MERGE of a relationship with one or both endpoints UNBOUND: match the
+    * WHOLE pattern as an OPTIONAL MATCH against the current write state;
+    * per openCypher all-or-nothing semantics, rows without a full match
+    * create the ENTIRE pattern — fresh nodes for the unbound endpoints
+    * (even when a node alone would have matched) plus the relationship,
+    * ONE instance per distinct key (bound endpoint ids; unbound-endpoint
+    * and rel properties must be literal here, so they never split keys).
+    * The optional match multiplies rows exactly like MATCH on full
+    * matches, mirroring the bound-endpoint branch. */
+  private def planMergeUnboundRel(ctx0: Ctx, nodes: Map[String, NodeCons],
+      e: EdgeCons, srcV: String, tgtV: String, createdMark: String): Ctx = {
+    val srcBound = ctx0.header.kinds.contains(srcV)
+    val tgtBound = ctx0.header.kinds.contains(tgtV)
+    val outerVars = ctx0.header.kinds.keySet
+    val propExprs = Seq(srcV, tgtV).distinct.flatMap(v =>
+      nodes(v).props.map(_._2)) ++ e.props.map(_._2)
+    if (propExprs.exists(ex => exprVars(ex).intersect(outerVars).nonEmpty))
+      throw new CypherCompileException(
+        "MERGE with an unbound endpoint supports only literal properties " +
+          "(row-dependent values cannot correlate the pattern match)",
+        CE.SemanticError, CE.UnsupportedExpression)
+    // Rebuild the pattern with the EXPLICIT var names from this normalize
+    // pass (re-normalizing would mint fresh anonymous names).
+    def np(v: String) =
+      NodePattern(Some(v), nodes(v).labels, nodes(v).props)
+    val part = PatternPart(np(e.src),
+      Seq((RelPattern(Some(e.v), e.types, e.props, e.dir, None), np(e.tgt))))
+    // Match against the current write state (prior writes in this query —
+    // including earlier FOREACH-body clauses — must be visible).
+    graph = buildWrittenGraph()
+    val matched = planOptionalMatch(ctx0, Pattern(Seq(part)), None)
+    val relIdCol = matched.header.col(IdSlot(e.v))
+    // Evaluate creation columns (all literal) once per row.
+    var df = matched.df
+    def evalCols(props: Seq[(String, Expr)], tag: String): Seq[(String, String)] =
+      props.zipWithIndex.map { case ((k, ex), i) =>
+        val cn = s"_wm_$tag$i"
+        df = df.withColumn(cn,
+          new ExprCompiler(RecordHeader.empty, df.schema, params,
+            Map.empty, extensions).compile(ex))
+        (k, cn)
+      }
+    val srcProps = if (srcBound) Seq.empty else evalCols(nodes(srcV).props, "s")
+    val tgtProps =
+      if (tgtBound || tgtV == srcV) Seq.empty else evalCols(nodes(tgtV).props, "t")
+    val relProps = evalCols(e.props, "r")
+    val boundIdCols = Seq(srcV -> srcBound, tgtV -> tgtBound).collect {
+      case (v, true) => ctx0.header.col(IdSlot(v))
+    }.distinct
+    val keyCols =
+      (boundIdCols ++ (srcProps ++ tgtProps ++ relProps).map(_._2)).distinct
+    // One created pattern instance per distinct unmatched key.
+    val unmatched = df.filter(col(relIdCol).isNull)
+    var created = unmatched.select(keyCols.map(col): _*).distinct()
+    if (!srcBound)
+      created = created.withColumn("_wm_sid",
+        freshWriteId(writeGen, nextWriteVarIdx()))
+    if (!tgtBound && tgtV != srcV)
+      created = created.withColumn("_wm_tid",
+        freshWriteId(writeGen, nextWriteVarIdx()))
+    created = Pin(created.withColumn("_wm_rid",
+      freshWriteId(writeGen, nextWriteVarIdx())))
+    val createdSrcId =
+      if (srcBound) col(ctx0.header.col(IdSlot(srcV))) else col("_wm_sid")
+    val createdTgtId =
+      if (tgtBound) col(ctx0.header.col(IdSlot(tgtV)))
+      else if (tgtV == srcV) col("_wm_sid") else col("_wm_tid")
+    def addNodeTable(nc: NodeCons, idC: Column,
+        props: Seq[(String, String)]): Unit = {
+      val types = props.map { case (k, cn) =>
+        k -> created.schema(cn).dataType }.toMap
+      wNodes :+= WNode(nc.labels.toSet,
+        created.select(idC.as(ID) +: props.map { case (k, cn) =>
+          col(cn).as(propCol(k)) }: _*),
+        types)
+    }
+    if (!srcBound) addNodeTable(nodes(srcV), col("_wm_sid"), srcProps)
+    if (!tgtBound && tgtV != srcV)
+      addNodeTable(nodes(tgtV), col("_wm_tid"), tgtProps)
+    wRels :+= WRel(e.types.head,
+      created.select(col("_wm_rid").as(ID) +: createdSrcId.as(SRC) +:
+        createdTgtId.as(TGT) +: relProps.map { case (k, cn) =>
+          col(cn).as(propCol(k)) }: _*),
+      relProps.map { case (k, cn) => k -> created.schema(cn).dataType }.toMap)
+    // Bind created elements back onto the unmatched rows (null-safe key
+    // equality; matched rows keep their bindings).
+    val renamed = keyCols.foldLeft(created) { (d, kc) =>
+      d.withColumnRenamed(kc, kc + "_c") }
+    val cond = keyCols.map(kc => col(kc) <=> col(kc + "_c"))
+      .foldLeft(col(relIdCol).isNull)(_ && _)
+    df = df.join(renamed, cond, "left")
+      .drop(keyCols.map(_ + "_c"): _*)
+      .withColumn(createdMark, col(relIdCol).isNull)
+    var header = matched.header
+    def bindCreated(slotCol: String, value: Column): Unit =
+      df = df.withColumn(slotCol, coalesce(col(slotCol), value))
+    bindCreated(relIdCol, col("_wm_rid"))
+    bindCreated(header.col(SrcSlot(e.v)),
+      if (srcBound) col(ctx0.header.col(IdSlot(srcV))) else col("_wm_sid"))
+    bindCreated(header.col(TgtSlot(e.v)),
+      if (tgtBound) col(ctx0.header.col(IdSlot(tgtV)))
+      else if (tgtV == srcV) col("_wm_sid") else col("_wm_tid"))
+    bindCreated(header.col(TypeSlot(e.v)), lit(e.types.head))
+    def bindNode(v: String, idC: Column, props: Seq[(String, String)]): Unit = {
+      bindCreated(header.col(IdSlot(v)), idC)
+      // Created rows: pattern labels true, other scanned labels false.
+      header.ownedBy(v).collect { case s @ LabelSlot(_, l) => (s, l) }
+        .foreach { case (s, l) =>
+          df = df.withColumn(header.col(s),
+            when(col(createdMark), lit(nodes(v).labels.contains(l)))
+              .otherwise(col(header.col(s))))
+        }
+      props.foreach { case (k, cn) =>
+        val s = PropSlot(v, k)
+        header.get(s) match {
+          case Some(c) =>
+            df = df.withColumn(c,
+              when(col(createdMark), col(cn)).otherwise(col(c)))
+          case None =>
+            df = df.withColumn(RecordHeader.colName(s),
+              when(col(createdMark), col(cn)))
+            header = header.withSlot(s)
+        }
+      }
+    }
+    if (!srcBound) bindNode(srcV, col("_wm_sid"), srcProps)
+    if (!tgtBound && tgtV != srcV) bindNode(tgtV, col("_wm_tid"), tgtProps)
+    relProps.foreach { case (k, cn) =>
+      val s = PropSlot(e.v, k)
+      header.get(s) match {
+        case Some(c) =>
+          df = df.withColumn(c,
+            when(col(createdMark), col(cn)).otherwise(col(c)))
+        case None =>
+          df = df.withColumn(RecordHeader.colName(s),
+            when(col(createdMark), col(cn)))
+          header = header.withSlot(s)
+      }
+    }
+    val temps = Seq("_wm_sid", "_wm_tid", "_wm_rid").filter(df.columns.contains) ++
+      (srcProps ++ tgtProps ++ relProps).map(_._2)
+    Ctx(df.drop(temps: _*), header)
   }
 
   private def applyOrderSkipLimit(ctx0: Ctx, orderBy: Seq[SortItem],

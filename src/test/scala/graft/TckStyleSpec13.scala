@@ -68,8 +68,8 @@ class TckStyleSpec13 extends TckScenarioBase {
   errorScenario("DELETE a value variable", g,
     "WITH 1 AS v DELETE v RETURN 1 AS x",
     TypeError, InvalidArgumentType)
-  errorScenario("MERGE relationship with unbound endpoints", g,
-    "MERGE (a:NewA)-[r:T]->(b:NewB) RETURN 1 AS x",
+  errorScenario("unbound-endpoint MERGE with a row-dependent property", g,
+    "MATCH (n:A) MERGE (a:NewA {p: n.num})-[r:T]->(b:NewB) RETURN 1 AS x",
     SemanticError, UnsupportedExpression)
 
   // -------------------------------------------------- string functions

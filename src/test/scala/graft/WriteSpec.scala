@@ -208,6 +208,73 @@ class WriteSpec extends SparkTestBase {
     assert(one(g3, "MATCH ()-[r:KNOWS]->() RETURN count(*) AS n") === 2L)
   }
 
+  test("MERGE relationship with both endpoints unbound creates the pattern") {
+    val g2 = session.update(g,
+      "MERGE (a:Proj {k: 1})-[r:HAS {w: 5}]->(b:Task {k: 2})")
+    assert(one(g2,
+      "MATCH (:Proj {k: 1})-[r:HAS]->(:Task {k: 2}) RETURN r.w AS x") === 5L)
+    // idempotent: the second MERGE matches the whole pattern
+    val g3 = session.update(g2,
+      "MERGE (a:Proj {k: 1})-[r:HAS {w: 5}]->(b:Task {k: 2})")
+    assert(one(g3, "MATCH (n:Proj) RETURN count(*) AS n") === 1L)
+    assert(one(g3, "MATCH (n:Task) RETURN count(*) AS n") === 1L)
+    assert(one(g3, "MATCH ()-[r:HAS]->() RETURN count(*) AS n") === 1L)
+  }
+
+  test("unbound-endpoint MERGE is all-or-nothing on a partial match") {
+    // a :Task {k: 2} already exists, but the whole pattern does not match,
+    // so MERGE creates the ENTIRE pattern including a fresh :Task node
+    val g2 = session.update(g, "CREATE (:Task {k: 2})")
+    val g3 = session.update(g2, "MERGE (a:Proj {k: 1})-[r:HAS]->(b:Task {k: 2})")
+    assert(one(g3, "MATCH (b:Task) RETURN count(*) AS n") === 2L)
+    assert(one(g3, "MATCH (:Proj)-[:HAS]->(:Task) RETURN count(*) AS n") === 1L)
+  }
+
+  test("MERGE with one bound endpoint creates one instance per distinct row") {
+    val g2 = session.update(g,
+      "MATCH (p:Person) MERGE (p)-[r:ASSIGNED]->(t:Task {kind: 'x'})")
+    assert(one(g2, "MATCH (t:Task) RETURN count(*) AS n") === 2L)
+    assert(one(g2,
+      "MATCH (:Person)-[:ASSIGNED]->(:Task) RETURN count(*) AS n") === 2L)
+    // re-running matches per row: no growth
+    val g3 = session.update(g2,
+      "MATCH (p:Person) MERGE (p)-[r:ASSIGNED]->(t:Task {kind: 'x'})")
+    assert(one(g3, "MATCH (t:Task) RETURN count(*) AS n") === 2L)
+    // duplicate driving rows for the same bound endpoint dedup on its id
+    val g4 = session.update(g,
+      "UNWIND [1, 1] AS i MATCH (p:Person {name: 'a'}) " +
+        "MERGE (p)-[:TAG]->(t:Task)")
+    assert(one(g4, "MATCH (t:Task) RETURN count(*) AS n") === 1L)
+  }
+
+  test("unbound-endpoint MERGE binds created elements and runs ON CREATE") {
+    val (rows, _) = session.updateWithResult(g,
+      "MERGE (a:Proj {k: 1})-[r:HAS {w: 5}]->(b:Task {k: 2}) " +
+        "ON CREATE SET r.fresh = true " +
+        "RETURN a.k AS ak, r.w AS rw, b.k AS bk, r.fresh AS f, labels(b) AS lb")
+    val row = rows.collect().head
+    assert(row.getLong(0) === 1L && row.getLong(1) === 5L &&
+      row.getLong(2) === 2L && row.getBoolean(3) === true)
+    assert(row.getSeq[String](4) === Seq("Task"))
+  }
+
+  test("unbound-endpoint MERGE with a reversed arrow and a self-loop") {
+    val g2 = session.update(g, "MERGE (a:P1 {k: 1})<-[r:REV]-(b:P2 {k: 2})")
+    assert(one(g2, "MATCH (:P2)-[:REV]->(:P1) RETURN count(*) AS n") === 1L)
+    val g3 = session.update(g, "MERGE (a:Loop {k: 1})-[r:SELF]->(a)")
+    assert(one(g3, "MATCH (a:Loop)-[:SELF]->(a) RETURN count(*) AS n") === 1L)
+    assert(one(g3, "MATCH (a:Loop) RETURN count(*) AS n") === 1L)
+  }
+
+  test("unbound-endpoint MERGE rejects row-dependent properties") {
+    val e = intercept[CypherException] {
+      session.update(g,
+        "MATCH (p:Person) MERGE (a:Proj {k: p.age})-[r:HAS]->(b:Task)")
+    }
+    assert(e.errorType === CypherError.SemanticError)
+    assert(e.detail === CypherError.UnsupportedExpression)
+  }
+
   // ------------------------------------------------- pipelines & guards
   test("write clauses chain within one query") {
     val g2 = session.update(g,
