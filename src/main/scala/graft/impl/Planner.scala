@@ -2703,23 +2703,32 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
       ctx = Ctx(df, header)
     } else {
-      if (edges.size > 1) throw new CypherCompileException(
-        "MERGE supports a single relationship pattern",
-        CE.SemanticError, CE.UnsupportedExpression)
-      val e = edges.head
-      if (e.types.size != 1) throw new CypherCompileException(
-        "MERGE requires exactly one relationship type",
-        CE.SyntaxError, CE.NoSingleRelationshipType)
-      if (e.dir == BOTH) throw new CypherCompileException(
-        "MERGE requires a directed relationship",
-        CE.SyntaxError, CE.RequiresDirectedRelationship)
-      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
-      if (ctx.header.kinds.contains(e.v)) throw new CypherCompileException(
-        s"MERGE of already-bound relationship ${e.v}",
-        CE.SyntaxError, CE.VariableAlreadyBound)
-      if (!ctx.header.kinds.contains(srcV) || !ctx.header.kinds.contains(tgtV)) {
-        ctx = planMergeUnboundRel(ctx, nodes, e, srcV, tgtV, createdMark)
+      edges.foreach { e =>
+        if (e.types.size != 1) throw new CypherCompileException(
+          "MERGE requires exactly one relationship type",
+          CE.SyntaxError, CE.NoSingleRelationshipType)
+        if (e.dir == BOTH) throw new CypherCompileException(
+          "MERGE requires a directed relationship",
+          CE.SyntaxError, CE.RequiresDirectedRelationship)
+        if (e.varLength.isDefined) throw new CypherCompileException(
+          "MERGE of a variable-length relationship",
+          CE.SyntaxError, CE.CreatingVarLength)
+        if (ctx.header.kinds.contains(e.v)) throw new CypherCompileException(
+          s"MERGE of already-bound relationship ${e.v}",
+          CE.SyntaxError, CE.VariableAlreadyBound)
+      }
+      if (edges.map(_.v).distinct.size != edges.size)
+        throw new CypherCompileException(
+          "MERGE pattern repeats a relationship variable",
+          CE.SyntaxError, CE.VariableAlreadyBound)
+      val singleBound = edges.size == 1 &&
+        ctx.header.kinds.contains(edges.head.src) &&
+        ctx.header.kinds.contains(edges.head.tgt)
+      if (!singleBound) {
+        ctx = planMergePath(ctx, nodes, edges, createdMark)
       } else {
+      val e = edges.head
+      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
       val keys = e.props.map(_._1)
       val keyCols = e.props.zipWithIndex.map { case ((_, ex), i) =>
         val cn = s"_wm_k$i"
@@ -2812,22 +2821,24 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     Ctx(out.df.drop(createdMark), out.header)
   }
 
-  /** MERGE of a relationship with one or both endpoints UNBOUND: match the
-    * WHOLE pattern as an OPTIONAL MATCH against the current write state;
-    * per openCypher all-or-nothing semantics, rows without a full match
-    * create the ENTIRE pattern — fresh nodes for the unbound endpoints
-    * (even when a node alone would have matched) plus the relationship,
-    * ONE instance per distinct key (bound endpoint ids; unbound-endpoint
-    * and rel properties must be literal here, so they never split keys).
-    * The optional match multiplies rows exactly like MATCH on full
-    * matches, mirroring the bound-endpoint branch. */
-  private def planMergeUnboundRel(ctx0: Ctx, nodes: Map[String, NodeCons],
-      e: EdgeCons, srcV: String, tgtV: String, createdMark: String): Ctx = {
-    val srcBound = ctx0.header.kinds.contains(srcV)
-    val tgtBound = ctx0.header.kinds.contains(tgtV)
+  /** MERGE of a (possibly multi-hop) path pattern with any mix of bound
+    * and unbound node vars: match the WHOLE pattern as an OPTIONAL MATCH
+    * against the current write state; per openCypher all-or-nothing
+    * semantics, rows without a full match create the ENTIRE pattern —
+    * fresh nodes for every unbound node var (even when a node alone
+    * would have matched) plus every relationship — ONE instance per
+    * distinct key (bound endpoint ids; unbound-node and rel properties
+    * must be literal here, so they never split keys). The optional match
+    * multiplies rows exactly like MATCH on full matches, mirroring the
+    * bound-endpoint branch. */
+  private def planMergePath(ctx0: Ctx, nodes: Map[String, NodeCons],
+      edges: Seq[EdgeCons], createdMark: String): Ctx = {
+    val patVars = edges.flatMap(e => Seq(e.src, e.tgt)).distinct
+    val bound = patVars.filter(ctx0.header.kinds.contains).toSet
+    val unbound = patVars.filterNot(bound)
     val outerVars = ctx0.header.kinds.keySet
-    val propExprs = Seq(srcV, tgtV).distinct.flatMap(v =>
-      nodes(v).props.map(_._2)) ++ e.props.map(_._2)
+    val propExprs = unbound.flatMap(v => nodes(v).props.map(_._2)) ++
+      edges.flatMap(_.props.map(_._2))
     if (propExprs.exists(ex => exprVars(ex).intersect(outerVars).nonEmpty))
       throw new CypherCompileException(
         "MERGE with an unbound endpoint supports only literal properties " +
@@ -2837,13 +2848,16 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // pass (re-normalizing would mint fresh anonymous names).
     def np(v: String) =
       NodePattern(Some(v), nodes(v).labels, nodes(v).props)
-    val part = PatternPart(np(e.src),
-      Seq((RelPattern(Some(e.v), e.types, e.props, e.dir, None), np(e.tgt))))
+    val part = PatternPart(np(edges.head.src),
+      edges.map(e =>
+        (RelPattern(Some(e.v), e.types, e.props, e.dir, None), np(e.tgt))))
     // Match against the current write state (prior writes in this query —
     // including earlier FOREACH-body clauses — must be visible).
     graph = buildWrittenGraph()
     val matched = planOptionalMatch(ctx0, Pattern(Seq(part)), None)
-    val relIdCol = matched.header.col(IdSlot(e.v))
+    // All-or-nothing: on a partial match the optional pattern nulls every
+    // pattern slot together, so any one rel id marks the unmatched rows.
+    val relIdCol = matched.header.col(IdSlot(edges.head.v))
     // Evaluate creation columns (all literal) once per row.
     var df = matched.df
     def evalCols(props: Seq[(String, Expr)], tag: String): Seq[(String, String)] =
@@ -2854,48 +2868,51 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             Map.empty, extensions).compile(ex))
         (k, cn)
       }
-    val srcProps = if (srcBound) Seq.empty else evalCols(nodes(srcV).props, "s")
-    val tgtProps =
-      if (tgtBound || tgtV == srcV) Seq.empty else evalCols(nodes(tgtV).props, "t")
-    val relProps = evalCols(e.props, "r")
-    val boundIdCols = Seq(srcV -> srcBound, tgtV -> tgtBound).collect {
-      case (v, true) => ctx0.header.col(IdSlot(v))
-    }.distinct
-    val keyCols =
-      (boundIdCols ++ (srcProps ++ tgtProps ++ relProps).map(_._2)).distinct
+    val nodeProps: Map[String, Seq[(String, String)]] =
+      unbound.zipWithIndex.map { case (v, i) =>
+        v -> evalCols(nodes(v).props, s"n${i}_") }.toMap
+    val relProps: Map[String, Seq[(String, String)]] =
+      edges.zipWithIndex.map { case (e, i) =>
+        e.v -> evalCols(e.props, s"r${i}_") }.toMap
+    val boundIdCols =
+      patVars.filter(bound).map(v => ctx0.header.col(IdSlot(v))).distinct
+    val keyCols = (boundIdCols ++
+      unbound.flatMap(v => nodeProps(v).map(_._2)) ++
+      edges.flatMap(e => relProps(e.v).map(_._2))).distinct
     // One created pattern instance per distinct unmatched key.
     val unmatched = df.filter(col(relIdCol).isNull)
     var created = unmatched.select(keyCols.map(col): _*).distinct()
-    if (!srcBound)
-      created = created.withColumn("_wm_sid",
-        freshWriteId(writeGen, nextWriteVarIdx()))
-    if (!tgtBound && tgtV != srcV)
-      created = created.withColumn("_wm_tid",
-        freshWriteId(writeGen, nextWriteVarIdx()))
-    created = Pin(created.withColumn("_wm_rid",
-      freshWriteId(writeGen, nextWriteVarIdx())))
-    val createdSrcId =
-      if (srcBound) col(ctx0.header.col(IdSlot(srcV))) else col("_wm_sid")
-    val createdTgtId =
-      if (tgtBound) col(ctx0.header.col(IdSlot(tgtV)))
-      else if (tgtV == srcV) col("_wm_sid") else col("_wm_tid")
-    def addNodeTable(nc: NodeCons, idC: Column,
-        props: Seq[(String, String)]): Unit = {
-      val types = props.map { case (k, cn) =>
-        k -> created.schema(cn).dataType }.toMap
-      wNodes :+= WNode(nc.labels.toSet,
-        created.select(idC.as(ID) +: props.map { case (k, cn) =>
+    val nodeIdCol: Map[String, String] = unbound.zipWithIndex.map {
+      case (v, i) =>
+        created = created.withColumn(s"_wm_nid$i",
+          freshWriteId(writeGen, nextWriteVarIdx()))
+        v -> s"_wm_nid$i"
+    }.toMap
+    val relIdNew: Map[String, String] = edges.zipWithIndex.map {
+      case (e, i) =>
+        created = created.withColumn(s"_wm_rid$i",
+          freshWriteId(writeGen, nextWriteVarIdx()))
+        e.v -> s"_wm_rid$i"
+    }.toMap
+    created = Pin(created)
+    def createdId(v: String): Column =
+      if (bound(v)) col(ctx0.header.col(IdSlot(v))) else col(nodeIdCol(v))
+    unbound.foreach { v =>
+      val props = nodeProps(v)
+      wNodes :+= WNode(nodes(v).labels.toSet,
+        created.select(col(nodeIdCol(v)).as(ID) +: props.map { case (k, cn) =>
           col(cn).as(propCol(k)) }: _*),
-        types)
+        props.map { case (k, cn) => k -> created.schema(cn).dataType }.toMap)
     }
-    if (!srcBound) addNodeTable(nodes(srcV), col("_wm_sid"), srcProps)
-    if (!tgtBound && tgtV != srcV)
-      addNodeTable(nodes(tgtV), col("_wm_tid"), tgtProps)
-    wRels :+= WRel(e.types.head,
-      created.select(col("_wm_rid").as(ID) +: createdSrcId.as(SRC) +:
-        createdTgtId.as(TGT) +: relProps.map { case (k, cn) =>
-          col(cn).as(propCol(k)) }: _*),
-      relProps.map { case (k, cn) => k -> created.schema(cn).dataType }.toMap)
+    edges.foreach { e =>
+      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
+      val props = relProps(e.v)
+      wRels :+= WRel(e.types.head,
+        created.select(col(relIdNew(e.v)).as(ID) +:
+          createdId(srcV).as(SRC) +: createdId(tgtV).as(TGT) +:
+          props.map { case (k, cn) => col(cn).as(propCol(k)) }: _*),
+        props.map { case (k, cn) => k -> created.schema(cn).dataType }.toMap)
+    }
     // Bind created elements back onto the unmatched rows (null-safe key
     // equality; matched rows keep their bindings).
     val renamed = keyCols.foldLeft(created) { (d, kc) =>
@@ -2908,39 +2925,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     var header = matched.header
     def bindCreated(slotCol: String, value: Column): Unit =
       df = df.withColumn(slotCol, coalesce(col(slotCol), value))
-    bindCreated(relIdCol, col("_wm_rid"))
-    bindCreated(header.col(SrcSlot(e.v)),
-      if (srcBound) col(ctx0.header.col(IdSlot(srcV))) else col("_wm_sid"))
-    bindCreated(header.col(TgtSlot(e.v)),
-      if (tgtBound) col(ctx0.header.col(IdSlot(tgtV)))
-      else if (tgtV == srcV) col("_wm_sid") else col("_wm_tid"))
-    bindCreated(header.col(TypeSlot(e.v)), lit(e.types.head))
-    def bindNode(v: String, idC: Column, props: Seq[(String, String)]): Unit = {
-      bindCreated(header.col(IdSlot(v)), idC)
-      // Created rows: pattern labels true, other scanned labels false.
-      header.ownedBy(v).collect { case s @ LabelSlot(_, l) => (s, l) }
-        .foreach { case (s, l) =>
-          df = df.withColumn(header.col(s),
-            when(col(createdMark), lit(nodes(v).labels.contains(l)))
-              .otherwise(col(header.col(s))))
-        }
-      props.foreach { case (k, cn) =>
-        val s = PropSlot(v, k)
-        header.get(s) match {
-          case Some(c) =>
-            df = df.withColumn(c,
-              when(col(createdMark), col(cn)).otherwise(col(c)))
-          case None =>
-            df = df.withColumn(RecordHeader.colName(s),
-              when(col(createdMark), col(cn)))
-            header = header.withSlot(s)
-        }
-      }
-    }
-    if (!srcBound) bindNode(srcV, col("_wm_sid"), srcProps)
-    if (!tgtBound && tgtV != srcV) bindNode(tgtV, col("_wm_tid"), tgtProps)
-    relProps.foreach { case (k, cn) =>
-      val s = PropSlot(e.v, k)
+    def bindProp(v: String, k: String, cn: String): Unit = {
+      val s = PropSlot(v, k)
       header.get(s) match {
         case Some(c) =>
           df = df.withColumn(c,
@@ -2951,9 +2937,28 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           header = header.withSlot(s)
       }
     }
-    val temps = Seq("_wm_sid", "_wm_tid", "_wm_rid").filter(df.columns.contains) ++
-      (srcProps ++ tgtProps ++ relProps).map(_._2)
-    Ctx(df.drop(temps: _*), header)
+    edges.foreach { e =>
+      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
+      bindCreated(header.col(IdSlot(e.v)), col(relIdNew(e.v)))
+      bindCreated(header.col(SrcSlot(e.v)), createdId(srcV))
+      bindCreated(header.col(TgtSlot(e.v)), createdId(tgtV))
+      bindCreated(header.col(TypeSlot(e.v)), lit(e.types.head))
+      relProps(e.v).foreach { case (k, cn) => bindProp(e.v, k, cn) }
+    }
+    unbound.foreach { v =>
+      bindCreated(header.col(IdSlot(v)), col(nodeIdCol(v)))
+      // Created rows: pattern labels true, other scanned labels false.
+      header.ownedBy(v).collect { case s @ LabelSlot(_, l) => (s, l) }
+        .foreach { case (s, l) =>
+          df = df.withColumn(header.col(s),
+            when(col(createdMark), lit(nodes(v).labels.contains(l)))
+              .otherwise(col(header.col(s))))
+        }
+      nodeProps(v).foreach { case (k, cn) => bindProp(v, k, cn) }
+    }
+    val temps = (nodeIdCol.values ++ relIdNew.values).toSeq ++
+      (nodeProps.values.flatten ++ relProps.values.flatten).map(_._2).toSeq
+    Ctx(df.drop(temps.distinct: _*), header)
   }
 
   private def applyOrderSkipLimit(ctx0: Ctx, orderBy: Seq[SortItem],

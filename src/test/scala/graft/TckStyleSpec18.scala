@@ -100,6 +100,43 @@ class TckStyleSpec18 extends TckScenarioBase {
     "MERGE (x:X {k: 1})-[r:T]->(y:Y) ON MATCH SET r.m = 1 " +
       "RETURN r.m AS x", value(null))
 
+  // ------------------------------------------------- multi-hop patterns
+  scenario("multi-hop MERGE creates the whole chain", g,
+    "MERGE (x:X {k: 1})-[r1:T]->(y:Y)-[r2:T2]->(z:Z {k: 3}) " +
+      "RETURN z.k AS x", value(3L))
+  scenario("multi-hop MERGE creates one node per chain position", g,
+    "MERGE (x:X {k: 1})-[r1:T]->(y:Y)-[r2:T2]->(z:Z {k: 3}) " +
+      "WITH count(*) AS c MATCH (n) RETURN count(n) AS x", value(6L))
+  scenario("multi-hop re-MERGE matches the first's writes", g,
+    "MERGE (x:X {k: 1})-[r1:T]->(y:Y)-[r2:T2]->(z:Z) " +
+      "MERGE (x2:X {k: 1})-[s1:T]->(y2:Y)-[s2:T2]->(z2:Z) " +
+      "WITH count(*) AS c MATCH (m:Y) RETURN count(m) AS x", value(1L))
+  scenario("all-or-nothing across hops: existing first hop is not reused", g,
+    // (a)-[:KNOWS]->(b) exists, but the full 2-hop chain does not, so the
+    // whole chain — including fresh :A and :B nodes — is created
+    "MERGE (p:A {name: 'a'})-[r:KNOWS {since: 2010}]->" +
+      "(q:B {name: 'b'})-[r2:NEXT]->(t:End) " +
+      "WITH count(*) AS c MATCH (n) RETURN count(n) AS x", value(6L))
+  scenario("bound middle node with mixed arrow directions", g,
+    "MATCH (b:B {name: 'b'}) MERGE (x:X2)-[r1:T]->(b)<-[r2:T2]-(z:Z2) " +
+      "WITH count(*) AS c MATCH (:X2)-->(m:B)<--(:Z2) " +
+      "RETURN m.name AS x", value("b"))
+  scenario("cyclic chain reuses the repeated unbound var's node", g,
+    "MERGE (a:Ring {k: 1})-[r1:RN]->(b:Ring2)-[r2:RN]->(a) " +
+      "WITH count(*) AS c MATCH (m:Ring)-[:RN]->(:Ring2)-[:RN]->(m) " +
+      "RETURN count(m) AS x", value(1L))
+  scenario("all-bound multi-hop MERGE creates only relationships", g,
+    "MATCH (a:A {name: 'a'}), (b:B {name: 'b'}) " +
+      "MERGE (a)-[r1:L1]->(b)-[r2:L2]->(a) " +
+      "WITH count(*) AS c MATCH (n) RETURN count(n) AS x", value(3L))
+  scenario("ON CREATE SET reaches a middle chain node", g,
+    "MERGE (x:X)-[r1:T]->(y:Y)-[r2:T2]->(z:Z) ON CREATE SET y.fresh = 1 " +
+      "RETURN y.fresh AS x", value(1L))
+  scenario("chain MERGE after a shorter MERGE recreates the prefix", g,
+    "MERGE (x:PX {k: 1})-[:H1]->(y:PY {k: 2}) " +
+      "MERGE (x2:PX {k: 1})-[:H1]->(y2:PY {k: 2})-[:H2]->(z:PZ) " +
+      "WITH count(*) AS c MATCH (m:PX) RETURN count(m) AS x", value(2L))
+
   // ------------------------------------------------------------ errors
   errorScenario("row-dependent property on an unbound endpoint", g,
     "MATCH (n:A) MERGE (x:X {k: n.num})-[r:T]->(y:Y) RETURN 1 AS x",
@@ -107,4 +144,10 @@ class TckStyleSpec18 extends TckScenarioBase {
   errorScenario("row-dependent property on the relationship", g,
     "MATCH (n:A) MERGE (x:X)-[r:T {w: n.num}]->(y:Y) RETURN 1 AS x",
     SemanticError, UnsupportedExpression)
+  errorScenario("repeated relationship variable in a MERGE chain", g,
+    "MERGE (a:X)-[r:T]->(b:Y)<-[r:T]-(c:Z) RETURN 1 AS x",
+    SyntaxError, VariableAlreadyBound)
+  errorScenario("var-length relationship in MERGE", g,
+    "MERGE (a:X)-[r:T*1..2]->(b:Y) RETURN 1 AS x",
+    SyntaxError, CreatingVarLength)
 }
