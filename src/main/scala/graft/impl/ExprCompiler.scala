@@ -296,6 +296,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case _: String => StringType
     case _: Boolean => BooleanType
     case s: Seq[_] => ArrayType(s.headOption.map(litType).getOrElse(NullType))
+    case m: scala.collection.Map[_, _] =>
+      StructType(m.toSeq.map { case (k, x) =>
+        StructField(k.toString, litType(x)) })
     case _ => NullType
   }
 
@@ -795,6 +798,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
 
   private def litAny(v: Any): Column = v match {
     case s: Seq[_] => array(s.map(litAny): _*)
+    case m: scala.collection.Map[_, _] =>
+      // Map parameters become structs (the engine's map representation),
+      // so `$props` works in value position and in SET n += $props.
+      struct(m.toSeq.map { case (k, x) => litAny(x).as(k.toString) }: _*)
     case other => lit(other)
   }
 

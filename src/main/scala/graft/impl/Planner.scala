@@ -2459,8 +2459,36 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     items.foreach {
       case SetProp(v, k, e) => ctx = applySetProp(ctx, v, k, e, onlyWhen)
       case SetLabel(v, ls) => ctx = applySetLabels(ctx, v, ls, remove = false)
-      case SetAllProps(v, MapLit(entries), additive) =>
+      case SetAllProps(v, m, additive) =>
         beginWrites()
+        val entries: Seq[(String, Expr)] = m match {
+          case MapLit(es) => es
+          case Var(src) if ctx.header.kindOf(src).exists {
+              case NodeKind(_) | RelKind(_) => true
+              case _ => false
+            } =>
+            // SET n = m / n += m with an entity source copies its
+            // properties (every prop slot the source carries).
+            ctx.header.ownedBy(src).collect {
+              case PropSlot(_, k) => k -> (Prop(Var(src), k): Expr)
+            }.sortBy(_._1)
+          case other =>
+            // Any struct-typed expression (properties(x), $param maps,
+            // map projections, CASE over map literals): the keys are the
+            // compile-time struct fields, each value stays per-row.
+            // True runtime-keyed maps cannot exist in this typed engine,
+            // so anything else stays a classified error.
+            val dt = ctx.df.limit(0)
+              .select(ctx.compiler.compile(other)).schema.head.dataType
+            dt match {
+              case st: StructType =>
+                st.fieldNames.toSeq.map(k => k -> (Prop(other, k): Expr))
+              case _ => throw new CypherCompileException(
+                s"SET $v ${if (additive) "+=" else "="} requires a map " +
+                  s"with compile-time keys, got ${Pretty.print(other)}",
+                CE.SemanticError, CE.UnsupportedExpression)
+            }
+        }
         if (!additive) {
           // `n = {..}`: clear every property not in the map first.
           val (_, kind) = writeTarget(ctx, v)
@@ -2476,9 +2504,6 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         entries.foreach { case (k, e) =>
           ctx = applySetProp(ctx, v, k, e, onlyWhen)
         }
-      case SetAllProps(v, other, _) => throw new CypherCompileException(
-        s"SET $v = requires a literal map, got ${Pretty.print(other)}",
-        CE.SemanticError, CE.UnsupportedExpression)
     }
     ctx
   }
@@ -2512,10 +2537,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // from the written state so a later RETURN observes the final value
     // (one id-keyed join per touched (var, key) pair).
     var ctx = ctx0
-    def setKeys(cs: Seq[Clause]): Seq[(String, String)] = cs.flatMap {
+    // A dynamic-map SET (n += properties(x)) has no syntactic key list:
+    // None marks "all keys", expanded below to every key the written
+    // tables of the var's kind carry (over-approximate but correct).
+    def setKeys(cs: Seq[Clause]): Seq[(String, Option[String])] = cs.flatMap {
       case SetClause(items) => items.flatMap {
-        case SetProp(v, k, _) => Seq((v, k))
-        case SetAllProps(v, MapLit(es), _) => es.map { case (k, _) => (v, k) }
+        case SetProp(v, k, _) => Seq((v, Some(k)))
+        case SetAllProps(v, MapLit(es), _) =>
+          es.map { case (k, _) => (v, Some(k)) }
+        case SetAllProps(v, _, _) => Seq((v, None))
         case _ => Seq.empty
       }
       case Merge(_, onCreate, onMatch) =>
@@ -2523,7 +2553,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case Foreach(_, _, inner) => setKeys(inner)
       case _ => Seq.empty
     }
-    setKeys(f.updates).distinct.foreach { case (v, k) =>
+    val touched = setKeys(f.updates).distinct.flatMap {
+      case (v, Some(k)) => Seq((v, k))
+      case (v, None) => ctx0.header.kindOf(v) match {
+        case Some(NodeKind(_)) =>
+          wNodes.flatMap(_.propTypes.keys).distinct.map((v, _))
+        case Some(RelKind(_)) =>
+          wRels.flatMap(_.propTypes.keys).distinct.map((v, _))
+        case _ => Seq.empty
+      }
+    }.distinct
+    touched.foreach { case (v, k) =>
       ctx0.header.kindOf(v) match {
         case Some(kind @ (NodeKind(_) | RelKind(_))) =>
           val tables = kind match {

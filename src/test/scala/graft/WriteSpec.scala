@@ -275,6 +275,15 @@ class WriteSpec extends SparkTestBase {
     assert(e.detail === CypherError.UnsupportedExpression)
   }
 
+  test("SET += a parameter map") {
+    val g2 = session.update(g,
+      "MATCH (p:Person {name: 'a'}) SET p += $props",
+      Map("props" -> Map("mood" -> "ok", "age" -> 31)))
+    assert(one(g2, "MATCH (p:Person {name: 'a'}) RETURN p.mood AS x") === "ok")
+    assert(one(g2, "MATCH (p:Person {name: 'a'}) RETURN p.age AS x") === 31L)
+    assert(one(g2, "MATCH (p:Person {name: 'b'}) RETURN p.mood AS x") === null)
+  }
+
   // ------------------------------------------------- pipelines & guards
   test("write clauses chain within one query") {
     val g2 = session.update(g,
