@@ -247,8 +247,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
            "percentilecont" | "percentiledisc" => Some(DoubleType)
       case "toboolean" | "exists" => Some(BooleanType)
       case "labels" | "keys" | "split" => Some(ArrayType(StringType))
-      case "date" => Some(DateType)
-      case "localdatetime" | "datetime" => Some(TimestampType)
+      case "date" | "date.truncate" => Some(DateType)
+      case "localdatetime" | "datetime" | "datetime.truncate" |
+           "localdatetime.truncate" | "datetime.fromepoch" |
+           "datetime.fromepochmillis" => Some(TimestampType)
+      case "duration.between" | "duration.inmonths" | "duration.indays" |
+           "duration.inseconds" => Some(ExprCompiler.durationType)
       case "duration" => Some(StructType(Seq(
         StructField("months", LongType), StructField("days", LongType),
         StructField("micros", LongType))))
@@ -1138,6 +1142,77 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case other => throw new CypherCompileException(
           s"duration() expects a map or string literal, got $other")
       }
+
+      // ---- namespaced temporal functions (TemporalTests.scala parity) ----
+      // duration.between/inMonths/inDays/inSeconds(a, b): the (months, days,
+      // micros) decomposition between two temporal instants. Calendar months
+      // are counted via add_months with day-of-month clamping (Jan 31 + 1M =
+      // Feb 28), matching Neo4j; the field-difference estimate can overshoot
+      // by at most one month, so a single adjustment suffices.
+      case "duration.between" | "duration.inmonths" | "duration.indays" |
+           "duration.inseconds" =>
+        val ta = a0.cast(TimestampType)
+        val tb = a1.cast(TimestampType)
+        val ua = F.unix_micros(ta)
+        val ub = F.unix_micros(tb)
+        val dayUs = 86400000000L
+        // Integer division truncating toward zero (Column./ is double div).
+        def quot(x: Column, y: Long): Column = call_function("div", x, lit(y))
+        val todA = ua - F.unix_micros(ta.cast(DateType).cast(TimestampType))
+        def candUs(m: Column): Column =
+          F.unix_micros(F.add_months(ta.cast(DateType), m)
+            .cast(TimestampType)) + todA
+        lazy val fullMonths: Column = {
+          val m0 = (F.year(tb) - F.year(ta)) * 12 + (F.month(tb) - F.month(ta))
+          when(ub >= ua && candUs(m0) > ub, m0 - 1)
+            .when(ub < ua && candUs(m0) < ub, m0 + 1)
+            .otherwise(m0).cast(LongType)
+        }
+        val result = name match {
+          case "duration.inseconds" =>
+            struct(lit(0L).as("months"), lit(0L).as("days"),
+              (ub - ua).as("micros"))
+          case "duration.indays" =>
+            struct(lit(0L).as("months"), quot(ub - ua, dayUs).as("days"),
+              lit(0L).as("micros"))
+          case "duration.inmonths" =>
+            struct(fullMonths.as("months"), lit(0L).as("days"),
+              lit(0L).as("micros"))
+          case _ =>
+            val m = fullMonths
+            val deltaD = ub - candUs(m.cast(IntegerType))
+            struct(m.as("months"), quot(deltaD, dayUs).as("days"),
+              (deltaD % dayUs).as("micros"))
+        }
+        when(a0.isNull || a1.isNull,
+          lit(null).cast(ExprCompiler.durationType)).otherwise(result)
+
+      // datetime/localdatetime/date.truncate(unit, temporal): unit must be a
+      // literal; maps onto Spark's date_trunc (week truncates to Monday in
+      // both). Units outside Spark's set (millennium/century/decade/weekYear)
+      // are rejected as classified errors rather than silently misrounded.
+      case "datetime.truncate" | "localdatetime.truncate" | "date.truncate" =>
+        val unit = args(0) match {
+          case StrLit(u) => u.toLowerCase
+          case other => throw new CypherCompileException(
+            s"$name unit must be a string literal, got $other",
+            CE.ArgumentError, CE.InvalidArgumentType)
+        }
+        val supported = Set("year", "quarter", "month", "week", "day",
+          "hour", "minute", "second", "millisecond", "microsecond")
+        if (!supported(unit)) throw new CypherCompileException(
+          s"unsupported truncation unit '$unit'",
+          CE.ArgumentError, CE.InvalidArgumentValue)
+        val t = F.date_trunc(unit, a1.cast(TimestampType))
+        if (name == "date.truncate") t.cast(DateType) else t
+
+      case "datetime.fromepoch" =>
+        val nanos =
+          if (args.length >= 2) call_function("div", a1.cast(LongType), lit(1000L))
+          else lit(0L)
+        F.timestamp_micros(a0.cast(LongType) * 1000000L + nanos)
+      case "datetime.fromepochmillis" =>
+        F.timestamp_millis(a0.cast(LongType))
 
       // ---- bitwise (Expr.scala :916-949) ----
       case "shiftleft" => call_function("shiftleft", a0, a1)

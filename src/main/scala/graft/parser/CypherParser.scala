@@ -10,6 +10,11 @@ import graft.ast._
 object CypherParser {
   def parse(query: String): Query = new Parser(Lexer.tokenize(query)).parseQuery()
 
+  /** Temporal type names that form namespaced function calls
+    * (`duration.between(...)`, `datetime.truncate(...)`). */
+  private val temporalNamespaces: Set[String] =
+    Set("duration", "date", "datetime", "localdatetime", "time", "localtime")
+
   // ------------------------------------------------------------------ lexer
   sealed trait Tok { def pos: Int }
   case class Ident(s: String, pos: Int) extends Tok      // bare or `quoted`
@@ -124,6 +129,7 @@ object CypherParser {
     private var p = 0
     private def peek: Tok = toks(p)
     private def peek2: Tok = if (p + 1 < toks.length) toks(p + 1) else toks.last
+    private def tokAt(i: Int): Tok = if (i < toks.length) toks(i) else toks.last
     private def advance(): Tok = { val t = toks(p); p += 1; t }
     private def fail(msg: String): Nothing =
       throw new CypherParseException(s"$msg near offset ${peek.pos} (token $peek)")
@@ -848,6 +854,26 @@ object CypherParser {
           }
         case Punct("{", _) =>
           MapLit(parsePropMap())
+        // Namespaced temporal functions (duration.between, datetime.truncate,
+        // …): `ns . member (` where ns is a temporal type name. Plain
+        // property access can never be followed by `(` in Cypher, so the
+        // 4-token lookahead is unambiguous.
+        case Ident(ns, _)
+            if CypherParser.temporalNamespaces(ns.toLowerCase) &&
+              (peek2 match { case Punct(".", _) => true; case _ => false }) &&
+              (tokAt(p + 2) match { case Ident(_, _) => true; case _ => false }) &&
+              (tokAt(p + 3) match { case Punct("(", _) => true; case _ => false }) =>
+          val member = tokAt(p + 2).asInstanceOf[Ident].s
+          p += 4
+          val full = s"${ns.toLowerCase}.${member.toLowerCase}"
+          if (isPunct(")")) { p += 1; FuncCall(full, Seq.empty, distinct = false) }
+          else {
+            val args = Seq.newBuilder[Expr]
+            args += parseExpr()
+            while (tryPunct(",")) args += parseExpr()
+            eatPunct(")")
+            FuncCall(full, args.result(), distinct = false)
+          }
         case Ident(name, _) if peek2 == Punct("(", peek2.pos) =>
           p += 2
           if (tryPunct("*")) { eatPunct(")"); CountStar } // e.g. size(*) guard
