@@ -2028,7 +2028,6 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         "CALL { } must end in RETURN",
         CE.SyntaxError, CE.InvalidSyntax)
     }
-    if (ret.star) unsupported("RETURN *")
     val clauses = body.init
 
     def checkClash(names: Iterable[String]): Unit = names.foreach { n =>
@@ -2044,7 +2043,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         case c if isReadingClause(c) => sub = planReadingClause(sub, c)
         case other => unsupported(s"clause ${other.getClass.getSimpleName}")
       }
-      val (done, outs) = planProjection(sub, ret.distinct, star = false,
+      if (ret.star && sub.header.kinds.isEmpty) throw new CypherCompileException(
+        "CALL { } RETURN * with no variables in scope",
+        CE.SyntaxError, CE.InvalidSyntax)
+      val (done, outs) = planProjection(sub, ret.distinct, star = ret.star,
         ret.items, ret.orderBy, ret.skip, ret.limit, None)
       checkClash(done.header.kinds.keys)
       if (ctx0.isUnit) done
@@ -2080,34 +2082,65 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         case u: Unwind => sub = planReadingClause(sub, u)
         // Intermediate WITH: append the row id to the projection so an
         // aggregating WITH groups PER DRIVING ROW and a plain/DISTINCT
-        // WITH keeps the correlation key. Per-row SKIP/LIMIT inside an
-        // intermediate WITH would need its own window; not supported.
+        // WITH keeps the correlation key. SKIP/LIMIT select per driving
+        // row via a window on the row id (ORDER BY must then reference
+        // projected items — the pre-projection scope is gone once the
+        // window applies).
         case w: With =>
-          if (w.skip.nonEmpty || w.limit.nonEmpty) unsupported(
-            "SKIP/LIMIT in an intermediate WITH of a correlated subquery")
-          sub = planProjection(sub, w.distinct, w.star,
-            w.items :+ ReturnItem(Var(rowVar), None),
-            w.orderBy, None, None, w.where)._1
+          if (w.skip.isEmpty && w.limit.isEmpty)
+            sub = planProjection(sub, w.distinct, w.star,
+              w.items :+ ReturnItem(Var(rowVar), None),
+              w.orderBy, None, None, w.where)._1
+          else {
+            val proj = planProjection(sub, w.distinct, w.star,
+              w.items :+ ReturnItem(Var(rowVar), None),
+              Seq.empty, None, None, w.where)._1
+            sub = perRowOrderSkipLimit(proj,
+              proj.header.col(ValueSlot(rowVar)), w.orderBy, w.skip, w.limit,
+              projExprAliases(w.items))
+          }
         case other => unsupported(
           s"clause ${other.getClass.getSimpleName} in a correlated subquery")
       }
-      val aggregating = ret.items.exists(i => sub.compiler.hasAggregation(i.expr))
+      // RETURN * in a correlated body exports the body-local variables —
+      // imports are excluded (they are already bound outside, so including
+      // them would make * always clash; documented in tck_blacklist.md).
+      val retItems =
+        if (!ret.star) ret.items
+        else {
+          val starVars = sub.header.kinds.keys.toSeq.sorted
+            .filterNot(_.startsWith("_a")).filterNot(imports.contains)
+          if (starVars.isEmpty && ret.items.isEmpty) throw new CypherCompileException(
+            "CALL { } RETURN * with no body-local variables in scope",
+            CE.SyntaxError, CE.InvalidSyntax)
+          starVars.map(v => ReturnItem(Var(v), None)) ++ ret.items
+        }
+      val ret2 = ret.copy(items = retItems)
+      val aggregating = retItems.exists(i => sub.compiler.hasAggregation(i.expr))
       if (aggregating) {
-        if (ret.orderBy.nonEmpty || ret.skip.nonEmpty || ret.limit.nonEmpty)
-          unsupported("ORDER BY / SKIP / LIMIT on an aggregating " +
-            "correlated subquery")
-        val items2 = ReturnItem(Var(rowVar), None) +: ret.items
-        val (agg, _) = planProjection(sub, distinct = false, star = false,
+        val items2 = ReturnItem(Var(rowVar), None) +: retItems
+        val (agg0, _) = planProjection(sub, distinct = false, star = false,
           items2, Seq.empty, None, None, None)
-        checkClash(agg.header.kinds.keys.filterNot(_ == rowVar))
+        checkClash(agg0.header.kinds.keys.filterNot(_ == rowVar))
+        // ORDER BY/SKIP/LIMIT on an aggregating body page through the
+        // per-driving-row GROUPS (meaningful when the body has grouping
+        // keys; a global aggregate has one row per driving row anyway).
+        val agg = perRowOrderSkipLimit(agg0,
+          agg0.header.col(ValueSlot(rowVar)), ret2.orderBy, ret2.skip,
+          ret2.limit, projExprAliases(retItems))
         val aggKey = agg.header.col(ValueSlot(rowVar))
         val outerKey = keyed.header.col(rowSlot)
+        // With grouping keys an empty per-row group yields no subquery rows,
+        // so the driving row drops (inner); a global aggregate always yields
+        // one row — empty groups surface as nulls (left + count/sum zeros).
+        val grouped = retItems.exists(i => !sub.compiler.hasAggregation(i.expr))
         // Rename the agg side's key so the equi-join condition is unambiguous.
         val aggDf = agg.df.withColumnRenamed(aggKey, "_cs_k")
-        var df = keyed.df.join(aggDf, col(outerKey) === col("_cs_k"), "left")
+        var df = keyed.df.join(aggDf, col(outerKey) === col("_cs_k"),
+          if (grouped) "inner" else "left")
           .drop("_cs_k")
         // Aggregates over an empty per-row group: count/sum read 0.
-        ret.items.foreach { i =>
+        retItems.foreach { i =>
           val zeroish = i.expr match {
             case CountStar => true
             case FuncCall(n, _, _) => n == "count" || n == "sum"
@@ -2129,7 +2162,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         // driving rows with no body rows drop out (CALL{} semantics).
         var df = sub.df
         var newHeader = RecordHeader.empty
-        ret.items.foreach { i =>
+        retItems.foreach { i =>
           val display = i.alias.getOrElse(Pretty.print(i.expr))
           i.expr match {
             case Var(n) if sub.header.kinds.contains(n) &&
@@ -2999,6 +3032,39 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val temps = (nodeIdCol.values ++ relIdNew.values).toSeq ++
       (nodeProps.values.flatten ++ relProps.values.flatten).map(_._2).toSeq
     Ctx(df.drop(temps.distinct: _*), header)
+  }
+
+  /** ORDER BY may repeat a projected expression (ORDER BY count(*)); map it
+    * to the computed output column (planProjection's aliasMap convention). */
+  private def projExprAliases(items: Seq[ReturnItem]): Map[Expr, String] =
+    items.collect {
+      case ReturnItem(e, alias) if !e.isInstanceOf[Var] =>
+        e -> RecordHeader.colName(ValueSlot(alias.getOrElse(Pretty.print(e))))
+    }.toMap
+
+  /** Per-driving-row ORDER BY/SKIP/LIMIT inside a correlated CALL { }: a
+    * row_number window partitioned on the synthetic row id replaces the
+    * global sort+offset+limit. ORDER BY alone is a no-op (row order cannot
+    * survive the re-join), so the window only materializes for SKIP/LIMIT. */
+  private def perRowOrderSkipLimit(ctx: Ctx, rowCol: String,
+      orderBy: Seq[SortItem], skip: Option[Expr], limit: Option[Expr],
+      exprAliases: Map[Expr, String]): Ctx = {
+    if (skip.isEmpty && limit.isEmpty) return ctx
+    val sortCols = orderBy.map { s =>
+      val c = exprAliases.get(s.expr).map(col)
+        .getOrElse(ctx.compiler.compile(s.expr))
+      if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(rowCol))
+      .orderBy((if (sortCols.nonEmpty) sortCols
+        else Seq(lit(1))): _*) // SKIP/LIMIT without ORDER BY: arbitrary rows
+    val lo = skip.map(e => evalInt(e, "SKIP")).getOrElse(0)
+    val hi = limit.map(e => evalInt(e, "LIMIT"))
+    ctx.copy(df = ctx.df.withColumn("_cs_rn", row_number().over(w))
+      .filter(col("_cs_rn") > lo &&
+        hi.map(h => col("_cs_rn") <= lo + h).getOrElse(lit(true)))
+      .drop("_cs_rn"))
   }
 
   private def applyOrderSkipLimit(ctx0: Ctx, orderBy: Seq[SortItem],

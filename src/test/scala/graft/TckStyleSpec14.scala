@@ -103,10 +103,29 @@ class TckStyleSpec14 extends TckScenarioBase {
     "MATCH (n) CALL { WITH n MATCH (n)-->(m) " +
       "RETURN m.name AS t ORDER BY t LIMIT 1 } RETURN n.name AS x, t",
     rows(Map("x" -> "a", "t" -> "b"), Map("x" -> "b", "t" -> "c")))
-  errorScenario("aggregating correlated subquery with LIMIT", g,
+  scenario("aggregating correlated subquery with LIMIT (one row per group)", g,
     "MATCH (n) CALL { WITH n MATCH (n)-->(m) " +
-      "RETURN count(*) AS c LIMIT 1 } RETURN c AS x",
-    SemanticError, UnsupportedExpression)
+      "RETURN count(*) AS c LIMIT 1 } RETURN n.name AS x, c",
+    rows(Map("x" -> "a", "c" -> 2L), Map("x" -> "b", "c" -> 1L),
+      Map("x" -> "c", "c" -> 0L)))
+  scenario("grouped aggregating body pages groups per driving row", g,
+    "MATCH (n) CALL { WITH n MATCH (n)-->(m) " +
+      "RETURN m.name AS t, count(*) AS c ORDER BY t DESC LIMIT 1 } " +
+      "RETURN n.name AS x, t, c",
+    rows(Map("x" -> "a", "t" -> "c", "c" -> 1L),
+      Map("x" -> "b", "t" -> "c", "c" -> 1L)))
+  scenario("grouped aggregating body SKIPs groups per driving row", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) " +
+      "RETURN m.name AS t, count(*) AS c ORDER BY t SKIP 1 } " +
+      "RETURN t AS x", value("c"))
+  scenario("grouped aggregating body with no groups drops the driving row", g,
+    "MATCH (n:C) CALL { WITH n MATCH (n)-->(m) " +
+      "RETURN m.name AS t, count(*) AS c } RETURN n.name AS x, t",
+    Seq.empty)
+  scenario("grouped body orders groups by the aggregate itself", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-[r]->(m) " +
+      "RETURN m.name AS t, count(r) AS c ORDER BY count(r) DESC, t LIMIT 1 } " +
+      "RETURN t AS x", value("b"))
   errorScenario("uncorrelated subquery referencing outer scope", g,
     "MATCH (n) CALL { MATCH (m) WHERE m.num = n.num RETURN m.name AS t } " +
       "RETURN t AS x",

@@ -55,10 +55,43 @@ class TckStyleSpec17 extends TckScenarioBase {
       "CALL { WITH n MATCH (m) WHERE m.num = other.num " +
       "RETURN m.name AS t } RETURN t AS x",
     SyntaxError, UndefinedVariable)
-  errorScenario("intermediate WITH with LIMIT stays unsupported", g,
-    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) WITH m LIMIT 1 " +
-      "RETURN m.name AS t } RETURN t AS x",
-    SemanticError, UnsupportedExpression)
+  scenario("intermediate WITH LIMIT selects per driving row", g,
+    "MATCH (n) CALL { WITH n MATCH (n)-->(m) " +
+      "WITH m ORDER BY m.name LIMIT 1 RETURN m.name AS t } " +
+      "RETURN n.name AS x, t",
+    rows(Map("x" -> "a", "t" -> "b"), Map("x" -> "b", "t" -> "c")))
+  scenario("intermediate WITH SKIP drops per driving row", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) " +
+      "WITH m ORDER BY m.name SKIP 1 RETURN m.name AS t } RETURN t AS x",
+    value("c"))
+  scenario("intermediate WITH LIMIT feeds a per-row aggregate", g,
+    "MATCH (n) CALL { WITH n MATCH (n)-->(m) " +
+      "WITH m ORDER BY m.name LIMIT 1 RETURN count(m) AS c } " +
+      "RETURN n.name AS x, c",
+    rows(Map("x" -> "a", "c" -> 1L), Map("x" -> "b", "c" -> 1L),
+      Map("x" -> "c", "c" -> 0L)))
+  scenario("intermediate WITH LIMIT on a computed projection", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) " +
+      "WITH m.name AS nm ORDER BY nm DESC LIMIT 1 RETURN nm AS t } " +
+      "RETURN t AS x", value("c"))
+
+  // ---------------------------------------------- RETURN * in CALL { }
+  scenario("uncorrelated RETURN * exports the body variables", g,
+    "CALL { MATCH (n:A) RETURN * } RETURN n.name AS x", value("a"))
+  scenario("correlated RETURN * exports body-local variables only", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) RETURN * } " +
+      "RETURN n.name AS x, m.name AS y",
+    rows(Map("x" -> "a", "y" -> "b"), Map("x" -> "a", "y" -> "c")))
+  scenario("correlated RETURN * keeps entity semantics on exports", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-[r]->(m:B) RETURN * } " +
+      "RETURN type(r) AS x", value("KNOWS"))
+  errorScenario("uncorrelated RETURN * with empty scope", g,
+    "MATCH (n:A) CALL { RETURN * } RETURN n.name AS x",
+    SyntaxError, InvalidSyntax)
+  errorScenario("RETURN * still clashes with outer bindings", g,
+    "MATCH (n:A), (m:B) CALL { WITH n MATCH (n)-->(m) RETURN * } " +
+      "RETURN m.name AS x",
+    SyntaxError, VariableAlreadyBound)
 
   // ----------------------------------------- CALL { } after writes
   scenario("uncorrelated CALL after CREATE reads the written graph", g,
