@@ -30,6 +30,25 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic PII planted from doc_id (the synthetic corpus contains
+    * none); the DuckDB oracle rebuilds the identical text. */
+  private def plantedPii(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
+      col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+      lit("@example.com call "),
+      format_string("555-%03d-%04d",
+        pmod(col("doc_id"), lit(1000L)), pmod(col("doc_id"), lit(10000L))),
+      lit(" node 10.0."), pmod(col("doc_id"), lit(256L)).cast(StringType),
+      lit("."), pmod(col("doc_id"), lit(100L)).cast(StringType),
+      lit(" end")).as("text"))
+
+  /** Three-line documents: body, a corpus-wide boilerplate footer, and a
+    * per-document unique line — the line-scrub fixture. */
+  private def multiLineDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat_ws("\n",
+      col("text"), lit("(c) corpus boilerplate footer"),
+      concat(lit("unique line "), col("doc_id").cast(StringType))).as("text"))
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
@@ -46,6 +65,13 @@ object PipelineQueries {
     * from_json (single parse + codegen'd struct access) rather than
     * get_json_object (per-access JSON-path engine re-parse). */
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  /** DuckDB rebuild of [[plantedPii]] — byte-identical text. */
+  private val plantedPiiSql: String =
+    """SELECT doc_id, text || ' contact user' || doc_id || '@example.com call ' ||
+         printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000) ||
+         ' node 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || ' end' AS text
+       FROM documents"""
 
   /** Exact near-duplicate ground truth the DuckDB oracle can rebuild
     * cheaply: pairs sharing a 64-char normalized prefix (the synthetic
@@ -237,6 +263,27 @@ object PipelineQueries {
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // --- scrubbing: PII, repetition, corpus boilerplate ---
+    // PII is planted deterministically from doc_id (the synthetic corpus has
+    // none) so the detectors exercise real matches the oracle can replay.
+    "q_pii_flag" -> ((s, dir) =>
+      Scrub.flagPii(plantedPii(docs(s, dir)), "doc_id", "text")),
+    "q_pii_scrub" -> ((s, dir) =>
+      Scrub.scrubPii(plantedPii(docs(s, dir)), "doc_id", "text")
+        .select(col("doc_id"), col("n_redacted"),
+          md5(col("text")).as("scrub_hash"))),
+    "q_repetition" -> ((s, dir) =>
+      Scrub.repetitionStats(docs(s, dir), "doc_id", "text")),
+    "q_repetition_ngram" -> ((s, dir) =>
+      Scrub.topNgramFrac(docs(s, dir), "doc_id", "text", n = 2)),
+    // Boilerplate is planted as a shared footer line on every document plus
+    // a per-document unique line; the scrub must drop exactly the footer.
+    "q_line_scrub" -> ((s, dir) =>
+      Scrub.scrubRepeatedLines(multiLineDocs(docs(s, dir)), "doc_id", "text",
+          minCount = 10L)
+        .select(col("doc_id"), col("n_scrubbed"),
+          md5(concat_ws("\n", sort_array(split(col("text"), "\n"))))
+            .as("kept_hash"))),
     // --- multimodal (stubbed codec, real plumbing) ---
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -454,6 +501,52 @@ object PipelineQueries {
          FROM documents""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""",
+    "q_pii_flag" ->
+      ("WITH d AS (" + plantedPiiSql + ") " +
+        """SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+         FROM d"""),
+    "q_pii_scrub" ->
+      ("WITH d AS (" + plantedPiiSql + ") " +
+        """SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+             + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_redacted,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PII]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g')) AS scrub_hash
+         FROM d"""),
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+         wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         a AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS mx FROM wc GROUP BY 1)
+         SELECT doc_id, n AS n_words,
+           round(1 - nd / CAST(n AS DOUBLE), 4) AS dup_word_frac,
+           round(mx / CAST(n AS DOUBLE), 4) AS top_word_frac
+         FROM a""",
+    "q_repetition_ngram" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         i AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS idx FROM d WHERE len(ws) >= 2),
+         g AS (SELECT doc_id, len(ws) AS nw, ws[idx] || ' ' || ws[idx + 1] AS gram FROM i),
+         gc AS (SELECT doc_id, nw, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+         SELECT doc_id, nw AS n_words,
+           round(max(c) * 2.0 / nw, 4) AS top_ngram_frac
+         FROM gc GROUP BY 1, 2""",
+    "q_line_scrub" ->
+      """WITH d AS (SELECT doc_id, text || chr(10) || '(c) corpus boilerplate footer' || chr(10) || 'unique line ' || doc_id AS t FROM documents),
+         l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+         c AS (SELECT line, count(*) AS lc FROM l GROUP BY 1)
+         SELECT l.doc_id AS doc_id,
+           count(*) FILTER (WHERE c.lc >= 10) AS n_scrubbed,
+           md5(string_agg(CASE WHEN c.lc < 10 THEN l.line END, chr(10) ORDER BY l.line)) AS kept_hash
+         FROM l JOIN c USING (line)
+         GROUP BY 1""",
     "q_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
            round(sum(value), 4) AS sv

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-scrubbing operators for training-data curation: PII redaction,
+  * Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+  * Models" §A1.1), and C4-style corpus-level boilerplate line removal
+  * (Raffel et al. 2020 §2.2 — "we removed ... any line that appeared more
+  * than once in the dataset" generalized to a count threshold).
+  *
+  * All operators are pure column expressions or explode+groupBy shapes —
+  * codegen'd, partition-parallel, no UDFs. Regexes are RE2-compatible (no
+  * lookaround, no backreferences) so an external oracle can replay them. */
+object Scrub {
+
+  /** PII detectors, in scrub order. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** Per-category PII match counts (one derived column per category; the
+    * text column is scanned once per pattern, all codegen'd). */
+  def flagPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: piiPatterns.map { case (name, pat) =>
+      F.size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast(LongType).as(s"n_$name")
+    }: _*)
+
+  /** Redact every PII match with `token`, preserving the rest of the text.
+    * Emits the id, the scrubbed text (under the original column name) and
+    * the total redaction count. Counting happens on the ORIGINAL text —
+    * patterns are applied in `piiPatterns` order, and the replacement token
+    * is chosen to never re-match a later pattern. */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String,
+      token: String = "[PII]"): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat)) =>
+      regexp_replace(c, pat, token)
+    }
+    val total = piiPatterns.map { case (_, pat) =>
+      F.size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast(LongType)
+    }.reduce(_ + _)
+    df.select(col(idCol), scrubbed.as(textCol), total.as("n_redacted"))
+  }
+
+  /** Word-level repetition signals (Gopher §A1.1 rules): total words,
+    * duplicate-word fraction (1 - distinct/total) and most-frequent-word
+    * fraction. One explode + two aggregations, keyed by document id — the
+    * first shuffle is the explode's repartition (small parquet files scan
+    * as one partition; see Dedup.scala perf note), the second is the
+    * per-(doc, word) count with map-side combine. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val words = df
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol),
+        explode(F.split(trim(col(textCol)), "\\s+")).as("_w"))
+    val wc = words.groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
+    wc.groupBy(col(idCol)).agg(
+        sum(col("_c")).as("_n"),
+        count(lit(1)).as("_nd"),
+        max(col("_c")).as("_mx"))
+      .select(col(idCol),
+        col("_n").as("n_words"),
+        round(lit(1.0) - col("_nd").cast(DoubleType) /
+          col("_n").cast(DoubleType), 4).as("dup_word_frac"),
+        round(col("_mx").cast(DoubleType) /
+          col("_n").cast(DoubleType), 4).as("top_word_frac"))
+  }
+
+  /** Fraction of words covered by the most frequent word n-gram (the
+    * Gopher top-2-gram/top-3-gram/top-4-gram rules). Explode positions +
+    * codegen slice/concat — the interpreted-HOF form (transform over the
+    * word array) measured an order of magnitude slower on this engine. */
+  def topNgramFrac(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    val spark = df.sparkSession
+    // Documents with fewer than n words have no n-grams and emit no row
+    // (also keeps the invalid descending `sequence` out of the plan — it
+    // throws rather than yielding empty, see ExprCompiler "range").
+    val arr = df
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol), F.split(trim(col(textCol)), "\\s+").as("_ws"))
+      .filter(F.size(col("_ws")) >= n)
+    val grams = arr
+      .select(col(idCol), col("_ws"), F.size(col("_ws")).cast(LongType).as("_nw"),
+        explode(sequence(lit(1), F.size(col("_ws")) - (n - 1))).as("_i"))
+      .select(col(idCol), col("_nw"),
+        concat_ws(" ", F.slice(col("_ws"), col("_i"), lit(n))).as("_g"))
+    grams.groupBy(col(idCol), col("_nw"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol), col("_nw"))
+      .agg(max(col("_c")).as("_mx"))
+      .select(col(idCol), col("_nw").as("n_words"),
+        // Gopher's rule: fraction of WORDS covered by the top n-gram.
+        round(col("_mx").cast(DoubleType) * n /
+          col("_nw").cast(DoubleType), 4).as("top_ngram_frac"))
+  }
+
+  /** C4-style corpus-level line scrub: drop every line occurring at least
+    * `minCount` times across the corpus (boilerplate headers/footers,
+    * cookie banners). Returns the id, the scrubbed text in original line
+    * order (under the original column name) and the per-document count of
+    * removed lines. Shape: one posexplode, one line-count shuffle, one
+    * join back, one per-doc aggregation — every step keyed, nothing
+    * quadratic, so the plan survives a 100-TB corpus (the line-count join
+    * is the canonical C4 implementation). */
+  def scrubRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    val spark = df.sparkSession
+    val lines = df
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol), posexplode(F.split(col(textCol), "\n"))
+        .as(Seq("_pos", "_line")))
+    val counts = lines.groupBy(col("_line")).agg(count(lit(1)).as("_lc"))
+    val joined = lines.join(counts, Seq("_line"))
+    joined.groupBy(col(idCol)).agg(
+        concat_ws("\n", F.transform(
+          array_sort(collect_list(when(col("_lc") < minCount,
+            struct(col("_pos"), col("_line"))))),
+          x => x.getField("_line"))).as(textCol),
+        sum(when(col("_lc") >= minCount, 1L).otherwise(0L)).as("n_scrubbed"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Correctness tests for the pipeline operators whose outputs the DuckDB
@@ -251,5 +251,81 @@ class PipelineSpec extends SparkTestBase {
     assert(feats.rdd.getNumPartitions > 1,
       s"expected repartition before mapPartitions, got ${feats.rdd.getNumPartitions}")
     assert(feats.count() === 6)
+  }
+
+  // ------------------------------------------------------------ scrubbing
+
+  lazy val piiDocs = Seq(
+    (0L, "mail alice.smith@corp.example.org or bob@x.io today"),
+    (1L, "call 555-867-5309 or 555.123.4567 from 192.168.0.1"),
+    (2L, "ssn 123-45-6789 plain text without anything else"),
+    (3L, "nothing sensitive here at all")
+  ).toDF("doc_id", "text")
+
+  test("PII flagging counts each category") {
+    val got = Scrub.flagPii(piiDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) === ((2L, 0L, 0L, 0L)), "two emails")
+    assert(got(1L) === ((0L, 2L, 1L, 0L)), "two phones, one ip")
+    assert(got(2L) === ((0L, 0L, 0L, 1L)), "one ssn")
+    assert(got(3L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("PII scrub redacts matches and counts them") {
+    val got = Scrub.scrubPii(piiDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(0L)._1 === "mail [PII] or [PII] today")
+    assert(got(0L)._2 === 2L)
+    assert(got(1L)._1 === "call [PII] or [PII] from [PII]")
+    assert(got(2L)._1 === "ssn [PII] plain text without anything else")
+    assert(got(3L) === (("nothing sensitive here at all", 0L)))
+  }
+
+  test("repetition stats measure duplicate and top-word fractions") {
+    val d = Seq((0L, "a a a b"), (1L, "w x y z")).toDF("doc_id", "text")
+    val got = Scrub.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0L) === ((4L, 0.5, 0.75))) // 2 distinct of 4; "a" covers 3/4
+    assert(got(1L) === ((4L, 0.0, 0.25)))
+  }
+
+  test("top n-gram fraction follows the Gopher word-coverage rule") {
+    // "a b a b a" bigrams: (a b)x2, (b a)x2 -> top covers 2*2/5 words.
+    val d = Seq((0L, "a b a b a"), (1L, "p q")).toDF("doc_id", "text")
+    val got = Scrub.topNgramFrac(d, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L) === ((5L, 0.8)))
+    assert(got(1L) === ((2L, 1.0)))
+    // a one-word document has no bigrams and emits no row
+    val one = Scrub.topNgramFrac(Seq((9L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2)
+    assert(one.count() === 0)
+  }
+
+  test("corpus line scrub drops repeated lines, keeps order") {
+    val d = Seq(
+      (0L, "unique head\nSHARED FOOTER\nbody zero"),
+      (1L, "body one\nSHARED FOOTER\nunique tail"),
+      (2L, "SHARED FOOTER\nbody two\nSHARED FOOTER")
+    ).toDF("doc_id", "text")
+    val got = Scrub.scrubRepeatedLines(d, "doc_id", "text", minCount = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(0L) === (("unique head\nbody zero", 1L)))
+    assert(got(1L) === (("body one\nunique tail", 1L)))
+    assert(got(2L) === (("body two", 2L)), "both footer copies removed")
+    // below the threshold nothing is scrubbed
+    val none = Scrub.scrubRepeatedLines(d, "doc_id", "text", minCount = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("scrub explode paths spread a single-partition input") {
+    val one = docs.coalesce(1)
+    assert(Scrub.repetitionStats(one, "doc_id", "text")
+      .rdd.getNumPartitions > 1)
+    assert(Scrub.scrubRepeatedLines(one, "doc_id", "text", 2L)
+      .rdd.getNumPartitions > 1)
   }
 }
