@@ -117,7 +117,7 @@ case class CallProc(name: String, args: Seq[Expr],
 /** CALL { [WITH imports] ... RETURN ... }: a subquery executed once per
   * driving row (correlated via the importing WITH) or once in total
   * (uncorrelated). Beyond-parity — the reference has no subquery clause. */
-case class CallSubquery(inner: SingleQuery) extends Clause
+case class CallSubquery(inner: Query) extends Clause
 
 /** SET item inside CONSTRUCT or a SET write clause: property assignment,
   * label addition, or whole-map assignment (`n = {..}` / `n += {..}`). */

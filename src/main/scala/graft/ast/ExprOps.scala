@@ -127,7 +127,8 @@ object ExprOps {
     case CallSubquery(inner) =>
       // Over-approximate with everything the inner query references —
       // only its importing WITH actually reads outer scope.
-      Some(inner.clauses.flatMap(clauseRefs(_).getOrElse(Set.empty)).toSet)
+      Some((inner.first +: inner.rest.map(_._2))
+        .flatMap(_.clauses.flatMap(clauseRefs(_).getOrElse(Set.empty))).toSet)
   }
 
   private def setItemRefs(s: SetItem): Set[String] = s match {

@@ -2011,7 +2011,45 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * Catalyst sees one join tree, not N subplans) and keys per-row
     * aggregation by a pinned synthetic row id — the same shape as pattern
     * comprehensions, generalized to a full subquery. */
-  private def planCallSubquery(ctx0: Ctx, inner: SingleQuery): Ctx = {
+  private def planCallSubquery(ctx0: Ctx, inner: Query): Ctx = {
+    if (inner.rest.isEmpty) planCallArm(ctx0, inner.first, None)
+    else {
+      // UNION body: every arm (each with its own importing WITH, per
+      // openCypher) shares ONE pinned row-id frame, so arm results are
+      // driving ⋈ arm-output rows carrying the row id. Join distributes
+      // over union, so unioning the joined arms equals joining the unioned
+      // subquery output — and the row id scopes UNION's distinct to each
+      // driving row even when outer rows are value-identical.
+      val rowVar = freshVar()
+      val rowSlot = ValueSlot(rowVar)
+      val keyed = Ctx(
+        Pin(ctx0.df.withColumn(RecordHeader.colName(rowSlot),
+          monotonically_increasing_id())),
+        ctx0.header.withSlot(rowSlot).withVar(rowVar, ValueKind))
+      val arms = inner.first +: inner.rest.map(_._2)
+      val results = arms.map(sq => planCallArm(ctx0, sq, Some((keyed, rowVar))))
+      def outNames(c: Ctx): Seq[String] =
+        (c.header.kinds.keySet -- keyed.header.kinds.keySet).toSeq.sorted
+      val firstNames = outNames(results.head)
+      val combined = inner.rest.map(_._1).zip(results.tail)
+        .foldLeft(results.head) { case (acc, (all, r)) =>
+          if (outNames(r) != firstNames) throw new CypherCompileException(
+            "CALL { } UNION arms must return the same columns",
+            CE.SyntaxError, CE.DifferentColumnsInUnion)
+          val u = acc.df.unionByName(r.df, allowMissingColumns = true)
+          Ctx(if (all) u else u.dropDuplicates(), acc.header ++ r.header)
+        }
+      Ctx(combined.df.drop(RecordHeader.colName(rowSlot)),
+        RecordHeader(combined.header.slots.filterNot(_._1.owner == rowVar),
+          combined.header.kinds - rowVar))
+    }
+  }
+
+  /** One CALL { } arm. `keyedOpt` (UNION bodies) supplies a shared pinned
+    * row-id frame; the arm result then KEEPS the row-id column so the
+    * caller can union arms per driving row. */
+  private def planCallArm(ctx0: Ctx, inner: SingleQuery,
+      keyedOpt: Option[(Ctx, String)]): Ctx = {
     def unsupported(what: String): Nothing = throw new CypherCompileException(
       s"CALL { } $what is not supported",
       CE.SemanticError, CE.UnsupportedExpression)
@@ -2049,8 +2087,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val (done, outs) = planProjection(sub, ret.distinct, star = ret.star,
         ret.items, ret.orderBy, ret.skip, ret.limit, None)
       checkClash(done.header.kinds.keys)
-      if (ctx0.isUnit) done
-      else Ctx(ctx0.df.crossJoin(done.df), ctx0.header ++ done.header)
+      keyedOpt match {
+        // UNION arm: cross-join onto the shared keyed frame (row id kept).
+        case Some((keyed, _)) =>
+          Ctx(keyed.df.crossJoin(done.df), keyed.header ++ done.header)
+        case None =>
+          if (ctx0.isUnit) done
+          else Ctx(ctx0.df.crossJoin(done.df), ctx0.header ++ done.header)
+      }
     } else {
       imports.foreach { v =>
         if (!ctx0.header.kinds.contains(v)) throw new CypherCompileException(
@@ -2061,13 +2105,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       // ROW — one window keyed on the synthetic row id (non-aggregating
       // form only; an aggregate returns one row per group anyway).
       // Pinned synthetic row id: both the driving side and the aggregated
-      // side of the re-join must see the same generated values.
-      val rowVar = freshVar()
+      // side of the re-join must see the same generated values. UNION
+      // bodies pass the shared frame in so every arm sees the same ids.
+      val (keyed, rowVar) = keyedOpt.getOrElse {
+        val rv = freshVar()
+        val rs = ValueSlot(rv)
+        (Ctx(
+          Pin(ctx0.df.withColumn(RecordHeader.colName(rs),
+            monotonically_increasing_id())),
+          ctx0.header.withSlot(rs).withVar(rv, ValueKind)), rv)
+      }
       val rowSlot = ValueSlot(rowVar)
-      val keyed = Ctx(
-        Pin(ctx0.df.withColumn(RecordHeader.colName(rowSlot),
-          monotonically_increasing_id())),
-        ctx0.header.withSlot(rowSlot).withVar(rowVar, ValueKind))
       // Body input: the row id plus the IMPORTED vars only (openCypher
       // scoping — the body cannot see other outer bindings). The body's
       // result re-joins to the full outer frame on the row id at the end.
@@ -2152,10 +2200,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             df = df.withColumn(cName, F.coalesce(col(cName), lit(0L)))
           }
         }
-        val header = ctx0.header ++
-          RecordHeader(agg.header.slots.filterNot(_._1.owner == rowVar),
-            agg.header.kinds - rowVar)
-        Ctx(df.drop(keyed.header.col(rowSlot)), header)
+        val outHeader = RecordHeader(
+          agg.header.slots.filterNot(_._1.owner == rowVar),
+          agg.header.kinds - rowVar)
+        if (keyedOpt.isDefined) Ctx(df, keyed.header ++ outHeader)
+        else Ctx(df.drop(keyed.header.col(rowSlot)), ctx0.header ++ outHeader)
       } else {
         // Row-multiplying subquery: project the RETURN items per body row,
         // then re-join the (row id, items) frame onto the outer rows —
@@ -2211,7 +2260,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           .join(df.withColumnRenamed(rowCol, "_cs_k"),
             col(rowCol) === col("_cs_k"), "inner")
           .drop("_cs_k")
-        Ctx(joined.drop(rowCol), ctx0.header ++ newHeader)
+        if (keyedOpt.isDefined) Ctx(joined, keyed.header ++ newHeader)
+        else Ctx(joined.drop(rowCol), ctx0.header ++ newHeader)
       }
     }
   }

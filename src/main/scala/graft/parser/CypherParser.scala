@@ -193,9 +193,14 @@ object CypherParser {
           case Kw("USE", _, _) => p += 1; clauses += FromGraph(parseGraphRef())
           case Kw("CALL", _, _) if peek2 == Punct("{", peek2.pos) =>
             p += 2
-            val inner = parseSingleQuery()
+            val first = parseSingleQuery()
+            val unions = Seq.newBuilder[(Boolean, SingleQuery)]
+            while (tryKw("UNION")) {
+              val all = tryKw("ALL")
+              unions += ((all, parseSingleQuery()))
+            }
             eatPunct("}")
-            clauses += CallSubquery(inner)
+            clauses += CallSubquery(Query(first, unions.result()))
           case Kw("CALL", _, _) =>
             p += 1
             val name = ident()

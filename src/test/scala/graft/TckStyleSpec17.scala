@@ -75,6 +75,41 @@ class TckStyleSpec17 extends TckScenarioBase {
       "WITH m.name AS nm ORDER BY nm DESC LIMIT 1 RETURN nm AS t } " +
       "RETURN t AS x", value("c"))
 
+  // ---------------------------------------------- UNION bodies in CALL { }
+  scenario("uncorrelated UNION body dedups across arms", g,
+    "CALL { RETURN 1 AS v UNION RETURN 2 AS v UNION RETURN 1 AS v } " +
+      "RETURN v ORDER BY v",
+    rows(Map("v" -> 1L), Map("v" -> 2L)), ordered = true)
+  scenario("uncorrelated UNION ALL body keeps duplicates", g,
+    "CALL { RETURN 1 AS v UNION ALL RETURN 1 AS v } RETURN count(*) AS x",
+    value(2L))
+  scenario("uncorrelated UNION of two MATCH arms", g,
+    "CALL { MATCH (n:A) RETURN n.name AS v UNION MATCH (n:B) " +
+      "RETURN n.name AS v } RETURN v ORDER BY v",
+    rows(Map("v" -> "a"), Map("v" -> "b")), ordered = true)
+  scenario("correlated UNION body runs both arms per driving row", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) RETURN m.name AS v " +
+      "UNION WITH n RETURN n.name AS v } RETURN v ORDER BY v",
+    rows(Map("v" -> "a"), Map("v" -> "b"), Map("v" -> "c")), ordered = true)
+  scenario("correlated UNION dedups within each driving row only", g,
+    // both B and C reach c's name: per-row UNION keeps one copy per row,
+    // but distinct rows with equal outputs each survive.
+    "MATCH (n) WHERE n.name IN ['b', 'c'] " +
+      "CALL { WITH n RETURN 'k' AS v UNION WITH n RETURN 'k' AS v } " +
+      "RETURN n.name AS x, v",
+    rows(Map("x" -> "b", "v" -> "k"), Map("x" -> "c", "v" -> "k")))
+  scenario("UNION body mixes aggregate and value arms", g,
+    "MATCH (n:A) CALL { WITH n MATCH (n)-->(m) RETURN count(*) AS v " +
+      "UNION WITH n RETURN n.num AS v } RETURN v ORDER BY v",
+    rows(Map("v" -> 1L), Map("v" -> 2L)), ordered = true)
+  scenario("mixed correlated and uncorrelated arms", g,
+    "MATCH (n:A) CALL { WITH n RETURN n.num AS v UNION RETURN 9 AS v } " +
+      "RETURN v ORDER BY v",
+    rows(Map("v" -> 1L), Map("v" -> 9L)), ordered = true)
+  errorScenario("UNION arms must return the same columns", g,
+    "CALL { RETURN 1 AS v UNION RETURN 2 AS w } RETURN v",
+    SyntaxError, DifferentColumnsInUnion)
+
   // ---------------------------------------------- RETURN * in CALL { }
   scenario("uncorrelated RETURN * exports the body variables", g,
     "CALL { MATCH (n:A) RETURN * } RETURN n.name AS x", value("a"))
