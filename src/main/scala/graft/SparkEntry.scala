@@ -314,6 +314,13 @@ object SparkEntry {
     ("q_call_subquery",
       "MATCH (c:Customer) CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > 100000.0 RETURN count(*) AS big_orders } RETURN c.c_custkey AS ck, big_orders",
       Some("SELECT c_custkey AS ck, (SELECT count(*) FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0) AS big_orders FROM customer")),
+    // --- CALL { } UNION body (round 6): both arms run per driving row;
+    //     the distinct is scoped to each driving row by the pinned row id ---
+    ("q_call_union",
+      "MATCH (n:Nation) CALL { WITH n MATCH (s:Supplier)-[:FROM_NATION]->(n) RETURN count(*) AS x UNION WITH n RETURN n.n_regionkey AS x } RETURN n.n_name AS name, x",
+      Some("""SELECT n_name AS name, x FROM nation, LATERAL (
+             |  SELECT count(*) AS x FROM supplier WHERE s_nationkey = n_nationkey
+             |  UNION SELECT n_regionkey AS x) t""".stripMargin)),
     // --- CALL procedure with YIELD + post-aggregation: whole-graph degree
     //     distribution (ids drop out, so the tagged id space is irrelevant
     //     to the oracle, which rebuilds the edge multiset in SQL) ---

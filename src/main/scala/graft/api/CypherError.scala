@@ -45,6 +45,7 @@ object CypherError {
   val NegativeIntegerArgument = "NegativeIntegerArgument"
   val InvalidArgumentExpression = "InvalidArgumentExpression"
   val DifferentColumnsInUnion = "DifferentColumnsInUnion"
+  val InvalidClauseComposition = "InvalidClauseComposition"
   val ListElementAccessByNonInteger = "ListElementAccessByNonInteger"
   val MapElementAccessByNonString = "MapElementAccessByNonString"
   val InvalidElementAccess = "InvalidElementAccess"

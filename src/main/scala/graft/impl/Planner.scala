@@ -113,6 +113,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   // ------------------------------------------------------------------ entry
   def plan(q: Query): (DataFrame, Seq[OutItem], RecordHeader) = {
+    checkUnionMix(q)
     val shared = planSharedPrefixes((q.first +: q.rest.map(_._2)).map(_.clauses))
     val (first, outs) = planSingle(q.first, shared)
     if (writeBegun) {
@@ -2011,7 +2012,16 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * Catalyst sees one join tree, not N subplans) and keys per-row
     * aggregation by a pinned synthetic row id — the same shape as pattern
     * comprehensions, generalized to a full subquery. */
+  /** Mixing UNION and UNION ALL in one query is invalid per openCypher
+    * (Neo4j raises the same); the fold would otherwise silently dedup
+    * already-accumulated ALL arms. */
+  private def checkUnionMix(q: Query): Unit =
+    if (q.rest.map(_._1).distinct.size > 1) throw new CypherCompileException(
+      "invalid combination of UNION and UNION ALL",
+      CE.SyntaxError, CE.InvalidClauseComposition)
+
   private def planCallSubquery(ctx0: Ctx, inner: Query): Ctx = {
+    checkUnionMix(inner)
     if (inner.rest.isEmpty) planCallArm(ctx0, inner.first, None)
     else {
       // UNION body: every arm (each with its own importing WITH, per

@@ -324,6 +324,12 @@ object PipelineQueries {
         .select(col("lang"), col("doc_id"))),
     "q_domain_mix" -> ((s, dir) =>
       Sampling.domainMix(docs(s, dir), "source")),
+    // --- shard packing: distributed prefix sum (no single-partition window) ---
+    "q_pack_budget" -> ((s, dir) =>
+      Pack.packByTokenBudget(docs(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 5000L)
+        .select(col("id").as("doc_id"), col("toks").as("n_tok"),
+          col("shard"))),
     // --- events (timestamped table ops) ---
     "q_events_daily" -> ((s, dir) =>
       events(s, dir).groupBy(
@@ -419,6 +425,13 @@ object PipelineQueries {
       """SELECT source, count(*) AS n,
            round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4) AS frac
          FROM documents GROUP BY source""",
+    "q_pack_budget" ->
+      """SELECT doc_id, n_tok,
+           CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+             / 5000) AS BIGINT) AS shard
+         FROM (SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                 AS n_tok FROM documents) t""",
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_dedup_minhash" -> trueNearDupSql(0.7),

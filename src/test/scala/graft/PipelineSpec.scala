@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pack, Sampling, Scrub, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Correctness tests for the pipeline operators whose outputs the DuckDB
@@ -327,5 +327,56 @@ class PipelineSpec extends SparkTestBase {
       .rdd.getNumPartitions > 1)
     assert(Scrub.scrubRepeatedLines(one, "doc_id", "text", 2L)
       .rdd.getNumPartitions > 1)
+  }
+
+  test("token-budget packing matches a sequential prefix sum") {
+    val toks = (0L until 200L).map(i => (i, 1L + (i * 7) % 13))
+    val df = toks.toDF("id", "n")
+    val got = Pack.packByTokenBudget(df, "id", col("n"), budget = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var cum = 0L
+    toks.foreach { case (id, n) =>
+      assert(got(id) === cum / 50L, s"doc $id")
+      cum += n
+    }
+  }
+
+  test("packing is partition-count-invariant and multi-partition") {
+    val df = (0L until 500L).map(i => (i, 1L + i % 29)).toDF("id", "n")
+    val a = Pack.packByTokenBudget(df.coalesce(1), "id", col("n"), 100L)
+    val b = Pack.packByTokenBudget(df.repartition(17), "id", col("n"), 100L)
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+    // the running-sum stage runs over the range exchange, never one task
+    assert(a.rdd.getNumPartitions > 1)
+  }
+
+  test("packing survives a downstream coalesce(1) (single-file write path)") {
+    // coalesce fuses the narrow chain into one task, so anything keyed on
+    // TaskContext partition ids would restart every offset at zero — the
+    // first-id-keyed offsets must keep the global prefix sum intact.
+    val toks = (0L until 300L).map(i => (i, 40L + i % 11))
+    val df = toks.toDF("id", "n")
+    val got = Pack.packByTokenBudget(df, "id", col("n"), budget = 1000L)
+      .coalesce(1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var cum = 0L
+    toks.foreach { case (id, n) =>
+      assert(got(id) === cum / 1000L, s"doc $id")
+      cum += n
+    }
+    assert(got.values.max > 5, "multiple shards must be produced")
+  }
+
+  test("packing shards are contiguous and hold ~budget tokens") {
+    val df = (0L until 1000L).map(i => (i, 10L)).toDF("id", "n")
+    val rows = Pack.packByTokenBudget(df, "id", col("n"), 200L)
+      .collect().sortBy(_.getLong(0))
+    // 1000 docs * 10 tokens / 200 budget = 50 shards of exactly 20 docs
+    val byShard = rows.groupBy(_.getLong(2))
+    assert(byShard.size === 50)
+    assert(byShard.values.forall(_.length === 20))
+    // shard ids never decrease in doc order (contiguity)
+    val seq = rows.map(_.getLong(2))
+    assert(seq.zip(seq.tail).forall { case (x, y) => x <= y })
   }
 }

@@ -109,6 +109,14 @@ class TckStyleSpec17 extends TckScenarioBase {
   errorScenario("UNION arms must return the same columns", g,
     "CALL { RETURN 1 AS v UNION RETURN 2 AS w } RETURN v",
     SyntaxError, DifferentColumnsInUnion)
+  errorScenario("mixing UNION and UNION ALL in a body is invalid", g,
+    "CALL { RETURN 1 AS v UNION RETURN 2 AS v UNION ALL RETURN 3 AS v } " +
+      "RETURN v",
+    SyntaxError, InvalidClauseComposition)
+  errorScenario("mixing UNION and UNION ALL at top level is invalid", g,
+    "MATCH (n:A) RETURN n.name AS v UNION MATCH (n:B) RETURN n.name AS v " +
+      "UNION ALL MATCH (n:C) RETURN n.name AS v",
+    SyntaxError, InvalidClauseComposition)
 
   // ---------------------------------------------- RETURN * in CALL { }
   scenario("uncorrelated RETURN * exports the body variables", g,
