@@ -189,21 +189,106 @@ object GraphAlgorithms {
 
   /** Count of triangles (undirected, each counted once). */
   def triangleCount(graph: PropertyGraph,
-      relTypes: Seq[String] = Seq.empty): Long = {
-    val e0 = edges(graph, relTypes).filter(col("src") =!= col("dst"))
-    // canonical orientation: low id -> high id, deduped
-    val canon = e0.select(
-        least(col("src"), col("dst")).as("a"),
+      relTypes: Seq[String] = Seq.empty): Long =
+    triangleCountEdges(edges(graph, relTypes)).head().getLong(0)
+
+  /** Triangle count over an arbitrary (src, dst) edge frame, as a 1-row
+    * (triangles) DataFrame. Degree-ordered orientation (the standard
+    * compact-forward / node-iterator++ trick): orient every undirected
+    * edge from its lower-(degree, id) endpoint to the higher, so each
+    * wedge join key is a node's FORWARD degree, which is O(sqrt(m)) even
+    * when the raw degree is millions — id-ordered orientation would let
+    * one high-id hub with 10M neighbors emit 10M^2 wedges, the classic
+    * triangle-count blowup at scale. Three keyed shuffles total (degree
+    * aggregation, wedge self-join, closing semi-join); AQE handles
+    * residual skew. */
+  def triangleCountEdges(edges0: DataFrame): DataFrame = {
+    // canonical undirected form: low id -> high id, deduped, no loops
+    val canon = Pin(edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct().persist()
-    val ab = canon.select(col("a"), col("b"))
-    val bc = canon.select(col("a").as("b2"), col("b").as("c"))
-    val wedges = ab.join(bc, col("b") === col("b2"))
-      .select(col("a"), col("b"), col("c"))
-    val closing = canon.select(col("a").as("ca"), col("b").as("cb"))
-    val n = wedges.join(closing,
-      col("a") === col("ca") && col("c") === col("cb")).count()
-    canon.unpersist()
-    n
+      .distinct())
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ranked = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = Pin(ranked.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v")))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+    // close against the canonical edge set (orientation-agnostic keys)
+    wedges.join(canon,
+        least(col("x"), col("y")) === col("a") &&
+          greatest(col("x"), col("y")) === col("b"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Single-source shortest path distances (weighted Bellman-Ford,
+    * frontier-based): returns (id, dist) for every node reachable from
+    * `sources` (an (id) frame), where each relationship type traversed
+    * carries the weight from `weights` (types absent from the map are not
+    * traversed; weights must be positive). `directed=false` (the default)
+    * symmetrizes the edge list.
+    *
+    * Scale shape: the weighted edge frame is pinned pre-partitioned on
+    * src once; each round joins only the FRONTIER (nodes whose distance
+    * improved last round) against it — propagation work per round is
+    * proportional to the active frontier, not the full node set, and the
+    * pinned edge partitioning means no round re-shuffles the edges (the
+    * same iterative skeleton as [[pageRank]]/[[connectedComponents]],
+    * plus the delta optimization those don't need). Convergence: with
+    * positive weights each node's distance is finalized after at most
+    * (shortest-path hop count) rounds; the loop stops when a round
+    * improves nothing. */
+  def sssp(graph: PropertyGraph, sources: DataFrame,
+      weights: Map[String, Double], directed: Boolean = false,
+      maxIterations: Int = 50): DataFrame = {
+    require(weights.nonEmpty, "weights must name >= 1 relationship type")
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    val spark = sources.sparkSession
+    val typed = weights.toSeq.flatMap { case (t, w) =>
+      graph.relScansFor(Seq(t)).map(_.df.select(
+        col(PropertyGraph.SRC).as("src"), col(PropertyGraph.TGT).as("dst"),
+        lit(w).as("w")))
+    }.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+          StructField("w", DoubleType)))))
+    val sym = if (directed) typed
+      else typed.unionByName(typed.select(
+        col("dst").as("src"), col("src").as("dst"), col("w")))
+    // Pinned pre-partitioned on src: every round's frontier join consumes
+    // this partitioning, so the edge list shuffles once per call, ever.
+    val e = Pin(sym.repartition(col("src")))
+    var dist = Pin(sources.select(col("id").cast(LongType).as("id"))
+      .distinct().select(col("id"), lit(0.0).as("dist")))
+    var frontier = dist
+    var it = 0
+    var active = frontier.count()
+    while (active > 0 && it < maxIterations) {
+      val cand = e.join(frontier, e("src") === frontier("id"))
+        .select(e("dst").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      // Lazy pins (see pageRank): lineage cut now, blocks materialized by
+      // the frontier count below — one job per round.
+      val merged = Pin(dist.withColumnRenamed("dist", "old")
+        .join(cand, Seq("id"), "full_outer"))
+      frontier = Pin(merged
+        .filter(col("nd").isNotNull &&
+          (col("old").isNull || col("nd") < col("old")))
+        .select(col("id"), col("nd").as("dist")))
+      dist = Pin(merged.select(col("id"),
+        least(coalesce(col("old"), col("nd")),
+          coalesce(col("nd"), col("old"))).as("dist")))
+      active = frontier.count()
+      it += 1
+    }
+    dist
   }
 }

@@ -58,7 +58,11 @@ object PipelineQueries {
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // Integral DIV, not `/ 1000.0`: micros-since-epoch (~1.7e15) sit
+      // where doubles are spaced 0.25 apart, so float division rounds
+      // ~12% of rows up by 1us while DuckDB's nanos->micros TRUNCATES —
+      // any oracle that surfaces a raw timestamp would hash-mismatch.
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Schema of the events.props JSON column. Parsed once per row with
@@ -339,7 +343,49 @@ object PipelineQueries {
     "q_events_json" -> ((s, dir) =>
       events(s, dir).select(
           from_json(col("props"), propsSchema).getField("k").as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+    // --- as-of join: each click matched to the user's most recent view ---
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      Temporal.asofJoin(
+        e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        e.filter(col("event_type") === "view"),
+        keyCol = "user_id", tsCol = "ts",
+        rightPayload = Seq("event_id", "ts"))
+        .select(col("event_id").as("click_id"),
+          col("asof_event_id").as("view_id"), col("asof_ts").as("view_ts"))
+    }),
+    // --- sessionization (batch gaps-and-islands, 12h inactivity gap) ---
+    "q_sessionize" -> ((s, dir) =>
+      Temporal.sessionize(events(s, dir), "user_id", "ts", "value",
+          gapUs = 12L * 3600 * 1000000)
+        .select(col("user_id"), col("session_start"), col("dur_us"),
+          col("n_events"), round(col("total_value"), 4).as("tv"))),
+    // --- weighted SSSP from Region 0, undirected, per-type hop costs ---
+    // (id-free output: distance histogram, same trick as the other algos)
+    "q_algo_sssp" -> ((s, dir) => {
+      val g = graft.tpch.TpchGraph(s, dir)
+      val src = g.nodeScansFor(Seq("Region"))
+        .map(_.df.filter(col("p_r_regionkey") === 0)
+          .select(col(graft.graph.PropertyGraph.ID).as("id")))
+        .reduce(_.unionByName(_))
+      graft.algos.GraphAlgorithms.sssp(g, src, Map(
+          "IN_REGION" -> 1.0, "FROM_NATION" -> 2.0, "PLACED" -> 3.0,
+          "HAS_ITEM" -> 4.0, "OF_PART" -> 5.0, "BY_SUPPLIER" -> 6.0))
+        .groupBy(col("dist").cast(LongType).as("dist"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // --- triangle count over the co-order part-pair graph ---
+    "q_algo_triangles" -> ((s, dir) => {
+      val lp = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.algos.GraphAlgorithms.triangleCountEdges(pairs)
+    }))
 
   /** PageRank oracle: the same 3 damped iterations with uniform dangling-
     * mass redistribution, unrolled as chained CTEs over a string-keyed
@@ -566,5 +612,58 @@ object PipelineQueries {
          FROM events GROUP BY 1, 2""",
     "q_events_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
-         FROM events GROUP BY 1""")
+         FROM events GROUP BY 1""",
+    // DuckDB's native ASOF JOIN is the independent formulation of the
+    // engine's union-sweep window (inclusive: v.ts <= c.ts). The data has
+    // no duplicate (user_id, ts), so the match is unique and event_id-
+    // deterministic on both sides.
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+         SELECT c.event_id AS click_id, v.event_id AS view_id, v.ts AS view_ts
+         FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""",
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 43200000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events),
+         y AS (SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, min(ts) AS session_start,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+           CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS tv
+         FROM y GROUP BY user_id, sid""",
+    // Weighted SSSP histogram replay: bounded-depth recursive walk over
+    // the string-keyed edge rebuild (same trick as q_call_degrees), then
+    // min distance per node. The 30.0 bound only prunes non-shortest
+    // walks — the true farthest node sits at 23 (verified; worst-case
+    // bound over this topology is <= 25), so no shortest path is cut.
+    "q_algo_sssp" ->
+      """WITH RECURSIVE
+           li AS (SELECT row_number() OVER () AS lid, l_orderkey, l_partkey, l_suppkey FROM lineitem),
+           e0 AS (
+             SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst, 1.0 AS w FROM nation
+             UNION ALL SELECT 'c' || c_custkey, 'n' || c_nationkey, 2.0 FROM customer
+             UNION ALL SELECT 's' || s_suppkey, 'n' || s_nationkey, 2.0 FROM supplier
+             UNION ALL SELECT 'c' || o_custkey, 'o' || o_orderkey, 3.0 FROM orders
+             UNION ALL SELECT 'o' || l_orderkey, 'l' || lid, 4.0 FROM li
+             UNION ALL SELECT 'l' || lid, 'p' || l_partkey, 5.0 FROM li
+             UNION ALL SELECT 'l' || lid, 's' || l_suppkey, 6.0 FROM li),
+           und AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM e0
+                   UNION ALL SELECT dst, src, CAST(w AS DOUBLE) FROM e0),
+           walk(node, d) AS (
+             SELECT 'r0', CAST(0 AS DOUBLE)
+             UNION
+             SELECT u.dst, walk.d + u.w FROM walk JOIN und u ON u.src = walk.node
+             WHERE walk.d + u.w < 30.0)
+         SELECT CAST(d AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT node, min(d) AS d FROM walk GROUP BY node) t GROUP BY 1""",
+    "q_algo_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p)
+         SELECT CAST(count(*) AS BIGINT) AS triangles
+         FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""")
 }

@@ -156,4 +156,53 @@ class AlgosSpec extends SparkTestBase {
       relTypes = Seq("IN_REGION", "FROM_NATION"))
     assert(pr.filter(col("rank") <= 0).count() === 0)
   }
+
+  test("sssp: weighted distances prefer cheap multi-hop over direct edges") {
+    // 1 -10-> 4 directly, but 1 -1-> 2 -1-> 3 -1-> 4 is cheaper; node 6
+    // is only reachable through the expensive edge's endpoint.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val cheap = Seq((20L, 1L, 2L), (21L, 2L, 3L), (22L, 3L, 4L))
+      .toDF("id", "src", "tgt")
+    val exp = Seq((30L, 1L, 4L), (31L, 4L, 6L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("CHEAP", cheap, "id", "src", "tgt", Map.empty, "e1", "v", "v"),
+        RelTableDef("EXP", exp, "id", "src", "tgt", Map.empty, "e2", "v", "v")))
+    val src = Seq(1L).toDF("id")
+      .select((shiftleft(lit(0L), 56).bitwiseOR(col("id"))).as("id"))
+    val d = GraphAlgorithms.sssp(g, src,
+        Map("CHEAP" -> 1.0, "EXP" -> 10.0)).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    assert(d(1L) === 0.0)
+    assert(d(2L) === 1.0)
+    assert(d(3L) === 2.0)
+    assert(d(4L) === 3.0) // 3-hop cheap path beats the weight-10 edge
+    assert(d(6L) === 13.0)
+    assert(!d.contains(5L)) // isolated: unreachable nodes are omitted
+  }
+
+  test("sssp: directed mode does not traverse edges backwards") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 3L, 2L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val src = Seq(1L).toDF("id")
+      .select((shiftleft(lit(0L), 56).bitwiseOR(col("id"))).as("id"))
+    val dDir = GraphAlgorithms.sssp(g, src, Map("E" -> 1.0),
+      directed = true).collect().map(r => r.getLong(0) & 0xFFFFFFFFL).toSet
+    assert(dDir === Set(1L, 2L)) // 3 only reachable via 2<-3 reversed
+    val dUnd = GraphAlgorithms.sssp(g, src, Map("E" -> 1.0)).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    assert(dUnd(3L) === 2.0)
+  }
+
+  test("triangle count via degree orientation over an edge frame") {
+    // K4 has 4 triangles; an extra pendant edge adds none. Duplicate and
+    // reversed input edges must not change the count.
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val e = (k4 :+ ((4L, 5L)) :+ ((5L, 4L))).toDF("src", "dst")
+    assert(GraphAlgorithms.triangleCountEdges(e).head().getLong(0) === 4L)
+    assert(GraphAlgorithms.triangleCount(graph) === 1L)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pack, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Pack, Sampling, Scrub, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Correctness tests for the pipeline operators whose outputs the DuckDB
@@ -365,6 +365,50 @@ class PipelineSpec extends SparkTestBase {
       cum += n
     }
     assert(got.values.max > 5, "multiple shards must be produced")
+  }
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val clicks = Seq((1L, 10L, ts(100)), (2L, 10L, ts(200)),
+      (3L, 11L, ts(100)), (4L, 12L, ts(50))).toDF("cid", "uid", "ts")
+    val views = Seq((101L, 10L, ts(90)), (102L, 10L, ts(150)),
+      (103L, 10L, ts(201)), (104L, 11L, ts(100))).toDF("vid", "uid", "ts")
+    val got = Temporal.asofJoin(clicks, views, "uid", "ts", Seq("vid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) === 101L) // 90 <= 100 < 150
+    assert(got(2L) === 102L) // 150 <= 200 < 201
+    assert(got(3L) === 104L) // equal timestamps match (inclusive)
+    assert(got(4L) === -1L)  // no prior view: left-outer null
+  }
+
+  test("as-of join matches only within the same key") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val l = Seq((1L, 1L, ts(100))).toDF("cid", "uid", "ts")
+    val r = Seq((9L, 2L, ts(50))).toDF("vid", "uid", "ts")
+    val got = Temporal.asofJoin(l, r, "uid", "ts", Seq("vid")).collect()
+    assert(got.length === 1 && got(0).isNullAt(3))
+  }
+
+  test("sessionize splits on gaps and aggregates per session") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: events at 0s, 10s, 1000s (gap 990s > 300s -> 2 sessions);
+    // user 2: single event.
+    val e = Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(1000), 4.0),
+      (2L, ts(5), 8.0)).toDF("uid", "ts", "v")
+    val got = Temporal.sessionize(e, "uid", "ts", "v",
+        gapUs = 300L * 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 10L * 1000000, 2L, 3.0),   // 2 events, 10s duration
+      (1L, 1000L, 0L, 1L, 4.0),
+      (2L, 5L, 0L, 1L, 8.0)))
   }
 
   test("packing shards are contiguous and hold ~budget tokens") {
