@@ -2088,6 +2088,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       // Uncorrelated: plan from the unit context, cross-join the result.
       var sub = unitCtx
       clauses.foreach {
+        case cs: CallSubquery => sub = planCallSubquery(sub, cs.inner)
         case c if isReadingClause(c) => sub = planReadingClause(sub, c)
         case other => unsupported(s"clause ${other.getClass.getSimpleName}")
       }
@@ -2138,6 +2139,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       clauses.foreach {
         case m: Match => sub = planReadingClause(sub, m)
         case u: Unwind => sub = planReadingClause(sub, u)
+        // Nested CALL { }: recurse — the inner subquery correlates against
+        // THIS body's frame (row id + imports), so its own importing WITH
+        // may re-import the outer imports; its result re-joins on the
+        // inner row id and the outer correlation key flows through.
+        case cs: CallSubquery => sub = planCallSubquery(sub, cs.inner)
         // Intermediate WITH: append the row id to the projection so an
         // aggregating WITH groups PER DRIVING ROW and a plain/DISTINCT
         // WITH keeps the correlation key. SKIP/LIMIT select per driving
