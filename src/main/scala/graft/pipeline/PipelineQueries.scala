@@ -51,18 +51,28 @@ object PipelineQueries {
       concat(lit("unique line "), col("doc_id").cast(StringType))).as("text"))
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
-    * read nanos as long and convert to microsecond timestamps. The
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark
+    * cannot represent — read nanos-as-long and convert) and
+    * TIMESTAMP(MICROS) / timestamp_ntz. Branch on the dtype the scan
+    * actually produced rather than hard-assuming either generation. The
     * nanosAsLong conf is set by every graft session builder; setting it here
     * too keeps the reader usable from a bare session (idempotent, no-op). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      // Integral DIV, not `/ 1000.0`: micros-since-epoch (~1.7e15) sit
-      // where doubles are spaced 0.25 apart, so float division rounds
-      // ~12% of rows up by 1us while DuckDB's nanos->micros TRUNCATES —
-      // any oracle that surfaces a raw timestamp would hash-mismatch.
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Integral DIV, not `/ 1000.0`: micros-since-epoch (~1.7e15) sit
+        // where doubles are spaced 0.25 apart, so float division rounds
+        // ~12% of rows up by 1us while DuckDB's nanos->micros TRUNCATES —
+        // any oracle that surfaces a raw timestamp would hash-mismatch.
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // Session TZ is UTC in every graft entry point, so the NTZ wall
+        // time and the LTZ instant coincide — same values DuckDB sees.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Schema of the events.props JSON column. Parsed once per row with
@@ -585,7 +595,7 @@ object PipelineQueries {
       """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
          wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
          a AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS mx FROM wc GROUP BY 1)
-         SELECT doc_id, n AS n_words,
+         SELECT doc_id, CAST(n AS BIGINT) AS n_words,
            round(1 - nd / CAST(n AS DOUBLE), 4) AS dup_word_frac,
            round(mx / CAST(n AS DOUBLE), 4) AS top_word_frac
          FROM a""",

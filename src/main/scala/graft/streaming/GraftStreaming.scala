@@ -25,15 +25,49 @@ object GraftStreaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Batch read of an events parquet file/dir with the same ts-dtype
+    * normalization [[eventsStream]] applies — the batch comparison side of
+    * every stream-vs-batch equivalence check must normalize identically. */
+  def eventsBatch(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   /** Read the events table as a file stream (one-file-per-trigger locally;
-    * on a cluster this is a directory being appended to). */
+    * on a cluster this is a directory being appended to).
+    *
+    * events.ts has shipped as both parquet TIMESTAMP(NANOS) (unrepresentable
+    * in Spark — read nanos-as-long, convert) and TIMESTAMP(MICROS)/ntz;
+    * readStream needs the schema up front, so probe the footer with a batch
+    * read and pick the stream schema + conversion to match. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val onDiskTs = spark.read.parquet(dir).schema("ts").dataType
+    val readAs = onDiskTs match {
+      case LongType => LongType
+      case TimestampNTZType => TimestampNTZType
+      case _ => TimestampType
+    }
+    val raw = spark.readStream
       .schema(StructType(eventSchema.fields.map(f =>
-        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+        if (f.name == "ts") f.copy(dataType = readAs) else f)))
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    readAs match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case TimestampNTZType =>
+        // Session TZ is UTC in every graft entry point, so NTZ wall time
+        // and LTZ instant coincide.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation per event type. */

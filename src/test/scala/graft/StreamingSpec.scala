@@ -46,9 +46,7 @@ class StreamingSpec extends SparkTestBase {
     val agg = GraftStreaming.windowedCounts(stream, "1 day", "2 days")
     val got = GraftStreaming.runToMemorySink(agg, "win_counts", "append")
     // Batch equivalent over the same file.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val batch = GraftStreaming.eventsBatch(spark, s"$dir/events.parquet")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
     // Append mode emits only windows closed by the watermark; every emitted
@@ -98,9 +96,7 @@ class StreamingSpec extends SparkTestBase {
       .select(col("event_id"), col("r_event_id"))
     val got = GraftStreaming.runToMemorySink(joined, "ij", "append")
     // Batch equivalent over the same file.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val ev = GraftStreaming.eventsBatch(spark, s"$dir/events.parquet")
       .select("event_id", "ts", "user_id")
     val evR = ev.select(col("event_id").as("r_event_id"),
       col("ts").as("r_ts"), col("user_id").as("r_user_id"))

@@ -154,7 +154,11 @@ class TckStyleSpec5 extends TckScenarioBase {
       "count(DISTINCT type(r)) AS d", rows(Map("n" -> 2, "d" -> 1)))
   scenario("DISTINCT null collapses to one row", g,
     "MATCH (n) RETURN DISTINCT n.missing AS x", value(null))
-  scenario("UNION DISTINCT after UNION ALL arms", g,
+  // openCypher (and Neo4j) reject mixing UNION and UNION ALL in one query;
+  // pre-round-6 this spec expected the permissive merge — stale, rewritten
+  // to assert the classified rejection (impl/Planner.scala checkUnionMix).
+  errorScenario("mixing UNION ALL and UNION DISTINCT is rejected", g,
     "RETURN 1 AS x UNION ALL RETURN 1 AS x UNION RETURN 2 AS x",
-    rows(Map("x" -> 1), Map("x" -> 2)))
+    graft.api.CypherError.SyntaxError,
+    graft.api.CypherError.InvalidClauseComposition)
 }
