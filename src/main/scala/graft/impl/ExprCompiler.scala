@@ -86,7 +86,7 @@ object ExprCompiler {
     val Ym = """(\d{4})-(\d{1,2})""".r
     val Compact6 = """(\d{4})(\d{2})""".r
     val Y = """(\d{4})""".r
-    s match {
+    try s match {
       case W(y, w, d) =>
         LocalDate.of(2000, 1, 4) // a Tuesday; week fields need a base
           .`with`(IsoFields.WEEK_BASED_YEAR, y.toLong)
@@ -103,6 +103,11 @@ object ExprCompiler {
       case Compact6(y, m) => LocalDate.of(y.toInt, m.toInt, 1)
       case Y(y) => LocalDate.of(y.toInt, 1, 1)
       case _ => throw new CypherCompileException(s"malformed date literal: $s0", CE.ArgumentError, CE.InvalidTemporalValue)
+    } catch {
+      // Pattern-shaped but out of calendar range (2019-366, 2020-02-30,
+      // month 13): same classified error as a malformed literal.
+      case _: java.time.DateTimeException => throw new CypherCompileException(
+        s"invalid date literal: $s0", CE.ArgumentError, CE.InvalidTemporalValue)
     }
   }
 
@@ -125,9 +130,15 @@ object ExprCompiler {
           case T(h, mi, sec, frac) =>
             val nanos =
               if (frac == null) 0L else frac.padTo(9, '0').toLong
-            LocalTime.of(h.toInt,
+            try LocalTime.of(h.toInt,
               if (mi == null) 0 else mi.toInt,
               if (sec == null) 0 else sec.toInt, nanos.toInt)
+            catch {
+              case _: java.time.DateTimeException =>
+                throw new CypherCompileException(
+                  s"invalid time in localdatetime literal: $s0",
+                  CE.ArgumentError, CE.InvalidTemporalValue)
+            }
           case _ => throw new CypherCompileException(
             s"malformed time in localdatetime literal: $s0")
         }
@@ -378,17 +389,25 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       (d.getField("days") * k).cast(LongType).as("days"),
       (d.getField("micros") * k).cast(LongType).as("micros"))
 
-  /** date/timestamp ± duration via make_interval; dates stay dates. */
+  /** date/timestamp ± duration via make_interval; dates stay dates.
+    * Cypher semantics (Neo4j temporal docs): components of the duration
+    * finer than the temporal's resolution are DISCARDED, so date + PT25H
+    * is the same date — only the months and days groups apply to a date. */
   private def addDuration(l: Column, lType: Option[DataType], dur: Column,
       negate: Boolean): Column = {
     val sign = if (negate) -1L else 1L
-    val interval = call_function("make_interval",
-      lit(0), dur.getField("months") * sign, lit(0),
-      dur.getField("days") * sign, lit(0), lit(0),
-      (dur.getField("micros") * sign).cast(DoubleType) / 1000000.0)
     lType match {
-      case Some(DateType) => (l.cast(TimestampType) + interval).cast(DateType)
-      case _ => l + interval
+      case Some(DateType) =>
+        val interval = call_function("make_interval",
+          lit(0), dur.getField("months") * sign, lit(0),
+          dur.getField("days") * sign, lit(0), lit(0), lit(0.0))
+        (l.cast(TimestampType) + interval).cast(DateType)
+      case _ =>
+        val interval = call_function("make_interval",
+          lit(0), dur.getField("months") * sign, lit(0),
+          dur.getField("days") * sign, lit(0), lit(0),
+          (dur.getField("micros") * sign).cast(DoubleType) / 1000000.0)
+        l + interval
     }
   }
   private def isArrayT(e: Expr): Boolean =
