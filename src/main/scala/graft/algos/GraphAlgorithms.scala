@@ -209,25 +209,42 @@ object GraphAlgorithms {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct())
-    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val ranked = canon
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
-    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val oriented = Pin(ranked.select(
-      when(fwd, col("a")).otherwise(col("b")).as("u"),
-      when(fwd, col("b")).otherwise(col("a")).as("v")))
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+    val oriented = orientByDegree(canon)
+    val wedges = wedgeJoin(oriented)
     // close against the canonical edge set (orientation-agnostic keys)
     wedges.join(canon,
         least(col("x"), col("y")) === col("a") &&
           greatest(col("x"), col("y")) === col("b"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Forward-degree orientation of a canonical (a < b, deduped, loop-free)
+    * undirected edge set: each edge points from its lower-(degree, id)
+    * endpoint to the higher one, so every node's forward degree is
+    * O(sqrt m) and the wedge join cannot blow up on hubs. Returns the
+    * pinned (u, v) frame. Package-private for AlgosSpec's invariant check. */
+  private[graft] def orientByDegree(canon: DataFrame): DataFrame = {
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ranked = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    Pin(ranked.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v")))
+  }
+
+  /** The wedge self-join on the forward-degree-oriented edge set — the
+    * shape that bounds per-node wedge fan-out by forward degree (O(sqrt m))
+    * instead of raw degree. Package-private so AlgosSpec can pin both the
+    * orientation invariant and the join key; a refactor that loses either
+    * silently reintroduces the hub-wedge blowup at scale. */
+  private[graft] def wedgeJoin(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
 
   /** Single-source shortest path distances (weighted Bellman-Ford,
     * frontier-based): returns (id, dist) for every node reachable from
@@ -272,9 +289,7 @@ object GraphAlgorithms {
     var it = 0
     var active = frontier.count()
     while (active > 0 && it < maxIterations) {
-      val cand = e.join(frontier, e("src") === frontier("id"))
-        .select(e("dst").as("id"), (col("dist") + col("w")).as("nd"))
-        .groupBy("id").agg(min("nd").as("nd"))
+      val cand = ssspCandidates(e, frontier)
       // Lazy pins (see pageRank): lineage cut now, blocks materialized by
       // the frontier count below — one job per round.
       val merged = Pin(dist.withColumnRenamed("dist", "old")
@@ -291,4 +306,15 @@ object GraphAlgorithms {
     }
     dist
   }
+
+  /** One SSSP propagation round: candidate distances reached from the
+    * active frontier. `e` is the pinned, hash(src)-pre-partitioned edge
+    * frame; the join MUST consume that partitioning (edge side sees no
+    * per-round exchange — only the small frontier shuffles). Package-private
+    * so AlgosSpec can pin the plan shape; losing it would re-shuffle the
+    * full edge set every round at scale. */
+  private[graft] def ssspCandidates(e: DataFrame, frontier: DataFrame): DataFrame =
+    e.join(frontier, e("src") === frontier("id"))
+      .select(e("dst").as("id"), (col("dist") + col("w")).as("nd"))
+      .groupBy("id").agg(min("nd").as("nd"))
 }

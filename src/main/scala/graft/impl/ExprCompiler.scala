@@ -140,7 +140,8 @@ object ExprCompiler {
                   CE.ArgumentError, CE.InvalidTemporalValue)
             }
           case _ => throw new CypherCompileException(
-            s"malformed time in localdatetime literal: $s0")
+            s"malformed time in localdatetime literal: $s0",
+            CE.ArgumentError, CE.InvalidTemporalValue)
         }
     }
     LocalDateTime.of(d, t)
@@ -701,6 +702,58 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
   private def lambda(v: String, c: Column, t: Option[DataType]): ExprCompiler =
     withEnv(v, c, t)
 
+  /** date-from-map construction mirroring the reference's parseDateMap
+    * (okapi-api/.../impl/temporal/TemporalTypesHelper.scala:184-216): four
+    * identifier chains — calendar (year/month/day), ISO week
+    * (year/week/dayOfWeek), ordinal (year/ordinalDay), quarter
+    * (year/quarter/dayOfQuarter) — each validated for significance order;
+    * `year` is always required; keys outside the selected chain are
+    * ignored (reference behavior). Values may be arbitrary expressions, so
+    * construction is column-level (codegen'd), not driver-side; a runtime
+    * value out of calendar range follows non-ANSI Spark (null / roll-over)
+    * rather than raising. Keys arrive lowercased. */
+  private def dateFromMap(m: Map[String, Expr], fn: String): Column = {
+    def part(k: String, dflt: Int): Column =
+      m.get(k).map(e => compile(e).cast(IntegerType)).getOrElse(lit(dflt))
+    if (!m.contains("year")) throw new CypherCompileException(
+      s"$fn map requires `year` (got: ${m.keys.mkString(", ")})",
+      CE.ArgumentError, CE.InvalidArgumentValue)
+    if (m.contains("week")) {
+      checkSignificanceOrder(m, Seq("year", "week", "dayofweek"), fn)
+      // ISO week date: week 1 is the week containing Jan 4; Monday start.
+      val jan4 = make_date(part("year", 0), lit(1), lit(4))
+      val week1Mon = F.date_sub(jan4, F.weekday(jan4))
+      F.date_add(week1Mon,
+        (part("week", 1) - lit(1)) * lit(7) + part("dayofweek", 1) - lit(1))
+    } else if (m.contains("ordinalday")) {
+      F.date_add(make_date(part("year", 0), lit(1), lit(1)),
+        part("ordinalday", 1) - lit(1))
+    } else if (m.contains("quarter")) {
+      checkSignificanceOrder(m, Seq("year", "quarter", "dayofquarter"), fn)
+      F.date_add(make_date(part("year", 0),
+        (part("quarter", 1) - lit(1)) * lit(3) + lit(1), lit(1)),
+        part("dayofquarter", 1) - lit(1))
+    } else {
+      checkSignificanceOrder(m, Seq("year", "month", "day"), fn)
+      make_date(part("year", 0), part("month", 1), part("day", 1))
+    }
+  }
+
+  /** Within one identifier chain a present key must not follow an absent
+    * finer one — date({year, day}) omits `month` and is rejected
+    * (reference TemporalTypesHelper.checkSignificanceOrder:266-280). */
+  private def checkSignificanceOrder(m: Map[String, _], chain: Seq[String],
+      fn: String): Unit = {
+    val gap = chain.map(m.contains).sliding(2).exists {
+      case Seq(false, true) => true
+      case _ => false
+    }
+    if (gap) throw new CypherCompileException(
+      s"$fn map omits values of higher significance " +
+        s"(got: ${m.keys.mkString(", ")}; order: ${chain.mkString(", ")})",
+      CE.ArgumentError, CE.InvalidArgumentValue)
+  }
+
   private def compileFieldAccess(c: Column, t: Option[DataType], k: String): Column =
     t match {
       // Temporal accessors: d.year, ts.month, ... (reference's
@@ -1107,13 +1160,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case StrLit(s) =>
             lit(java.sql.Date.valueOf(ExprCompiler.parseCypherDate(s)))
           case MapLit(items) =>
-            val m = items.toMap
-            def part(k: String, dflt: Int): Column =
-              m.get(k).map(e => compile(e).cast(IntegerType))
-                .getOrElse(lit(dflt))
-            if (!m.contains("year")) throw new CypherCompileException(
-              "date() map requires a year")
-            make_date(part("year", 0), part("month", 1), part("day", 1))
+            dateFromMap(items.toMap.map { case (k, v) => k.toLowerCase -> v },
+              "date()")
           case _ => to_date(a0)
         }
       case "localdatetime" | "datetime" =>
@@ -1122,20 +1170,29 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case StrLit(s) => lit(java.sql.Timestamp.valueOf(
             ExprCompiler.parseCypherLocalDateTime(s)))
           case MapLit(items) =>
-            val m = items.toMap
+            val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
+            // Spark timestamps are microsecond-precision; a nanosecond
+            // component cannot be represented (reference: morpheus
+            // TemporalConversions raises "nanosecond resolution").
+            if (m.contains("nanosecond")) throw new CypherCompileException(
+              s"$name() does not support nanosecond resolution",
+              CE.ArgumentError, CE.InvalidArgumentValue)
+            checkSignificanceOrder(m, Seq("hour", "minute", "second"),
+              s"$name()")
             def part(k: String, dflt: Int): Column =
               m.get(k).map(e => compile(e).cast(IntegerType))
                 .getOrElse(lit(dflt))
-            if (!m.contains("year")) throw new CypherCompileException(
-              "localdatetime() map requires a year")
-            val secs = m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
-              .getOrElse(lit(java.math.BigDecimal.ZERO).cast(DecimalType(16, 6)))
-            val millis = m.get("millisecond")
-              .map(e => compile(e).cast(DecimalType(16, 6)) / 1000)
+            val d = dateFromMap(m, s"$name()")
+            def frac(k: String, denom: Int): Column = m.get(k)
+              .map(e => compile(e).cast(DecimalType(16, 6)) / denom)
               .getOrElse(lit(java.math.BigDecimal.ZERO))
+            val secs = m.get("second")
+              .map(e => compile(e).cast(DecimalType(16, 6)))
+              .getOrElse(lit(java.math.BigDecimal.ZERO).cast(DecimalType(16, 6)))
             call_function("make_timestamp",
-              part("year", 0), part("month", 1), part("day", 1),
-              part("hour", 0), part("minute", 0), secs + millis)
+              year(d), month(d), dayofmonth(d),
+              part("hour", 0), part("minute", 0),
+              secs + frac("millisecond", 1000) + frac("microsecond", 1000000))
           case _ => to_timestamp(a0)
         }
       case "duration" => args(0) match {

@@ -108,7 +108,10 @@ object Scrub {
     * removed lines. Shape: one posexplode, one line-count shuffle, one
     * join back, one per-doc aggregation — every step keyed, nothing
     * quadratic, so the plan survives a 100-TB corpus (the line-count join
-    * is the canonical C4 implementation). */
+    * is the canonical C4 implementation). Reassembly collects a document's
+    * kept lines into one array and array_sorts them by (_pos, _line), so
+    * a SINGLE document is bounded by the JVM array limit (~2^31 lines —
+    * a multi-hundred-GB document; corpus size is unbounded). */
   def scrubRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       minCount: Long): DataFrame = {
     val spark = df.sparkSession

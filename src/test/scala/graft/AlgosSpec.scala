@@ -205,4 +205,72 @@ class AlgosSpec extends SparkTestBase {
     assert(GraphAlgorithms.triangleCountEdges(e).head().getLong(0) === 4L)
     assert(GraphAlgorithms.triangleCount(graph) === 1L)
   }
+
+  /** Runs `body` with AQE and broadcast joins off so physical plans are
+    * deterministic and collect()-traversable (AdaptiveSparkPlanExec hides
+    * its subtree from TreeNode.collect). */
+  private def withStaticPlans[T](body: => T): T = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("sssp round consumes the pinned edge partitioning: no edge-side exchange") {
+    // The scale property: the (large) edge frame shuffles ONCE per sssp
+    // call at pin time; each round's frontier join must reuse that
+    // hash(src) partitioning. Exactly two exchanges may appear in a round
+    // plan — the small frontier, and the dst-keyed min-aggregation. A
+    // third would mean the refactored join re-shuffles the edges per round.
+    withStaticPlans {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+        .toDF("src", "dst", "w")
+      val e = graft.impl.Pin(edges.repartition(col("src")))
+      val frontier = Seq((1L, 0.0)).toDF("id", "dist")
+      val plan = GraphAlgorithms.ssspCandidates(e, frontier)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.length === 2,
+        s"expected 2 exchanges (frontier + agg), got ${exchanges.length}:\n$plan")
+    }
+  }
+
+  test("triangle orientation is forward-degree; wedge join keys on the oriented source") {
+    // Star hub 1 (degree 4) plus chain edges: every oriented edge must
+    // point UP the (degree, id) order — the hub can only ever be a wedge
+    // target, which is what bounds wedge fan-out by forward degree.
+    val canon = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (4L, 5L))
+      .toDF("a", "b")
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    withStaticPlans {
+      val oriented = GraphAlgorithms.orientByDegree(canon)
+      val bad = oriented.collect().filter { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        !(deg(u) < deg(v) || (deg(u) == deg(v) && u < v))
+      }
+      assert(bad.isEmpty,
+        s"edges oriented against the degree order: ${bad.mkString(", ")}")
+      // and the wedge self-join must key on u (the low-forward-degree
+      // source) — keying on v would re-introduce the hub blowup
+      import org.apache.spark.sql.execution.joins.{
+        BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      val plan = GraphAlgorithms.wedgeJoin(oriented)
+        .queryExecution.executedPlan
+      val keySets = plan.collect {
+        case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+        case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+        case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+      }.flatten
+      assert(keySets.nonEmpty &&
+        keySets.forall(_.references.map(_.name).toSet == Set("u")),
+        s"wedge join does not key on u:\n$plan")
+    }
+  }
 }

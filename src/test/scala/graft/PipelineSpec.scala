@@ -107,19 +107,32 @@ class PipelineSpec extends SparkTestBase {
       val built = Similarity.loadOrBuildIvf(vecs, "k1", "vec_id", "embedding",
         nCells = 4)
       val r1 = built.search(query, 5, nProbe = 2).collect().map(_.getLong(0)).toSeq
-      // Second call must take the load path: same centroids, same results,
-      // assignments read from the cell-partitioned parquet.
-      val loaded = Similarity.loadOrBuildIvf(
-        vecs.limit(0), // an empty frame proves nothing is re-clustered
-        "k1", "vec_id", "embedding", nCells = 4)
+      val marker = new java.io.File(s"$tmp").listFiles.head.listFiles
+        .filter(_.getName == "_INDEXED").head
+      val builtAt = marker.lastModified()
+      // Second call over the same dataset fingerprint-matches and must take
+      // the load path: same centroids, same results, nothing rewritten.
+      val loaded = Similarity.loadOrBuildIvf(vecs, "k1", "vec_id", "embedding",
+        nCells = 4)
       val r2 = loaded.search(query, 5, nProbe = 2).collect().map(_.getLong(0)).toSeq
       assert(r1 === r2)
       assert(loaded.centers.length === 4)
+      assert(marker.lastModified() === builtAt,
+        "load path must not rewrite the index")
       // The stored layout is partitioned by cell (file-level probe pruning).
       val cellDirs = new java.io.File(s"$tmp").listFiles.head.listFiles
         .filter(_.getName == "cells").head.listFiles
         .count(_.getName.startsWith("_ivf_cell="))
       assert(cellDirs === 4, s"expected 4 cell partitions, got $cellDirs")
+      // A grown dataset fingerprint-mismatches: the stale on-disk index is
+      // rebuilt and the new row becomes searchable (an exact-match query
+      // must return it first).
+      val grown = vecs.union(
+        Seq((999L, query.map(_.toFloat))).toDF("vec_id", "embedding"))
+      val rebuilt = Similarity.loadOrBuildIvf(grown, "k1", "vec_id",
+        "embedding", nCells = 4)
+      val top = rebuilt.search(query, 1, nProbe = 2).collect().head.getLong(0)
+      assert(top === 999L, "stale index served after the dataset changed")
     }
   }
 
