@@ -86,17 +86,25 @@ object Multimodal {
   }
 
   /** Frame sampling for "video" payloads: carve the byte stream into
-    * fixed-size frames and keep every `stride`-th — done with array
-    * expressions (no UDF) so it distributes and prunes like any column. */
-  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    * fixed-size complete frames and keep every `stride`-th — done with
+    * array expressions (no UDF) so it distributes and prunes like any
+    * column. `frame_no` numbers the KEPT frames 0..k. A payload shorter
+    * than one frame yields no rows (guarded: Spark's sequence(0, -1)
+    * would otherwise produce a DESCENDING [0, -1] and emit two bogus
+    * frames). */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = F.floor(F.length(col("content")) / frameBytes)
+      .cast(IntegerType)
     df.select(col("media_id"),
       posexplode(F.filter(
         transform(
-          sequence(lit(0), (F.length(col("content")) / frameBytes).cast(IntegerType) - 1),
+          when(nFrames >= 1, sequence(lit(0), nFrames - 1))
+            .otherwise(array().cast(ArrayType(IntegerType))),
           i => when(i % stride === 0,
             col("content").substr(i * frameBytes + 1, lit(frameBytes))
           ).otherwise(lit(null).cast(BinaryType))),
         x => x.isNotNull)))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")
+  }
 }

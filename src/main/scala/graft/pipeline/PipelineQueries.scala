@@ -304,6 +304,15 @@ object PipelineQueries {
         Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1), 4).as("f0"))),
+    // Frame sampling: byte-exact frames surfaced as md5 so the oracle can
+    // replay them over substr(text) (documents are ASCII — byte == char).
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(docs(s, dir), "doc_id", "text"),
+        frameBytes = 64, stride = 2)
+        .select(col("media_id"),
+          col("frame_no").cast(LongType).as("frame_no"),
+          md5(col("frame")).as("frame_md5"))),
     // --- whole-graph analytics (DataFrame-native iterative algos) ---
     // Both project to id-free shapes (rank / component-size histograms) so
     // the DuckDB oracle can replay them without knowing graft's internal
@@ -460,6 +469,16 @@ object PipelineQueries {
          FROM (SELECT doc_id, text,
                  list_transform(range(1, length(text)+1), i -> ascii(text[i])) AS bs
                FROM documents) t""",
+    "q_multimodal_frames" ->
+      """WITH n AS (SELECT doc_id, text,
+           CAST(floor(length(text) / 64) AS INTEGER) AS nf FROM documents),
+         f AS (SELECT doc_id, text, unnest(range(0, nf)) AS i
+               FROM n WHERE nf >= 1)
+         SELECT doc_id AS media_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+             AS BIGINT) AS frame_no,
+           md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+         FROM f WHERE i % 2 = 0""",
     // Same normalization + 20-gram extraction as Decontaminate.flag; gram
     // equality replayed on the strings themselves (the engine compares
     // xxhash64 of the grams — collision-free at these cardinalities).

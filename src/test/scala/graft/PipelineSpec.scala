@@ -255,6 +255,19 @@ class PipelineSpec extends SparkTestBase {
     assert(f0 === f2)
   }
 
+  test("frame sampling carves complete frames, strides, and drops sub-frame payloads") {
+    val media = Multimodal.asMedia(Seq(
+      (1L, "a" * 10 + "b" * 10 + "c" * 10 + "d" * 5), // 35 bytes: 3 full frames + tail
+      (2L, "x" * 7)                                    // sub-frame: no rows
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 10, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        new String(r.getAs[Array[Byte]]("frame"), "UTF-8")))
+    // frames 0,1,2 exist (tail "d"*5 dropped); stride 2 keeps 0 and 2,
+    // renumbered as kept-frame 0 and 1
+    assert(frames.toSeq === Seq((1L, 0, "a" * 10), (1L, 1, "c" * 10)))
+  }
+
   test("feature extraction spreads a single-partition input across cores") {
     // Small parquet scans arrive as 1 partition; the mapPartitions byte loop
     // must still run on the full shuffle parallelism.
