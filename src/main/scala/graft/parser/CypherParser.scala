@@ -36,6 +36,9 @@ object CypherParser {
     "MERGE", "DELETE", "DETACH", "REMOVE", "FOREACH")
 
   object Lexer {
+    private def isHexDigit(c: Char): Boolean =
+      c.isDigit || ('a' <= c.toLower && c.toLower <= 'f')
+
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -50,6 +53,20 @@ object CypherParser {
           i += 2
           while (i + 1 < n && !(s(i) == '*' && s(i + 1) == '/')) i += 1
           i += 2
+        } else if (c == '0' && i + 1 < n && (s(i + 1) == 'x' || s(i + 1) == 'X')
+            && i + 2 < n && isHexDigit(s(i + 2))) {
+          // hex integer literal (openCypher: 0x13af, 0xFC3A9, -0x66eff)
+          val st = i
+          i += 2
+          while (i < n && isHexDigit(s(i))) i += 1
+          out += NumTok(s.substring(st, i), st)
+        } else if (c == '0' && i + 1 < n && (s(i + 1) == 'o' || s(i + 1) == 'O')
+            && i + 2 < n && s(i + 2) >= '0' && s(i + 2) <= '7') {
+          // octal integer literal (openCypher: 0o1372, -0o5671)
+          val st = i
+          i += 2
+          while (i < n && s(i) >= '0' && s(i) <= '7') i += 1
+          out += NumTok(s.substring(st, i), st)
         } else if (c.isDigit || (c == '.' && i + 1 < n && s(i + 1).isDigit)) {
           val st = i
           while (i < n && s(i).isDigit) i += 1
@@ -633,29 +650,43 @@ object CypherParser {
 
     private def parseComparison(): Expr = {
       var e = parseAddSub()
+      // openCypher comparison chaining: `1 < 2 < 3` is the conjunction
+      // (1 < 2) AND (2 < 3), each operand paired with its neighbours —
+      // NOT the left fold ((1 < 2) < 3). Only the six comparison
+      // operators chain; the other predicates below reset the chain (so
+      // `x IS NULL = true` compares the predicate's result).
+      var chain: List[Expr] = Nil
+      var prev = e
       var done = false
       while (!done) {
         peek match {
           case Punct(op @ ("=" | "<>" | "<" | "<=" | ">" | ">="), _) =>
             p += 1
-            e = Cmp(op, e, parseAddSub())
+            val rhs = parseAddSub()
+            chain = Cmp(op, prev, rhs) :: chain
+            prev = rhs
+            e = if (chain.lengthCompare(1) == 0) chain.head
+                else Ands(chain.reverse)
           case Punct("=~", _) =>
             p += 1
-            e = RegexMatch(e, parseAddSub())
+            e = RegexMatch(e, parseAddSub()); chain = Nil; prev = e
           case Kw("IS", _, _) =>
             p += 1
             val negated = tryKw("NOT")
             eatKw("NULL")
-            e = IsNull(e, negated)
+            e = IsNull(e, negated); chain = Nil; prev = e
           case Kw("IN", _, _) =>
             p += 1
-            e = In(e, parseAddSub())
+            e = In(e, parseAddSub()); chain = Nil; prev = e
           case Kw("STARTS", _, _) =>
-            p += 1; eatKw("WITH"); e = StartsWith(e, parseAddSub())
+            p += 1; eatKw("WITH")
+            e = StartsWith(e, parseAddSub()); chain = Nil; prev = e
           case Kw("ENDS", _, _) =>
-            p += 1; eatKw("WITH"); e = EndsWith(e, parseAddSub())
+            p += 1; eatKw("WITH")
+            e = EndsWith(e, parseAddSub()); chain = Nil; prev = e
           case Kw("CONTAINS", _, _) =>
-            p += 1; e = Contains(e, parseAddSub())
+            p += 1
+            e = Contains(e, parseAddSub()); chain = Nil; prev = e
           case _ => done = true
         }
       }
@@ -763,7 +794,11 @@ object CypherParser {
       peek match {
         case NumTok(s, _) =>
           p += 1
-          if (s.contains('.') || s.toLowerCase.contains('e')) FloatLit(s.toDouble)
+          val low = s.toLowerCase
+          // prefix checks first: hex digits may contain 'e'
+          if (low.startsWith("0x")) IntLit(java.lang.Long.parseLong(low.drop(2), 16))
+          else if (low.startsWith("0o")) IntLit(java.lang.Long.parseLong(low.drop(2), 8))
+          else if (s.contains('.') || low.contains('e')) FloatLit(s.toDouble)
           else IntLit(s.toLong)
         case StrTok(s, _) => p += 1; StrLit(s)
         case Punct("$", _) => p += 1; Param(ident())
