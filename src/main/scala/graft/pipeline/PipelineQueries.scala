@@ -277,6 +277,8 @@ object PipelineQueries {
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text")),
     // --- scrubbing: PII, repetition, corpus boilerplate ---
     // PII is planted deterministically from doc_id (the synthetic corpus has
     // none) so the detectors exercise real matches the oracle can replay.
@@ -589,6 +591,15 @@ object PipelineQueries {
          FROM documents""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""",
+    "q_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(length(s)-20, 0)+1), i -> substr(s, i+1, 20)))) AS gram FROM t),
+         f AS (SELECT gram, min(doc_id) AS first FROM g GROUP BY 1)
+         SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE f.first = g.doc_id) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (WHERE f.first = g.doc_id) / CAST(count(*) AS DOUBLE), 4) AS novelty
+         FROM g JOIN f USING (gram) GROUP BY 1""",
     "q_pii_flag" ->
       ("WITH d AS (" + plantedPiiSql + ") " +
         """SELECT doc_id,

@@ -56,4 +56,38 @@ object TextAnalysis {
     * (md5 rather than xxhash so external systems can reproduce it.) */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Per-document n-gram novelty under corpus id order: of a document's
+    * distinct character n-grams (whitespace-normalized, lower-cased), the
+    * count and fraction that NO smaller-id document contains — the
+    * standard "how much new text does this shard add" signal when
+    * curating incremental corpus drops. Returns
+    * (idCol, n_grams, n_novel, novelty).
+    *
+    * Shape: shingle explode (same normalization as Decontaminate),
+    * gram -> min(id) attribution, join back, per-doc aggregation — three
+    * keyed shuffles, work linear in total gram volume, nothing
+    * pairwise/quadratic, so the plan holds at corpus scale; gram skew
+    * (a gram in millions of docs) stays safe because the attribution
+    * aggregate is a map-side-combinable min. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val grams = df
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol), norm.as("_s"))
+      .select(col(idCol),
+        explode(sequence(lit(0), greatest(length(col("_s")) - n, lit(0))))
+          .as("_i"),
+        col("_s"))
+      .select(col(idCol), col("_s").substr(col("_i") + 1, lit(n)).as("_g"))
+      .distinct()
+    val firstSeen = grams.groupBy(col("_g")).agg(min(col(idCol)).as("_first"))
+    grams.join(firstSeen, "_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 4))
+  }
 }

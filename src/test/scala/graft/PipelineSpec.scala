@@ -255,6 +255,20 @@ class PipelineSpec extends SparkTestBase {
     assert(f0 === f2)
   }
 
+  test("ngram novelty attributes grams to the first (smallest-id) document") {
+    val d = Seq(
+      (0L, "abcdefgh"),    // 4 distinct 5-grams, all first-seen here
+      (1L, "abcdefgh"),    // exact dup: zero novel
+      (2L, "abcdewvxyz")   // shares only "abcde"; 5 of 6 grams novel
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(d, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) === ((4L, 4L, 1.0)))
+    assert(got(1L) === ((4L, 0L, 0.0)))
+    assert(got(2L) === ((6L, 5L, 0.8333)))
+  }
+
   test("frame sampling carves complete frames, strides, and drops sub-frame payloads") {
     val media = Multimodal.asMedia(Seq(
       (1L, "a" * 10 + "b" * 10 + "c" * 10 + "d" * 5), // 35 bytes: 3 full frames + tail
