@@ -173,8 +173,24 @@ class GraftSession(val spark: SparkSession) {
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, drivingTable,
       graphByName, functions.toMap, procedures.toMap)
-    val (df, outs, header) = planner.plan(ast)
-    planner.render(df, outs, header)
+    try {
+      val (df, outs, header) = planner.plan(ast)
+      planner.render(df, outs, header)
+    } catch {
+      // Spark analyzes eagerly at DataFrame construction, so a static
+      // type mismatch (NOT 3, 1 + {map}) surfaces here as an
+      // AnalysisException. Those are compile-time-detectable type errors
+      // in TCK terms — reclassify them instead of leaking Spark
+      // internals; the Spark message is kept for diagnosis. Runtime
+      // clashes on dynamic values stay Spark's (raised at action time,
+      // out of this taxonomy's scope — tck_blacklist.md).
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+            e.getCondition.startsWith("DATATYPE_MISMATCH") =>
+        throw new CypherException(CypherError.SyntaxError,
+          CypherError.CompileTime, CypherError.InvalidArgumentType,
+          e.getMessage)
+    }
   }
 
   /** Execute a write query (CREATE / SET / REMOVE / DELETE / MERGE after an

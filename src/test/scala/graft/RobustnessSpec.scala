@@ -85,10 +85,58 @@ class RobustnessSpec extends SparkTestBase {
       } catch {
         case _: CypherParser.CypherParseException => ()
         case _: CypherCompileException => ()
+        case _: graft.api.CypherException => ()
         case e: org.apache.spark.sql.AnalysisException =>
           fail(s"analysis leak for: $q\n${e.getMessage}")
         case e: Throwable =>
           fail(s"unclean failure for: $q\n${e.getClass}: ${e.getMessage}")
+      }
+    }
+  }
+
+  // ---- expression fuzz (round 7: literal forms, precedence, comparison
+  // chaining, nesting — every generated expression must evaluate or fail
+  // with a CLASSIFIED graft exception; a leaked Spark AnalysisException
+  // means a statically-detectable type error escaped the taxonomy) ----
+  private val litGen: Gen[String] = Gen.oneOf(
+    "1", "0x1f", "0o17", "2.5", "1e2", ".5", "-3", "'s'", "true", "false",
+    "null", "[1, 2]", "{k: 1}")
+  private def exprGen(depth: Int): Gen[String] =
+    if (depth == 0) litGen
+    else Gen.frequency(
+      3 -> (for {
+        a <- exprGen(depth - 1); b <- exprGen(depth - 1)
+        op <- Gen.oneOf("+", "-", "*", "/", "%", "^", "=", "<>", "<",
+          "<=", ">", ">=", "AND", "OR", "XOR")
+      } yield s"($a $op $b)"),
+      1 -> exprGen(depth - 1).map(a => s"(NOT $a)"),
+      1 -> exprGen(depth - 1).map(a => s"(- $a)"),
+      1 -> (for {
+        a <- exprGen(depth - 1); b <- exprGen(depth - 1)
+        c <- exprGen(depth - 1)
+      } yield s"(CASE WHEN $a THEN $b ELSE $c END)"),
+      1 -> exprGen(depth - 1).map(a => s"coalesce($a, $a)"),
+      1 -> (for { a <- exprGen(depth - 1); b <- exprGen(depth - 1) }
+        yield s"($a IN [$b])"),
+      1 -> exprGen(depth - 1).map(a => s"($a IS NULL)"),
+      1 -> (for {
+        a <- exprGen(depth - 1); b <- exprGen(depth - 1)
+        op <- Gen.oneOf("<", "=", ">=")
+      } yield s"($a $op $b $op $a)"))
+
+  test("generated expressions evaluate or fail with classified errors") {
+    val exprs = (0 until 150).flatMap(i =>
+      exprGen(3).apply(Gen.Parameters.default, Seed(7000L + i)))
+    assert(exprs.size >= 140)
+    exprs.foreach { e =>
+      val q = s"RETURN $e AS x"
+      try { session.cypher(g, q).collect(); () }
+      catch {
+        case _: CypherParser.CypherParseException => ()
+        case _: CypherCompileException => ()
+        case _: graft.api.CypherException => ()
+        case ex: Throwable =>
+          fail(s"unclean failure for: $q\n${ex.getClass}: ${ex.getMessage}")
       }
     }
   }

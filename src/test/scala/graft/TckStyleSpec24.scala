@@ -109,4 +109,17 @@ class TckStyleSpec24 extends TckScenarioBase {
     // Explicitly grouped, the left fold applies: (1 < 2) = true compares
     // the boolean result — distinct from the unparenthesized chain.
     "RETURN (1 < 2) = true AS x", value(true))
+
+  // -------------------------- static type mismatches are classified
+  // (Spark analyzes eagerly at DataFrame build; DATATYPE_MISMATCH there is
+  // a compile-time-detectable type error and must carry TCK coordinates,
+  // not leak as a Spark AnalysisException — GraftSession.cypher round 7)
+  errorScenario("boolean operator on a number is a classified type error", g,
+    "RETURN NOT 3 AS x",
+    graft.api.CypherError.SyntaxError,
+    graft.api.CypherError.InvalidArgumentType)
+  errorScenario("adding a map to a number is a classified type error", g,
+    "RETURN 1 + {k: 1} AS x",
+    graft.api.CypherError.SyntaxError,
+    graft.api.CypherError.InvalidArgumentType)
 }
