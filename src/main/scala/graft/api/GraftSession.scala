@@ -173,17 +173,21 @@ class GraftSession(val spark: SparkSession) {
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, drivingTable,
       graphByName, functions.toMap, procedures.toMap)
-    try {
+    classifyingTypeErrors {
       val (df, outs, header) = planner.plan(ast)
       planner.render(df, outs, header)
-    } catch {
-      // Spark analyzes eagerly at DataFrame construction, so a static
-      // type mismatch (NOT 3, 1 + {map}) surfaces here as an
-      // AnalysisException. Those are compile-time-detectable type errors
-      // in TCK terms — reclassify them instead of leaking Spark
-      // internals; the Spark message is kept for diagnosis. Runtime
-      // clashes on dynamic values stay Spark's (raised at action time,
-      // out of this taxonomy's scope — tck_blacklist.md).
+    }
+  }
+
+  /** Spark analyzes eagerly at DataFrame construction, so a static type
+    * mismatch (NOT 3, 1 + {map}) surfaces during planning as an
+    * AnalysisException. Those are compile-time-detectable type errors in
+    * TCK terms — reclassify them instead of leaking Spark internals; the
+    * Spark message is kept for diagnosis. Runtime clashes on dynamic
+    * values stay Spark's (raised at action time, out of this taxonomy's
+    * scope — tck_blacklist.md). */
+  private def classifyingTypeErrors[T](body: => T): T =
+    try body catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null &&
             e.getCondition.startsWith("DATATYPE_MISMATCH") =>
@@ -191,7 +195,6 @@ class GraftSession(val spark: SparkSession) {
           CypherError.CompileTime, CypherError.InvalidArgumentType,
           e.getMessage)
     }
-  }
 
   /** Execute a write query (CREATE / SET / REMOVE / DELETE / MERGE after an
     * optional reading prefix) and return the updated graph. Writes never
@@ -203,7 +206,7 @@ class GraftSession(val spark: SparkSession) {
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, None, graphByName,
       functions.toMap, procedures.toMap)
-    planner.plan(ast)
+    classifyingTypeErrors { planner.plan(ast) }
     planner.updatedGraph.getOrElse(
       throw new IllegalArgumentException("query has no write clauses"))
   }
@@ -215,7 +218,7 @@ class GraftSession(val spark: SparkSession) {
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, None, graphByName,
       functions.toMap, procedures.toMap)
-    val (df, outs, header) = planner.plan(ast)
+    val (df, outs, header) = classifyingTypeErrors { planner.plan(ast) }
     val rows = planner.render(df, outs, header)
     (rows, planner.updatedGraph.getOrElse(
       throw new IllegalArgumentException("query has no write clauses")))
