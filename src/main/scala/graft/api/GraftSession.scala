@@ -283,6 +283,19 @@ class GraftSession(val spark: SparkSession) {
       params: Map[String, Any] = Map.empty): String =
     cypher(graph, query, params).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+
+  /** Printable (logical, physical) plans — the reference's
+    * CypherResult.plans surface (okapi-api/.../api/graph/
+    * CypherResult.scala:74-84 exposes logical + relational). graft's
+    * planning collapses into Catalyst, so the analogue is Catalyst's
+    * optimized logical plan and the formatted physical plan — the two
+    * layers a user reviews when tuning a query. */
+  def plans(graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): (String, String) = {
+    val qe = cypher(graph, query, params).queryExecution
+    (qe.optimizedPlan.toString,
+      qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+  }
 }
 
 object GraftSession {

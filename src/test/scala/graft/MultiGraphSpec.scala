@@ -406,4 +406,18 @@ class MultiGraphSpec extends SparkTestBase {
     assert(session.cypher(built, "MATCH (v) RETURN count(*) AS n")
       .collect().head.getLong(0) === 3L)
   }
+
+  test("plans() exposes printable logical and physical plans") {
+    // parquet-backed graph: a local Seq would constant-fold to a
+    // LocalRelation and leave nothing to see in the optimized plan
+    val g = graft.tpch.TpchGraph(spark, "/root/testdata/sf0.001")
+    val (logical, physical) = session.plans(g,
+      "MATCH (c:Customer) WHERE c.c_custkey > 10 RETURN c.c_custkey AS k")
+    // the filter must be visible in the optimized logical plan and the
+    // physical plan must be the formatted (numbered-operator) rendering
+    assert(logical.contains("Filter"), logical)
+    assert(physical.contains("(1)"), physical)
+    assert(session.explain(g, "MATCH (c:Customer) RETURN c.c_custkey AS k")
+      .contains("Project"))
+  }
 }
