@@ -702,6 +702,44 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
   private def lambda(v: String, c: Column, t: Option[DataType]): ExprCompiler =
     withEnv(v, c, t)
 
+  /** ISO-8601 rendering of the (months, days, micros) duration struct:
+    * P[nY][nM][nD][T[nH][nM][nS]], zero components omitted, 'PT0S' when
+    * everything is zero, components individually signed (months: -13 →
+    * 'P-1Y-1M' — plain truncating division gives exactly that), seconds
+    * carry up to 6 fraction digits with trailing zeros trimmed. Pure
+    * column expressions — stays codegen'd. */
+  private def durationIso(d: Column): Column = {
+    val months = d.getField("months")
+    val days = d.getField("days")
+    val micros = d.getField("micros")
+    val y = (months / 12).cast(LongType)
+    val mo = months % 12
+    val h = (micros / 3600000000L).cast(LongType)
+    val mi = ((micros % 3600000000L) / 60000000L).cast(LongType)
+    val secUs = micros % 60000000L
+    def part(v: Column, unit: String): Column =
+      when(v =!= 0, concat(v.cast(StringType), lit(unit))).otherwise(lit(""))
+    val secStr = {
+      val whole = when(secUs % 1000000L === 0,
+        (secUs / 1000000L).cast(LongType).cast(StringType))
+      // decimal(20,6) renders the fraction with trailing zeros; trim them
+      // (and a bare trailing dot) off
+      val frac = regexp_replace(regexp_replace(
+        (secUs.cast(DecimalType(27, 6)) / 1000000).cast(DecimalType(21, 6))
+          .cast(StringType),
+        "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+      when(secUs =!= 0, concat(coalesce(whole, frac), lit("S")))
+        .otherwise(lit(""))
+    }
+    val datePart = concat(part(y, "Y"), part(mo, "M"), part(days, "D"))
+    val timePart = concat(part(h, "H"), part(mi, "M"), secStr)
+    val body = concat(datePart,
+      when(timePart =!= "", concat(lit("T"), timePart)).otherwise(lit("")))
+    when(d.isNull, lit(null).cast(StringType))
+      .when(body === "", lit("PT0S"))
+      .otherwise(concat(lit("P"), body))
+  }
+
   /** date-from-map construction mirroring the reference's parseDateMap
     * (okapi-api/.../impl/temporal/TemporalTypesHelper.scala:184-216): four
     * identifier chains — calendar (year/month/day), ISO week
@@ -1078,7 +1116,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "left" => a0.substr(lit(1), a1.cast(IntegerType))
       case "right" => a0.substr(F.length(a0) - a1.cast(IntegerType) + 1, a1.cast(IntegerType))
       case "split" => F.split(a0, a1)
-      case "tostring" => a0.cast(StringType)
+      case "tostring" =>
+        inferType(args(0)) match {
+          // Durations render as ISO-8601 (Neo4j toString semantics:
+          // 'P1DT2H', componentwise-signed, 'PT0S' when zero) — a plain
+          // struct cast would leak the (months, days, micros) encoding.
+          case Some(st: StructType)
+              if st.fieldNames.toSeq == Seq("months", "days", "micros") =>
+            durationIso(compile(args(0)))
+          case _ => a0.cast(StringType)
+        }
 
       // ---- casts ----
       case "bigdecimal" | "tobigdecimal" =>

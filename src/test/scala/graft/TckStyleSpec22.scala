@@ -348,6 +348,23 @@ class TckStyleSpec22 extends TckScenarioBase {
   scenario("Sunday is ISO day seven", g,
     "RETURN date('2021-01-03').dayOfWeek AS x", value(7L))
 
+  // ========================== toString(duration) renders ISO-8601
+  scenario("duration toString renders day and time groups", g,
+    "RETURN toString(duration({days: 1, hours: 2})) AS x", value("P1DT2H"))
+  scenario("duration toString round-trips a full literal", g,
+    "RETURN toString(duration('P1Y2M3DT4H5M6.5S')) AS x",
+    value("P1Y2M3DT4H5M6.5S"))
+  scenario("duration toString signs components individually", g,
+    "RETURN toString(duration({months: -13})) AS x", value("P-1Y-1M"))
+  scenario("zero duration toString is PT0S", g,
+    "RETURN toString(duration({seconds: 0})) AS x", value("PT0S"))
+  scenario("duration toString keeps microsecond precision", g,
+    "RETURN toString(duration('PT0.000001S')) AS x", value("PT0.000001S"))
+  scenario("weeks fold into days in duration toString", g,
+    "RETURN toString(duration('P2W')) AS x", value("P14D"))
+  scenario("time group normalizes in duration toString", g,
+    "RETURN toString(duration('PT90M')) AS x", value("PT1H30M"))
+
   // =============================================== classified errors
   errorScenario("garbage duration literal is classified", g,
     "RETURN duration('XYZ') AS x", ArgumentError, InvalidTemporalValue)
