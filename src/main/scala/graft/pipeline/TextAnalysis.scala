@@ -74,6 +74,11 @@ object TextAnalysis {
       n: Int = 20): DataFrame = {
     val spark = df.sparkSession
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    // Referenced twice (attribution build + join-back) and deliberately
+    // NOT pinned: the explode+substr+distinct is cheap codegen, and
+    // measuring both ways showed materializing the gram frame
+    // (localCheckpoint) costs more than recomputing it — unlike Dedup's
+    // shingle frame, whose three consumers tip the trade the other way.
     val grams = df
       .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol), norm.as("_s"))
