@@ -31,7 +31,11 @@ object Similarity {
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — a native codegen'd Catalyst expression (single
+    * fused loop; see graft.functions.CosineSimilarity for why the HOF
+    * zip_with/aggregate form was replaced). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Brute-force cosine top-k against a constant query vector: one scan,
     * a per-partition top-k then a global top-k (Spark's sort+limit is
