@@ -42,7 +42,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(23) match {
+      rnd.nextInt(26) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -247,6 +247,40 @@ class DifferentialSpec extends SparkTestBase {
             s"SELECT c_custkey AS ck, (SELECT count(*) FROM d_orders " +
               s"WHERE o_custkey = c_custkey AND o_totalprice > $t) AS n " +
               "FROM d_customer")
+        case 23 => // chained comparison = range conjunction (round 7)
+          val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
+          val lo = rnd.nextInt(100000)
+          val hi = lo + 1 + rnd.nextInt(100000)
+          Pair(
+            s"MATCH ($v:$label) WHERE $lo <= $v.$col <= $hi " +
+              s"RETURN $v.$col AS x",
+            s"SELECT $col AS x FROM d_$table WHERE $col >= $lo AND $col <= $hi")
+        case 24 => // hex/octal literal thresholds (round 7)
+          val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
+          val thr = rnd.nextInt(0xFFFF)
+          val lit = if (rnd.nextBoolean()) s"0x${thr.toHexString}"
+                    else s"0o${java.lang.Integer.toOctalString(thr)}"
+          Pair(
+            s"MATCH ($v:$label) WHERE $v.$col > $lit RETURN $v.$col AS x",
+            s"SELECT $col AS x FROM d_$table WHERE $col > $thr")
+        case 25 => // temporal accessor predicate (round 7)
+          val y = 1992 + rnd.nextInt(7)
+          val acc = rnd.nextInt(3)
+          val (cy, sq) = acc match {
+            case 0 => (s"o.o_orderdate.year = $y", s"year(o_orderdate) = $y")
+            case 1 => (s"o.o_orderdate.quarter = ${1 + rnd.nextInt(4)}",
+              null) // rebuilt below
+            case _ => (s"o.o_orderdate.month = ${1 + rnd.nextInt(12)}", null)
+          }
+          val cyPred = cy
+          val sqPred = if (sq != null) sq else {
+            val n = cyPred.split("= ").last
+            if (cyPred.contains("quarter")) s"quarter(o_orderdate) = $n"
+            else s"month(o_orderdate) = $n"
+          }
+          Pair(
+            s"MATCH (o:Order) WHERE $cyPred RETURN count(*) AS n",
+            s"SELECT count(*) AS n FROM d_orders WHERE $sqPred")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
