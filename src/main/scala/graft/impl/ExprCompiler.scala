@@ -777,6 +777,19 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     }
   }
 
+  /** A statically-negative start/length argument (Neo4j raises; Spark's
+    * substr would silently clamp) — literal forms only, dynamic values
+    * follow non-ANSI Spark. */
+  private def rejectNegativeLiteral(e: Expr, fn: String): Unit = e match {
+    case IntLit(n) if n < 0 => throw new CypherCompileException(
+      s"$fn expects a non-negative argument, got $n",
+      CE.ArgumentError, CE.NegativeIntegerArgument)
+    case Neg(IntLit(n)) if n > 0 => throw new CypherCompileException(
+      s"$fn expects a non-negative argument, got ${-n}",
+      CE.ArgumentError, CE.NegativeIntegerArgument)
+    case _ =>
+  }
+
   /** Within one identifier chain a present key must not follow an absent
     * finer one — date({year, day}) omits `month` and is rejected
     * (reference TemporalTypesHelper.checkSignificanceOrder:266-280). */
@@ -1109,12 +1122,19 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "reverse" => F.reverse(a0)
       case "replace" => F.replace(a0, a1, compile(args(2)))
       case "substring" =>
-        // Cypher substring(s, start[, length]) is 0-based
+        // Cypher substring(s, start[, length]) is 0-based; negative
+        // literal start/length is a classified error (Neo4j raises —
+        // Spark's substr would silently treat 0/negative as position 1)
+        args.drop(1).foreach(rejectNegativeLiteral(_, "substring"))
         if (args.length >= 3)
           a0.substr(a1.cast(IntegerType) + 1, compile(args(2)).cast(IntegerType))
         else a0.substr(a1.cast(IntegerType) + 1, F.length(a0))
-      case "left" => a0.substr(lit(1), a1.cast(IntegerType))
-      case "right" => a0.substr(F.length(a0) - a1.cast(IntegerType) + 1, a1.cast(IntegerType))
+      case "left" =>
+        rejectNegativeLiteral(args(1), "left")
+        a0.substr(lit(1), a1.cast(IntegerType))
+      case "right" =>
+        rejectNegativeLiteral(args(1), "right")
+        a0.substr(F.length(a0) - a1.cast(IntegerType) + 1, a1.cast(IntegerType))
       case "split" => F.split(a0, a1)
       case "tostring" =>
         inferType(args(0)) match {
