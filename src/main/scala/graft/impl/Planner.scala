@@ -1780,8 +1780,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       var cont = true
       while (cont) {
         if (spMode.isDefined && k >= math.max(lo, 1)) frontier = prune(frontier)
-        frontier = Pin.eager(frontier)
-        if (frontier.isEmpty) cont = false
+        // Lazy pin + count: the count materializes the checkpoint AND
+        // answers the emptiness test in ONE job per level (the old
+        // eager-pin-then-isEmpty shape ran two).
+        frontier = Pin(frontier)
+        if (frontier.count() == 0L) cont = false
         else {
           if (spMode.isDefined && k >= math.max(lo, 1)) recordClosed(frontier)
           if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
