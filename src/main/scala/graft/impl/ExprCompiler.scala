@@ -987,8 +987,11 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "min" => min(a0)
       case "max" => max(a0)
       case "collect" => if (distinct) collect_set(a0) else collect_list(a0)
-      case "stdev" => stddev_samp(a0)
-      case "stdevp" => stddev_pop(a0)
+      // Neo4j stDev/stDevP return 0 over fewer than two (resp. one)
+      // non-null values; Spark's stddev returns null there — coalesce to
+      // the Neo4j value (null only ever arises in exactly those cases).
+      case "stdev" => F.coalesce(stddev_samp(a0), lit(0.0))
+      case "stdevp" => F.coalesce(stddev_pop(a0), lit(0.0))
       case "percentilecont" => GraftFunctions.percentileCont(a0, a1)
       case "percentiledisc" =>
         // exact discrete percentile: smallest value with cume_dist >= p
