@@ -1158,7 +1158,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case other => throw new CypherCompileException(
             s"bigDecimal(x, precision, scale) needs integer literals: $other")
         }
-      case "tointeger" => a0.try_cast(LongType)
+      case "tointeger" => inferType(args.head) match {
+        // Neo4j parses float STRINGS too, truncating toward zero
+        // (toInteger('3.7') = 3); Spark's long cast alone nulls them.
+        // Exact long strings win the coalesce so > 2^53 integers keep
+        // full precision.
+        case Some(StringType) => F.coalesce(a0.try_cast(LongType),
+          a0.try_cast(DoubleType).cast(LongType))
+        case _ => a0.try_cast(LongType)
+      }
       case "tofloat" => a0.try_cast(DoubleType)
       case "toboolean" => inferType(args.head) match {
         // openCypher accepts exactly 'true'/'false' (case-insensitive);
@@ -1182,11 +1190,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "floor" => F.floor(a0)
       case "round" =>
         if (args.length >= 2) args(1) match {
+          // Precision form: HALF_UP away from zero (Neo4j's default
+          // round(v, p) mode and what Spark/DuckDB both implement).
           case IntLit(s) => F.round(a0, s.toInt)
           case other => throw new CypherCompileException(
             s"round() scale must be an integer literal, got $other")
         }
-        else F.round(a0, 0)
+        // 1-arg Cypher round ties TOWARD POSITIVE INFINITY (Neo4j docs,
+        // java Math.round): round(-2.5) = -2 — Spark's HALF_UP would
+        // give -3.
+        else F.floor(a0.cast(DoubleType) + 0.5).cast(DoubleType)
       case "sign" => F.signum(a0).cast(LongType)
       case "acos" => F.acos(a0)
       case "asin" => F.asin(a0)

@@ -58,6 +58,25 @@ class TckStyleSpec27 extends TckScenarioBase {
   scenario("stDev over no rows is zero", g,
     "MATCH (n:Zzz) RETURN stDev(n.num) AS x", value(0.0))
 
+  // --------------------------------------- round ties toward +infinity
+  // (Neo4j docs for 1-arg round; fixed round 7 — Spark's HALF_UP gave
+  // -3.0 for round(-2.5). The precision form round(v, p) stays HALF_UP,
+  // Neo4j's default mode for it.)
+  scenario("round ties toward positive infinity", g,
+    "RETURN round(-2.5) AS x", value(-2.0))
+  scenario("round of negative half is zero", g,
+    "RETURN round(-0.5) AS x", value(0.0))
+  scenario("round of positive half still rounds up", g,
+    "RETURN round(2.5) AS x", value(3.0))
+
+  // --------------------------------------- toInteger parses float strings
+  // (Neo4j truncates toward zero; fixed round 7 — the long cast alone
+  // nulled them.)
+  scenario("toInteger parses a float string by truncation", g,
+    "RETURN toInteger('3.7') AS x", value(3L))
+  scenario("toInteger truncates a negative float string toward zero", g,
+    "RETURN toInteger('-3.7') AS x", value(-3L))
+
   // ------------------------------------------------- empty-input aggregates
   scenario("count over no rows is zero", g,
     "MATCH (n:Zzz) RETURN count(*) AS x", value(0L))
