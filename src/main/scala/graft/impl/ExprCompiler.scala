@@ -1107,12 +1107,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           val ks = st.fieldNames.filterNot(_.startsWith("_")).toSeq.sorted
           when(c.isNull, lit(null))
             .otherwise(struct(ks.map(k => c.getField(k).as(k)): _*))
+        // properties() of a MAP is the map itself (Neo4j identity
+        // semantics) — any struct/map-typed value that is not an entity
+        // struct (those carry _id first and take the slot paths).
+        case m if inferType(m).exists {
+          case st: StructType => !st.fieldNames.headOption.contains("_id")
+          case _: MapType => true
+          case _ => false
+        } => compile(m)
         case Var(n) if !env.contains(n) =>
           val ks = header.ownedBy(n).collect { case PropSlot(_, k) => k }.sorted
           // properties(null) is null (optional-unmatched element)
           when(compile(Var(n)).isNull, lit(null))
             .otherwise(struct(ks.map(k => col(header.col(PropSlot(n, k))).as(k)): _*))
-        case _ => throw new CypherCompileException("properties() needs an element var", CE.TypeError, CE.InvalidArgumentType)
+        case _ => throw new CypherCompileException("properties() needs an element var or map", CE.TypeError, CE.InvalidArgumentType)
       }
       case "exists" => a0.isNotNull
 

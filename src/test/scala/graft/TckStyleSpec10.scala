@@ -152,4 +152,12 @@ class TckStyleSpec10 extends TckScenarioBase {
   scenario("type membership via IN", g,
     "MATCH ()-[r]->() WHERE type(r) IN ['LIKES'] RETURN count(*) AS x",
     value(1))
+
+  // properties() of a map is the map itself (Neo4j identity; fixed
+  // round 7 — previously "needs an element var", and a WITH-bound map
+  // hit an empty prop-slot struct)
+  scenario("properties of a literal map is the map", g,
+    "RETURN properties({a: 1}).a AS x", value(1))
+  scenario("properties of a WITH-bound map is the map", g,
+    "WITH {a: 2} AS m RETURN properties(m).a AS x", value(2))
 }
