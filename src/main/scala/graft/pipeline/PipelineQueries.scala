@@ -347,6 +347,11 @@ object PipelineQueries {
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id", k = 5)
         .select(col("lang"), col("doc_id"))),
+    // Weighted by text length: the quality-weighted subsampling step.
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id",
+          length(col("text")).cast(DoubleType), k = 50)
+        .select(col("doc_id"), col("lang"))),
     "q_domain_mix" -> ((s, dir) =>
       Sampling.domainMix(docs(s, dir), "source")),
     // --- shard packing: distributed prefix sum (no single-partition window) ---
@@ -498,6 +503,13 @@ object PipelineQueries {
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
              ORDER BY (doc_id * 1103515245 + 12345) % 2048, doc_id) AS rk
            FROM documents) t WHERE rk <= 5""",
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             round(ln((((doc_id * 1103515245 + 12345) % 2048)::DOUBLE + 0.5)
+               / 2048.0) / length(text), 8) AS key
+           FROM documents) t
+         ORDER BY key DESC, doc_id LIMIT 50""",
     "q_domain_mix" ->
       """SELECT source, count(*) AS n,
            round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4) AS frac

@@ -40,6 +40,26 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Deterministic weighted sample of k rows without replacement
+    * (Efraimidis–Spirakis A-Res): each row draws u in (0,1) from the LCG
+    * bucket of its id — deterministic, partition-stable, replayable by
+    * any SQL oracle — and scores ln(u)/w, the k largest scores winning
+    * (heavier rows draw keys nearer 0). Selection probability is
+    * proportional to weight, exactly the quality-weighted subsampling
+    * step of a curation pipeline. One TakeOrdered (sort+limit fuses — no
+    * full sort, no extra shuffle); weights must be positive. The key is
+    * rounded to 8 decimals before ordering with the id as tiebreak, so
+    * an external oracle's ln() agreeing to 8 decimals selects the
+    * identical row set. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, buckets: Int = 2048): DataFrame = {
+    val u = (idBucket(col(idCol), buckets).cast("double") + 0.5) / buckets
+    df.withColumn("_ws_key", round(log(u) / weightCol, 8))
+      .orderBy(col("_ws_key").desc, col(idCol))
+      .limit(k)
+      .drop("_ws_key")
+  }
+
   /** Per-group share of total rows — the "domain mix" report a curation
     * pipeline balances against (one aggregation + a 1-row broadcast). */
   def domainMix(df: DataFrame, groupCol: String): DataFrame = {

@@ -231,6 +231,22 @@ class PipelineSpec extends SparkTestBase {
     assert(got.collect().map(_.toSeq).toSet === again.collect().map(_.toSeq).toSet)
   }
 
+  test("weighted sampling is deterministic and biased toward heavy rows") {
+    import graft.pipeline.Sampling
+    // 200 rows, weight 100x higher for ids < 20: the heavy decile should
+    // dominate a k=40 sample, and two runs must agree exactly.
+    val d = (0L until 200L).map(i => (i, if (i < 20) 100.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(d, "id", col("w"), k = 40)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSample(d, "id", col("w"), k = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "weighted sample must be deterministic")
+    assert(s1.size === 40)
+    val heavy = s1.count(_ < 20)
+    assert(heavy >= 15, s"heavy rows underrepresented: $heavy of 20 in sample")
+  }
+
   test("domain mix fractions sum to one") {
     val rows = Seq((1L, "web"), (2L, "web"), (3L, "code"), (4L, "books"))
       .toDF("id", "source")
