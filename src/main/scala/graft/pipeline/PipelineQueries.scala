@@ -279,6 +279,8 @@ object PipelineQueries {
         TextAnalysis.fingerprint(col("text")).as("fp"))),
     "q_ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text")),
+    "q_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(docs(s, dir), "doc_id", "text")),
     // --- scrubbing: PII, repetition, corpus boilerplate ---
     // PII is planted deterministically from doc_id (the synthetic corpus has
     // none) so the detectors exercise real matches the oracle can replay.
@@ -603,6 +605,15 @@ object PipelineQueries {
          FROM documents""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""",
+    "q_surprisal" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+         c AS (SELECT tok, count(*) AS n FROM w GROUP BY 1),
+         t AS (SELECT count(*) AS total FROM w)
+         SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(c.n::DOUBLE / t.total)), 4) AS avg_surprisal
+         FROM w JOIN c USING (tok) CROSS JOIN t
+         GROUP BY w.doc_id""",
     "q_ngram_novelty" ->
       """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
          g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(length(s)-20, 0)+1), i -> substr(s, i+1, 20)))) AS gram FROM t),

@@ -57,6 +57,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Per-document unigram surprisal against the corpus's own token
+    * distribution: avg of -ln(count(tok)/total) over the document's
+    * tokens — the language-model-free stand-in for a perplexity quality
+    * score (documents full of corpus-rare tokens score high, boilerplate
+    * scores low). Returns (idCol, n_tokens, avg_surprisal).
+    *
+    * Shape: token explode, one global count aggregation (map-side
+    * combinable — token skew cannot hot-spot), a 1-row total broadcast,
+    * join back, per-doc average. Two keyed shuffles, linear in token
+    * volume — 100-TB-shaped. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val toks = df
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol),
+        explode(F.split(trim(lower(col(textCol))), "\\s+")).as("_tok"))
+    val counts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_n"))
+    val total = toks.agg(count(lit(1)).as("_total"))
+    toks.join(counts, "_tok").crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("_n").cast(DoubleType) / col("_total"))), 4)
+          .as("avg_surprisal"))
+  }
+
   /** Per-document n-gram novelty under corpus id order: of a document's
     * distinct character n-grams (whitespace-normalized, lower-cased), the
     * count and fraction that NO smaller-id document contains — the

@@ -271,6 +271,21 @@ class PipelineSpec extends SparkTestBase {
     assert(f0 === f2)
   }
 
+  test("unigram surprisal scores rare-token documents higher") {
+    val d = Seq(
+      (0L, "the the the the"),   // all corpus-common tokens
+      (1L, "the the the zebra")  // one rare token
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L)._1 === 4L)
+    // 'the' appears 7 of 8 tokens; 'zebra' once: doc 1 must score higher
+    assert(got(1L)._2 > got(0L)._2)
+    // exact values: -ln(7/8) for doc 0; (3*-ln(7/8) + -ln(1/8))/4 for doc 1
+    assert(math.abs(got(0L)._2 - BigDecimal(-math.log(7.0 / 8))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("ngram novelty attributes grams to the first (smallest-id) document") {
     val d = Seq(
       (0L, "abcdefgh"),    // 4 distinct 5-grams, all first-seen here
