@@ -315,6 +315,130 @@ object GraphAlgorithms {
     dist
   }
 
+  /** Degree assortativity of an undirected edge frame: the Pearson
+    * correlation between the degrees at the two ends of every edge
+    * (Newman 2002) — positive when hubs link to hubs, negative for
+    * hub-and-spoke topologies. Returns a 1-row (assortativity) frame.
+    *
+    * Scale shape: canonicalize + symmetrize, ONE degree aggregation, two
+    * keyed joins to attach endpoint degrees, one global moment
+    * aggregation — no iteration, nothing quadratic. All five moments are
+    * summed exactly in Decimal(38,0) (long sums of degree products
+    * overflow at ~1e18, i.e. well inside a 100-TB edge list) and only
+    * the final correlation is computed in floating point, so the result
+    * is independent of partitioning and aggregation order — which also
+    * lets a SQL oracle replay it bit-for-bit. */
+  def degreeAssortativity(edges0: DataFrame): DataFrame = {
+    val canon = edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = Pin(canon.unionByName(
+      canon.select(col("b").as("a"), col("a").as("b"))))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val dec = DecimalType(38, 0)
+    val pairs = sym
+      .join(deg.select(col("a"), col("d").as("x")), "a")
+      .join(deg.select(col("a").as("b"), col("d").as("y")), "b")
+      .select(col("x").cast(dec).as("x"), col("y").cast(dec).as("y"))
+    val s = pairs.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    s.select(round(
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))),
+      4).as("assortativity"))
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts in its own community; each round it adopts the most frequent
+    * label among its neighbors, ties broken toward the SMALLEST label —
+    * fully deterministic, unlike the classic async formulation. Stops
+    * when no label changes or after `maxIterations` (LPA is not
+    * guaranteed to converge — two-coloring a bipartite graph oscillates —
+    * so the cap is semantic, not a safety net). Returns (id, label);
+    * isolated nodes keep their own label.
+    *
+    * Scale shape per round: one join (labels x symmetrized edges, edge
+    * side pinned pre-partitioned on dst — never re-shuffled), one
+    * (node, label) count aggregation, one max_by per node, one
+    * changed-label count for convergence. Same iterative skeleton as
+    * [[connectedComponents]] with a mode instead of a min. */
+  def labelPropagation(graph: PropertyGraph,
+      relTypes: Seq[String] = Seq.empty, maxIterations: Int = 10): DataFrame = {
+    val e0 = validated(edges(graph, relTypes), graph)
+    val und = Pin(e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct().repartition(col("dst")))
+    var lbl = Pin(und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      val counts = und
+        .join(lbl.withColumnRenamed("id", "_nid"), und("dst") === col("_nid"))
+        .groupBy(und("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // mode with min-label ties: max over (cnt, -label)
+      val next = Pin(counts.groupBy(col("id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label")))
+      changed = next.join(lbl.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") =!= col("_old")).count()
+      lbl = next
+      it += 1
+    }
+    val isolated = nodeIds(graph)
+      .join(lbl.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    lbl.unionByName(isolated)
+  }
+
+  /** The k-core: the maximal subgraph in which every node has degree
+    * >= k, by iterative peeling (drop all nodes below k, recompute,
+    * repeat — order-independent, so the fixpoint is unique). Returns the
+    * (id, degree) frame of core members with their within-core degree.
+    *
+    * Scale shape per round: one degree aggregation + two semi-joins to
+    * drop edges incident to peeled nodes; the edge frame shrinks
+    * monotonically, so rounds get cheaper, and convergence is detected
+    * by the (monotone) surviving-edge count. */
+  def kCore(graph: PropertyGraph, k: Int,
+      relTypes: Seq[String] = Seq.empty, maxIterations: Int = 50): DataFrame =
+    kCoreEdges(validated(edges(graph, relTypes), graph), k, maxIterations)
+
+  /** [[kCore]] over an arbitrary (src, dst) edge frame. */
+  def kCoreEdges(edges0: DataFrame, k: Int,
+      maxIterations: Int = 50): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val canon = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var sym = Pin(canon.unionByName(
+      canon.select(col("b").as("a"), col("a").as("b"))))
+    var nEdges = sym.count()
+    var prev = -1L
+    var it = 0
+    while (nEdges != prev && nEdges > 0 && it < maxIterations) {
+      val keep = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a"))
+      val next = Pin(sym
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      prev = nEdges
+      nEdges = next.count()
+      sym = next
+      it += 1
+    }
+    sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
   /** One SSSP propagation round: candidate distances reached from the
     * active frontier. `e` is the pinned, hash(src)-pre-partitioned edge
     * frame; the join MUST consume that partitioning (edge side sees no

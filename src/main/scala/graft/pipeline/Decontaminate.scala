@@ -51,6 +51,33 @@ object Decontaminate {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Per-document contamination FRACTION, not just the flag: of each
+    * corpus document's distinct n-grams, how many also occur in the probe
+    * set — the triage signal that separates a quoted sentence from a
+    * wholesale benchmark copy. Returns (idCol, n_grams, n_hits, frac) for
+    * every corpus document (zero-hit documents included, frac = 0).
+    *
+    * Scale shape: same broadcast-probe gram-hash join as [[flag]], plus
+    * one per-document distinct-gram count — two aggregations over the
+    * exploded gram frame, both map-side combinable; the corpus never
+    * shuffles as a whole. */
+  def overlapFrac(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int = 20): DataFrame = {
+    val corpusGrams =
+      gramHashes(corpus, idCol, textCol, n).distinct()
+    val probeGrams = gramHashes(probes, idCol, textCol, n)
+      .select(col("_gh")).distinct()
+    val hits = corpusGrams
+      .join(probeGrams, Seq("_gh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpusGrams
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("frac", round(col("n_hits") / col("n_grams"), 4))
+  }
+
   /** The complement: corpus with contaminated documents removed. */
   def scrub(corpus: DataFrame, probes: DataFrame, idCol: String,
       textCol: String, n: Int = 20, minHits: Int = 1): DataFrame =

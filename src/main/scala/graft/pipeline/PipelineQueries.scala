@@ -281,6 +281,28 @@ object PipelineQueries {
       TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text")),
     "q_surprisal" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(docs(s, dir), "doc_id", "text")),
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(docs(s, dir), "doc_id", "text")),
+    // --- clustering over the embedding column ---
+    // Fixed centroids = the 8 lowest-id embeddings (deterministic, so the
+    // DuckDB oracle rebuilds the identical centroid set).
+    "q_cluster_assign" -> ((s, dir) => {
+      val cents = embs(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq
+      Clustering.assignCosine(embs(s, dir), "vec_id", "embedding", cents)
+    }),
+    // Trained clusters: Lloyd k-means, deterministic lowest-id seeding.
+    // Output is the id-free cluster-size histogram (centroid numerics are
+    // partial-aggregation-order sensitive at the 1e-15 level, so per-id
+    // membership is asserted in PipelineSpec instead of hash-compared).
+    "q_cluster_kmeans" -> ((s, dir) =>
+      Clustering.kmeans(embs(s, dir), "vec_id", "embedding",
+          k = 8, maxIterations = 10)
+        .assignments
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))),
     // --- scrubbing: PII, repetition, corpus boilerplate ---
     // PII is planted deterministically from doc_id (the synthetic corpus has
     // none) so the detectors exercise real matches the oracle can replay.
@@ -342,6 +364,13 @@ object PipelineQueries {
         d.filter(pmod(col("doc_id"), lit(47)) =!= 0),
         d.filter(pmod(col("doc_id"), lit(47)) === 0),
         "doc_id", "text", n = 20, minHits = 1)
+    }),
+    "q_decontaminate_frac" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.overlapFrac(
+        d.filter(pmod(col("doc_id"), lit(47)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(47)) === 0),
+        "doc_id", "text", n = 20)
     }),
     "q_sample_hash" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), "doc_id", 0.1)
@@ -413,6 +442,38 @@ object PipelineQueries {
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       graft.algos.GraphAlgorithms.triangleCountEdges(pairs)
+    }),
+    // --- degree assortativity of the co-order part-pair graph ---
+    // (exact Decimal moment sums -> the one floating-point step is
+    // replayed identically by the DuckDB oracle's HUGEINT sums)
+    "q_algo_assortativity" -> ((s, dir) => {
+      val lp = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.algos.GraphAlgorithms.degreeAssortativity(pairs)
+    }),
+    // --- label propagation communities (id-free size histogram; exact
+    // membership asserted in AlgosSpec) ---
+    "q_algo_labelprop" -> ((s, dir) =>
+      graft.algos.GraphAlgorithms.labelPropagation(
+        graft.tpch.TpchGraph(s, dir),
+        relTypes = Seq("IN_REGION", "FROM_NATION"), maxIterations = 5)
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"))),
+    // --- 2-core of the co-order part-pair graph (degree histogram of the
+    // core members; peeling fixpoint is unique, AlgosSpec pins membership) ---
+    "q_algo_kcore" -> ((s, dir) => {
+      val lp = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.algos.GraphAlgorithms.kCoreEdges(pairs, k = 3)
+        .groupBy(col("degree")).agg(count(lit(1)).as("n"))
     }))
 
   /** PageRank oracle: the same 3 damped iterations with uniform dangling-
@@ -453,6 +514,78 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_algo_pagerank" -> pageRankSql,
+    "q_quality_filter" ->
+      """WITH b AS (SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
+             length(regexp_replace(text, '[^#]', '', 'g')) +
+               len(regexp_extract_all(text, '\.\.\.')) AS sym,
+             (CASE WHEN regexp_matches(lower(text), '(^|\s)the(\s|$)') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '(^|\s)be(\s|$)') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '(^|\s)to(\s|$)') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '(^|\s)of(\s|$)') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '(^|\s)and(\s|$)') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '(^|\s)that(\s|$)') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '(^|\s)have(\s|$)') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '(^|\s)with(\s|$)') THEN 1 ELSE 0 END) AS sh
+           FROM documents)
+         SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           round(nonspace::DOUBLE / greatest(nw, 1), 4) AS mean_word_len,
+           round(alphaw::DOUBLE / greatest(nw, 1), 4) AS alpha_frac,
+           round(sym::DOUBLE / greatest(nw, 1), 4) AS symbol_ratio,
+           CAST(sh AS BIGINT) AS stopword_hits,
+           (nw BETWEEN 5 AND 100000
+             AND nonspace::DOUBLE / greatest(nw, 1) BETWEEN 3.0 AND 10.0
+             AND alphaw::DOUBLE / greatest(nw, 1) >= 0.7
+             AND sym::DOUBLE / greatest(nw, 1) <= 0.1
+             AND sh >= 2) AS keep
+         FROM b""",
+    "q_cluster_assign" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+             FROM embeddings WHERE vec_id < 8),
+           sc AS (SELECT e.vec_id, cent.cid,
+               list_dot_product(e.embedding::DOUBLE[], cent.c) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(cent.c, cent.c))) AS cos
+             FROM embeddings e CROSS JOIN cent)
+         SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(cos, 4) AS cosine
+         FROM (SELECT vec_id, cid, cos,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+               FROM sc) WHERE rn = 1""",
+    "q_decontaminate_frac" ->
+      """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+           g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(length(s)-20, 0)+1), i -> substr(s, i+1, 20)))) AS gram FROM t),
+           corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 47 <> 0),
+           probe AS (SELECT DISTINCT gram FROM g WHERE doc_id % 47 = 0),
+           hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh
+             FROM corpus JOIN probe USING (gram) GROUP BY 1)
+         SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(coalesce(max(h.nh), 0) AS BIGINT) AS n_hits,
+           round(coalesce(max(h.nh), 0)::DOUBLE / count(*), 4) AS frac
+         FROM corpus c LEFT JOIN hits h USING (doc_id)
+         GROUP BY c.doc_id""",
+    // Degree assortativity replay: all five moments exact in HUGEINT
+    // (mirroring the engine's Decimal(38,0) sums), ONE floating-point
+    // expression at the end -> bit-identical doubles on both sides.
+    "q_algo_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+           sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+           deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+           pairs AS (SELECT da.d AS x, db.d AS y
+             FROM sym JOIN deg da ON sym.u = da.id JOIN deg db ON sym.v = db.id),
+           s AS (SELECT count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x*y)::HUGEINT AS sxy, sum(x*x)::HUGEINT AS sxx,
+               sum(y*y)::HUGEINT AS syy FROM pairs)
+         SELECT round(((n*sxy - sx*sy)::DOUBLE) /
+             (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
+           AS assortativity
+         FROM s""",
     // Component-size histogram over IN_REGION + FROM_NATION edges: each
     // region anchors one component {region, its nations, their customers
     // and suppliers}; orders/lineitems/parts have no edge of these types

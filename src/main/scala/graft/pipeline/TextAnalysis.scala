@@ -57,6 +57,52 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Gopher-style composite quality filter (Rae et al. 2021 §A1.1, the
+    * rule family every large-scale curation pipeline applies before
+    * training): per-document rule signals plus the combined keep flag.
+    * Emits (idCol, n_words, mean_word_len, alpha_frac, symbol_ratio,
+    * stopword_hits, keep):
+    *   - n_words: whitespace tokens
+    *   - mean_word_len: non-space chars / words
+    *   - alpha_frac: fraction of words containing a letter
+    *   - symbol_ratio: ('#' count + '...' count) / words
+    *   - stopword_hits: how many of 8 common English stopwords appear
+    *   - keep: words in [minWords, maxWords], mean word length in [3, 10],
+    *     alpha_frac >= 0.7, symbol_ratio <= 0.1, stopword_hits >= 2
+    * Pure column expressions over one scan — fully codegen'd except the
+    * single-pass `filter` HOF for alpha_frac (no shuffle, no UDF), so the
+    * operator is a trivially-parallel map at any scale. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 5L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = F.size(toks).cast(LongType)
+    val w = greatest(nWords, lit(1L)).cast(DoubleType)
+    val nonSpace = F.length(regexp_replace(t, "\\s+", "")).cast(DoubleType)
+    val alphaWords =
+      F.size(F.filter(toks, x => x.rlike("[A-Za-z]"))).cast(DoubleType)
+    val symbols = (F.length(regexp_replace(t, "[^#]", "")) +
+      F.size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))).cast(DoubleType)
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stopwords.map(wd =>
+        when(regexp_like(lower(t), lit(s"(^|\\s)$wd(\\s|$$)")), 1L)
+          .otherwise(0L))
+      .reduce(_ + _)
+    val meanLen = nonSpace / w
+    val alphaFrac = alphaWords / w
+    val symbolRatio = symbols / w
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      stopHits.as("stopword_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) && alphaFrac >= 0.7 &&
+        symbolRatio <= 0.1 && stopHits >= 2L).as("keep"))
+  }
+
   /** Per-document unigram surprisal against the corpus's own token
     * distribution: avg of -ln(count(tok)/total) over the document's
     * tokens — the language-model-free stand-in for a perplexity quality

@@ -273,4 +273,54 @@ class AlgosSpec extends SparkTestBase {
         s"wedge join does not key on u:\n$plan")
     }
   }
+
+  test("degree assortativity: star graph is perfectly disassortative") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphAlgorithms.degreeAssortativity(star).head().getDouble(0)
+    assert(r === -1.0, s"star assortativity should be -1, got $r")
+  }
+
+  test("degree assortativity matches the hand-computed Pearson value") {
+    // path 1-2-3 plus pendant 3-4: degrees 1,2,2,1
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    // directed pairs (x,y): (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+    // n=6 sx=10 sy=10 sxy=16 sxx=18 syy=18
+    // r = (96-100)/(sqrt(108-100)*sqrt(108-100)) = -4/8 = -0.5
+    val r = GraphAlgorithms.degreeAssortativity(g).head().getDouble(0)
+    assert(r === -0.5, s"expected -0.5, got $r")
+  }
+
+  test("label propagation: each component converges to one community") {
+    // two triangles, no bridge, plus the chain 4-5 from `graph`'s shape
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 1L),
+      (13L, 4L, 5L), (14L, 5L, 6L), (15L, 6L, 4L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val lbl = GraphAlgorithms.labelPropagation(g, maxIterations = 10)
+      .collect().map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getLong(1))).toMap
+    assert(lbl(1L) === lbl(2L) && lbl(2L) === lbl(3L))
+    assert(lbl(4L) === lbl(5L) && lbl(5L) === lbl(6L))
+    assert(lbl(1L) !== lbl(4L))
+  }
+
+  test("label propagation: isolated nodes keep their own label") {
+    val lbl = GraphAlgorithms.labelPropagation(graph).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getLong(1) & 0xFFFFFFFFL)).toMap
+    assert(lbl.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(lbl(1L) === lbl(2L) && lbl(2L) === lbl(3L))
+  }
+
+  test("k-core: peeling strips the tail, keeps the triangle") {
+    // triangle 1-2-3 with a chain 3-4-5 hanging off: the 2-core is the
+    // triangle alone — 4 peels first, then 5's support collapses too
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = GraphAlgorithms.kCoreEdges(e, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // the 3-core of a plain triangle is empty
+    assert(GraphAlgorithms.kCoreEdges(e, k = 3).count() === 0L)
+  }
 }

@@ -494,4 +494,81 @@ class PipelineSpec extends SparkTestBase {
     val seq = rows.map(_.getLong(2))
     assert(seq.zip(seq.tail).forall { case (x, y) => x <= y })
   }
+
+  test("gopher quality filter keeps clean prose, drops degenerate documents") {
+    val good = "the quick brown fox jumps over and over again to be first " +
+      "in a long line of animals that have been with us for many years now"
+    val qdocs = Seq(
+      (0L, good),                              // clean -> keep
+      (1L, "short text"),                      // < 5 words -> drop
+      (2L, ("### " * 40) + good),              // symbol-heavy -> drop
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa " * 6), // mean len > 10
+      (4L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce")
+    ).toDF("doc_id", "text")                   // 4: no English stopwords
+    val q = TextAnalysis.gopherQuality(qdocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(q === Map(0L -> true, 1L -> false, 2L -> false,
+      3L -> false, 4L -> false))
+    val row0 = TextAnalysis.gopherQuality(qdocs, "doc_id", "text")
+      .filter(col("doc_id") === 0).head()
+    assert(row0.getAs[Long]("n_words") === good.split("\\s+").length.toLong)
+    assert(row0.getAs[Double]("alpha_frac") === 1.0)
+    assert(row0.getAs[Long]("stopword_hits") >= 2L)
+  }
+
+  test("contamination overlap fraction: full copy 1.0, unrelated 0.0") {
+    val a = "this exact benchmark sentence will appear verbatim inside the " +
+      "training corpus and must be attributed with a full overlap fraction"
+    val corpus = Seq(
+      (1L, a),                                    // exact probe copy
+      (2L, a + " plus a long unique suffix that the probe set never saw " +
+        "anywhere in its own text at all"),       // partial overlap
+      (3L, "entirely unrelated text about catalyst optimizer rules and " +
+        "distributed shuffle planning for large clusters")).toDF("doc_id", "text")
+    val probes = Seq((100L, a)).toDF("doc_id", "text")
+    val got = Decontaminate.overlapFrac(corpus, probes, "doc_id", "text", n = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._3 === 1.0)
+    assert(got(3L)._3 === 0.0 && got(3L)._2 === 0L)
+    assert(got(2L)._3 > 0.0 && got(2L)._3 < 1.0)
+    // the flag operator agrees with frac > 0
+    val flagged = Decontaminate.flag(corpus, probes, "doc_id", "text", n = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 2L))
+  }
+
+  test("assignCosine puts each vector with its nearest centroid, ties to low id") {
+    val vecs = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),  // near centroid 0
+      (12L, Seq(0.0f, 1.0f)), (13L, Seq(0.1f, 0.9f)),  // near centroid 1
+      (14L, Seq(1.0f, 1.0f))                           // exact tie -> 0
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val got = graft.pipeline.Clustering
+      .assignCosine(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 0L, 11L -> 0L, 12L -> 1L, 13L -> 1L, 14L -> 0L))
+  }
+
+  test("kmeans recovers well-separated clusters; deterministic across partitionings") {
+    val pts = (0 until 30).map { i =>
+      val (cx, cy) = if (i % 3 == 0) (0.0, 0.0)
+        else if (i % 3 == 1) (10.0, 10.0) else (-10.0, 8.0)
+      (i.toLong, Seq(cx + (i % 5) * 0.1, cy + (i % 7) * 0.1))
+    }
+    val df = pts.toDF("id", "v")
+    val r1 = graft.pipeline.Clustering.kmeans(df, "id", "v", k = 3)
+    val groups = r1.assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy { case (id, _) => id % 3 }
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // every ground-truth cluster lands in exactly one learned cluster
+    assert(groups.values.forall(_.size === 1), s"mixed clusters: $groups")
+    assert(groups.values.flatten.toSet.size === 3)
+    // partitioning must not change the result (deterministic lowest-id init)
+    val r2 = graft.pipeline.Clustering.kmeans(df.repartition(7), "id", "v", k = 3)
+    assert(r2.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      === r1.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toMap)
+  }
 }
