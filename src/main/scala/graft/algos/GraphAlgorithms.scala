@@ -449,4 +449,74 @@ object GraphAlgorithms {
     e.join(frontier, e("src") === frontier("id"))
       .select(e("dst").as("id"), (col("dist") + col("w")).as("nd"))
       .groupBy("id").agg(min("nd").as("nd"))
+
+  /** Symmetrized, deduped, loop-free neighbor frame (u, v) from a raw
+    * (src, dst) edge list — the shared front door of the neighborhood
+    * functions below. */
+  private def symNeighbors(edges0: DataFrame): DataFrame = {
+    val e = edges0.filter(col("src") =!= col("dst"))
+    e.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+  }
+
+  /** Exact 2-hop ball sizes: for every node with at least one edge, the
+    * number of distinct nodes within undirected distance <= 2 of it, the
+    * node itself included — |B(v, 2)|. Returns (id, ball2).
+    *
+    * This is the exact CORRECTNESS BASELINE for the neighborhood
+    * function: it materializes the (u, member) pair set (one self-join +
+    * one distinct shuffle), so its cost is the size of the 2-hop
+    * closure — fine up to moderate density, quadratic on dense graphs.
+    * The scale path that never materializes the closure is
+    * [[neighborhoodHll]]. */
+  def neighborhoodSizes2(edges0: DataFrame): DataFrame = {
+    val sym = Pin(symNeighbors(edges0))
+    val self = sym.select(col("u")).distinct().select(col("u"), col("u").as("v"))
+    val twoHop = sym.as("h1").join(sym.as("h2"), col("h1.v") === col("h2.u"))
+      .select(col("h1.u").as("u"), col("h2.v").as("v"))
+    sym.unionByName(self).unionByName(twoHop)
+      .distinct()
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("ball2"))
+      .select(col("u").as("id"), col("ball2"))
+  }
+
+  /** HyperBall-style approximate neighborhood function (Boldi & Vigna,
+    * WWW'14 "HyperBall: a fast sketch-based diameter tool"; the reference
+    * engine has nothing comparable — this is the 100-TB formulation):
+    * every node carries an HLL sketch of its h-hop ball, and one round of
+    * sketch-union along edges grows the radius by one. Returns
+    * (id, ball_est) — the estimated |B(v, maxHops)|, self included.
+    *
+    * Scale shape: the symmetrized edge frame is pinned PRE-PARTITIONED on
+    * its join key once, so each round shuffles only the per-node sketch
+    * frame (sketches stay tiny for small balls — DataSketches HLL is
+    * sparse until ~2^lgK distinct items); per round: one join + one
+    * hll_union_agg groupBy + one merge join. Nothing ever materializes a
+    * pair set, which is the whole point vs [[neighborhoodSizes2]] — ball
+    * counting over a 100-TB edge list is feasible exactly because the
+    * state per node is O(2^lgK) bytes regardless of ball size. Estimates
+    * are deterministic (DataSketches HLL has no run-time randomness), so
+    * the accuracy gate in the registered query is stable. */
+  def neighborhoodHll(edges0: DataFrame, maxHops: Int, lgK: Int = 12): DataFrame = {
+    val spark = edges0.sparkSession
+    val sym = Pin(symNeighbors(edges0)
+      .repartition(spark.sparkContext.defaultParallelism, col("v")))
+    var sk = Pin(sym.select(col("u").as("id"))
+      .groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id"), lgK).as("sk")))
+    var hop = 0
+    while (hop < maxHops) {
+      val contrib = sym.join(sk, col("v") === col("id"))
+        .groupBy(col("u"))
+        .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = true).as("_nsk"))
+      sk = Pin(sk.join(contrib, sk("id") === contrib("u"), "left")
+        .select(col("id"),
+          when(col("_nsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("_nsk"), allowDifferentLgConfigK = true)).as("sk")))
+      hop += 1
+    }
+    sk.select(col("id"), hll_sketch_estimate(col("sk")).as("ball_est"))
+  }
 }

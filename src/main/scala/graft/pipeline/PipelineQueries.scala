@@ -474,6 +474,46 @@ object PipelineQueries {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       graft.algos.GraphAlgorithms.kCoreEdges(pairs, k = 3)
         .groupBy(col("degree")).agg(count(lit(1)).as("n"))
+    }),
+    // --- SemDeDup: semantic dedup bucketed by fixed-centroid clusters ---
+    // (same deterministic lowest-8-id centroid set as q_cluster_assign, so
+    // the DuckDB oracle replays assignment + the within-cluster drop rule)
+    "q_semdedup" -> ((s, dir) => {
+      val cents = embs(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq
+      Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
+        cents, threshold = 0.4)
+    }),
+    // --- neighborhood function over the order-part bipartite graph ---
+    // (part ids offset into their own id space; output is the id-free
+    // ball-size histogram, the same trick as the other algo oracles)
+    "q_algo_neighborhood" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + lit(10000000L)).as("dst"))
+      graft.algos.GraphAlgorithms.neighborhoodSizes2(e)
+        .groupBy(col("ball2")).agg(count(lit(1)).as("n"))
+    }),
+    // HyperBall accuracy gate: per-node HLL ball estimates vs the exact
+    // 2-hop balls — >= 95% of nodes within 10% relative error (HLL at
+    // lgK=12 has ~1.6% RSE; both sides deterministic, so the gate is
+    // stable). Oracle replays n_nodes and asserts the booleans TRUE.
+    "q_algo_neighborhood_hll" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("src"),
+          (col("l_partkey") + lit(10000000L)).as("dst"))
+      val exact = graft.algos.GraphAlgorithms.neighborhoodSizes2(e)
+      val est = graft.algos.GraphAlgorithms.neighborhoodHll(e, maxHops = 2)
+        .withColumnRenamed("id", "_eid")
+      exact.join(est, col("id") === col("_eid"))
+        .select((abs(col("ball_est") - col("ball2")) /
+          col("ball2").cast(DoubleType)).as("_relerr"))
+        .agg(count(lit(1)).as("n_nodes"),
+          (sum(when(col("_relerr") <= 0.1, 1L).otherwise(0L)) >=
+            count(lit(1)).cast(DoubleType) * 0.95).as("ok"))
     }))
 
   /** PageRank oracle: the same 3 damped iterations with uniform dangling-
@@ -555,6 +595,42 @@ object PipelineQueries {
          FROM (SELECT vec_id, cid, cos,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
                FROM sc) WHERE rn = 1""",
+    "q_semdedup" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+             FROM embeddings WHERE vec_id < 8),
+           sc AS (SELECT e.vec_id, cent.cid,
+               list_dot_product(e.embedding::DOUBLE[], cent.c) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(cent.c, cent.c))) AS cos
+             FROM embeddings e CROSS JOIN cent),
+           asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+             FROM (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                   FROM sc) WHERE rn = 1),
+           v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+           drops AS (SELECT DISTINCT a.vec_id
+             FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+             JOIN v va ON va.vec_id = a.vec_id
+             JOIN v vb ON vb.vec_id = b.vec_id
+             WHERE list_dot_product(va.vv, vb.vv) /
+               (sqrt(list_dot_product(va.vv, va.vv)) *
+                sqrt(list_dot_product(vb.vv, vb.vv))) >= 0.4)
+         SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+         FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id""",
+    "q_algo_neighborhood" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS u, l_partkey + 10000000 AS v
+             FROM lineitem),
+           sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+           ball AS (
+             SELECT u, v FROM sym
+             UNION SELECT u, u FROM sym
+             UNION SELECT a.u, b.v FROM sym a JOIN sym b ON a.v = b.u),
+           sz AS (SELECT u, CAST(count(*) AS BIGINT) AS ball2 FROM ball GROUP BY u)
+         SELECT ball2, count(*) AS n FROM sz GROUP BY 1""",
+    "q_algo_neighborhood_hll" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_nodes, TRUE AS ok FROM (
+           SELECT u AS x FROM (SELECT DISTINCT l_orderkey AS u, l_partkey + 10000000 AS v FROM lineitem) e
+           UNION SELECT v FROM (SELECT DISTINCT l_orderkey AS u, l_partkey + 10000000 AS v FROM lineitem) e) t""",
     "q_decontaminate_frac" ->
       """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
            g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(length(s)-20, 0)+1), i -> substr(s, i+1, 20)))) AS gram FROM t),

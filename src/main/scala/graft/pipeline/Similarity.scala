@@ -275,4 +275,39 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space and then, WITHIN each
+    * cluster, dropping every item whose cosine similarity to a lower-id
+    * item of the same cluster reaches `threshold` — the deterministic
+    * "keep one representative per semantic neighborhood" policy (the
+    * paper keeps a random member; lowest-id is the replayable choice).
+    * Returns (idCol, cluster, keep).
+    *
+    * Scale shape: centroid assignment is a scan-side map with the fixed
+    * centroid literals compiled into the plan ([[Clustering.assignCosine]]
+    * — zero shuffles); candidate pairs form only WITHIN a cluster via one
+    * equality self-join on the cluster id, so the quadratic term is
+    * bounded by the largest cluster — and in the paper's regime (cluster
+    * count grows with the corpus, cluster size stays roughly constant)
+    * the total work is linear. The drop decision is a left-semi join, so
+    * no pair set is materialized past the join operator itself. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double): DataFrame = {
+    val assigned = Clustering.assignCosine(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("cluster"))
+    val withVec = df.select(col(idCol), col(vecCol)).join(assigned, idCol)
+    val l = withVec.select(col("cluster").as("_sc"), col(idCol).as("_sid"),
+      col(vecCol).as("_sv"))
+    val r = withVec.select(col("cluster").as("_tc"), col(idCol).as("_tid"),
+      col(vecCol).as("_tv"))
+    val dropped = l.join(r,
+        col("_sc") === col("_tc") && col("_tid") < col("_sid") &&
+          cosine(col("_sv"), col("_tv")) >= threshold, "left_semi")
+      .select(col("_sid").as(idCol))
+    assigned
+      .join(dropped.select(col(idCol), lit(true).as("_dup")), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        not(coalesce(col("_dup"), lit(false))).as("keep"))
+  }
 }

@@ -323,4 +323,33 @@ class AlgosSpec extends SparkTestBase {
     // the 3-core of a plain triangle is empty
     assert(GraphAlgorithms.kCoreEdges(e, k = 3).count() === 0L)
   }
+
+  test("neighborhoodSizes2: exact 2-hop balls on a path graph") {
+    // path 1-2-3-4-5: B(1,2)={1,2,3}, B(2,2)={1..4}, B(3,2)={1..5},
+    // B(4,2)={2..5}, B(5,2)={3,4,5}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphAlgorithms.neighborhoodSizes2(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 4L, 5L -> 3L))
+  }
+
+  test("neighborhoodHll agrees exactly with the exact balls on a small graph") {
+    // below the HLL sparse-mode threshold every estimate is EXACT, so the
+    // sketch path must reproduce neighborhoodSizes2 to the integer
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L), (3L, 7L)).toDF("src", "dst")
+    val exact = GraphAlgorithms.neighborhoodSizes2(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = GraphAlgorithms.neighborhoodHll(e, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est === exact)
+  }
+
+  test("neighborhoodHll radius grows to the whole component at the diameter") {
+    // cycle of 8: ball at maxHops=4 is the full cycle for every node
+    val e = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
+    val est = GraphAlgorithms.neighborhoodHll(e, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.values.toSet === Set(8L))
+  }
 }

@@ -571,4 +571,39 @@ class PipelineSpec extends SparkTestBase {
     assert(r2.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
       === r1.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toMap)
   }
+
+  test("semanticDedup keeps the lowest id per within-cluster near-dup set, across clusters dups survive") {
+    // cluster 0 (x-axis): 10 and 11 nearly parallel (cos ~ 1) -> 11 dropped;
+    // 15 orthogonal-ish within the cluster threshold? no — distinct direction, kept.
+    // cluster 1 (y-axis): 12 and 13 nearly parallel -> 13 dropped.
+    // 14 is parallel to 10 but lands in cluster 1 (tie resolution aside,
+    // (0.6, 0.8) is closer to y) — cross-cluster, so it survives.
+    val vecs = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.99f, 0.01f)),
+      (12L, Seq(0.0f, 1.0f)), (13L, Seq(0.01f, 0.99f)),
+      (14L, Seq(0.6f, 0.8f)), (15L, Seq(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val got = graft.pipeline.Similarity
+      .semanticDedup(vecs, "vec_id", "embedding", cents, threshold = 0.98)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(10L) === ((0L, true)))
+    assert(got(11L) === ((0L, false)))   // near-dup of lower-id 10 in cluster 0
+    assert(got(12L) === ((1L, true)))
+    assert(got(13L) === ((1L, false)))   // near-dup of lower-id 12 in cluster 1
+    assert(got(14L)._2 === true)         // cluster 1; no lower-id near-dup there
+    assert(got(15L)._2 === true)         // cluster 0; cos(15,10) = 0.8 < 0.98
+  }
+
+  test("semanticDedup is partitioning-invariant") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq((math.cos(i * 0.3)).toFloat, (math.sin(i * 0.3)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0),
+      2 -> Seq(-1.0, 0.0), 3 -> Seq(0.0, -1.0))
+    def run(df: org.apache.spark.sql.DataFrame) = graft.pipeline.Similarity
+      .semanticDedup(df, "vec_id", "embedding", cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(run(vecs) === run(vecs.repartition(13)))
+  }
 }
