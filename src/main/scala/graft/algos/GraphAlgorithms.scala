@@ -470,12 +470,23 @@ object GraphAlgorithms {
     * closure — fine up to moderate density, quadratic on dense graphs.
     * The scale path that never materializes the closure is
     * [[neighborhoodHll]]. */
-  def neighborhoodSizes2(edges0: DataFrame): DataFrame = {
+  def neighborhoodSizes2(edges0: DataFrame): DataFrame =
+    neighborhoodSizes2(edges0, _ => lit(true))
+
+  /** [[neighborhoodSizes2]] restricted to ball OWNERS passing `ownerFilter`
+    * (a predicate over the node-id column): the closure is only
+    * materialized for the sampled owners — the membership side stays the
+    * full graph, so the ball CONTENTS are unaffected. This is how the
+    * accuracy gate bounds the exact side without paying the full closure. */
+  def neighborhoodSizes2(edges0: DataFrame,
+      ownerFilter: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val sym = Pin(symNeighbors(edges0))
-    val self = sym.select(col("u")).distinct().select(col("u"), col("u").as("v"))
-    val twoHop = sym.as("h1").join(sym.as("h2"), col("h1.v") === col("h2.u"))
+    val own = sym.filter(ownerFilter(col("u")))
+    val self = own.select(col("u")).distinct().select(col("u"), col("u").as("v"))
+    val twoHop = own.as("h1").join(sym.as("h2"), col("h1.v") === col("h2.u"))
       .select(col("h1.u").as("u"), col("h2.v").as("v"))
-    sym.unionByName(self).unionByName(twoHop)
+    own.unionByName(self).unionByName(twoHop)
       .distinct()
       .groupBy(col("u"))
       .agg(count(lit(1)).as("ball2"))

@@ -345,6 +345,29 @@ class AlgosSpec extends SparkTestBase {
     assert(est === exact)
   }
 
+  test("neighborhood functions agree with a driver-side BFS on random graphs (seeded)") {
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 5) {
+      val n = 20 + rnd.nextInt(30)
+      val edges = (0 until 2 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expected = adj.keys.map { v =>
+        val one = adj(v) + v
+        v -> (one ++ one.flatMap(u => adj.getOrElse(u, Set.empty))).size.toLong
+      }.toMap
+      val e = edges.toDF("src", "dst")
+      val exact = GraphAlgorithms.neighborhoodSizes2(e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(exact === expected, s"exact mismatch on edges $edges")
+      val est = GraphAlgorithms.neighborhoodHll(e, maxHops = 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(est === expected, s"hll mismatch on edges $edges")
+    }
+  }
+
   test("neighborhoodHll radius grows to the whole component at the diameter") {
     // cycle of 8: ball at maxHops=4 is the full cycle for every node
     val e = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")

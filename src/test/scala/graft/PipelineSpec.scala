@@ -595,6 +595,40 @@ class PipelineSpec extends SparkTestBase {
     assert(got(15L)._2 === true)         // cluster 0; cos(15,10) = 0.8 < 0.98
   }
 
+  test("semanticDedup agrees with a driver-side replay on random vectors (seeded)") {
+    val rnd = new scala.util.Random(11L)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (_ <- 1 to 3) {
+      // float-round the vectors up front: the engine stores float embeddings,
+      // so the replay must see the identical float-rounded doubles or a
+      // cosine within float rounding of the threshold could flip the verdict
+      val vecs = (0 until 50).map(i =>
+        (i.toLong, Seq.fill(4)(rnd.nextGaussian().toFloat.toDouble)))
+      val cents = (0 until 3).map(c => c -> Seq.fill(4)(rnd.nextGaussian()))
+      val thr = 0.6 + rnd.nextDouble() * 0.3
+      // driver replay: argmax-cosine assignment (ties to low cid), then
+      // drop i iff some j < i in the same cluster has cos >= thr
+      val asg = vecs.map { case (id, v) =>
+        id -> cents.minBy { case (cid, c) => (-cos(v, c), cid) }._1
+      }.toMap
+      val byId = vecs.toMap
+      val expected = vecs.map { case (id, v) =>
+        val dup = vecs.exists { case (j, w) =>
+          j < id && asg(j) == asg(id) && cos(w, v) >= thr }
+        id -> ((asg(id).toLong, !dup))
+      }.toMap
+      val df = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val got = graft.pipeline.Similarity
+        .semanticDedup(df, "vec_id", "embedding", cents, thr)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(got === expected, s"threshold $thr")
+    }
+  }
+
   test("semanticDedup is partitioning-invariant") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Seq((math.cos(i * 0.3)).toFloat, (math.sin(i * 0.3)).toFloat))
