@@ -58,6 +58,8 @@ object CypherError {
   val RequiresDirectedRelationship = "RequiresDirectedRelationship"
   val CreatingVarLength = "CreatingVarLength"
   val VariableAlreadyBound = "VariableAlreadyBound"
+  val ColumnNameConflict = "ColumnNameConflict"
+  val NoExpressionAlias = "NoExpressionAlias"
 }
 
 /** Root of every failure graft itself raises. `errorType`/`phase`/`detail`

@@ -1852,6 +1852,19 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         .map(v => ReturnItem(Var(v), None))
       else Seq.empty
     val items1 = starItems ++ items0
+    // openCypher: multiple result columns with the same name are not
+    // supported (TCK SyntaxError/ColumnNameConflict) — covers duplicate
+    // aliases, repeated expressions, and `*` colliding with an explicit
+    // item. Checked on the pre-rewrite items so the name is the source
+    // text the user wrote.
+    locally {
+      val names = items1.map(i => i.alias.getOrElse(Pretty.print(i.expr)))
+      names.diff(names.distinct).headOption.foreach { d =>
+        throw new graft.api.CypherException(CE.SyntaxError,
+          CE.CompileTime, CE.ColumnNameConflict,
+          s"multiple result columns with the same name '$d'")
+      }
+    }
     // Pattern predicates / comprehensions in value position
     // (RETURN exists(...) AS flag, RETURN [(n)-->(b) | b.x] AS xs).
     val items2 = items1.map { i =>

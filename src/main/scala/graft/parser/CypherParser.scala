@@ -434,6 +434,15 @@ object CypherParser {
     private def parseWith(): With = {
       val distinct = tryKw("DISTINCT")
       val (star, items) = parseReturnItems()
+      // openCypher: every WITH item that is not a bare variable must be
+      // aliased (TCK SyntaxError/NoExpressionAlias) — unlike RETURN, where
+      // the expression text becomes the column name.
+      items.find(i => i.alias.isEmpty && !i.expr.isInstanceOf[Var])
+        .foreach { i =>
+          throw new CypherParseException(
+            s"expression in WITH must be aliased (use AS): ${i.expr}",
+            graft.api.CypherError.NoExpressionAlias)
+        }
       val order = parseOrderBy()
       val skip = if (tryKw("SKIP")) Some(parseExpr()) else None
       val limit = if (tryKw("LIMIT")) Some(parseExpr()) else None
