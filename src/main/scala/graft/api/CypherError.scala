@@ -60,6 +60,8 @@ object CypherError {
   val VariableAlreadyBound = "VariableAlreadyBound"
   val ColumnNameConflict = "ColumnNameConflict"
   val NoExpressionAlias = "NoExpressionAlias"
+  val NumberOutOfRange = "NumberOutOfRange"
+  val InvalidNumberOfArguments = "InvalidNumberOfArguments"
 }
 
 /** Root of every failure graft itself raises. `errorType`/`phase`/`detail`

@@ -194,6 +194,12 @@ class GraftSession(val spark: SparkSession) {
         throw new CypherException(CypherError.SyntaxError,
           CypherError.CompileTime, CypherError.InvalidArgumentType,
           e.getMessage)
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+            e.getCondition.startsWith("WRONG_NUM_ARGS") =>
+        throw new CypherException(CypherError.SyntaxError,
+          CypherError.CompileTime, CypherError.InvalidNumberOfArguments,
+          e.getMessage)
     }
 
   /** Execute a write query (CREATE / SET / REMOVE / DELETE / MERGE after an

@@ -1393,15 +1393,31 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         // range(1,2,-1)) yields [] — Spark's sequence instead throws, and
         // for literal args it throws at constant-folding time, so the
         // mismatch case must never reach sequence: route it through a safe
-        // stop (= start) and emit an empty slice for it.
+        // stop (= start) and emit an empty slice for it. A LITERAL zero
+        // step is the TCK's classified NumberOutOfRange (Neo4j: "step
+        // argument to range() cannot be zero"); a dynamic zero step joins
+        // the mismatch branch ([] — the engine's non-ANSI analogue, same
+        // stance as duration / 0).
+        args.lift(2).collect {
+          case graft.ast.IntLit(0L) =>
+            throw new CypherCompileException(
+              "step argument to range() cannot be zero",
+              CE.SyntaxError, CE.NumberOutOfRange)
+        }
         val step = (if (args.length >= 3) compile(args(2)) else lit(1L))
           .cast(LongType)
         val start = a0.cast(LongType)
         val stop = a1.cast(LongType)
-        val mismatch = (stop > start && step < 0) || (stop < start && step > 0)
+        val mismatch = (stop > start && step < 0) ||
+          (stop < start && step > 0) || step === 0
         when(mismatch, F.slice(sequence(start, start, lit(1L)), 1, 0))
           .otherwise(sequence(start, when(mismatch, start).otherwise(stop), step))
-      case "coalesce" => F.coalesce(args.map(compile): _*)
+      case "coalesce" =>
+        if (args.isEmpty)
+          throw new CypherCompileException(
+            "coalesce() requires at least one argument",
+            CE.SyntaxError, CE.InvalidNumberOfArguments)
+        F.coalesce(args.map(compile): _*)
 
       case other => extensions.get(other) match {
         // session-registered extension functions (procedure-like hooks)

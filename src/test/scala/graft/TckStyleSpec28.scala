@@ -112,4 +112,13 @@ class TckStyleSpec28 extends TckScenarioBase {
   errorScenario("null percentile argument is a classified type error", g,
     "MATCH (n:A) RETURN percentileCont(n.num, null) AS x",
     CypherError.SyntaxError, CypherError.InvalidArgumentType)
+  errorScenario("coalesce with no arguments is classified", g,
+    "RETURN coalesce() AS x",
+    CypherError.SyntaxError, CypherError.InvalidNumberOfArguments)
+  errorScenario("range with a literal zero step is classified", g,
+    "RETURN range(1, 10, 0) AS x",
+    CypherError.SyntaxError, CypherError.NumberOutOfRange)
+  scenario("range direction mismatch yields empty, negative step descends", g,
+    "RETURN range(2, 1) AS a, range(3, 1, -1) AS b",
+    rows(Map("a" -> Seq.empty[Long], "b" -> Seq(3L, 2L, 1L))))
 }
