@@ -283,6 +283,13 @@ object PipelineQueries {
       TextAnalysis.unigramSurprisal(docs(s, dir), "doc_id", "text")),
     "q_quality_filter" -> ((s, dir) =>
       TextAnalysis.gopherQuality(docs(s, dir), "doc_id", "text")),
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)),
+    "q_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+          chunkChars = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_no"), col("start"),
+          md5(col("chunk")).as("chunk_md5"))),
     // --- clustering over the embedding column ---
     // Fixed centroids = the 8 lowest-id embeddings (deterministic, so the
     // DuckDB oracle rebuilds the identical centroid set).
@@ -606,6 +613,24 @@ object PipelineQueries {
          FROM (SELECT vec_id, cid, cos,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
                FROM sc) WHERE rn = 1""",
+    "q_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token FROM documents),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+           dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           nq AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, token, round(tfv, 4) AS tfidf, CAST(rank AS BIGINT) AS rank FROM (
+           SELECT tf.doc_id, tf.token, tf.tf * ln(nq.n::DOUBLE / dfq.df) AS tfv,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(nq.n::DOUBLE / dfq.df) DESC, tf.token) AS rank
+           FROM tf JOIN dfq USING (token) CROSS JOIN nq) x
+         WHERE rank <= 3""",
+    "q_chunk" ->
+      """WITH s AS (SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0)::BIGINT, 48)) AS start
+           FROM documents)
+         SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_no,
+           CAST(start AS BIGINT) AS start, md5(substr(text, start + 1, 64)) AS chunk_md5
+         FROM s""",
     "q_semdedup" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
              FROM embeddings WHERE vec_id < 8),

@@ -167,4 +167,62 @@ object TextAnalysis {
         sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty", round(col("n_novel") / col("n_grams"), 4))
   }
+
+  /** Top-k TF-IDF keywords per document: tf = in-document token count,
+    * idf = ln(N / df) over lower-cased whitespace tokens, top k by
+    * (tfidf DESC, token ASC) per document. Returns
+    * (idCol, token, tfidf, rank).
+    *
+    * Shape: token explode -> one (doc, token) count aggregation (map-side
+    * combinable), document frequency from a second combinable aggregate
+    * over the distinct doc-token pairs, a 1-row corpus-size broadcast,
+    * and a top-k window PARTITIONED BY document (never global). Token
+    * skew is safe everywhere — both aggregates combine map-side. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val toks = df
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol),
+        explode(F.split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("_tfidf").desc, col("token"))
+    tf.join(docFreq, "token").crossJoin(n)
+      .withColumn("_tfidf",
+        col("_tf") * log(col("_n").cast(DoubleType) / col("_df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"),
+        round(col("_tfidf"), 4).as("tfidf"),
+        col("rank").cast(LongType).as("rank"))
+  }
+
+  /** Fixed-size character chunking with overlap — the context-window prep
+    * step (RAG indexing, long-document training splits). Each document
+    * yields chunks of `chunkChars` characters starting every
+    * `chunkChars - overlap` characters (the last chunk may be shorter;
+    * an empty document yields one empty chunk at offset 0). Returns
+    * (idCol, chunk_no, start, chunk).
+    *
+    * Pure column expressions — sequence + posexplode + substr, codegen'd,
+    * partition-parallel, no shuffle at all: chunking is a flatMap over
+    * the scan. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkChars,
+      "0 <= overlap < chunkChars")
+    val step = chunkChars - overlap
+    df.select(col(idCol),
+        posexplode(sequence(lit(0),
+          greatest(length(col(textCol)) - 1, lit(0)), lit(step)))
+          .as(Seq("chunk_no", "start")),
+        col(textCol))
+      .select(col(idCol), col("chunk_no").cast(LongType).as("chunk_no"),
+        col("start").cast(LongType).as("start"),
+        col(textCol).substr(col("start") + 1, lit(chunkChars)).as("chunk"))
+  }
 }

@@ -572,6 +572,37 @@ class PipelineSpec extends SparkTestBase {
       === r1.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toMap)
   }
 
+  test("tfidfTopK ranks distinctive tokens above corpus-wide ones") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared shared"),
+      (3L, "banana cherry shared")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.tfidfTopK(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // doc 1: 'apple' (tf=2, df=1) must outrank everything; 'shared'
+    // (df=3) has idf ln(1)=0 so it can never make top-2 over banana
+    val d1 = got.filter(_._1 == 1L).sortBy(_._3).map(_._2)
+    assert(d1 === Seq("apple", "banana"))
+    // every doc gets at most k rows, ranks start at 1
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+    assert(got.filter(_._3 == 1L).length === 3)
+  }
+
+  test("chunk covers the text with the declared stride and overlap") {
+    val docs = Seq((1L, "a" * 100), (2L, "")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.chunk(docs, "doc_id", "text", 40, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts every 30 chars: 0, 30, 60, 90; last chunk is the 10-char tail
+    assert(d1.map(_._3) === Seq(0L, 30L, 60L, 90L))
+    assert(d1.map(_._4.length) === Seq(40, 40, 40, 10))
+    // consecutive chunks overlap by exactly 10 characters
+    assert(d1(0)._4.takeRight(10) === d1(1)._4.take(10))
+    // empty document: one empty chunk at offset 0
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, "")))
+  }
+
   test("semanticDedup keeps the lowest id per within-cluster near-dup set, across clusters dups survive") {
     // cluster 0 (x-axis): 10 and 11 nearly parallel (cos ~ 1) -> 11 dropped;
     // 15 orthogonal-ish within the cluster threshold? no — distinct direction, kept.
