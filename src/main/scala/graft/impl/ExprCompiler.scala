@@ -538,6 +538,19 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       addDuration(compile(l), inferType(l), compile(r), negate = false)
     case Arith("-", l, r) if isDuration(r) =>
       addDuration(compile(l), inferType(l), compile(r), negate = true)
+    // Two temporal INSTANTS don't subtract or add in Cypher (Neo4j type
+    // error; duration.between is the difference operator) — without this
+    // Spark's date subtraction would leak a raw INTERVAL value that
+    // nothing else in the engine can consume.
+    case Arith("+" | "-", l, r)
+        if Seq(inferType(l), inferType(r)).forall {
+          case Some(DateType | TimestampType | TimestampNTZType) => true
+          case _ => false
+        } =>
+      throw new CypherCompileException(
+        "temporal instants cannot be added or subtracted; " +
+          "use duration.between(a, b)",
+        CE.SyntaxError, CE.InvalidArgumentType)
     // List concat/append take precedence over string concat (the
     // reference's Add dispatch, SparkSQLExprMapper.scala:170-187):
     // list+list concatenates, list+scalar / scalar+list appends.

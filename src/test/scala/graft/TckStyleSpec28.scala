@@ -121,4 +121,18 @@ class TckStyleSpec28 extends TckScenarioBase {
   scenario("range direction mismatch yields empty, negative step descends", g,
     "RETURN range(2, 1) AS a, range(3, 1, -1) AS b",
     rows(Map("a" -> Seq.empty[Long], "b" -> Seq(3L, 2L, 1L))))
+
+  // ------------------------------------------- temporal instant arithmetic
+  errorScenario("subtracting two dates is a classified type error", g,
+    "RETURN date('2020-03-01') - date('2020-02-01') AS x",
+    CypherError.SyntaxError, CypherError.InvalidArgumentType)
+  errorScenario("adding two datetimes is a classified type error", g,
+    "RETURN datetime('2020-01-01T00:00:00') + datetime('2020-01-02T00:00:00') AS x",
+    CypherError.SyntaxError, CypherError.InvalidArgumentType)
+  scenario("duration.between is the instant difference operator", g,
+    "RETURN duration.between(date('2020-02-01'), date('2020-03-01')).months AS x",
+    value(1L))
+  scenario("date minus duration still subtracts", g,
+    "RETURN toString(date('2020-03-01') - duration('P1D')) AS x",
+    value("2020-02-29"))
 }
