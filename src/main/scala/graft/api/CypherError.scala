@@ -62,6 +62,7 @@ object CypherError {
   val NoExpressionAlias = "NoExpressionAlias"
   val NumberOutOfRange = "NumberOutOfRange"
   val InvalidNumberOfArguments = "InvalidNumberOfArguments"
+  val AmbiguousAggregationExpression = "AmbiguousAggregationExpression"
 }
 
 /** Root of every failure graft itself raises. `errorType`/`phase`/`detail`

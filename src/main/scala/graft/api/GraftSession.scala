@@ -200,6 +200,17 @@ class GraftSession(val spark: SparkSession) {
         throw new CypherException(CypherError.SyntaxError,
           CypherError.CompileTime, CypherError.InvalidNumberOfArguments,
           e.getMessage)
+      // An aggregate item referencing a grouping EXPRESSION that is not
+      // itself listed as a projection item — `RETURN n.x + count(*)` with
+      // no `n.x` key. Neo4j rejects implicit grouping the same way
+      // ("Aggregation column contains implicit grouping expressions").
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+            (e.getCondition.startsWith("MISSING_GROUP_BY") ||
+              e.getCondition.startsWith("MISSING_AGGREGATION")) =>
+        throw new CypherException(CypherError.SyntaxError,
+          CypherError.CompileTime,
+          CypherError.AmbiguousAggregationExpression, e.getMessage)
     }
 
   /** Execute a write query (CREATE / SET / REMOVE / DELETE / MERGE after an

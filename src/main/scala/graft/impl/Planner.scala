@@ -1954,55 +1954,76 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       // (implicit grouping, SURVEY §2.4).
       var df = ctx.df
       var newHeader = RecordHeader.empty
-      val outs = Seq.newBuilder[OutItem]
+      val outsArr = new Array[OutItem](items.size)
       val groupCols = Seq.newBuilder[String]
       val aggCols = Seq.newBuilder[Column]
-      items.foreach { i =>
-        val display = displayName(i)
-        val isAgg = compiler.hasAggregation(i.expr)
-        if (isAgg && ExprCompiler.nestedAggregation(i.expr))
-          throw new CypherCompileException(
-            s"nested aggregation in ${Pretty.print(i.expr)}",
-            CE.SyntaxError, CE.NestedAggregation)
-        i.expr match {
-          case Var(n) if !isAgg && ctx.header.kinds.contains(n) &&
-              ctx.header.kindOf(n) != Some(ValueKind) =>
-            val target = i.alias.getOrElse(n)
-            if (target != n) {
-              val (renamedHeader, renames) = RecordHeader(
-                ctx.header.slots.filter(_._1.owner == n),
-                Map(n -> ctx.header.kinds(n))).renameVar(n, target)
-              renames.foreach { case (from, to) =>
-                df = df.withColumn(to, col(from))
+      // Grouping items are planned FIRST (regardless of their position in
+      // the projection) so that items mixing an aggregate with a grouping
+      // expression — `RETURN n.x AS k, n.x + count(*)` (openCypher: legal
+      // when the expression is listed as a grouping key) — can substitute
+      // the already-computed grouping column for the repeated expression.
+      val subst = scala.collection.mutable.Map.empty[Expr, String]
+      val indexed = items.zipWithIndex
+      indexed.filter { case (i, _) => !compiler.hasAggregation(i.expr) }
+        .foreach { case (i, idx) =>
+          val display = displayName(i)
+          i.expr match {
+            case Var(n) if ctx.header.kinds.contains(n) &&
+                ctx.header.kindOf(n) != Some(ValueKind) =>
+              val target = i.alias.getOrElse(n)
+              if (target != n) {
+                val (renamedHeader, renames) = RecordHeader(
+                  ctx.header.slots.filter(_._1.owner == n),
+                  Map(n -> ctx.header.kinds(n))).renameVar(n, target)
+                renames.foreach { case (from, to) =>
+                  df = df.withColumn(to, col(from))
+                }
+                newHeader = newHeader ++ renamedHeader
+                groupCols ++= renamedHeader.slots.values
+                subst += (Var(n): Expr) -> target
+              } else {
+                newHeader = newHeader ++ RecordHeader(
+                  ctx.header.slots.filter(_._1.owner == n),
+                  Map(n -> ctx.header.kinds(n)))
+                groupCols ++= ctx.header.colsOf(n)
               }
-              newHeader = newHeader ++ renamedHeader
-              groupCols ++= renamedHeader.slots.values
-            } else {
-              newHeader = newHeader ++ RecordHeader(
-                ctx.header.slots.filter(_._1.owner == n),
-                Map(n -> ctx.header.kinds(n)))
-              groupCols ++= ctx.header.colsOf(n)
-            }
-            outs += OutVar(target, display)
-          case expr if !isAgg =>
-            val target = i.alias.getOrElse(display)
-            val slot = ValueSlot(target)
-            val name = RecordHeader.colName(slot)
-            df = df.withColumn(name,
-              new ExprCompiler(ctx.header, df.schema, params, Map.empty, extensions).compile(expr))
-            newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
-            groupCols += name
-            outs += OutCol(name, display)
-          case expr =>
-            val target = i.alias.getOrElse(display)
-            val slot = ValueSlot(target)
-            val name = RecordHeader.colName(slot)
-            aggCols += new ExprCompiler(ctx.header, df.schema, params, Map.empty, extensions)
-              .compile(expr).as(name)
-            newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
-            outs += OutCol(name, display)
+              outsArr(idx) = OutVar(target, display)
+            case expr =>
+              val target = i.alias.getOrElse(display)
+              val slot = ValueSlot(target)
+              val name = RecordHeader.colName(slot)
+              df = df.withColumn(name,
+                new ExprCompiler(ctx.header, df.schema, params, Map.empty, extensions).compile(expr))
+              newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
+              groupCols += name
+              outsArr(idx) = OutCol(name, display)
+              subst += expr -> target
+          }
         }
+      // Top-down, largest-expression-first substitution of grouping
+      // expressions inside aggregate items (bottom-up would rewrite a
+      // child before its parent could match).
+      def substGroup(e: Expr): Expr = subst.get(e) match {
+        case Some(t) => Var(t)
+        case None => ExprOps.mapChildren(e, substGroup)
       }
+      indexed.filter { case (i, _) => compiler.hasAggregation(i.expr) }
+        .foreach { case (i, idx) =>
+          val display = displayName(i)
+          if (ExprCompiler.nestedAggregation(i.expr))
+            throw new CypherCompileException(
+              s"nested aggregation in ${Pretty.print(i.expr)}",
+              CE.SyntaxError, CE.NestedAggregation)
+          val target = i.alias.getOrElse(display)
+          val slot = ValueSlot(target)
+          val name = RecordHeader.colName(slot)
+          aggCols += new ExprCompiler(ctx.header ++ newHeader, df.schema,
+              params, Map.empty, extensions)
+            .compile(substGroup(i.expr)).as(name)
+          newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
+          outsArr(idx) = OutCol(name, display)
+        }
+      val outs = { val b = Seq.newBuilder[OutItem]; b ++= outsArr; b }
       val gCols = groupCols.result().distinct
       val aCols = aggCols.result()
       val aggDf =

@@ -99,4 +99,27 @@ object Pack {
       }
     }.toDF("id", "toks", "shard")
   }
+
+  /** Write a packed corpus as one directory per shard
+    * (`dir/shard=N/part-*.parquet`): join the shard assignment back onto
+    * the full rows by id (both sides hash-shuffle once on the id),
+    * repartition by shard so each shard's rows land in as few files as
+    * possible, and write with `partitionBy` — the layout tokenizer jobs
+    * consume shard-at-a-time. Returns the shard count.
+    *
+    * Scale notes: `partitionBy` alone would have every task write a file
+    * per shard it sees (tasks x shards small files); the repartition on
+    * the shard key bounds it to ~one file per shard per storage block.
+    * Shard counts are corpus_tokens / budget — thousands, not millions —
+    * so the partition column stays low-cardinality by construction. */
+  def writeSharded(df: DataFrame, idCol: String, tokensCol: Column,
+      budget: Long, dir: String): Long = {
+    val packed = packByTokenBudget(df, idCol, tokensCol, budget)
+    val joined = df.join(
+      packed.select(col("id").as(idCol), col("shard")), idCol)
+    joined
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    packed.agg(F.max(col("shard"))).head().getLong(0) + 1
+  }
 }

@@ -100,6 +100,16 @@ object GraftStreaming {
       xxhash64(col(textCol)) === col("_corpus_h"), "left_anti")
   }
 
+  /** Stream-static enrichment: join each incoming row to a STATIC
+    * dimension table by key, keeping unmatched rows (left join). The
+    * dimension side is marked for broadcast — per micro-batch Spark plans
+    * a broadcast hash join, so the stream side never shuffles and there
+    * is no streaming state. This is the ingest-side "attach user/source
+    * metadata" step; at 100 TB the dimension is the small side by
+    * construction (users, sources, licenses — not documents). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
   case class UserSession(user_id: Long, startTs: java.sql.Timestamp,

@@ -572,6 +572,26 @@ class PipelineSpec extends SparkTestBase {
       === r1.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toMap)
   }
 
+  test("writeSharded lays the corpus out one directory per shard, round-trips") {
+    val docs = (0L until 40L).map(i => (i, "w " * 25)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    // 25 tokens per doc, budget 100 -> 4 docs per shard -> 10 shards
+    val n = graft.pipeline.Pack.writeSharded(docs, "doc_id",
+      graft.pipeline.TextAnalysis.tokenCount(col("text")), budget = 100L, dir)
+    assert(n === 10L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 40L)
+    assert(back.select("shard").distinct().count() === 10L)
+    // contiguity: every shard holds a contiguous id range of 4 docs
+    val byShard = back.select("shard", "doc_id").collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).groupBy(_._1)
+    byShard.foreach { case (s, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids.length === 4 && ids.last - ids.head === 3,
+        s"shard $s has ids ${ids.toSeq}")
+    }
+  }
+
   test("tfidfTopK ranks distinctive tokens above corpus-wide ones") {
     val docs = Seq(
       (1L, "apple apple banana shared"),

@@ -86,6 +86,23 @@ class StreamingSpec extends SparkTestBase {
       === Set(11L, 13L))
   }
 
+  test("stream-static enrichment equals the batch join and broadcasts the dimension") {
+    val stream = GraftStreaming.eventsStream(spark, streamDir)
+    val batch = GraftStreaming.eventsBatch(spark, streamDir)
+    val dim = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    val enriched = GraftStreaming.enrich(
+      stream.select("event_id", "user_id", "value"), dim, "user_id")
+    val got = GraftStreaming.runToMemorySink(enriched, "enriched", "append")
+    val want = batch.select("event_id", "user_id", "value")
+      .join(dim, Seq("user_id"), "left")
+    assert(got.count() === batch.count())
+    assert(got.select("event_id", "user_events").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === want.select("event_id", "user_events").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val l = GraftStreaming.eventsStream(spark, streamDir)
       .select("event_id", "ts", "user_id")

@@ -135,4 +135,26 @@ class TckStyleSpec28 extends TckScenarioBase {
   scenario("date minus duration still subtracts", g,
     "RETURN toString(date('2020-03-01') - duration('P1D')) AS x",
     value("2020-02-29"))
+
+  // --------------------------------- grouping keys inside aggregate items
+  lazy val gNum = graph(spark,
+    Seq(
+      N(1, Set("P"), Map("grp" -> 1, "v" -> 10)),
+      N(2, Set("P"), Map("grp" -> 1, "v" -> 20)),
+      N(3, Set("P"), Map("grp" -> 2, "v" -> 30))))
+  scenario("aggregate item may reference an explicit grouping expression", gNum,
+    "MATCH (p:P) RETURN p.grp AS k, p.grp + count(*) AS x ORDER BY k",
+    rows(Map("k" -> 1L, "x" -> 3L), Map("k" -> 2L, "x" -> 3L)),
+    ordered = true)
+  scenario("unaliased grouping expression also substitutes", gNum,
+    "MATCH (p:P) RETURN p.grp, p.grp * sum(p.v) AS x ORDER BY x",
+    rows(Map("p.grp" -> 1L, "x" -> 30L), Map("p.grp" -> 2L, "x" -> 60L)),
+    ordered = true)
+  scenario("renamed entity grouping key usable inside the aggregate item", gNum,
+    "MATCH (p:P) WITH p AS q RETURN q.grp AS k, count(*) + q.grp AS x ORDER BY k",
+    rows(Map("k" -> 1L, "x" -> 3L), Map("k" -> 2L, "x" -> 3L)),
+    ordered = true)
+  errorScenario("implicit grouping inside an aggregate item is classified", gNum,
+    "MATCH (p:P) RETURN p.grp + count(*) AS x",
+    CypherError.SyntaxError, CypherError.AmbiguousAggregationExpression)
 }
