@@ -315,6 +315,57 @@ object GraphAlgorithms {
     dist
   }
 
+  /** HITS hub/authority scores (Kleinberg 1999) over a DIRECTED edge
+    * frame, reported UNNORMALIZED after `iterations` full rounds
+    * (auth_k(v) = sum of in-neighbour hubs, then hub_k(u) = sum of
+    * out-neighbour auths, from hub_0 = auth_0 = 1): every intermediate is
+    * an exact integer, so the result is independent of partition count
+    * and aggregation order, and a SQL oracle replays it bit-for-bit —
+    * the same exactness stance as [[degreeAssortativity]]. Callers who
+    * want the conventional unit-norm scores divide by the column sums
+    * (two 1-row aggregates); normalizing inside the loop would put a
+    * float division between every round and break exact replay.
+    * Values grow like (max degree)^(2*iterations): summed in
+    * Decimal(38,0) so a hub-heavy 100-TB graph overflows into an
+    * analysis-visible null, never a silent wrap.
+    *
+    * Scale shape: the edge list is pinned pre-partitioned on src once;
+    * each round is two keyed joins + two map-side-combinable sums
+    * consuming that partitioning — no per-round edge shuffle (the
+    * [[sssp]]/[[pageRank]] skeleton). */
+  def hitsEdges(edges0: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val dec = DecimalType(38, 0)
+    val e = Pin(edges0.select(col("src").cast(LongType).as("src"),
+        col("dst").cast(LongType).as("dst"))
+      .repartition(col("src")))
+    val nodes = Pin(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct())
+    var scores = Pin(nodes.select(col("id"),
+      lit(1).cast(dec).as("hub"), lit(1).cast(dec).as("auth")))
+    var it = 0
+    while (it < iterations) {
+      val authSums = e.join(scores, e("src") === scores("id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("_a"))
+      val withAuth = Pin(nodes.join(authSums, nodes("id") === authSums("dst"),
+          "left_outer")
+        .select(col("id"), coalesce(col("_a"), lit(0).cast(dec)).as("auth")))
+      val hubSums = e.join(withAuth, e("dst") === withAuth("id"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("_h"))
+      scores = Pin(withAuth.join(hubSums, withAuth("id") === hubSums("src"),
+          "left_outer")
+        .select(col("id"), coalesce(col("_h"), lit(0).cast(dec)).as("hub"),
+          col("auth")))
+      it += 1
+    }
+    scores
+  }
+
+  /** HITS over a property graph's rel types — see [[hitsEdges]]. */
+  def hits(graph: PropertyGraph, relTypes: Seq[String] = Seq.empty,
+      iterations: Int = 2): DataFrame =
+    hitsEdges(validated(edges(graph, relTypes), graph), iterations)
+
   /** Degree assortativity of an undirected edge frame: the Pearson
     * correlation between the degrees at the two ends of every edge
     * (Newman 2002) — positive when hubs link to hubs, negative for

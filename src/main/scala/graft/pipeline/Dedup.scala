@@ -186,6 +186,57 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Exact duplicate token-window (n-gram span) statistics per document —
+    * the substring-level exact-dedup signal of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"): a
+    * window of `n` consecutive whitespace tokens that occurs in more than
+    * one document marks both occurrences as duplicated text. Returns one
+    * row per input document:
+    * (idCol, n_windows, dup_windows, dup_frac) where dup_windows counts
+    * window START POSITIONS whose n-token window also appears in some
+    * OTHER document (dup_frac = dup_windows / n_windows, 0 for documents
+    * shorter than n tokens).
+    *
+    * Scale shape: fan the input across the shuffle parallelism BEFORE the
+    * ~tokens× window expansion, explode window positions over a projected
+    * token array (slice + array_join stay codegen), and carry windows as
+    * 64-bit hashes so the duplicate-marking shuffle moves longs, not
+    * n-token strings (same stance as Decontaminate.gramHashes: a hash
+    * collision can over-mark one position in 2^64 — accepted and
+    * documented, the string form would multiply shuffle volume by ~8n).
+    * Cross-document test is min(id) != max(id) per window hash — one
+    * map-side-combinable aggregation, no count-distinct. Two shuffles
+    * total (window hash, then doc id). */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val wins = df.repartition(parts, col(idCol))
+      .select(col(idCol), F.split(trim(col(textCol)), "\\s+").as("_tk"))
+      // sequence(0, negative) would generate DESCENDING positions for
+      // docs shorter than n tokens (the sampleFrames bug class) — such
+      // docs have zero windows, so explode an empty array instead.
+      .select(col(idCol), col("_tk"),
+        explode(when(F.size(col("_tk")) >= n,
+            sequence(lit(0), F.size(col("_tk")) - n))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("_i"))
+      .select(col(idCol),
+        xxhash64(array_join(slice(col("_tk"), col("_i") + 1, lit(n)), "\u0001"))
+          .as("_wh"))
+    val marks = wins.groupBy(col("_wh"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("_dup"))
+    val perDoc = wins.join(marks, Seq("_wh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("dup_windows"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_frac", coalesce(
+        round(col("dup_windows") / col("n_windows"), 4), lit(0.0)))
+  }
+
   /** Collapse duplicate pairs into clusters: every id in `allIds` maps to
     * the minimum id reachable through the (id1, id2) pair graph — the
     * terminal canonicalization step of a dedup pipeline (pairs come from

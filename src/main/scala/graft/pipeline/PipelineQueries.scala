@@ -43,6 +43,20 @@ object PipelineQueries {
       lit("."), pmod(col("doc_id"), lit(100L)).cast(StringType),
       lit(" end")).as("text"))
 
+  /** Deterministic messy URLs planted from doc_id (the corpus carries no
+    * URL column): mixed-case scheme/host, default port, doubled path
+    * slashes, tracking params, fragment, and a trailing path slash — one
+    * of each canonicalization hazard. doc_ids agreeing mod 7/50/25
+    * canonicalize identically (the dedup groups); the DuckDB oracle
+    * rebuilds the identical strings. */
+  private def plantedUrls(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
+      lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(7L)),
+      lit(".COM:443//Articles//P"), pmod(col("doc_id"), lit(50L)),
+      lit("/?id="), pmod(col("doc_id"), lit(25L)),
+      lit("&utm_source=news&gclid=abc123#sec"),
+      pmod(col("doc_id"), lit(5L))).as("url"))
+
   /** Three-line documents: body, a corpus-wide boilerplate footer, and a
     * per-document unique line — the line-scrub fixture. */
   private def multiLineDocs(d: DataFrame): DataFrame =
@@ -532,7 +546,22 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_nodes"),
           (sum(when(col("_relerr") <= 0.1, 1L).otherwise(0L)) >=
             count(lit(1)).cast(DoubleType) * 0.95).as("ok"))
-    }))
+    }),
+    // --- exact duplicate token-window spans (Lee et al. 2021): per-doc
+    // fraction of 20-token windows that also occur in another document ---
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpanStats(docs(s, dir), "doc_id", "text", n = 20)),
+    // --- URL canonicalization + URL-level dedup over planted URLs ---
+    "q_url_canonical" -> ((s, dir) =>
+      Urls.dedupByUrl(plantedUrls(docs(s, dir)), "doc_id", "url")),
+    // --- HITS hub/authority (2 exact integer iterations; id-free
+    // (hub, auth)-histogram output, same trick as the other algos) ---
+    "q_algo_hits" -> ((s, dir) =>
+      graft.algos.GraphAlgorithms.hits(graft.tpch.TpchGraph(s, dir),
+          Seq("IN_REGION", "FROM_NATION", "PLACED"), iterations = 2)
+        .groupBy(col("hub").cast(LongType).as("hub"),
+          col("auth").cast(LongType).as("auth"))
+        .agg(count(lit(1)).as("n"))))
 
   /** PageRank oracle: the same 3 damped iterations with uniform dangling-
     * mass redistribution, unrolled as chained CTEs over a string-keyed
@@ -572,6 +601,74 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_algo_pagerank" -> pageRankSql,
+    // Windows are compared as raw strings here vs 64-bit hashes in the
+    // engine (Decontaminate's documented stance: a collision over-marks
+    // one position in 2^64).
+    "q_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+           wins AS (SELECT doc_id, array_to_string(tk[i+1:i+20], chr(1)) AS w
+             FROM (SELECT doc_id, tk, unnest(range(0, greatest(len(tk)-19, 0))) AS i
+                   FROM toks)),
+           marks AS (SELECT w, (min(doc_id) <> max(doc_id)) AS dup FROM wins GROUP BY w),
+           per AS (SELECT doc_id, count(*) AS nw,
+                     sum(CASE WHEN dup THEN 1 ELSE 0 END) AS dw
+                   FROM wins JOIN marks USING (w) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(dw, 0) AS BIGINT) AS dup_windows,
+           round(coalesce(dw::DOUBLE / nullif(nw, 0), 0), 4) AS dup_frac
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+    // Replays Urls.canonicalize step for step (same RE2 patterns, same
+    // order; DuckDB needs the explicit 'g' flag where Spark replaces all).
+    "q_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+             'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443//Articles//P' ||
+             (doc_id % 50) || '/?id=' || (doc_id % 25) ||
+             '&utm_source=news&gclid=abc123#sec' || (doc_id % 5) AS url
+           FROM documents),
+           s1 AS (SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS url FROM u),
+           s2 AS (SELECT doc_id, regexp_replace(
+             regexp_replace(url, '^(http://[^/?#]*):80([/?#]|$)', '\1\2'),
+             '^(https://[^/?#]*):443([/?#]|$)', '\1\2') AS url FROM s1),
+           s3 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM s2),
+           s4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(url, '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+             '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&', '?'),
+             '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$', ''),
+             '[?&]$', '') AS url FROM s3),
+           s5 AS (SELECT doc_id, regexp_replace(url, '([^:/])/{2,}', '\1/', 'g') AS url FROM s4),
+           s6 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '/\?', '?'), '/$', '') AS url FROM s5)
+         SELECT min(doc_id) AS doc_id, url AS canonical,
+           CAST(count(*) AS BIGINT) AS n_dups
+         FROM s6 GROUP BY url""",
+    // Two unrolled exact-integer HITS rounds over the same string-keyed
+    // edge rebuild as the pageRank oracle.
+    "q_algo_hits" ->
+      """WITH nodes AS (
+           SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS id FROM region
+           UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+           UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR) FROM customer
+           UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier
+           UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+         edges AS (
+           SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src, 'r' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+           UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+           UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+           UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR), 'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+         h0 AS (SELECT id, 1::HUGEINT AS hub FROM nodes),
+         a1 AS (SELECT e.dst AS id, sum(h0.hub) AS auth FROM edges e JOIN h0 ON h0.id = e.src GROUP BY 1),
+         a1f AS (SELECT nodes.id, coalesce(a1.auth, 0) AS auth FROM nodes LEFT JOIN a1 USING (id)),
+         h1 AS (SELECT e.src AS id, sum(a1f.auth) AS hub FROM edges e JOIN a1f ON a1f.id = e.dst GROUP BY 1),
+         h1f AS (SELECT nodes.id, coalesce(h1.hub, 0) AS hub FROM nodes LEFT JOIN h1 USING (id)),
+         a2 AS (SELECT e.dst AS id, sum(h1f.hub) AS auth FROM edges e JOIN h1f ON h1f.id = e.src GROUP BY 1),
+         a2f AS (SELECT nodes.id, coalesce(a2.auth, 0) AS auth FROM nodes LEFT JOIN a2 USING (id)),
+         h2 AS (SELECT e.src AS id, sum(a2f.auth) AS hub FROM edges e JOIN a2f ON a2f.id = e.dst GROUP BY 1),
+         h2f AS (SELECT nodes.id, coalesce(h2.hub, 0) AS hub FROM nodes LEFT JOIN h2 USING (id))
+         SELECT CAST(h2f.hub AS BIGINT) AS hub, CAST(a2f.auth AS BIGINT) AS auth,
+           count(*) AS n
+         FROM h2f JOIN a2f USING (id) GROUP BY 1, 2""",
     "q_quality_filter" ->
       """WITH b AS (SELECT doc_id,
              len(regexp_split_to_array(trim(text), '\s+')) AS nw,

@@ -375,4 +375,28 @@ class AlgosSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(est.values.toSet === Set(8L))
   }
+
+  test("HITS: exact integer scores after two rounds on a hand-checked graph") {
+    // 1->3, 2->3, 3->4: auth1 = indeg (3:2, 4:1); hub1 = (1:2, 2:2, 3:1);
+    // auth2 = (3: hub1(1)+hub1(2) = 4, 4: hub1(3) = 1);
+    // hub2 = (1:4, 2:4, 3:1, 4:0).
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAlgorithms.hitsEdges(e, iterations = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDecimal(1).longValueExact, r.getDecimal(2).longValueExact)))
+      .toMap
+    assert(got === Map(1L -> ((4L, 0L)), 2L -> ((4L, 0L)),
+      3L -> ((1L, 4L)), 4L -> ((0L, 1L))))
+  }
+
+  test("HITS is partitioning-invariant (exact integers, no FP order)") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 60).map(_ => (rnd.nextInt(12).toLong,
+      rnd.nextInt(12).toLong)).distinct
+    def run(parts: Int) = GraphAlgorithms.hitsEdges(
+        edges.toDF("src", "dst").repartition(parts), iterations = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1), r.getDecimal(2)))).toMap
+    assert(run(1) === run(13))
+  }
 }

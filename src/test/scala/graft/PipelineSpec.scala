@@ -691,4 +691,65 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(run(vecs) === run(vecs.repartition(13)))
   }
+
+  test("duplicateSpanStats marks cross-doc windows, counts per position") {
+    // n=3 token windows. doc 10: "a b c d" -> windows [a b c], [b c d].
+    // doc 11: "a b c x" -> [a b c], [b c x]. doc 12: "p q r" -> [p q r].
+    // [a b c] is cross-doc; everything else unique.
+    val d = Seq((10L, "a b c d"), (11L, "a b c x"), (12L, "p q r"),
+      (13L, "a b")) // shorter than n: zero windows
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanStats(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      10L -> ((2L, 1L, 0.5)), 11L -> ((2L, 1L, 0.5)),
+      12L -> ((1L, 0L, 0.0)), 13L -> ((0L, 0L, 0.0))))
+  }
+
+  test("duplicateSpanStats: a window repeated only WITHIN a doc is not dup") {
+    val d = Seq((1L, "x y x y x y"), (2L, "u v w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanStats(d, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("URL canonicalization: each hazard independently and combined") {
+    val cases = Seq(
+      // case + default port + fragment
+      "HTTP://ExAmple.COM:80/Path#frag" -> "http://example.com/Path",
+      // https default port, preserved non-default port
+      "https://a.com:443/x" -> "https://a.com/x",
+      "https://a.com:8443/x" -> "https://a.com:8443/x",
+      // tracking params in every position; legit params survive
+      "http://a.com/p?utm_source=x&id=1&utm_campaign=y" -> "http://a.com/p?id=1",
+      "http://a.com/p?gclid=z" -> "http://a.com/p",
+      "http://a.com/p?fbclid=1&q=2" -> "http://a.com/p?q=2",
+      // duplicate path slashes but never the scheme separator
+      "http://a.com//x///y" -> "http://a.com/x/y",
+      // trailing slash, incl. before the query
+      "http://a.com/x/" -> "http://a.com/x",
+      "http://a.com/x/?q=1" -> "http://a.com/x?q=1",
+      // path/query case is preserved
+      "HTTPS://B.org/CaseSensitive?Q=V" -> "https://b.org/CaseSensitive?Q=V")
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), graft.pipeline.Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) === want, s"input $in")
+    }
+  }
+
+  test("dedupByUrl groups by canonical form, keeps min id") {
+    val d = Seq(
+      (5L, "http://a.com/x?utm_source=1"),
+      (3L, "HTTP://A.COM:80/x"),
+      (7L, "http://a.com/y"))
+      .toDF("doc_id", "url")
+    val got = graft.pipeline.Urls.dedupByUrl(d, "doc_id", "url")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((3L, "http://a.com/x", 2L), (7L, "http://a.com/y", 1L)))
+  }
 }
