@@ -315,6 +315,56 @@ object GraphAlgorithms {
     dist
   }
 
+  /** Personalized PageRank: the restart distribution concentrates on
+    * `seeds` (uniform over them) instead of all nodes — the standard
+    * relevance/recommendation score around a query set. Update rule per
+    * round: r(v) = (1-d)·p(v) + d·(Σ in-contribs + dangling_mass·p(v)),
+    * where p is the seed distribution; total mass stays exactly 1, so the
+    * dangling mass is 1 − transferred (one 1-row aggregate per round,
+    * same as [[pageRank]]).
+    *
+    * Scale shape is [[pageRank]]'s: links pinned pre-partitioned on src
+    * (no per-round edge shuffle), one pin + one job per round. The
+    * working set is edge endpoints ∪ seeds; every node OUTSIDE it — and
+    * every working node unreachable from the seeds — has exactly 0 rank
+    * (no restart mass, no in-mass), so the unreachable remainder is
+    * appended as a closed-form 0 without joining the loop. */
+  def personalizedPageRank(graph: PropertyGraph, seeds: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85,
+      relTypes: Seq[String] = Seq.empty): DataFrame = {
+    val e = validated(edges(graph, relTypes), graph)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val links = Pin(e.join(outDeg, "src"))
+    val seedIds = seeds.select(col("id").cast(LongType).as("id")).distinct()
+    val k = seedIds.count()
+    require(k > 0, "personalizedPageRank needs at least one seed")
+    val base = Pin(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .unionByName(seedIds).distinct()
+      .join(seedIds.withColumn("_p", lit(1.0 / k)), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("_p"), lit(0.0)).as("p")))
+    var ranks = base.select(col("id"), col("p").as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = links
+        .join(ranks, links("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      val received = Pin(base.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"), col("p"),
+          coalesce(col("contrib"), lit(0.0)).as("contrib")))
+      val tc = received.agg(coalesce(sum("contrib"), lit(0.0)))
+        .head().getDouble(0)
+      val miss = 1.0 - tc
+      ranks = received.select(col("id"),
+        (lit(1.0 - damping) * col("p") +
+          lit(damping) * (col("contrib") + lit(miss) * col("p"))).as("rank"))
+    }
+    val outside = nodeIds(graph)
+      .join(base.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(0.0).as("rank"))
+    ranks.unionByName(outside)
+  }
+
   /** HITS hub/authority scores (Kleinberg 1999) over a DIRECTED edge
     * frame, reported UNNORMALIZED after `iterations` full rounds
     * (auth_k(v) = sum of in-neighbour hubs, then hub_k(u) = sum of

@@ -615,6 +615,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case Some(_: MapType) =>
         requireKeyType(idx, wantString = true)
         compileFieldAccessDyn(compile(sub), inferType(sub), compile(idx))
+      // Indexing a statically-null subject: Cypher yields null, but
+      // Spark's get() rejects the VOID-typed column at analysis.
+      case Some(NullType) => lit(null)
       case subT =>
         if (subT.exists(_.isInstanceOf[ArrayType]))
           requireKeyType(idx, wantString = false)

@@ -345,6 +345,13 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_scrubbed"),
           md5(concat_ws("\n", sort_array(split(col("text"), "\n"))))
             .as("kept_hash"))),
+    // --- Dolma-style global paragraph dedup: first occurrence survives,
+    // later copies drop (position-ordered reassembly is hash-checked) ---
+    "q_para_dedup" -> ((s, dir) =>
+      Scrub.dedupParagraphsGlobal(multiLineDocs(docs(s, dir)), "doc_id",
+          "text", sepRegex = "\n", joinSep = "\n")
+        .select(col("doc_id"), col("n_dropped"),
+          md5(col("text")).as("kept_hash"))),
     // --- multimodal (stubbed codec, real plumbing) ---
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -554,6 +561,21 @@ object PipelineQueries {
     // --- URL canonicalization + URL-level dedup over planted URLs ---
     "q_url_canonical" -> ((s, dir) =>
       Urls.dedupByUrl(plantedUrls(docs(s, dir)), "doc_id", "url")),
+    // --- personalized PageRank seeded on customers 1..9 (rank > 0 is
+    // exactly the seed-reachable set; id-free rank histogram) ---
+    "q_algo_ppr" -> ((s, dir) => {
+      val g = graft.tpch.TpchGraph(s, dir)
+      val seeds = g.nodeScansFor(Seq("Customer"))
+        .map(_.df.filter(col("p_c_custkey") < 10)
+          .select(col(graft.graph.PropertyGraph.ID).as("id")))
+        .reduce(_.unionByName(_))
+      graft.algos.GraphAlgorithms.personalizedPageRank(g, seeds,
+          iterations = 3,
+          relTypes = Seq("IN_REGION", "FROM_NATION", "PLACED"))
+        .filter(col("rank") > 0)
+        .groupBy(round(col("rank"), 5).as("rank"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // --- HITS hub/authority (2 exact integer iterations; id-free
     // (hub, auth)-histogram output, same trick as the other algos) ---
     "q_algo_hits" -> ((s, dir) =>
@@ -599,8 +621,42 @@ object PipelineQueries {
        SELECT round(rank, 5) AS rank, count(*) AS n FROM r3 GROUP BY 1"""
   }
 
+  /** Personalized-PageRank oracle: 3 unrolled rounds of
+    * r = 0.15·p + 0.85·(contribs + miss·p) over the same string-keyed
+    * edge rebuild as [[pageRankSql]], restart mass uniform on customers
+    * 1..9; rank > 0 replays the engine's reachable-set filter. */
+  private val pprSql: String = {
+    def round(j: Int, prev: String) =
+      s"""c$j AS (SELECT e.dst AS id, sum($prev.rank / g.d) AS contrib
+            FROM edges e JOIN deg g ON e.src = g.src
+            JOIN $prev ON $prev.id = e.src GROUP BY e.dst),
+          m$j AS (SELECT 1 - coalesce((SELECT sum(contrib) FROM c$j), 0) AS miss),
+          r$j AS (SELECT base.id, 0.15 * base.p + 0.85 * (coalesce(c$j.contrib, 0) + m$j.miss * base.p) AS rank
+            FROM base LEFT JOIN c$j ON base.id = c$j.id CROSS JOIN m$j)"""
+    s"""WITH edges AS (
+         SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src, 'r' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+         UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+         UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+         UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR), 'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+       seeds AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id FROM customer WHERE c_custkey < 10),
+       kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+       w AS (SELECT DISTINCT id FROM (
+         SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+         UNION ALL SELECT id FROM seeds)),
+       base AS (SELECT w.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 / kk.k END AS p
+         FROM w LEFT JOIN seeds s ON w.id = s.id CROSS JOIN kk),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       r0 AS (SELECT id, p AS rank FROM base),
+       ${round(1, "r0")},
+       ${round(2, "r1")},
+       ${round(3, "r2")}
+       SELECT round(rank, 5) AS rank, count(*) AS n FROM r3
+       WHERE rank > 0 GROUP BY 1"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_algo_pagerank" -> pageRankSql,
+    "q_algo_ppr" -> pprSql,
     // Windows are compared as raw strings here vs 64-bit hashes in the
     // engine (Decontaminate's documented stance: a collision over-marks
     // one position in 2^64).
@@ -1012,6 +1068,21 @@ object PipelineQueries {
            md5(string_agg(CASE WHEN c.lc < 10 THEN l.line END, chr(10) ORDER BY l.line)) AS kept_hash
          FROM l JOIN c USING (line)
          GROUP BY 1""",
+    // Engine keys paragraphs by xxhash64 and takes min(struct) per hash;
+    // the oracle replays over raw strings with a first-occurrence window
+    // (the engine shape avoids the global window on purpose).
+    "q_para_dedup" ->
+      """WITH d AS (SELECT doc_id, text || chr(10) || '(c) corpus boilerplate footer' || chr(10) || 'unique line ' || doc_id AS t FROM documents),
+           l0 AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+           l AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS i, lines FROM l0),
+           p AS (SELECT doc_id, i, lines[i] AS para FROM l),
+           k AS (SELECT doc_id, i, para,
+                   row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn
+                 FROM p)
+         SELECT doc_id,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY i), '')) AS kept_hash
+         FROM k GROUP BY 1""",
     "q_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
            round(sum(value), 4) AS sv

@@ -112,6 +112,44 @@ object Scrub {
     * kept lines into one array and array_sorts them by (_pos, _line), so
     * a SINGLE document is bounded by the JVM array limit (~2^31 lines —
     * a multi-hundred-GB document; corpus size is unbounded). */
+  /** Dolma-style corpus-global paragraph dedup: every paragraph keeps
+    * only its FIRST occurrence in corpus order (min (doc_id, position))
+    * and every later occurrence is dropped — unlike
+    * [[scrubRepeatedLines]]'s frequency threshold, this preserves one
+    * copy of repeated content instead of deleting all of them. Returns
+    * (idCol, textCol with surviving paragraphs in original order,
+    * n_dropped).
+    *
+    * Scale shape: paragraphs carry a 64-bit hash through the
+    * first-occurrence shuffle (one min(struct) aggregation per hash —
+    * map-side combinable, no window) and the keeper frame joins back on
+    * that hash; reassembly is the same array_sort-by-position collect as
+    * [[scrubRepeatedLines]], bounded per document, unbounded per corpus.
+    * `sepRegex` splits documents into paragraphs (default blank line);
+    * `joinSep` rejoins the survivors (a regex can't be inverted, so the
+    * caller names the literal). */
+  def dedupParagraphsGlobal(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\n\n", joinSep: String = "\n\n"): DataFrame = {
+    val spark = df.sparkSession
+    val paras = df
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol), posexplode(F.split(col(textCol), sepRegex))
+        .as(Seq("_pos", "_para")))
+      .withColumn("_ph", xxhash64(col("_para")))
+    val first = paras.groupBy(col("_ph"))
+      .agg(min(struct(col(idCol).as("_kid"), col("_pos").as("_kpos")))
+        .as("_keep"))
+    paras.join(first, Seq("_ph"))
+      .withColumn("_kept",
+        col("_keep._kid") === col(idCol) && col("_keep._kpos") === col("_pos"))
+      .groupBy(col(idCol)).agg(
+        concat_ws(joinSep, F.transform(
+          array_sort(collect_list(when(col("_kept"),
+            struct(col("_pos"), col("_para"))))),
+          x => x.getField("_para"))).as(textCol),
+        sum(when(col("_kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
   def scrubRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       minCount: Long): DataFrame = {
     val spark = df.sparkSession

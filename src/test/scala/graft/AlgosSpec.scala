@@ -376,6 +376,38 @@ class AlgosSpec extends SparkTestBase {
     assert(est.values.toSet === Set(8L))
   }
 
+  test("personalized PageRank: dangling mass restarts at the seed (hand-checked)") {
+    // 1 -> 2, seed {1}, d = 0.85, 2 rounds:
+    // r1 = (0.15, 0.85); round 2 transfers 0.15, node 2's 0.85 dangles
+    // back to the seed: r2(1) = 0.15 + 0.85*0.85 = 0.8725, r2(2) = 0.1275.
+    val g = TckFixtures.graph(spark,
+      Seq(TckFixtures.N(1, Set("X")), TckFixtures.N(2, Set("X")),
+        TckFixtures.N(3, Set("Y"))), // 3 is outside the edge set: rank 0
+      Seq(TckFixtures.R(10, 1, 2, "T")))
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = GraphAlgorithms.personalizedPageRank(g, seeds,
+        iterations = 2, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.8725) < 1e-12)
+    assert(math.abs(got(2L) - 0.1275) < 1e-12)
+    assert(got(3L) === 0.0)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, "mass conservation")
+  }
+
+  test("personalized PageRank: unreachable working nodes score exactly 0") {
+    // two components; seeds only in the first
+    val g = TckFixtures.graph(spark,
+      (1 to 6).map(i => TckFixtures.N(i.toLong, Set("X"))),
+      Seq(TckFixtures.R(10, 1, 2, "T"), TckFixtures.R(11, 2, 1, "T"),
+        TckFixtures.R(12, 4, 5, "T"), TckFixtures.R(13, 5, 6, "T")))
+    val got = GraphAlgorithms.personalizedPageRank(g,
+        Seq(Tuple1(1L)).toDF("id"), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(4L) === 0.0 && got(5L) === 0.0 && got(6L) === 0.0)
+    assert(got(1L) > 0 && got(2L) > 0)
+    assert(math.abs(got(1L) + got(2L) - 1.0) < 1e-12)
+  }
+
   test("HITS: exact integer scores after two rounds on a hand-checked graph") {
     // 1->3, 2->3, 3->4: auth1 = indeg (3:2, 4:1); hub1 = (1:2, 2:2, 3:1);
     // auth2 = (3: hub1(1)+hub1(2) = 4, 4: hub1(3) = 1);

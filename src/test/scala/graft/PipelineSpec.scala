@@ -742,6 +742,34 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("dedupParagraphsGlobal keeps the first occurrence only, in order") {
+    val d = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma"),      // "shared" first seen in doc 1 pos 1
+      (3L, "delta\ndelta\nshared")) // within-doc repeat: second drops too
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Scrub
+      .dedupParagraphsGlobal(d, "doc_id", "text", sepRegex = "\n", joinSep = "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      1L -> (("alpha\nshared\nbeta", 0L)),
+      2L -> (("gamma", 1L)),
+      3L -> (("delta", 2L))))
+  }
+
+  test("dedupParagraphsGlobal is partitioning-invariant") {
+    val d = (0L until 40L).map(i => (i, s"common header\nbody $i\ncommon footer"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.pipeline.Scrub
+      .dedupParagraphsGlobal(df, "doc_id", "text", "\n", "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val a = run(d)
+    assert(a === run(d.repartition(17)))
+    assert(a(0L) === (("common header\nbody 0\ncommon footer", 0L)))
+    assert(a(5L) === (("body 5", 2L)))
+  }
+
   test("dedupByUrl groups by canonical form, keeps min id") {
     val d = Seq(
       (5L, "http://a.com/x?utm_source=1"),

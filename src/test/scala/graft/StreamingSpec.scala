@@ -41,6 +41,25 @@ class StreamingSpec extends SparkTestBase {
     assert(got.length <= total)
   }
 
+  test("streaming PII scrub equals the batch scrub (stateless column ops)") {
+    // Plant deterministic PII on the stream side with the same expression
+    // the batch fixture uses; the scrub is pure column regexps, so the
+    // streaming plan needs zero state and the equivalence is exact.
+    def plant(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), concat(col("text"),
+        lit(" mail u"), col("doc_id"), lit("@example.com ip 10.1.2.3")).as("text"))
+    val scrubbedStream = graft.pipeline.Scrub.scrubPii(
+      plant(GraftStreaming.documentsStream(spark, docStreamDir)),
+      "doc_id", "text")
+    val got = GraftStreaming.runToMemorySink(scrubbedStream, "scrubbed_docs")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batch = graft.pipeline.Scrub.scrubPii(
+      plant(spark.read.parquet(s"$dir/documents.parquet")), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === batch.toSeq)
+    assert(got.forall(!_._2.contains("@example.com")), "emails must be redacted")
+  }
+
   test("windowed counts over the event stream match the batch aggregation") {
     val stream = GraftStreaming.eventsStream(spark, streamDir)
     val agg = GraftStreaming.windowedCounts(stream, "1 day", "2 days")
