@@ -63,6 +63,20 @@ object ExprCompiler {
     StructField("months", LongType), StructField("days", LongType),
     StructField("micros", LongType)))
 
+  /** LOCALTIME normal form: microseconds since midnight, marker-field
+    * struct (Spark has no time-of-day type; the single-field struct keeps
+    * accessor dispatch and orderability without a new Catalyst type). */
+  val localTimeType: StructType =
+    StructType(Seq(StructField("_ltus", LongType)))
+
+  /** TIME (offset time) normal form: (_tutc = local micros − offset, the
+    * timeline value Neo4j orders by, FIRST so struct ordering is timeline
+    * ordering; _tzos = zone offset seconds). Equality therefore requires
+    * the same offset too — a documented divergence (Neo4j compares
+    * instants only). */
+  val timeType: StructType = StructType(Seq(
+    StructField("_tutc", LongType), StructField("_tzos", LongType)))
+
   /** Total-microseconds estimate of a (months, days, micros) duration
     * struct for ordering: months at their Gregorian average length
     * (365.2425 / 12 days), Neo4j's duration comparison rule. */
@@ -145,6 +159,62 @@ object ExprCompiler {
         }
     }
     LocalDateTime.of(d, t)
+  }
+
+  /** Cypher time-of-day strings: HH[:MM[:SS[.fff...]]] or compact
+    * HH[MM[SS]][.fff...] — the same time grammar the localdatetime parser
+    * accepts after 'T'. Sub-microsecond digits are rejected (Spark-wide
+    * microsecond resolution, same stance as the datetime map constructor). */
+  def parseCypherTime(s0: String): java.time.LocalTime = {
+    val s = s0.trim
+    val T = """(\d{2}):?(\d{2})?:?(\d{2})?(?:\.(\d{1,9}))?""".r
+    s match {
+      case T(h, mi, sec, frac) =>
+        val nanos = if (frac == null) 0L else frac.padTo(9, '0').toLong
+        if (nanos % 1000 != 0) throw new CypherCompileException(
+          s"time literal $s0 exceeds microsecond resolution",
+          CE.ArgumentError, CE.InvalidArgumentValue)
+        try java.time.LocalTime.of(h.toInt,
+          if (mi == null) 0 else mi.toInt,
+          if (sec == null) 0 else sec.toInt, nanos.toInt)
+        catch {
+          case _: java.time.DateTimeException =>
+            throw new CypherCompileException(s"invalid time literal: $s0",
+              CE.ArgumentError, CE.InvalidTemporalValue)
+        }
+      case _ => throw new CypherCompileException(
+        s"malformed time literal: $s0", CE.ArgumentError,
+        CE.InvalidTemporalValue)
+    }
+  }
+
+  /** Offset time strings: <time>[Z | ±HH[:MM] | ±HHMM]. Returns the LOCAL
+    * wall time and the offset in seconds (no offset defaults to UTC, the
+    * engine's session timezone). Named zones ('[Europe/Paris]') need a
+    * date to resolve and are classified unsupported. */
+  def parseCypherOffsetTime(s0: String): (java.time.LocalTime, Int) = {
+    val s = s0.trim
+    if (s.contains("[")) throw new CypherCompileException(
+      s"named time zones are not supported in time(): $s0",
+      CE.ArgumentError, CE.InvalidArgumentValue)
+    val Off = """(.*?)(Z|[+-]\d{2}(?::?\d{2})?)$""".r
+    s match {
+      case Off(tp, off) =>
+        val secs = off match {
+          case "Z" => 0
+          case o =>
+            val sign = if (o.startsWith("-")) -1 else 1
+            val digits = o.substring(1).replace(":", "")
+            val h = digits.substring(0, 2).toInt
+            val m = if (digits.length > 2) digits.substring(2).toInt else 0
+            if (h > 18 || m > 59) throw new CypherCompileException(
+              s"invalid zone offset in time literal: $s0",
+              CE.ArgumentError, CE.InvalidTemporalValue)
+            sign * (h * 3600 + m * 60)
+        }
+        (parseCypherTime(tp), secs)
+      case _ => (parseCypherTime(s), 0)
+    }
   }
 }
 
@@ -263,6 +333,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "localdatetime" | "datetime" | "datetime.truncate" |
            "localdatetime.truncate" | "datetime.fromepoch" |
            "datetime.fromepochmillis" => Some(TimestampType)
+      case "localtime" | "localtime.truncate" =>
+        Some(ExprCompiler.localTimeType)
+      case "time" | "time.truncate" => Some(ExprCompiler.timeType)
       case "duration.between" | "duration.inmonths" | "duration.indays" |
            "duration.inseconds" => Some(ExprCompiler.durationType)
       case "duration" => Some(StructType(Seq(
@@ -328,6 +401,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case BooleanType => Some(3)
     case DateType => Some(4)
     case TimestampType | TimestampNTZType => Some(5)
+    case StructType(fs) if fs.map(_.name).toSeq == Seq("_ltus") => Some(6)
+    case StructType(fs) if fs.map(_.name).toSeq == Seq("_tutc", "_tzos") =>
+      Some(7)
     case _ => None // arrays/structs/null: leave to Spark semantics
   }
 
@@ -363,6 +439,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case _ => None
   }
 
+  /** LOCALTIME / TIME marker structs (see ExprCompiler.localTimeType). */
+  private def isLocalTimeT(t: Option[DataType]): Boolean = t match {
+    case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("_ltus")
+    case _ => false
+  }
+  private def isTimeT(t: Option[DataType]): Boolean = t match {
+    case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("_tutc", "_tzos")
+    case _ => false
+  }
+
   /** Durations are (months, days, micros) structs (CTDuration). */
   private def isDuration(e: Expr): Boolean = e match {
     case FuncCall("duration", _, _) => true
@@ -394,10 +480,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     * Cypher semantics (Neo4j temporal docs): components of the duration
     * finer than the temporal's resolution are DISCARDED, so date + PT25H
     * is the same date — only the months and days groups apply to a date. */
+  private val DayUs = 86400000000L
   private def addDuration(l: Column, lType: Option[DataType], dur: Column,
       negate: Boolean): Column = {
     val sign = if (negate) -1L else 1L
     lType match {
+      // Time-of-day + duration: only the seconds group applies (month/day
+      // components shift the date, which a time has none of) and the
+      // result wraps around midnight — Neo4j's rule.
+      case t if isLocalTimeT(t) =>
+        struct(pmod(l.getField("_ltus") + dur.getField("micros") * sign,
+          lit(DayUs)).as("_ltus"))
+      case t if isTimeT(t) =>
+        val local = l.getField("_tutc") + l.getField("_tzos") * 1000000L
+        val newLocal = pmod(local + dur.getField("micros") * sign, lit(DayUs))
+        struct((newLocal - l.getField("_tzos") * 1000000L).as("_tutc"),
+          l.getField("_tzos").as("_tzos"))
       case Some(DateType) =>
         val interval = call_function("make_interval",
           lit(0), dur.getField("months") * sign, lit(0),
@@ -543,9 +641,11 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     // Spark's date subtraction would leak a raw INTERVAL value that
     // nothing else in the engine can consume.
     case Arith("+" | "-", l, r)
-        if Seq(inferType(l), inferType(r)).forall {
-          case Some(DateType | TimestampType | TimestampNTZType) => true
-          case _ => false
+        if Seq(inferType(l), inferType(r)).forall { t =>
+          t.exists {
+            case DateType | TimestampType | TimestampNTZType => true
+            case _ => isLocalTimeT(t) || isTimeT(t)
+          }
         } =>
       throw new CypherCompileException(
         "temporal instants cannot be added or subtracted; " +
@@ -718,6 +818,41 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
   private def lambda(v: String, c: Column, t: Option[DataType]): ExprCompiler =
     withEnv(v, c, t)
 
+  /** Time-of-day component accessor over a micros-since-midnight column. */
+  private def localTimeAccessor(us: Column, k: String): Column =
+    k.toLowerCase match {
+      case "hour" => (us / 3600000000L).cast(LongType)
+      case "minute" => (us / 60000000L).cast(LongType) % 60
+      case "second" => (us / 1000000L).cast(LongType) % 60
+      case "millisecond" => (us / 1000L).cast(LongType) % 1000
+      case "microsecond" => us % 1000000L
+      case other =>
+        throw new CypherCompileException(s"unknown time accessor $other")
+    }
+
+  /** HH:MM:SS[.ffffff] rendering of micros-since-midnight (fraction only
+    * when non-zero, trailing zeros trimmed — Neo4j's time rendering). */
+  private def localTimeIso(us: Column): Column = {
+    def two(c: Column) = lpad(c.cast(StringType), 2, "0")
+    val frac = us % 1000000L
+    concat(two(localTimeAccessor(us, "hour")), lit(":"),
+      two(localTimeAccessor(us, "minute")), lit(":"),
+      two(localTimeAccessor(us, "second")),
+      when(frac =!= 0, concat(lit("."),
+        regexp_replace(lpad(frac.cast(StringType), 6, "0"), "0+$", "")))
+        .otherwise(lit("")))
+  }
+
+  /** ±HH:MM offset rendering; UTC renders as 'Z' (Neo4j). */
+  private def offsetIso(os: Column): Column = {
+    def two(c: Column) = lpad(c.cast(StringType), 2, "0")
+    val a = F.abs(os)
+    when(os === 0, lit("Z")).otherwise(concat(
+      when(os < 0, lit("-")).otherwise(lit("+")),
+      two((a / 3600L).cast(LongType)), lit(":"),
+      two((a % 3600L / 60L).cast(LongType))))
+  }
+
   /** ISO-8601 rendering of the (months, days, micros) duration struct:
     * P[nY][nM][nD][T[nH][nM][nS]], zero components omitted, 'PT0S' when
     * everything is zero, components individually signed (months: -13 →
@@ -889,6 +1024,18 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case "microsecondsofsecond" => micros % 1000000L
           case other =>
             throw new CypherCompileException(s"unknown duration accessor $other")
+        }
+      // Time-of-day accessors (LOCALTIME / TIME marker structs).
+      case tt if isLocalTimeT(tt) =>
+        localTimeAccessor(c.getField("_ltus"), k)
+      case tt if isTimeT(tt) =>
+        val os = c.getField("_tzos")
+        k.toLowerCase match {
+          case "offset" => offsetIso(os)
+          case "offsetminutes" => (os / 60L).cast(LongType)
+          case "offsetseconds" => os.cast(LongType)
+          case other =>
+            localTimeAccessor(c.getField("_tutc") + os * 1000000L, other)
         }
       // Missing key on a struct-backed map is null (Cypher map semantics);
       // getField on an absent field would fail analysis instead.
@@ -1171,6 +1318,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case Some(st: StructType)
               if st.fieldNames.toSeq == Seq("months", "days", "micros") =>
             durationIso(compile(args(0)))
+          case tt if isLocalTimeT(tt) =>
+            localTimeIso(compile(args(0)).getField("_ltus"))
+          case tt if isTimeT(tt) =>
+            val c = compile(args(0))
+            val os = c.getField("_tzos")
+            concat(localTimeIso(c.getField("_tutc") + os * 1000000L),
+              offsetIso(os))
           case _ => a0.cast(StringType)
         }
 
@@ -1301,6 +1455,97 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
               part("hour", 0), part("minute", 0),
               secs + frac("millisecond", 1000) + frac("microsecond", 1000000))
           case _ => to_timestamp(a0)
+        }
+      case "localtime" | "time" =>
+        // Time-of-day types (BEYOND-reference surface: the reference's
+        // Spark backend has neither — Spark has no time type; these are
+        // marker structs, see ExprCompiler.localTimeType/timeType).
+        def fromComponents(m: Map[String, Expr]): Column = {
+          checkSignificanceOrder(m, Seq("hour", "minute", "second"),
+            s"$name()")
+          def part(k: String): Column =
+            m.get(k).map(e => compile(e).cast(LongType)).getOrElse(lit(0L))
+          (part("hour") * 3600000000L + part("minute") * 60000000L +
+            part("second") * 1000000L + part("millisecond") * 1000L +
+            part("microsecond"))
+        }
+        def nowLocalUs: Column = {
+          val ts = current_timestamp()
+          (hour(ts).cast(LongType) * 3600L + F.minute(ts).cast(LongType) * 60L +
+            F.second(ts).cast(LongType)) * 1000000L
+        }
+        if (name == "localtime") args.headOption match {
+          case None => struct(nowLocalUs.as("_ltus"))
+          case Some(StrLit(s)) => struct(lit(
+            ExprCompiler.parseCypherTime(s).toNanoOfDay / 1000L).as("_ltus"))
+          case Some(MapLit(items)) =>
+            val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
+            struct(fromComponents(m).as("_ltus"))
+          case Some(other) => throw new CypherCompileException(
+            s"localtime() expects a map or string literal, got $other",
+            CE.SyntaxError, CE.InvalidArgumentType)
+        } else args.headOption match {
+          case None => // session clock is UTC: offset 0
+            struct(nowLocalUs.as("_tutc"), lit(0L).as("_tzos"))
+          case Some(StrLit(s)) =>
+            val (lt, off) = ExprCompiler.parseCypherOffsetTime(s)
+            struct(lit(lt.toNanoOfDay / 1000L - off * 1000000L).as("_tutc"),
+              lit(off.toLong).as("_tzos"))
+          case Some(MapLit(items)) =>
+            val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
+            val off: Long = m.get("timezone") match {
+              case Some(StrLit(z)) =>
+                ExprCompiler.parseCypherOffsetTime("00" + z) match {
+                  case (_, o) => o.toLong
+                }
+              case None => 0L
+              case Some(other) => throw new CypherCompileException(
+                s"time() timezone must be a string literal, got $other",
+                CE.SyntaxError, CE.InvalidArgumentType)
+            }
+            struct((fromComponents(m - "timezone") - off * 1000000L)
+              .as("_tutc"), lit(off).as("_tzos"))
+          case Some(other) => throw new CypherCompileException(
+            s"time() expects a map or string literal, got $other",
+            CE.SyntaxError, CE.InvalidArgumentType)
+        }
+      case "localtime.truncate" | "time.truncate" =>
+        val unit = args(0) match {
+          case StrLit(u) => u.toLowerCase
+          case other => throw new CypherCompileException(
+            s"$name() unit must be a string literal, got $other",
+            CE.SyntaxError, CE.InvalidArgumentType)
+        }
+        val unitUs: Long = unit match {
+          case "day" => DayUs
+          case "hour" => 3600000000L
+          case "minute" => 60000000L
+          case "second" => 1000000L
+          case "millisecond" => 1000L
+          case "microsecond" => 1L
+          case other => throw new CypherCompileException(
+            s"$name() cannot truncate to unit '$other'",
+            CE.ArgumentError, CE.InvalidArgumentValue)
+        }
+        val src = compile(args(1))
+        val srcT = inferType(args(1))
+        if (name == "localtime.truncate") {
+          val us =
+            if (isLocalTimeT(srcT)) src.getField("_ltus")
+            else if (isTimeT(srcT))
+              src.getField("_tutc") + src.getField("_tzos") * 1000000L
+            else throw new CypherCompileException(
+              s"localtime.truncate() needs a time value",
+              CE.SyntaxError, CE.InvalidArgumentType)
+          struct(((us / unitUs).cast(LongType) * unitUs).as("_ltus"))
+        } else {
+          if (!isTimeT(srcT)) throw new CypherCompileException(
+            s"time.truncate() needs a TIME value",
+            CE.SyntaxError, CE.InvalidArgumentType)
+          val os = src.getField("_tzos")
+          val local = src.getField("_tutc") + os * 1000000L
+          val trunc = (local / unitUs).cast(LongType) * unitUs
+          struct((trunc - os * 1000000L).as("_tutc"), os.as("_tzos"))
         }
       case "duration" => args(0) match {
         // duration({years:…, months:…, days:…, hours:…, minutes:…,

@@ -345,6 +345,12 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_scrubbed"),
           md5(concat_ws("\n", sort_array(split(col("text"), "\n"))))
             .as("kept_hash"))),
+    // --- exact duplicate-span removal (Lee et al. 2021): later
+    // occurrences of any corpus-duplicated 20-token window are cut ---
+    "q_span_scrub" -> ((s, dir) =>
+      Scrub.scrubDuplicateSpans(docs(s, dir), "doc_id", "text", n = 20)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("text")).as("kept_hash"))),
     // --- Dolma-style global paragraph dedup: first occurrence survives,
     // later copies drop (position-ordered reassembly is hash-checked) ---
     "q_para_dedup" -> ((s, dir) =>
@@ -1068,6 +1074,34 @@ object PipelineQueries {
            md5(string_agg(CASE WHEN c.lc < 10 THEN l.line END, chr(10) ORDER BY l.line)) AS kept_hash
          FROM l JOIN c USING (line)
          GROUP BY 1""",
+    // Engine windows travel as xxhash64 with min(struct) keeper marking;
+    // the oracle replays over raw window strings with first-occurrence
+    // window functions (the engine shape avoids global windows on purpose).
+    "q_span_scrub" ->
+      """WITH toks0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+           tokv AS (SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM toks0),
+           tok AS (SELECT doc_id, pos, tk[pos+1] AS tok FROM tokv),
+           wins AS (SELECT doc_id, unnest(range(0, greatest(len(tk)-19, 0))) AS i, tk FROM toks0),
+           w AS (SELECT doc_id, i, array_to_string(tk[i+1:i+20], chr(1)) AS wn FROM wins),
+           marked AS (SELECT doc_id, i,
+               row_number() OVER (PARTITION BY wn ORDER BY doc_id, i) AS rn,
+               count(*) OVER (PARTITION BY wn) AS occ
+             FROM w),
+           cov AS (SELECT DISTINCT doc_id, i + u.p AS pos
+             FROM marked, unnest(range(0, 20)) AS u(p)
+             WHERE occ > 1 AND rn > 1),
+           kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+             LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+             WHERE cov.pos IS NULL),
+           agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+             FROM kept GROUP BY 1),
+           rem AS (SELECT doc_id, count(*) AS nr FROM cov GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(rem.nr, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(agg.txt, '')) AS kept_hash
+         FROM documents d
+         LEFT JOIN agg ON agg.doc_id = d.doc_id
+         LEFT JOIN rem ON rem.doc_id = d.doc_id""",
     // Engine keys paragraphs by xxhash64 and takes min(struct) per hash;
     // the oracle replays over raw strings with a first-occurrence window
     // (the engine shape avoids the global window on purpose).

@@ -101,17 +101,62 @@ object Scrub {
           col("_nw").cast(DoubleType), 4).as("top_ngram_frac"))
   }
 
-  /** C4-style corpus-level line scrub: drop every line occurring at least
-    * `minCount` times across the corpus (boilerplate headers/footers,
-    * cookie banners). Returns the id, the scrubbed text in original line
-    * order (under the original column name) and the per-document count of
-    * removed lines. Shape: one posexplode, one line-count shuffle, one
-    * join back, one per-doc aggregation — every step keyed, nothing
-    * quadratic, so the plan survives a 100-TB corpus (the line-count join
-    * is the canonical C4 implementation). Reassembly collects a document's
-    * kept lines into one array and array_sorts them by (_pos, _line), so
-    * a SINGLE document is bounded by the JVM array limit (~2^31 lines —
-    * a multi-hundred-GB document; corpus size is unbounded). */
+  /** Exact duplicate-span REMOVAL (the scrub counterpart of
+    * Dedup.duplicateSpanStats — Lee et al. 2021 / RefinedWeb exact
+    * substring dedup): any n-token window occurring more than once in the
+    * corpus keeps only its first occurrence (min (doc, position)); every
+    * token covered by a later occurrence is cut from its document.
+    * Returns (idCol, textCol rebuilt from surviving tokens,
+    * n_removed = tokens cut). A removed window overlapping a kept one can
+    * cut into the kept occurrence's context — the standard artifact of
+    * span-level dedup, documented rather than special-cased.
+    *
+    * Scale shape: windows travel as 64-bit hashes; the keeper is one
+    * min(struct) aggregation per hash (map-side combinable, no global
+    * window); covered token positions explode only from NON-keeper
+    * duplicated windows (bounded by the duplicated volume, not the
+    * corpus); the final anti-join and reassembly are keyed per document. */
+  def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val split = df
+      .repartition(parts, col(idCol))
+      .select(col(idCol), F.split(trim(col(textCol)), "\\s+").as("_tk"))
+    val toks = split
+      .select(col(idCol), posexplode(col("_tk")).as(Seq("_pos", "_tok")))
+    val wins = split
+      .select(col(idCol), col("_tk"),
+        explode(when(F.size(col("_tk")) >= n,
+            sequence(lit(0), F.size(col("_tk")) - n))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("_i"))
+      .select(col(idCol), col("_i"),
+        xxhash64(array_join(F.slice(col("_tk"), col("_i") + 1, lit(n)),
+          "\u0001")).as("_wh"))
+    // Per window hash: the first occurrence and whether others exist.
+    val marks = wins.groupBy(col("_wh")).agg(
+      min(struct(col(idCol).as("_kid"), col("_i").as("_kpos"))).as("_keep"),
+      count(lit(1)).as("_occ"))
+    val covered = wins.join(marks, Seq("_wh"))
+      .filter(col("_occ") > 1 &&
+        !(col("_keep._kid") === col(idCol) && col("_keep._kpos") === col("_i")))
+      .select(col(idCol),
+        explode(sequence(col("_i"), col("_i") + (n - 1))).as("_pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "_pos"), "left_anti")
+    val removedCounts = covered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_removed"))
+    // Rebuild from the original id frame so fully-scrubbed documents
+    // survive as empty text instead of vanishing.
+    df.select(col(idCol)).distinct()
+      .join(kept.groupBy(col(idCol)).agg(
+        concat_ws(" ", F.transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok"))).as(textCol)), Seq(idCol), "left_outer")
+      .join(removedCounts, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Dolma-style corpus-global paragraph dedup: every paragraph keeps
     * only its FIRST occurrence in corpus order (min (doc_id, position))
     * and every later occurrence is dropped — unlike
@@ -150,6 +195,17 @@ object Scrub {
         sum(when(col("_kept"), 0L).otherwise(1L)).as("n_dropped"))
   }
 
+  /** C4-style corpus-level line scrub: drop every line occurring at least
+    * `minCount` times across the corpus (boilerplate headers/footers,
+    * cookie banners). Returns the id, the scrubbed text in original line
+    * order (under the original column name) and the per-document count of
+    * removed lines. Shape: one posexplode, one line-count shuffle, one
+    * join back, one per-doc aggregation — every step keyed, nothing
+    * quadratic, so the plan survives a 100-TB corpus (the line-count join
+    * is the canonical C4 implementation). Reassembly collects a document's
+    * kept lines into one array and array_sorts them by (_pos, _line), so
+    * a SINGLE document is bounded by the JVM array limit (~2^31 lines —
+    * a multi-hundred-GB document; corpus size is unbounded). */
   def scrubRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       minCount: Long): DataFrame = {
     val spark = df.sparkSession

@@ -742,6 +742,33 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("scrubDuplicateSpans cuts later occurrences, keeps the first") {
+    // n=3: [a b c] occurs in docs 1 and 2; doc 1 pos 0 is the keeper, so
+    // doc 2 loses positions 1..3 (tokens a b c) and keeps "x y".
+    val d = Seq((1L, "a b c d e"), (2L, "x a b c y"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Scrub.scrubDuplicateSpans(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      1L -> (("a b c d e", 0L)),
+      2L -> (("x y", 3L)),
+      3L -> (("p q", 0L))))
+  }
+
+  test("scrubDuplicateSpans: overlapping duplicated windows merge coverage") {
+    // doc 20 repeats doc 10's full text; every window duplicates, the
+    // whole later copy is cut (positions union, counted once each).
+    val d = Seq((10L, "t1 t2 t3 t4 t5"), (20L, "t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Scrub.scrubDuplicateSpans(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      10L -> (("t1 t2 t3 t4 t5", 0L)),
+      20L -> (("", 5L))))
+  }
+
   test("dedupParagraphsGlobal keeps the first occurrence only, in order") {
     val d = Seq(
       (1L, "alpha\nshared\nbeta"),
