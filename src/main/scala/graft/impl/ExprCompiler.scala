@@ -818,6 +818,24 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
   private def lambda(v: String, c: Column, t: Option[DataType]): ExprCompiler =
     withEnv(v, c, t)
 
+  /** Micros-of-day of another temporal value, for conversions and
+    * composition (Neo4j: localtime(dt) truncates to the time-of-day;
+    * datetime({date, time}) composes): a LOCALTIME's own field, a TIME's
+    * wall time, or a timestamp's time-of-day. None for non-time types. */
+  private def localUsOf(e: Expr): Option[Column] = {
+    val t = inferType(e)
+    lazy val c = compile(e)
+    if (isLocalTimeT(t)) Some(c.getField("_ltus"))
+    else if (isTimeT(t))
+      Some(c.getField("_tutc") + c.getField("_tzos") * 1000000L)
+    else if (t.exists(x => x == TimestampType || x == TimestampNTZType))
+      Some((hour(c).cast(LongType) * 3600L +
+        F.minute(c).cast(LongType) * 60L) * 1000000L +
+        (call_function("date_part", lit("SECOND"), c) * 1000000L)
+          .cast(LongType))
+    else None
+  }
+
   /** Time-of-day component accessor over a micros-since-midnight column. */
   private def localTimeAccessor(us: Column, k: String): Column =
     k.toLowerCase match {
@@ -1430,6 +1448,36 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         else args(0) match {
           case StrLit(s) => lit(java.sql.Timestamp.valueOf(
             ExprCompiler.parseCypherLocalDateTime(s)))
+          case MapLit(items) if items.exists { case (k, _) =>
+              Set("date", "time").contains(k.toLowerCase) } =>
+            // Composition from temporal bases: {date: d[, time: t]} — the
+            // date's calendar day plus the time-of-day (midnight when
+            // absent). Exact integer micros, no float seconds.
+            val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
+            val extra = m.keySet -- Set("date", "time")
+            if (extra.nonEmpty) throw new CypherCompileException(
+              s"$name() with a date/time base does not support component " +
+                s"overrides: ${extra.mkString(", ")}",
+              CE.ArgumentError, CE.InvalidArgumentValue)
+            val d = m.get("date") match {
+              case Some(e) =>
+                val t = inferType(e)
+                val c = compile(e)
+                if (t.contains(DateType)) c
+                else if (t.exists(x =>
+                  x == TimestampType || x == TimestampNTZType)) c.cast(DateType)
+                else throw new CypherCompileException(
+                  s"$name() date component must be a date or datetime value",
+                  CE.SyntaxError, CE.InvalidArgumentType)
+              case None => throw new CypherCompileException(
+                s"$name() needs a date component (a year or a date base)",
+                CE.ArgumentError, CE.InvalidArgumentValue)
+            }
+            val us = m.get("time").map(e => localUsOf(e).getOrElse(
+              throw new CypherCompileException(
+                s"$name() time component must be a time value",
+                CE.SyntaxError, CE.InvalidArgumentType))).getOrElse(lit(0L))
+            timestamp_micros(unix_micros(d.cast(TimestampType)) + us)
           case MapLit(items) =>
             val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
             // Spark timestamps are microsecond-precision; a nanosecond
@@ -1481,9 +1529,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case Some(MapLit(items)) =>
             val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
             struct(fromComponents(m).as("_ltus"))
-          case Some(other) => throw new CypherCompileException(
-            s"localtime() expects a map or string literal, got $other",
-            CE.SyntaxError, CE.InvalidArgumentType)
+          case Some(other) => localUsOf(other) match {
+            case Some(us) => struct(us.as("_ltus"))
+            case None => throw new CypherCompileException(
+              s"localtime() expects a map, string literal or temporal value, got $other",
+              CE.SyntaxError, CE.InvalidArgumentType)
+          }
         } else args.headOption match {
           case None => // session clock is UTC: offset 0
             struct(nowLocalUs.as("_tutc"), lit(0L).as("_tzos"))
@@ -1505,9 +1556,14 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             }
             struct((fromComponents(m - "timezone") - off * 1000000L)
               .as("_tutc"), lit(off).as("_tzos"))
-          case Some(other) => throw new CypherCompileException(
-            s"time() expects a map or string literal, got $other",
-            CE.SyntaxError, CE.InvalidArgumentType)
+          case Some(other) if isTimeT(inferType(other)) => compile(other)
+          case Some(other) => localUsOf(other) match {
+            case Some(us) => // session offset is UTC
+              struct(us.as("_tutc"), lit(0L).as("_tzos"))
+            case None => throw new CypherCompileException(
+              s"time() expects a map, string literal or temporal value, got $other",
+              CE.SyntaxError, CE.InvalidArgumentType)
+          }
         }
       case "localtime.truncate" | "time.truncate" =>
         val unit = args(0) match {

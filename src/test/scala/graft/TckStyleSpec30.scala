@@ -117,6 +117,34 @@ class TckStyleSpec30 extends TckScenarioBase {
     "RETURN toString(localtime.truncate('hour', time('12:31:00+05:00'))) AS x",
     value("12:00:00"))
 
+  // ------------------------------------------- conversion / composition
+  scenario("localtime of a localdatetime truncates to the time-of-day", g,
+    "RETURN toString(localtime(localdatetime('2024-01-01 12:31:14'))) AS x",
+    value("12:31:14"))
+  scenario("time of a localtime attaches the session UTC offset", g,
+    "RETURN toString(time(localtime('09:30'))) AS x", value("09:30:00Z"))
+  scenario("localtime of a time takes the wall time", g,
+    "RETURN toString(localtime(time('09:30+02:00'))) AS x",
+    value("09:30:00"))
+  scenario("datetime composed from date and time bases", g,
+    "RETURN toString(datetime({date: date('2024-05-06'), time: localtime('07:08:09.5')})) AS x",
+    value("2024-05-06 07:08:09.5"))
+  scenario("localdatetime from a date base alone is midnight", g,
+    "RETURN toString(localdatetime({date: date('2024-05-06')})) AS x",
+    value("2024-05-06 00:00:00"))
+  scenario("a TIME base composes via its wall time", g,
+    "RETURN toString(datetime({date: date('2024-05-06'), time: time('07:08:09+03:00')})) AS x",
+    value("2024-05-06 07:08:09"))
+  errorScenario("datetime composition needs a date base", g,
+    "RETURN datetime({time: localtime('07:08')}) AS x",
+    CypherError.ArgumentError, CypherError.InvalidArgumentValue)
+  errorScenario("component overrides on a base map are rejected", g,
+    "RETURN datetime({date: date('2024-05-06'), hour: 3}) AS x",
+    CypherError.ArgumentError, CypherError.InvalidArgumentValue)
+  errorScenario("a number is not a time value", g,
+    "RETURN localtime(42) AS x",
+    CypherError.SyntaxError, CypherError.InvalidArgumentType)
+
   // ------------------------------------------------------- errors
   errorScenario("hour out of range is classified", g,
     "RETURN localtime('25:00') AS x",
