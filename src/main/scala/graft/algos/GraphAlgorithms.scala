@@ -105,10 +105,7 @@ object GraphAlgorithms {
     var isoRank = 1.0
     var ranks = connected.select(col("id"), lit(1.0).as("rank"))
     for (i <- 1 to iterations) {
-      val contribs = links
-        .join(ranks, links("src") === ranks("id"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      val contribs = rankContribs(links, ranks)
       // `received` is read twice (mass total + rank update): the lazy
       // checkpoint is materialized by the 1-row mass aggregate — ONE job
       // per round (an eager checkpoint + separate aggregate was two; the
@@ -136,6 +133,17 @@ object GraphAlgorithms {
       .select(col("id"), lit(isoRank).as("rank"))
     ranks.unionByName(isolated)
   }
+
+  /** One damped-rank round's link-mass transfer: degree-normalized rank
+    * flows along the pinned (src-partitioned) links and aggregates per
+    * destination. Factored so AlgosSpec can assert the scale property —
+    * the round consumes the pinned hash(src) partitioning and never
+    * re-shuffles the edge side (shared by [[pageRank]] and
+    * [[personalizedPageRank]]). */
+  private[graft] def rankContribs(links: DataFrame, ranks: DataFrame): DataFrame =
+    links.join(ranks, links("src") === ranks("id"))
+      .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
 
   /** Connected components (undirected) by iterative min-id propagation;
     * returns (id, component). Converges in O(diameter) rounds; each round
@@ -345,10 +353,7 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("_p"), lit(0.0)).as("p")))
     var ranks = base.select(col("id"), col("p").as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = links
-        .join(ranks, links("src") === ranks("id"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      val contribs = rankContribs(links, ranks)
       val received = Pin(base.join(contribs, Seq("id"), "left_outer")
         .select(col("id"), col("p"),
           coalesce(col("contrib"), lit(0.0)).as("contrib")))

@@ -345,6 +345,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_scrubbed"),
           md5(concat_ws("\n", sort_array(split(col("text"), "\n"))))
             .as("kept_hash"))),
+    // --- Johnson-Lindenstrauss ±1 random projection of the embeddings
+    // (dimension 64 -> 8); sign matrix derived from integer hashing, so
+    // the oracle replays the full computation ---
+    "q_embed_project" -> ((s, dir) => {
+      val proj = Similarity.randomProjection(embs(s, dir), "vec_id",
+        "embedding", outDim = 8)
+      proj.select(col("vec_id") +:
+        (0 until 8).map(j => round(element_at(col("proj"), j + 1), 4)
+          .as(s"p$j")): _*)
+    }),
     // --- exact duplicate-span removal (Lee et al. 2021): later
     // occurrences of any corpus-duplicated 20-token window are cut ---
     "q_span_scrub" -> ((s, dir) =>
@@ -660,7 +670,25 @@ object PipelineQueries {
        WHERE rank > 0 GROUP BY 1"""
   }
 
+  /** JL-projection oracle: replays the derived ±1 sign matrix
+    * (multiplicative integer hash, bit 10) and the scaled sums in SQL. */
+  private val embedProjectSql: String = {
+    val signCols = (0 until 8).map { j =>
+      s"""sum(v * (CASE WHEN ((i*2654435761 + $j*2246822519 + 42) % 2147483648 // 1024) % 2 = 0
+            THEN 1.0 ELSE -1.0 END)) / sqrt(8) AS s$j"""
+    }.mkString(",\n           ")
+    val outs = (0 until 8).map(j => s"round(s$j, 4) AS p$j").mkString(", ")
+    s"""WITH pos AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i,
+             embedding AS emb FROM embeddings),
+         pv AS (SELECT vec_id, i, CAST(emb[i+1] AS DOUBLE) AS v FROM pos),
+         agg AS (SELECT vec_id,
+           $signCols
+           FROM pv GROUP BY vec_id)
+       SELECT vec_id, $outs FROM agg"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_embed_project" -> embedProjectSql,
     "q_algo_pagerank" -> pageRankSql,
     "q_algo_ppr" -> pprSql,
     // Windows are compared as raw strings here vs 64-bit hashes in the

@@ -48,6 +48,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Johnson–Lindenstrauss random projection with ±1 signs: proj[j] =
+    * Σ_i v[i]·s(i,j) / √outDim — the standard dimensionality reduction in
+    * front of ANN / clustering at scale (Achlioptas 2003 database-friendly
+    * projections: ±1 entries preserve pairwise distances with the same JL
+    * guarantee as Gaussians). The sign matrix is DERIVED, not stored:
+    * s(i,j) = a middle bit of a multiplicative hash of (i, j) — pure
+    * integer arithmetic an external SQL oracle replays exactly.
+    *
+    * Scale shape: explode vector positions once, then `outDim` codegen'd
+    * sum aggregates with map-side combine (the minhashSignatures shape) —
+    * one shuffle on the id, no interpreted HOFs, no driver-side matrix.
+    * Output: (idCol, proj array<double>). */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val spark = df.sparkSession
+    val exploded = df
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("_i", "_v")))
+      .select(col(idCol), col("_i").cast(LongType).as("_i"),
+        col("_v").cast(DoubleType).as("_v"))
+    def sign(j: Int): Column = {
+      // h = (i·2654435761 + j·2246822519 + seed) mod 2^31; bit 10 of h.
+      val h = pmod(col("_i") * 2654435761L + lit(j.toLong) * 2246822519L +
+        lit(seed), lit(2147483648L))
+      when(pmod((h / 1024L).cast(LongType), lit(2L)) === 0L, lit(1.0))
+        .otherwise(lit(-1.0))
+    }
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val aggs = (0 until outDim).map(j =>
+      sum(col("_v") * sign(j)).as(s"_p$j"))
+    exploded.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until outDim).map(j => col(s"_p$j") * scale): _*).as("proj"))
+  }
+
   /** The hyperplane matrix for (bands * bitsPerBand) planes — deterministic
     * from the seed so driver-side query hashing and executor-side row
     * hashing agree. */

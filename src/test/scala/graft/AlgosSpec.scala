@@ -376,6 +376,27 @@ class AlgosSpec extends SparkTestBase {
     assert(est.values.toSet === Set(8L))
   }
 
+  test("rank round consumes the pinned link partitioning: no edge-side exchange") {
+    // Shared by pageRank and personalizedPageRank: the (large) link frame
+    // shuffles once at pin time; each round's contribution join reuses the
+    // hash(src) partitioning. Two exchanges are legitimate (the small
+    // ranks frame, the per-dst aggregation) — a third means the refactored
+    // join re-shuffles the links per round.
+    withStaticPlans {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      val links = graft.impl.Pin(e
+        .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .repartition(col("src")))
+      val ranks = Seq((1L, 1.0), (2L, 1.0)).toDF("id", "rank")
+      val plan = GraphAlgorithms.rankContribs(links, ranks)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.length <= 2,
+        s"expected <=2 exchanges (ranks + agg), got ${exchanges.length}:\n$plan")
+    }
+  }
+
   test("personalized PageRank: dangling mass restarts at the seed (hand-checked)") {
     // 1 -> 2, seed {1}, d = 0.85, 2 rounds:
     // r1 = (0.15, 0.85); round 2 transfers 0.15, node 2's 0.85 dangles

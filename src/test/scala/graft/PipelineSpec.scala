@@ -742,6 +742,50 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("randomProjection matches a driver-side replay of the sign matrix") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    def sign(i: Long, j: Int): Double = {
+      val h = Math.floorMod(i * 2654435761L + j.toLong * 2246822519L + 42L,
+        2147483648L)
+      if ((h / 1024L) % 2L == 0L) 1.0 else -1.0
+    }
+    val expected = vecs.map { case (id, v) =>
+      id -> (0 until 4).map(j =>
+        v.zipWithIndex.map { case (x, i) => x.toDouble * sign(i, j) }.sum /
+          math.sqrt(4.0))
+    }.toMap
+    val got = graft.pipeline.Similarity.randomProjection(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", outDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, _) =>
+      expected(id).zip(got(id)).foreach { case (e, g) =>
+        assert(math.abs(e - g) < 1e-9, s"id $id")
+      }
+    }
+  }
+
+  test("randomProjection approximately preserves pairwise distances") {
+    // JL with outDim 16 over 40 unit-ish vectors: check the median
+    // distortion is modest (this is a sanity property, not a tight bound).
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val proj = graft.pipeline.Similarity.randomProjection(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val orig = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ratios = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+    } yield d(proj(i), proj(j)) / d(orig(i), orig(j))
+    val sorted = ratios.sorted
+    val median = sorted(sorted.size / 2)
+    assert(median > 0.7 && median < 1.3, s"median distortion $median")
+  }
+
   test("scrubDuplicateSpans cuts later occurrences, keeps the first") {
     // n=3: [a b c] occurs in docs 1 and 2; doc 1 pos 0 is the keeper, so
     // doc 2 loses positions 1..3 (tokens a b c) and keeps "x y".
