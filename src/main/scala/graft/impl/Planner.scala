@@ -1026,26 +1026,33 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     bodies.exists(walk)
   }
 
-  private def entityListTarget(l: Expr): Option[(String, Boolean)] = l match {
+  /** The (var, isRels) pair a lambda's list expression binds entities
+    * from: relationships(p)/nodes(p) over a path, or a var-length rel
+    * binder used directly (`all(e IN r WHERE e.prop ...)` — `r` IS a
+    * relationship list, `isRelListVar` tells us from the header). */
+  private def entityListTarget(l: Expr,
+      isRelListVar: String => Boolean): Option[(String, Boolean)] = l match {
     case FuncCall(f @ ("relationships" | "nodes"), Seq(Var(p)), _) =>
       Some((p, f == "relationships"))
+    case Var(r) if isRelListVar(r) => Some((r, true))
     case _ => None
   }
 
   /** All (pathVar, isRels) pairs whose lambda bodies need entity values. */
-  private def entityListNeeds(e: Expr): Set[(String, Boolean)] = {
+  private def entityListNeeds(e: Expr,
+      isRelListVar: String => Boolean): Set[(String, Boolean)] = {
     val out = mutable.Set.empty[(String, Boolean)]
     def walk(x: Any): Unit = x match {
       case ListComprehension(v, l, w, proj) =>
-        entityListTarget(l).foreach(t =>
+        entityListTarget(l, isRelListVar).foreach(t =>
           if (binderUsedAsEntity(v, w.toSeq ++ proj.toSeq)) out += t)
         (l +: (w.toSeq ++ proj.toSeq)).foreach(walk)
       case IterablePredicate(_, v, l, pred) =>
-        entityListTarget(l).foreach(t =>
+        entityListTarget(l, isRelListVar).foreach(t =>
           if (binderUsedAsEntity(v, Seq(pred))) out += t)
         Seq(l, pred).foreach(walk)
       case Reduce(_, init, v, l, step) =>
-        entityListTarget(l).foreach(t =>
+        entityListTarget(l, isRelListVar).foreach(t =>
           if (binderUsedAsEntity(v, Seq(step))) out += t)
         Seq(init, l, step).foreach(walk)
       case s: Seq[_] => s.foreach(walk)
@@ -1105,20 +1112,27 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * id-keyed join + one aggregation per (path, kind), paid only by queries
     * using the shape; both sides stay key-bucketed at scale. */
   private def materializeEntityLists(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
-    val needs = entityListNeeds(e).filter { case (p, _) =>
+    def isRelListVar(v: String): Boolean =
+      ctx0.header.kindOf(v).exists(_.isInstanceOf[ListRelKind]) &&
+        ctx0.header.contains(PathSlot(v))
+    def isPathStructVar(p: String): Boolean =
       ctx0.header.get(ValueSlot(p)).exists { c =>
         ctx0.df.schema.fields.find(_.name == c).map(_.dataType) match {
           case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("nodes", "rels")
           case _ => false
         }
       }
+    val needs = entityListNeeds(e, isRelListVar).filter { case (p, _) =>
+      isRelListVar(p) || isPathStructVar(p)
     }
     if (needs.isEmpty) return (ctx0, e)
     var ctx = ctx0
     val replacement = mutable.Map.empty[(String, Boolean), String]
     needs.toSeq.sorted.foreach { case key @ (p, isRels) =>
-      val arr = col(ctx.header.col(ValueSlot(p)))
-        .getField(if (isRels) "rels" else "nodes")
+      val arr =
+        if (isRelListVar(p)) col(ctx.header.col(PathSlot(p)))
+        else col(ctx.header.col(ValueSlot(p)))
+          .getField(if (isRels) "rels" else "nodes")
       val (entityDf, elemStruct, idCol) = entityElementsDf(isRels)
       val listVar = freshVar()
       val listCol = RecordHeader.colName(ValueSlot(listVar))
@@ -1143,7 +1157,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       replacement(key) = listVar
     }
     def swap(l: Expr, binder: String, bodies: Seq[Expr]): Option[Expr] =
-      entityListTarget(l).filter(t =>
+      entityListTarget(l, isRelListVar).filter(t =>
         binderUsedAsEntity(binder, bodies) && replacement.contains(t))
         .map(t => Var(replacement(t)))
     val rewritten = ExprOps.transformUp(e) {

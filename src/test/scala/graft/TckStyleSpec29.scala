@@ -24,6 +24,12 @@ class TckStyleSpec29 extends TckScenarioBase {
       R(11, 2, 3, "T"),
       R(12, 1, 3, "S")))
 
+  /** chain p1 -W{w:1}-> p2 -W{w:2}-> p3 */
+  lazy val gRelProps = graph(spark,
+    Seq(N(1, Set("P"), Map("name" -> "p1")), N(2, Set("P"), Map("name" -> "p2")),
+      N(3, Set("P"), Map("name" -> "p3"))),
+    Seq(R(30, 1, 2, "W", Map("w" -> 1)), R(31, 2, 3, "W", Map("w" -> 2))))
+
   lazy val gLoop = graph(spark,
     Seq(N(1, Set("L"), Map("name" -> "self")),
       N(2, Set("L"), Map("name" -> "other"))),
@@ -164,6 +170,26 @@ class TckStyleSpec29 extends TckScenarioBase {
     value("else"))
   scenario("searched CASE without ELSE yields null on no match", g,
     "RETURN CASE WHEN 1 > 2 THEN 'yes' END AS x", value(null))
+
+  // ------------------------- entity lambdas over var-length rel binders
+  // (fixed in round 7: `r` from -[r:T*..]- IS a relationship list, but
+  // lambdas reading rel properties off it failed analysis — only
+  // relationships(p) was materialized to entity structs)
+  scenario("all() over a var-length binder reads rel properties", gRelProps,
+    "MATCH (a)-[r:W*1..2]->(b) WHERE all(e IN r WHERE e.w > 0) RETURN count(*) AS x",
+    value(3L))
+  scenario("reduce() over a var-length binder sums rel properties", gRelProps,
+    "MATCH (a {name: 'p1'})-[r:W*2..2]->(b) RETURN reduce(s = 0, e IN r | s + e.w) AS x",
+    value(3L))
+  scenario("comprehension over a var-length binder projects properties", gRelProps,
+    "MATCH (a {name: 'p1'})-[r:W*2..2]->(b) RETURN [e IN r | e.w] AS x",
+    value(List(1L, 2L)))
+  scenario("type() of a var-length binder element", gRelProps,
+    "MATCH (a {name: 'p1'})-[r:W*1..1]->(b) RETURN any(e IN r WHERE type(e) = 'W') AS x",
+    value(true))
+  scenario("bare var-length binder still means the id list", gRelProps,
+    "MATCH (a {name: 'p1'})-[r:W*2..2]->(b) RETURN size(r) AS x",
+    value(2L))
 
   // ------------------------------------------------ pattern edges
   scenario("self-loop matches the (a)-[r]->(a) shape", gLoop,
