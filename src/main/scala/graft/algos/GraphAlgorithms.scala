@@ -259,6 +259,71 @@ object GraphAlgorithms {
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.v").as("x"), col("e2.v").as("y"))
 
+  /** Per-edge triangle support of a canonical (a < b) undirected edge
+    * frame: every triangle is found ONCE via the degree-oriented wedge
+    * join (the [[triangleCountEdges]] machinery — fan-out bounded by
+    * forward degree), then exploded back onto its three edges and
+    * counted. One wedge join + one map-side-combinable aggregation. */
+  private[graft] def edgeSupport(canon: DataFrame): DataFrame = {
+    val oriented = orientByDegree(canon)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+      .join(canon,
+        least(col("x"), col("y")) === col("a") &&
+          greatest(col("x"), col("y")) === col("b"), "left_semi")
+    tri.select(explode(array(
+        struct(least(col("u"), col("x")).as("a"),
+          greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"),
+          greatest(col("u"), col("y")).as("b")),
+        struct(col("x").as("a"), col("y").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss: the maximal subgraph in which every edge closes at least
+    * k-2 triangles WITHIN the subgraph (Cohen 2008) — the edge-level
+    * cohesion analogue of k-core. Iterative support peeling: recount
+    * per-edge support on the surviving subgraph, drop edges below k-2,
+    * repeat until stable. Returns the surviving canonical (a, b) edges.
+    *
+    * Scale shape: each round is one degree-oriented wedge join (fan-out
+    * O(sqrt m) by orientation) + two keyed aggregations, with the
+    * surviving edge frame pinned per round — the standard distributed
+    * peeling formulation (per-round full recount; the delta-maintenance
+    * variant trades simplicity for fewer recounts and is not needed
+    * until round counts grow). Rounds are bounded by the peeling depth;
+    * the ceiling throws rather than silently truncating (the fixpoint
+    * rule every graft loop follows). */
+  def kTrussEdges(edges0: DataFrame, k: Int,
+      maxIterations: Int = 50): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var cur = Pin(edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    var n = cur.count()
+    var changed = n > 0
+    var it = 0
+    while (changed && it < maxIterations) {
+      val support = edgeSupport(cur)
+      val next = Pin(cur.join(support, Seq("a", "b"), "left_outer")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b")))
+      val nn = next.count()
+      changed = nn != n
+      cur = next
+      n = nn
+      it += 1
+    }
+    if (changed) throw new IllegalStateException(
+      s"k-truss did not converge within $maxIterations peeling rounds")
+    cur
+  }
+
   /** Single-source shortest path distances (weighted Bellman-Ford,
     * frontier-based): returns (id, dist) for every node reachable from
     * `sources` (an (id) frame), where each relationship type traversed

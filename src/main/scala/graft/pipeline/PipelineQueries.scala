@@ -519,6 +519,22 @@ object PipelineQueries {
       graft.algos.GraphAlgorithms.kCoreEdges(pairs, k = 3)
         .groupBy(col("degree")).agg(count(lit(1)).as("n"))
     }),
+    // --- k-truss edge cohesion of the bounded co-order part-pair graph
+    // (1-in-10-orders subgraph, the q_algo_neighborhood input bound);
+    // correctness carried by AlgosSpec's driver-side peeling replay ---
+    "q_algo_ktruss" -> ((s, dir) => {
+      val lp = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.algos.GraphAlgorithms.kTrussEdges(pairs, k = 4)
+        .agg(count(lit(1)).as("n_edges"),
+          count_distinct(col("a")).as("n_lo"),
+          count_distinct(col("b")).as("n_hi"))
+    }),
     // --- SemDeDup: semantic dedup bucketed by fixed-centroid clusters ---
     // (same deterministic lowest-8-id centroid set as q_cluster_assign, so
     // the DuckDB oracle replays assignment + the within-cluster drop rule)

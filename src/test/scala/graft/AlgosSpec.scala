@@ -429,6 +429,63 @@ class AlgosSpec extends SparkTestBase {
     assert(math.abs(got(1L) + got(2L) - 1.0) < 1e-12)
   }
 
+  test("k-truss: 3-truss keeps triangles, 4-truss keeps only the clique") {
+    // 4-clique {1,2,3,4} plus a pendant triangle {4,5,6} and a tail 6-7.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    def edges(k: Int) = GraphAlgorithms.kTrussEdges(e, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3-truss: every triangle edge survives, the tail 6-7 peels off.
+    assert(edges(3) === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)))
+    // 4-truss: each edge needs 2 triangles — only the 4-clique qualifies.
+    assert(edges(4) === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    // 5-truss of this graph is empty.
+    assert(edges(5) === Set.empty)
+  }
+
+  test("k-truss: cascading peel (removing one edge's support cascades)") {
+    // Triangle chain: t1 = {1,2,3}, t2 = {2,3,4} share edge (2,3); edge
+    // (1,2) has support 1, so 4-truss peels everything (each removal
+    // drops the shared edge's support below 2 in turn).
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(GraphAlgorithms.kTrussEdges(e, 4).count() === 0L)
+    assert(GraphAlgorithms.kTrussEdges(e, 3).count() === 5L)
+  }
+
+  test("k-truss agrees with a driver-side peeling replay on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 3) {
+      val edges = (0 until 70).map(_ =>
+        (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      def replay(k: Int): Set[(Long, Long)] = {
+        var cur = edges.toSet
+        var changed = true
+        while (changed) {
+          def nbrs(v: Long) = cur.collect {
+            case (a, b) if a == v => b
+            case (a, b) if b == v => a
+          }
+          val next = cur.filter { case (a, b) =>
+            (nbrs(a).toSet intersect nbrs(b).toSet).size >= k - 2 }
+          changed = next != cur
+          cur = next
+        }
+        cur
+      }
+      val df = edges.toDF("src", "dst")
+      for (k <- Seq(3, 4)) {
+        val got = GraphAlgorithms.kTrussEdges(df, k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === replay(k), s"k=$k edges=$edges")
+      }
+    }
+  }
+
   test("HITS: exact integer scores after two rounds on a hand-checked graph") {
     // 1->3, 2->3, 3->4: auth1 = indeg (3:2, 4:1); hub1 = (1:2, 2:2, 3:1);
     // auth2 = (3: hub1(1)+hub1(2) = 4, 4: hub1(3) = 1);
