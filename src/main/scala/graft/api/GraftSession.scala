@@ -166,6 +166,20 @@ class GraftSession(val spark: SparkSession) {
   def cypher(graph: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty,
       drivingTable: Option[DataFrame] = None): DataFrame = {
+    // EXPLAIN <query>: plan but don't run — one (plan) row with Spark's
+    // formatted physical plan (what `.explain("formatted")` prints).
+    // PROFILE is accepted as a synonym; with no instrumentation layer the
+    // honest answer is the same plan text, not fake per-operator counts.
+    val ExplainRe = "(?is)^\\s*(EXPLAIN|PROFILE)\\s+(.*)$".r
+    query match {
+      case ExplainRe(_, rest) =>
+        val planned = cypher(graph, rest, params, drivingTable)
+        val text = planned.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        import spark.implicits._
+        return Seq(text).toDF("plan")
+      case _ =>
+    }
     handleCatalogDdl(graph, query) match {
       case Some(ddlResult) => return ddlResult
       case None =>

@@ -187,4 +187,17 @@ class AcceptanceSpec extends SparkTestBase {
     assert(df.count() === 0)
     assert(df.columns.toSeq === Seq("v"))
   }
+
+  test("EXPLAIN returns the formatted physical plan, not rows") {
+    val df = session.cypher(graph,
+      "EXPLAIN MATCH (n:N) WHERE n.val > 2 RETURN n.val AS v")
+    assert(df.columns.toSeq === Seq("plan"))
+    val text = df.head().getString(0)
+    assert(text.contains("== Physical Plan =="))
+    // the predicate must reach the scan (the property graft promises)
+    assert(text.contains("PushedFilters") || text.contains("Filter"))
+    // PROFILE is a synonym
+    val p = session.cypher(graph, "PROFILE MATCH (n:N) RETURN n.val AS v")
+    assert(p.columns.toSeq === Seq("plan"))
+  }
 }
