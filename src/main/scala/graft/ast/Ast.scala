@@ -86,7 +86,17 @@ case class NodePattern(variable: Option[String], labels: Seq[String],
     props: Seq[(String, Expr)], copyOf: Option[String] = None)
 case class RelPattern(variable: Option[String], types: Seq[String],
     props: Seq[(String, Expr)], direction: Direction,
-    varLength: Option[(Int, Option[Int])])
+    varLength: Option[(Int, Option[Int])],
+    // GQL-style quantified path pattern: ((x)-[r:T]->(y) WHERE pred){m,n}.
+    // The group plans as a var-length expand over the RESTRICTED edge set
+    // the inner pattern + WHERE define; varLength carries the quantifier.
+    qpp: Option[QppSpec] = None)
+
+/** Inner shape of a quantified path pattern group: one relationship
+  * pattern between two node patterns plus an optional per-repetition
+  * WHERE (scoped to that repetition's bindings only). */
+case class QppSpec(src: NodePattern, rel: RelPattern, dst: NodePattern,
+    where: Option[Expr])
 case class PatternPart(head: NodePattern, tail: Seq[(RelPattern, NodePattern)],
     pathVar: Option[String] = None,
     // "shortest" (one arbitrary shortest path per endpoint pair) or

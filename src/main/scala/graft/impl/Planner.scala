@@ -549,7 +549,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       props: Seq[(String, Expr)], copyOf: Option[String] = None)
   private case class EdgeCons(v: String, src: String, tgt: String,
       types: Seq[String], props: Seq[(String, Expr)], dir: Direction,
-      varLength: Option[(Int, Option[Int])])
+      varLength: Option[(Int, Option[Int])],
+      qpp: Option[QppSpec] = None)
 
   /** Path binding: (pathVar, headNodeVar, hops of (edge, isVarLength, node)). */
   private case class PathBind(v: String, head: String,
@@ -582,7 +583,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         val nxt = addNode(np)
         val ev = rp.variable.getOrElse(freshVar())
         edges += EdgeCons(ev, cur, nxt,
-          rp.types, rp.props, rp.direction, rp.varLength)
+          rp.types, rp.props, rp.direction, rp.varLength, rp.qpp)
         hops += ((ev, rp.varLength.isDefined, nxt))
         cur = nxt
       }
@@ -1638,6 +1639,40 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   /** Bounded var-length expand as unrolled joins with edge-isomorphism
     * filters (VarLengthExpandPlanner.scala:82-309), path = array of rel ids.
     * The per-hop rel scan is cached (InsertCachingOperators's purpose). */
+  /** The restricted (_h_from, _h_to, _h_i) hop table a quantified path
+    * pattern group traverses: the inner 1-hop pattern (labels, rel types,
+    * property maps, inner arrow direction) plus its per-repetition WHERE,
+    * planned as an isolated sub-match. Juxtaposition semantics fall out of
+    * the hop-table translation: a chained repetition's shared node carries
+    * BOTH the previous repetition's dst constraints and the next one's src
+    * constraints, because it is the _h_to of one edge and the _h_from of
+    * the next. Inner variables are scoped to the group (GQL); reusing an
+    * outer binding inside the group is rejected like Neo4j does. */
+  private def qppHopBase(ctx0: Ctx, spec: QppSpec): DataFrame = {
+    val innerVars =
+      (spec.src.variable.toSeq ++ spec.rel.variable.toSeq ++
+        spec.dst.variable.toSeq)
+    innerVars.find(v => ctx0.header.kinds.contains(v)).foreach { v =>
+      throw new CypherCompileException(
+        s"variable $v is already bound outside the quantified path pattern",
+        CE.SyntaxError, CE.VariableAlreadyBound)
+    }
+    val xv = spec.src.variable.getOrElse(freshVar())
+    val yv = spec.dst.variable.getOrElse(freshVar())
+    val rvv = spec.rel.variable.getOrElse(freshVar())
+    val innerPart = PatternPart(
+      spec.src.copy(variable = Some(xv)),
+      Seq((spec.rel.copy(variable = Some(rvv), varLength = None, qpp = None),
+        spec.dst.copy(variable = Some(yv)))))
+    val sub = withElideAll {
+      planMatch(unitCtx, Pattern(Seq(innerPart)), spec.where)
+    }
+    sub.df.select(
+      col(sub.header.col(IdSlot(xv))).as("_h_from"),
+      col(sub.header.col(IdSlot(yv))).as("_h_to"),
+      col(sub.header.col(IdSlot(rvv))).as("_h_i"))
+  }
+
   private def planVarLengthEdge(ctx0: Ctx, e: EdgeCons,
       nodes: Map[String, NodeCons], bound: mutable.Set[String]): Ctx = {
     val (lo, hiOpt) = e.varLength.get
@@ -1650,18 +1685,27 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val deep = unbounded || hi >= 2
     val undirected = e.dir == BOTH
     val rv = freshVar()
-    val (relDf0, relHeader0, vlDeferred) = relScanDf(rv, e.types, e.props, undirected)
-    require(vlDeferred.isEmpty,
-      "var-length relationship properties cannot reference outer variables")
-    val s0 = relHeader0.col(SrcSlot(rv))
-    val t0 = relHeader0.col(TgtSlot(rv))
-    val i0 = relHeader0.col(IdSlot(rv))
-    // Minimal oriented hop table (_h_from, _h_to, _h_i): traversal always
-    // grows from the pattern's src toward its tgt; for IN the underlying
-    // relationship is walked target->source.
-    val (fromCol, toCol) = if (e.dir == IN) (t0, s0) else (s0, t0)
-    val hopBase = relDf0.select(col(fromCol).as("_h_from"),
-      col(toCol).as("_h_to"), col(i0).as("_h_i"))
+    // A quantified path pattern group restricts the hop table to the edge
+    // set its inner pattern + WHERE define (one sub-planned 1-hop match);
+    // a plain var-length pattern hops over the typed rel scan.
+    val (hopBase, sizingDf, cacheableHop) = e.qpp match {
+      case Some(spec) => val hb = qppHopBase(ctx0, spec); (hb, hb, false)
+      case None =>
+        val (relDf0, relHeader0, vlDeferred) =
+          relScanDf(rv, e.types, e.props, undirected)
+        require(vlDeferred.isEmpty,
+          "var-length relationship properties cannot reference outer variables")
+        val s0 = relHeader0.col(SrcSlot(rv))
+        val t0 = relHeader0.col(TgtSlot(rv))
+        val i0 = relHeader0.col(IdSlot(rv))
+        // Minimal oriented hop table (_h_from, _h_to, _h_i): traversal
+        // always grows from the pattern's src toward its tgt; for IN the
+        // underlying relationship is walked target->source.
+        val (fromCol, toCol) = if (e.dir == IN) (t0, s0) else (s0, t0)
+        (relDf0.select(col(fromCol).as("_h_from"),
+          col(toCol).as("_h_to"), col(i0).as("_h_i")),
+          relDf0, e.props.isEmpty)
+    }
     // The hop table is joined on _h_from once per unrolled hop; materializing
     // it pre-partitioned on that key means only the (smaller) growing
     // frontier shuffles each round — at 100 TB re-shuffling the edge table
@@ -1672,16 +1716,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // the plain scan lets Catalyst broadcast each hop join — zero shuffles.
     val broadcastSized = {
       val thresh =
-        relDf0.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        sizingDf.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
       thresh > 0 &&
-        relDf0.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh
+        sizingDf.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh
     }
     val hop =
       if (deep && !broadcastSized) {
-        // Inline rel props make the scan query-specific; otherwise the
-        // pinned hop table is a per-graph artifact shared across queries.
+        // Inline rel props / QPP inner filters make the scan
+        // query-specific; otherwise the pinned hop table is a per-graph
+        // artifact shared across queries.
         val build = () => Pin(hopBase.repartition(col("_h_from")))
-        if (e.props.isEmpty)
+        if (cacheableHop)
           graph.hopTable(e.types, e.dir == IN, undirected, build)
         else build()
       } else hopBase

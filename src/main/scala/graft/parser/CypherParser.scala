@@ -536,8 +536,10 @@ object CypherParser {
       }
       val head = parseNodePattern()
       val tail = Seq.newBuilder[(RelPattern, NodePattern)]
-      while (isPunct("-") || isPunct("<-")) {
-        val rel = parseRelPattern()
+      while (isPunct("-") || isPunct("<-") || isPunct("(")) {
+        // `(` mid-chain starts a quantified path pattern group:
+        // ((x)-[r:T]->(y) [WHERE pred]){m,n} | ...+ | ...*
+        val rel = if (isPunct("(")) parseQppGroup() else parseRelPattern()
         val node = parseNodePattern()
         tail += ((rel, node))
       }
@@ -604,8 +606,50 @@ object CypherParser {
         if (rightArrow && !leftArrow) OUT
         else if (leftArrow && !rightArrow) IN
         else BOTH
+      // GQL shorthand quantifiers: -[r:T]->+ is *1.., -[r:T]->* is *0..
+      // (only in quantifier position — directly after the arrow, before
+      // the next node pattern — so expression `+` can never collide).
+      if (varLength.isEmpty && isPunct("+")) { p += 1; varLength = Some((1, None)) }
+      else if (varLength.isEmpty && isPunct("*")) { p += 1; varLength = Some((0, None)) }
       RelPattern(variable, types, props, dir, varLength)
     }
+
+    /** ((x)-[r:T]->(y) [WHERE pred]) followed by a quantifier. The group
+      * is represented as a RelPattern whose varLength holds the
+      * quantifier and whose qpp holds the inner shape; the planner
+      * expands it over the restricted edge set the inner pattern
+      * defines. Group direction comes from the INNER arrow. */
+    private def parseQppGroup(): RelPattern = {
+      eatPunct("(")
+      val src = parseNodePattern()
+      val rel = parseRelPattern()
+      val dst = parseNodePattern()
+      val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+      eatPunct(")")
+      val (lo, hi) = parseQuantifier()
+      RelPattern(rel.variable, rel.types, rel.props, OUT, Some((lo, hi)),
+        Some(QppSpec(src, rel, dst, where)))
+    }
+
+    /** {m,n} | {m,} | {,n} | {n} | + | * */
+    private def parseQuantifier(): (Int, Option[Int]) =
+      if (tryPunct("+")) (1, None)
+      else if (tryPunct("*")) (0, None)
+      else {
+        eatPunct("{")
+        val lo = peek match {
+          case NumTok(v, _) => p += 1; v.toInt
+          case _ => 0 // {,n}
+        }
+        val hi =
+          if (tryPunct(",")) peek match {
+            case NumTok(v, _) => p += 1; Some(v.toInt)
+            case _ => None // {m,} unbounded
+          }
+          else Some(lo) // {n} = exactly n
+        eatPunct("}")
+        (lo, hi)
+      }
 
     private def parsePropMap(): Seq[(String, Expr)] = {
       eatPunct("{")
