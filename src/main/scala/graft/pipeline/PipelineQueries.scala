@@ -429,6 +429,10 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))),
     "q_domain_mix" -> ((s, dir) =>
       Sampling.domainMix(docs(s, dir), "source")),
+    // --- temperature-reweighted source mixing (alpha = 0.5 flattening) ---
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(docs(s, dir), "source", alpha = 0.5, "doc_id")
+        .select(col("doc_id"), col("source"), col("source_target"))),
     // --- shard packing: distributed prefix sum (no single-partition window) ---
     "q_pack_budget" -> ((s, dir) =>
       Pack.packByTokenBudget(docs(s, dir), "doc_id",
@@ -965,6 +969,17 @@ object PipelineQueries {
       """SELECT source, count(*) AS n,
            round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4) AS frac
          FROM documents GROUP BY source""",
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+           t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, sum(pow(n, 0.5)) AS z FROM c),
+           tg AS (SELECT source,
+               least(n, CAST(floor(round(tot * pow(n, 0.5) / z, 6)) AS BIGINT)) AS target
+             FROM c CROSS JOIN t),
+           r AS (SELECT d.doc_id, d.source, tg.target,
+               row_number() OVER (PARTITION BY d.source
+                 ORDER BY (d.doc_id * 1103515245 + 12345) % 2048, d.doc_id) AS rk
+             FROM documents d JOIN tg USING (source))
+         SELECT doc_id, source, target AS source_target FROM r WHERE rk <= target""",
     "q_pack_budget" ->
       """SELECT doc_id, n_tok,
            CAST(floor((sum(n_tok) OVER (ORDER BY doc_id

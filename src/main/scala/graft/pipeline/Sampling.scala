@@ -60,6 +60,41 @@ object Sampling {
       .drop("_ws_key")
   }
 
+  /** Temperature-reweighted source mixing: resample so source s's share
+    * moves from p_s to p_s^alpha / Σ p^alpha — the standard pretraining
+    * mixture flattening (alpha < 1 upsamples small sources relatively;
+    * alpha = 1 is the identity, alpha = 0 the uniform mix). Without
+    * replacement, so a source can contribute at most its own rows: the
+    * target draw is n_total · q_s capped at n_s, taken as the
+    * deterministic per-source (bucket, id) prefix — the [[hashSample]]
+    * stability guarantees, exact counts instead of a rate.
+    *
+    * Scale shape: one count aggregation (broadcast back as a join on the
+    * source key), one window rank per source — the stratified-sample
+    * shape; nothing global. Returns the surviving rows plus the
+    * per-source target for auditability. */
+  def temperatureMix(df: DataFrame, sourceCol: String, alpha: Double,
+      idCol: String, buckets: Int = 2048): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val total = counts.agg(sum("_n").as("_tot"),
+      sum(pow(col("_n").cast("double"), alpha)).as("_z"))
+    val targets = counts.crossJoin(total)
+      .select(col(sourceCol), col("_n"),
+        // round before floor: pow() differs across libms in the last
+        // ulp, and an external oracle must land on the identical target
+        least(col("_n"),
+          floor(round(col("_tot") * pow(col("_n").cast("double"), alpha) /
+            col("_z"), 6)).cast("long")).as("_target"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(idBucket(col(idCol), buckets), col(idCol))
+    df.join(targets, Seq(sourceCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_target"))
+      .drop("_rk", "_n")
+      .withColumnRenamed("_target", "source_target")
+  }
+
   /** Per-group share of total rows — the "domain mix" report a curation
     * pipeline balances against (one aggregation + a 1-row broadcast). */
   def domainMix(df: DataFrame, groupCol: String): DataFrame = {

@@ -742,6 +742,39 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("temperatureMix flattens the source distribution deterministically") {
+    // sources: big 80 rows, small 20. alpha=0.5: q_big = sqrt(80)/Z,
+    // q_small = sqrt(20)/Z, Z = sqrt(80)+sqrt(20). Targets: floor(100*q).
+    val d = ((0 until 80).map(i => (i.toLong, "big")) ++
+      (100 until 120).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val got = graft.pipeline.Sampling
+      .temperatureMix(d, "source", alpha = 0.5, "doc_id")
+    val bySource = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = math.sqrt(80.0) + math.sqrt(20.0)
+    assert(bySource("big") === math.floor(100 * math.sqrt(80.0) / z).toLong)
+    assert(bySource("small") === math.min(20L,
+      math.floor(100 * math.sqrt(20.0) / z).toLong))
+    // deterministic: same rows under repartitioning
+    val again = graft.pipeline.Sampling
+      .temperatureMix(d.repartition(7), "source", 0.5, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("temperatureMix: alpha 1 is the identity, alpha 0 is uniform targets") {
+    val d = ((0 until 30).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    assert(graft.pipeline.Sampling
+      .temperatureMix(d, "source", 1.0, "doc_id").count() === 40L)
+    val flat = graft.pipeline.Sampling
+      .temperatureMix(d, "source", 0.0, "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat === Map("a" -> 20L, "b" -> 10L)) // 40/2 each, b capped at 10
+  }
+
   test("randomProjection matches a driver-side replay of the sign matrix") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 30).map(i =>
