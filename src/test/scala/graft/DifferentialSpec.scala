@@ -42,7 +42,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(26) match {
+      rnd.nextInt(28) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -281,6 +281,27 @@ class DifferentialSpec extends SparkTestBase {
           Pair(
             s"MATCH (o:Order) WHERE $cyPred RETURN count(*) AS n",
             s"SELECT count(*) AS n FROM d_orders WHERE $sqPred")
+        case 26 => // quantified path pattern {1,1} with inner WHERE ==
+          // plain filtered join (round 7)
+          val thr = rnd.nextInt(400000)
+          Pair(
+            s"MATCH (c:Customer) ((x)-[r:PLACED]->(y) " +
+              s"WHERE y.o_totalprice > $thr){1,1} (o) " +
+              "RETURN c.c_custkey AS ck, count(*) AS n",
+            s"SELECT c_custkey AS ck, count(*) AS n FROM d_customer " +
+              s"JOIN d_orders ON o_custkey = c_custkey " +
+              s"WHERE o_totalprice > $thr GROUP BY c_custkey")
+        case 27 => // QPP {1,2} over IN_REGION/FROM_NATION == union of the
+          // 1- and 2-hop joins (round 7)
+          val k = rnd.nextInt(20)
+          Pair(
+            s"MATCH (c:Customer) ((x)-[:FROM_NATION|IN_REGION]->(y)){1,2} (t) " +
+              s"WHERE c.c_custkey <= $k RETURN count(*) AS n",
+            s"""SELECT count(*) AS n FROM (
+               SELECT 1 FROM d_customer WHERE c_custkey <= $k
+               UNION ALL
+               SELECT 1 FROM d_customer JOIN d_nation ON n_nationkey = c_nationkey
+                 JOIN d_region ON r_regionkey = n_regionkey WHERE c_custkey <= $k) u""")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
