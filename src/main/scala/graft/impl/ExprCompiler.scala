@@ -253,7 +253,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Var(n) => header.kindOf(n) match {
       case Some(ValueKind) => header.get(ValueSlot(n)).flatMap(colType)
       case Some(NodeKind(_)) | Some(RelKind(_)) => Some(LongType)
-      case Some(ListRelKind(_)) => Some(ArrayType(LongType))
+      case Some(ListRelKind(_)) | Some(ListNodeKind(_)) =>
+        Some(ArrayType(LongType))
       case None => None
     }
     case Prop(Var(n), k) if !env.contains(n) =>
@@ -520,7 +521,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Var(n) => header.kindOf(n) match {
       case Some(ValueKind) => col(header.col(ValueSlot(n)))
       case Some(NodeKind(_)) | Some(RelKind(_)) => col(header.col(IdSlot(n)))
-      case Some(ListRelKind(_)) => col(header.col(PathSlot(n)))
+      case Some(ListRelKind(_)) | Some(ListNodeKind(_)) =>
+        col(header.col(PathSlot(n)))
       case None => throw new CypherCompileException(s"unknown variable $n", CE.SyntaxError, CE.UndefinedVariable)
     }
     case Prop(Var(n), k) if env.contains(n) &&

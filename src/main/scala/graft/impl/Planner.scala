@@ -182,7 +182,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
                 col(header.col(TypeSlot(v))).as("_type")) ++
                 (if (props.nonEmpty) Seq(struct(props: _*).as("_properties"))
                 else Seq.empty)): _*)).as(display)
-        case Some(ListRelKind(_)) => col(header.col(PathSlot(v))).as(display)
+        case Some(ListRelKind(_)) | Some(ListNodeKind(_)) =>
+          col(header.col(PathSlot(v))).as(display)
         case _ => col(header.col(ValueSlot(v))).as(display)
       }
     }
@@ -1032,28 +1033,28 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * binder used directly (`all(e IN r WHERE e.prop ...)` — `r` IS a
     * relationship list, `isRelListVar` tells us from the header). */
   private def entityListTarget(l: Expr,
-      isRelListVar: String => Boolean): Option[(String, Boolean)] = l match {
+      listKind: String => Option[Boolean]): Option[(String, Boolean)] = l match {
     case FuncCall(f @ ("relationships" | "nodes"), Seq(Var(p)), _) =>
       Some((p, f == "relationships"))
-    case Var(r) if isRelListVar(r) => Some((r, true))
+    case Var(r) => listKind(r).map(isRels => (r, isRels))
     case _ => None
   }
 
   /** All (pathVar, isRels) pairs whose lambda bodies need entity values. */
   private def entityListNeeds(e: Expr,
-      isRelListVar: String => Boolean): Set[(String, Boolean)] = {
+      listKind: String => Option[Boolean]): Set[(String, Boolean)] = {
     val out = mutable.Set.empty[(String, Boolean)]
     def walk(x: Any): Unit = x match {
       case ListComprehension(v, l, w, proj) =>
-        entityListTarget(l, isRelListVar).foreach(t =>
+        entityListTarget(l, listKind).foreach(t =>
           if (binderUsedAsEntity(v, w.toSeq ++ proj.toSeq)) out += t)
         (l +: (w.toSeq ++ proj.toSeq)).foreach(walk)
       case IterablePredicate(_, v, l, pred) =>
-        entityListTarget(l, isRelListVar).foreach(t =>
+        entityListTarget(l, listKind).foreach(t =>
           if (binderUsedAsEntity(v, Seq(pred))) out += t)
         Seq(l, pred).foreach(walk)
       case Reduce(_, init, v, l, step) =>
-        entityListTarget(l, isRelListVar).foreach(t =>
+        entityListTarget(l, listKind).foreach(t =>
           if (binderUsedAsEntity(v, Seq(step))) out += t)
         Seq(init, l, step).foreach(walk)
       case s: Seq[_] => s.foreach(walk)
@@ -1113,9 +1114,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * id-keyed join + one aggregation per (path, kind), paid only by queries
     * using the shape; both sides stay key-bucketed at scale. */
   private def materializeEntityLists(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
-    def isRelListVar(v: String): Boolean =
-      ctx0.header.kindOf(v).exists(_.isInstanceOf[ListRelKind]) &&
-        ctx0.header.contains(PathSlot(v))
+    def listKind(v: String): Option[Boolean] =
+      if (!ctx0.header.contains(PathSlot(v))) None
+      else ctx0.header.kindOf(v) match {
+        case Some(ListRelKind(_)) => Some(true)
+        case Some(ListNodeKind(_)) => Some(false)
+        case _ => None
+      }
     def isPathStructVar(p: String): Boolean =
       ctx0.header.get(ValueSlot(p)).exists { c =>
         ctx0.df.schema.fields.find(_.name == c).map(_.dataType) match {
@@ -1123,15 +1128,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           case _ => false
         }
       }
-    val needs = entityListNeeds(e, isRelListVar).filter { case (p, _) =>
-      isRelListVar(p) || isPathStructVar(p)
+    val needs = entityListNeeds(e, listKind).filter { case (p, _) =>
+      listKind(p).isDefined || isPathStructVar(p)
     }
     if (needs.isEmpty) return (ctx0, e)
     var ctx = ctx0
     val replacement = mutable.Map.empty[(String, Boolean), String]
     needs.toSeq.sorted.foreach { case key @ (p, isRels) =>
       val arr =
-        if (isRelListVar(p)) col(ctx.header.col(PathSlot(p)))
+        if (listKind(p).isDefined) col(ctx.header.col(PathSlot(p)))
         else col(ctx.header.col(ValueSlot(p)))
           .getField(if (isRels) "rels" else "nodes")
       val (entityDf, elemStruct, idCol) = entityElementsDf(isRels)
@@ -1158,7 +1163,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       replacement(key) = listVar
     }
     def swap(l: Expr, binder: String, bodies: Seq[Expr]): Option[Expr] =
-      entityListTarget(l, isRelListVar).filter(t =>
+      entityListTarget(l, listKind).filter(t =>
         binderUsedAsEntity(binder, bodies) && replacement.contains(t))
         .map(t => Var(replacement(t)))
     val rewritten = ExprOps.transformUp(e) {
@@ -1744,7 +1749,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // nodes(p) needs the intermediate node ids; accumulate them only when a
     // bound path variable spans this var-length hop (one extra array column
     // per frontier row otherwise wasted).
-    val trackNodes = pathBinds.exists(_.hops.exists(h => h._1 == e.v && h._2))
+    val trackNodes =
+      pathBinds.exists(_.hops.exists(h => h._1 == e.v && h._2)) ||
+        e.qpp.exists(sp => sp.src.variable.isDefined || sp.dst.variable.isDefined)
     val pnodes = RecordHeader.colName(PathNodesSlot(e.v))
     // Anchor from whichever endpoint is bound. When only the target is
     // pre-bound ("MATCH (a:X) MATCH (b)-[*1..2]->(a)") the frontier grows
@@ -1875,6 +1882,25 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     var header = ctx0.header
       .withSlot(PathSlot(e.v)).withVar(e.v, ListRelKind(e.types.toSet))
     if (trackNodes) header = header.withSlot(PathNodesSlot(e.v))
+    // Quantified path patterns export their named inner node variables as
+    // GROUP lists (GQL): x = the src of every repetition (all nodes but
+    // the last), y = the dst of every repetition (all but the first).
+    // Both slice the accumulated node-id array — empty at zero
+    // repetitions.
+    e.qpp.foreach { sp =>
+      def exportNodes(vOpt: Option[String], labels: Seq[String],
+          fromStart: Boolean): Unit = vOpt.foreach { nv =>
+        val cn = RecordHeader.colName(PathSlot(nv))
+        val len = greatest(F.size(col(pnodes)) - 1, lit(0))
+        df = df.withColumn(cn,
+          if (fromStart) F.slice(col(pnodes), lit(1), len)
+          else F.slice(col(pnodes), lit(2), len))
+        header = header.withSlot(PathSlot(nv))
+          .withVar(nv, ListNodeKind(labels.toSet))
+      }
+      exportNodes(sp.src.variable, sp.src.labels, fromStart = true)
+      exportNodes(sp.dst.variable, sp.dst.labels, fromStart = false)
+    }
     if (bound(otherVar)) {
       df = df.filter(col(ctx0.header.col(IdSlot(otherVar))) === col(otherCol))
     } else {

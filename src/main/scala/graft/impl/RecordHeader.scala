@@ -25,6 +25,8 @@ sealed trait VarKind
 case class NodeKind(labels: Set[String]) extends VarKind
 case class RelKind(types: Set[String]) extends VarKind
 case class ListRelKind(types: Set[String]) extends VarKind
+// A list of NODE ids (quantified-path-pattern inner node groups).
+case class ListNodeKind(labels: Set[String]) extends VarKind
 case object ValueKind extends VarKind
 
 object RecordHeader {

@@ -87,6 +87,27 @@ class TckStyleSpec31 extends TckScenarioBase {
     "MATCH p = (a:A) ((x)-[:T]->(y)){2,2} (b) WHERE b.name = 'm2' RETURN length(p) AS x",
     value(2L))
 
+  // ------------------------------------------- node group variables
+  scenario("inner node variables bind as group lists", g,
+    "MATCH (a:A) ((x)-[:T]->(y)){2,2} (b) WHERE b.name = 'm2' " +
+      "RETURN size(x) AS sx, size(y) AS sy",
+    rows(Map("sx" -> 2L, "sy" -> 2L)))
+  scenario("zero repetitions bind empty node groups", g,
+    "MATCH (a:A) ((x)-[:T]->(y)){0,1} (b) WHERE b.name = 'a' " +
+      "RETURN size(x) AS sx, size(y) AS sy",
+    rows(Map("sx" -> 0L, "sy" -> 0L)))
+  scenario("entity lambdas read node-group properties", g,
+    "MATCH (a:A) ((x)-[:T]->(y)){3,3} (b) " +
+      "RETURN [e IN y | e.name] AS x",
+    value(List("m1", "m2", "b")))
+  scenario("src group is shifted one from the dst group", g,
+    "MATCH (a:A) ((x)-[:T]->(y)){2,2} (b) WHERE b.name = 'm2' " +
+      "RETURN [e IN x | e.name] AS xs, [e IN y | e.name] AS ys",
+    rows(Map("xs" -> List("a", "m1"), "ys" -> List("m1", "m2"))))
+  errorScenario("a group variable exported earlier conflicts in a later group", g,
+    "MATCH (a:A) ((x)-[:T]->(y)){1,1} (m) ((x)-[:T]->(z)){1,1} (b) RETURN count(*) AS n",
+    CypherError.SyntaxError, CypherError.VariableAlreadyBound)
+
   // ------------------------------------------------------- composition
   scenario("group between fixed hops", g,
     "MATCH (a:A)-[:T]->(m) ((x)-[:T]->(y)){1,2} (b) WHERE m.name = 'm1' RETURN b.name AS x ORDER BY x",
