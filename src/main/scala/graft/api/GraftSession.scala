@@ -51,6 +51,28 @@ class GraftSession(val spark: SparkSession) {
     spark.range(1).select(
       org.apache.spark.sql.functions.lit(n).as("triangles"))
   })
+  // Neo4j-style schema introspection: the graph schema is known up front
+  // (SURVEY §1.1), so these are driver-side constants, no jobs.
+  registerProcedure("db.labels", (g, _) => {
+    import spark.implicits._
+    g.schema.labels.toSeq.sorted.toDF("label")
+  })
+  registerProcedure("db.relationshiptypes", (g, _) => {
+    import spark.implicits._
+    g.schema.relTypes.keySet.toSeq.sorted.toDF("relationshipType")
+  })
+  registerProcedure("db.propertykeys", (g, _) => {
+    import spark.implicits._
+    (g.schema.labelCombinations.values.flatMap(_.keySet) ++
+      g.schema.relTypes.values.flatMap(_.keySet))
+      .toSeq.distinct.sorted.toDF("propertyKey")
+  })
+  registerProcedure("db.schema.nodetypecount", (g, _) => {
+    import spark.implicits._
+    g.schema.labelCombinations.keySet.toSeq
+      .map(ls => ls.toSeq.sorted.mkString(":"))
+      .sorted.toDF("labelCombination")
+  })
 
   def store(name: String, g: PropertyGraph): Unit = catalog.put(name, g)
   def graphByName(name: String): PropertyGraph = resolveGraphRef(name)

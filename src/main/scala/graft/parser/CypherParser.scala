@@ -220,7 +220,9 @@ object CypherParser {
             clauses += CallSubquery(Query(first, unions.result()))
           case Kw("CALL", _, _) =>
             p += 1
-            val name = ident()
+            // dotted procedure names (db.labels, dbms.components, ...)
+            var name = ident()
+            while (tryPunct(".")) name = name + "." + ident()
             val args = Seq.newBuilder[Expr]
             if (tryPunct("(")) {
               if (!isPunct(")")) {

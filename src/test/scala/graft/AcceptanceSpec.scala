@@ -188,6 +188,21 @@ class AcceptanceSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("v"))
   }
 
+  test("db.* schema introspection procedures") {
+    val labels = session.cypher(graph,
+      "CALL db.labels() YIELD label RETURN label ORDER BY label")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels === Seq("N"))
+    val rts = session.cypher(graph,
+      "CALL db.relationshipTypes() YIELD relationshipType RETURN relationshipType")
+      .collect().map(_.getString(0)).toSeq
+    assert(rts === Seq("L"))
+    val keys = session.cypher(graph,
+      "CALL db.propertyKeys() YIELD propertyKey RETURN propertyKey")
+      .collect().map(_.getString(0)).toSet
+    assert(keys.contains("val"))
+  }
+
   test("EXPLAIN returns the formatted physical plan, not rows") {
     val df = session.cypher(graph,
       "EXPLAIN MATCH (n:N) WHERE n.val > 2 RETURN n.val AS v")
