@@ -324,6 +324,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
            "reverse" | "replace" | "substring" | "left" | "right" | "type" => Some(StringType)
       case "tointeger" | "id" | "size" | "length" | "count" | "timestamp" |
            "sign" => Some(LongType)
+      case "isnan" => Some(BooleanType)
       case "tofloat" | "avg" | "sqrt" | "exp" | "log" | "log10" | "sin" |
            "cos" | "tan" | "asin" | "acos" | "atan" | "atan2" | "degrees" |
            "radians" | "rand" | "pi" | "e" | "stdev" | "stdevp" |
@@ -1399,6 +1400,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         // give -3.
         else F.floor(a0.cast(DoubleType) + 0.5).cast(DoubleType)
       case "sign" => F.signum(a0).cast(LongType)
+      // Neo4j 4.x isNaN: true only for a floating NaN; null-propagating.
+      case "isnan" => when(a0.isNull, lit(null)).otherwise(F.isnan(a0))
       case "acos" => F.acos(a0)
       case "asin" => F.asin(a0)
       case "atan" => F.atan(a0)

@@ -208,6 +208,46 @@ object GraftStreaming {
         col("punct_ratio"), col("fp"))
   }
 
+  /** Incremental exact-dedup ingest: appends only NEVER-SEEN documents to
+    * `outPath`, tracking seen content hashes in a parquet ledger at
+    * `ledgerPath`. Each micro-batch: hash the text, keep the min-id row
+    * per within-batch hash (deterministic), anti-join the on-disk ledger,
+    * append survivors to the output and their hashes to the ledger.
+    *
+    * Why foreachBatch instead of dropDuplicates-on-stream: the streaming
+    * state store holds dedup keys in executor state FOREVER (no watermark
+    * can bound ingest dedup — an old duplicate must still drop), which at
+    * corpus scale is unbounded memory. The ledger is disk-bounded and the
+    * per-batch anti-join is one keyed shuffle against a hash-only column
+    * (partition-prunable, broadcastable while small). Batches run
+    * sequentially, so the read-ledger/append-ledger cycle is race-free.
+    * Caller stops the returned query (or uses processAllAvailable in
+    * tests). */
+  def dedupIngest(docs: DataFrame, idCol: String, textCol: String,
+      ledgerPath: String, outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val hashed = batch.withColumn("_dh", xxhash64(col(textCol)))
+      val firstPerHash = hashed
+        .groupBy(col("_dh"))
+        .agg(min(struct(col(idCol) +: batch.columns.filterNot(_ == idCol)
+          .map(col): _*)).as("_row"))
+        .select(col("_dh") +: batch.columns.map(c => col(s"_row.$c").as(c)): _*)
+      val seen =
+        if (new java.io.File(ledgerPath).exists)
+          spark.read.parquet(ledgerPath).select(col("_dh"))
+        else spark.emptyDataFrame.select(lit(0L).as("_dh")).limit(0)
+      val fresh = firstPerHash.join(seen, Seq("_dh"), "left_anti")
+        .persist() // read twice below; tiny (one batch's survivors)
+      fresh.count()
+      fresh.drop("_dh").write.mode("append").parquet(outPath)
+      fresh.select(col("_dh")).write.mode("append").parquet(ledgerPath)
+      fresh.unpersist()
+      ()
+    }.start()
+  }
+
   /** Run a streaming query to completion against a bounded source and
     * return the collected sink table (test/bench harness). */
   def runToMemorySink(df: DataFrame, name: String,

@@ -41,6 +41,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got.length <= total)
   }
 
+  test("dedupIngest appends only never-seen docs across micro-batches") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_ingest_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_out")
+    val ledger = out.resolve("ledger").toString
+    val outP = out.resolve("docs").toString
+    // batch 1: two distinct docs + an intra-batch duplicate
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(in.resolve("f1").toString)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString + "/*")
+    val q1 = GraftStreaming.dedupIngest(stream, "doc_id", "text",
+      ledger, outP)
+    q1.processAllAvailable(); q1.stop()
+    // batch 2 arrives later: one cross-batch duplicate, one new doc
+    Seq((4L, "beta"), (5L, "gamma")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(in.resolve("f2").toString)
+    val q2 = GraftStreaming.dedupIngest(stream, "doc_id", "text",
+      ledger, outP)
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outP)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+  }
+
   test("streaming PII scrub equals the batch scrub (stateless column ops)") {
     // Plant deterministic PII on the stream side with the same expression
     // the batch fixture uses; the scrub is pure column regexps, so the

@@ -164,6 +164,19 @@ class TckStyleSpec29 extends TckScenarioBase {
     "RETURN toString(date('2024-01-31') + duration({months: 1, days: 1})) AS x",
     value("2024-03-01"))
 
+  // -------------------------------------- float division (non-ANSI pins)
+  scenario("division by float zero is null (engine-wide non-ANSI stance)", g,
+    "RETURN 1.0 / 0.0 AS x", value(null))
+  scenario("zero over zero is null, not NaN (divergence, see blacklist)", g,
+    "RETURN 0.0 / 0.0 AS x", value(null))
+  scenario("negative base fractional power is NaN (IEEE kept elsewhere)", g,
+    "RETURN toString((-2.0) ^ 0.5) AS x", value("NaN"))
+  scenario("float modulo", g,
+    "RETURN 5 % 2.5 AS x", value(0.0))
+  scenario("isNaN detects NaN, rejects ordinary floats, propagates null", g,
+    "RETURN isNaN((-2.0) ^ 0.5) AS a, isNaN(1.5) AS b, isNaN(null) AS c",
+    rows(Map("a" -> true, "b" -> false, "c" -> null)))
+
   // ------------------------------------------------ CASE null rules
   scenario("null subject falls through to ELSE (null = null is not true)", g,
     "WITH null AS v RETURN CASE v WHEN null THEN 'matched' ELSE 'else' END AS x",
