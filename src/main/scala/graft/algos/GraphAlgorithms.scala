@@ -259,6 +259,91 @@ object GraphAlgorithms {
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.v").as("x"), col("e2.v").as("y"))
 
+  /** Betweenness centrality via k-source Brandes (Brandes 2001; exact
+    * when `sources` is every node, the standard sampled approximation
+    * otherwise — scale bc by n/|sources| to estimate the full sum).
+    * Returns (id, betweenness) over UNWEIGHTED shortest paths; for
+    * undirected graphs each path is found from both ends, so pair
+    * contributions are halved per convention.
+    *
+    * Shape: one forward multi-source BFS (all sources advance together —
+    * per level ONE frontier join + one (source, node) sigma aggregation,
+    * the frontier keyed by source so k sources cost one pass, not k),
+    * retaining the per-level (source, node, sigma) frames; then one
+    * backward sweep over the SAME levels in reverse, each step a join of
+    * level L's delta onto level L-1 through the pinned edge frame. Every
+    * step is a keyed join + map-side-combinable aggregation; rounds =
+    * 2 × BFS depth. Levels are pinned (the backward sweep re-reads them).
+    * Nothing materializes per-pair state — memory is O(reached ×
+    * sources-that-reach), the Brandes invariant. */
+  def betweenness(edges0: DataFrame, sources: DataFrame,
+      directed: Boolean = false, maxDepth: Int = 50): DataFrame = {
+    val spark = edges0.sparkSession
+    val base = edges0.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst"))
+    val sym = if (directed) base
+      else base.unionByName(base.select(col("dst").as("src"),
+        col("src").as("dst")))
+    val e = Pin(sym.distinct().repartition(col("src")))
+    val src0 = sources.select(col("id").cast(LongType).as("s")).distinct()
+    // forward BFS: levels(k) = (s, v, sigma) first reached at depth k
+    var levels = Vector(Pin(src0.select(col("s"), col("s").as("v"),
+      lit(1.0).as("sigma"))))
+    var visited = levels.head.select(col("s"), col("v"))
+    var depth = 0
+    var go = true
+    while (go && depth < maxDepth) {
+      val next = Pin(levels.last
+        .join(e, col("v") === col("src"))
+        .select(col("s"), col("dst").as("_v2"), col("sigma"))
+        .join(visited.select(col("s"), col("v").as("_v2")),
+          Seq("s", "_v2"), "left_anti")
+        .groupBy(col("s"), col("_v2"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("_v2").as("v"), col("sigma")))
+      if (next.count() == 0L) go = false
+      else {
+        levels = levels :+ next
+        visited = Pin(visited.unionByName(next.select(col("s"), col("v"))))
+        depth += 1
+      }
+    }
+    if (go) throw new IllegalStateException(
+      s"betweenness BFS exceeded $maxDepth levels")
+    // backward accumulation: delta(v@k) = sum over BFS-DAG successors w@k+1
+    // of sigma(v)/sigma(w) * (1 + delta(w)); bc accumulates non-source rows.
+    var bc: DataFrame = null
+    var delta = levels.last.select(col("s"), col("v"), lit(0.0).as("delta"))
+    for (k <- (levels.size - 2) to 0 by -1) {
+      val upper = delta
+        .join(levels(k + 1), Seq("s", "v")) // sigma of level k+1 onto delta
+        .select(col("s"), col("v").as("_w"), col("sigma").as("_sw"),
+          col("delta").as("_dw"))
+      val contrib = levels(k)
+        .join(e, col("v") === col("src"))
+        .select(col("s"), col("v"), col("sigma"), col("dst").as("_w"))
+        .join(upper, Seq("s", "_w"))
+        .groupBy(col("s"), col("v"), col("sigma"))
+        .agg(sum(col("sigma") / col("_sw") * (lit(1.0) + col("_dw")))
+          .as("_acc"))
+        .select(col("s"), col("v"), col("_acc").as("delta"))
+      delta = Pin(levels(k).select(col("s"), col("v"))
+        .join(contrib, Seq("s", "v"), "left_outer")
+        .select(col("s"), col("v"), coalesce(col("delta"), lit(0.0)).as("delta")))
+      val nonSource = delta.filter(col("v") =!= col("s"))
+        .groupBy(col("v")).agg(sum(col("delta")).as("_b"))
+      bc = if (bc == null) nonSource
+        else Pin(bc.unionByName(nonSource).groupBy(col("v"))
+          .agg(sum(col("_b")).as("_b")))
+    }
+    val scale = if (directed) 1.0 else 0.5
+    val allNodes = e.select(col("src").as("v")).distinct()
+    val scored = if (bc == null) allNodes.select(col("v"), lit(0.0).as("_b"))
+      else allNodes.join(bc, Seq("v"), "left_outer")
+        .select(col("v"), coalesce(col("_b"), lit(0.0)).as("_b"))
+    scored.select(col("v").as("id"), (col("_b") * scale).as("betweenness"))
+  }
+
   /** Per-edge triangle support of a canonical (a < b) undirected edge
     * frame: every triangle is found ONCE via the degree-oriented wedge
     * join (the [[triangleCountEdges]] machinery — fan-out bounded by

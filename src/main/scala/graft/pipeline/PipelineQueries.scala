@@ -523,6 +523,21 @@ object PipelineQueries {
       graft.algos.GraphAlgorithms.kCoreEdges(pairs, k = 3)
         .groupBy(col("degree")).agg(count(lit(1)).as("n"))
     }),
+    // --- k-source Brandes betweenness over the TPCH subset graph,
+    // sources sampled (customers 1..19); id-free score histogram;
+    // correctness carried by AlgosSpec's exact driver-side Brandes replay ---
+    "q_algo_betweenness" -> ((s, dir) => {
+      val g = graft.tpch.TpchGraph(s, dir)
+      val seeds = g.nodeScansFor(Seq("Customer"))
+        .map(_.df.filter(col("p_c_custkey") < 20)
+          .select(col(graft.graph.PropertyGraph.ID).as("id")))
+        .reduce(_.unionByName(_))
+      graft.algos.GraphAlgorithms.betweenness(
+          graft.algos.GraphAlgorithms.edges(g,
+            Seq("IN_REGION", "FROM_NATION", "PLACED")), seeds)
+        .groupBy(round(col("betweenness"), 4).as("bc"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // --- k-truss edge cohesion of the bounded co-order part-pair graph
     // (1-in-10-orders subgraph, the q_algo_neighborhood input bound);
     // correctness carried by AlgosSpec's driver-side peeling replay ---

@@ -429,6 +429,72 @@ class AlgosSpec extends SparkTestBase {
     assert(math.abs(got(1L) + got(2L) - 1.0) < 1e-12)
   }
 
+  test("betweenness: path graph center carries the one crossing pair") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val all = Seq(1L, 2L, 3L).toDF("id")
+    val got = GraphAlgorithms.betweenness(e, all)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
+  test("betweenness: star center carries (n-1)(n-2)/2 pairs") {
+    val e = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    val all = (1L to 6L).toDF("id")
+    val got = GraphAlgorithms.betweenness(e, all)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 10.0) // 5*4/2
+    assert((2L to 6L).forall(got(_) === 0.0))
+  }
+
+  test("betweenness agrees with a driver-side Brandes replay (seeded)") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 3) {
+      val edges = (0 until 40).map(_ =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val und = (edges ++ edges.map(_.swap)).distinct
+      val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = und.flatMap(t => Seq(t._1, t._2)).distinct
+      // exact Brandes, all sources
+      val bc = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
+      nodes.foreach { s =>
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1.0)
+        val order = scala.collection.mutable.ArrayBuffer(s)
+        val preds = scala.collection.mutable.Map
+          .empty[Long, List[Long]].withDefaultValue(Nil)
+        var i = 0
+        while (i < order.size) {
+          val v = order(i); i += 1
+          adj.getOrElse(v, Set.empty).foreach { w =>
+            if (!dist.contains(w)) {
+              dist(w) = dist(v) + 1; sigma(w) = 0.0; order += w
+            }
+            if (dist(w) == dist(v) + 1) {
+              sigma(w) = sigma(w) + sigma(v); preds(w) = v :: preds(w)
+            }
+          }
+        }
+        val delta = scala.collection.mutable.Map(
+          order.map(_ -> 0.0).toSeq: _*)
+        order.reverseIterator.foreach { w =>
+          preds(w).foreach { v =>
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+          }
+          if (w != s) bc(w) += delta(w)
+        }
+      }
+      val expected = bc.map { case (k, v) => k -> v / 2.0 }.toMap
+      val got = GraphAlgorithms.betweenness(
+          edges.toDF("src", "dst"), nodes.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      nodes.foreach { n =>
+        assert(math.abs(got(n) - expected(n)) < 1e-9,
+          s"node $n: got ${got(n)}, want ${expected(n)}; edges $edges")
+      }
+    }
+  }
+
   test("k-truss: 3-truss keeps triangles, 4-truss keeps only the clique") {
     // 4-clique {1,2,3,4} plus a pendant triangle {4,5,6} and a tail 6-7.
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
