@@ -83,7 +83,17 @@ case object IN extends Direction
 case object BOTH extends Direction
 
 case class NodePattern(variable: Option[String], labels: Seq[String],
-    props: Seq[(String, Expr)], copyOf: Option[String] = None)
+    props: Seq[(String, Expr)], copyOf: Option[String] = None,
+    // Cypher 5 label EXPRESSION (:A|B, :!A, :(A|B)&!C). Pure conjunctions
+    // stay in `labels` (the schema-planning fast path); anything with
+    // | or ! compiles through this tree instead.
+    labelExpr: Option[LabelExpr] = None)
+
+sealed trait LabelExpr
+case class LabelAtom(name: String) extends LabelExpr
+case class LabelAnd(l: LabelExpr, r: LabelExpr) extends LabelExpr
+case class LabelOr(l: LabelExpr, r: LabelExpr) extends LabelExpr
+case class LabelNot(e: LabelExpr) extends LabelExpr
 case class RelPattern(variable: Option[String], types: Seq[String],
     props: Seq[(String, Expr)], direction: Direction,
     varLength: Option[(Int, Option[Int])],

@@ -547,7 +547,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   // -------------------------------------------------------------- patterns
   private case class NodeCons(v: String, labels: Seq[String],
-      props: Seq[(String, Expr)], copyOf: Option[String] = None)
+      props: Seq[(String, Expr)], copyOf: Option[String] = None,
+      labelExpr: Option[LabelExpr] = None)
   private case class EdgeCons(v: String, src: String, tgt: String,
       types: Seq[String], props: Seq[(String, Expr)], dir: Direction,
       varLength: Option[(Int, Option[Int])],
@@ -572,8 +573,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     def addNode(np: NodePattern): String = {
       val v = np.variable.getOrElse(freshVar())
       val prev = nodes.getOrElse(v, NodeCons(v, Seq.empty, Seq.empty))
+      val le = (prev.labelExpr.toSeq ++ np.labelExpr.toSeq)
+        .reduceOption(LabelAnd(_, _))
       nodes(v) = NodeCons(v, (prev.labels ++ np.labels).distinct,
-        prev.props ++ np.props, prev.copyOf.orElse(np.copyOf))
+        prev.props ++ np.props, prev.copyOf.orElse(np.copyOf), le)
       v
     }
     pattern.parts.foreach { part =>
@@ -706,6 +709,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       if (nc.labels.nonEmpty)
         cur = cur.copy(df = cur.df.filter(
           cur.compiler.compile(HasLabels(Var(nc.v), nc.labels))))
+      nc.labelExpr.foreach { le =>
+        cur = cur.copy(df = cur.df.filter(
+          cur.compiler.compile(labelExprPredicate(nc.v, le))))
+      }
       nc.props.foreach { case (k, e) =>
         cur = cur.copy(df = cur.df.filter(
           cur.compiler.compile(Cmp("=", Prop(Var(nc.v), k), e))))
@@ -730,7 +737,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         ctx = planNodeScanInto(ctx, nc)
         bound += nc.v
       } else if (ctx0.header.kinds.contains(nc.v) &&
-          (nc.labels.nonEmpty || nc.props.nonEmpty)) {
+          (nc.labels.nonEmpty || nc.props.nonEmpty || nc.labelExpr.nonEmpty)) {
         ctx = constrainBound(ctx, nc)
       }
     }
@@ -1270,8 +1277,34 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   /** Build a scan DataFrame for a node var: per-matching-table align to a
     * common header then unionByName — the reference's scan-union
     * (ScanGraph.scanOperator, RelationalPlanner.planScan :263-297). */
+  /** Closed-world label-expression evaluation: the schema knows every
+    * label combination, so a combination either satisfies the expression
+    * or its table is excluded from the scan union outright. */
+  private def evalLabelExpr(le: LabelExpr, labels: Set[String]): Boolean =
+    le match {
+      case LabelAtom(n) => labels.contains(n)
+      case LabelAnd(a, b) => evalLabelExpr(a, labels) && evalLabelExpr(b, labels)
+      case LabelOr(a, b) => evalLabelExpr(a, labels) || evalLabelExpr(b, labels)
+      case LabelNot(e) => !evalLabelExpr(e, labels)
+    }
+
+  /** A label expression as a boolean predicate over LabelSlot columns
+    * (bound-variable re-constraint path; absent labels read false). */
+  private def labelExprPredicate(v: String, le: LabelExpr): Expr = le match {
+    case LabelAtom(n) => HasLabels(Var(v), Seq(n))
+    case LabelAnd(a, b) =>
+      Ands(Seq(labelExprPredicate(v, a), labelExprPredicate(v, b)))
+    case LabelOr(a, b) =>
+      Ors(Seq(labelExprPredicate(v, a), labelExprPredicate(v, b)))
+    case LabelNot(e) => Not(labelExprPredicate(v, e))
+  }
+
   private def nodeScanDf(nc: NodeCons): (DataFrame, RecordHeader, Seq[Expr]) = {
-    val tables = graph.nodeScansFor(nc.labels)
+    val tables = nc.labelExpr match {
+      case Some(le) => graph.nodeScansFor(nc.labels)
+        .filter(t => evalLabelExpr(le, t.labels))
+      case None => graph.nodeScansFor(nc.labels)
+    }
     val v = nc.v
     if (tables.isEmpty) {
       val labelSlots = nc.labels.map(l => LabelSlot(v, l))

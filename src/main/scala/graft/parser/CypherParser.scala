@@ -125,7 +125,7 @@ object CypherParser {
           val multi = Seq("<=", ">=", "<>", "=~", "->", "<-", "..", "+=")
           if (multi.contains(two)) { out += Punct(two, st); i += 2 }
           else {
-            val singles = "()[]{},.:;|+-*/%^=<>$"
+            val singles = "()[]{},.:;|+-*/%^=<>$!&"
             if (singles.indexOf(c) >= 0) { out += Punct(c.toString, st); i += 1 }
             else err(s"unexpected character '$c'")
           }
@@ -558,12 +558,47 @@ object CypherParser {
       // (f COPY OF a): new element copying a's labels and properties.
       val copyOf =
         if (tryKw("COPY")) { eatKw("OF"); Some(ident()) } else None
-      val labels = Seq.newBuilder[String]
-      while (tryPunct(":")) labels += ident()
+      // Label expression (Cypher 5): ':' starts one; legacy ':A:B' chains
+      // parse as conjunction. Precedence ! > & > |.
+      var labelTree: Option[LabelExpr] = None
+      while (tryPunct(":")) {
+        val e = parseLabelOr()
+        labelTree = Some(labelTree.map(LabelAnd(_, e)).getOrElse(e))
+      }
+      // A pure conjunction keeps the legacy labels-list fast path.
+      def conjAtoms(e: LabelExpr): Option[Seq[String]] = e match {
+        case LabelAtom(n) => Some(Seq(n))
+        case LabelAnd(a, b) =>
+          for (x <- conjAtoms(a); y <- conjAtoms(b)) yield x ++ y
+        case _ => None
+      }
+      val (labels, labelExpr) = labelTree match {
+        case None => (Seq.empty[String], None)
+        case Some(t) => conjAtoms(t) match {
+          case Some(atoms) => (atoms, None)
+          case None => (Seq.empty[String], Some(t))
+        }
+      }
       val props = if (isPunct("{")) parsePropMap() else Seq.empty
       eatPunct(")")
-      NodePattern(variable, labels.result(), props, copyOf)
+      NodePattern(variable, labels, props, copyOf, labelExpr)
     }
+
+    private def parseLabelOr(): LabelExpr = {
+      var e = parseLabelAnd()
+      while (tryPunct("|")) e = LabelOr(e, parseLabelAnd())
+      e
+    }
+    private def parseLabelAnd(): LabelExpr = {
+      var e = parseLabelTerm()
+      while (tryPunct("&")) e = LabelAnd(e, parseLabelTerm())
+      e
+    }
+    private def parseLabelTerm(): LabelExpr =
+      if (tryPunct("!")) LabelNot(parseLabelTerm())
+      else if (tryPunct("(")) {
+        val e = parseLabelOr(); eatPunct(")"); e
+      } else LabelAtom(ident())
 
     private def parseRelPattern(): RelPattern = {
       // -[r:T*1..2 {p:v}]->  |  <-[...]–  |  -[...]-  |  -->  |  <--  |  --

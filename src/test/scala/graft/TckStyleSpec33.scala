@@ -1,0 +1,67 @@
+package graft
+
+/** TCK-style conformance, part 33 — Cypher 5 LABEL EXPRESSIONS
+  * (beyond-reference surface): disjunction `:A|B`, negation `:!A`,
+  * grouping `:(A|B)&!C`, legacy conjunction chains, interaction with
+  * properties / expands / rebound variables / QPP inner nodes. The
+  * closed-world schema makes evaluation exact: a label combination
+  * either satisfies the expression (its table joins the scan union) or
+  * is excluded outright — no per-row label checks on unbound scans. */
+class TckStyleSpec33 extends TckScenarioBase {
+  import TckFixtures._
+
+  /** a:A, b:B, ab:A:B, c:C {all with num}, plus edges a->b, ab->c. */
+  lazy val g = graph(spark,
+    Seq(
+      N(1, Set("A"), Map("num" -> 1)),
+      N(2, Set("B"), Map("num" -> 2)),
+      N(3, Set("A", "B"), Map("num" -> 3)),
+      N(4, Set("C"), Map("num" -> 4))),
+    Seq(R(10, 1, 2, "T"), R(11, 3, 4, "T")))
+
+  scenario("disjunction unions the label scans", g,
+    "MATCH (n:A|B) RETURN n.num AS x ORDER BY x",
+    rows(Map("x" -> 1L), Map("x" -> 2L), Map("x" -> 3L)), ordered = true)
+  scenario("negation selects the complement", g,
+    "MATCH (n:!A) RETURN n.num AS x ORDER BY x",
+    rows(Map("x" -> 2L), Map("x" -> 4L)), ordered = true)
+  scenario("conjunction via & equals the legacy chain", g,
+    "MATCH (n:A&B) RETURN n.num AS x", value(3L))
+  scenario("legacy :A:B chain still parses as conjunction", g,
+    "MATCH (n:A:B) RETURN n.num AS x", value(3L))
+  scenario("grouping and mixed operators", g,
+    "MATCH (n:(A|B)&!A) RETURN n.num AS x", value(2L))
+  scenario("double negation", g,
+    "MATCH (n:!!C) RETURN n.num AS x", value(4L))
+  scenario("negated disjunction (De Morgan)", g,
+    "MATCH (n:!(A|B)) RETURN n.num AS x", value(4L))
+  scenario("expression endpoints in an expand", g,
+    "MATCH (n:A|B)-[:T]->(m) RETURN count(*) AS x", value(2L))
+  scenario("expression on the expand target", g,
+    "MATCH (n)-[:T]->(m:!C) RETURN m.num AS x", value(2L))
+  scenario("label expression with an inline property map", g,
+    "MATCH (n:A|C {num: 4}) RETURN n.num AS x", value(4L))
+  scenario("rebound variable re-constrained by an expression", g,
+    "MATCH (x) WITH x MATCH (x:A|C) RETURN count(*) AS x", value(3L))
+  scenario("rebound negation", g,
+    "MATCH (x) WITH x MATCH (x:!B) RETURN count(*) AS x", value(2L))
+  scenario("label expression inside a QPP group", g,
+    "MATCH (s) ((u:A|B)-[:T]->(v:!A)){1,1} (t) RETURN t.num AS x ORDER BY x",
+    rows(Map("x" -> 2L), Map("x" -> 4L)), ordered = true)
+  scenario("expression never matches: empty scan, not an error", g,
+    "MATCH (n:A&C) RETURN count(*) AS x", value(0L))
+  scenario("unknown label in a disjunction is just false", g,
+    "MATCH (n:Zebra|C) RETURN n.num AS x", value(4L))
+  scenario("negation of an unknown label matches everything", g,
+    "MATCH (n:!Zebra) RETURN count(*) AS x", value(4L))
+  scenario("labels() still reports the combination under expressions", g,
+    "MATCH (n:A&B) RETURN size(labels(n)) AS x", value(2L))
+  scenario("OPTIONAL MATCH with a non-matching expression null-pads", g,
+    "MATCH (c:C) OPTIONAL MATCH (c)-[:T]->(m:A&C) RETURN c.num AS c, m.num AS m",
+    rows(Map("c" -> 4L, "m" -> null)))
+  scenario("EXISTS{} with a label expression", g,
+    "MATCH (n) WHERE EXISTS { MATCH (n)-[:T]->(:B|C) } RETURN count(*) AS x",
+    value(2L))
+  scenario("count by expression class", g,
+    "MATCH (n:A|B|C) RETURN count(*) AS x", value(4L))
+}
