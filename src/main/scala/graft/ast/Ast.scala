@@ -97,6 +97,9 @@ case class LabelNot(e: LabelExpr) extends LabelExpr
 case class RelPattern(variable: Option[String], types: Seq[String],
     props: Seq[(String, Expr)], direction: Direction,
     varLength: Option[(Int, Option[Int])],
+    // [r:!T1|T2]: traverse any type EXCEPT the listed ones (resolved to
+    // the closed-world complement at planning).
+    typesNegated: Boolean = false,
     // GQL-style quantified path pattern: ((x)-[r:T]->(y) WHERE pred){m,n}.
     // The group plans as a var-length expand over the RESTRICTED edge set
     // the inner pattern + WHERE define; varLength carries the quantifier.

@@ -586,8 +586,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       part.tail.foreach { case (rp, np) =>
         val nxt = addNode(np)
         val ev = rp.variable.getOrElse(freshVar())
+        // [:!T...]: closed-world complement — the schema knows every type.
+        val effTypes =
+          if (rp.typesNegated) (graph.relTypes -- rp.types).toSeq.sorted
+          else rp.types
         edges += EdgeCons(ev, cur, nxt,
-          rp.types, rp.props, rp.direction, rp.varLength, rp.qpp)
+          effTypes, rp.props, rp.direction, rp.varLength, rp.qpp)
         hops += ((ev, rp.varLength.isDefined, nxt))
         cur = nxt
       }

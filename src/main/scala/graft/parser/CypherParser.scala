@@ -606,6 +606,7 @@ object CypherParser {
       if (!leftArrow) eatPunct("-")
       var variable: Option[String] = None
       var types = Seq.empty[String]
+      var typesNegated = false
       var props = Seq.empty[(String, Expr)]
       var varLength: Option[(Int, Option[Int])] = None
       if (tryPunct("[")) {
@@ -614,9 +615,10 @@ object CypherParser {
           case _ =>
         }
         if (tryPunct(":")) {
+          typesNegated = tryPunct("!")
           val ts = Seq.newBuilder[String]
           ts += ident()
-          while (tryPunct("|")) { tryPunct(":"); ts += ident() }
+          while (tryPunct("|")) { tryPunct(":"); tryPunct("!"); ts += ident() }
           types = ts.result()
         }
         if (tryPunct("*")) {
@@ -648,7 +650,8 @@ object CypherParser {
       // the next node pattern — so expression `+` can never collide).
       if (varLength.isEmpty && isPunct("+")) { p += 1; varLength = Some((1, None)) }
       else if (varLength.isEmpty && isPunct("*")) { p += 1; varLength = Some((0, None)) }
-      RelPattern(variable, types, props, dir, varLength)
+      RelPattern(variable, types, props, dir, varLength,
+        typesNegated = typesNegated)
     }
 
     /** ((x)-[r:T]->(y) [WHERE pred]) followed by a quantifier. The group
@@ -665,7 +668,7 @@ object CypherParser {
       eatPunct(")")
       val (lo, hi) = parseQuantifier()
       RelPattern(rel.variable, rel.types, rel.props, OUT, Some((lo, hi)),
-        Some(QppSpec(src, rel, dst, where)))
+        qpp = Some(QppSpec(src, rel, dst, where)))
     }
 
     /** {m,n} | {m,} | {,n} | {n} | + | * */
@@ -865,9 +868,21 @@ object CypherParser {
           eatPunct("}")
           e = MapProjection(e.asInstanceOf[Var].name, items.result())
         } else if (isPunct(":") && canBeLabelPredicate(e)) {
-          val labels = Seq.newBuilder[String]
-          while (tryPunct(":")) labels += ident()
-          e = HasLabels(e, labels.result())
+          // Label expression in value position: & ! and parenthesized |
+          // (a TOP-LEVEL | would collide with the comprehension
+          // projection separator in `[p WHERE x:L | proj]`).
+          var tree: Option[LabelExpr] = None
+          while (tryPunct(":")) {
+            val t = parseLabelAnd()
+            tree = Some(tree.map(LabelAnd(_, t)).getOrElse(t))
+          }
+          def lp(le: LabelExpr): Expr = le match {
+            case LabelAtom(n) => HasLabels(e, Seq(n))
+            case LabelAnd(a, b) => Ands(Seq(lp(a), lp(b)))
+            case LabelOr(a, b) => Ors(Seq(lp(a), lp(b)))
+            case LabelNot(x) => Not(lp(x))
+          }
+          e = lp(tree.get)
         } else done = true
       }
       e

@@ -64,4 +64,32 @@ class TckStyleSpec33 extends TckScenarioBase {
     value(2L))
   scenario("count by expression class", g,
     "MATCH (n:A|B|C) RETURN count(*) AS x", value(4L))
+
+  // ----------------------------------------------- value-position (WHERE)
+  scenario("WHERE-position conjunction and negation", g,
+    "MATCH (n) WHERE n:A&!B RETURN n.num AS x", value(1L))
+  scenario("WHERE-position parenthesized disjunction", g,
+    "MATCH (n) WHERE n:(A|C) RETURN count(*) AS x", value(3L))
+  scenario("WHERE-position negated unknown label is true", g,
+    "MATCH (n) WHERE n:!Zebra RETURN count(*) AS x", value(4L))
+  scenario("label predicate inside a comprehension keeps the | separator", g,
+    "MATCH (a {num: 1}) RETURN size([(a)-[:T]->(b) WHERE b:B | b.num]) AS x",
+    value(1L))
+
+  // ----------------------------------------------- relationship negation
+  scenario("negated relationship type traverses the complement", gRel,
+    "MATCH (a {num: 1})-[r:!T]->(b) RETURN type(r) AS x ORDER BY x",
+    rows(Map("x" -> "S"), Map("x" -> "U")), ordered = true)
+  scenario("negated type set excludes every listed type", gRel,
+    "MATCH (a {num: 1})-[r:!T|S]->(b) RETURN type(r) AS x", value("U"))
+  scenario("negated types in a var-length pattern", gRel,
+    // non-S edges from 1: T(1->2), U(1->4), then T(2->4) at depth 2
+    "MATCH (a {num: 1})-[:!S*1..2]->(b) RETURN count(*) AS x", value(3L))
+
+  /** a -T-> b, a -S-> c, a -U-> d, b -T-> d */
+  lazy val gRel = graph(spark,
+    Seq(N(1, Set("N"), Map("num" -> 1)), N(2, Set("N"), Map("num" -> 2)),
+      N(3, Set("N"), Map("num" -> 3)), N(4, Set("N"), Map("num" -> 4))),
+    Seq(R(10, 1, 2, "T"), R(11, 1, 3, "S"), R(12, 1, 4, "U"),
+      R(13, 2, 4, "T")))
 }
