@@ -609,9 +609,26 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           CE.TypeError, CE.InvalidArgumentType)
       labels.map(l => array_contains(c.getField("_labels"), l)).reduce(_ && _)
     case HasLabels(Var(n), labels) if !env.contains(n) =>
-      labels.map { l =>
-        header.get(LabelSlot(n, l)).map(col).getOrElse(lit(false))
-      }.reduce(_ && _)
+      header.kindOf(n) match {
+        // `r:KNOWS` on a RELATIONSHIP variable is a type predicate
+        // (Cypher 5); a rel has exactly one type, so a conjunction of
+        // several distinct types is statically false. Previously this
+        // fell through to absent LabelSlots and read silently false.
+        case Some(RelKind(staticTypes)) =>
+          if (labels.size > 1) lit(false)
+          else header.get(TypeSlot(n)) match {
+            case Some(c) => col(c) === labels.head
+            case None if staticTypes.nonEmpty =>
+              lit(staticTypes.contains(labels.head))
+            case None => throw new CypherCompileException(
+              s"type predicate on $n needs the relationship type in scope",
+              CE.SyntaxError, CE.InvalidArgumentType)
+          }
+        case _ =>
+          labels.map { l =>
+            header.get(LabelSlot(n, l)).map(col).getOrElse(lit(false))
+          }.reduce(_ && _)
+      }
     case HasLabels(_, _) =>
       throw new CypherCompileException("label predicate on non-variable")
 

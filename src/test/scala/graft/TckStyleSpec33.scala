@@ -86,6 +86,19 @@ class TckStyleSpec33 extends TckScenarioBase {
     // non-S edges from 1: T(1->2), U(1->4), then T(2->4) at depth 2
     "MATCH (a {num: 1})-[:!S*1..2]->(b) RETURN count(*) AS x", value(3L))
 
+  // -------------------------------------- rel type predicate in WHERE
+  // (fixed in round 7: `WHERE r:T` on a relationship variable previously
+  // compiled against absent label slots and read silently FALSE)
+  scenario("WHERE r:T is a relationship type predicate", gRel,
+    "MATCH (a {num: 1})-[r]->(b) WHERE r:T RETURN count(*) AS x", value(1L))
+  scenario("parenthesized type disjunction in WHERE", gRel,
+    "MATCH (a {num: 1})-[r]->(b) WHERE r:(T|S) RETURN count(*) AS x",
+    value(2L))
+  scenario("negated type predicate in WHERE", gRel,
+    "MATCH (a {num: 1})-[r]->(b) WHERE r:!T RETURN count(*) AS x", value(2L))
+  scenario("conjunction of two distinct types is statically false", gRel,
+    "MATCH (a)-[r]->(b) WHERE r:T&S RETURN count(*) AS x", value(0L))
+
   /** a -T-> b, a -S-> c, a -U-> d, b -T-> d */
   lazy val gRel = graph(spark,
     Seq(N(1, Set("N"), Map("num" -> 1)), N(2, Set("N"), Map("num" -> 2)),
