@@ -320,6 +320,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case CaseExpr(_, alts, default) =>
       (alts.map(_._2) ++ default.toSeq).flatMap(inferType).headOption
     case FuncCall(name, args, _) => name match {
+      case "tointegerornull" => Some(LongType)
+      case "tofloatornull" => Some(DoubleType)
+      case "tobooleanornull" => Some(BooleanType)
+      case "char_length" | "character_length" => Some(LongType)
+      case "elementid" | "tostringornull" | "upper" | "lower" =>
+        Some(StringType)
+      case "nullif" => args.headOption.flatMap(inferType)
       case "tostring" | "toupper" | "tolower" | "trim" | "ltrim" | "rtrim" |
            "reverse" | "replace" | "substring" | "left" | "right" | "type" => Some(StringType)
       case "tointeger" | "id" | "size" | "length" | "count" | "timestamp" |
@@ -1326,8 +1333,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "exists" => a0.isNotNull
 
       // ---- strings ----
-      case "toupper" => upper(a0)
-      case "tolower" => lower(a0)
+      case "toupper" | "upper" => upper(a0)
+      case "tolower" | "lower" => lower(a0)
+      // Neo4j 5 *OrNull casts: the engine's base casts are already
+      // null-on-unparsable (try_cast), so these alias them.
+      case "tointegerornull" => compile(FuncCall("tointeger", args, false))
+      case "tofloatornull" => compile(FuncCall("tofloat", args, false))
+      case "tobooleanornull" => compile(FuncCall("toboolean", args, false))
+      case "tostringornull" => compile(FuncCall("tostring", args, false))
+      case "char_length" | "character_length" =>
+        F.length(a0).cast(LongType)
+      case "nullif" => when(a0 <=> a1, lit(null)).otherwise(a0)
+      // Neo4j 5 elementId: the string form of the internal id.
+      case "elementid" =>
+        compile(FuncCall("id", args, false)).cast(StringType)
       case "trim" => trim(a0)
       case "ltrim" => ltrim(a0)
       case "rtrim" => rtrim(a0)

@@ -1079,9 +1079,15 @@ object CypherParser {
       val subject = if (!isKw("WHEN")) Some(parseExpr()) else None
       val alts = Seq.newBuilder[(Expr, Expr)]
       while (tryKw("WHEN")) {
-        val cond = parseExpr()
+        // Extended CASE (Neo4j 5): `WHEN v1, v2 THEN r` — each value is
+        // its own alternative sharing the result expression (subject
+        // form only; a searched CASE has one condition per WHEN).
+        val conds = Seq.newBuilder[Expr]
+        conds += parseExpr()
+        while (subject.isDefined && tryPunct(",")) conds += parseExpr()
         eatKw("THEN")
-        alts += ((cond, parseExpr()))
+        val result = parseExpr()
+        conds.result().foreach(c => alts += ((c, result)))
       }
       val default = if (tryKw("ELSE")) Some(parseExpr()) else None
       eatKw("END")

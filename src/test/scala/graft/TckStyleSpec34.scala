@@ -1,0 +1,49 @@
+package graft
+
+/** TCK-style conformance, part 34 — Neo4j 5 function-surface additions:
+  * elementId (string form of the internal id), the *OrNull cast family,
+  * lower/upper aliases, char_length/character_length, nullIf, and the
+  * extended CASE form `WHEN v1, v2 THEN r` (value lists per alternative,
+  * subject form only). */
+class TckStyleSpec34 extends TckScenarioBase {
+  import TckFixtures._
+
+  lazy val g = graph(spark,
+    Seq(N(1, Set("A"), Map("name" -> "a")), N(2, Set("A"), Map("name" -> "b"))))
+
+  scenario("elementId of a node is a string", g,
+    "MATCH (n:A {name: 'a'}) RETURN elementId(n) = toString(id(n)) AS x",
+    value(true))
+  scenario("elementId values are distinct per node", g,
+    "MATCH (n:A) RETURN count(DISTINCT elementId(n)) AS x", value(2L))
+  scenario("toIntegerOrNull on an unparsable string", g,
+    "RETURN toIntegerOrNull('abc') AS x", value(null))
+  scenario("toIntegerOrNull on a parsable string", g,
+    "RETURN toIntegerOrNull('42') AS x", value(42L))
+  scenario("toFloatOrNull and toBooleanOrNull", g,
+    "RETURN toFloatOrNull('1.5') AS a, toBooleanOrNull('true') AS b",
+    rows(Map("a" -> 1.5, "b" -> true)))
+  scenario("toStringOrNull of a number", g,
+    "RETURN toStringOrNull(7) AS x", value("7"))
+  scenario("lower and upper aliases", g,
+    "RETURN lower('AbC') AS a, upper('abc') AS b",
+    rows(Map("a" -> "abc", "b" -> "ABC")))
+  scenario("char_length and character_length", g,
+    "RETURN char_length('abc') AS a, character_length('') AS b",
+    rows(Map("a" -> 3L, "b" -> 0L)))
+  scenario("nullIf: equal values null out", g,
+    "RETURN nullIf(1, 1) AS a, nullIf(1, 2) AS b, nullIf('x', 'y') AS c",
+    rows(Map("a" -> null, "b" -> 1L, "c" -> "x")))
+  scenario("extended CASE matches any listed value", g,
+    "RETURN CASE 2 WHEN 1, 2 THEN 'low' ELSE 'high' END AS x", value("low"))
+  scenario("extended CASE falls through listed values to later arms", g,
+    "RETURN CASE 5 WHEN 1, 2 THEN 'low' WHEN 5 THEN 'five' END AS x",
+    value("five"))
+  scenario("extended CASE with no match and no ELSE is null", g,
+    "RETURN CASE 9 WHEN 1, 2 THEN 'low' END AS x", value(null))
+  scenario("searched CASE is unaffected by the extension", g,
+    "RETURN CASE WHEN 1 < 2 THEN 'yes' ELSE 'no' END AS x", value("yes"))
+  scenario("extended CASE values may be expressions", g,
+    "WITH 4 AS v RETURN CASE v WHEN 1 + 1, 2 * 2 THEN 'hit' ELSE 'miss' END AS x",
+    value("hit"))
+}
