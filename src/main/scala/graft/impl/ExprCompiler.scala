@@ -327,6 +327,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "elementid" | "tostringornull" | "upper" | "lower" =>
         Some(StringType)
       case "nullif" => args.headOption.flatMap(inferType)
+      case "toset" => args.headOption.flatMap(inferType)
       case "tostring" | "toupper" | "tolower" | "trim" | "ltrim" | "rtrim" |
            "reverse" | "replace" | "substring" | "left" | "right" | "type" => Some(StringType)
       case "tointeger" | "id" | "size" | "length" | "count" | "timestamp" |
@@ -1344,6 +1345,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "char_length" | "character_length" =>
         F.length(a0).cast(LongType)
       case "nullif" => when(a0 <=> a1, lit(null)).otherwise(a0)
+      // list dedup (backs COLLECT { ... RETURN DISTINCT ... }); ordering
+      // of the result list follows Spark's array_distinct (first wins).
+      case "toset" => array_distinct(a0)
       // Neo4j 5 elementId: the string form of the internal id.
       case "elementid" =>
         compile(FuncCall("id", args, false)).cast(StringType)

@@ -930,6 +930,23 @@ object CypherParser {
             eatPunct(")")
             FuncCall("count", Seq(e), distinct)
           }
+        // COLLECT { MATCH (n)-->(m) [WHERE pred] RETURN expr } — Cypher 5
+        // collect subquery; the single-MATCH form IS a pattern
+        // comprehension, so it desugars to one (RETURN DISTINCT dedups
+        // via the engine's toSet rewrite below).
+        case Ident(w, _) if w.equalsIgnoreCase("COLLECT") &&
+            peek2 == Punct("{", peek2.pos) =>
+          p += 2
+          tryKw("MATCH")
+          val part = parsePatternPart()
+          val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+          eatKw("RETURN")
+          val distinct = tryKw("DISTINCT")
+          val proj = parseExpr()
+          eatPunct("}")
+          val comp = PatternComp(part, where, proj)
+          if (distinct) FuncCall("toset", Seq(comp), distinct = false)
+          else comp
         case Kw("CASE", _, _) => p += 1; parseCase()
         case Kw("EXISTS", _, _) => p += 1; parseExists()
         case Kw(kind @ ("ANY" | "ALL" | "NONE" | "SINGLE"), _, _)

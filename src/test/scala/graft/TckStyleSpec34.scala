@@ -46,4 +46,29 @@ class TckStyleSpec34 extends TckScenarioBase {
   scenario("extended CASE values may be expressions", g,
     "WITH 4 AS v RETURN CASE v WHEN 1 + 1, 2 * 2 THEN 'hit' ELSE 'miss' END AS x",
     value("hit"))
+
+  // --------------------------------------- COLLECT {} subqueries (Cypher 5)
+  /** hub h:H with two spokes s1, s2 and an isolate i. */
+  lazy val gc = graph(spark,
+    Seq(N(1, Set("H"), Map("name" -> "h")),
+      N(2, Set("S"), Map("name" -> "s1", "v" -> 1)),
+      N(3, Set("S"), Map("name" -> "s2", "v" -> 2)),
+      N(4, Set("I"), Map("name" -> "i"))),
+    Seq(R(10, 1, 2, "T"), R(11, 1, 3, "T")))
+
+  scenario("COLLECT{} gathers the correlated projection", gc,
+    "MATCH (h:H) RETURN size(COLLECT { MATCH (h)-[:T]->(s) RETURN s.v }) AS x",
+    value(2L))
+  scenario("COLLECT{} with an inner WHERE", gc,
+    "MATCH (h:H) RETURN COLLECT { MATCH (h)-[:T]->(s) WHERE s.v > 1 RETURN s.name } AS x",
+    value(List("s2")))
+  scenario("COLLECT{} on a row with no matches is the empty list", gc,
+    "MATCH (i:I) RETURN COLLECT { MATCH (i)-[:T]->(s) RETURN s.v } AS x",
+    value(List.empty[Long]))
+  scenario("COLLECT{} RETURN DISTINCT dedups the list", gc,
+    "MATCH (h:H) RETURN size(COLLECT { MATCH (h)-[:T]->(s) RETURN DISTINCT 'k' }) AS x",
+    value(1L))
+  scenario("COLLECT{} composes with reduce", gc,
+    "MATCH (h:H) RETURN reduce(a = 0, v IN COLLECT { MATCH (h)-[:T]->(s) RETURN s.v } | a + v) AS x",
+    value(3L))
 }
