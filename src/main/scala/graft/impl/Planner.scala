@@ -344,6 +344,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def planConstruct(ctx0: Ctx, on: Seq[String], news: Seq[PatternPart],
       sets: Seq[SetItem], clones: Seq[(String, String)] = Seq.empty)
       : PropertyGraph = {
+    rejectLabelExprs(news, "CONSTRUCT")
     // CLONE src AS alias: the alias shares the source's physical columns,
     // so downstream it looks like a bound (clone-able) var.
     var ctx = ctx0
@@ -2532,7 +2533,21 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   /** CREATE pattern: one new element per driving row per unbound var;
     * bound vars may only appear as bare endpoints. */
+  /** Label EXPRESSIONS describe a match, not a concrete label set —
+    * Neo4j rejects them in writing clauses; without this, CREATE (n:A|B)
+    * would silently make an unlabeled node and MERGE (n:A|B) would match
+    * everything. */
+  private def rejectLabelExprs(parts: Seq[PatternPart], clause: String): Unit =
+    parts.foreach { part =>
+      (part.head +: part.tail.map(_._2)).foreach { np =>
+        if (np.labelExpr.nonEmpty) throw new CypherCompileException(
+          s"label expressions are not allowed in $clause",
+          CE.SyntaxError, CE.InvalidArgumentType)
+      }
+    }
+
   private def planCreate(ctx0: Ctx, pattern: Pattern): Ctx = {
+    rejectLabelExprs(pattern.parts, "CREATE")
     beginWrites()
     val (nodes, edges) = normalizePattern(pattern)
     var ctx = ctx0
@@ -2913,6 +2928,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * unmatched row binds to it (Neo4j's row-sequential MERGE converges to
     * the same state). */
   private def planMerge(ctx0: Ctx, m: Merge): Ctx = {
+    rejectLabelExprs(Seq(m.part), "MERGE")
     beginWrites()
     val (nodes, edges) = normalizePattern(Pattern(Seq(m.part)))
     val createdMark = "_w_created"

@@ -99,6 +99,18 @@ class TckStyleSpec33 extends TckScenarioBase {
   scenario("conjunction of two distinct types is statically false", gRel,
     "MATCH (a)-[r]->(b) WHERE r:T&S RETURN count(*) AS x", value(0L))
 
+  // ---------------------------------------- rejected in writing clauses
+  // (a label expression describes a MATCH, not a concrete label set;
+  // without the rejection CREATE (n:A|B) silently made an unlabeled node)
+  errorScenario("label expressions are rejected in CREATE", g,
+    "CREATE (n:A|B) RETURN labels(n) AS x",
+    graft.api.CypherError.SyntaxError,
+    graft.api.CypherError.InvalidArgumentType)
+  errorScenario("label expressions are rejected in MERGE", g,
+    "MERGE (n:A|B) RETURN count(*) AS x",
+    graft.api.CypherError.SyntaxError,
+    graft.api.CypherError.InvalidArgumentType)
+
   /** a -T-> b, a -S-> c, a -U-> d, b -T-> d */
   lazy val gRel = graph(spark,
     Seq(N(1, Set("N"), Map("num" -> 1)), N(2, Set("N"), Map("num" -> 2)),
