@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -83,6 +83,54 @@ object Multimodal {
         }
       }
       .toDF("media_id", "width", "height", "features")
+  }
+
+  /** 64-bit difference hash (dHash) over the raw payload bytes: bit j
+    * compares the sampled byte at position p_j with its successor —
+    * the gradient-hash construction image dedup uses, applied to the
+    * byte stream since the codec is stubbed (a real pipeline hashes the
+    * decoded, downscaled luma plane here; the bucketing/verification
+    * machinery below is codec-independent). Pure column expressions:
+    * binary substr comparisons are unsigned byte comparisons, so no
+    * numeric conversion is needed and an external oracle replays the
+    * exact bits. Equal-length payloads with few differing bytes land
+    * within a small Hamming distance. */
+  def dHash64(content: Column): Column = {
+    val len = F.length(content)
+    (0 until 64).map { j =>
+      val p = (F.floor(len.cast("long") * j / 65) + 1).cast(IntegerType)
+      when(content.substr(p, lit(1)) > content.substr(p + 1, lit(1)),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** (media_id, dhash) for a media frame. */
+  def mediaHashes(df: DataFrame): DataFrame =
+    df.select(col("media_id"), dHash64(col("content")).as("dhash"))
+
+  /** Near-duplicate media pairs within Hamming distance `maxHamming` of
+    * their dHash — the image/frame dedup pass. Same 4×16-bit band
+    * bucketing as text SimHash (any pair within distance <= 3 agrees on
+    * at least one band): one shuffle on (band, bucket), bit_count
+    * verification on candidates, never O(n^2). */
+  def nearDupMedia(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val h = mediaHashes(df)
+    val banded = h.select(col("media_id"), col("dhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        j => call_function("shiftrightunsigned", col("dhash"), j * 16)
+          .bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bucket")
+    val l = banded.select(col("_band").as("_b1"), col("_bucket").as("_k1"),
+      col("media_id").as("id1"), col("dhash").as("_h1"))
+    val r = banded.select(col("_band").as("_b2"), col("_bucket").as("_k2"),
+      col("media_id").as("id2"), col("dhash").as("_h2"))
+    l.join(r, col("_b1") === col("_b2") && col("_k1") === col("_k2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("_h1"), col("_h2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("_h1").bitwiseXOR(col("_h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
   }
 
   /** Frame sampling for "video" payloads: carve the byte stream into

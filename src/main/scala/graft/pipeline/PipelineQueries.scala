@@ -374,6 +374,12 @@ object PipelineQueries {
         Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1), 4).as("f0"))),
+    // dHash media fingerprints (the image/frame dedup pass; byte-level
+    // since the codec is stubbed) — the oracle replays all 64 bit
+    // comparisons over substr(text) (ASCII: byte == char).
+    "q_media_hash" -> ((s, dir) =>
+      Multimodal.mediaHashes(
+        Multimodal.asMedia(docs(s, dir), "doc_id", "text"))),
     // Frame sampling: byte-exact frames surfaced as md5 so the oracle can
     // replay them over substr(text) (documents are ASCII — byte == char).
     "q_multimodal_frames" -> ((s, dir) =>
@@ -722,8 +728,26 @@ object PipelineQueries {
        SELECT vec_id, $outs FROM agg"""
   }
 
+  /** dHash oracle: each bit compares the sampled byte to its successor;
+    * ASCII text makes string substr comparison identical to the engine's
+    * unsigned binary comparison. Bits OR together (disjoint powers; |
+    * avoids BIGINT overflow on bit 63). */
+  private val mediaHashSql: String = {
+    val bits = (0 until 64).map { j =>
+      val v = if (j == 63) "(-9223372036854775808)::BIGINT"
+        else s"CAST(${1L << j} AS BIGINT)"
+      s"""(CASE WHEN substr(text, CAST(floor(length(text) * $j / 65) AS BIGINT) + 1, 1)
+            > substr(text, CAST(floor(length(text) * $j / 65) AS BIGINT) + 2, 1)
+          THEN $v ELSE 0 END)"""
+    }.mkString(" |\n           ")
+    s"""SELECT doc_id AS media_id,
+           $bits AS dhash
+         FROM documents"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_embed_project" -> embedProjectSql,
+    "q_media_hash" -> mediaHashSql,
     "q_algo_pagerank" -> pageRankSql,
     "q_algo_ppr" -> pprSql,
     // Windows are compared as raw strings here vs 64-bit hashes in the

@@ -742,6 +742,23 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("media dHash near-dup finds byte-flipped copies, skips unrelated") {
+    val base = ("frame" * 40) // 200 bytes
+    val flipped = base.updated(77, 'X') // one byte differs
+    val other = ("wholly different payload content " * 6).take(200)
+    val media = graft.pipeline.Multimodal.asMedia(
+      Seq((1L, base), (2L, flipped), (3L, other)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val pairs = graft.pipeline.Multimodal.nearDupMedia(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // identical payloads are hamming 0
+    val dup = graft.pipeline.Multimodal.asMedia(
+      Seq((1L, base), (9L, base)).toDF("doc_id", "text"), "doc_id", "text")
+    val p2 = graft.pipeline.Multimodal.nearDupMedia(dup).collect()
+    assert(p2.length === 1 && p2.head.getInt(2) === 0)
+  }
+
   test("temperatureMix flattens the source distribution deterministically") {
     // sources: big 80 rows, small 20. alpha=0.5: q_big = sqrt(80)/Z,
     // q_small = sqrt(20)/Z, Z = sqrt(80)+sqrt(20). Targets: floor(100*q).
