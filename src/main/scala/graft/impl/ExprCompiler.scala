@@ -324,8 +324,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "tofloatornull" => Some(DoubleType)
       case "tobooleanornull" => Some(BooleanType)
       case "char_length" | "character_length" => Some(LongType)
-      case "elementid" | "tostringornull" | "upper" | "lower" =>
-        Some(StringType)
+      case "elementid" | "tostringornull" | "upper" | "lower" |
+           "valuetype" => Some(StringType)
       case "nullif" => args.headOption.flatMap(inferType)
       case "toset" => args.headOption.flatMap(inferType)
       case "tostring" | "toupper" | "tolower" | "trim" | "ltrim" | "rtrim" |
@@ -1351,6 +1351,33 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // Neo4j 5 elementId: the string form of the internal id.
       case "elementid" =>
         compile(FuncCall("id", args, false)).cast(StringType)
+      // Neo4j 5 valueType: the Cypher type name of the argument's STATIC
+      // type (graft plans against a closed schema, so the static type is
+      // the runtime type except for null). Divergence (documented):
+      // Neo4j appends nullability ("INTEGER NOT NULL"); graft reports the
+      // base name, with NULL literally for a null value at runtime.
+      case "valuetype" =>
+        val tn = inferType(args.head) match {
+          case Some(LongType) | Some(IntegerType) => "INTEGER"
+          case Some(DoubleType) | Some(FloatType) => "FLOAT"
+          case Some(_: DecimalType) => "FLOAT"
+          case Some(StringType) => "STRING"
+          case Some(BooleanType) => "BOOLEAN"
+          case Some(DateType) => "DATE"
+          case Some(TimestampType) | Some(TimestampNTZType) =>
+            "LOCAL DATETIME"
+          case Some(StructType(fs))
+              if fs.map(_.name).toSeq == Seq("months", "days", "micros") =>
+            "DURATION"
+          case t if isLocalTimeT(t) => "LOCAL TIME"
+          case t if isTimeT(t) => "ZONED TIME"
+          case Some(_: ArrayType) => "LIST"
+          case Some(_: StructType) | Some(_: MapType) => "MAP"
+          case Some(NullType) => "NULL"
+          case _ => "ANY"
+        }
+        if (tn == "NULL") lit("NULL")
+        else when(a0.isNull, lit("NULL")).otherwise(lit(tn))
       case "trim" => trim(a0)
       case "ltrim" => ltrim(a0)
       case "rtrim" => rtrim(a0)

@@ -47,6 +47,25 @@ class TckStyleSpec34 extends TckScenarioBase {
     "WITH 4 AS v RETURN CASE v WHEN 1 + 1, 2 * 2 THEN 'hit' ELSE 'miss' END AS x",
     value("hit"))
 
+  // --------------------------------------------------------- valueType
+  scenario("valueType of the scalar classes", g,
+    "RETURN valueType(1) AS a, valueType(1.5) AS b, valueType('x') AS c, " +
+      "valueType(true) AS d",
+    rows(Map("a" -> "INTEGER", "b" -> "FLOAT", "c" -> "STRING",
+      "d" -> "BOOLEAN")))
+  scenario("valueType of temporal values", g,
+    "RETURN valueType(date('2024-01-01')) AS a, " +
+      "valueType(duration({days: 1})) AS b, " +
+      "valueType(localtime('09:00')) AS c, valueType(time('09:00Z')) AS d",
+    rows(Map("a" -> "DATE", "b" -> "DURATION", "c" -> "LOCAL TIME",
+      "d" -> "ZONED TIME")))
+  scenario("valueType of composites and null", g,
+    "RETURN valueType([1, 2]) AS a, valueType({k: 1}) AS b, " +
+      "valueType(null) AS c",
+    rows(Map("a" -> "LIST", "b" -> "MAP", "c" -> "NULL")))
+  scenario("valueType reports NULL for a null-valued expression", g,
+    "WITH [1, 2] AS xs RETURN valueType(xs[9]) AS x", value("NULL"))
+
   // --------------------------------------- COLLECT {} subqueries (Cypher 5)
   /** hub h:H with two spokes s1, s2 and an isolate i. */
   lazy val gc = graph(spark,
