@@ -125,7 +125,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val combined = q.rest.foldLeft(first) { case (acc, (all, sq)) =>
       graph = graph0 // FROM GRAPH scopes to its branch, not the whole union
       val (r, rOuts) = planSingle(sq, shared)
-      if (rOuts.map(outDisplay) != outs.map(outDisplay))
+      // Column NAMES must agree; ORDER may differ (Neo4j aligns by name,
+      // and the physical union below is unionByName) — the first arm's
+      // order wins in the result.
+      if (rOuts.map(outDisplay).toSet != outs.map(outDisplay).toSet ||
+          rOuts.size != outs.size)
         throw new CypherCompileException(
           "UNION sides must return the same columns",
           CE.SyntaxError, CE.DifferentColumnsInUnion)

@@ -50,4 +50,16 @@ class TckStyleSpec35 extends TckScenarioBase {
     "CREATE (t:Tr {v: 1}) WITH t SET t.v = 2 WITH t DELETE t " +
       "WITH 1 AS one MATCH (x:Tr) RETURN count(*) AS n",
     rows(Map("n" -> 0L)))
+
+  // --------------------------------- UNION aligns columns by NAME
+  scenario("UNION arms may order the same columns differently", g,
+    "RETURN 1 AS a, 2 AS b UNION RETURN 20 AS b, 10 AS a",
+    rows(Map("a" -> 1L, "b" -> 2L), Map("a" -> 10L, "b" -> 20L)))
+  scenario("UNION result column order follows the first arm", g,
+    "RETURN 1 AS a, 2 AS b UNION RETURN 4 AS b, 3 AS a",
+    rows(Map("a" -> 1L, "b" -> 2L), Map("a" -> 3L, "b" -> 4L)))
+  errorScenario("UNION with genuinely different column names still fails", g,
+    "RETURN 1 AS a UNION RETURN 2 AS c",
+    graft.api.CypherError.SyntaxError,
+    graft.api.CypherError.DifferentColumnsInUnion)
 }
