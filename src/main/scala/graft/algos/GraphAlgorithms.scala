@@ -312,7 +312,12 @@ object GraphAlgorithms {
       s"betweenness BFS exceeded $maxDepth levels")
     // backward accumulation: delta(v@k) = sum over BFS-DAG successors w@k+1
     // of sigma(v)/sigma(w) * (1 + delta(w)); bc accumulates non-source rows.
-    var bc: DataFrame = null
+    // Each level's delta frame is pinned (the next round re-reads it);
+    // the bc accumulation is DEFERRED — one union + aggregation over all
+    // pinned per-level deltas at the end instead of a pinned merge per
+    // round (saves depth-1 materializations; the deltas are pinned
+    // anyway, so the final union re-reads cached blocks).
+    var deltas = Vector.empty[DataFrame]
     var delta = levels.last.select(col("s"), col("v"), lit(0.0).as("delta"))
     for (k <- (levels.size - 2) to 0 by -1) {
       val upper = delta
@@ -330,12 +335,14 @@ object GraphAlgorithms {
       delta = Pin(levels(k).select(col("s"), col("v"))
         .join(contrib, Seq("s", "v"), "left_outer")
         .select(col("s"), col("v"), coalesce(col("delta"), lit(0.0)).as("delta")))
-      val nonSource = delta.filter(col("v") =!= col("s"))
-        .groupBy(col("v")).agg(sum(col("delta")).as("_b"))
-      bc = if (bc == null) nonSource
-        else Pin(bc.unionByName(nonSource).groupBy(col("v"))
-          .agg(sum(col("_b")).as("_b")))
+      deltas = deltas :+ delta
     }
+    val bc: DataFrame =
+      if (deltas.isEmpty) null
+      else deltas.map(_.filter(col("v") =!= col("s"))
+          .select(col("v"), col("delta").as("_b")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("v")).agg(sum(col("_b")).as("_b"))
     val scale = if (directed) 1.0 else 0.5
     val allNodes = e.select(col("src").as("v")).distinct()
     val scored = if (bc == null) allNodes.select(col("v"), lit(0.0).as("_b"))
