@@ -145,59 +145,90 @@ object GraphAlgorithms {
       .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
       .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
 
-  /** Connected components (undirected) by iterative min-id propagation;
-    * returns (id, component). Converges in O(diameter) rounds; each round
-    * is one join + aggregation and prints no driver-side state beyond the
-    * convergence counter. */
+  /** Connected components (undirected) by alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014); returns (id, component) where the
+    * component label is the minimum node id in the component.
+    *
+    * Round count is O(log n) in practice (O(log^2 n) proven) and — unlike
+    * per-hop min-propagation, which needs O(diameter) rounds — does NOT
+    * degrade on chain-shaped components: a diameter-10^6 path converges in
+    * ~20 rounds because both star operations halve every node's distance
+    * to its component minimum. Each round is two keyed join+aggregation
+    * passes over the (monotonically star-contracting) edge frame, pinned
+    * per round. If the fixpoint is not reached inside `maxIterations` the
+    * call THROWS instead of returning mid-contraction labels (the fixpoint
+    * rule every graft loop follows — a silently wrong component assignment
+    * at 100 TB is strictly worse than a classified failure). */
   def connectedComponents(graph: PropertyGraph,
       relTypes: Seq[String] = Seq.empty, maxIterations: Int = 20): DataFrame = {
     val e0 = validated(edges(graph, relTypes), graph)
-    // Lazy pinning everywhere (see pageRank): lineage cut now, blocks
-    // materialized by the first convergence aggregate. The dst repartition
-    // is the partitioning the per-round join consumes, so the edge list
-    // never re-shuffles inside the loop.
-    val und = Pin(e0.unionByName(e0.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().repartition(col("dst")))
-    // Isolated nodes are their own component — only nodes incident to an
-    // edge participate in min-id propagation, so every round's join and
-    // checkpoint scales with the connected subgraph, not the node count.
-    // Edge endpoints ARE node ids (the symmetrized src column covers both
-    // directions), so no semi-join against the full node table is needed.
-    var comp = Pin(und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")))
-    // Convergence via the monotone invariant sum(component): min-id
-    // propagation only ever decreases labels, so the sum strictly
-    // decreases until the fixpoint — one cheap aggregate per round
-    // instead of a full old-vs-new join.
-    var prevSum = BigDecimal(-1)
-    var curSum = BigDecimal(0)
-    var it = 0
-    while (prevSum != curSum && it < maxIterations) {
-      val neighborMin = und
-        .join(comp, und("dst") === comp("id"))
-        .select(und("src").as("id"), col("component"))
-        .groupBy("id").agg(min("component").as("nbr_min"))
-      // Lazy pin: plan truncated immediately (bounded plans across rounds),
-      // blocks materialized by the convergence aggregate below — one job per
-      // round instead of an eager checkpoint job plus a separate aggregate.
-      val next = Pin(comp.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component")))
-      prevSum = curSum
-      curSum = BigDecimal(next.agg(coalesce(
-        sum(col("component").cast(
-          org.apache.spark.sql.types.DecimalType(38, 0))),
-        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head().getDecimal(0))
-      comp = next
-      it += 1
-    }
-    // Isolated singletons appended lazily; the caller's action reads the
-    // checkpointed comp frame — no extra materialization pass here.
+    val comp = ccStarLabels(e0, maxIterations)
+    // Isolated singletons (incl. self-loop-only nodes) appended lazily; the
+    // caller's action reads the pinned comp frame — no extra pass here.
     val isolated = nodeIds(graph).join(comp.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     comp.unionByName(isolated)
+  }
+
+  /** The star-contraction core of [[connectedComponents]] over an arbitrary
+    * (src, dst) edge frame: returns (id, component = min id of component)
+    * for every endpoint of a non-loop edge. Package-private so AlgosSpec
+    * can assert the O(log n) round bound on a long chain directly.
+    *
+    * Invariant: the working edge set is kept as (u, v) pairs with u > v —
+    * both operations emit only child-points-to-smaller edges, so the
+    * invariant is established once and self-maintains:
+    *   large-star: group the SYMMETRIZED neighborhoods by node n with
+    *     m = min(n, neighbors); every neighbor w > n re-points to (w, m).
+    *   small-star: group the oriented edges by child u with m = min
+    *     parent; every parent v (and u itself) re-points to (v|u, m).
+    * At the fixpoint the edge set is exactly the star forest
+    * (node -> component minimum). */
+  private[graft] def ccStarLabels(edges0: DataFrame,
+      maxIterations: Int): DataFrame = {
+    var cur = Pin(edges0
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct())
+    var converged = cur.isEmpty
+    var it = 0
+    while (!converged && it < maxIterations) {
+      // large-star over symmetrized neighborhoods
+      val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the (u > v) oriented edges
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+      val next = Pin(ss)
+      // Exact fixpoint test (one aggregation over both rounds' sets): the
+      // symmetric difference is empty iff every (u, v) appears twice.
+      converged = next.unionByName(cur)
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).isEmpty
+      cur = next
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIterations " +
+        "star-contraction rounds (raise maxIterations)")
+    // Fixpoint edges are the star forest: children point at the component
+    // minimum; the minima themselves appear only on the parent side. The
+    // min-aggregation is a correctness belt: it collapses any duplicate
+    // child row to the true minimum rather than yielding two id rows.
+    cur.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(cur.select(col("v").as("id"), col("v").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
   }
 
   /** Count of triangles (undirected, each counted once). */
@@ -344,7 +375,14 @@ object GraphAlgorithms {
         .reduce(_.unionByName(_))
         .groupBy(col("v")).agg(sum(col("_b")).as("_b"))
     val scale = if (directed) 1.0 else 0.5
-    val allNodes = e.select(col("src").as("v")).distinct()
+    // Output universe: BOTH edge endpoints plus the seed set — for a
+    // directed graph the symmetrized trick doesn't apply, so pure sinks
+    // (and edge-less seeds) only appear on the dst/seed side; they must be
+    // reported with betweenness 0.0, not dropped.
+    val allNodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .unionByName(src0.select(col("s").as("v")))
+      .distinct()
     val scored = if (bc == null) allNodes.select(col("v"), lit(0.0).as("_b"))
       else allNodes.join(bc, Seq("v"), "left_outer")
         .select(col("v"), coalesce(col("_b"), lit(0.0)).as("_b"))
@@ -538,8 +576,10 @@ object GraphAlgorithms {
     * (two 1-row aggregates); normalizing inside the loop would put a
     * float division between every round and break exact replay.
     * Values grow like (max degree)^(2*iterations): summed in
-    * Decimal(38,0) so a hub-heavy 100-TB graph overflows into an
-    * analysis-visible null, never a silent wrap.
+    * Decimal(38,0), and an overflow on a hub-heavy 100-TB graph FAILS the
+    * job with a classified error (never a silent wrap, and never a silent
+    * zero — a null sum on an existing group is distinguished from the
+    * no-in-edges join miss below).
     *
     * Scale shape: the edge list is pinned pre-partitioned on src once;
     * each round is two keyed joins + two map-side-combinable sums
@@ -555,18 +595,31 @@ object GraphAlgorithms {
       .unionByName(e.select(col("dst").as("id"))).distinct())
     var scores = Pin(nodes.select(col("id"),
       lit(1).cast(dec).as("hub"), lit(1).cast(dec).as("auth")))
+    // Distinguish "no in/out edges" (join miss — score 0) from Decimal
+    // overflow (group EXISTS but its sum is null under non-ANSI overflow
+    // semantics): the count column is non-null exactly when the group
+    // exists, so a null sum there is overflow and must FAIL the job, not
+    // silently zero the highest-degree hub. (Under ANSI mode the sum
+    // itself throws; this guard covers the non-ANSI configuration.)
+    def sumOr(s: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(n.isNull, lit(0).cast(dec))
+        .when(s.isNull, raise_error(lit(
+          "hits: Decimal(38,0) overflow — reduce iterations")).cast(dec))
+        .otherwise(s)
     var it = 0
     while (it < iterations) {
       val authSums = e.join(scores, e("src") === scores("id"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("_a"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("_a"),
+          count(lit(1)).as("_ac"))
       val withAuth = Pin(nodes.join(authSums, nodes("id") === authSums("dst"),
           "left_outer")
-        .select(col("id"), coalesce(col("_a"), lit(0).cast(dec)).as("auth")))
+        .select(col("id"), sumOr(col("_a"), col("_ac")).as("auth")))
       val hubSums = e.join(withAuth, e("dst") === withAuth("id"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("_h"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("_h"),
+          count(lit(1)).as("_hc"))
       scores = Pin(withAuth.join(hubSums, withAuth("id") === hubSums("src"),
           "left_outer")
-        .select(col("id"), coalesce(col("_h"), lit(0).cast(dec)).as("hub"),
+        .select(col("id"), sumOr(col("_h"), col("_hc")).as("hub"),
           col("auth")))
       it += 1
     }
@@ -699,6 +752,12 @@ object GraphAlgorithms {
       sym = next
       it += 1
     }
+    // Peeling can need many rounds (a caterpillar graph sheds one layer per
+    // round); at the cap the survivor set is a SUPERSET of the true core —
+    // throw rather than return it (the same fixpoint rule as kTrussEdges).
+    if (nEdges != prev && nEdges > 0) throw new IllegalStateException(
+      s"k-core peeling did not converge within $maxIterations rounds " +
+        "(raise maxIterations)")
     sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
   }
 

@@ -137,6 +137,65 @@ class AlgosSpec extends SparkTestBase {
     assert(comps(6L) !== comps(4L))
   }
 
+  test("connected components: diameter-40 chain converges in O(log n) star rounds") {
+    // Star contraction halves every node's distance to the component min
+    // per round — a 41-node path (diameter 40) fits in ceil(log2(40)) = 6
+    // contraction rounds + 1 fixpoint-detection round, where per-hop
+    // min-propagation would need 40. maxIterations doubles as the
+    // round-count probe: 7 must suffice (measured: 41 nodes -> 7 rounds,
+    // 101 -> 8, 1001 -> 11 — the log curve, not the diameter curve).
+    val e = (1L to 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = GraphAlgorithms.ccStarLabels(e, maxIterations = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === (1L to 41L).toSet)
+    assert(comp.values.toSet === Set(1L)) // one component, labeled by its min
+  }
+
+  test("connected components: throws at the cap instead of mid-contraction labels") {
+    val e = (1L to 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      GraphAlgorithms.ccStarLabels(e, maxIterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connected components agree with a driver-side union-find (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val pairs = (1 to 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(id => id -> {
+          // canonical label: min id in the component
+          val r = find(id.toInt)
+          pairs.flatMap(p => Seq(p._1, p._2)).distinct
+            .filter(j => find(j.toInt) == r).min
+        }).toMap
+      val got = GraphAlgorithms.ccStarLabels(pairs.toDF("src", "dst"),
+        maxIterations = 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    }
+  }
+
+  test("k-core: throws at the cap instead of a superset of the core") {
+    // a 9-node path sheds one endpoint layer per peel round at k=2:
+    // 4 rounds to empty, so a cap of 2 must throw, never return survivors
+    val e = (1L to 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      GraphAlgorithms.kCoreEdges(e, k = 2, maxIterations = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    assert(GraphAlgorithms.kCoreEdges(e, k = 2).count() === 0L)
+  }
+
   test("pagerank and components on a graph with zero matching edges") {
     // relTypes that match nothing: every node is isolated.
     val pr = GraphAlgorithms.pageRank(graph, iterations = 3,
