@@ -509,16 +509,18 @@ object PipelineQueries {
         .select(col("x.p").as("src"), col("y.p").as("dst"))
       graft.algos.GraphAlgorithms.degreeAssortativity(pairs)
     }),
-    // --- label propagation communities (id-free size histogram; exact
-    // membership asserted in AlgosSpec) ---
+    // --- label propagation communities (id-free size histogram; 5 exact
+    // synchronous rounds replayed by the DuckDB oracle, membership in
+    // AlgosSpec) ---
     "q_algo_labelprop" -> ((s, dir) =>
       graft.algos.GraphAlgorithms.labelPropagation(
         graft.tpch.TpchGraph(s, dir),
         relTypes = Seq("IN_REGION", "FROM_NATION"), maxIterations = 5)
         .groupBy(col("label")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"))),
-    // --- 2-core of the co-order part-pair graph (degree histogram of the
-    // core members; peeling fixpoint is unique, AlgosSpec pins membership) ---
+    // --- 3-core of the co-order part-pair graph (degree histogram of the
+    // core members; the unique peeling fixpoint is replayed by the DuckDB
+    // oracle's unrolled rounds, membership pinned in AlgosSpec) ---
     "q_algo_kcore" -> ((s, dir) => {
       val lp = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -546,7 +548,7 @@ object PipelineQueries {
     }),
     // --- k-truss edge cohesion of the bounded co-order part-pair graph
     // (1-in-10-orders subgraph, the q_algo_neighborhood input bound);
-    // correctness carried by AlgosSpec's driver-side peeling replay ---
+    // support peeling replayed by the DuckDB oracle's unrolled rounds ---
     "q_algo_ktruss" -> ((s, dir) => {
       val lp = s.read.parquet(s"$dir/lineitem.parquet")
         .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
@@ -745,11 +747,105 @@ object PipelineQueries {
          FROM documents"""
   }
 
+  /** k-core oracle: unrolled peeling rounds over the distinct co-order
+    * part-pair graph. Peeling is monotone and its fixpoint is unique, so
+    * unrolling MORE rounds than the fixpoint needs is exact (post-fixpoint
+    * rounds are identities); sf0.01 converges in 1 round, 6 are unrolled
+    * for margin. Mirrors kCoreEdges' symmetrized-degree formulation. */
+  private val kCoreSql: String = {
+    def round(j: Int) = {
+      val prev = s"e${j - 1}"
+      s"""d$j AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY 1),
+          e$j AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+            JOIN d$j da ON da.id = e.a JOIN d$j db ON db.id = e.b
+            WHERE da.d >= 3 AND db.d >= 3)"""
+    }
+    val rounds = (1 to 6).map(round).mkString(",\n        ")
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+          FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+        $rounds,
+        deg AS (SELECT id, count(*) AS degree FROM (
+          SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1)
+       SELECT degree, count(*) AS n FROM deg GROUP BY 1"""
+  }
+
+  /** Label-propagation oracle: exactly 5 unrolled synchronous rounds of
+    * neighbor-label mode with min-label ties (the engine's semantic cap;
+    * early engine convergence is safe because the fixpoint is stable under
+    * further rounds). Node surrogates are tag*1e8 + key with the tag order
+    * of TpchGraph's nodeDefs (region 0, nation 1, customer 2, supplier 3,
+    * part 4, orders 5, lineitem 6) so the min-label TIE-BREAK order matches
+    * the engine's tagged internal ids exactly. */
+  private val labelPropSql: String = {
+    def round(j: Int) = {
+      val prev = s"l${j - 1}"
+      s"""c$j AS MATERIALIZED (SELECT s.u AS id, l.label, count(*) AS cnt
+            FROM sym s JOIN $prev l ON l.id = s.v GROUP BY 1, 2),
+          l$j AS MATERIALIZED (SELECT id, label FROM (
+            SELECT id, label,
+              row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+            FROM c$j) WHERE rn = 1)"""
+    }
+    val rounds = (1 to 5).map(round).mkString(",\n        ")
+    s"""WITH edges AS (
+          SELECT 100000000 + n_nationkey AS u, 0 + n_regionkey AS v FROM nation
+          UNION ALL SELECT 200000000 + c_custkey, 100000000 + c_nationkey FROM customer
+          UNION ALL SELECT 300000000 + s_suppkey, 100000000 + s_nationkey FROM supplier),
+        sym AS (SELECT DISTINCT u, v FROM (
+          SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges)),
+        l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym),
+        $rounds,
+        allnodes AS (
+          SELECT 0 + r_regionkey AS id FROM region
+          UNION ALL SELECT 100000000 + n_nationkey FROM nation
+          UNION ALL SELECT 200000000 + c_custkey FROM customer
+          UNION ALL SELECT 300000000 + s_suppkey FROM supplier
+          UNION ALL SELECT 400000000 + p_partkey FROM part
+          UNION ALL SELECT 500000000 + o_orderkey FROM orders
+          UNION ALL SELECT 600000000 + row_number() OVER () FROM lineitem),
+        sizes AS (SELECT label, count(*) AS sz FROM l5 GROUP BY 1),
+        iso AS (SELECT id FROM allnodes WHERE id NOT IN (SELECT id FROM l5))
+       SELECT sz, count(*) AS n_communities FROM (
+         SELECT sz FROM sizes UNION ALL SELECT 1 AS sz FROM iso) GROUP BY 1"""
+  }
+
+  /** k-truss oracle: unrolled support-peeling rounds (support = common
+    * neighbors within the surviving edge set; k=4 keeps support >= 2) over
+    * the bounded 1-in-10-orders pair graph. Same monotone-fixpoint
+    * unrolling argument as [[kCoreSql]]; sf0.01 converges in 4 rounds,
+    * 8 are unrolled for margin. */
+  private val kTrussSql: String = {
+    def round(j: Int) = {
+      val prev = s"e${j - 1}"
+      s"""y$j AS MATERIALIZED (SELECT a AS u, b AS v FROM $prev
+            UNION ALL SELECT b AS u, a AS v FROM $prev),
+          s$j AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup
+            FROM $prev e
+            JOIN y$j x ON x.u = e.a
+            JOIN y$j y ON y.u = e.b AND y.v = x.v
+            GROUP BY 1, 2),
+          e$j AS MATERIALIZED (SELECT a, b FROM s$j WHERE sup >= 2)"""
+    }
+    val rounds = (1 to 8).map(round).mkString(",\n        ")
+    s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem WHERE l_orderkey % 10 = 0),
+        e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+          FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+        $rounds
+       SELECT count(*) AS n_edges, count(DISTINCT a) AS n_lo,
+         count(DISTINCT b) AS n_hi FROM e8"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_embed_project" -> embedProjectSql,
     "q_media_hash" -> mediaHashSql,
     "q_algo_pagerank" -> pageRankSql,
     "q_algo_ppr" -> pprSql,
+    "q_algo_kcore" -> kCoreSql,
+    "q_algo_labelprop" -> labelPropSql,
+    "q_algo_ktruss" -> kTrussSql,
     // Windows are compared as raw strings here vs 64-bit hashes in the
     // engine (Decontaminate's documented stance: a collision over-marks
     // one position in 2^64).
