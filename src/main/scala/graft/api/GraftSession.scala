@@ -38,6 +38,40 @@ class GraftSession(val spark: SparkSession) {
       case other => throw new IllegalArgumentException(s"int expected: $other")
     }.getOrElse(default)
 
+  private def strArg(args: Seq[Any], i: Int): String =
+    args.lift(i) match {
+      case Some(s: String) => s
+      case other => throw new IllegalArgumentException(
+        s"string expected at CALL argument $i: $other")
+    }
+
+  /** Trailing relationship-type varargs (empty = every type). */
+  private def strArgs(args: Seq[Any], from: Int): Seq[String] =
+    args.drop(from).map {
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"relationship type (string) expected: $other")
+    }
+
+  private def numArg(v: Any): Double = v match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case other => throw new IllegalArgumentException(s"number expected: $other")
+  }
+
+  /** Tagged-id frame of every node carrying `label` — the seed-set surface
+    * the algorithm procedures use (CALL args are literals, so seeds are
+    * named by label, the Neo4j-GDS convention). */
+  private def labelIds(g: PropertyGraph, label: String)
+      : org.apache.spark.sql.DataFrame = {
+    val scans = g.nodeScansFor(Seq(label))
+    require(scans.nonEmpty, s"no node table carries label: $label")
+    scans.map(_.df.select(
+        org.apache.spark.sql.functions.col(PropertyGraph.ID).as("id")))
+      .reduce(_.unionByName(_))
+  }
+
   registerProcedure("pagerank", (g, args) =>
     graft.algos.GraphAlgorithms.pageRank(g, iterations = intArg(args, 0, 10))
       .toDF("id", "rank"))
@@ -51,6 +85,61 @@ class GraftSession(val spark: SparkSession) {
     spark.range(1).select(
       org.apache.spark.sql.functions.lit(n).as("triangles"))
   })
+  // Round-7 algorithms surfaced as procedures (the full analytics module is
+  // reachable from Cypher, mirroring the reference's session entry points —
+  // okapi-api/.../api/graph/CypherSession.scala). Signatures use literal
+  // args only (the CALL contract): seed sets are named by node label,
+  // relationship types are trailing string varargs (empty = all types).
+  // CALL sssp(seedLabel, relType, weight [, relType, weight]...)
+  registerProcedure("sssp", (g, args) => {
+    val weights = args.drop(1).grouped(2).map {
+      case Seq(t: String, w) => t -> numArg(w)
+      case other => throw new IllegalArgumentException(
+        s"sssp expects (relType, weight) pairs after the seed label: $other")
+    }.toMap
+    graft.algos.GraphAlgorithms.sssp(g, labelIds(g, strArg(args, 0)), weights)
+      .toDF("id", "dist")
+  })
+  // CALL hits(iterations [, relType...])
+  registerProcedure("hits", (g, args) =>
+    graft.algos.GraphAlgorithms.hits(g, strArgs(args, 1),
+      iterations = intArg(args, 0, 2)).toDF("id", "hub", "auth"))
+  // CALL ppr(seedLabel, iterations [, relType...])
+  registerProcedure("ppr", (g, args) =>
+    graft.algos.GraphAlgorithms.personalizedPageRank(g,
+      labelIds(g, strArg(args, 0)), iterations = intArg(args, 1, 10),
+      relTypes = strArgs(args, 2)).toDF("id", "rank"))
+  // CALL betweenness(seedLabel [, relType...]) — k-source Brandes seeded
+  // on the labeled nodes, undirected (the algorithm's default).
+  registerProcedure("betweenness", (g, args) =>
+    graft.algos.GraphAlgorithms.betweenness(
+      graft.algos.GraphAlgorithms.edges(g, strArgs(args, 1)),
+      labelIds(g, strArg(args, 0))).toDF("id", "betweenness"))
+  // CALL kcore(k [, relType...]) — members of the k-core with within-core
+  // degree.
+  registerProcedure("kcore", (g, args) =>
+    graft.algos.GraphAlgorithms.kCore(g, intArg(args, 0, 2),
+      strArgs(args, 1)).toDF("id", "degree"))
+  // CALL ktruss(k [, relType...]) — surviving canonical (a < b) edges.
+  registerProcedure("ktruss", (g, args) =>
+    graft.algos.GraphAlgorithms.kTrussEdges(
+      graft.algos.GraphAlgorithms.edges(g, strArgs(args, 1)),
+      intArg(args, 0, 3)).toDF("a", "b"))
+  // CALL labelprop(maxIterations [, relType...])
+  registerProcedure("labelprop", (g, args) =>
+    graft.algos.GraphAlgorithms.labelPropagation(g, strArgs(args, 1),
+      maxIterations = intArg(args, 0, 10)).toDF("id", "label"))
+  // CALL assortativity([relType...]) — 1-row degree assortativity.
+  registerProcedure("assortativity", (g, args) =>
+    graft.algos.GraphAlgorithms.degreeAssortativity(
+      graft.algos.GraphAlgorithms.edges(g, strArgs(args, 0))))
+  // CALL neighborhood(maxHops [, lgK [, relType...]]) — HyperBall ball-size
+  // estimates (the scale path; exact 2-hop baseline stays programmatic).
+  registerProcedure("neighborhood", (g, args) =>
+    graft.algos.GraphAlgorithms.neighborhoodHll(
+      graft.algos.GraphAlgorithms.edges(g, strArgs(args, 2)),
+      maxHops = intArg(args, 0, 2), lgK = intArg(args, 1, 12))
+      .toDF("id", "ball_est"))
   // Neo4j-style schema introspection: the graph schema is known up front
   // (SURVEY §1.1), so these are driver-side constants, no jobs.
   registerProcedure("db.labels", (g, _) => {

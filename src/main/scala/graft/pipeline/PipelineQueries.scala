@@ -636,13 +636,16 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
     }),
     // --- HITS hub/authority (2 exact integer iterations; id-free
-    // (hub, auth)-histogram output, same trick as the other algos) ---
+    // (hub, auth)-histogram output, same trick as the other algos).
+    // Routed through the CALL procedure surface end-to-end — this oracle
+    // row exercises the Cypher-reachable path (parse -> planCall -> YIELD
+    // -> aggregate), not just the programmatic API. ---
     "q_algo_hits" -> ((s, dir) =>
-      graft.algos.GraphAlgorithms.hits(graft.tpch.TpchGraph(s, dir),
-          Seq("IN_REGION", "FROM_NATION", "PLACED"), iterations = 2)
-        .groupBy(col("hub").cast(LongType).as("hub"),
-          col("auth").cast(LongType).as("auth"))
-        .agg(count(lit(1)).as("n"))))
+      new graft.api.GraftSession(s).cypher(graft.tpch.TpchGraph(s, dir),
+        "CALL hits(2, 'IN_REGION', 'FROM_NATION', 'PLACED') " +
+          "YIELD hub, auth " +
+          "RETURN toInteger(hub) AS hub, toInteger(auth) AS auth, " +
+          "count(*) AS n")))
 
   /** PageRank oracle: the same 3 damped iterations with uniform dangling-
     * mass redistribution, unrolled as chained CTEs over a string-keyed

@@ -203,6 +203,60 @@ class AcceptanceSpec extends SparkTestBase {
     assert(keys.contains("val"))
   }
 
+  test("algorithm procedures via CALL: kcore/ktruss/betweenness/hits/labelprop/assortativity/neighborhood") {
+    // fixture: triangle 1-2-3 with pendant 4 hanging off 3
+    val core = session.cypher(graph,
+      "CALL kcore(2) YIELD id, degree RETURN id, degree").collect()
+    assert(core.length === 3) // the 2-core is the triangle
+    assert(core.forall(_.getLong(1) === 2L))
+    assert(session.cypher(graph,
+      "CALL ktruss(3) YIELD a, b RETURN count(*) AS n")
+      .head().getLong(0) === 3L) // 3-truss = the triangle's edges
+    val bc = session.cypher(graph,
+      "CALL betweenness('N') YIELD id, betweenness " +
+        "RETURN id, betweenness ORDER BY betweenness DESC LIMIT 1").head()
+    assert((bc.getLong(0) & 0xFFFFFFFFL) === 3L) // all paths to 4 cross 3
+    assert(bc.getDouble(1) === 2.0) // pairs (1,4), (2,4)
+    assert(session.cypher(graph,
+      "CALL hits(2) YIELD id, hub, auth RETURN count(*) AS n")
+      .head().getLong(0) === 4L)
+    val lbl = session.cypher(graph,
+      "CALL labelprop(5) YIELD id, label RETURN count(DISTINCT label) AS c")
+      .head().getLong(0)
+    assert(lbl >= 1L && lbl <= 2L) // one community (or 2 under oscillation cap)
+    assert(session.cypher(graph,
+      "CALL assortativity() YIELD assortativity RETURN assortativity")
+      .collect().length === 1)
+    val balls = session.cypher(graph,
+      "CALL neighborhood(2) YIELD id, ball_est RETURN id, ball_est").collect()
+    assert(balls.length === 4)
+    // below HLL's sparse threshold estimates are exact: every 2-hop ball
+    // here covers the whole 4-node component
+    assert(balls.forall(_.getLong(1) === 4L))
+  }
+
+  test("algorithm procedures via CALL: sssp and ppr seeded by label") {
+    // S-labeled seed node 1; E edges 1-2, 2-3 (w=1), F edge 1-3 (w=5):
+    // cheapest route to 3 is two E hops (2.0), not the direct F edge (5.0)
+    val seeds = Seq((1L, 0L)).toDF("id", "x")
+    val vs = Seq((2L, 0L), (3L, 0L)).toDF("id", "x")
+    val es = Seq((10L, 1L, 2L), (11L, 2L, 3L)).toDF("id", "src", "tgt")
+    val fs = Seq((20L, 1L, 3L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("S"), seeds, "id", Map.empty, "n"),
+        NodeTableDef(Set("V"), vs, "id", Map.empty, "n")),
+      Seq(RelTableDef("E", es, "id", "src", "tgt", Map.empty, "e", "n", "n"),
+        RelTableDef("F", fs, "id", "src", "tgt", Map.empty, "f", "n", "n")))
+    val dist = session.cypher(g,
+      "CALL sssp('S', 'E', 1.0, 'F', 5.0) YIELD id, dist RETURN id, dist")
+      .collect().map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    assert(dist === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+    val pprSum = session.cypher(g,
+      "CALL ppr('S', 3) YIELD id, rank RETURN round(sum(rank), 6) AS s")
+      .head().getDouble(0)
+    assert(pprSum === 1.0) // restart mass conserves total rank exactly
+  }
+
   test("EXPLAIN returns the formatted physical plan, not rows") {
     val df = session.cypher(graph,
       "EXPLAIN MATCH (n:N) WHERE n.val > 2 RETURN n.val AS v")
