@@ -13,6 +13,30 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Split banded LSH bucket rows into (cold rows, hot-bucket stats): a
+    * bucket with more than `maxBucketSize` member rows would emit a
+    * quadratic candidate-pair blowup (a million-document boilerplate
+    * cluster in ONE band bucket is 10^12 pairs), so oversized buckets are
+    * excluded from pairing and REPORTED — never silently processed, never
+    * silently dropped without a figure (the no-silent-caps rule). Returns
+    * (rows in non-hot buckets, (hot bucket count, rows in hot buckets)).
+    * The hot-bucket list is aggregated and tiny, so the exclusion join
+    * broadcasts. */
+  private[graft] def splitHotBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): (DataFrame, (Long, Long)) = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucketSize)
+    val s = hot.agg(count(lit(1)), sum(col("_bn"))).head()
+    val stats = (s.getLong(0), if (s.isNullAt(1)) 0L else s.getLong(1))
+    val cold = if (stats._1 == 0L) banded
+      else banded.join(broadcast(hot.select(keys.map(col): _*)),
+        keys, "left_anti")
+    (cold, stats)
+  }
+
   /** Exact deduplication: keep the row with the minimum id per key group.
     * One hash-shuffle on the key columns with map-side partial aggregation.
     * For wide payloads pass only (id, key) and re-join; for the common case
@@ -89,16 +113,25 @@ object Dedup {
     * one shuffle on (band index, band hash), candidate verification via
     * signature agreement — no O(n^2) comparisons).
     *
+    * Hot-bucket guard: any (band, bucket) with more than `maxBucketSize`
+    * documents is excluded from pairing and logged with its dropped row
+    * mass — web-scale corpora carry million-document boilerplate clusters
+    * whose single bucket would otherwise emit a quadratic pair set.
+    * Members of a skipped bucket still pair through their OTHER bands
+    * unless those are hot too (a cluster over the cap is hot in every
+    * band — that cluster is exactly the boilerplate the cap targets; route
+    * it to exact dedup, which handles identical text in one linear pass).
+    *
     * @return (id1, id2, est_jaccard) with id1 < id2,
     *         est_jaccard = fraction of agreeing minhash positions.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-      .persist()
+    val sigs = graft.impl.Pin(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleSize))
     // band j = hash of the j-th signature slice; explode to bucket rows.
     val banded = sigs.select(col("_mh_id"), col("_mh_sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -106,10 +139,16 @@ object Dedup {
             lit(rowsPerBand)), j))))
       .withColumnRenamed("pos", "_mh_band")
       .withColumnRenamed("col", "_mh_bucket")
-    val left = banded.select(col("_mh_band").as("_b1"),
+    val (cold, (nHot, hotRows)) = splitHotBuckets(
+      banded, Seq("_mh_band", "_mh_bucket"), maxBucketSize)
+    if (nHot > 0) log.warn(
+      s"minhashLsh: excluded $nHot oversized LSH bucket(s) " +
+        s"(> $maxBucketSize members; $hotRows bucket rows dropped) from " +
+        "pairing — clusters larger than the cap need exact dedup, not LSH")
+    val left = cold.select(col("_mh_band").as("_b1"),
       col("_mh_bucket").as("_k1"), col("_mh_id").as("id1"),
       col("_mh_sig").as("_sig1"))
-    val right = banded.select(col("_mh_band").as("_b2"),
+    val right = cold.select(col("_mh_band").as("_b2"),
       col("_mh_bucket").as("_k2"), col("_mh_id").as("id2"),
       col("_mh_sig").as("_sig2"))
     val pairs = left.join(right,
@@ -150,17 +189,25 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs: bucket on 4 16-bit slices (any pair
     * within Hamming distance <= maxHamming shares at least one slice when
-    * maxHamming <= 3), verify with bit_count(xor). */
+    * maxHamming <= 3), verify with bit_count(xor). Oversized slice buckets
+    * are excluded and logged — same hot-bucket guard (and rationale) as
+    * [[minhashLsh]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(df, idCol, textCol).persist()
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val sh = graft.impl.Pin(simhashes(df, idCol, textCol))
     val banded = sh.select(col("_sh_id"), col("_sh_hash"),
       posexplode(transform(sequence(lit(0), lit(3)), j =>
         call_function("shiftrightunsigned", col("_sh_hash"), j * 16)
           .bitwiseAND(0xFFFFL))))
-    val left = banded.select(col("pos").as("_b1"), col("col").as("_k1"),
+    val (cold, (nHot, hotRows)) = splitHotBuckets(
+      banded, Seq("pos", "col"), maxBucketSize)
+    if (nHot > 0) log.warn(
+      s"simhashPairs: excluded $nHot oversized slice bucket(s) " +
+        s"(> $maxBucketSize members; $hotRows bucket rows dropped) from " +
+        "pairing — clusters larger than the cap need exact dedup, not LSH")
+    val left = cold.select(col("pos").as("_b1"), col("col").as("_k1"),
       col("_sh_id").as("id1"), col("_sh_hash").as("_h1"))
-    val right = banded.select(col("pos").as("_b2"), col("col").as("_k2"),
+    val right = cold.select(col("pos").as("_b2"), col("col").as("_k2"),
       col("_sh_id").as("id2"), col("_sh_hash").as("_h2"))
     left.join(right, col("_b1") === col("_b2") && col("_k1") === col("_k2") &&
         col("id1") < col("id2"))

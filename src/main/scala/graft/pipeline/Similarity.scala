@@ -216,9 +216,8 @@ object Similarity {
     val fitted = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("_features").setPredictionCol("_ivf_cell")
       .fit(featured)
-    val assigned = fitted.transform(featured)
-      .select(col(idCol), col(vecCol), col("_ivf_cell"))
-      .persist()
+    val assigned = graft.impl.Pin(fitted.transform(featured)
+      .select(col(idCol), col(vecCol), col("_ivf_cell")))
     IvfIndex(fitted.clusterCenters.map(_.toArray), assigned, idCol, vecCol)
   }
 
@@ -299,8 +298,8 @@ object Similarity {
       .join(bandKeyFrame(df, idCol, vecCol, bands, bitsPerBand, seed, dim),
         col("_cid") === col("_lsh_id"))
       .select(col("_cid"), col("_cvec"), col("_lsh_keys"))
-      .persist()
-    val banded = withKeys.select(col("_cid"), col("_cvec"),
+    val pinnedKeys = graft.impl.Pin(withKeys)
+    val banded = pinnedKeys.select(col("_cid"), col("_cvec"),
       explode(col("_lsh_keys")).as("_key"))
     val l = banded.select(col("_key").as("_k1"), col("_cid").as("id1"),
       col("_cvec").as("_v1"))
@@ -328,11 +327,30 @@ object Similarity {
     * bounded by the largest cluster — and in the paper's regime (cluster
     * count grows with the corpus, cluster size stays roughly constant)
     * the total work is linear. The drop decision is a left-semi join, so
-    * no pair set is materialized past the join operator itself. */
+    * no pair set is materialized past the join operator itself.
+    *
+    * Pair budget: that linearity is CONDITIONAL on enough clusters — with
+    * O(1) clusters the self-join degenerates to O(n^2/k). The call
+    * therefore enforces `maxClusterSize` (one aggregate over the
+    * assignment) and FAILS with a classified error when the largest
+    * cluster exceeds it, instead of silently launching a quadratic join;
+    * [[semanticDedupAuto]] derives the cluster count from the corpus size
+    * so the budget holds by construction. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Seq[Double])], threshold: Double): DataFrame = {
-    val assigned = Clustering.assignCosine(df, idCol, vecCol, centroids)
-      .select(col(idCol), col("cluster"))
+      centroids: Seq[(Int, Seq[Double])], threshold: Double,
+      maxClusterSize: Int = 50000): DataFrame = {
+    val assigned = graft.impl.Pin(
+      Clustering.assignCosine(df, idCol, vecCol, centroids)
+        .select(col(idCol), col("cluster")))
+    val worst = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
+    val maxSz = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    if (maxSz > maxClusterSize) throw new IllegalStateException(
+      s"semanticDedup: largest cluster holds $maxSz items " +
+        s"(> maxClusterSize $maxClusterSize); the within-cluster pair " +
+        "join is quadratic in cluster size — raise the cluster count " +
+        "(SemDeDup uses k ~ 0.1% of n; see semanticDedupAuto) or raise " +
+        "maxClusterSize explicitly")
     val withVec = df.select(col(idCol), col(vecCol)).join(assigned, idCol)
     val l = withVec.select(col("cluster").as("_sc"), col(idCol).as("_sid"),
       col(vecCol).as("_sv"))
@@ -346,5 +364,24 @@ object Similarity {
       .join(dropped.select(col(idCol), lit(true).as("_dup")), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         not(coalesce(col("_dup"), lit(false))).as("keep"))
+  }
+
+  /** [[semanticDedup]] with the cluster count derived from the corpus
+    * size — SemDeDup's own regime (Abbas et al. 2023 run ~0.1% of n
+    * clusters precisely so the within-cluster join stays linear overall).
+    * Runs the DataFrame-native k-means ([[Clustering.kmeans]]: driver
+    * state is O(k·dim) centroids only), then dedups against the fitted
+    * centroids. `clusterFrac` is the k/n ratio; `minK` floors tiny
+    * corpora. */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, clusterFrac: Double = 0.001, minK: Int = 8,
+      kmeansIterations: Int = 10): DataFrame = {
+    val n = df.count()
+    val k = math.max(minK.toLong, math.ceil(n * clusterFrac).toLong)
+    require(k <= Int.MaxValue, s"derived cluster count $k exceeds Int range")
+    val centers = Clustering.kmeans(df, idCol, vecCol, k.toInt,
+      kmeansIterations).centers
+    val centroids = centers.zipWithIndex.map { case (c, i) => i -> c.toSeq }
+    semanticDedup(df, idCol, vecCol, centroids.toIndexedSeq, threshold)
   }
 }

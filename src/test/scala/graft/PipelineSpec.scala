@@ -42,6 +42,37 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
   }
 
+  test("minhash LSH hot-bucket guard bounds the pair blowup from a mega-cluster") {
+    // 60 identical boilerplate docs (the web-corpus mega-cluster) would
+    // emit C(60,2)=1770 pairs through ONE bucket per band; with the cap at
+    // 50 every one of its buckets is hot, so the cluster emits ZERO pairs
+    // while the unrelated planted near-dup pair still surfaces through its
+    // own (cold) buckets.
+    val boiler = (100L until 160L).map(i => (i, "standard cookie consent " +
+      "banner text that appears verbatim on every single page of the site"))
+    val planted = Seq(
+      (1L, base), (2L, base.replace("lazy", "sleepy")),
+      (3L, "entirely unrelated article about distributed join strategies"))
+    val df = (boiler ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.4,
+        maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+    // the drop figure the guard logs: one hot bucket per band, 60 rows each
+    val banded = Dedup.minhashSignatures(df, "doc_id", "text", 64, 5)
+      .select(col("_mh_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          j => xxhash64(slice(col("_mh_sig"), j * 4 + 1, lit(4)), j))))
+    val (_, (nHot, hotRows)) = Dedup.splitHotBuckets(
+      banded, Seq("pos", "col"), maxBucketSize = 50)
+    assert(nHot === 16L, s"one hot bucket per band, got $nHot")
+    assert(hotRows === 16L * 60L)
+    // without the guard the mega-cluster pairs quadratically
+    val unguarded = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.4)
+      .count()
+    assert(unguarded === 1770L + 1L)
+  }
+
   test("minhash estimate approximates true jaccard") {
     val est = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.0)
       .filter(col("id1") === 0 && col("id2") === 2)
@@ -690,6 +721,47 @@ class PipelineSpec extends SparkTestBase {
       .semanticDedup(df, "vec_id", "embedding", cents, threshold = 0.9)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(run(vecs) === run(vecs.repartition(13)))
+  }
+
+  test("semanticDedup enforces the per-cluster pair budget on a skewed fixture") {
+    // every vector lands in cluster 0 (all near the x-axis): the
+    // within-cluster join would be all-pairs quadratic — the budget must
+    // FAIL the call with a classified error, never launch the join
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(1.0f, (i * 1e-4).toFloat))).toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val ex = intercept[IllegalStateException] {
+      graft.pipeline.Similarity.semanticDedup(
+        vecs, "vec_id", "embedding", cents, threshold = 0.98,
+        maxClusterSize = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxClusterSize"))
+    // the same fixture passes when the budget admits the cluster
+    val ok = graft.pipeline.Similarity.semanticDedup(
+      vecs, "vec_id", "embedding", cents, threshold = 0.98,
+      maxClusterSize = 30).collect()
+    assert(ok.length === 30)
+  }
+
+  test("semanticDedupAuto derives the cluster count from the corpus") {
+    // 40 vectors in two tight direction bundles: auto-k (floored at
+    // minK=4) must separate them and keep exactly one representative per
+    // near-parallel set at a high threshold
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) (1.0, 0.0) else (0.0, 1.0)
+      (i.toLong, Seq((base._1 + i * 1e-5).toFloat, (base._2 + i * 1e-5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity.semanticDedupAuto(
+      vecs, "vec_id", "embedding", threshold = 0.9999, clusterFrac = 0.1,
+      minK = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.size === 40)
+    // every vector is near-parallel to the lowest id of its bundle unless
+    // k-means split a bundle across clusters — keeps are bounded by the
+    // cluster count, and at least one per bundle survives
+    val keeps = got.count(_._2)
+    assert(keeps >= 2 && keeps <= 8, s"keeps=$keeps")
+    assert(got(0L) && got(1L)) // bundle minima always survive
   }
 
   test("duplicateSpanStats marks cross-doc windows, counts per position") {
