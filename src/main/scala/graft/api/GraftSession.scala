@@ -253,6 +253,10 @@ class GraftSession(val spark: SparkSession) {
   private val CatalogDropRe =
     """(?is)\s*CATALOG\s+DROP\s+(GRAPH|VIEW)\s+([\w`]+)\s*""".r
 
+  private def isCatalogDdl(q: String): Boolean =
+    CatalogCreateGraphRe.matches(q) || CatalogCreateViewRe.matches(q) ||
+      CatalogDropRe.matches(q)
+
   /** Intercept CATALOG DDL; returns Some(empty DF) when `query` was DDL. */
   private def handleCatalogDdl(graph: PropertyGraph, query: String)
       : Option[DataFrame] = query match {
@@ -284,10 +288,17 @@ class GraftSession(val spark: SparkSession) {
     val ExplainRe = "(?is)^\\s*(EXPLAIN|PROFILE)\\s+(.*)$".r
     query match {
       case ExplainRe(_, rest) =>
+        import spark.implicits._
+        // Catalog DDL must NOT run under EXPLAIN ("plan but don't run"):
+        // recursing into cypher() would hit handleCatalogDdl and actually
+        // create/drop the graph or view. DDL has no Spark plan, so the
+        // honest answer is a descriptive row, side-effect free.
+        if (isCatalogDdl(rest)) return Seq(
+          "catalog DDL statement: no Spark plan; not executed under " +
+            "EXPLAIN/PROFILE").toDF("plan")
         val planned = cypher(graph, rest, params, drivingTable)
         val text = planned.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        import spark.implicits._
         return Seq(text).toDF("plan")
       case _ =>
     }

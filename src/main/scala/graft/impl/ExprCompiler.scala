@@ -864,6 +864,35 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     else None
   }
 
+  /** Compile a `date:` map entry to a DateType column (accepts date or
+    * datetime bases — the TCK's temporal-select inputs). */
+  private def dateBaseOf(e: Expr, fn: String): Column = {
+    val t = inferType(e)
+    val c = compile(e)
+    if (t.contains(DateType)) c
+    else if (t.exists(x => x == TimestampType || x == TimestampNTZType))
+      c.cast(DateType)
+    else throw new CypherCompileException(
+      s"$fn date component must be a date or datetime value",
+      CE.SyntaxError, CE.InvalidArgumentType)
+  }
+
+  /** Selection with overrides over a time-of-day base (TCK
+    * TemporalSelectAcceptance): every base component is KEPT unless the
+    * map overrides it. Components are the ADDITIVE second/millisecond/
+    * microsecond convention the component constructor uses (millisecond
+    * 0-999 plus microsecond-within-millisecond), so select and construct
+    * compose the same way. Returns micros since midnight. */
+  private def selectTimeUs(m: Map[String, Expr], base: Column): Column = {
+    def ov(k: String, dflt: Column): Column =
+      m.get(k).map(e => compile(e).cast(LongType)).getOrElse(dflt)
+    ov("hour", base / 3600000000L) * 3600000000L +
+      ov("minute", (base / 60000000L) % 60) * 60000000L +
+      ov("second", (base / 1000000L) % 60) * 1000000L +
+      ov("millisecond", (base / 1000L) % 1000) * 1000L +
+      ov("microsecond", base % 1000L)
+  }
+
   /** Time-of-day component accessor over a micros-since-midnight column. */
   private def localTimeAccessor(us: Column, k: String): Column =
     k.toLowerCase match {
@@ -1357,7 +1386,19 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // Neo4j appends nullability ("INTEGER NOT NULL"); graft reports the
       // base name, with NULL literally for a null value at runtime.
       case "valuetype" =>
-        val tn = inferType(args.head) match {
+        // Entity variables first: inferType reports the id slot's physical
+        // LongType for node/rel vars, which would read "INTEGER" — the
+        // Cypher type of the VARIABLE is NODE/RELATIONSHIP (round-8 fix).
+        val entity = args.head match {
+          case Var(n) => header.kindOf(n) match {
+            case Some(NodeKind(_)) => Some("NODE")
+            case Some(RelKind(_)) => Some("RELATIONSHIP")
+            case Some(ListNodeKind(_)) | Some(ListRelKind(_)) => Some("LIST")
+            case _ => None
+          }
+          case _ => None
+        }
+        val tn = entity.getOrElse(inferType(args.head) match {
           case Some(LongType) | Some(IntegerType) => "INTEGER"
           case Some(DoubleType) | Some(FloatType) => "FLOAT"
           case Some(_: DecimalType) => "FLOAT"
@@ -1375,7 +1416,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case Some(_: StructType) | Some(_: MapType) => "MAP"
           case Some(NullType) => "NULL"
           case _ => "ANY"
-        }
+        })
         if (tn == "NULL") lit("NULL")
         else when(a0.isNull, lit("NULL")).otherwise(lit(tn))
       case "trim" => trim(a0)
@@ -1511,8 +1552,23 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case StrLit(s) =>
             lit(java.sql.Date.valueOf(ExprCompiler.parseCypherDate(s)))
           case MapLit(items) =>
-            dateFromMap(items.toMap.map { case (k, v) => k.toLowerCase -> v },
-              "date()")
+            val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
+            // Selection form date({date: base[, year/month/day: ov]}):
+            // base components are kept unless overridden (TCK
+            // TemporalSelectAcceptance; an override composing an invalid
+            // calendar date follows non-ANSI Spark — null, not a raise).
+            if (m.contains("date")) {
+              val extra = m.keySet -- Set("date", "year", "month", "day")
+              if (extra.nonEmpty) throw new CypherCompileException(
+                s"date() selection supports year/month/day overrides, " +
+                  s"got: ${extra.mkString(", ")}",
+                CE.ArgumentError, CE.InvalidArgumentValue)
+              val b = dateBaseOf(m("date"), "date()")
+              def ov(k: String, dflt: Column) =
+                m.get(k).map(e => compile(e).cast(IntegerType)).getOrElse(dflt)
+              make_date(ov("year", year(b)), ov("month", month(b)),
+                ov("day", dayofmonth(b)))
+            } else dateFromMap(m, "date()")
           case _ => to_date(a0)
         }
       case "localdatetime" | "datetime" =>
@@ -1522,34 +1578,45 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             ExprCompiler.parseCypherLocalDateTime(s)))
           case MapLit(items) if items.exists { case (k, _) =>
               Set("date", "time").contains(k.toLowerCase) } =>
-            // Composition from temporal bases: {date: d[, time: t]} — the
-            // date's calendar day plus the time-of-day (midnight when
-            // absent). Exact integer micros, no float seconds.
+            // Composition/selection from temporal bases: {date: d[, time:
+            // t][, component overrides]} — base components are kept unless
+            // overridden (TCK TemporalSelectAcceptance). The no-override
+            // form stays on the exact integer-micros path.
             val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
-            val extra = m.keySet -- Set("date", "time")
+            val ovKeys = Set("year", "month", "day",
+              "hour", "minute", "second", "millisecond", "microsecond")
+            val extra = m.keySet -- ovKeys -- Set("date", "time")
             if (extra.nonEmpty) throw new CypherCompileException(
-              s"$name() with a date/time base does not support component " +
-                s"overrides: ${extra.mkString(", ")}",
+              s"$name() with a date/time base supports component " +
+                s"overrides ${ovKeys.toSeq.sorted.mkString("/")}, got: " +
+                extra.mkString(", "),
               CE.ArgumentError, CE.InvalidArgumentValue)
-            val d = m.get("date") match {
-              case Some(e) =>
-                val t = inferType(e)
-                val c = compile(e)
-                if (t.contains(DateType)) c
-                else if (t.exists(x =>
-                  x == TimestampType || x == TimestampNTZType)) c.cast(DateType)
-                else throw new CypherCompileException(
-                  s"$name() date component must be a date or datetime value",
-                  CE.SyntaxError, CE.InvalidArgumentType)
-              case None => throw new CypherCompileException(
-                s"$name() needs a date component (a year or a date base)",
-                CE.ArgumentError, CE.InvalidArgumentValue)
-            }
-            val us = m.get("time").map(e => localUsOf(e).getOrElse(
+            val dBase = m.get("date").map(dateBaseOf(_, s"$name()"))
+            val tBase = m.get("time").map(e => localUsOf(e).getOrElse(
               throw new CypherCompileException(
                 s"$name() time component must be a time value",
-                CE.SyntaxError, CE.InvalidArgumentType))).getOrElse(lit(0L))
-            timestamp_micros(unix_micros(d.cast(TimestampType)) + us)
+                CE.SyntaxError, CE.InvalidArgumentType)))
+            if (!m.keySet.exists(ovKeys)) {
+              val d = dBase.getOrElse(throw new CypherCompileException(
+                s"$name() needs a date component (a year or a date base)",
+                CE.ArgumentError, CE.InvalidArgumentValue))
+              timestamp_micros(unix_micros(d.cast(TimestampType)) +
+                tBase.getOrElse(lit(0L)))
+            } else {
+              def ovI(k: String, dflt: Column): Column =
+                m.get(k).map(e => compile(e).cast(IntegerType)).getOrElse(dflt)
+              val y = m.get("year").map(e => compile(e).cast(IntegerType))
+                .orElse(dBase.map(year))
+                .getOrElse(throw new CypherCompileException(
+                  s"$name() needs a date component (a year or a date base)",
+                  CE.ArgumentError, CE.InvalidArgumentValue))
+              val mo = ovI("month", dBase.map(month).getOrElse(lit(1)))
+              val dd = ovI("day", dBase.map(dayofmonth).getOrElse(lit(1)))
+              val us = selectTimeUs(m -- Seq("year", "month", "day"),
+                tBase.getOrElse(lit(0L)))
+              timestamp_micros(
+                unix_micros(make_date(y, mo, dd).cast(TimestampType)) + us)
+            }
           case MapLit(items) =>
             val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
             // Spark timestamps are microsecond-precision; a nanosecond
@@ -1600,7 +1667,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             ExprCompiler.parseCypherTime(s).toNanoOfDay / 1000L).as("_ltus"))
           case Some(MapLit(items)) =>
             val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
-            struct(fromComponents(m).as("_ltus"))
+            // Selection with overrides: {time: base[, components]} keeps
+            // every base component unless overridden (TCK
+            // TemporalSelectAcceptance).
+            if (m.contains("time")) {
+              val extra = m.keySet -- Set("time", "hour", "minute",
+                "second", "millisecond", "microsecond")
+              if (extra.nonEmpty) throw new CypherCompileException(
+                s"localtime() selection got unsupported keys: " +
+                  extra.mkString(", "),
+                CE.ArgumentError, CE.InvalidArgumentValue)
+              val base = localUsOf(m("time")).getOrElse(
+                throw new CypherCompileException(
+                  "localtime() time component must be a time value",
+                  CE.SyntaxError, CE.InvalidArgumentType))
+              struct(selectTimeUs(m, base).as("_ltus"))
+            } else struct(fromComponents(m).as("_ltus"))
           case Some(other) => localUsOf(other) match {
             case Some(us) => struct(us.as("_ltus"))
             case None => throw new CypherCompileException(
@@ -1616,18 +1698,40 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
               lit(off.toLong).as("_tzos"))
           case Some(MapLit(items)) =>
             val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
-            val off: Long = m.get("timezone") match {
+            val offOv: Option[Long] = m.get("timezone") match {
               case Some(StrLit(z)) =>
-                ExprCompiler.parseCypherOffsetTime("00" + z) match {
-                  case (_, o) => o.toLong
-                }
-              case None => 0L
+                Some(ExprCompiler.parseCypherOffsetTime("00" + z)._2.toLong)
+              case None => None
               case Some(other) => throw new CypherCompileException(
                 s"time() timezone must be a string literal, got $other",
                 CE.SyntaxError, CE.InvalidArgumentType)
             }
-            struct((fromComponents(m - "timezone") - off * 1000000L)
-              .as("_tutc"), lit(off).as("_tzos"))
+            // Selection with overrides: a zoned-time base keeps ITS offset
+            // unless a timezone override replaces it; the local clock
+            // reading is preserved across the selection (Neo4j keeps
+            // wall-clock components, not the instant, when overriding).
+            if (m.contains("time")) {
+              val extra = m.keySet -- Set("time", "timezone", "hour",
+                "minute", "second", "millisecond", "microsecond")
+              if (extra.nonEmpty) throw new CypherCompileException(
+                s"time() selection got unsupported keys: " +
+                  extra.mkString(", "),
+                CE.ArgumentError, CE.InvalidArgumentValue)
+              val baseT = inferType(m("time"))
+              val baseLocal = localUsOf(m("time")).getOrElse(
+                throw new CypherCompileException(
+                  "time() time component must be a time value",
+                  CE.SyntaxError, CE.InvalidArgumentType))
+              val off: Column = offOv.map(o => lit(o)).getOrElse(
+                if (isTimeT(baseT)) compile(m("time")).getField("_tzos")
+                else lit(0L))
+              val us = selectTimeUs(m - "timezone", baseLocal)
+              struct((us - off * 1000000L).as("_tutc"), off.as("_tzos"))
+            } else {
+              val off = offOv.getOrElse(0L)
+              struct((fromComponents(m - "timezone") - off * 1000000L)
+                .as("_tutc"), lit(off).as("_tzos"))
+            }
           case Some(other) if isTimeT(inferType(other)) => compile(other)
           case Some(other) => localUsOf(other) match {
             case Some(us) => // session offset is UTC

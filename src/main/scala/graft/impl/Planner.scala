@@ -592,9 +592,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         val nxt = addNode(np)
         val ev = rp.variable.getOrElse(freshVar())
         // [:!T...]: closed-world complement — the schema knows every type.
+        // An EMPTY complement means "no type", which must NOT fall through
+        // to the empty-list "any type" convention — substitute the
+        // unmatchable sentinel so the scan yields zero rows.
         val effTypes =
-          if (rp.typesNegated) (graph.relTypes -- rp.types).toSeq.sorted
-          else rp.types
+          if (rp.typesNegated) {
+            val c = (graph.relTypes -- rp.types).toSeq.sorted
+            if (c.isEmpty) Seq(graft.ast.RelPattern.NoneType) else c
+          } else rp.types
         edges += EdgeCons(ev, cur, nxt,
           effTypes, rp.props, rp.direction, rp.varLength, rp.qpp)
         hops += ((ev, rp.varLength.isDefined, nxt))

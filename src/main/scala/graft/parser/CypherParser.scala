@@ -600,6 +600,37 @@ object CypherParser {
         val e = parseLabelOr(); eatPunct(")"); e
       } else LabelAtom(ident())
 
+    /** Reduce a flat relationship type expression — (negated, type)
+      * alternatives joined uniformly by `sep` — to the planner's
+      * (types, complemented) pair, exploiting that a relationship carries
+      * exactly ONE type:
+      *   | union:        no negations -> the positive set;
+      *                   two distinct negations (!A|!B) -> every type;
+      *                   A|!A -> every type;
+      *                   otherwise (P...|!N) -> everything except N.
+      *   & intersection: all negated (!A&!B) -> complement of the set;
+      *                   two distinct positives (A&B) -> no type;
+      *                   A&!A -> no type; A&!B -> just A.
+      * (Seq.empty, false) encodes "every type"; (Seq(NoneType), false)
+      * encodes "no type" (NoneType matches no relationship table). */
+    private def reduceRelTypeAlts(alts: Seq[(Boolean, String)],
+        sep: String): (Seq[String], Boolean) = {
+      val pos = alts.collect { case (false, t) => t }.distinct
+      val neg = alts.collect { case (true, t) => t }.distinct
+      if (sep == "&" && alts.size > 1) {
+        if (pos.size > 1) (Seq(RelPattern.NoneType), false)
+        else if (pos.size == 1)
+          if (neg.contains(pos.head)) (Seq(RelPattern.NoneType), false)
+          else (pos, false)
+        else (neg, true)
+      } else {
+        if (neg.isEmpty) (pos, false)
+        else if (neg.size >= 2) (Seq.empty, false)
+        else if (pos.contains(neg.head)) (Seq.empty, false)
+        else (Seq(neg.head), true)
+      }
+    }
+
     private def parseRelPattern(): RelPattern = {
       // -[r:T*1..2 {p:v}]->  |  <-[...]–  |  -[...]-  |  -->  |  <--  |  --
       val leftArrow = tryPunct("<-")
@@ -615,11 +646,28 @@ object CypherParser {
           case _ =>
         }
         if (tryPunct(":")) {
-          typesNegated = tryPunct("!")
-          val ts = Seq.newBuilder[String]
-          ts += ident()
-          while (tryPunct("|")) { tryPunct(":"); tryPunct("!"); ts += ident() }
-          types = ts.result()
+          // Cypher-5 relationship type expression, flat form: alternatives
+          // joined by | (union) or & (intersection), each optionally
+          // negated. Negation is tracked PER ALTERNATIVE and the whole
+          // expression reduces to the planner's (types, negated) pair —
+          // a relationship carries exactly one type, so every flat form
+          // collapses to a positive set, a complemented set, all types,
+          // or no type (see reduceRelTypeAlts).
+          val alts = Seq.newBuilder[(Boolean, String)]
+          alts += ((tryPunct("!"), ident()))
+          var sep: Option[String] = None
+          while (isPunct("|") || isPunct("&")) {
+            val s = if (isPunct("|")) "|" else "&"
+            if (sep.exists(_ != s)) fail(
+              "mixing | and & in a relationship type expression needs parentheses")
+            sep = Some(s)
+            p += 1
+            tryPunct(":") // legacy alternative form :A|:B
+            alts += ((tryPunct("!"), ident()))
+          }
+          val (ts, neg) = reduceRelTypeAlts(alts.result(), sep.getOrElse("|"))
+          types = ts
+          typesNegated = neg
         }
         if (tryPunct("*")) {
           val loOpt = peek match {

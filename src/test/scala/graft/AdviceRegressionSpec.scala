@@ -179,4 +179,31 @@ class AdviceRegressionSpec extends SparkTestBase {
         |RETURN a.name AS an ORDER BY an""".stripMargin)
     assert(r === Seq(Seq("alice"), Seq("bob")))
   }
+
+  // --- round-7 medium: EXPLAIN recursed into cypher(), which ran
+  // handleCatalogDdl first — EXPLAIN CATALOG DROP GRAPH actually dropped
+  // the graph and EXPLAIN CATALOG CREATE GRAPH actually stored it.
+  test("EXPLAIN/PROFILE never execute catalog DDL side effects") {
+    val s = new GraftSession(spark)
+    s.store("keepme", graph)
+    val dropPlan = s.cypher(graph, "EXPLAIN CATALOG DROP GRAPH keepme")
+    assert(dropPlan.columns.toSeq === Seq("plan"))
+    assert(s.catalog.contains("keepme"), "EXPLAIN must not drop the graph")
+    s.cypher(graph,
+      "PROFILE CATALOG CREATE GRAPH ghost { FROM GRAPH keepme RETURN GRAPH }")
+    assert(!s.catalog.contains("ghost"), "EXPLAIN must not create the graph")
+    s.cypher(graph, "EXPLAIN CATALOG DROP VIEW someview")
+    assert(s.viewNames.isEmpty)
+  }
+
+  // --- round-7 low: valueType() on a node/relationship variable reported
+  // "INTEGER" (the id slot's physical type) instead of the entity type.
+  test("valueType reports NODE/RELATIONSHIP for entity variables") {
+    val r = rows(
+      "MATCH (a:Person)-[r:KNOWS]->(b) " +
+        "RETURN valueType(a) AS ta, valueType(r) AS tr LIMIT 1")
+    // graft's documented valueType divergence: base name, no nullability
+    // suffix (the same convention as every other valueType result here)
+    assert(r === Seq(Seq("NODE", "RELATIONSHIP")))
+  }
 }

@@ -118,4 +118,11 @@ class ParserSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("expected"))
   }
+
+  test("mixing | and & in a rel type expression without parens is rejected") {
+    val e = intercept[CypherParser.CypherParseException] {
+      CypherParser.parse("MATCH (a)-[r:!T|S&U]->(b) RETURN r")
+    }
+    assert(e.getMessage.contains("parentheses"))
+  }
 }

@@ -80,8 +80,25 @@ class TckStyleSpec33 extends TckScenarioBase {
   scenario("negated relationship type traverses the complement", gRel,
     "MATCH (a {num: 1})-[r:!T]->(b) RETURN type(r) AS x ORDER BY x",
     rows(Map("x" -> "S"), Map("x" -> "U")), ordered = true)
-  scenario("negated type set excludes every listed type", gRel,
-    "MATCH (a {num: 1})-[r:!T|S]->(b) RETURN type(r) AS x", value("U"))
+  // Per-alternative negation (Cypher 5): !T|S is (!T)|S = everything
+  // except T — NOT the complement of {T, S} (round-8 fix: the parser
+  // used to silently drop secondary '!' marks and complement the whole
+  // list; Neo4j's "neither T nor S" spelling is !T&!S, below).
+  scenario("union with one negated alternative is that type's complement", gRel,
+    "MATCH (a {num: 1})-[r:!T|S]->(b) RETURN type(r) AS x ORDER BY x",
+    rows(Map("x" -> "S"), Map("x" -> "U")), ordered = true)
+  scenario("conjunction of negations excludes every listed type", gRel,
+    "MATCH (a {num: 1})-[r:!T&!S]->(b) RETURN type(r) AS x", value("U"))
+  scenario("union of two distinct negations matches every type", gRel,
+    "MATCH (a {num: 1})-[r:!T|!S]->(b) RETURN count(*) AS x", value(3L))
+  scenario("a type unioned with its own negation matches every type", gRel,
+    "MATCH (a {num: 1})-[r:T|!T]->(b) RETURN count(*) AS x", value(3L))
+  scenario("conjunction of two distinct types in a pattern matches nothing", gRel,
+    "MATCH (a)-[r:T&S]->(b) RETURN count(*) AS x", value(0L))
+  scenario("positive conjoined with a different negation keeps the positive", gRel,
+    "MATCH (a {num: 1})-[r:S&!T]->(b) RETURN type(r) AS x", value("S"))
+  scenario("a type conjoined with its own negation matches nothing", gRel,
+    "MATCH (a)-[r:T&!T]->(b) RETURN count(*) AS x", value(0L))
   scenario("negated types in a var-length pattern", gRel,
     // non-S edges from 1: T(1->2), U(1->4), then T(2->4) at depth 2
     "MATCH (a {num: 1})-[:!S*1..2]->(b) RETURN count(*) AS x", value(3L))
