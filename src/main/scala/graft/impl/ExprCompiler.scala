@@ -886,10 +886,11 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
   private def selectTimeUs(m: Map[String, Expr], base: Column): Column = {
     def ov(k: String, dflt: Column): Column =
       m.get(k).map(e => compile(e).cast(LongType)).getOrElse(dflt)
-    ov("hour", base / 3600000000L) * 3600000000L +
-      ov("minute", (base / 60000000L) % 60) * 60000000L +
-      ov("second", (base / 1000000L) % 60) * 1000000L +
-      ov("millisecond", (base / 1000L) % 1000) * 1000L +
+    // Column./ is double division — cast back to Long for exact components.
+    ov("hour", (base / 3600000000L).cast(LongType)) * 3600000000L +
+      ov("minute", (base / 60000000L).cast(LongType) % 60) * 60000000L +
+      ov("second", (base / 1000000L).cast(LongType) % 60) * 1000000L +
+      ov("millisecond", (base / 1000L).cast(LongType) % 1000) * 1000L +
       ov("microsecond", base % 1000L)
   }
 
@@ -982,7 +983,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     if (!m.contains("year")) throw new CypherCompileException(
       s"$fn map requires `year` (got: ${m.keys.mkString(", ")})",
       CE.ArgumentError, CE.InvalidArgumentValue)
-    if (m.contains("week")) {
+    // Dispatch on ANY key of a chain, so a fine key without its coarser
+    // one ({year, dayOfWeek}) is a significance error, not a silently
+    // ignored component.
+    if (m.contains("week") || m.contains("dayofweek")) {
       checkSignificanceOrder(m, Seq("year", "week", "dayofweek"), fn)
       // ISO week date: week 1 is the week containing Jan 4; Monday start.
       val jan4 = make_date(part("year", 0), lit(1), lit(4))
@@ -992,7 +996,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     } else if (m.contains("ordinalday")) {
       F.date_add(make_date(part("year", 0), lit(1), lit(1)),
         part("ordinalday", 1) - lit(1))
-    } else if (m.contains("quarter")) {
+    } else if (m.contains("quarter") || m.contains("dayofquarter")) {
       checkSignificanceOrder(m, Seq("year", "quarter", "dayofquarter"), fn)
       F.date_add(make_date(part("year", 0),
         (part("quarter", 1) - lit(1)) * lit(3) + lit(1), lit(1)),
@@ -1761,6 +1765,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         }
         val src = compile(args(1))
         val srcT = inferType(args(1))
+        // A null source propagates (typed null struct), like every other
+        // temporal function.
+        if (args(1) == NullLit || srcT.contains(NullType))
+          return if (name == "localtime.truncate")
+            lit(null).cast(ExprCompiler.localTimeType)
+          else lit(null).cast(ExprCompiler.timeType)
         if (name == "localtime.truncate") {
           val us =
             if (isLocalTimeT(srcT)) src.getField("_ltus")
