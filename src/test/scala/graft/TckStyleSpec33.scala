@@ -99,6 +99,29 @@ class TckStyleSpec33 extends TckScenarioBase {
     "MATCH (a {num: 1})-[r:S&!T]->(b) RETURN type(r) AS x", value("S"))
   scenario("a type conjoined with its own negation matches nothing", gRel,
     "MATCH (a)-[r:T&!T]->(b) RETURN count(*) AS x", value(0L))
+  scenario("conjunction of negations in a var-length pattern", gRel,
+    // !T&!S edges from 1: only U(1->4); no second hop from 4
+    "MATCH (a {num: 1})-[:!T&!S*1..2]->(b) RETURN b.num AS x", value(4L))
+  scenario("per-alternative negation in a var-length pattern", gRel,
+    // !S|U = everything except S: T(1->2), U(1->4), then T(2->4) deep
+    "MATCH (a {num: 1})-[:!S|U*1..2]->(b) RETURN count(*) AS x", value(3L))
+  scenario("negated types traverse undirected", gRel,
+    // undirected !T from 2: S/U edges incident to 2 — none; from 4: U(1-4)
+    "MATCH (a {num: 4})-[r:!T]-(b) RETURN type(r) AS x", value("U"))
+  scenario("negation with an inline property map still filters", gRel,
+    "MATCH (a)-[r:!S]->(b {num: 4}) RETURN count(*) AS x",
+    value(2L)) // U(1->4) and T(2->4); S(1->3) targets 3
+  scenario("negated union inside a QPP group", gRel,
+    "MATCH (s {num: 1}) ((x)-[:!S|U]->(y)){1,2} (t) " +
+      "RETURN count(*) AS x", value(3L))
+  scenario("none-of conjunction under EXISTS", gRel,
+    "MATCH (a) WHERE EXISTS { (a)-[:!T&!U]->() } RETURN a.num AS x",
+    value(1L)) // only the S edge 1->3 survives the none-of filter
+  scenario("complement of every present type matches nothing (closed world)", gRel,
+    "MATCH (a)-[r:!T&!S&!U]->(b) RETURN count(*) AS x", value(0L))
+  scenario("union of a negation with a nonexistent type", gRel,
+    // !T|ZZZ reduces to !T (ZZZ adds nothing the complement lacks)
+    "MATCH (a {num: 1})-[r:!T|ZZZ]->(b) RETURN count(*) AS x", value(2L))
   scenario("negated types in a var-length pattern", gRel,
     // non-S edges from 1: T(1->2), U(1->4), then T(2->4) at depth 2
     "MATCH (a {num: 1})-[:!S*1..2]->(b) RETURN count(*) AS x", value(3L))

@@ -380,4 +380,49 @@ class TckStyleSpec36 extends TckScenarioBase {
     "RETURN date({year: 1984, week: 10, dayOfWeek: 3}) = " +
       "date('1984-03-07') AS x",
     value(true))
+
+  // ================================================ composition round-up
+  scenario("select then truncate then accessor chains", g,
+    "RETURN (date.truncate('quarter', " +
+      "date({date: date('1984-10-11'), month: 12}))).month AS x",
+    value(10L))
+  scenario("datetime select with only a millisecond override", g,
+    "RETURN toString(localdatetime({date: date('2000-01-02'), " +
+      "millisecond: 7})) AS x",
+    value("2000-01-02 00:00:00.007"))
+  scenario("time select with a microsecond override", g,
+    "RETURN toString(time({time: time('12:31:14.000001+01:00'), " +
+      "microsecond: 9})) AS x",
+    value("12:31:14.000009+01:00"))
+  scenario("localdatetime.truncate to microsecond is identity", g,
+    "RETURN localdatetime.truncate('microsecond', " +
+      "localdatetime('2017-11-27T12:31:14.645876')) = " +
+      "localdatetime('2017-11-27T12:31:14.645876') AS x",
+    value(true))
+  scenario("date.truncate year of a leap day", g,
+    "RETURN toString(date.truncate('year', date('2020-02-29'))) AS x",
+    value("2020-01-01"))
+  scenario("quarter-created date exposes the ordinal accessor", g,
+    "RETURN (date({year: 1984, quarter: 3, dayOfQuarter: 45})).ordinalday AS x",
+    value(227L)) // Aug 14 of leap 1984: 31+29+31+30+31+30+31+13+1
+  scenario("between two selected datetimes", g,
+    "WITH localdatetime({date: date('2015-03-01'), hour: 6}) AS a, " +
+      "localdatetime({date: date('2015-03-02'), hour: 8}) AS b " +
+      "WITH duration.between(a, b) AS d " +
+      "RETURN d.days AS dd, d.hours AS h",
+    rows(Map("dd" -> 1L, "h" -> 2L)))
+  scenario("between respects sub-day components of selections", g,
+    "WITH duration.inSeconds(localdatetime({date: date('2015-03-01')}), " +
+      "localdatetime({date: date('2015-03-01'), minute: 90})) AS d " +
+      "RETURN d.minutes AS m",
+    rows(Map("m" -> 90L)))
+  scenario("week accessor at the year boundary", g,
+    // 2016-01-01 is a Friday, ISO week 53 of 2015
+    "RETURN (date('2016-01-01')).week AS x", value(53L))
+  scenario("selection preserves equality with an independently built value", g,
+    "RETURN localdatetime({date: date('1984-10-11'), " +
+      "time: localtime('12:31:14')}) = " +
+      "localdatetime({year: 1984, month: 10, day: 11, hour: 12, " +
+      "minute: 31, second: 14}) AS x",
+    value(true))
 }
