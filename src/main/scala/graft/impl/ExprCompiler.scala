@@ -894,6 +894,28 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       ov("microsecond", base % 1000L)
   }
 
+  /** Optional third-argument override map of localtime/time.truncate:
+    * overrides apply to the truncated local clock via [[selectTimeUs]]. */
+  private def timeTruncOverrides(args: Seq[Expr], fn: String,
+      trunc: Column): Column =
+    if (args.length < 3) trunc
+    else args(2) match {
+      case MapLit(items) =>
+        val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
+        val allowed =
+          Set("hour", "minute", "second", "millisecond", "microsecond")
+        val extra = m.keySet -- allowed
+        if (extra.nonEmpty) throw new CypherCompileException(
+          s"$fn override map supports ${allowed.toSeq.sorted.mkString("/")}" +
+            s", got: ${extra.mkString(", ")}",
+          CE.ArgumentError, CE.InvalidArgumentValue)
+        selectTimeUs(m, trunc)
+      case other => throw new CypherCompileException(
+        s"$fn third argument must be a map of component overrides, " +
+          s"got $other",
+        CE.SyntaxError, CE.InvalidArgumentType)
+    }
+
   /** Time-of-day component accessor over a micros-since-midnight column. */
   private def localTimeAccessor(us: Column, k: String): Column =
     k.toLowerCase match {
@@ -1779,7 +1801,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             else throw new CypherCompileException(
               s"localtime.truncate() needs a time value",
               CE.SyntaxError, CE.InvalidArgumentType)
-          struct(((us / unitUs).cast(LongType) * unitUs).as("_ltus"))
+          // Optional override map applied to the truncated local clock
+          // (the same selection machinery as time construction).
+          val trunc = (us / unitUs).cast(LongType) * unitUs
+          struct(timeTruncOverrides(args, name, trunc).as("_ltus"))
         } else {
           if (!isTimeT(srcT)) throw new CypherCompileException(
             s"time.truncate() needs a TIME value",
@@ -1787,7 +1812,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           val os = src.getField("_tzos")
           val local = src.getField("_tutc") + os * 1000000L
           val trunc = (local / unitUs).cast(LongType) * unitUs
-          struct((trunc - os * 1000000L).as("_tutc"), os.as("_tzos"))
+          val local2 = timeTruncOverrides(args, name, trunc)
+          struct((local2 - os * 1000000L).as("_tutc"), os.as("_tzos"))
         }
       case "duration" => args(0) match {
         // duration({years:…, months:…, days:…, hours:…, minutes:…,
@@ -1821,6 +1847,29 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // by at most one month, so a single adjustment suffices.
       case "duration.between" | "duration.inmonths" | "duration.indays" |
            "duration.inseconds" =>
+        val opA = inferType(args(0))
+        val opB = inferType(args(1))
+        // Time-of-day operands: the duration is the instant difference
+        // within the day (zoned times diff as instants, the ordering
+        // convention) — a pure micros-group duration, zero months/days
+        // (and inMonths/inDays of a same-day pair are zero by definition).
+        def timeish(t: Option[DataType]) = isLocalTimeT(t) || isTimeT(t)
+        def nullish(t: Option[DataType]) = t.forall(_ == NullType)
+        if ((timeish(opA) && (timeish(opB) || nullish(opB))) ||
+            (timeish(opB) && nullish(opA))) {
+          def inst(c: Column, t: Option[DataType]): Column =
+            if (isLocalTimeT(t)) c.getField("_ltus")
+            else if (isTimeT(t)) c.getField("_tutc")
+            else lit(null).cast(LongType) // null operand: result is null
+          val micros = name match {
+            case "duration.inmonths" | "duration.indays" => lit(0L)
+            case _ => inst(a1, opB) - inst(a0, opA)
+          }
+          return when(a0.isNull || a1.isNull,
+              lit(null).cast(ExprCompiler.durationType))
+            .otherwise(struct(lit(0L).as("months"), lit(0L).as("days"),
+              micros.as("micros")))
+        }
         val ta = a0.cast(TimestampType)
         val tb = a1.cast(TimestampType)
         val ua = F.unix_micros(ta)
@@ -1874,7 +1923,38 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           s"unsupported truncation unit '$unit'",
           CE.ArgumentError, CE.InvalidArgumentValue)
         val t = F.date_trunc(unit, a1.cast(TimestampType))
-        if (name == "date.truncate") t.cast(DateType) else t
+        // Optional third argument: a map of component overrides applied to
+        // the truncated value (Neo4j's truncate(unit, temporal, {map}) —
+        // closes the "map argument not supported" divergence of round 6).
+        val t2 =
+          if (args.length < 3) t
+          else args(2) match {
+            case MapLit(items) =>
+              val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
+              val allowed =
+                if (name == "date.truncate") Set("year", "month", "day")
+                else Set("year", "month", "day", "hour", "minute",
+                  "second", "millisecond", "microsecond")
+              val extra = m.keySet -- allowed
+              if (extra.nonEmpty) throw new CypherCompileException(
+                s"$name override map supports " +
+                  s"${allowed.toSeq.sorted.mkString("/")}, got: " +
+                  extra.mkString(", "),
+                CE.ArgumentError, CE.InvalidArgumentValue)
+              def ovI(k: String, dflt: Column): Column =
+                m.get(k).map(e => compile(e).cast(IntegerType)).getOrElse(dflt)
+              val baseUs = F.unix_micros(t) -
+                F.unix_micros(t.cast(DateType).cast(TimestampType))
+              timestamp_micros(F.unix_micros(
+                make_date(ovI("year", year(t)), ovI("month", month(t)),
+                  ovI("day", dayofmonth(t))).cast(TimestampType)) +
+                selectTimeUs(m, baseUs))
+            case other => throw new CypherCompileException(
+              s"$name third argument must be a map of component " +
+                s"overrides, got $other",
+              CE.SyntaxError, CE.InvalidArgumentType)
+          }
+        if (name == "date.truncate") t2.cast(DateType) else t2
 
       case "datetime.fromepoch" =>
         val nanos =

@@ -425,4 +425,75 @@ class TckStyleSpec36 extends TckScenarioBase {
       "localdatetime({year: 1984, month: 10, day: 11, hour: 12, " +
       "minute: 31, second: 14}) AS x",
     value(true))
+
+  // =================================== truncate with an override map
+  // (Neo4j's truncate(unit, temporal, {components}) — round 8 closes the
+  // "map argument not supported" divergence)
+  scenario("datetime.truncate day with an hour override", g,
+    "RETURN toString(datetime.truncate('day', " +
+      "localdatetime('2017-11-27T12:31:14'), {hour: 12})) AS x",
+    value("2017-11-27 12:00:00"))
+  scenario("localdatetime.truncate hour with a minute override", g,
+    "RETURN toString(localdatetime.truncate('hour', " +
+      "localdatetime('2017-11-27T12:31:14'), {minute: 59})) AS x",
+    value("2017-11-27 12:59:00"))
+  scenario("datetime.truncate year with a day override", g,
+    "RETURN toString(datetime.truncate('year', " +
+      "localdatetime('2017-11-27T12:31:14'), {day: 5})) AS x",
+    value("2017-01-05 00:00:00"))
+  scenario("date.truncate month with a day override", g,
+    "RETURN toString(date.truncate('month', date('2017-11-27'), " +
+      "{day: 15})) AS x",
+    value("2017-11-15"))
+  scenario("localtime.truncate hour with a minute override", g,
+    "RETURN toString(localtime.truncate('hour', " +
+      "localtime('12:31:14.645'), {minute: 30})) AS x",
+    value("12:30:00"))
+  scenario("time.truncate minute with a second override keeps the offset", g,
+    "RETURN toString(time.truncate('minute', " +
+      "time('12:31:14.645+01:00'), {second: 30})) AS x",
+    value("12:31:30+01:00"))
+  scenario("truncate override map composes with accessors", g,
+    "RETURN (datetime.truncate('week', " +
+      "localdatetime('2017-11-30T12:31:14'), {hour: 6})).hour AS x",
+    value(6L))
+  errorScenario("date.truncate override map rejects time components", g,
+    "RETURN date.truncate('month', date('2017-11-27'), {hour: 3}) AS x",
+    ArgumentError, InvalidArgumentValue)
+  errorScenario("truncate third argument must be a map", g,
+    "RETURN datetime.truncate('day', " +
+      "localdatetime('2017-11-27T12:31:14'), 5) AS x",
+    SyntaxError, InvalidArgumentType)
+
+  // ===================================== duration.between over times
+  scenario("between two localtimes is a pure micros duration", g,
+    "WITH duration.between(localtime('12:00:00'), " +
+      "localtime('13:30:05')) AS d " +
+      "RETURN d.hours AS h, d.minutesofhour AS m, d.secondsofminute AS s",
+    rows(Map("h" -> 1L, "m" -> 30L, "s" -> 5L)))
+  scenario("between localtimes is negative when reversed", g,
+    "WITH duration.between(localtime('13:30:00'), localtime('12:00:00')) " +
+      "AS d RETURN d.minutes AS m",
+    rows(Map("m" -> -90L)))
+  scenario("between zoned times compares instants", g,
+    // 12:00+01:00 is 11:00Z; 13:00Z is two hours later on the timeline
+    "WITH duration.between(time('12:00:00+01:00'), time('13:00:00Z')) AS d " +
+      "RETURN d.hours AS h",
+    rows(Map("h" -> 2L)))
+  scenario("between a localtime and a zoned time (local reads as UTC)", g,
+    "WITH duration.between(localtime('10:00:00'), time('11:30:00Z')) AS d " +
+      "RETURN d.minutes AS m",
+    rows(Map("m" -> 90L)))
+  scenario("inDays over times is zero", g,
+    "WITH duration.inDays(localtime('01:00:00'), localtime('23:00:00')) " +
+      "AS d RETURN d.days AS dd",
+    rows(Map("dd" -> 0L)))
+  scenario("between times null-propagates", g,
+    "RETURN duration.between(localtime('12:00'), null) IS NULL AS x",
+    value(true))
+  scenario("between times carries sub-second precision", g,
+    "WITH duration.between(localtime('12:00:00.250'), " +
+      "localtime('12:00:01.750')) AS d " +
+      "RETURN d.seconds AS s, d.millisecondsofsecond AS ms",
+    rows(Map("s" -> 1L, "ms" -> 500L)))
 }
