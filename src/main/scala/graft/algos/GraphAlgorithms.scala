@@ -470,7 +470,11 @@ object GraphAlgorithms {
     * plus the delta optimization those don't need). Convergence: with
     * positive weights each node's distance is finalized after at most
     * (shortest-path hop count) rounds; the loop stops when a round
-    * improves nothing. */
+    * improves nothing. If the frontier is still active at
+    * `maxIterations` the distances are NOT final (a longer weighted
+    * diameter than the cap) and the call throws instead of returning
+    * overestimates — same no-silent-truncation rule as
+    * [[connectedComponents]]/[[kTrussEdges]]. */
   def sssp(graph: PropertyGraph, sources: DataFrame,
       weights: Map[String, Double], directed: Boolean = false,
       maxIterations: Int = 50): DataFrame = {
@@ -515,6 +519,9 @@ object GraphAlgorithms {
       active = frontier.count()
       it += 1
     }
+    if (active > 0) throw new IllegalStateException(
+      s"sssp did not converge within $maxIterations rounds " +
+        s"($active nodes still improving — raise maxIterations)")
     dist
   }
 

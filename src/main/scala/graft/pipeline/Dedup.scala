@@ -288,39 +288,22 @@ object Dedup {
     * the minimum id reachable through the (id1, id2) pair graph — the
     * terminal canonicalization step of a dedup pipeline (pairs come from
     * minhashLsh / simhashPairs / cosineNearDupPairs / an exact self-join).
-    * Iterative min-label propagation, one join + aggregation per round,
-    * state pinned per round (Pin.eager) — same scale shape as components;
-    * singletons map to themselves. */
+    * Delegates to the alternating large-star/small-star contraction
+    * (Kiveris et al., SoCC 2014 — [[graft.algos.GraphAlgorithms.ccStarLabels]]):
+    * rounds are O(log n) regardless of the pair graph's diameter, and the
+    * cap THROWS rather than returning mid-propagation labels (per-hop
+    * min-propagation, the previous formulation, needed O(diameter) rounds
+    * — a chain of near-dup pairs longer than the cap silently returned
+    * wrong canonical ids). Singletons map to themselves. */
   def canonicalize(allIds: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", id1: String = "id1", id2: String = "id2",
       maxIterations: Int = 20): DataFrame = {
     val e = pairs.select(col(id1).cast(LongType).as("src"),
       col(id2).cast(LongType).as("dst"))
-    val und = e.unionByName(e.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .distinct().repartition(col("dst")).persist()
-    var comp = allIds.select(col(idCol).cast(LongType).as("id")).distinct()
-      .select(col("id"), col("id").as("canonical")).persist()
-    var prevSum = BigDecimal(-1)
-    var curSum = BigDecimal(0)
-    var it = 0
-    while (prevSum != curSum && it < maxIterations) {
-      val nbrMin = und.join(comp, und("dst") === comp("id"))
-        .select(und("src").as("id"), col("canonical"))
-        .groupBy("id").agg(min("canonical").as("nbr_min"))
-      val next = graft.impl.Pin.eager(comp.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("canonical"),
-          coalesce(col("nbr_min"), col("canonical"))).as("canonical")))
-      prevSum = curSum
-      curSum = BigDecimal(next.agg(coalesce(sum(col("canonical").cast(
-          org.apache.spark.sql.types.DecimalType(38, 0))),
-        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head().getDecimal(0))
-      comp.unpersist()
-      comp = next
-      it += 1
-    }
-    und.unpersist()
-    comp.select(col("id").as(idCol), col("canonical"))
+    val comp = graft.algos.GraphAlgorithms.ccStarLabels(e, maxIterations)
+    allIds.select(col(idCol).cast(LongType).as("id")).distinct()
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("canonical"))
   }
 }

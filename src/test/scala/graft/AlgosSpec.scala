@@ -256,6 +256,28 @@ class AlgosSpec extends SparkTestBase {
     assert(dUnd(3L) === 2.0)
   }
 
+  test("sssp: throws at the cap instead of returning unfinalized distances") {
+    // A 6-hop chain with maxIterations=3: the frontier is still active at
+    // the cap, so distances past hop 3 would be missing/overestimated —
+    // the call must fail, not truncate (same rule as components/k-truss).
+    val nodes = (1L to 7L).toDF("id")
+    val edges = (1L to 6L).map(i => (100L + i, i, i + 1))
+      .toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val src = Seq(1L).toDF("id")
+      .select((shiftleft(lit(0L), 56).bitwiseOR(col("id"))).as("id"))
+    val ex = intercept[IllegalStateException] {
+      GraphAlgorithms.sssp(g, src, Map("E" -> 1.0), maxIterations = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with a sufficient cap the same graph resolves fully
+    val d = GraphAlgorithms.sssp(g, src, Map("E" -> 1.0), maxIterations = 10)
+      .collect().map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    assert(d(7L) === 6.0)
+  }
+
   test("triangle count via degree orientation over an edge frame") {
     // K4 has 4 triangles; an extra pendant edge adds none. Duplicate and
     // reversed input edges must not change the count.

@@ -211,6 +211,25 @@ class PipelineSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("canonicalize: diameter-40 pair chain closes in O(log n) rounds") {
+    import spark.implicits._
+    // A chain of 40 near-dup pairs (diameter 40) — per-hop
+    // min-propagation needed 40 rounds and silently returned wrong
+    // canonical ids past the cap of 20; the star-contraction delegate
+    // closes it inside 7 rounds (and throws, never truncates, at a
+    // genuinely too-small cap).
+    val ids = (1L to 41L).toDF("doc_id")
+    val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.canonicalize(ids, pairs, maxIterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === (1L to 41L).toSet)
+    assert(got.values.toSet === Set(1L))
+    val ex = intercept[IllegalStateException] {
+      Dedup.canonicalize(ids, pairs, maxIterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("decontamination flags gram overlap with probes, scrub removes it") {
     // probe = doc 0; docs 1/2/5 share 20-char grams with it, 3/4 do not
     val probes = docs.filter(col("doc_id") === 0)
