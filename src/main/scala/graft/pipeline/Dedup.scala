@@ -132,13 +132,21 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sigs = graft.impl.Pin(
       minhashSignatures(df, idCol, textCol, numHashes, shingleSize))
-    // band j = hash of the j-th signature slice; explode to bucket rows.
-    val banded = sigs.select(col("_mh_id"), col("_mh_sig"),
+    // band j = hash of the j-th signature slice; explode to SLIM bucket
+    // rows (id, band, bucket) — the 64-long signature array stays behind
+    // in the pinned sigs frame and is re-attached only to the (small)
+    // deduplicated candidate pair set. Carrying the array through the
+    // banded self-join shuffled ~32x more bytes for the same pairs.
+    // Pinned pre-partitioned on (band, bucket): the hot-bucket count, the
+    // broadcast anti-join AND the bucket self-join all consume this one
+    // partitioning, so the banded rows shuffle ONCE.
+    val banded = graft.impl.Pin(sigs.select(col("_mh_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(F.slice(col("_mh_sig"), j * rowsPerBand + 1,
             lit(rowsPerBand)), j))))
       .withColumnRenamed("pos", "_mh_band")
       .withColumnRenamed("col", "_mh_bucket")
+      .repartition(col("_mh_band"), col("_mh_bucket")))
     val (cold, (nHot, hotRows)) = splitHotBuckets(
       banded, Seq("_mh_band", "_mh_bucket"), maxBucketSize)
     if (nHot > 0) log.warn(
@@ -146,16 +154,18 @@ object Dedup {
         s"(> $maxBucketSize members; $hotRows bucket rows dropped) from " +
         "pairing — clusters larger than the cap need exact dedup, not LSH")
     val left = cold.select(col("_mh_band").as("_b1"),
-      col("_mh_bucket").as("_k1"), col("_mh_id").as("id1"),
-      col("_mh_sig").as("_sig1"))
+      col("_mh_bucket").as("_k1"), col("_mh_id").as("id1"))
     val right = cold.select(col("_mh_band").as("_b2"),
-      col("_mh_bucket").as("_k2"), col("_mh_id").as("id2"),
-      col("_mh_sig").as("_sig2"))
+      col("_mh_bucket").as("_k2"), col("_mh_id").as("id2"))
     val pairs = left.join(right,
         col("_b1") === col("_b2") && col("_k1") === col("_k2") &&
           col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("_sig1"), col("_sig2"))
+      .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
+      .join(sigs.select(col("_mh_id").as("id1"), col("_mh_sig").as("_sig1")),
+        "id1")
+      .join(sigs.select(col("_mh_id").as("id2"), col("_mh_sig").as("_sig2")),
+        "id2")
     val agree = F.size(F.filter(zip_with(col("_sig1"), col("_sig2"),
       (a, b) => a === b), x => x))
     pairs
@@ -195,10 +205,13 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sh = graft.impl.Pin(simhashes(df, idCol, textCol))
-    val banded = sh.select(col("_sh_id"), col("_sh_hash"),
-      posexplode(transform(sequence(lit(0), lit(3)), j =>
-        call_function("shiftrightunsigned", col("_sh_hash"), j * 16)
-          .bitwiseAND(0xFFFFL))))
+    // Same pinned (slice, key) pre-partitioning as minhashLsh: guard
+    // count, anti-join and self-join share one shuffle of the banded rows.
+    val banded = graft.impl.Pin(sh.select(col("_sh_id"), col("_sh_hash"),
+        posexplode(transform(sequence(lit(0), lit(3)), j =>
+          call_function("shiftrightunsigned", col("_sh_hash"), j * 16)
+            .bitwiseAND(0xFFFFL))))
+      .repartition(col("pos"), col("col")))
     val (cold, (nHot, hotRows)) = splitHotBuckets(
       banded, Seq("pos", "col"), maxBucketSize)
     if (nHot > 0) log.warn(
