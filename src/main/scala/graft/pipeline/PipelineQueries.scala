@@ -439,6 +439,17 @@ object PipelineQueries {
     "q_temperature_mix" -> ((s, dir) =>
       Sampling.temperatureMix(docs(s, dir), "source", alpha = 0.5, "doc_id")
         .select(col("doc_id"), col("source"), col("source_target"))),
+    // --- DSIR importance resampling (Xie 2023): target = every 7th doc ---
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirWeights(d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
+    "q_dsir_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.dsirResample(d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0), "doc_id", "text", k = 50)
+    }),
     // --- shard packing: distributed prefix sum (no single-partition window) ---
     "q_pack_budget" -> ((s, dir) =>
       Pack.packByTokenBudget(docs(s, dir), "doc_id",
@@ -1089,6 +1100,51 @@ object PipelineQueries {
          SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
          FROM g JOIN probe USING (gram) WHERE g.doc_id % 47 <> 0
          GROUP BY 1 HAVING count(DISTINCT g.gram) >= 1""",
+    "q_dsir_weights" ->
+      """WITH rawt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents WHERE doc_id % 7 <> 0),
+         tgtt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents WHERE doc_id % 7 = 0),
+         rg AS (SELECT doc_id, unnest(ts) AS g FROM rawt
+                UNION ALL
+                SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts), 1)), i -> ts[i] || ' ' || ts[i+1])) AS g FROM rawt),
+         tg AS (SELECT doc_id, unnest(ts) AS g FROM tgtt
+                UNION ALL
+                SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts), 1)), i -> ts[i] || ' ' || ts[i+1])) AS g FROM tgtt),
+         rc AS (SELECT g, count(*)::DOUBLE AS rc FROM rg GROUP BY 1),
+         tc AS (SELECT g, count(*)::DOUBLE AS tc FROM tg GROUP BY 1),
+         tot AS (SELECT (SELECT sum(rc) FROM rc) AS rtot,
+                        (SELECT count(*) FROM rc)::DOUBLE AS v,
+                        coalesce((SELECT sum(tc) FROM tc), 0) AS ttot),
+         w AS (SELECT rc.g,
+                 ln((coalesce(tc.tc, 0) + 0.5) / (tot.ttot + 0.5 * tot.v)) -
+                 ln((rc.rc + 0.5) / (tot.rtot + 0.5 * tot.v)) AS w
+               FROM rc LEFT JOIN tc USING (g), tot)
+         SELECT rg.doc_id, round(sum(w.w), 6) AS dsir_weight
+         FROM rg JOIN w ON rg.g = w.g GROUP BY 1""",
+    "q_dsir_sample" ->
+      """WITH rawt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents WHERE doc_id % 7 <> 0),
+         tgtt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents WHERE doc_id % 7 = 0),
+         rg AS (SELECT doc_id, unnest(ts) AS g FROM rawt
+                UNION ALL
+                SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts), 1)), i -> ts[i] || ' ' || ts[i+1])) AS g FROM rawt),
+         tg AS (SELECT doc_id, unnest(ts) AS g FROM tgtt
+                UNION ALL
+                SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts), 1)), i -> ts[i] || ' ' || ts[i+1])) AS g FROM tgtt),
+         rc AS (SELECT g, count(*)::DOUBLE AS rc FROM rg GROUP BY 1),
+         tc AS (SELECT g, count(*)::DOUBLE AS tc FROM tg GROUP BY 1),
+         tot AS (SELECT (SELECT sum(rc) FROM rc) AS rtot,
+                        (SELECT count(*) FROM rc)::DOUBLE AS v,
+                        coalesce((SELECT sum(tc) FROM tc), 0) AS ttot),
+         w AS (SELECT rc.g,
+                 ln((coalesce(tc.tc, 0) + 0.5) / (tot.ttot + 0.5 * tot.v)) -
+                 ln((rc.rc + 0.5) / (tot.rtot + 0.5 * tot.v)) AS w
+               FROM rc LEFT JOIN tc USING (g), tot),
+         dw AS (SELECT rg.doc_id, round(sum(w.w), 6) AS dsir_weight
+                FROM rg JOIN w ON rg.g = w.g GROUP BY 1)
+         SELECT doc_id, dsir_weight FROM (
+           SELECT doc_id, dsir_weight,
+             round(dsir_weight - ln(-ln((((doc_id * 1103515245 + 12345) % 2048)::DOUBLE + 0.5) / 2048.0)), 6) AS key
+           FROM dw) t
+         ORDER BY key DESC, doc_id LIMIT 50""",
     "q_sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE (doc_id * 1103515245 + 12345) % 2048 < 204",
     "q_sample_stratified" ->

@@ -95,6 +95,82 @@ object Sampling {
       .withColumnRenamed("_target", "source_target")
   }
 
+  /** Word unigram + bigram occurrence rows (_d_id, _gh) for DSIR: lower,
+    * split on non-alphanumeric runs, drop empties, hash each gram to a
+    * long (xxhash64) so the gram shuffle carries 8-byte keys — the same
+    * hash-the-feature move as [[Decontaminate]]; an external oracle
+    * replays on the gram STRINGS, identical modulo 64-bit collisions. */
+  private def dsirGrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      t => t =!= "")
+    val bi = when(size(col("_ts")) >= 2,
+      zip_with(slice(col("_ts"), lit(1), size(col("_ts")) - 1),
+        slice(col("_ts"), lit(2), size(col("_ts")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("_d_id"), toks.as("_ts"))
+      .select(col("_d_id"), explode(concat(col("_ts"), bi)).as("_g"))
+      .select(col("_d_id"), xxhash64(col("_g")).as("_gh"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per raw document, the
+    * log-likelihood ratio of its hashed unigram+bigram features under the
+    * target vs the raw n-gram distributions,
+    * Σ_g [ln((tc_g+α)/(T+αV)) − ln((rc_g+α)/(R+αV))] over the document's
+    * gram OCCURRENCES (α-smoothed; V = raw vocabulary size, so grams the
+    * target never saw pull the score down instead of −∞). High weight =
+    * looks like the target corpus relative to the raw pool.
+    *
+    * Scale shape: two map-side-combinable gram-count aggregations, the
+    * per-gram weight table joined to the occurrence rows on the 8-byte
+    * gram hash (one keyed shuffle — the vocabulary is never collected or
+    * broadcast), one per-doc sum; corpus totals travel as 1-row
+    * broadcasts. Weights round to 6 decimals so an oracle's ln() lands on
+    * the same value. Docs with zero grams are omitted (no features — no
+    * likelihood). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val rg = dsirGrams(raw, idCol, textCol)
+    val tg = dsirGrams(target, idCol, textCol)
+    val rc = rg.groupBy(col("_gh")).agg(count(lit(1)).cast("double").as("_rc"))
+    val tc = tg.groupBy(col("_gh")).agg(count(lit(1)).cast("double").as("_tc"))
+    val scalars = rc.agg(sum(col("_rc")).as("_rtot"),
+        count(lit(1)).cast("double").as("_v"))
+      .crossJoin(tc.agg(coalesce(sum(col("_tc")), lit(0.0)).as("_ttot")))
+    val w = rc.join(tc, Seq("_gh"), "left_outer")
+      .crossJoin(broadcast(scalars))
+      .select(col("_gh"),
+        (log((coalesce(col("_tc"), lit(0.0)) + alpha) /
+            (col("_ttot") + col("_v") * alpha)) -
+          log((col("_rc") + alpha) /
+            (col("_rtot") + col("_v") * alpha))).as("_w"))
+    rg.join(w, "_gh")
+      .groupBy(col("_d_id"))
+      .agg(round(sum(col("_w")), 6).as("dsir_weight"))
+      .select(col("_d_id").as(idCol), col("dsir_weight"))
+  }
+
+  /** DSIR selection: k raw documents drawn without replacement with
+    * probability ∝ exp(dsir_weight) via the Gumbel top-k trick — key =
+    * weight + Gumbel(0,1), the k largest keys win. The Gumbel draw is
+    * −ln(−ln(u)) with u from the deterministic LCG bucket of the id, so
+    * the selected set is reproducible anywhere (the [[weightedSample]]
+    * guarantees); key rounded to 6 decimals, id tiebreak, TakeOrdered
+    * (sort+limit fuse — no full sort). */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, alpha: Double = 0.5,
+      buckets: Int = 2048): DataFrame = {
+    val u = (idBucket(col(idCol), buckets).cast("double") + 0.5) / buckets
+    dsirWeights(raw, target, idCol, textCol, alpha)
+      .withColumn("_key", round(col("dsir_weight") - log(-log(u)), 6))
+      .orderBy(col("_key").desc, col(idCol))
+      .limit(k)
+      .drop("_key")
+  }
+
   /** Per-group share of total rows — the "domain mix" report a curation
     * pipeline balances against (one aggregation + a 1-row broadcast). */
   def domainMix(df: DataFrame, groupCol: String): DataFrame = {

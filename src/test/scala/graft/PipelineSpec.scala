@@ -211,6 +211,26 @@ class PipelineSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("dsir: target-like raw docs outrank off-target docs; resample is a raw subset") {
+    import spark.implicits._
+    // target corpus is "cats": raw docs about cats must score higher than
+    // raw docs about bolts (their grams are frequent in target, rare for
+    // bolts), and the Gumbel top-k must select only raw ids.
+    val target = Seq((100L, "the cat sat on the mat"),
+      (101L, "a cat and another cat on a mat")).toDF("doc_id", "text")
+    val raw = Seq((1L, "the cat sat on the mat today"),
+      (2L, "cat on a mat"),
+      (3L, "torque bolts with hex wrench sizes"),
+      (4L, "wrench torque spec for hex bolts")).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L))
+    assert(math.min(w(1L), w(2L)) > math.max(w(3L), w(4L)))
+    val picked = Sampling.dsirResample(raw, target, "doc_id", "text", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.size === 2 && picked.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
   test("canonicalize: diameter-40 pair chain closes in O(log n) rounds") {
     import spark.implicits._
     // A chain of 40 near-dup pairs (diameter 40) — per-hop
