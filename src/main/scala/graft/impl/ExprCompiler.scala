@@ -430,6 +430,61 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case _ => false
   }
 
+  /** Statically a list or a PLAIN map — not one of the planner's marker
+    * structs (path, entity, duration, time-of-day), which keep their own
+    * equality semantics. */
+  private def containerTyped(e: Expr): Boolean = inferType(e) match {
+    case Some(_: ArrayType) => true
+    case Some(st: StructType) =>
+      entityStructOf(Some(st)).isEmpty && !isPathStruct(e) &&
+        !isDuration(e) && !isLocalTimeT(Some(st)) && !isTimeT(Some(st))
+    case _ => false
+  }
+
+  /** Both sides statically list- or map-typed (per [[containerTyped]]):
+    * the type pair for [[ternaryEq]]. */
+  private def ternaryEqTypes(l: Expr, r: Expr): Option[(DataType, DataType)] =
+    (inferType(l), inferType(r)) match {
+      case (Some(lt: ArrayType), Some(rt: ArrayType)) => Some((lt, rt))
+      case (Some(lt: StructType), Some(rt: StructType))
+          if containerTyped(l) && containerTyped(r) => Some((lt, rt))
+      case _ => None
+    }
+
+  /** openCypher ternary equality for lists and maps (see the Cmp("=")
+    * case): key-set mismatch is definite false; otherwise recursive
+    * elementwise 3VL. Map fields compare BY NAME (maps are unordered). */
+  private def ternaryEq(lc: Column, rc: Column,
+      lt: DataType, rt: DataType): Column = (lt, rt) match {
+    case (ls: StructType, rs: StructType)
+        if ls.fieldNames.toSet != rs.fieldNames.toSet =>
+      when(lc.isNull || rc.isNull, lit(null).cast(BooleanType))
+        .otherwise(lit(false))
+    case _ => elem3vlEq(lc, rc, lt)
+  }
+
+  private def elem3vlEq(a: Column, b: Column, t: DataType): Column = t match {
+    case ArrayType(et, _) =>
+      val pairs = zip_with(a, b, (x, y) => elem3vlEq(x, y, et))
+      when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+        .when(F.size(a) =!= F.size(b), lit(false))
+        .when(F.exists(pairs, e => !e), lit(false))
+        .when(F.exists(pairs, e => e.isNull), lit(null).cast(BooleanType))
+        .otherwise(lit(true))
+    case st: StructType =>
+      val fs = st.fields.toSeq.map(f =>
+        elem3vlEq(a.getField(f.name), b.getField(f.name), f.dataType))
+      when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+        .when(fs.map(c => c <=> lit(false)).reduceOption(_ || _)
+          .getOrElse(lit(false)), lit(false))
+        .when(fs.map(_.isNull).reduceOption(_ || _).getOrElse(lit(false)),
+          lit(null).cast(BooleanType))
+        .otherwise(lit(true))
+    case _ =>
+      when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+        .otherwise(a === b)
+  }
+
   /** Entity-element structs produced by the planner's
     * materializeEntityLists (lambdas over relationships(p)/nodes(p)):
     * marker convention is a leading "_id" field, then "_src"/"_tgt"/"_type"
@@ -580,6 +635,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // evaluate operands for their effects-free nullness only; result is
       // null either way (incomparable)
       lit(null).cast(BooleanType)
+    // List/map equality under ternary logic (openCypher comparability
+    // semantics; TCK "Comparing lists with null"): a length or key-set
+    // mismatch is definite false; otherwise any pairwise-FALSE element
+    // makes the whole comparison false, any null element (or null-vs-value
+    // pair) makes it null, else true. Spark's native array/struct equality
+    // treats null elements as EQUAL ([null] = [null] -> true) — the
+    // reference inherits that and blacklists the TCK rows
+    // (morpheus-tck failing_blacklist); here the openCypher answer is
+    // compiled directly. Applies only when both sides are statically
+    // list/map typed; paths and entity structs keep identity semantics.
+    case Cmp("=", l, r) if ternaryEqTypes(l, r).isDefined =>
+      val (lt, rt) = ternaryEqTypes(l, r).get
+      ternaryEq(compile(l), compile(r), lt, rt)
+    case Cmp("<>", l, r) if ternaryEqTypes(l, r).isDefined =>
+      val (lt, rt) = ternaryEqTypes(l, r).get
+      !ternaryEq(compile(l), compile(r), lt, rt)
     case Cmp("=", l, r) => compile(l) === compile(r)
     case Cmp("<>", l, r) => compile(l) =!= compile(r)
     case Cmp("<", l, r) => compile(l) < compile(r)
@@ -590,6 +661,19 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case IsNull(x, true) => compile(x).isNotNull
     // Cypher: `x IN []` is false for every x, including null.
     case In(_, ListLit(items)) if items.isEmpty => lit(false)
+    // IN with a list/map needle: openCypher defines IN through ternary
+    // equality — any TRUE comparison wins, else any null comparison makes
+    // the result null, else false. Spark's isin/array_contains would use
+    // native array equality ([1,null] IN [[1,null]] -> true; TCK: null).
+    case In(l, ListLit(items)) if containerTyped(l) =>
+      val lt = inferType(l).get
+      val lc = compile(l)
+      val cmps = items.map(i =>
+        ternaryEq(lc, compile(i), lt, inferType(i).getOrElse(lt)))
+      when(cmps.map(c => c <=> lit(true)).reduce(_ || _), lit(true))
+        .when(cmps.map(_.isNull).reduce(_ || _),
+          lit(null).cast(BooleanType))
+        .otherwise(lit(false))
     case In(l, ListLit(items)) =>
       compile(l).isin(items.map(compile): _*)
     // Null needle against a dynamic list: false when empty, else null
@@ -599,6 +683,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         .otherwise(lit(null).cast(BooleanType))
     // `x IN null` is null (array_contains rejects the VOID-typed literal).
     case In(_, NullLit) => lit(null).cast(BooleanType)
+    case In(l, r) if containerTyped(l) =>
+      val lt = inferType(l).get
+      val lc = compile(l)
+      val rc = compile(r)
+      val cmps = transform(rc, e => elem3vlEq(lc, e, lt))
+      when(rc.isNull, lit(null).cast(BooleanType))
+        .when(F.exists(cmps, c => c), lit(true))
+        .when(F.exists(cmps, c => c.isNull), lit(null).cast(BooleanType))
+        .otherwise(lit(false))
     case In(l, r) => array_contains(compile(r), compile(l))
     case StartsWith(l, r) => compile(l).startsWith(compile(r))
     case EndsWith(l, r) => compile(l).endsWith(compile(r))

@@ -8,11 +8,11 @@ package graft
   * null handling, optional-match null propagation through element functions,
   * orderability, var-length relationship uniqueness, and error scenarios.
   *
-  * Known divergence (shared with the reference, whose TCK blacklists carry
-  * the same rows — morpheus-tck/src/test/resources/failing_blacklist):
-  * equality of lists containing null compares via Spark array equality, so
-  * `[null] = [null]` is true where openCypher says null. Asserted as such
-  * below to pin the engine's (and reference's) actual behavior.
+  * The list-equality-with-null divergence the reference carries in its
+  * failing_blacklist (`[null] = [null]` true under Spark array equality)
+  * was closed in round 8: Cmp("=") compiles ternary list/map equality
+  * directly (ExprCompiler.ternaryEq), so the openCypher answers are
+  * asserted below.
   */
 class TckStyleSpec2 extends TckScenarioBase {
   import TckFixtures._
@@ -70,9 +70,24 @@ class TckStyleSpec2 extends TckScenarioBase {
     "RETURN ([1] = [1, 2]) AS x", value(false))
   scenario("list equality elementwise", g,
     "RETURN ([1, 2, 3] = [1, 2, 3]) AS x", value(true))
-  // Reference-parity divergence from openCypher (which yields null):
-  scenario("list of null equality (reference parity: true, TCK says null)", g,
-    "RETURN ([null] = [null]) AS x", value(true))
+  // Divergence CLOSED in round 8 (ternary list equality — the reference
+  // blacklists these TCK rows; this engine compiles the openCypher answer):
+  scenario("list of null equality is null (openCypher 3VL)", g,
+    "RETURN ([null] = [null]) AS x", value(null))
+  scenario("list equality: null element vs value is null", g,
+    "RETURN ([1, null] = [1, 2]) AS x", value(null))
+  scenario("list equality: definite mismatch beats null element", g,
+    "RETURN ([1, null] = [2, null]) AS x", value(false))
+  scenario("map equality with null values is null", g,
+    "RETURN ({a: 1, b: null} = {a: 1, b: null}) AS x", value(null))
+  scenario("map equality ignores key order", g,
+    "RETURN ({a: 1, b: 2} = {b: 2, a: 1}) AS x", value(true))
+  scenario("map equality with disjoint keys is false", g,
+    "RETURN ({a: 1} = {b: 1}) AS x", value(false))
+  scenario("nested list equality with null element is null", g,
+    "RETURN ([[1, null]] = [[1, null]]) AS x", value(null))
+  scenario("list inequality with null element is null", g,
+    "RETURN ([null] <> [null]) AS x", value(null))
   scenario("map equality by key and value", g,
     "RETURN ({a: 1} = {a: 1}) AS x", value(true))
   scenario("map inequality by value", g,

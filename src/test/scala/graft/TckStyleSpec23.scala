@@ -57,9 +57,12 @@ class TckStyleSpec23 extends TckScenarioBase {
     // Reference sanitizeMap does not validate membership: hour has no
     // place in a date and is dropped (TemporalTypesHelper.scala:282-284).
     "RETURN toString(date({year: 2020, hour: 7})) AS x", value("2020-01-01"))
-  scenario("dayOfWeek without week falls back to the calendar chain", g,
+  // Round 8: a fine chain key without its coarser one no longer silently
+  // falls back to the calendar chain — {year, dayOfWeek} omits `week`,
+  // a significance-order violation (Neo4j raises InvalidArgumentValue).
+  errorScenario("dayOfWeek without week is a significance-order error", g,
     "RETURN toString(date({year: 2020, dayOfWeek: 5})) AS x",
-    value("2020-01-01"))
+    ArgumentError, InvalidArgumentValue)
 
   // ------------------------------------------ localdatetime / datetime maps
   scenario("datetime map with additive sub-second components", g,
