@@ -463,6 +463,32 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case _ => elem3vlEq(lc, rc, lt)
   }
 
+  /** Three-way ternary comparison (−1/0/1/null) for [[Cmp]] over lists:
+    * lexicographic walk where the FIRST non-equal pair decides, a null
+    * element (or null-vs-value pair) encountered before any decision
+    * poisons the result to null, and a fully-equal prefix falls back to
+    * the length difference. Spark's native array ordering would instead
+    * sort null elements first ([null] < [1] -> true; openCypher: null).
+    * Maps are unordered in openCypher: equal compares 0, anything else
+    * null. */
+  private def cmp3(a: Column, b: Column, t: DataType): Column = t match {
+    case ArrayType(et, _) =>
+      val n = least(F.size(a), F.size(b))
+      val pairs = zip_with(F.slice(a, lit(1), n), F.slice(b, lit(1), n),
+        (x, y) => cmp3(x, y, et))
+      val walked = F.aggregate(pairs, lit(0).cast(IntegerType),
+        (acc, c) => when(acc.isNull || acc =!= 0, acc).otherwise(c))
+      when(a.isNull || b.isNull, lit(null).cast(IntegerType))
+        .when(walked.isNull || walked =!= 0, walked)
+        .otherwise(signum(F.size(a) - F.size(b)).cast(IntegerType))
+    case st: StructType =>
+      when(elem3vlEq(a, b, st) <=> lit(true), lit(0).cast(IntegerType))
+        .otherwise(lit(null).cast(IntegerType))
+    case _ =>
+      when(a.isNull || b.isNull, lit(null).cast(IntegerType))
+        .when(a < b, lit(-1)).when(a > b, lit(1)).otherwise(lit(0))
+  }
+
   private def elem3vlEq(a: Column, b: Column, t: DataType): Column = t match {
     case ArrayType(et, _) =>
       val pairs = zip_with(a, b, (x, y) => elem3vlEq(x, y, et))
@@ -653,6 +679,23 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       !ternaryEq(compile(l), compile(r), lt, rt)
     case Cmp("=", l, r) => compile(l) === compile(r)
     case Cmp("<>", l, r) => compile(l) =!= compile(r)
+    // Ordering over lists: ternary lexicographic (see cmp3). Over plain
+    // maps: openCypher leaves maps unordered — always null.
+    case Cmp(op, l, r) if Seq("<", "<=", ">", ">=").contains(op) &&
+        ternaryEqTypes(l, r).exists(_._1.isInstanceOf[ArrayType]) =>
+      val c = cmp3(compile(l), compile(r), ternaryEqTypes(l, r).get._1)
+      val cmp = op match {
+        case "<" => c === -1
+        case "<=" => c <= 0
+        case ">" => c === 1
+        case ">=" => c >= 0
+      }
+      when(c.isNull, lit(null).cast(BooleanType)).otherwise(cmp)
+    case Cmp(op, l, r) if Seq("<", "<=", ">", ">=").contains(op) &&
+        ternaryEqTypes(l, r).isDefined =>
+      // both sides statically plain maps
+      when(compile(l).isNotNull && compile(r).isNotNull,
+        lit(null).cast(BooleanType))
     case Cmp("<", l, r) => compile(l) < compile(r)
     case Cmp("<=", l, r) => compile(l) <= compile(r)
     case Cmp(">", l, r) => compile(l) > compile(r)

@@ -111,6 +111,30 @@ class TckStyleSpec37 extends TckScenarioBase {
   scenario("map needle with null value is null", g,
     "RETURN ({a: null} IN [{a: null}]) AS x", value(null))
 
+  // ======================================== ternary list ordering (< <=)
+  scenario("list ordering is lexicographic", g,
+    "RETURN ([1, 2] < [1, 3]) AS x", value(true))
+  scenario("shorter prefix list orders first", g,
+    "RETURN ([1] < [1, null]) AS x", value(true)) // decided before the null
+  scenario("definite first-element decision beats a later null", g,
+    "RETURN ([2, null] < [1]) AS x", value(false))
+  scenario("null pair before any decision poisons ordering", g,
+    "RETURN ([1, null] < [1, 2]) AS x", value(null))
+  scenario("leading null element poisons ordering", g,
+    "RETURN ([null] < [1]) AS x", value(null))
+  scenario("empty list orders before non-empty", g,
+    "RETURN ([] < [1]) AS x", value(true))
+  scenario("list less-or-equal on equal lists", g,
+    "RETURN ([1, 2] <= [1, 2]) AS x", value(true))
+  scenario("longer list with smaller element orders first", g,
+    "RETURN ([1, 2] > [1, 1, 9]) AS x", value(true))
+  scenario("nested list ordering recurses", g,
+    "RETURN ([[1], [2]] < [[1], [3]]) AS x", value(true))
+  scenario("nested inner decision beats inner null", g,
+    "RETURN ([[1, null]] < [[2]]) AS x", value(true))
+  scenario("maps are not ordered", g,
+    "RETURN ({a: 1} < {a: 2}) AS x", value(null))
+
   // ======================================== scalar IN refresher (3VL)
   scenario("scalar IN with null element and no hit is null", g,
     "RETURN (3 IN [1, null]) AS x", value(null))
