@@ -450,6 +450,11 @@ object PipelineQueries {
       Sampling.dsirResample(d.filter(col("doc_id") % 7 =!= 0),
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", k = 50)
     }),
+    // --- epoch mixture: src0 x2.5, src1 x0 (dropped), default x1 ---
+    "q_epoch_mix" -> ((s, dir) =>
+      Sampling.epochMix(docs(s, dir), "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 0.0))
+        .select(col("doc_id"), col("source"), col("epoch"))),
     // --- shard packing: distributed prefix sum (no single-partition window) ---
     "q_pack_budget" -> ((s, dir) =>
       Pack.packByTokenBudget(docs(s, dir), "doc_id",
@@ -1145,6 +1150,14 @@ object PipelineQueries {
              round(dsir_weight - ln(-ln((((doc_id * 1103515245 + 12345) % 2048)::DOUBLE + 0.5) / 2048.0)), 6) AS key
            FROM dw) t
          ORDER BY key DESC, doc_id LIMIT 50""",
+    "q_epoch_mix" ->
+      """SELECT doc_id, source, unnest(range(reps)) AS epoch FROM (
+           SELECT doc_id, source,
+             (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+              + CASE WHEN (doc_id * 1103515245 + 12345) % 2048 <
+                  (CASE source WHEN 'src0' THEN 1024 ELSE 0 END)
+                THEN 1 ELSE 0 END) AS reps
+           FROM documents) t""",
     "q_sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE (doc_id * 1103515245 + 12345) % 2048 < 204",
     "q_sample_stratified" ->

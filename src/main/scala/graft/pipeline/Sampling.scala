@@ -171,6 +171,37 @@ object Sampling {
       .drop("_key")
   }
 
+  /** Epoch-based mixture repetition (the multi-epoch upsampling of
+    * pretraining mixtures — a source with factor 2.5 contributes every
+    * doc twice plus a deterministic half of them a third time): each row
+    * is repeated floor(f) times, plus once more when its LCG bucket
+    * falls under the fractional part, with an `epoch` index column
+    * (0-based) so downstream shuffling/packing can interleave epochs.
+    * Factor 0 drops the source. The floor/fraction split is computed
+    * driver-side per source (factors are a small config map), so the
+    * row-level arithmetic is exact integer — reproducible anywhere.
+    *
+    * Scale shape: a literal when-chain (no join) plus one explode —
+    * map-side only, no shuffle. */
+  def epochMix(df: DataFrame, sourceCol: String, idCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0,
+      buckets: Int = 2048): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0),
+      s"factors must be non-negative: $factors")
+    def whenChain(f: Double => Long): Column =
+      factors.foldLeft(lit(f(defaultFactor))) { case (acc, (s, v)) =>
+        when(col(sourceCol) === s, lit(f(v))).otherwise(acc)
+      }
+    val base = whenChain(v => math.floor(v).toLong)
+    val fracB = whenChain(v =>
+      math.round((v - math.floor(v)) * buckets))
+    val reps = base +
+      when(idBucket(col(idCol), buckets) < fracB, 1L).otherwise(0L)
+    df.withColumn("epoch",
+      explode(when(reps > 0, sequence(lit(0L), reps - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Per-group share of total rows — the "domain mix" report a curation
     * pipeline balances against (one aggregation + a 1-row broadcast). */
   def domainMix(df: DataFrame, groupCol: String): DataFrame = {

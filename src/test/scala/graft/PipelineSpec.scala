@@ -211,6 +211,26 @@ class PipelineSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("epochMix repeats by floor plus deterministic fraction; factor 0 drops") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "src")
+    val out = Sampling.epochMix(d, "src", "doc_id",
+        Map("a" -> 2.0, "b" -> 0.0), defaultFactor = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // a-docs exactly twice (epochs 0,1), b dropped, c once
+    assert(out.toSet === Set((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L), (4L, 0L)))
+    // fractional factor: repeat count is floor or floor+1, deterministic
+    val frac = Sampling.epochMix(d, "src", "doc_id", Map("a" -> 1.5))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L).forall(id => frac(id) == 1L || frac(id) == 2L))
+    val again = Sampling.epochMix(d, "src", "doc_id", Map("a" -> 1.5))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frac === again) // reproducible
+  }
+
   test("dsir: target-like raw docs outrank off-target docs; resample is a raw subset") {
     import spark.implicits._
     // target corpus is "cats": raw docs about cats must score higher than
