@@ -192,7 +192,8 @@ object GraphAlgorithms {
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .distinct())
-    var converged = cur.isEmpty
+    var curN = cur.count()
+    var converged = curN == 0
     var it = 0
     while (!converged && it < maxIterations) {
       // large-star over symmetrized neighborhoods
@@ -211,12 +212,18 @@ object GraphAlgorithms {
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
         .distinct()
       val next = Pin(ss)
-      // Exact fixpoint test (one aggregation over both rounds' sets): the
-      // symmetric difference is empty iff every (u, v) appears twice.
-      converged = next.unionByName(cur)
+      // Exact fixpoint test: the symmetric difference of the two rounds'
+      // edge sets is empty iff every (u, v) appears twice. A differing
+      // cardinality already proves non-convergence, so the test's extra
+      // shuffle only runs in the (typically final) rounds where the
+      // counts agree — the count itself doubles as next's pin
+      // materialization action.
+      val nextN = next.count()
+      converged = nextN == curN && next.unionByName(cur)
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
         .filter(col("c") === 1).isEmpty
       cur = next
+      curN = nextN
       it += 1
     }
     if (!converged) throw new IllegalStateException(
