@@ -775,6 +775,70 @@ object GraphAlgorithms {
     sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Topological levels of the directed graph (Kahn peeling): level 0 is
+    * every node with no incoming edge, level l+1 the nodes whose last
+    * incoming edge vanished when level l peeled — i.e. each node's level
+    * is its LONGEST incoming path length, the stage index a dependency
+    * scheduler would run it at. Nodes touching no edge of the requested
+    * types sit at level 0. Throws a classified error if a cycle remains
+    * after peeling (no topological order exists), and the usual
+    * IllegalStateException when the cap bites first (levels = longest
+    * path, so rounds are inherently depth-bound — the throwing cap is the
+    * no-silent-truncation rule, not a workaround).
+    *
+    * Scale shape: per round one aggregation over the remaining edges'
+    * dst side (the in-degree-positive set) + one anti-join to find the
+    * peel front + two semi/anti joins to shed its edges; remaining-edge
+    * state pinned per round, work proportional to the surviving edge
+    * frame which shrinks monotonically. */
+  def topologicalLevels(graph: PropertyGraph,
+      relTypes: Seq[String] = Seq.empty,
+      maxIterations: Int = 100): DataFrame = {
+    val e0 = validated(edges(graph, relTypes), graph)
+    var rem = Pin(e0.filter(col("src") =!= col("dst")).distinct())
+    var remN = rem.count()
+    // Self-loops are 1-cycles: no topological order.
+    if (e0.filter(col("src") === col("dst")).limit(1).count() > 0)
+      throw new graft.api.CypherException(
+        graft.api.CypherError.ArgumentError, graft.api.CypherError.Runtime,
+        graft.api.CypherError.InvalidArgumentValue,
+        "topologicalLevels: graph contains a self-loop (cycle)")
+    var levels = Vector.empty[DataFrame]
+    var level = 0
+    while (remN > 0 && level < maxIterations) {
+      // peel front: nodes present in the remaining graph with in-degree 0
+      val hasIn = rem.select(col("dst").as("id")).distinct()
+      val front = rem.select(col("src").as("id")).distinct()
+        .join(hasIn, Seq("id"), "left_anti")
+      val frontL = Pin(front.select(col("id"), lit(level.toLong).as("level")))
+      if (frontL.count() == 0) throw new graft.api.CypherException(
+        graft.api.CypherError.ArgumentError, graft.api.CypherError.Runtime,
+        graft.api.CypherError.InvalidArgumentValue,
+        s"topologicalLevels: graph contains a cycle ($remN edges in the " +
+          "cyclic core; no topological order exists)")
+      levels = levels :+ frontL
+      val next = Pin(rem.join(frontL.select(col("id").as("src")),
+        Seq("src"), "left_anti"))
+      remN = next.count()
+      rem = next
+      level += 1
+    }
+    if (remN > 0) throw new IllegalStateException(
+      s"topologicalLevels did not finish within $maxIterations rounds " +
+        "(longest path exceeds the cap — raise maxIterations)")
+    // Every node with outgoing edges peels; pure sinks land one past
+    // their deepest predecessor, edge-less nodes at 0.
+    val peeled = levels.reduceOption(_.unionByName(_))
+      .getOrElse(e0.limit(0).select(col("src").as("id"),
+        lit(0L).as("level")))
+    val sinkLvl = e0.join(peeled.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg((max(col("level")) + 1L).as("level"))
+      .join(peeled.select(col("id")), Seq("id"), "left_anti")
+    nodeIds(graph).join(peeled.unionByName(sinkLvl), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("level"), lit(0L)).as("level"))
+  }
+
   /** One SSSP propagation round: candidate distances reached from the
     * active frontier. `e` is the pinned, hash(src)-pre-partitioned edge
     * frame; the join MUST consume that partitioning (edge side sees no

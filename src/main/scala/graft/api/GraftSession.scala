@@ -125,6 +125,11 @@ class GraftSession(val spark: SparkSession) {
     graft.algos.GraphAlgorithms.kTrussEdges(
       graft.algos.GraphAlgorithms.edges(g, strArgs(args, 1)),
       intArg(args, 0, 3)).toDF("a", "b"))
+  // CALL toposort([relType...]) — longest-path topological level per node
+  // (classified error on a cyclic graph).
+  registerProcedure("toposort", (g, args) =>
+    graft.algos.GraphAlgorithms.topologicalLevels(g, strArgs(args, 0))
+      .toDF("id", "level"))
   // CALL labelprop(maxIterations [, relType...])
   registerProcedure("labelprop", (g, args) =>
     graft.algos.GraphAlgorithms.labelPropagation(g, strArgs(args, 1),

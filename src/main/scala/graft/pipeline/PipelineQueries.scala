@@ -405,6 +405,11 @@ object PipelineQueries {
         relTypes = Seq("IN_REGION", "FROM_NATION"))
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))),
+    // Longest-path topological level histogram over the full TPCH DAG,
+    // routed through the CALL procedure path.
+    "q_algo_toposort" -> ((s, dir) =>
+      new graft.api.GraftSession(s).cypher(graft.tpch.TpchGraph(s, dir),
+        "CALL toposort() YIELD level RETURN level, count(*) AS n")),
     // --- curation: decontamination + deterministic sampling ---
     // Probe set = every 47th document (a stand-in benchmark suite); flag
     // corpus docs sharing any 20-char gram with a probe.
@@ -1060,6 +1065,36 @@ object PipelineQueries {
              (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
            AS assortativity
          FROM s""",
+    // Longest-path levels of the TPCH DAG, computed per node CLASS (the
+    // class structure fixes each node's longest incoming path): customer
+    // sources at 0, orders 1, lineitems 2, referenced parts/suppliers 3
+    // (unreferenced 0), nations 1 + max over their customers (0) and
+    // suppliers (3), regions 1 + max over their nations; node classes
+    // with no incoming edge at all sit at 0.
+    "q_algo_toposort" ->
+      """WITH lvl AS (
+           SELECT 0 AS level FROM customer
+           UNION ALL SELECT 1 FROM orders
+           UNION ALL SELECT 2 FROM lineitem
+           UNION ALL SELECT CASE WHEN p_partkey IN (SELECT l_partkey FROM lineitem) THEN 3 ELSE 0 END FROM part
+           UNION ALL SELECT CASE WHEN s_suppkey IN (SELECT l_suppkey FROM lineitem) THEN 3 ELSE 0 END FROM supplier
+           UNION ALL SELECT 1 + greatest(
+               CASE WHEN n_nationkey IN (SELECT c_nationkey FROM customer) THEN 0 ELSE -1 END,
+               CASE WHEN n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)) THEN 3
+                    WHEN n_nationkey IN (SELECT s_nationkey FROM supplier) THEN 0 ELSE -1 END,
+               -1) FROM nation
+           UNION ALL SELECT 1 + coalesce((
+               SELECT max(nl.lvl) FROM (
+                 SELECT n_regionkey AS rk,
+                   1 + greatest(
+                     CASE WHEN n_nationkey IN (SELECT c_nationkey FROM customer) THEN 0 ELSE -1 END,
+                     CASE WHEN n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)) THEN 3
+                          WHEN n_nationkey IN (SELECT s_nationkey FROM supplier) THEN 0 ELSE -1 END,
+                     -1) AS lvl
+                 FROM nation) nl WHERE nl.rk = r_regionkey), -1)
+             FROM region)
+         SELECT CAST(level AS BIGINT) AS level, count(*) AS n
+         FROM lvl GROUP BY 1""",
     // Component-size histogram over IN_REGION + FROM_NATION edges: each
     // region anchors one component {region, its nations, their customers
     // and suppliers}; orders/lineitems/parts have no edge of these types

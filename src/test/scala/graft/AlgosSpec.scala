@@ -256,6 +256,59 @@ class AlgosSpec extends SparkTestBase {
     assert(dUnd(3L) === 2.0)
   }
 
+  test("topological levels: longest-path depth, sinks and isolated nodes") {
+    // Diamond 1->2->4, 1->3->4 plus shortcut 1->4 and pendant source 5->4:
+    // 4's longest path is 2; isolated node 6 sits at level 0.
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 1L, 3L), (12L, 2L, 4L),
+      (13L, 3L, 4L), (14L, 1L, 4L), (15L, 5L, 4L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val lv = GraphAlgorithms.topologicalLevels(g).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getLong(1))).toMap
+    assert(lv === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 0L, 6L -> 0L))
+  }
+
+  test("topological levels: cycle raises a classified error") {
+    val nodes = (1L to 3L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 1L))
+      .toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val ex = intercept[graft.api.CypherException] {
+      GraphAlgorithms.topologicalLevels(g).collect()
+    }
+    assert(ex.getMessage.contains("cycle"))
+    // self-loop is a 1-cycle
+    val e2 = Seq((10L, 1L, 1L)).toDF("id", "src", "tgt")
+    val g2 = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", e2, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val ex2 = intercept[graft.api.CypherException] {
+      GraphAlgorithms.topologicalLevels(g2).collect()
+    }
+    assert(ex2.getMessage.contains("self-loop"))
+  }
+
+  test("topological levels: throws at the cap instead of partial levels") {
+    val nodes = (1L to 7L).toDF("id")
+    val edges = (1L to 6L).map(i => (100L + i, i, i + 1))
+      .toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val ex = intercept[IllegalStateException] {
+      GraphAlgorithms.topologicalLevels(g, maxIterations = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not finish"))
+    val lv = GraphAlgorithms.topologicalLevels(g, maxIterations = 10)
+      .collect().map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getLong(1))).toMap
+    assert(lv(7L) === 6L)
+  }
+
   test("sssp: throws at the cap instead of returning unfinalized distances") {
     // A 6-hop chain with maxIterations=3: the frontier is still active at
     // the cap, so distances past hop 3 would be missing/overestimated —
