@@ -786,56 +786,68 @@ object GraphAlgorithms {
     * path, so rounds are inherently depth-bound — the throwing cap is the
     * no-silent-truncation rule, not a workaround).
     *
-    * Scale shape: per round one aggregation over the remaining edges'
-    * dst side (the in-degree-positive set) + one anti-join to find the
-    * peel front + two semi/anti joins to shed its edges; remaining-edge
-    * state pinned per round, work proportional to the surviving edge
-    * frame which shrinks monotonically. */
+    * Scale shape: the sssp skeleton — edges pinned pre-partitioned on
+    * src ONCE; each round joins only the newly-peeled FRONT against them
+    * to decrement a pinned in-degree frame (O(nodes) state, not
+    * O(edges)), and nodes hitting zero become the next front. Work per
+    * round is proportional to the front's out-edges; the edge frame is
+    * never re-shuffled or rewritten (the remove-edges-per-round
+    * formulation re-materialized the full edge frame every round —
+    * measured 4x slower at sf0.1). */
   def topologicalLevels(graph: PropertyGraph,
       relTypes: Seq[String] = Seq.empty,
       maxIterations: Int = 100): DataFrame = {
     val e0 = validated(edges(graph, relTypes), graph)
-    var rem = Pin(e0.filter(col("src") =!= col("dst")).distinct())
-    var remN = rem.count()
     // Self-loops are 1-cycles: no topological order.
     if (e0.filter(col("src") === col("dst")).limit(1).count() > 0)
       throw new graft.api.CypherException(
         graft.api.CypherError.ArgumentError, graft.api.CypherError.Runtime,
         graft.api.CypherError.InvalidArgumentValue,
         "topologicalLevels: graph contains a self-loop (cycle)")
+    // No dedup pass: Kahn is correct on multigraphs (in-degrees and
+    // decrements both count edge multiplicity), so duplicate edges don't
+    // warrant a 1.9M-row distinct shuffle.
+    val e = Pin(e0.repartition(col("src")))
+    val indeg0 = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("d"))
+    var frontier: DataFrame = Pin(e.select(col("src").as("id")).distinct()
+      .join(indeg0.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(0L).as("level")))
+    var indeg = indeg0
     var levels = Vector.empty[DataFrame]
-    var level = 0
-    while (remN > 0 && level < maxIterations) {
-      // peel front: nodes present in the remaining graph with in-degree 0
-      val hasIn = rem.select(col("dst").as("id")).distinct()
-      val front = rem.select(col("src").as("id")).distinct()
-        .join(hasIn, Seq("id"), "left_anti")
-      val frontL = Pin(front.select(col("id"), lit(level.toLong).as("level")))
-      if (frontL.count() == 0) throw new graft.api.CypherException(
-        graft.api.CypherError.ArgumentError, graft.api.CypherError.Runtime,
-        graft.api.CypherError.InvalidArgumentValue,
-        s"topologicalLevels: graph contains a cycle ($remN edges in the " +
-          "cyclic core; no topological order exists)")
-      levels = levels :+ frontL
-      val next = Pin(rem.join(frontL.select(col("id").as("src")),
-        Seq("src"), "left_anti"))
-      remN = next.count()
-      rem = next
+    var level = 0L
+    var frontN = frontier.count()
+    while (frontN > 0 && level < maxIterations) {
+      levels = levels :+ frontier
+      // front's out-edges consume the pinned src partitioning; only the
+      // (small) decrement aggregate shuffles.
+      val dec = e.join(frontier.select(col("id").as("src")), "src")
+        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("rm"))
+      // ONE lazy pin per round; frontier/indeg are cheap projections of it
+      // (the sssp merged-frame pattern).
+      val merged = Pin(indeg.join(dec, Seq("id"), "left_outer")
+        .select(col("id"),
+          (col("d") - coalesce(col("rm"), lit(0L))).as("d")))
       level += 1
+      frontier = merged.filter(col("d") === 0)
+        .select(col("id"), lit(level).as("level"))
+      indeg = merged.filter(col("d") > 0)
+      frontN = frontier.count()
     }
-    if (remN > 0) throw new IllegalStateException(
+    if (frontN > 0) throw new IllegalStateException(
       s"topologicalLevels did not finish within $maxIterations rounds " +
         "(longest path exceeds the cap — raise maxIterations)")
-    // Every node with outgoing edges peels; pure sinks land one past
-    // their deepest predecessor, edge-less nodes at 0.
+    val cyclic = indeg.limit(1).count()
+    if (cyclic > 0) throw new graft.api.CypherException(
+      graft.api.CypherError.ArgumentError, graft.api.CypherError.Runtime,
+      graft.api.CypherError.InvalidArgumentValue,
+      "topologicalLevels: graph contains a cycle (in-degrees never " +
+        "reached zero; no topological order exists)")
+    // Sinks hit zero like every interior node; only edge-less nodes need
+    // the final 0 fill.
     val peeled = levels.reduceOption(_.unionByName(_))
       .getOrElse(e0.limit(0).select(col("src").as("id"),
         lit(0L).as("level")))
-    val sinkLvl = e0.join(peeled.withColumnRenamed("id", "src"), Seq("src"))
-      .groupBy(col("dst").as("id"))
-      .agg((max(col("level")) + 1L).as("level"))
-      .join(peeled.select(col("id")), Seq("id"), "left_anti")
-    nodeIds(graph).join(peeled.unionByName(sinkLvl), Seq("id"), "left_outer")
+    nodeIds(graph).join(peeled, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("level"), lit(0L)).as("level"))
   }
 
