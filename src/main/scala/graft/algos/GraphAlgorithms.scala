@@ -851,6 +851,104 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("level"), lit(0L)).as("level"))
   }
 
+  /** Strongly connected components of the directed graph; returns
+    * (id, scc) where scc is the minimum member id. Forward-backward
+    * color peeling (the distributed SCC formulation of Orzan's coloring
+    * algorithm): each outer round (1) propagates forward colors to a
+    * fixpoint — color(v) = min id of any node that reaches v — (2) takes
+    * the nodes that own their color (color = id) as roots and grows each
+    * root's SCC backward through INTRA-COLOR edges only (a node of color
+    * c reaching c's root while colored c is mutually reachable with it),
+    * (3) extracts all discovered SCCs and removes them. Deterministic:
+    * colors are min-ids, no randomness. Every loop follows the
+    * no-silent-truncation rule — the inner fixpoints and the outer peel
+    * all THROW at their caps.
+    *
+    * Scale shape: per inner round one keyed join + min/mark aggregation
+    * over the surviving edge frame (pinned per round, monotonically
+    * shrinking across outer rounds); color convergence is tested by the
+    * strictly-decreasing Decimal color sum, mark convergence by the
+    * monotone mark count — both one aggregate on the frame the round
+    * pins anyway. Worst case (a long chain of SCCs) peels one SCC per
+    * outer round, the algorithm's documented bound; webby graphs peel
+    * many roots per round. */
+  def stronglyConnectedComponents(graph: PropertyGraph,
+      relTypes: Seq[String] = Seq.empty, maxOuterRounds: Int = 50,
+      maxInnerRounds: Int = 100): DataFrame = {
+    val e0 = validated(edges(graph, relTypes), graph)
+    var rem = Pin(e0.filter(col("src") =!= col("dst")).distinct())
+    var active = Pin(rem.select(col("src").as("id"))
+      .unionByName(rem.select(col("dst").as("id"))).distinct())
+    var activeN = active.count()
+    val dec = DecimalType(38, 0)
+    var found = Vector.empty[DataFrame]
+    var outer = 0
+    while (activeN > 0 && outer < maxOuterRounds) {
+      // ---- forward color propagation to fixpoint (colors only decrease,
+      // so the Decimal sum is strictly decreasing until converged)
+      var color = Pin(active.select(col("id"), col("id").as("c")))
+      var prevSum: java.math.BigDecimal = null
+      var curSum = color.agg(sum(col("c").cast(dec))).head().getDecimal(0)
+      var inner = 0
+      while (prevSum != curSum && inner < maxInnerRounds) {
+        val fromPred = rem.join(color, rem("src") === color("id"))
+          .select(rem("dst").as("id"), col("c"))
+          .groupBy(col("id")).agg(min(col("c")).as("pc"))
+        val next = Pin(color.join(fromPred, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("c"), coalesce(col("pc"), col("c"))).as("c")))
+        prevSum = curSum
+        curSum = next.agg(sum(col("c").cast(dec))).head().getDecimal(0)
+        color = next
+        inner += 1
+      }
+      if (prevSum != curSum) throw new IllegalStateException(
+        s"scc: color propagation did not converge within $maxInnerRounds " +
+          "rounds (raise maxInnerRounds)")
+      // ---- intra-color edges + backward SCC growth from the color roots
+      val srcC = color.select(col("id").as("src"), col("c").as("_sc"))
+      val dstC = color.select(col("id").as("dst"), col("c").as("_dc"))
+      val intra = Pin(rem.join(srcC, "src").join(dstC, "dst")
+        .filter(col("_sc") === col("_dc"))
+        .select(col("src"), col("dst"), col("_sc").as("c")))
+      var mark = Pin(color.filter(col("id") === col("c")))
+      var markN = mark.count()
+      var prevMark = -1L
+      inner = 0
+      while (markN != prevMark && inner < maxInnerRounds) {
+        val grown = intra.join(mark.select(col("id").as("dst")), "dst")
+          .select(col("src").as("id"), col("c"))
+        val next = Pin(mark.unionByName(grown).distinct())
+        prevMark = markN
+        markN = next.count()
+        mark = next
+        inner += 1
+      }
+      if (markN != prevMark) throw new IllegalStateException(
+        s"scc: backward containment did not converge within " +
+          s"$maxInnerRounds rounds (raise maxInnerRounds)")
+      found = found :+ mark.select(col("id"), col("c").as("scc"))
+      // ---- remove the extracted SCCs and iterate on the rest
+      val gone = mark.select(col("id"))
+      rem = Pin(rem
+        .join(gone.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(gone.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")))
+      active = Pin(active.join(gone, Seq("id"), "left_anti"))
+      activeN = active.count()
+      outer += 1
+    }
+    if (activeN > 0) throw new IllegalStateException(
+      s"scc: peeling did not finish within $maxOuterRounds outer rounds " +
+        s"($activeN nodes unresolved — raise maxOuterRounds)")
+    // Edge-less nodes (and self-loop-only nodes) are singleton SCCs.
+    val sccs = found.reduceOption(_.unionByName(_))
+      .getOrElse(e0.limit(0).select(col("src").as("id"),
+        col("src").as("scc")))
+    nodeIds(graph).join(sccs, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("scc"), col("id")).as("scc"))
+  }
+
   /** One SSSP propagation round: candidate distances reached from the
     * active frontier. `e` is the pinned, hash(src)-pre-partitioned edge
     * frame; the join MUST consume that partitioning (edge side sees no

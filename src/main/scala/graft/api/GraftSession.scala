@@ -130,6 +130,11 @@ class GraftSession(val spark: SparkSession) {
   registerProcedure("toposort", (g, args) =>
     graft.algos.GraphAlgorithms.topologicalLevels(g, strArgs(args, 0))
       .toDF("id", "level"))
+  // CALL scc([relType...]) — strongly connected component (min member id)
+  // per node.
+  registerProcedure("scc", (g, args) =>
+    graft.algos.GraphAlgorithms.stronglyConnectedComponents(g,
+      strArgs(args, 0)).toDF("id", "scc"))
   // CALL labelprop(maxIterations [, relType...])
   registerProcedure("labelprop", (g, args) =>
     graft.algos.GraphAlgorithms.labelPropagation(g, strArgs(args, 1),

@@ -410,6 +410,14 @@ object PipelineQueries {
     "q_algo_toposort" -> ((s, dir) =>
       new graft.api.GraftSession(s).cypher(graft.tpch.TpchGraph(s, dir),
         "CALL toposort() YIELD level RETURN level, count(*) AS n")),
+    // SCC size histogram over the geography subgraph (a DAG — every node
+    // is its own SCC, so the histogram is one all-singletons row; the
+    // oracle catches over-merging, planted-cycle/Tarjan correctness lives
+    // in AlgosSpec). CALL path.
+    "q_algo_scc" -> ((s, dir) =>
+      new graft.api.GraftSession(s).cypher(graft.tpch.TpchGraph(s, dir),
+        "CALL scc('IN_REGION', 'FROM_NATION') YIELD scc " +
+          "WITH scc, count(*) AS sz RETURN sz, count(*) AS n")),
     // --- curation: decontamination + deterministic sampling ---
     // Probe set = every 47th document (a stand-in benchmark suite); flag
     // corpus docs sharing any 20-char gram with a probe.
@@ -1095,6 +1103,14 @@ object PipelineQueries {
              FROM region)
          SELECT CAST(level AS BIGINT) AS level, count(*) AS n
          FROM lvl GROUP BY 1""",
+    // The geography subgraph is a DAG: every node (all seven classes) is
+    // a singleton SCC.
+    "q_algo_scc" ->
+      """SELECT CAST(1 AS BIGINT) AS sz,
+           (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+           + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+           + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+           + (SELECT count(*) FROM lineitem) AS n""",
     // Component-size histogram over IN_REGION + FROM_NATION edges: each
     // region anchors one component {region, its nations, their customers
     // and suppliers}; orders/lineitems/parts have no edge of these types

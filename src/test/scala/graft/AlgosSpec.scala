@@ -309,6 +309,92 @@ class AlgosSpec extends SparkTestBase {
     assert(lv(7L) === 6L)
   }
 
+  private def sccGraph(edges: Seq[(Long, Long)], n: Long): PropertyGraph = {
+    val nodes = (1L to n).toDF("id")
+    val e = edges.zipWithIndex.map { case ((s, t), i) => (100L + i, s, t) }
+      .toDF("id", "src", "tgt")
+    PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", e, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+  }
+
+  private def sccOf(g: PropertyGraph): Map[Long, Long] =
+    GraphAlgorithms.stronglyConnectedComponents(g).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getLong(1) & 0xFFFFFFFFL)).toMap
+
+  /** Driver-side Tarjan for the seeded comparison. */
+  private def tarjan(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val scc = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    def strongconnect(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      for (w <- adj.getOrElse(v, Seq.empty)) {
+        if (!index.contains(w)) { strongconnect(w); low(v) = low(v) min low(w) }
+        else if (onStack(w)) low(v) = low(v) min index(w)
+      }
+      if (low(v) == index(v)) {
+        var members = List.empty[Long]
+        var w = -1L
+        while (w != v) { w = stack.pop(); onStack -= w; members ::= w }
+        val m = members.min
+        members.foreach(x => scc(x) = m)
+      }
+    }
+    (1L to n).foreach(v => if (!index.contains(v)) strongconnect(v))
+    scc.toMap
+  }
+
+  test("scc: ring plus tail") {
+    val m = sccOf(sccGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)), 4))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("scc: chain of two components peels across outer rounds") {
+    // {1,2} -> {3,4}: the forward color of the whole graph is 1, so only
+    // the first component extracts in round one; the second needs its own
+    // round — the multi-outer-round path.
+    val m = sccOf(sccGraph(
+      Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L)), 4))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("scc: self-loops and isolated nodes are singletons") {
+    val m = sccOf(sccGraph(Seq((1L, 1L), (2L, 3L)), 4))
+    assert(m === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("scc agrees with driver-side Tarjan on seeded random digraphs") {
+    val rnd = new scala.util.Random(1337)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = (1 to 140).map(_ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }.distinct
+      val got = sccOf(sccGraph(edges, n))
+      assert(got === tarjan(n, edges)) // Tarjan visits every node 1..n
+    }
+  }
+
+  test("scc: throws at the outer cap instead of a partial decomposition") {
+    // 3 SCCs in a chain peel one per round; cap 1 must throw.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 6L),
+      (6L, 5L), (2L, 3L), (4L, 5L))
+    val ex = intercept[IllegalStateException] {
+      GraphAlgorithms.stronglyConnectedComponents(
+        sccGraph(edges, 6), maxOuterRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("outer rounds"))
+    val full = sccOf(sccGraph(edges, 6))
+    assert(full === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("sssp: throws at the cap instead of returning unfinalized distances") {
     // A 6-hop chain with maxIterations=3: the frontier is still active at
     // the cap, so distances past hop 3 would be missing/overestimated —
