@@ -818,10 +818,7 @@ object GraphAlgorithms {
     var frontN = frontier.count()
     while (frontN > 0 && level < maxIterations) {
       levels = levels :+ frontier
-      // front's out-edges consume the pinned src partitioning; only the
-      // (small) decrement aggregate shuffles.
-      val dec = e.join(frontier.select(col("id").as("src")), "src")
-        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("rm"))
+      val dec = topoDecrements(e, frontier)
       // ONE lazy pin per round; frontier/indeg are cheap projections of it
       // (the sssp merged-frame pattern).
       val merged = Pin(indeg.join(dec, Seq("id"), "left_outer")
@@ -948,6 +945,15 @@ object GraphAlgorithms {
     nodeIds(graph).join(sccs, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("scc"), col("id")).as("scc"))
   }
+
+  /** One Kahn round's in-degree decrements: the newly-peeled front's
+    * out-edges, counted per dst. `e` is the pinned hash(src)-
+    * pre-partitioned edge frame; the join MUST consume that partitioning
+    * (only the small front shuffles — package-private so AlgosSpec pins
+    * the plan shape, same contract as [[ssspCandidates]]). */
+  private[graft] def topoDecrements(e: DataFrame, front: DataFrame): DataFrame =
+    e.join(front.select(col("id").as("src")), "src")
+      .groupBy(col("dst").as("id")).agg(count(lit(1)).as("rm"))
 
   /** One SSSP propagation round: candidate distances reached from the
     * active frontier. `e` is the pinned, hash(src)-pre-partitioned edge

@@ -460,6 +460,23 @@ class AlgosSpec extends SparkTestBase {
     }
   }
 
+  test("toposort decrement join consumes the pinned edge partitioning") {
+    // Same contract as the sssp round: the edge frame shuffles once at
+    // pin time, each Kahn round only shuffles the small front and the
+    // dst-keyed decrement aggregation.
+    withStaticPlans {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      val e = graft.impl.Pin(edges.repartition(col("src")))
+      val front = Seq((1L, 0L)).toDF("id", "level")
+      val plan = GraphAlgorithms.topoDecrements(e, front)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.length === 2,
+        s"expected 2 exchanges (front + agg), got ${exchanges.length}:\n$plan")
+    }
+  }
+
   test("triangle orientation is forward-degree; wedge join keys on the oriented source") {
     // Star hub 1 (degree 4) plus chain edges: every oriented edge must
     // point UP the (degree, id) order — the hub can only ever be a wedge
