@@ -338,7 +338,11 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
            "radians" | "rand" | "pi" | "e" | "stdev" | "stdevp" |
            "percentilecont" | "percentiledisc" => Some(DoubleType)
       case "toboolean" | "exists" => Some(BooleanType)
-      case "labels" | "keys" | "split" => Some(ArrayType(StringType))
+      case "labels" | "keys" | "split" | "tostringlist" =>
+        Some(ArrayType(StringType))
+      case "tointegerlist" => Some(ArrayType(LongType))
+      case "tofloatlist" => Some(ArrayType(DoubleType))
+      case "tobooleanlist" => Some(ArrayType(BooleanType))
       case "date" | "date.truncate" => Some(DateType)
       case "localdatetime" | "datetime" | "datetime.truncate" |
            "localdatetime.truncate" | "datetime.fromepoch" |
@@ -1648,6 +1652,42 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             .otherwise(lit(null).cast(BooleanType))
         case _ => a0.try_cast(BooleanType)
       }
+
+      // List coercions (Neo4j 4.x toXxxList family): the scalar
+      // conversion applied elementwise; unconvertible elements become
+      // null ELEMENTS, a null list stays null.
+      case "tointegerlist" | "tofloatlist" | "tobooleanlist" |
+           "tostringlist" if args.head == NullLit =>
+        lit(null).cast(ArrayType(name match {
+          case "tointegerlist" => LongType
+          case "tofloatlist" => DoubleType
+          case "tobooleanlist" => BooleanType
+          case _ => StringType
+        }))
+      case "tointegerlist" | "tofloatlist" | "tobooleanlist" |
+           "tostringlist" =>
+        val elemT = inferType(args.head) match {
+          case Some(ArrayType(et, _)) => Some(et)
+          case _ => None
+        }
+        def conv(x: Column): Column = name match {
+          case "tointegerlist" => elemT match {
+            case Some(StringType) => F.coalesce(x.try_cast(LongType),
+              x.try_cast(DoubleType).cast(LongType))
+            case _ => x.try_cast(LongType)
+          }
+          case "tofloatlist" => x.try_cast(DoubleType)
+          case "tobooleanlist" => elemT match {
+            case Some(StringType) =>
+              val lc = F.lower(F.trim(x))
+              when(lc === "true", lit(true))
+                .when(lc === "false", lit(false))
+                .otherwise(lit(null).cast(BooleanType))
+            case _ => x.try_cast(BooleanType)
+          }
+          case "tostringlist" => x.cast(StringType)
+        }
+        F.transform(a0, conv(_))
 
       // ---- math ----
       case "abs" => F.abs(a0)

@@ -90,4 +90,20 @@ class TckStyleSpec34 extends TckScenarioBase {
   scenario("COLLECT{} composes with reduce", gc,
     "MATCH (h:H) RETURN reduce(a = 0, v IN COLLECT { MATCH (h)-[:T]->(s) RETURN s.v } | a + v) AS x",
     value(3L))
+
+  // ---- list coercions (Neo4j toXxxList family, round 8) ----
+  scenario("toIntegerList parses and truncates strings, nulls the rest", g,
+    "RETURN toIntegerList(['1', '3.7', 'x', null]) AS x",
+    value(List(1L, 3L, null, null)))
+  scenario("toIntegerList truncates floats toward zero", g,
+    "RETURN toIntegerList([1.9, 2.1]) AS x", value(List(1L, 2L)))
+  scenario("toFloatList parses float strings", g,
+    "RETURN toFloatList(['1.5', 'x']) AS x", value(List(1.5, null)))
+  scenario("toBooleanList accepts exactly true/false case-insensitively", g,
+    "RETURN toBooleanList(['TRUE', 'no', 'false']) AS x",
+    value(List(true, null, false)))
+  scenario("toStringList renders numbers", g,
+    "RETURN toStringList([1.5, 2.5]) AS x", value(List("1.5", "2.5")))
+  scenario("toIntegerList of null is null", g,
+    "RETURN toIntegerList(null) AS x", value(null))
 }
