@@ -332,7 +332,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
            "reverse" | "replace" | "substring" | "left" | "right" | "type" => Some(StringType)
       case "tointeger" | "id" | "size" | "length" | "count" | "timestamp" |
            "sign" => Some(LongType)
-      case "isnan" => Some(BooleanType)
+      case "isnan" | "isempty" => Some(BooleanType)
+      case "btrim" => Some(StringType)
       case "tofloat" | "avg" | "sqrt" | "exp" | "log" | "log10" | "sin" |
            "cos" | "tan" | "asin" | "acos" | "atan" | "atan2" | "degrees" |
            "radians" | "rand" | "pi" | "e" | "stdev" | "stdevp" |
@@ -1585,9 +1586,28 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         })
         if (tn == "NULL") lit("NULL")
         else when(a0.isNull, lit("NULL")).otherwise(lit(tn))
-      case "trim" => trim(a0)
+      // Neo4j 5.13 two-argument trims strip the given character set;
+      // btrim is the both-sides form (1-arg btrim = trim).
+      case "trim" | "btrim" if args.length == 2 => F.btrim(a0, a1)
+      // Spark's 2-arg ltrim/rtrim SQL forms take the trim SET first.
+      case "ltrim" if args.length == 2 => call_function("ltrim", a1, a0)
+      case "rtrim" if args.length == 2 => call_function("rtrim", a1, a0)
+      case "trim" | "btrim" => trim(a0)
       case "ltrim" => ltrim(a0)
       case "rtrim" => rtrim(a0)
+      // isEmpty over strings, lists, and maps (statically dispatched; a
+      // map's key set is its static struct type, so its emptiness is a
+      // null-guarded literal).
+      case "isempty" if args.head == NullLit =>
+        lit(null).cast(BooleanType)
+      case "isempty" => inferType(args.head) match {
+        case Some(StringType) => F.length(a0) === 0
+        case Some(_: ArrayType) => F.size(a0) === 0
+        case Some(st: StructType) =>
+          when(a0.isNull, lit(null).cast(BooleanType))
+            .otherwise(lit(st.fields.isEmpty))
+        case _ => F.size(a0) === 0
+      }
       case "reverse" => F.reverse(a0)
       case "replace" => F.replace(a0, a1, compile(args(2)))
       case "substring" =>

@@ -106,4 +106,19 @@ class TckStyleSpec34 extends TckScenarioBase {
     "RETURN toStringList([1.5, 2.5]) AS x", value(List("1.5", "2.5")))
   scenario("toIntegerList of null is null", g,
     "RETURN toIntegerList(null) AS x", value(null))
+
+  // ---- isEmpty + character-set trims (Neo4j 5.13, round 8) ----
+  scenario("isEmpty on empty list, string and populated list", g,
+    "RETURN isEmpty([]) AS a, isEmpty('') AS b, isEmpty([1]) AS c",
+    rows(Map("a" -> true, "b" -> true, "c" -> false)))
+  scenario("isEmpty of null is null", g,
+    "RETURN isEmpty(null) AS x", value(null))
+  scenario("btrim strips the character set from both ends", g,
+    "RETURN btrim('xxaxx', 'x') AS x", value("a"))
+  scenario("two-argument ltrim/rtrim strip one side only", g,
+    "RETURN ltrim('xxab', 'x') AS a, rtrim('abxx', 'x') AS b",
+    rows(Map("a" -> "ab", "b" -> "ab")))
+  scenario("two-argument trim strips a set, one-argument btrim whitespace", g,
+    "RETURN trim('yay', 'y') AS a, btrim('  a  ') AS b",
+    rows(Map("a" -> "a", "b" -> "a")))
 }
