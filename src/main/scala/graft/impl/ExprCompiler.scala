@@ -334,6 +334,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
            "sign" => Some(LongType)
       case "isnan" | "isempty" => Some(BooleanType)
       case "btrim" => Some(StringType)
+      case "vector.similarity.cosine" | "vector.similarity.euclidean" =>
+        Some(DoubleType)
       case "tofloat" | "avg" | "sqrt" | "exp" | "log" | "log10" | "sin" |
            "cos" | "tan" | "asin" | "acos" | "atan" | "atan2" | "degrees" |
            "radians" | "rand" | "pi" | "e" | "stdev" | "stdevp" |
@@ -1708,6 +1710,18 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case "tostringlist" => x.cast(StringType)
         }
         F.transform(a0, conv(_))
+
+      // Vector similarity (Neo4j 5.13): scores normalised to [0, 1] the
+      // way Neo4j's vector indexes do — cosine as (1 + cos)/2 through the
+      // codegen'd CosineSimilarity expression, euclidean as
+      // 1 / (1 + squared distance).
+      case "vector.similarity.cosine" =>
+        (lit(1.0) + graft.pipeline.Similarity.cosine(a0, a1)) / 2
+      case "vector.similarity.euclidean" =>
+        val d2 = F.aggregate(
+          zip_with(a0, a1, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+        lit(1.0) / (lit(1.0) + d2)
 
       // ---- math ----
       case "abs" => F.abs(a0)

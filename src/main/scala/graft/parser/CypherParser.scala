@@ -1064,6 +1064,27 @@ object CypherParser {
           }
         case Punct("{", _) =>
           MapLit(parsePropMap())
+        // Vector similarity functions (Neo4j 5.13):
+        // `vector . similarity . member (` — 6-token lookahead, same
+        // disambiguation argument as the temporal namespaces below.
+        case Ident(ns, _) if ns.toLowerCase == "vector" &&
+            (peek2 match { case Punct(".", _) => true; case _ => false }) &&
+            (tokAt(p + 2) match {
+              case Ident(s, _) => s.toLowerCase == "similarity"
+              case _ => false }) &&
+            (tokAt(p + 3) match { case Punct(".", _) => true; case _ => false }) &&
+            (tokAt(p + 4) match { case Ident(_, _) => true; case _ => false }) &&
+            (tokAt(p + 5) match { case Punct("(", _) => true; case _ => false }) =>
+          val member = tokAt(p + 4).asInstanceOf[Ident].s
+          p += 6
+          val args = Seq.newBuilder[Expr]
+          if (!isPunct(")")) {
+            args += parseExpr()
+            while (tryPunct(",")) args += parseExpr()
+          }
+          eatPunct(")")
+          FuncCall(s"vector.similarity.${member.toLowerCase}",
+            args.result(), distinct = false)
         // Namespaced temporal functions (duration.between, datetime.truncate,
         // …): `ns . member (` where ns is a temporal type name. Plain
         // property access can never be followed by `(` in Cypher, so the

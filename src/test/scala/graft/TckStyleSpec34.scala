@@ -121,4 +121,15 @@ class TckStyleSpec34 extends TckScenarioBase {
   scenario("two-argument trim strips a set, one-argument btrim whitespace", g,
     "RETURN trim('yay', 'y') AS a, btrim('  a  ') AS b",
     rows(Map("a" -> "a", "b" -> "a")))
+
+  // ---- vector similarity (Neo4j 5.13, [0,1]-normalised scores) ----
+  scenario("vector cosine similarity: identical, orthogonal, opposite", g,
+    "RETURN vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS a, " +
+      "vector.similarity.cosine([1.0, 0.0], [0.0, 1.0]) AS b, " +
+      "vector.similarity.cosine([1.0, 0.0], [-1.0, 0.0]) AS c",
+    rows(Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.0)))
+  scenario("vector euclidean similarity: 1 over 1 + squared distance", g,
+    "RETURN vector.similarity.euclidean([1.0], [1.0]) AS a, " +
+      "vector.similarity.euclidean([0.0, 0.0], [3.0, 4.0]) AS b",
+    rows(Map("a" -> 1.0, "b" -> 1.0 / 26.0)))
 }
