@@ -19,6 +19,7 @@ object ExprOps {
     case Not(x) => Not(f(x))
     case Cmp(op, l, r) => Cmp(op, f(l), f(r))
     case IsNull(x, n) => IsNull(f(x), n)
+    case IsTyped(x, t, n) => IsTyped(f(x), t, n)
     case In(l, r) => In(f(l), f(r))
     case StartsWith(l, r) => StartsWith(f(l), f(r))
     case EndsWith(l, r) => EndsWith(f(l), f(r))

@@ -391,8 +391,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           inner.map(ArrayType(_))
       }
     case _: Cmp | _: Ands | _: Ors | _: Not | _: Xor | _: IsNull | _: In |
-         _: StartsWith | _: EndsWith | _: Contains | _: RegexMatch |
-         _: HasLabels | _: IterablePredicate => Some(BooleanType)
+         _: IsTyped | _: StartsWith | _: EndsWith | _: Contains |
+         _: RegexMatch | _: HasLabels | _: IterablePredicate =>
+      Some(BooleanType)
     case _ => None
   }
 
@@ -468,6 +469,88 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       when(lc.isNull || rc.isNull, lit(null).cast(BooleanType))
         .otherwise(lit(false))
     case _ => elem3vlEq(lc, rc, lt)
+  }
+
+  /** Static Cypher type name of an expression — entity variables first
+    * (their inferType is the physical id LongType), then the physical
+    * Spark type (shared by valueType() and the IS :: predicate). */
+  private def staticTypeName(e: Expr): String = {
+    val entity = e match {
+      case Var(n) => header.kindOf(n) match {
+        case Some(NodeKind(_)) => Some("NODE")
+        case Some(RelKind(_)) => Some("RELATIONSHIP")
+        case Some(ListNodeKind(_)) | Some(ListRelKind(_)) => Some("LIST")
+        case _ => None
+      }
+      case _ => None
+    }
+    entity.getOrElse(dataTypeName(inferType(e),
+      isLocalTimeT(inferType(e)), isTimeT(inferType(e))))
+  }
+
+  private def dataTypeName(t: Option[DataType], localTime: Boolean,
+      zonedTime: Boolean): String = t match {
+    case _ if localTime => "LOCAL TIME"
+    case _ if zonedTime => "ZONED TIME"
+    case Some(LongType) | Some(IntegerType) => "INTEGER"
+    case Some(DoubleType) | Some(FloatType) => "FLOAT"
+    case Some(_: DecimalType) => "FLOAT"
+    case Some(StringType) => "STRING"
+    case Some(BooleanType) => "BOOLEAN"
+    case Some(DateType) => "DATE"
+    case Some(TimestampType) | Some(TimestampNTZType) => "LOCAL DATETIME"
+    case Some(StructType(fs))
+        if fs.map(_.name).toSeq == Seq("months", "days", "micros") =>
+      "DURATION"
+    case Some(_: ArrayType) => "LIST"
+    case Some(_: StructType) | Some(_: MapType) => "MAP"
+    case Some(NullType) => "NULL"
+    case _ => "ANY"
+  }
+
+  /** `x IS [NOT] :: SPEC` (Cypher 5): the match is decided from the
+    * STATIC type — a null value inhabits every type unless the spec says
+    * NOT NULL (Neo4j semantics), so a static match compiles to
+    * true/isNotNull and a mismatch to isNull/false; no runtime type tags
+    * exist or are needed. LIST element specs recurse on the static
+    * element type; an element-level NOT NULL adds the one genuinely
+    * dynamic check (no null elements). */
+  private def compileIsTyped(x: Expr, spec: CypherTypeSpec,
+      negated: Boolean): Column = {
+    val c = compile(x)
+    def nameMatches(got: String, want: String): Boolean = want match {
+      case "ANY" => true
+      case "INT" | "SIGNED INTEGER" => got == "INTEGER"
+      case "VARCHAR" => got == "STRING"
+      case "TIMESTAMP WITHOUT TIME ZONE" => got == "LOCAL DATETIME"
+      case w => got == w
+    }
+    def specMatches(e: Expr, s: CypherTypeSpec): Boolean = {
+      val got = staticTypeName(e)
+      if (!nameMatches(got, s.name)) false
+      else if (s.elem.isEmpty) true
+      else inferType(e) match {
+        case Some(ArrayType(et, _)) =>
+          val en = dataTypeName(Some(et), false, false)
+          s.elem.get.name == "ANY" || nameMatches(en, s.elem.get.name)
+        case _ => s.elem.get.name == "ANY"
+      }
+    }
+    val matches = specMatches(x, spec)
+    val elemNotNull = spec.elem.exists(_.notNull) &&
+      inferType(x).exists(_.isInstanceOf[ArrayType])
+    val base: Column =
+      if (!matches) { if (spec.notNull) lit(false) else c.isNull }
+      else {
+        val m0: Column =
+          if (spec.notNull) c.isNotNull
+          else lit(true)
+        if (elemNotNull)
+          when(c.isNull, if (spec.notNull) lit(false) else lit(true))
+            .otherwise(m0 && !F.exists(c, e => e.isNull))
+        else m0
+      }
+    if (negated) !base else base
   }
 
   /** Three-way ternary comparison (−1/0/1/null) for [[Cmp]] over lists:
@@ -709,6 +792,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Cmp(">=", l, r) => compile(l) >= compile(r)
     case IsNull(x, false) => compile(x).isNull
     case IsNull(x, true) => compile(x).isNotNull
+    case IsTyped(x, spec, negated) => compileIsTyped(x, spec, negated)
     // Cypher: `x IN []` is false for every x, including null.
     case In(_, ListLit(items)) if items.isEmpty => lit(false)
     // IN with a list/map needle: openCypher defines IN through ternary
@@ -1354,6 +1438,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Arith(_, l, r) => hasAggregation(l) || hasAggregation(r)
     case Neg(x) => hasAggregation(x)
     case IsNull(x, _) => hasAggregation(x)
+    case IsTyped(x, _, _) => hasAggregation(x)
     case In(l, r) => hasAggregation(l) || hasAggregation(r)
     case ListLit(items) => items.exists(hasAggregation)
     case MapLit(items) => items.exists(i => hasAggregation(i._2))
@@ -1555,37 +1640,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // Neo4j appends nullability ("INTEGER NOT NULL"); graft reports the
       // base name, with NULL literally for a null value at runtime.
       case "valuetype" =>
-        // Entity variables first: inferType reports the id slot's physical
-        // LongType for node/rel vars, which would read "INTEGER" — the
-        // Cypher type of the VARIABLE is NODE/RELATIONSHIP (round-8 fix).
-        val entity = args.head match {
-          case Var(n) => header.kindOf(n) match {
-            case Some(NodeKind(_)) => Some("NODE")
-            case Some(RelKind(_)) => Some("RELATIONSHIP")
-            case Some(ListNodeKind(_)) | Some(ListRelKind(_)) => Some("LIST")
-            case _ => None
-          }
-          case _ => None
-        }
-        val tn = entity.getOrElse(inferType(args.head) match {
-          case Some(LongType) | Some(IntegerType) => "INTEGER"
-          case Some(DoubleType) | Some(FloatType) => "FLOAT"
-          case Some(_: DecimalType) => "FLOAT"
-          case Some(StringType) => "STRING"
-          case Some(BooleanType) => "BOOLEAN"
-          case Some(DateType) => "DATE"
-          case Some(TimestampType) | Some(TimestampNTZType) =>
-            "LOCAL DATETIME"
-          case Some(StructType(fs))
-              if fs.map(_.name).toSeq == Seq("months", "days", "micros") =>
-            "DURATION"
-          case t if isLocalTimeT(t) => "LOCAL TIME"
-          case t if isTimeT(t) => "ZONED TIME"
-          case Some(_: ArrayType) => "LIST"
-          case Some(_: StructType) | Some(_: MapType) => "MAP"
-          case Some(NullType) => "NULL"
-          case _ => "ANY"
-        })
+        val tn = staticTypeName(args.head)
         if (tn == "NULL") lit("NULL")
         else when(a0.isNull, lit("NULL")).otherwise(lit(tn))
       // Neo4j 5.13 two-argument trims strip the given character set;

@@ -122,7 +122,7 @@ object CypherParser {
         } else {
           val st = i
           val two = if (i + 1 < n) s.substring(i, i + 2) else ""
-          val multi = Seq("<=", ">=", "<>", "=~", "->", "<-", "..", "+=")
+          val multi = Seq("<=", ">=", "<>", "=~", "->", "<-", "..", "+=", "::", "||")
           if (multi.contains(two)) { out += Punct(two, st); i += 2 }
           else {
             val singles = "()[]{},.:;|+-*/%^=<>$!&"
@@ -814,8 +814,13 @@ object CypherParser {
           case Kw("IS", _, _) =>
             p += 1
             val negated = tryKw("NOT")
-            eatKw("NULL")
-            e = IsNull(e, negated); chain = Nil; prev = e
+            if (tryPunct("::")) e = IsTyped(e, parseTypeSpec(), negated)
+            else { eatKw("NULL"); e = IsNull(e, negated) }
+            chain = Nil; prev = e
+          case Punct("::", _) =>
+            p += 1
+            e = IsTyped(e, parseTypeSpec(), negated = false)
+            chain = Nil; prev = e
           case Kw("IN", _, _) =>
             p += 1
             e = In(e, parseAddSub()); chain = Nil; prev = e
@@ -834,11 +839,37 @@ object CypherParser {
       e
     }
 
+    /** Cypher 5 type spec after `IS ::` / `::`: an (optionally LOCAL/
+      * ZONED-prefixed) type name, LIST/ARRAY element specs in <>, and an
+      * optional NOT NULL suffix. */
+    private def parseTypeSpec(): CypherTypeSpec = {
+      val first = ident().toUpperCase
+      val name = first match {
+        case "LOCAL" | "ZONED" => s"$first ${ident().toUpperCase}"
+        case other => other
+      }
+      val elem =
+        if ((name == "LIST" || name == "ARRAY") && tryPunct("<")) {
+          val e = parseTypeSpec()
+          eatPunct(">")
+          Some(e)
+        } else None
+      val notNull = isKw("NOT") && (peek2 match {
+        case Kw("NULL", _, _) => true
+        case _ => false
+      })
+      if (notNull) { p += 2 }
+      CypherTypeSpec(name, elem, notNull)
+    }
+
     private def parseAddSub(): Expr = {
       var e = parseMulDiv()
       var done = false
       while (!done) {
         if (tryPunct("+")) e = Arith("+", e, parseMulDiv())
+        // Cypher 5 / GQL concatenation: same semantics as + on strings
+        // and lists.
+        else if (tryPunct("||")) e = Arith("+", e, parseMulDiv())
         else if (tryPunct("-")) e = Arith("-", e, parseMulDiv())
         else done = true
       }

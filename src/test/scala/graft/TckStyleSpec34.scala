@@ -132,4 +132,27 @@ class TckStyleSpec34 extends TckScenarioBase {
     "RETURN vector.similarity.euclidean([1.0], [1.0]) AS a, " +
       "vector.similarity.euclidean([0.0, 0.0], [3.0, 4.0]) AS b",
     rows(Map("a" -> 1.0, "b" -> 1.0 / 26.0)))
+
+  // ---- Cypher 5 type predicates and concatenation (round 8) ----
+  scenario("IS :: matches the static type; null inhabits every type", g,
+    "RETURN 1 IS :: INTEGER AS a, 'x' IS :: INTEGER AS b, " +
+      "null IS :: INTEGER AS c, 2 IS NOT :: STRING AS d",
+    rows(Map("a" -> true, "b" -> false, "c" -> true, "d" -> true)))
+  scenario("IS :: LIST element specs check the static element type", g,
+    "RETURN [1] IS :: LIST<INTEGER> AS a, [1] IS :: LIST<STRING> AS b, " +
+      "[1] IS :: LIST<ANY> AS c",
+    rows(Map("a" -> true, "b" -> false, "c" -> true)))
+  scenario("IS :: NOT NULL rejects null; element NOT NULL is dynamic", g,
+    "RETURN 1 IS :: INTEGER NOT NULL AS a, " +
+      "null IS :: INTEGER NOT NULL AS b, " +
+      "[1, null] IS :: LIST<INTEGER NOT NULL> AS c, " +
+      "[1, 2] IS :: LIST<INTEGER NOT NULL> AS d",
+    rows(Map("a" -> true, "b" -> false, "c" -> false, "d" -> true)))
+  scenario("bare :: is the same predicate; entities report NODE", g,
+    "MATCH (v:A {name: 'a'}) RETURN 1.5 :: FLOAT AS a, " +
+      "v IS :: NODE AS b, v IS :: ANY AS c",
+    rows(Map("a" -> true, "b" -> true, "c" -> true)))
+  scenario("|| concatenates strings and lists, null propagates", g,
+    "RETURN 'a' || 'b' AS a, [1] || [2] AS b, 'a' || null AS c",
+    rows(Map("a" -> "ab", "b" -> List(1L, 2L), "c" -> null)))
 }
