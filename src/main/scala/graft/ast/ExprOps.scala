@@ -113,6 +113,7 @@ object ExprOps {
         sets.flatMap(setItemRefs) ++
         clones.flatMap { case (a, b) => Seq(a, b) })
     case FromGraph(_) => Some(Set.empty)
+    case Finish => Some(Set.empty)
     // Write clauses observe every variable they touch.
     case Create(Pattern(parts)) => Some(parts.flatMap(patternRefs).toSet)
     case SetClause(items) => Some(items.flatMap(setItemRefs).toSet)

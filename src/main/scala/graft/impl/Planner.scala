@@ -272,6 +272,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           r.orderBy, r.skip, r.limit, None)
         ctx = c
         outs = o
+      case (Finish, _) =>
+        // FINISH (Neo4j 5.19): effects (writes) are already planned and
+        // pinned by the clauses before it; the result is zero rows (and,
+        // with no Return outs, zero columns).
+        ctx = Ctx(ctx.df.limit(0), ctx.header)
       case (FromGraph(name), _) =>
         requireNoWrites("FROM GRAPH"); graph = resolveGraph(name)
       case (Construct(on, news, sets, clones), _) =>

@@ -329,6 +329,8 @@ object CypherParser {
           case Kw("RETURN", _, _) =>
             // RETURN GRAPH handled inside CONSTRUCT; plain RETURN here.
             p += 1; clauses += parseReturn(); done = true
+          case Ident(s, _) if s.equalsIgnoreCase("FINISH") =>
+            p += 1; clauses += Finish; done = true
           case _ => done = true
         }
       }
@@ -1194,21 +1196,58 @@ object CypherParser {
 
     private def parseCase(): Expr = {
       val subject = if (!isKw("WHEN")) Some(parseExpr()) else None
-      val alts = Seq.newBuilder[(Expr, Expr)]
+      // Extended CASE (Neo4j 5), subject form: each WHEN holds a
+      // comma-list of alternatives, each either a plain value (equality)
+      // or an OPERATOR form applied to the subject (`WHEN > 4`,
+      // `WHEN IS NULL`, `WHEN STARTS WITH 'x'`, `WHEN =~ p`,
+      // `WHEN IS :: INTEGER`). Any operator alternative desugars the
+      // whole CASE to the searched form with the subject inlined
+      // (pure column expression — codegen CSE dedups it).
+      var sawOperator = false
+      // (alternative, isOperatorForm)
+      def parseAlt(subj: Expr): (Expr, Boolean) = peek match {
+        case Punct(op @ ("=" | "<>" | "<" | "<=" | ">" | ">="), _) =>
+          sawOperator = true; p += 1; (Cmp(op, subj, parseAddSub()), true)
+        case Punct("=~", _) =>
+          sawOperator = true; p += 1; (RegexMatch(subj, parseAddSub()), true)
+        case Kw("IS", _, _) =>
+          sawOperator = true; p += 1
+          val neg = tryKw("NOT")
+          if (tryPunct("::")) (IsTyped(subj, parseTypeSpec(), neg), true)
+          else { eatKw("NULL"); (IsNull(subj, neg), true) }
+        case Kw("STARTS", _, _) =>
+          sawOperator = true; p += 1; eatKw("WITH")
+          (StartsWith(subj, parseAddSub()), true)
+        case Kw("ENDS", _, _) =>
+          sawOperator = true; p += 1; eatKw("WITH")
+          (EndsWith(subj, parseAddSub()), true)
+        case Kw("CONTAINS", _, _) =>
+          sawOperator = true; p += 1; (Contains(subj, parseAddSub()), true)
+        case Kw("IN", _, _) =>
+          sawOperator = true; p += 1; (In(subj, parseAddSub()), true)
+        case _ => (parseExpr(), false)
+      }
+      val alts = Seq.newBuilder[(Expr, Expr, Boolean)]
       while (tryKw("WHEN")) {
-        // Extended CASE (Neo4j 5): `WHEN v1, v2 THEN r` — each value is
-        // its own alternative sharing the result expression (subject
-        // form only; a searched CASE has one condition per WHEN).
-        val conds = Seq.newBuilder[Expr]
-        conds += parseExpr()
-        while (subject.isDefined && tryPunct(",")) conds += parseExpr()
+        val conds = Seq.newBuilder[(Expr, Boolean)]
+        conds += (if (subject.isDefined) parseAlt(subject.get)
+          else (parseExpr(), false))
+        while (subject.isDefined && tryPunct(","))
+          conds += parseAlt(subject.get)
         eatKw("THEN")
         val result = parseExpr()
-        conds.result().foreach(c => alts += ((c, result)))
+        conds.result().foreach { case (c, op) => alts += ((c, result, op)) }
       }
       val default = if (tryKw("ELSE")) Some(parseExpr()) else None
       eatKw("END")
-      CaseExpr(subject, alts.result(), default)
+      if (subject.isDefined && sawOperator) {
+        // searched form: plain-value alternatives become subject = value
+        val preds = alts.result().map {
+          case (c, r, true) => (c, r)
+          case (v, r, false) => (Cmp("=", subject.get, v), r)
+        }
+        CaseExpr(None, preds, default)
+      } else CaseExpr(subject, alts.result().map(a => (a._1, a._2)), default)
     }
 
     private def parseExists(): Expr = {

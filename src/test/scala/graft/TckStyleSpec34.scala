@@ -155,4 +155,28 @@ class TckStyleSpec34 extends TckScenarioBase {
   scenario("|| concatenates strings and lists, null propagates", g,
     "RETURN 'a' || 'b' AS a, [1] || [2] AS b, 'a' || null AS c",
     rows(Map("a" -> "ab", "b" -> List(1L, 2L), "c" -> null)))
+
+  // ---- extended CASE operator alternatives (Neo4j 5, round 8) ----
+  scenario("CASE WHEN with comparison operators on the subject", g,
+    "WITH 5 AS x RETURN CASE x WHEN > 4 THEN 'big' " +
+      "WHEN <= 4 THEN 'small' END AS x", value("big"))
+  scenario("CASE WHEN IS NULL matches a null subject", g,
+    "WITH null AS v RETURN CASE v WHEN IS NULL THEN 'yes' " +
+      "ELSE 'no' END AS x", value("yes"))
+  scenario("CASE WHEN STARTS WITH / CONTAINS on the subject", g,
+    "WITH 'abc' AS s RETURN CASE s WHEN STARTS WITH 'a' THEN 1 " +
+      "ELSE 2 END AS x", value(1L))
+  scenario("CASE mixes operator and plain-value alternatives", g,
+    "WITH 'abc' AS s RETURN CASE s WHEN CONTAINS 'z', = 'abc' " +
+      "THEN 'hit' END AS x", value("hit"))
+  scenario("CASE WHEN IN and value lists coexist", g,
+    "WITH 3 AS v RETURN CASE v WHEN 1, 2 THEN 'lo' " +
+      "WHEN IN [3, 4] THEN 'mid' END AS x", value("mid"))
+  scenario("CASE WHEN IS :: type predicate alternative", g,
+    "WITH 3 AS v RETURN CASE v WHEN IS :: STRING THEN 'str' " +
+      "ELSE 'num' END AS x", value("num"))
+
+  // ---- FINISH (Neo4j 5.19, round 8) ----
+  scenario("FINISH returns no rows from a read query", g,
+    "MATCH (n:A) FINISH", Seq.empty)
 }
