@@ -331,6 +331,24 @@ object CypherParser {
             p += 1; clauses += parseReturn(); done = true
           case Ident(s, _) if s.equalsIgnoreCase("FINISH") =>
             p += 1; clauses += Finish; done = true
+          // INSERT: the GQL-conformant CREATE synonym (Neo4j 5.18).
+          case Ident(s, _) if s.equalsIgnoreCase("INSERT") &&
+              (peek2 match {
+                case Punct("(", _) => true
+                case _ => false
+              }) =>
+            p += 1
+            val parts = Seq.newBuilder[PatternPart]
+            parts += parsePatternPart()
+            while (tryPunct(",")) parts += parsePatternPart()
+            clauses += Create(Pattern(parts.result()))
+          // NODETACH DELETE: the explicit non-detaching form (Neo4j 5).
+          case Ident(s, _) if s.equalsIgnoreCase("NODETACH") &&
+              (peek2 match {
+                case Kw("DELETE", _, _) => true
+                case _ => false
+              }) =>
+            p += 2; clauses += parseDelete(detach = false)
           case _ => done = true
         }
       }
@@ -1142,13 +1160,50 @@ object CypherParser {
           p += 2
           if (tryPunct("*")) { eatPunct(")"); CountStar } // e.g. size(*) guard
           else if (isPunct(")")) { p += 1; FuncCall(name.toLowerCase, Seq.empty, distinct = false) }
+          else if (name.equalsIgnoreCase("trim") && (peek match {
+            case Ident(w, _) =>
+              Seq("BOTH", "LEADING", "TRAILING").contains(w.toUpperCase) &&
+                // a bare variable named e.g. `both` stays an expression
+                (peek2 match {
+                  case Punct(("," | ")" | "." | "["), _) => false
+                  case _ => true
+                })
+            case Kw("FROM", _, _) => true
+            case _ => false
+          })) {
+            // SQL-style TRIM (Cypher 5):
+            // trim([[BOTH|LEADING|TRAILING] [char] FROM] input)
+            val fn = peek match {
+              case Ident(w, _) if w.equalsIgnoreCase("LEADING") =>
+                p += 1; "ltrim"
+              case Ident(w, _) if w.equalsIgnoreCase("TRAILING") =>
+                p += 1; "rtrim"
+              case Ident(w, _) if w.equalsIgnoreCase("BOTH") =>
+                p += 1; "trim"
+              case _ => "trim"
+            }
+            val ch = if (tryKw("FROM")) None
+              else { val c = parseExpr(); eatKw("FROM"); Some(c) }
+            val input = parseExpr()
+            eatPunct(")")
+            FuncCall(fn, input +: ch.toSeq, distinct = false)
+          }
           else {
             val distinct = tryKw("DISTINCT")
             val args = Seq.newBuilder[Expr]
             args += parseExpr()
-            while (tryPunct(",")) args += parseExpr()
-            eatPunct(")")
-            FuncCall(name.toLowerCase, args.result(), distinct)
+            // `trim(expr FROM input)` — char form without a side keyword
+            if (name.equalsIgnoreCase("trim") && isKw("FROM")) {
+              p += 1
+              val input = parseExpr()
+              eatPunct(")")
+              FuncCall("trim", Seq(input, args.result().head),
+                distinct = false)
+            } else {
+              while (tryPunct(",")) args += parseExpr()
+              eatPunct(")")
+              FuncCall(name.toLowerCase, args.result(), distinct)
+            }
           }
         case Ident(name, _) => p += 1; Var(name)
         case t => fail(s"unexpected token $t in expression")

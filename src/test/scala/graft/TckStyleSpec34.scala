@@ -179,4 +179,21 @@ class TckStyleSpec34 extends TckScenarioBase {
   // ---- FINISH (Neo4j 5.19, round 8) ----
   scenario("FINISH returns no rows from a read query", g,
     "MATCH (n:A) FINISH", Seq.empty)
+
+  // ---- INSERT / NODETACH DELETE (Neo4j 5.18 GQL forms, round 8) ----
+  scenario("INSERT creates like CREATE", g,
+    "INSERT (x:Tmp {v: 41}) RETURN x.v + 1 AS x", value(42L))
+  scenario("NODETACH DELETE removes an unconnected node", g,
+    "CREATE (a:Tmp2 {v: 9}) WITH a NODETACH DELETE a RETURN count(*) AS x",
+    value(1L))
+
+  // ---- SQL-style TRIM forms (Cypher 5, round 8) ----
+  scenario("trim with BOTH/LEADING/TRAILING ... FROM", g,
+    "RETURN trim(BOTH 'x' FROM 'xxaxx') AS a, " +
+      "trim(LEADING 'x' FROM 'xxa') AS b, " +
+      "trim(TRAILING 'x' FROM 'axx') AS c",
+    rows(Map("a" -> "a", "b" -> "a", "c" -> "a")))
+  scenario("trim char-only and bare FROM forms", g,
+    "RETURN trim('x' FROM 'xax') AS a, trim(FROM ' a ') AS b",
+    rows(Map("a" -> "a", "b" -> "a")))
 }
