@@ -203,6 +203,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     case m @ Match(false, _, _) => planMatch(ctx, m.pattern, m.where)
     case m @ Match(true, _, _) => planOptionalMatch(ctx, m.pattern, m.where)
     case Unwind(e, alias) => planUnwind(ctx, e, alias)
+    case LoadCsv(headers, url, alias, sep) =>
+      planLoadCsv(ctx, headers, url, alias, sep)
     case w: With =>
       planProjection(ctx, w.distinct, w.star, w.items, w.orderBy,
         w.skip, w.limit, w.where)._1
@@ -212,7 +214,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   }
 
   private def isReadingClause(c: Clause): Boolean = c match {
-    case _: Match | _: Unwind | _: With | _: CallProc => true
+    case _: Match | _: Unwind | _: With | _: CallProc | _: LoadCsv => true
     case _ => false
   }
 
@@ -1977,6 +1979,36 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val name = RecordHeader.colName(slot)
     val df = ctx.df.withColumn(name, explode(c))
     Ctx(df, ctx.header.withSlot(slot).withVar(alias, ValueKind))
+  }
+
+  /** LOAD CSV: a distributed spark.read.csv scan (all fields read as
+    * STRINGS, Neo4j semantics — empty fields arrive null); with headers
+    * the row binds as a struct of the header's static keys, without as a
+    * LIST<STRING>. Incoming rows cross-join the file (Neo4j's per-row
+    * semantics); at scale the file scan distributes with the cluster,
+    * which is the whole point of running LOAD CSV on Spark. */
+  private def planLoadCsv(ctx: Ctx, headers: Boolean, urlE: Expr,
+      alias: String, sep: Option[String]): Ctx = {
+    val url = urlE match {
+      case StrLit(s) => s
+      case Param(n) => String.valueOf(params(n))
+      case other => throw new CypherCompileException(
+        s"LOAD CSV URL must be a string literal or parameter: $other")
+    }
+    val path = url.stripPrefix("file://")
+    val raw = spark.read
+      .option("header", headers.toString)
+      .option("sep", sep.getOrElse(","))
+      .csv(path)
+    val slot = ValueSlot(alias)
+    val c =
+      if (headers) struct(raw.columns.map(col): _*)
+      else array(raw.columns.map(c0 =>
+        col(c0).cast(org.apache.spark.sql.types.StringType)): _*)
+    val df = raw.select(c.as(RecordHeader.colName(slot)))
+    val header = RecordHeader.empty.withSlot(slot).withVar(alias, ValueKind)
+    if (ctx.isUnit) Ctx(df, header)
+    else Ctx(ctx.df.crossJoin(df), ctx.header ++ header)
   }
 
   // ----------------------------------------------------------- projection

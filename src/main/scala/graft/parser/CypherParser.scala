@@ -331,6 +331,35 @@ object CypherParser {
             p += 1; clauses += parseReturn(); done = true
           case Ident(s, _) if s.equalsIgnoreCase("FINISH") =>
             p += 1; clauses += Finish; done = true
+          // LOAD CSV [WITH HEADERS] FROM url AS var [FIELDTERMINATOR s]
+          case Ident(s, _) if s.equalsIgnoreCase("LOAD") &&
+              (peek2 match {
+                case Ident(c, _) => c.equalsIgnoreCase("CSV")
+                case _ => false
+              }) =>
+            p += 2
+            val headers = if (isKw("WITH")) {
+              p += 1
+              peek match {
+                case Ident(h, _) if h.equalsIgnoreCase("HEADERS") =>
+                  p += 1; true
+                case t => fail(s"expected HEADERS after LOAD CSV WITH, got $t")
+              }
+            } else false
+            eatKw("FROM")
+            val url = parseExpr()
+            eatKw("AS")
+            val alias = ident()
+            val sep = peek match {
+              case Ident(f, _) if f.equalsIgnoreCase("FIELDTERMINATOR") =>
+                p += 1
+                advance() match {
+                  case StrTok(t, _) => Some(t)
+                  case t => fail(s"expected a string FIELDTERMINATOR, got $t")
+                }
+              case _ => None
+            }
+            clauses += LoadCsv(headers, url, alias, sep)
           // INSERT: the GQL-conformant CREATE synonym (Neo4j 5.18).
           case Ident(s, _) if s.equalsIgnoreCase("INSERT") &&
               (peek2 match {

@@ -301,6 +301,31 @@ class SourcesSpec extends SparkTestBase {
     assert(maps.head("name") === CypherString("AFRICA"))
   }
 
+  test("LOAD CSV: headers as map, headerless as list, terminator, per-row") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.write(dir.resolve("people.csv"),
+      "name,age\nalice,30\nbob,25\n".getBytes)
+    Files.write(dir.resolve("vals.csv"), "1;x\n2;y\n".getBytes)
+    val session = new graft.api.GraftSession(spark)
+    val g = graft.graph.PropertyGraph(Seq(graft.graph.NodeTableDef(
+      Set("A"), Seq(1L).toDF("id"), "id", Map.empty, "a")), Seq.empty)
+    val withH = session.cypher(g,
+      s"LOAD CSV WITH HEADERS FROM 'file://$dir/people.csv' AS row " +
+        "RETURN row.name AS name, toInteger(row.age) AS age ORDER BY age")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(withH.toSeq === Seq(("bob", 25L), ("alice", 30L)))
+    val noH = session.cypher(g,
+      s"LOAD CSV FROM 'file://$dir/vals.csv' AS row FIELDTERMINATOR ';' " +
+        "RETURN row[0] AS a, row[1] AS b ORDER BY a")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(noH.toSeq === Seq(("1", "x"), ("2", "y")))
+    // Neo4j per-row semantics: each incoming row reads the whole file.
+    val perRow = session.cypher(g,
+      s"UNWIND [1, 2] AS i LOAD CSV FROM 'file://$dir/vals.csv' AS row " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(perRow === 4L)
+  }
+
   test("type lattice join/meet/subtype") {
     assert(CTInteger.join(CTFloat) === CTNumber)
     assert(CTInteger.join(CTNull) === CTNullable(CTInteger))
