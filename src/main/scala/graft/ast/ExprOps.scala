@@ -107,7 +107,7 @@ object ExprOps {
       if (star) None
       else Some((items.map(_.expr) ++ orderBy.map(_.expr) ++ skip ++
         limit).flatMap(varRefs).toSet)
-    case CallProc(_, args, _) => Some(args.flatMap(varRefs).toSet)
+    case CallProc(_, args, _, _) => Some(args.flatMap(varRefs).toSet)
     case Construct(_, news, sets, clones) =>
       Some(news.flatMap(patternRefs).toSet ++
         sets.flatMap(setItemRefs) ++
@@ -127,7 +127,7 @@ object ExprOps {
       Some(patternRefs(part) ++ (onCreate ++ onMatch).flatMap(setItemRefs))
     case Foreach(v, list, updates) =>
       Some(varRefs(list) ++ updates.flatMap(clauseRefs(_).getOrElse(Set.empty)) + v)
-    case CallSubquery(inner) =>
+    case CallSubquery(inner, _) =>
       // Over-approximate with everything the inner query references —
       // only its importing WITH actually reads outer scope.
       Some((inner.first +: inner.rest.map(_._2))

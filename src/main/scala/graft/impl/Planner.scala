@@ -208,7 +208,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     case w: With =>
       planProjection(ctx, w.distinct, w.star, w.items, w.orderBy,
         w.skip, w.limit, w.where)._1
-    case CallProc(name, args, yields) => planCall(ctx, name, args, yields)
+    case CallProc(name, args, yields, opt) =>
+      planCall(ctx, name, args, yields, opt)
     case other =>
       throw new CypherCompileException(s"not a reading clause: $other")
   }
@@ -298,7 +299,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case (cs: CallSubquery, _) =>
         // After writes the ambient graph IS the written state, so the
         // (read-only) body scans post-write tables like MATCH does.
-        ctx = planCallSubquery(ctx, cs.inner)
+        ctx = planCallSubquery(ctx, cs.inner, cs.optional)
       case (m: Match, i) =>
         deadVars = deadEndpointVars(m, rem.drop(i + 1))
         try ctx = planReadingClause(ctx, m) finally deadVars = Set.empty
@@ -319,7 +320,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   /** CALL proc(args) [YIELD cols]: the procedure's DataFrame columns become
     * value variables (cross-joined if rows already exist). */
   private def planCall(ctx: Ctx, name: String, args: Seq[Expr],
-      yields: Seq[String]): Ctx = {
+      yields: Seq[String], optional: Boolean = false): Ctx = {
     val proc = procedures.getOrElse(name,
       throw new CypherCompileException(s"unknown procedure $name"))
     def evalLit(e: Expr): Any = e match {
@@ -333,6 +334,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         throw new CypherCompileException(s"CALL argument must be a literal: $other")
     }
     var df = proc(graph, args.map(evalLit))
+    // OPTIONAL CALL (Neo4j 5.21): an empty procedure result contributes
+    // one all-null row instead of annihilating the driving rows.
+    if (optional && df.isEmpty)
+      df = df.sparkSession.range(1).select(df.schema.fields.map(f =>
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+          .as(f.name)): _*)
     val cols = if (yields.nonEmpty) yields else df.columns.toSeq
     df = df.select(cols.map(col): _*)
     var header = RecordHeader.empty
@@ -2226,9 +2233,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       "invalid combination of UNION and UNION ALL",
       CE.SyntaxError, CE.InvalidClauseComposition)
 
-  private def planCallSubquery(ctx0: Ctx, inner: Query): Ctx = {
+  private def planCallSubquery(ctx0: Ctx, inner: Query,
+      optional: Boolean = false): Ctx = {
     checkUnionMix(inner)
-    if (inner.rest.isEmpty) planCallArm(ctx0, inner.first, None)
+    if (optional && inner.rest.nonEmpty) throw new CypherCompileException(
+      "OPTIONAL CALL { } with a UNION body is not supported",
+      CE.SemanticError, CE.UnsupportedExpression)
+    if (inner.rest.isEmpty) planCallArm(ctx0, inner.first, None, optional)
     else {
       // UNION body: every arm (each with its own importing WITH, per
       // openCypher) shares ONE pinned row-id frame, so arm results are
@@ -2265,7 +2276,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * row-id frame; the arm result then KEEPS the row-id column so the
     * caller can union arms per driving row. */
   private def planCallArm(ctx0: Ctx, inner: SingleQuery,
-      keyedOpt: Option[(Ctx, String)]): Ctx = {
+      keyedOpt: Option[(Ctx, String)], optional: Boolean = false): Ctx = {
     def unsupported(what: String): Nothing = throw new CypherCompileException(
       s"CALL { } $what is not supported",
       CE.SemanticError, CE.UnsupportedExpression)
@@ -2294,7 +2305,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       // Uncorrelated: plan from the unit context, cross-join the result.
       var sub = unitCtx
       clauses.foreach {
-        case cs: CallSubquery => sub = planCallSubquery(sub, cs.inner)
+        case cs: CallSubquery =>
+          sub = planCallSubquery(sub, cs.inner, cs.optional)
         case c if isReadingClause(c) => sub = planReadingClause(sub, c)
         case other => unsupported(s"clause ${other.getClass.getSimpleName}")
       }
@@ -2309,8 +2321,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         case Some((keyed, _)) =>
           Ctx(keyed.df.crossJoin(done.df), keyed.header ++ done.header)
         case None =>
-          if (ctx0.isUnit) done
-          else Ctx(ctx0.df.crossJoin(done.df), ctx0.header ++ done.header)
+          // OPTIONAL CALL { }: an empty uncorrelated result contributes
+          // one all-null row instead of annihilating the driving rows.
+          val doneDf =
+            if (optional && done.df.isEmpty)
+              done.df.sparkSession.range(1).select(done.df.schema.fields
+                .map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+            else done.df
+          if (ctx0.isUnit) Ctx(doneDf, done.header)
+          else Ctx(ctx0.df.crossJoin(doneDf), ctx0.header ++ done.header)
       }
     } else {
       imports.foreach { v =>
@@ -2349,7 +2368,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         // THIS body's frame (row id + imports), so its own importing WITH
         // may re-import the outer imports; its result re-joins on the
         // inner row id and the outer correlation key flows through.
-        case cs: CallSubquery => sub = planCallSubquery(sub, cs.inner)
+        case cs: CallSubquery =>
+          sub = planCallSubquery(sub, cs.inner, cs.optional)
         // Intermediate WITH: append the row id to the projection so an
         // aggregating WITH groups PER DRIVING ROW and a plain/DISTINCT
         // WITH keeps the correlation key. SKIP/LIMIT select per driving
@@ -2407,7 +2427,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         // Rename the agg side's key so the equi-join condition is unambiguous.
         val aggDf = agg.df.withColumnRenamed(aggKey, "_cs_k")
         var df = keyed.df.join(aggDf, col(outerKey) === col("_cs_k"),
-          if (grouped) "inner" else "left")
+          if (grouped && !optional) "inner" else "left")
           .drop("_cs_k")
         // Aggregates over an empty per-row group: count/sum read 0.
         retItems.foreach { i =>
@@ -2480,7 +2500,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         if (ret.distinct) df = df.dropDuplicates()
         val joined = keyed.df
           .join(df.withColumnRenamed(rowCol, "_cs_k"),
-            col(rowCol) === col("_cs_k"), "inner")
+            col(rowCol) === col("_cs_k"),
+            // OPTIONAL CALL { }: driving rows with no body rows keep one
+            // all-null result row instead of dropping.
+            if (optional) "left" else "inner")
           .drop("_cs_k")
         if (keyedOpt.isDefined) Ctx(joined, keyed.header ++ newHeader)
         else Ctx(joined.drop(rowCol), ctx0.header ++ newHeader)

@@ -198,7 +198,9 @@ object CypherParser {
         peek match {
           case Kw("MATCH", _, _) => p += 1; clauses += parseMatch(optional = false)
           case Kw("OPTIONAL", _, _) =>
-            p += 1; eatKw("MATCH"); clauses += parseMatch(optional = true)
+            p += 1
+            if (isKw("CALL")) { p += 1; clauses ++= parseCallClause(optional = true) }
+            else { eatKw("MATCH"); clauses += parseMatch(optional = true) }
           case Kw("UNWIND", _, _) =>
             p += 1
             val e = parseExpr()
@@ -208,35 +210,8 @@ object CypherParser {
           case Kw("FROM", _, _) =>
             p += 1; eatKw("GRAPH"); clauses += FromGraph(parseGraphRef())
           case Kw("USE", _, _) => p += 1; clauses += FromGraph(parseGraphRef())
-          case Kw("CALL", _, _) if peek2 == Punct("{", peek2.pos) =>
-            p += 2
-            val first = parseSingleQuery()
-            val unions = Seq.newBuilder[(Boolean, SingleQuery)]
-            while (tryKw("UNION")) {
-              val all = tryKw("ALL")
-              unions += ((all, parseSingleQuery()))
-            }
-            eatPunct("}")
-            clauses += CallSubquery(Query(first, unions.result()))
           case Kw("CALL", _, _) =>
-            p += 1
-            // dotted procedure names (db.labels, dbms.components, ...)
-            var name = ident()
-            while (tryPunct(".")) name = name + "." + ident()
-            val args = Seq.newBuilder[Expr]
-            if (tryPunct("(")) {
-              if (!isPunct(")")) {
-                args += parseExpr()
-                while (tryPunct(",")) args += parseExpr()
-              }
-              eatPunct(")")
-            }
-            val yields = Seq.newBuilder[String]
-            if (tryKw("YIELD")) {
-              yields += ident()
-              while (tryPunct(",")) yields += ident()
-            }
-            clauses += CallProc(name.toLowerCase, args.result(), yields.result())
+            p += 1; clauses ++= parseCallClause(optional = false)
           // ---- write clauses (beyond-reference; see GraphWriter) ----
           case Kw("CREATE", _, _) =>
             p += 1
@@ -886,6 +861,79 @@ object CypherParser {
         }
       }
       e
+    }
+
+    /** CALL in clause position, after the CALL keyword is consumed:
+      * `CALL { ... }`, the Neo4j 5.23 scoped form `CALL (a, b) { ... }` /
+      * `CALL () { ... }` (desugared to the importing-WITH body), or a
+      * procedure `CALL name(args) [YIELD cols [WHERE pred]]` (the WHERE
+      * desugars to a star-projecting WITH). `optional` marks
+      * OPTIONAL CALL (Neo4j 5.21/5.24). */
+    private def parseCallClause(optional: Boolean): Seq[Clause] = {
+      // scoped subquery: CALL (vars) { ... }
+      if (isPunct("(")) {
+        p += 1
+        val vars = Seq.newBuilder[String]
+        if (!isPunct(")")) {
+          if (isPunct("*")) fail("CALL (*) scope import is not supported " +
+            "— name the variables or use CALL { WITH ... }")
+          vars += ident()
+          while (tryPunct(",")) vars += ident()
+        }
+        eatPunct(")")
+        eatPunct("{")
+        val first0 = parseSingleQuery()
+        val imports = vars.result()
+        def prependImports(sq: SingleQuery): SingleQuery =
+          if (imports.isEmpty) sq
+          else SingleQuery(With(distinct = false, star = false,
+            imports.map(v => ReturnItem(Var(v), None)),
+            Seq.empty, None, None, None) +: sq.clauses)
+        val unions = Seq.newBuilder[(Boolean, SingleQuery)]
+        while (tryKw("UNION")) {
+          val all = tryKw("ALL")
+          unions += ((all, prependImports(parseSingleQuery())))
+        }
+        eatPunct("}")
+        Seq(CallSubquery(Query(prependImports(first0), unions.result()),
+          optional))
+      } else if (isPunct("{")) {
+        p += 1
+        val first = parseSingleQuery()
+        val unions = Seq.newBuilder[(Boolean, SingleQuery)]
+        while (tryKw("UNION")) {
+          val all = tryKw("ALL")
+          unions += ((all, parseSingleQuery()))
+        }
+        eatPunct("}")
+        Seq(CallSubquery(Query(first, unions.result()), optional))
+      } else {
+        // dotted procedure names (db.labels, dbms.components, ...)
+        var name = ident()
+        while (tryPunct(".")) name = name + "." + ident()
+        val args = Seq.newBuilder[Expr]
+        if (tryPunct("(")) {
+          if (!isPunct(")")) {
+            args += parseExpr()
+            while (tryPunct(",")) args += parseExpr()
+          }
+          eatPunct(")")
+        }
+        val yields = Seq.newBuilder[String]
+        var where: Option[Expr] = None
+        if (tryKw("YIELD")) {
+          yields += ident()
+          while (tryPunct(",")) yields += ident()
+          if (tryKw("WHERE")) where = Some(parseExpr())
+        }
+        val call = CallProc(name.toLowerCase, args.result(), yields.result(),
+          optional)
+        where match {
+          case Some(pred) => Seq(call, With(distinct = false, star = true,
+            Seq.empty, Seq.empty, None, None, Some(pred)))
+          case None => Seq(call)
+        }
+      }
     }
 
     /** Cypher 5 type spec after `IS ::` / `::`: an (optionally LOCAL/

@@ -152,4 +152,23 @@ class TckStyleSpec17 extends TckScenarioBase {
     "MATCH (a:A) CREATE (a)-[:PING]->(:T) WITH count(*) AS w " +
       "CALL degrees() YIELD degree RETURN sum(degree) AS x",
     value(8L))
+
+  // ---- round 8: scoped CALL (vars), YIELD WHERE, OPTIONAL CALL ----
+  scenario("scoped CALL (n) imports like CALL { WITH n }", g,
+    "MATCH (a:A) CALL (a) { MATCH (a)-[:KNOWS]->(b) RETURN b.num AS v } " +
+      "RETURN sum(v) AS x", value(2L))
+  scenario("scoped CALL () is the uncorrelated form", g,
+    "MATCH (n) CALL () { MATCH (m:B) RETURN count(*) AS nb } " +
+      "RETURN count(*) AS x, max(nb) AS m",
+    rows(Map("x" -> 3L, "m" -> 1L)))
+  scenario("YIELD ... WHERE filters procedure rows", g,
+    "CALL degrees() YIELD degree WHERE degree >= 2 RETURN count(*) AS x",
+    value(3L)) // every node touches exactly two of the three edges
+  scenario("OPTIONAL CALL subquery keeps empty driving rows as nulls", g,
+    "MATCH (a:A) OPTIONAL CALL (a) { MATCH (a)-[:KNOWS]->(b) " +
+      "WHERE b.num > 99 RETURN b.num AS v } RETURN count(*) AS x, " +
+      "count(v) AS vs", rows(Map("x" -> 1L, "vs" -> 0L)))
+  scenario("OPTIONAL CALL procedure with an empty result yields one null row", g,
+    "OPTIONAL CALL kcore(99) YIELD id RETURN count(*) AS x, count(id) AS y",
+    rows(Map("x" -> 1L, "y" -> 0L)))
 }
