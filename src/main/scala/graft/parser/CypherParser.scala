@@ -451,10 +451,35 @@ object CypherParser {
       Delete(es.result(), detach)
     }
 
+    // Inline pattern predicates (Cypher 5 `(n:A WHERE pred)` /
+    // `-[r:T WHERE pred]->`): collected per pattern CONTEXT (MATCH, QPP
+    // group, comprehension, EXISTS/COUNT/COLLECT subquery, pattern
+    // predicate) and conjoined into that context's WHERE — never hoisted
+    // past a scope that binds local variables.
+    private var inlineWheres: List[scala.collection.mutable.ListBuffer[Expr]] =
+      Nil
+    private def addInlineWhere(e: Expr): Unit = inlineWheres match {
+      case top :: _ => top += e
+      case Nil => fail(
+        "inline WHERE is not supported in this pattern position")
+    }
+    private def withInlineFrame[T](body: => T): (T, Seq[Expr]) = {
+      val frame = scala.collection.mutable.ListBuffer.empty[Expr]
+      inlineWheres = frame :: inlineWheres
+      try { (body, frame.toList) }
+      finally { inlineWheres = inlineWheres.tail }
+    }
+    private def conj(inline: Seq[Expr], where: Option[Expr]): Option[Expr] =
+      inline ++ where.toSeq match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many => Some(Ands(many))
+      }
+
     private def parseMatch(optional: Boolean): Match = {
-      val pattern = parsePattern()
+      val (pattern, inline) = withInlineFrame(parsePattern())
       val where = if (tryKw("WHERE")) Some(parseExpr()) else None
-      Match(optional, pattern, where)
+      Match(optional, pattern, conj(inline, where))
     }
 
     private def parseWith(): With = {
@@ -604,6 +629,7 @@ object CypherParser {
         }
       }
       val props = if (isPunct("{")) parsePropMap() else Seq.empty
+      if (tryKw("WHERE")) addInlineWhere(parseExpr())
       eatPunct(")")
       NodePattern(variable, labels, props, copyOf, labelExpr)
     }
@@ -708,6 +734,7 @@ object CypherParser {
           varLength = Some((lo, hi))
         }
         if (isPunct("{")) props = parsePropMap()
+        if (tryKw("WHERE")) addInlineWhere(parseExpr())
         eatPunct("]")
       }
       val rightArrow = tryPunct("->")
@@ -733,10 +760,10 @@ object CypherParser {
       * defines. Group direction comes from the INNER arrow. */
     private def parseQppGroup(): RelPattern = {
       eatPunct("(")
-      val src = parseNodePattern()
-      val rel = parseRelPattern()
-      val dst = parseNodePattern()
-      val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+      val ((src, rel, dst), inline) = withInlineFrame(
+        (parseNodePattern(), parseRelPattern(), parseNodePattern()))
+      val where = conj(inline,
+        if (tryKw("WHERE")) Some(parseExpr()) else None)
       eatPunct(")")
       val (lo, hi) = parseQuantifier()
       RelPattern(rel.variable, rel.types, rel.props, OUT, Some((lo, hi)),
@@ -1091,8 +1118,9 @@ object CypherParser {
         case Kw("COUNT", _, _) if peek2 == Punct("{", peek2.pos) =>
           p += 2
           tryKw("MATCH")
-          val part = parsePatternPart()
-          val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+          val (part, inline) = withInlineFrame(parsePatternPart())
+          val where = conj(inline,
+            if (tryKw("WHERE")) Some(parseExpr()) else None)
           eatPunct("}")
           FuncCall("size", Seq(PatternComp(part, where, IntLit(1))),
             distinct = false)
@@ -1114,8 +1142,9 @@ object CypherParser {
             peek2 == Punct("{", peek2.pos) =>
           p += 2
           tryKw("MATCH")
-          val part = parsePatternPart()
-          val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+          val (part, inline) = withInlineFrame(parsePatternPart())
+          val where = conj(inline,
+            if (tryKw("WHERE")) Some(parseExpr()) else None)
           eatKw("RETURN")
           val distinct = tryKw("DISTINCT")
           val proj = parseExpr()
@@ -1151,7 +1180,10 @@ object CypherParser {
           Reduce(acc, init, v, list, step)
         case Punct("(", _) =>
           // parenthesized expr OR inline pattern predicate like (a)-->(b)
-          if (looksLikePattern()) PatternPredicate(parsePatternPart(), negated = false)
+          if (looksLikePattern()) {
+            val (part, inline) = withInlineFrame(parsePatternPart())
+            PatternPredicate(part, negated = false, conj(inline, None))
+          }
           else {
             p += 1
             val e = parseExpr()
@@ -1175,8 +1207,9 @@ object CypherParser {
                 ListComprehension(v, list, where, proj)
               case _ if looksLikePattern() =>
                 // [ (a)-->(b) WHERE pred | proj ]
-                val part = parsePatternPart()
-                val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+                val (part, inline) = withInlineFrame(parsePatternPart())
+                val where = conj(inline,
+                  if (tryKw("WHERE")) Some(parseExpr()) else None)
                 eatPunct("|")
                 val proj = parseExpr()
                 eatPunct("]")
@@ -1322,6 +1355,24 @@ object CypherParser {
             case Punct("-", _) | Punct("<-", _) => true
             case _ => false
           }
+        // inline WHERE (Cypher 5): scan to the node's closing paren
+        case Kw("WHERE", _, _) =>
+          var depth = 0
+          var j = i + 1
+          var close = -1
+          while (close < 0 && j < toks.length) {
+            tok(j) match {
+              case Punct("(", _) => depth += 1
+              case Punct(")", _) if depth == 0 => close = j
+              case Punct(")", _) => depth -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          close >= 0 && (tok(close + 1) match {
+            case Punct("-", _) | Punct("<-", _) => true
+            case _ => false
+          })
         case _ => false
       }
     }
@@ -1386,16 +1437,17 @@ object CypherParser {
       // EXISTS { pattern } | EXISTS { MATCH pattern } | EXISTS(expr)
       if (tryPunct("{")) {
         tryKw("MATCH")
-        val part = parsePatternPart()
-        val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+        val (part, inline) = withInlineFrame(parsePatternPart())
+        val where = conj(inline,
+          if (tryKw("WHERE")) Some(parseExpr()) else None)
         eatPunct("}")
         PatternPredicate(part, negated = false, where)
       } else {
         eatPunct("(")
         if (looksLikePattern()) {
-          val part = parsePatternPart()
+          val (part, inline) = withInlineFrame(parsePatternPart())
           eatPunct(")")
-          PatternPredicate(part, negated = false)
+          PatternPredicate(part, negated = false, conj(inline, None))
         } else {
           val e = parseExpr()
           eatPunct(")")

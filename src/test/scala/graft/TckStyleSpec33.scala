@@ -152,6 +152,30 @@ class TckStyleSpec33 extends TckScenarioBase {
     graft.api.CypherError.InvalidArgumentType)
 
   /** a -T-> b, a -S-> c, a -U-> d, b -T-> d */
+  // ---- inline pattern predicates (Cypher 5 `(n WHERE p)`, round 8) ----
+  scenario("inline node WHERE filters like clause WHERE", g,
+    "MATCH (n:A WHERE n.num > 1) RETURN n.num AS x", value(3L))
+  scenario("inline WHERE composes with labels, props and clause WHERE", g,
+    "MATCH (n:A WHERE n.num > 0) WHERE n.num < 3 RETURN n.num AS x",
+    value(1L))
+  scenario("inline relationship WHERE filters the rel", g,
+    "MATCH (a)-[r:T WHERE r IS NOT NULL]->(b) RETURN count(*) AS x",
+    value(2L))
+  scenario("inline WHERE on both endpoints", g,
+    "MATCH (a:A WHERE a.num = 1)-[:T]->(b WHERE b.num = 2) " +
+      "RETURN count(*) AS x", value(1L))
+  scenario("inline WHERE inside EXISTS subquery pattern", g,
+    "MATCH (n) WHERE EXISTS { (n WHERE n.num = 1)-[:T]->() } " +
+      "RETURN count(*) AS x", value(1L))
+  scenario("inline WHERE inside a pattern comprehension", g,
+    "RETURN size([(a:A WHERE a.num = 1)-[:T]->(b) | b.num]) AS x",
+    value(1L))
+  scenario("inline WHERE inside COUNT subquery", g,
+    "MATCH (n:A) RETURN COUNT { (n)-[:T]->(b WHERE b.num > 0) } AS x, " +
+      "n.num AS num ORDER BY num",
+    rows(Map("x" -> 1L, "num" -> 1L), Map("x" -> 1L, "num" -> 3L)),
+    ordered = true)
+
   lazy val gRel = graph(spark,
     Seq(N(1, Set("N"), Map("num" -> 1)), N(2, Set("N"), Map("num" -> 2)),
       N(3, Set("N"), Map("num" -> 3)), N(4, Set("N"), Map("num" -> 4))),
