@@ -585,13 +585,23 @@ object CypherParser {
                else "allshortest")
         case _ => None
       }
-      val head = parseNodePattern()
+      // A leading `((` is a QPP group with no juxtaposed outer node
+      // (GQL abbreviated form): synthesize an anonymous head — the group's
+      // per-iteration source unification constrains it.
+      def anon = NodePattern(None, Seq.empty, Seq.empty, None, None)
+      val head =
+        if (isPunct("(") && peek2 == Punct("(", peek2.pos)) anon
+        else parseNodePattern()
       val tail = Seq.newBuilder[(RelPattern, NodePattern)]
       while (isPunct("-") || isPunct("<-") || isPunct("(")) {
         // `(` mid-chain starts a quantified path pattern group:
         // ((x)-[r:T]->(y) [WHERE pred]){m,n} | ...+ | ...*
-        val rel = if (isPunct("(")) parseQppGroup() else parseRelPattern()
-        val node = parseNodePattern()
+        val isGroup = isPunct("(")
+        val rel = if (isGroup) parseQppGroup() else parseRelPattern()
+        // after a group the juxtaposed node may be elided (trailing form)
+        val node =
+          if (isGroup && !isPunct("(")) anon
+          else parseNodePattern()
         tail += ((rel, node))
       }
       if (shortest.isDefined) eatPunct(")")

@@ -120,6 +120,14 @@ class TckStyleSpec31 extends TckScenarioBase {
       "WHERE b.name = 'm2' RETURN m.name AS x",
     value("m1"))
 
+  // ------------------------- abbreviated forms (no juxtaposed node)
+  scenario("a pattern may BE a quantified group (leading form)", g,
+    "MATCH ((x)-[:T]->(y)){1,1} RETURN count(*) AS x", value(4L))
+  scenario("leading-form group with a longer quantifier", g,
+    "MATCH p = ((x)-[:T]->(y)){2,2} RETURN count(*) AS x", value(2L))
+  scenario("juxtaposed head with elided trailing node", g,
+    "MATCH (a:A)((x)-[:T]->(y)){1,1} RETURN count(*) AS x", value(2L))
+
   // ------------------------------------------------------- errors
   errorScenario("outer variable reuse inside a group is rejected", g,
     "MATCH (c:A) ((c)-[r:T]->(y)){1,2} (o) RETURN count(*) AS x",
