@@ -1681,7 +1681,25 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "right" =>
         rejectNegativeLiteral(args(1), "right")
         a0.substr(F.length(a0) - a1.cast(IntegerType) + 1, a1.cast(IntegerType))
-      case "split" => F.split(a0, a1)
+      // Cypher split delimiters are LITERAL strings (Neo4j also accepts a
+      // LIST of delimiters); Spark's split takes a regex, so delimiters
+      // are quoted — statically for literals, with \Q...\E at runtime for
+      // dynamic values ( split('a.b', '.') would otherwise split on every
+      // character).
+      case "split" =>
+        def q(c: Column): Column = concat(lit("\\Q"), c, lit("\\E"))
+        val pat = args(1) match {
+          case StrLit(d) => lit(java.util.regex.Pattern.quote(d))
+          case ListLit(items) if items.forall(_.isInstanceOf[StrLit]) =>
+            lit(items.map(i => java.util.regex.Pattern
+              .quote(i.asInstanceOf[StrLit].v)).mkString("|"))
+          case other => inferType(other) match {
+            case Some(_: ArrayType) =>
+              array_join(transform(a1, q(_)), "|")
+            case _ => q(a1)
+          }
+        }
+        F.split(a0, pat)
       case "tostring" =>
         inferType(args(0)) match {
           // Durations render as ISO-8601 (Neo4j toString semantics:

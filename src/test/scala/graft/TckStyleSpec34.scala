@@ -196,4 +196,12 @@ class TckStyleSpec34 extends TckScenarioBase {
   scenario("trim char-only and bare FROM forms", g,
     "RETURN trim('x' FROM 'xax') AS a, trim(FROM ' a ') AS b",
     rows(Map("a" -> "a", "b" -> "a")))
+
+  // ---- split: literal delimiters, delimiter lists (round-8 fix) ----
+  scenario("split delimiter is literal, not a regex", g,
+    "RETURN split('a.b.c', '.') AS x", value(List("a", "b", "c")))
+  scenario("split accepts a list of delimiters", g,
+    "RETURN split('a,b;c', [',', ';']) AS x", value(List("a", "b", "c")))
+  scenario("split with a dynamic delimiter stays literal", g,
+    "WITH '.' AS d RETURN split('a.b', d) AS x", value(List("a", "b")))
 }
