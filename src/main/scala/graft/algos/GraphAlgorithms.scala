@@ -1026,6 +1026,105 @@ object GraphAlgorithms {
     * state per node is O(2^lgK) bytes regardless of ball size. Estimates
     * are deterministic (DataSketches HLL has no run-time randomness), so
     * the accuracy gate in the registered query is stable. */
+  /** Exact harmonic centrality restricted to `sources` (k-source form,
+    * the standard sampling approximation — pass every node for the exact
+    * value): H(v) = Σ_{s∈sources, s≠v} 1/d(s, v) over undirected
+    * (`directed=false`) or directed distances. Unreachable pairs
+    * contribute 0 (the point of harmonic over closeness).
+    *
+    * Scale shape: one multi-source BFS — per round the (s, v) frontier
+    * joins the pinned src-partitioned edge frame and anti-joins the
+    * visited set; memory is O(sources × reached), the same documented
+    * bound as [[betweenness]]; throws at the cap (distances past it
+    * would silently vanish from the sum). The whole-graph scale path is
+    * [[harmonicCentralityHll]]. */
+  def harmonicCentrality(graph: PropertyGraph, sources: DataFrame,
+      relTypes: Seq[String] = Seq.empty, directed: Boolean = false,
+      maxIterations: Int = 50): DataFrame = {
+    val e0 = validated(edges(graph, relTypes), graph)
+      .filter(col("src") =!= col("dst"))
+    val base = e0.select(col("src"), col("dst")).distinct()
+    val sym = if (directed) base
+      else base.unionByName(base.select(col("dst").as("src"),
+        col("src").as("dst")))
+    val e = Pin(sym.repartition(col("src")))
+    var visited = Pin(sources.select(col("id").cast(LongType).as("s"))
+      .distinct().select(col("s"), col("s").as("v"), lit(0).as("d")))
+    var frontier = visited
+    var fN = frontier.count()
+    var d = 0
+    while (fN > 0 && d < maxIterations) {
+      d += 1
+      val next = Pin(e.join(frontier, e("src") === frontier("v"))
+        .select(col("s"), col("dst").as("v"), lit(d).as("d"))
+        .distinct()
+        .join(visited.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
+      visited = Pin(visited.unionByName(next))
+      frontier = next
+      fN = frontier.count()
+    }
+    if (fN > 0) throw new IllegalStateException(
+      s"harmonicCentrality did not finish within $maxIterations BFS " +
+        "rounds (raise maxIterations)")
+    val scores = visited.filter(col("s") =!= col("v"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(lit(1.0) / col("d")).as("harmonic"))
+    nodeIds(graph).join(scores, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
+  /** Harmonic centrality ESTIMATES for every node via HyperBall
+    * (Boldi & Vigna 2014 — the paper's motivating application):
+    * H(v) ≈ Σ_h (|B(v,h)| − |B(v,h−1)|)/h from the per-hop HLL ball
+    * sizes, iterated until the ball sizes stop changing (sketches are
+    * monotone, so the per-node estimates converge exactly in diameter
+    * hops; the cap THROWS). O(2^lgK) state per node, never materializes
+    * distances — the 100-TB formulation. */
+  def harmonicCentralityHll(edges0: DataFrame, maxIterations: Int = 50,
+      lgK: Int = 12): DataFrame = {
+    val spark = edges0.sparkSession
+    val sym = Pin(symNeighbors(edges0)
+      .repartition(spark.sparkContext.defaultParallelism, col("v")))
+    var state = Pin {
+      val init = sym.select(col("u").as("id"))
+        .groupBy(col("id"))
+        .agg(hll_sketch_agg(col("id"), lgK).as("sk"))
+      init.select(col("id"), col("sk"),
+        hll_sketch_estimate(col("sk")).cast(DoubleType).as("est"),
+        lit(0.0).as("acc"))
+    }
+    def totalEst(df: DataFrame): Double =
+      df.agg(sum(col("est"))).head().getDouble(0)
+    var prevTotal = totalEst(state)
+    var h = 0
+    var converged = false
+    while (!converged && h < maxIterations) {
+      h += 1
+      val contrib = sym.join(state, col("v") === col("id"))
+        .groupBy(col("u"))
+        .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = true)
+          .as("_nsk"))
+      state = Pin(state.join(contrib, state("id") === contrib("u"), "left")
+        .select(col("id"),
+          when(col("_nsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("_nsk"),
+              allowDifferentLgConfigK = true)).as("sk"),
+          col("est").as("_pe"), col("acc"))
+        .select(col("id"), col("sk"),
+          hll_sketch_estimate(col("sk")).cast(DoubleType).as("est"),
+          (col("acc") + greatest(
+            hll_sketch_estimate(col("sk")).cast(DoubleType) - col("_pe"),
+            lit(0.0)) / h).as("acc")))
+      val t = totalEst(state) // doubles as the round's pin action
+      converged = t == prevTotal // identical sketches -> identical doubles
+      prevTotal = t
+    }
+    if (!converged) throw new IllegalStateException(
+      s"harmonicCentralityHll did not converge within $maxIterations " +
+        "hops (raise maxIterations)")
+    state.select(col("id"), col("acc").as("harmonic_est"))
+  }
+
   def neighborhoodHll(edges0: DataFrame, maxHops: Int, lgK: Int = 12): DataFrame = {
     val spark = edges0.sparkSession
     val sym = Pin(symNeighbors(edges0)

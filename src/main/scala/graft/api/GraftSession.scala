@@ -135,6 +135,12 @@ class GraftSession(val spark: SparkSession) {
   registerProcedure("scc", (g, args) =>
     graft.algos.GraphAlgorithms.stronglyConnectedComponents(g,
       strArgs(args, 0)).toDF("id", "scc"))
+  // CALL harmonic(seedLabel [, relType...]) — exact k-source harmonic
+  // centrality seeded on the labeled nodes (undirected).
+  registerProcedure("harmonic", (g, args) =>
+    graft.algos.GraphAlgorithms.harmonicCentrality(g,
+      labelIds(g, strArg(args, 0)), strArgs(args, 1))
+      .toDF("id", "harmonic"))
   // CALL labelprop(maxIterations [, relType...])
   registerProcedure("labelprop", (g, args) =>
     graft.algos.GraphAlgorithms.labelPropagation(g, strArgs(args, 1),

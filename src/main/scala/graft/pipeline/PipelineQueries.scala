@@ -504,6 +504,23 @@ object PipelineQueries {
           col("n_events"), round(col("total_value"), 4).as("tv"))),
     // --- weighted SSSP from Region 0, undirected, per-type hop costs ---
     // (id-free output: distance histogram, same trick as the other algos)
+    // Exact k-source harmonic centrality over the IN_REGION star:
+    // sources = every Nation and Region, so per region with k nations a
+    // nation scores 1 + (k-1)/2 and the region scores k; all other nodes
+    // 0. Histogram of rounded scores.
+    "q_algo_harmonic" -> ((s, dir) => {
+      val g = graft.tpch.TpchGraph(s, dir)
+      val src = g.nodeScansFor(Seq("Nation"))
+        .map(_.df.select(col(graft.graph.PropertyGraph.ID).as("id")))
+        .reduce(_.unionByName(_))
+        .unionByName(g.nodeScansFor(Seq("Region"))
+          .map(_.df.select(col(graft.graph.PropertyGraph.ID).as("id")))
+          .reduce(_.unionByName(_)))
+      graft.algos.GraphAlgorithms.harmonicCentrality(g, src,
+          relTypes = Seq("IN_REGION"))
+        .groupBy(round(col("harmonic"), 4).as("h"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "q_algo_sssp" -> ((s, dir) => {
       val g = graft.tpch.TpchGraph(s, dir)
       val src = g.nodeScansFor(Seq("Region"))
@@ -1463,6 +1480,17 @@ object PipelineQueries {
            epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
            CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS tv
          FROM y GROUP BY user_id, sid""",
+    "q_algo_harmonic" ->
+      """WITH k AS (SELECT n_regionkey AS rk, count(*) AS kk FROM nation GROUP BY 1),
+         rows_ AS (
+           SELECT round(1.0 + (kk - 1) / 2.0, 4) AS h, CAST(kk AS BIGINT) AS n FROM k
+           UNION ALL SELECT round(CAST(kk AS DOUBLE), 4) AS h, CAST(1 AS BIGINT) FROM k
+           UNION ALL SELECT 0.0 AS h,
+             (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+             + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+             + (SELECT count(*) FROM lineitem)
+             + (SELECT count(*) FROM region) - (SELECT count(*) FROM k))
+         SELECT h, CAST(sum(n) AS BIGINT) AS n FROM rows_ GROUP BY 1""",
     // Weighted SSSP histogram replay: bounded-depth recursive walk over
     // the string-keyed edge rebuild (same trick as q_call_degrees), then
     // min distance per node. The 30.0 bound only prunes non-shortest

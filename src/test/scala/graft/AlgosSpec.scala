@@ -350,6 +350,40 @@ class AlgosSpec extends SparkTestBase {
     scc.toMap
   }
 
+  test("harmonic centrality: exact path-graph values, isolated at 0") {
+    // Path 1-2-3-4 (undirected), isolated 5. H(1)=1+1/2+1/3, H(2)=1+1+1/2.
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 2L, 3L), (12L, 3L, 4L))
+      .toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val src = nodes.select((shiftleft(lit(0L), 56).bitwiseOR(col("id"))).as("id"))
+    val h = GraphAlgorithms.harmonicCentrality(g, src).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    assert(math.abs(h(1L) - (1.0 + 0.5 + 1.0 / 3)) < 1e-9)
+    assert(math.abs(h(2L) - (1.0 + 1.0 + 0.5)) < 1e-9)
+    assert(h(5L) === 0.0)
+    // cap throws rather than dropping far distances from the sum
+    val ex = intercept[IllegalStateException] {
+      GraphAlgorithms.harmonicCentrality(g, src, maxIterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not finish"))
+  }
+
+  test("harmonic centrality HLL estimate tracks the exact values") {
+    // K4 plus a pendant: exact H is computable; HLL at lgK=12 on 5 nodes
+    // is near-exact (dense register mode).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val est = GraphAlgorithms.harmonicCentralityHll(edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // H(4) = 4 (adjacent to all); H(5) = 1 + 3/2; H(1) = 3 + 1/2
+    assert(math.abs(est(4L) - 4.0) < 0.2)
+    assert(math.abs(est(5L) - 2.5) < 0.2)
+    assert(math.abs(est(1L) - 3.5) < 0.2)
+  }
+
   test("scc: ring plus tail") {
     val m = sccOf(sccGraph(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)), 4))
     assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
