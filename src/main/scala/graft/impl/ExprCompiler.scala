@@ -325,7 +325,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "tobooleanornull" => Some(BooleanType)
       case "char_length" | "character_length" => Some(LongType)
       case "elementid" | "tostringornull" | "upper" | "lower" |
-           "valuetype" => Some(StringType)
+           "valuetype" | "randomuuid" => Some(StringType)
       case "nullif" => args.headOption.flatMap(inferType)
       case "toset" => args.headOption.flatMap(inferType)
       case "tostring" | "toupper" | "tolower" | "trim" | "ltrim" | "rtrim" |
@@ -1804,6 +1804,39 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "log10" => F.log(10.0, a0)
       case "ceil" => F.ceil(a0)
       case "floor" => F.floor(a0)
+      // round(v, p, mode): Neo4j's seven explicit modes (previously the
+      // mode argument was silently ignored — HALF_EVEN ran HALF_UP).
+      // Double scaling, not BigDecimal — the engine-wide numeric stance.
+      case "round" if args.length == 3 =>
+        val p = args(1) match {
+          case IntLit(s) => s.toInt
+          case other => throw new CypherCompileException(
+            s"round() scale must be an integer literal, got $other")
+        }
+        val mode = args(2) match {
+          case StrLit(m) => m.toUpperCase
+          case other => throw new CypherCompileException(
+            s"round() mode must be a string literal, got $other")
+        }
+        val m = lit(math.pow(10, p))
+        val x = a0.cast(DoubleType)
+        val scaled = x * m
+        val r = mode match {
+          case "HALF_UP" => F.round(x, p)
+          case "HALF_EVEN" => F.bround(x, p)
+          case "UP" =>
+            signum(x) * F.ceil(F.abs(scaled)).cast(DoubleType) / m
+          case "DOWN" =>
+            signum(x) * F.floor(F.abs(scaled)).cast(DoubleType) / m
+          case "CEILING" => F.ceil(scaled).cast(DoubleType) / m
+          case "FLOOR" => F.floor(scaled).cast(DoubleType) / m
+          case "HALF_DOWN" =>
+            signum(x) * F.ceil(F.abs(scaled) - 0.5).cast(DoubleType) / m
+          case other => throw new CypherCompileException(
+            s"unknown round() mode $other", CE.ArgumentError,
+            CE.InvalidArgumentValue)
+        }
+        r.cast(DoubleType)
       case "round" =>
         if (args.length >= 2) args(1) match {
           // Precision form: HALF_UP away from zero (Neo4j's default
@@ -1816,6 +1849,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         // java Math.round): round(-2.5) = -2 — Spark's HALF_UP would
         // give -3.
         else F.floor(a0.cast(DoubleType) + 0.5).cast(DoubleType)
+      case "randomuuid" => F.uuid()
       case "sign" => F.signum(a0).cast(LongType)
       // Neo4j 4.x isNaN: true only for a floating NaN; null-propagating.
       case "isnan" => when(a0.isNull, lit(null)).otherwise(F.isnan(a0))

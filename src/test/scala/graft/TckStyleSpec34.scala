@@ -197,6 +197,26 @@ class TckStyleSpec34 extends TckScenarioBase {
     "RETURN trim('x' FROM 'xax') AS a, trim(FROM ' a ') AS b",
     rows(Map("a" -> "a", "b" -> "a")))
 
+  // ---- round() explicit modes (Neo4j 4.2, round-8 fix: the mode was
+  // silently ignored) ----
+  scenario("round HALF_EVEN is banker's rounding", g,
+    "RETURN round(2.5, 0, 'HALF_EVEN') AS a, " +
+      "round(3.5, 0, 'HALF_EVEN') AS b",
+    rows(Map("a" -> 2.0, "b" -> 4.0)))
+  scenario("round UP/DOWN are away-from/toward zero", g,
+    "RETURN round(-2.5, 0, 'UP') AS a, round(2.4, 0, 'UP') AS b, " +
+      "round(2.6, 0, 'DOWN') AS c",
+    rows(Map("a" -> -3.0, "b" -> 3.0, "c" -> 2.0)))
+  scenario("round CEILING/FLOOR/HALF_DOWN", g,
+    "RETURN round(-2.5, 0, 'CEILING') AS a, round(2.5, 0, 'FLOOR') AS b, " +
+      "round(2.5, 0, 'HALF_DOWN') AS c",
+    rows(Map("a" -> -2.0, "b" -> 2.0, "c" -> 2.0)))
+  errorScenario("unknown round mode is a classified error", g,
+    "RETURN round(2.5, 0, 'SIDEWAYS') AS x",
+    ArgumentError, InvalidArgumentValue)
+  scenario("randomUUID returns a 36-char string", g,
+    "RETURN size(randomUUID()) AS x", value(36L))
+
   // ---- split: literal delimiters, delimiter lists (round-8 fix) ----
   scenario("split delimiter is literal, not a regex", g,
     "RETURN split('a.b.c', '.') AS x", value(List("a", "b", "c")))
