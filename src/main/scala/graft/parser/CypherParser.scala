@@ -900,6 +900,31 @@ object CypherParser {
       e
     }
 
+    /** `IN TRANSACTIONS [OF n ROWS] [ON ERROR ...]` after CALL { }:
+      * accepted and IGNORED — transactional batching controls commit
+      * atomicity, not results, and this engine computes over an immutable
+      * snapshot (writes produce a new graph), so the unbatched execution
+      * is result-identical. */
+    private def skipInTransactions(): Unit = peek match {
+      case Kw("IN", _, _) if (peek2 match {
+        case Ident(w, _) => w.equalsIgnoreCase("TRANSACTIONS")
+        case _ => false
+      }) =>
+        p += 2
+        if (tryKw("OF")) {
+          advance() match {
+            case NumTok(_, _) =>
+            case t => fail(s"expected a row count after OF, got $t")
+          }
+          peek match {
+            case Ident(w, _) if w.equalsIgnoreCase("ROWS") ||
+                w.equalsIgnoreCase("ROW") => p += 1
+            case t => fail(s"expected ROWS, got $t")
+          }
+        }
+      case _ =>
+    }
+
     /** CALL in clause position, after the CALL keyword is consumed:
       * `CALL { ... }`, the Neo4j 5.23 scoped form `CALL (a, b) { ... }` /
       * `CALL () { ... }` (desugared to the importing-WITH body), or a
@@ -932,6 +957,7 @@ object CypherParser {
           unions += ((all, prependImports(parseSingleQuery())))
         }
         eatPunct("}")
+        skipInTransactions()
         Seq(CallSubquery(Query(prependImports(first0), unions.result()),
           optional))
       } else if (isPunct("{")) {
@@ -943,6 +969,7 @@ object CypherParser {
           unions += ((all, parseSingleQuery()))
         }
         eatPunct("}")
+        skipInTransactions()
         Seq(CallSubquery(Query(first, unions.result()), optional))
       } else {
         // dotted procedure names (db.labels, dbms.components, ...)

@@ -171,4 +171,7 @@ class TckStyleSpec17 extends TckScenarioBase {
   scenario("OPTIONAL CALL procedure with an empty result yields one null row", g,
     "OPTIONAL CALL kcore(99) YIELD id RETURN count(*) AS x, count(id) AS y",
     rows(Map("x" -> 1L, "y" -> 0L)))
+  scenario("CALL { } IN TRANSACTIONS is accepted (result-identical here)", g,
+    "MATCH (n) CALL (n) { RETURN n.name AS nm } IN TRANSACTIONS OF 10 ROWS " +
+      "RETURN count(nm) AS x", value(3L))
 }
