@@ -172,6 +172,36 @@ class GraftSession(val spark: SparkSession) {
       g.schema.relTypes.values.flatMap(_.keySet))
       .toSeq.distinct.sorted.toDF("propertyKey")
   })
+  // Neo4j's db.schema.nodeTypeProperties / relTypeProperties: one row
+  // per (type, property) with the Cypher type name; property-less types
+  // get a single null-property row (Neo4j's shape). Statically known —
+  // no jobs.
+  registerProcedure("db.schema.nodetypeproperties", (g, _) => {
+    import spark.implicits._
+    g.schema.labelCombinations.toSeq.flatMap { case (labels, props) =>
+      val ls = labels.toSeq.sorted
+      val nt = ls.map(l => s":`$l`").mkString
+      if (props.isEmpty)
+        Seq((nt, ls, null.asInstanceOf[String],
+          null.asInstanceOf[Seq[String]], false))
+      else props.toSeq.sortBy(_._1).map { case (k, t) =>
+        (nt, ls, k, Seq(t.toString), true)
+      }
+    }.toDF("nodeType", "nodeLabels", "propertyName", "propertyTypes",
+      "mandatory")
+  })
+  registerProcedure("db.schema.reltypeproperties", (g, _) => {
+    import spark.implicits._
+    g.schema.relTypes.toSeq.flatMap { case (t, props) =>
+      val rt = s":`$t`"
+      if (props.isEmpty)
+        Seq((rt, null.asInstanceOf[String],
+          null.asInstanceOf[Seq[String]], false))
+      else props.toSeq.sortBy(_._1).map { case (k, ct) =>
+        (rt, k, Seq(ct.toString), true)
+      }
+    }.toDF("relType", "propertyName", "propertyTypes", "mandatory")
+  })
   registerProcedure("db.schema.nodetypecount", (g, _) => {
     import spark.implicits._
     g.schema.labelCombinations.keySet.toSeq

@@ -201,6 +201,15 @@ class AcceptanceSpec extends SparkTestBase {
       "CALL db.propertyKeys() YIELD propertyKey RETURN propertyKey")
       .collect().map(_.getString(0)).toSet
     assert(keys.contains("val"))
+    val ntp = session.cypher(graph,
+      "CALL db.schema.nodeTypeProperties() " +
+        "YIELD nodeType, propertyName, mandatory RETURN *").collect()
+    assert(ntp.exists(r => r.getAs[String]("nodeType") == ":`N`" &&
+      r.getAs[String]("propertyName") == "val"))
+    val rtp = session.cypher(graph,
+      "CALL db.schema.relTypeProperties() YIELD relType RETURN relType")
+      .collect().map(_.getString(0)).toSet
+    assert(rtp === Set(":`L`"))
   }
 
   test("algorithm procedures via CALL: kcore/ktruss/betweenness/hits/labelprop/assortativity/neighborhood") {
