@@ -1,5 +1,7 @@
 package graft
 
+import graft.api.CypherError._
+
 /** TCK-style conformance, part 34 — Neo4j 5 function-surface additions:
   * elementId (string form of the internal id), the *OrNull cast family,
   * lower/upper aliases, char_length/character_length, nullIf, and the
