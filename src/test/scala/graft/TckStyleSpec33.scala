@@ -150,6 +150,14 @@ class TckStyleSpec33 extends TckScenarioBase {
     "MERGE (n:A|B) RETURN count(*) AS x",
     graft.api.CypherError.SyntaxError,
     graft.api.CypherError.InvalidArgumentType)
+  errorScenario("inline WHERE is rejected in CREATE patterns", g,
+    "CREATE (n:X WHERE true) RETURN 1 AS x",
+    graft.api.CypherError.SyntaxError,
+    graft.api.CypherError.InvalidSyntax)
+  errorScenario("inline WHERE is rejected in MERGE patterns", g,
+    "MERGE (n:A WHERE true) RETURN 1 AS x",
+    graft.api.CypherError.SyntaxError,
+    graft.api.CypherError.InvalidSyntax)
 
   /** a -T-> b, a -S-> c, a -U-> d, b -T-> d */
   // ---- inline pattern predicates (Cypher 5 `(n WHERE p)`, round 8) ----
