@@ -125,6 +125,45 @@ object ExprCompiler {
     }
   }
 
+  /** datetime() literal: every localdatetime form plus an optional
+    * offset ('Z', +HH:MM, +HHMM, +HH) and/or a bracketed zone name
+    * ('[Europe/Berlin]'); the instant normalizes to UTC — the engine's
+    * datetime is session-UTC TimestampType, so the zone itself is not
+    * retained (documented divergence, the TIME type's sibling rule). */
+  def parseCypherZonedDateTime(s0: String): java.time.LocalDateTime = {
+    import java.time.{ZoneId, ZoneOffset}
+    var s = s0.trim.replace(' ', 'T')
+    var zone: Option[ZoneId] = None
+    val bi = s.indexOf('[')
+    if (bi >= 0 && s.endsWith("]")) {
+      try zone = Some(ZoneId.of(s.substring(bi + 1, s.length - 1)))
+      catch {
+        case _: java.time.DateTimeException => throw new CypherCompileException(
+          s"unknown time zone in datetime literal: $s0",
+          CE.ArgumentError, CE.InvalidTemporalValue)
+      }
+      s = s.substring(0, bi)
+    }
+    var offset: Option[ZoneOffset] = None
+    val ti = s.indexOf('T')
+    if (ti >= 0) {
+      val OffR = """^(.*?)(Z|[+-]\d{2}(?::?\d{2})?)$""".r
+      s.substring(ti + 1) match {
+        case OffR(body, off) =>
+          offset = Some(if (off == "Z") ZoneOffset.UTC else ZoneOffset.of(off))
+          s = s.substring(0, ti + 1) + body
+        case _ =>
+      }
+    }
+    val ldt = parseCypherLocalDateTime(s)
+    (offset, zone) match {
+      case (Some(o), _) => ldt.minusSeconds(o.getTotalSeconds.toLong)
+      case (None, Some(z)) =>
+        ldt.atZone(z).withZoneSameInstant(ZoneOffset.UTC).toLocalDateTime
+      case _ => ldt
+    }
+  }
+
   /** Cypher-compatible localdatetime strings: <date>[T<time>] where the
     * date accepts every parseCypherDate form and the time is
     * HH[:MM[:SS[.fff]]] or compact HH[MM[SS[.fff]]]. */
@@ -1917,6 +1956,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "localdatetime" | "datetime" =>
         if (args.isEmpty) current_timestamp()
         else args(0) match {
+          // datetime() accepts zoned literals (offset/bracketed zone,
+          // normalized to the UTC instant); localdatetime keeps rejecting
+          // them (Neo4j semantics).
+          case StrLit(s) if name == "datetime" =>
+            lit(java.sql.Timestamp.valueOf(
+              ExprCompiler.parseCypherZonedDateTime(s)))
           case StrLit(s) => lit(java.sql.Timestamp.valueOf(
             ExprCompiler.parseCypherLocalDateTime(s)))
           case MapLit(items) if items.exists { case (k, _) =>

@@ -496,4 +496,26 @@ class TckStyleSpec36 extends TckScenarioBase {
       "localtime('12:00:01.750')) AS d " +
       "RETURN d.seconds AS s, d.millisecondsofsecond AS ms",
     rows(Map("s" -> 1L, "ms" -> 500L)))
+
+  // ---- zoned datetime literals (round 8: offsets and zone names
+  // normalize to the UTC instant; the zone is not retained — the
+  // engine's datetime is session-UTC TimestampType, tck_blacklist.md) --
+  scenario("offset literal normalizes to the UTC instant", g,
+    "RETURN toString(datetime('2020-01-01T00:00:00+05:00')) AS x",
+    value("2019-12-31 19:00:00"))
+  scenario("Z literal is the UTC instant", g,
+    "RETURN toString(datetime('2020-01-01T00:00:00Z')) AS x",
+    value("2020-01-01 00:00:00"))
+  scenario("offset literals compare as instants", g,
+    "RETURN datetime('2020-01-01T00:00:00+05:00') < " +
+      "datetime('2020-01-01T00:00:00Z') AS x", value(true))
+  scenario("bracketed zone names resolve DST rules", g,
+    "RETURN toString(datetime('2020-06-01T12:00[Europe/Berlin]')) AS x",
+    value("2020-06-01 10:00:00"))
+  scenario("negative offsets and compact forms", g,
+    "RETURN toString(datetime('2020-01-01T00:00-0830')) AS x",
+    value("2020-01-01 08:30:00"))
+  errorScenario("unknown zone name is a classified error", g,
+    "RETURN datetime('2020-01-01T00:00[Mars/Olympus]') AS x",
+    ArgumentError, InvalidTemporalValue)
 }
