@@ -1355,6 +1355,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case "microsecond" =>
           ((call_function("date_part", lit("SECOND"), c) * 1000000) % 1000000)
             .cast(LongType)
+        // Neo4j datetime epoch accessors (instant-based).
+        case "epochseconds" => unix_seconds(c.cast(TimestampType))
+        case "epochmillis" => unix_millis(c.cast(TimestampType))
         case other =>
           throw new CypherCompileException(s"unknown temporal accessor $other")
       }

@@ -518,4 +518,9 @@ class TckStyleSpec36 extends TckScenarioBase {
   errorScenario("unknown zone name is a classified error", g,
     "RETURN datetime('2020-01-01T00:00[Mars/Olympus]') AS x",
     ArgumentError, InvalidTemporalValue)
+
+  scenario("epochSeconds and epochMillis accessors", g,
+    "RETURN datetime('2020-01-01T00:00:00Z').epochSeconds AS a, " +
+      "datetime('1970-01-01T00:00:01Z').epochMillis AS b",
+    rows(Map("a" -> 1577836800L, "b" -> 1000L)))
 }
