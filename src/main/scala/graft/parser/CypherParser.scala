@@ -1242,6 +1242,37 @@ object CypherParser {
                 val proj = if (tryPunct("|")) Some(parseExpr()) else None
                 eatPunct("]")
                 ListComprehension(v, list, where, proj)
+              // path-bound form [ p = (a)-->(b) ... | proj ]: the path
+              // variable parses inside parsePatternPart. Backtracks to the
+              // expression-list reading on failure so an equality over a
+              // parenthesized expression ([a = (1 + 2)]) stays a literal.
+              case Ident(_, _) if (peek2 match {
+                  case Punct("=", _) => true
+                  case _ => false
+                }) && (tokAt(p + 2) match {
+                  case Punct("(", _) => true
+                  case _ => false
+                }) =>
+                val sp = p
+                val attempt =
+                  try {
+                    val (part, inline) = withInlineFrame(parsePatternPart())
+                    val where = conj(inline,
+                      if (tryKw("WHERE")) Some(parseExpr()) else None)
+                    eatPunct("|")
+                    val proj = parseExpr()
+                    eatPunct("]")
+                    Some(PatternComp(part, where, proj))
+                  } catch {
+                    case _: CypherParseException => p = sp; None
+                  }
+                attempt.getOrElse {
+                  val items = Seq.newBuilder[Expr]
+                  items += parseExpr()
+                  while (tryPunct(",")) items += parseExpr()
+                  eatPunct("]")
+                  ListLit(items.result())
+                }
               case _ if looksLikePattern() =>
                 // [ (a)-->(b) WHERE pred | proj ]
                 val (part, inline) = withInlineFrame(parsePatternPart())

@@ -5,6 +5,22 @@ package graft
   * predicates, nested comprehensions and reduce shapes, and EXISTS{} in
   * value positions (see TckStyleSpec for why these are hand-authored). */
 class TckStyleSpec15 extends TckScenarioBase {
+
+  lazy val gPath = graph(spark,
+    Seq(N(1, Set("Hub"), Map("name" -> "h")),
+      N(2, Set("Spoke"), Map("name" -> "s1")),
+      N(3, Set("Spoke"), Map("name" -> "s2"))),
+    Seq(R(10, 1, 2, "T"), R(11, 1, 3, "T")))
+
+  // ---- path-bound pattern comprehensions (round 8) ----
+  scenario("path-bound comprehension projects path functions", gPath,
+    "MATCH (h:Hub) RETURN [p = (h)-[:T]->(s) | length(p)] AS x",
+    value(List(1L, 1L)))
+  scenario("path-bound comprehension with a WHERE over the path", gPath,
+    "MATCH (h:Hub) RETURN size([p = (h)-[:T]->(s) " +
+      "WHERE length(p) = 1 | nodes(p)]) AS x", value(2L))
+  scenario("bracketed equality over parens stays a list literal", gPath,
+    "WITH 3 AS a RETURN [a = (1 + 2)] AS x", value(List(true)))
   import TckFixtures._
 
   lazy val g = graph(spark,
