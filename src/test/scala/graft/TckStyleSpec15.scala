@@ -5,6 +5,7 @@ package graft
   * predicates, nested comprehensions and reduce shapes, and EXISTS{} in
   * value positions (see TckStyleSpec for why these are hand-authored). */
 class TckStyleSpec15 extends TckScenarioBase {
+  import TckFixtures._
 
   lazy val gPath = graph(spark,
     Seq(N(1, Set("Hub"), Map("name" -> "h")),
@@ -21,7 +22,6 @@ class TckStyleSpec15 extends TckScenarioBase {
       "WHERE length(p) = 1 | nodes(p)]) AS x", value(2L))
   scenario("bracketed equality over parens stays a list literal", gPath,
     "WITH 3 AS a RETURN [a = (1 + 2)] AS x", value(List(true)))
-  import TckFixtures._
 
   lazy val g = graph(spark,
     Seq(
