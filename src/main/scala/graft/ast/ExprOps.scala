@@ -20,6 +20,7 @@ object ExprOps {
     case Cmp(op, l, r) => Cmp(op, f(l), f(r))
     case IsNull(x, n) => IsNull(f(x), n)
     case IsTyped(x, t, n) => IsTyped(f(x), t, n)
+    case IsNormalized(x, nf, n) => IsNormalized(f(x), nf, n)
     case In(l, r) => In(f(l), f(r))
     case StartsWith(l, r) => StartsWith(f(l), f(r))
     case EndsWith(l, r) => EndsWith(f(l), f(r))

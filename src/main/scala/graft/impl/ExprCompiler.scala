@@ -364,7 +364,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "tobooleanornull" => Some(BooleanType)
       case "char_length" | "character_length" => Some(LongType)
       case "elementid" | "tostringornull" | "upper" | "lower" |
-           "valuetype" | "randomuuid" => Some(StringType)
+           "valuetype" | "randomuuid" | "normalize" => Some(StringType)
       case "nullif" => args.headOption.flatMap(inferType)
       case "toset" => args.headOption.flatMap(inferType)
       case "tostring" | "toupper" | "tolower" | "trim" | "ltrim" | "rtrim" |
@@ -430,7 +430,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           inner.map(ArrayType(_))
       }
     case _: Cmp | _: Ands | _: Ors | _: Not | _: Xor | _: IsNull | _: In |
-         _: IsTyped | _: StartsWith | _: EndsWith | _: Contains |
+         _: IsTyped | _: IsNormalized | _: StartsWith | _: EndsWith | _: Contains |
          _: RegexMatch | _: HasLabels | _: IterablePredicate =>
       Some(BooleanType)
     case _ => None
@@ -832,6 +832,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case IsNull(x, false) => compile(x).isNull
     case IsNull(x, true) => compile(x).isNotNull
     case IsTyped(x, spec, negated) => compileIsTyped(x, spec, negated)
+    // Cypher 5 `x IS [NOT] [form] NORMALIZED`: true iff x equals its own
+    // NF* normalization. Null subject -> null; a statically non-string
+    // subject is null too (Neo4j semantics — the predicate never raises).
+    case IsNormalized(x, form, negated) => inferType(x) match {
+      case Some(StringType) =>
+        val c = compile(x)
+        val eq = c === graft.functions.UnicodeNormalize.normalize(c, form)
+        if (negated) !eq else eq
+      case _ => lit(null).cast(BooleanType)
+    }
     // Cypher: `x IN []` is false for every x, including null.
     case In(_, ListLit(items)) if items.isEmpty => lit(false)
     // IN with a list/map needle: openCypher defines IN through ternary
@@ -1481,6 +1491,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Neg(x) => hasAggregation(x)
     case IsNull(x, _) => hasAggregation(x)
     case IsTyped(x, _, _) => hasAggregation(x)
+    case IsNormalized(x, _, _) => hasAggregation(x)
     case In(l, r) => hasAggregation(l) || hasAggregation(r)
     case ListLit(items) => items.exists(hasAggregation)
     case MapLit(items) => items.exists(i => hasAggregation(i._2))
@@ -1661,6 +1672,31 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // ---- strings ----
       case "toupper" | "upper" => upper(a0)
       case "tolower" | "lower" => lower(a0)
+      // Cypher 5 normalize(str[, form]): form is a bare keyword (NFC by
+      // default), so it arrives as a Var whose name we read, never compile.
+      // Non-string input is a compile-time type error (Neo4j raises at
+      // runtime; graft's schema is static, so we can reject earlier).
+      case "normalize" =>
+        val form = args match {
+          case Seq(_) => "NFC"
+          case Seq(_, Var(f)) if graft.functions.UnicodeNormalize.forms(f.toUpperCase) =>
+            f.toUpperCase
+          case Seq(_, StrLit(f)) if graft.functions.UnicodeNormalize.forms(f.toUpperCase) =>
+            f.toUpperCase
+          case _ => throw new CypherCompileException(
+            "normalize() normal form must be NFC, NFD, NFKC or NFKD",
+            CE.ArgumentError, CE.InvalidArgumentValue)
+        }
+        inferType(args.head) match {
+          case Some(StringType) =>
+            graft.functions.UnicodeNormalize.normalize(a0, form)
+          case Some(NullType) => lit(null).cast(StringType)
+          case None => // statically untyped (null literal, parameter)
+            graft.functions.UnicodeNormalize.normalize(a0.cast(StringType), form)
+          case Some(other) => throw new CypherCompileException(
+            s"normalize() requires a STRING argument, got ${other.simpleString}",
+            CE.TypeError, CE.InvalidArgumentType)
+        }
       // Neo4j 5 *OrNull casts: the engine's base casts are already
       // null-on-unparsable (try_cast), so these alias them.
       case "tointegerornull" => compile(FuncCall("tointeger", args, false))

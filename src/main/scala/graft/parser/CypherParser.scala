@@ -850,6 +850,22 @@ object CypherParser {
     private def parseNot(): Expr =
       if (tryKw("NOT")) Not(parseNot()) else parseComparison()
 
+    /** After `IS [NOT]`: `[NFC|NFD|NFKC|NFKD] NORMALIZED` (neither word
+      * is a reserved keyword, so both arrive as Ident). Returns the
+      * normal form (NFC when unstated) or None when the tail is not a
+      * NORMALIZED predicate (e.g. `IS NULL`). */
+    private def parseNormalizedTail(): Option[String] = peek match {
+      case Ident(s, _) if s.equalsIgnoreCase("NORMALIZED") =>
+        p += 1; Some("NFC")
+      case Ident(s, _) if graft.functions.UnicodeNormalize.forms(s.toUpperCase) =>
+        peek2 match {
+          case Ident(n, _) if n.equalsIgnoreCase("NORMALIZED") =>
+            p += 2; Some(s.toUpperCase)
+          case _ => None
+        }
+      case _ => None
+    }
+
     private def parseComparison(): Expr = {
       var e = parseAddSub()
       // openCypher comparison chaining: `1 < 2 < 3` is the conjunction
@@ -876,7 +892,10 @@ object CypherParser {
             p += 1
             val negated = tryKw("NOT")
             if (tryPunct("::")) e = IsTyped(e, parseTypeSpec(), negated)
-            else { eatKw("NULL"); e = IsNull(e, negated) }
+            else parseNormalizedTail() match {
+              case Some(form) => e = IsNormalized(e, form, negated)
+              case None => eatKw("NULL"); e = IsNull(e, negated)
+            }
             chain = Nil; prev = e
           case Punct("::", _) =>
             p += 1
@@ -1465,7 +1484,10 @@ object CypherParser {
           sawOperator = true; p += 1
           val neg = tryKw("NOT")
           if (tryPunct("::")) (IsTyped(subj, parseTypeSpec(), neg), true)
-          else { eatKw("NULL"); (IsNull(subj, neg), true) }
+          else parseNormalizedTail() match {
+            case Some(form) => (IsNormalized(subj, form, neg), true)
+            case None => eatKw("NULL"); (IsNull(subj, neg), true)
+          }
         case Kw("STARTS", _, _) =>
           sawOperator = true; p += 1; eatKw("WITH")
           (StartsWith(subj, parseAddSub()), true)
