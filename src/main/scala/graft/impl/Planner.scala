@@ -579,9 +579,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   private var pathBinds: Seq[PathBind] = Seq.empty
 
-  /** shortestPath/allShortestPaths over one var-length segment:
-    * (mode, head node var, target node var, edge var). */
-  private case class ShortestSpec(mode: String, head: String, tgt: String,
+  /** Path selector (shortestPath/allShortestPaths or a Cypher-5 keyword
+    * selector) over one var-length segment:
+    * (selector, head node var, target node var, edge var). */
+  private case class ShortestSpec(sel: PathSelector, head: String, tgt: String,
       edge: String)
   private var shortestSpecs: Seq[ShortestSpec] = Seq.empty
 
@@ -620,12 +621,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         cur = nxt
       }
       part.pathVar.foreach(pv => binds += PathBind(pv, head, hops.result()))
-      part.shortest.foreach { mode =>
+      part.shortest.foreach { sel =>
         val hs = hops.result()
         if (hs.size != 1 || !hs.head._2)
           throw new CypherCompileException(
-            "shortestPath requires a single var-length relationship pattern")
-        shortestSpecs :+= ShortestSpec(mode, head, hs.head._3, hs.head._1)
+            "path selectors require a single var-length relationship pattern")
+        shortestSpecs :+= ShortestSpec(sel, head, hs.head._3, hs.head._1)
       }
     }
     pathBinds = pathBinds ++ binds.result()
@@ -806,20 +807,40 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         val len = F.size(col(h.col(PathSlot(s.edge))))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(h.col(IdSlot(s.head))), col(h.col(IdSlot(s.tgt))))
-        if (s.mode == "allshortest")
-          ctx = ctx.copy(df = ctx.df
-            .withColumn("_sp_min", min(len).over(w))
-            .filter(len === col("_sp_min")).drop("_sp_min"))
-        else {
-          // One arbitrary-but-deterministic shortest path per pair, chosen
-          // by (length, rel-id array) order. Equality against the window
-          // min — NOT row_number — so outer row multiplicity survives:
-          // "UNWIND [1,2] AS i MATCH shortestPath(...)" keeps the chosen
-          // path once per outer row instead of collapsing to one row.
-          val key = struct(len.as("l"), col(h.col(PathSlot(s.edge))).as("p"))
-          ctx = ctx.copy(df = ctx.df
-            .withColumn("_sp_min", min(key).over(w))
-            .filter(key === col("_sp_min")).drop("_sp_min"))
+        s.sel.mode match {
+          case "allshortest" =>
+            ctx = ctx.copy(df = ctx.df
+              .withColumn("_sp_min", min(len).over(w))
+              .filter(len === col("_sp_min")).drop("_sp_min"))
+          case "shortest" =>
+            // One arbitrary-but-deterministic shortest path per pair, chosen
+            // by (length, rel-id array) order. Equality against the window
+            // min — NOT row_number — so outer row multiplicity survives:
+            // "UNWIND [1,2] AS i MATCH shortestPath(...)" keeps the chosen
+            // path once per outer row instead of collapsing to one row.
+            val key = struct(len.as("l"), col(h.col(PathSlot(s.edge))).as("p"))
+            ctx = ctx.copy(df = ctx.df
+              .withColumn("_sp_min", min(key).over(w))
+              .filter(key === col("_sp_min")).drop("_sp_min"))
+          case "shortestgroups" =>
+            // SHORTEST k GROUPS: every path whose length is among the k
+            // smallest distinct lengths for its endpoint pair. dense_rank
+            // gives ties (same length) the same rank, so whole groups
+            // survive and outer-row duplicates stay intact.
+            ctx = ctx.copy(df = ctx.df
+              .withColumn("_sp_rk", F.dense_rank().over(w.orderBy(len)))
+              .filter(col("_sp_rk") <= s.sel.k).drop("_sp_rk"))
+          case "shortestk" =>
+            // SHORTEST k: the k shortest distinct paths, ties broken by the
+            // rel-id array. (length, path) is a total order over distinct
+            // paths, so dense_rank assigns each distinct path one rank and
+            // keeps duplicates from outer-row multiplicity intact.
+            ctx = ctx.copy(df = ctx.df
+              .withColumn("_sp_rk", F.dense_rank().over(
+                w.orderBy(len, col(h.col(PathSlot(s.edge))))))
+              .filter(col("_sp_rk") <= s.sel.k).drop("_sp_rk"))
+          case other =>
+            throw new CypherCompileException(s"unknown path selector: $other")
         }
       }
     }
@@ -1525,7 +1546,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         tables.nonEmpty && tables.forall { t =>
           val implied =
             if (e.dir == BOTH) t.srcLabels intersect t.tgtLabels
-            else if ((e.dir != IN) == isPatternSrc) t.srcLabels
+            else if ((e.dir != INBOUND) == isPatternSrc) t.srcLabels
             else t.tgtLabels
           nc.labels.toSet.subsetOf(implied)
         }
@@ -1562,7 +1583,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       } else throw new CypherCompileException(
         "re-matching a bound relationship undirected requires both endpoints bound")
     } else {
-      val (patSrcC, patTgtC) = if (e.dir == IN) (tgtC, srcC) else (srcC, tgtC)
+      val (patSrcC, patTgtC) = if (e.dir == INBOUND) (tgtC, srcC) else (srcC, tgtC)
       bindEnd(e.src, patSrcC)
       bindEnd(e.tgt, patTgtC)
     }
@@ -1578,7 +1599,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val undirected = e.dir == BOTH
     // relSrc side of a pattern endpoint: for OUT the pattern src sits on
     // the rel's _src column, for IN on its _tgt column.
-    def relSrcOf(isPatternSrc: Boolean): Boolean = (e.dir != IN) == isPatternSrc
+    def relSrcOf(isPatternSrc: Boolean): Boolean = (e.dir != INBOUND) == isPatternSrc
     def coStoredFor(nc: NodeCons, isPatternSrc: Boolean)
         : Option[graft.graph.CoStoredNode] =
       if (nc.copyOf.nonEmpty) None
@@ -1602,7 +1623,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
     val (relDf, relHeader, relDeferred) = relScanDf(e.v, e.types, e.props, undirected)
     val (srcSideSlot, tgtSideSlot) =
-      if (e.dir == IN) (TgtSlot(e.v), SrcSlot(e.v))
+      if (e.dir == INBOUND) (TgtSlot(e.v), SrcSlot(e.v))
       else (SrcSlot(e.v), TgtSlot(e.v))
 
     var df = ctx.df
@@ -1767,7 +1788,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         // Minimal oriented hop table (_h_from, _h_to, _h_i): traversal
         // always grows from the pattern's src toward its tgt; for IN the
         // underlying relationship is walked target->source.
-        val (fromCol, toCol) = if (e.dir == IN) (t0, s0) else (s0, t0)
+        val (fromCol, toCol) = if (e.dir == INBOUND) (t0, s0) else (s0, t0)
         (relDf0.select(col(fromCol).as("_h_from"),
           col(toCol).as("_h_to"), col(i0).as("_h_i")),
           relDf0, e.props.isEmpty)
@@ -1793,7 +1814,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         // artifact shared across queries.
         val build = () => Pin(hopBase.repartition(col("_h_from")))
         if (cacheableHop)
-          graph.hopTable(e.types, e.dir == IN, undirected, build)
+          graph.hopTable(e.types, e.dir == INBOUND, undirected, build)
         else build()
       } else hopBase
 
@@ -1806,7 +1827,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // so dropping later arrivals never loses a result (BFS closure). This
     // bounds the frontier by the reachable-pair set instead of the full
     // bounded path count — the difference between O(pairs) and O(deg^k).
-    val spMode = shortestSpecs.find(_.edge == e.v).map(_.mode)
+    // Pruning is only sound when solely minimal-length paths can survive
+    // (k == 1 selectors). SHORTEST k / SHORTEST k GROUPS with k >= 2 keep
+    // longer paths, so those enumerate the full bounded trail set and let
+    // the window prune afterwards.
+    val spPrune = shortestSpecs.find(_.edge == e.v)
+      .exists(s => s.sel.mode == "shortest" || s.sel.mode == "allshortest")
     // nodes(p) needs the intermediate node ids; accumulate them only when a
     // bound path variable spans this var-length hop (one extra array column
     // per frontier row otherwise wasted).
@@ -1840,7 +1866,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // Pairs closed at an earlier hop (shortest modes only). Zero-length
     // paths close (a, a) before hop 1.
     var closedPairs: DataFrame =
-      if (spMode.isDefined && lo == 0) {
+      if (spPrune && lo == 0) {
         val a = ctx0.df
           .select(col(ctx0.header.col(IdSlot(anchorVar))).as("_sp_a")).distinct()
         Pin(a.select(col("_sp_a"), col("_sp_a").as("_sp_o")))
@@ -1880,7 +1906,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
     if (!unbounded) {
       for (k <- 1 to hi) {
-        if (spMode.isDefined && k >= math.max(lo, 1)) {
+        if (spPrune && k >= math.max(lo, 1)) {
           frontier = prune(frontier)
           if (k < hi) {
             // Pin: the pruned frontier is read three ways (paths union, next
@@ -1906,14 +1932,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       var k = 1
       var cont = true
       while (cont) {
-        if (spMode.isDefined && k >= math.max(lo, 1)) frontier = prune(frontier)
+        if (spPrune && k >= math.max(lo, 1)) frontier = prune(frontier)
         // Lazy pin + count: the count materializes the checkpoint AND
         // answers the emptiness test in ONE job per level (the old
         // eager-pin-then-isEmpty shape ran two).
         frontier = Pin(frontier)
         if (frontier.count() == 0L) cont = false
         else {
-          if (spMode.isDefined && k >= math.max(lo, 1)) recordClosed(frontier)
+          if (spPrune && k >= math.max(lo, 1)) recordClosed(frontier)
           if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
           if (k >= maxIters) throw new CypherCompileException(
             s"unbounded var-length expand exceeded $maxIters levels " +
@@ -2665,7 +2691,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       if (ctx0.header.kinds.contains(e.v)) throw new CypherCompileException(
         s"CREATE of already-bound relationship ${e.v}",
         CE.SyntaxError, CE.VariableAlreadyBound)
-      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
+      val (srcV, tgtV) = if (e.dir == INBOUND) (e.tgt, e.src) else (e.src, e.tgt)
       val idSlot = IdSlot(e.v)
       df = df.withColumn(RecordHeader.colName(idSlot),
         freshWriteId(writeGen, nextWriteVarIdx()))
@@ -3111,7 +3137,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         ctx = planMergePath(ctx, nodes, edges, createdMark)
       } else {
       val e = edges.head
-      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
+      val (srcV, tgtV) = if (e.dir == INBOUND) (e.tgt, e.src) else (e.src, e.tgt)
       val keys = e.props.map(_._1)
       val keyCols = e.props.zipWithIndex.map { case ((_, ex), i) =>
         val cn = s"_wm_k$i"
@@ -3288,7 +3314,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         props.map { case (k, cn) => k -> created.schema(cn).dataType }.toMap)
     }
     edges.foreach { e =>
-      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
+      val (srcV, tgtV) = if (e.dir == INBOUND) (e.tgt, e.src) else (e.src, e.tgt)
       val props = relProps(e.v)
       wRels :+= WRel(e.types.head,
         created.select(col(relIdNew(e.v)).as(ID) +:
@@ -3321,7 +3347,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
     }
     edges.foreach { e =>
-      val (srcV, tgtV) = if (e.dir == IN) (e.tgt, e.src) else (e.src, e.tgt)
+      val (srcV, tgtV) = if (e.dir == INBOUND) (e.tgt, e.src) else (e.src, e.tgt)
       bindCreated(header.col(IdSlot(e.v)), col(relIdNew(e.v)))
       bindCreated(header.col(SrcSlot(e.v)), createdId(srcV))
       bindCreated(header.col(TgtSlot(e.v)), createdId(tgtV))

@@ -574,17 +574,68 @@ object CypherParser {
           p += 2; Some(name)
         case _ => None
       }
-      // shortestPath(...) / allShortestPaths(...) wrapper
-      val shortest = peek match {
-        case Ident(name, _)
-            if (name.equalsIgnoreCase("shortestPath") ||
-              name.equalsIgnoreCase("allShortestPaths")) &&
-              peek2 == Punct("(", peek2.pos) =>
-          p += 2
-          Some(if (name.equalsIgnoreCase("shortestPath")) "shortest"
-               else "allshortest")
+      // Cypher-5 / GQL keyword path selector (after any `p =` binding):
+      //   ANY [SHORTEST | k] | ALL SHORTEST | SHORTEST k [GROUP|GROUPS] | ALL
+      // each with an optional PATH/PATHS noise word. Bare ALL is the default
+      // semantics and parses to no selector.
+      def selWord(s: String): Boolean = peek match {
+        case Ident(n, _) => n.equalsIgnoreCase(s)
+        case Kw(k, _, _) => k == s
+        case _ => false
+      }
+      def selInt(): Option[Int] = peek match {
+        case NumTok(s, _) if s.nonEmpty && s.forall(_.isDigit) =>
+          p += 1; Some(s.toInt)
         case _ => None
       }
+      def pathNoise(): Unit =
+        if (selWord("PATH") || selWord("PATHS")) p += 1
+      def groupsWord(): Boolean =
+        if (selWord("GROUP") || selWord("GROUPS")) { p += 1; true } else false
+      val kwSel: Option[PathSelector] =
+        if (selWord("ANY")) {
+          p += 1
+          if (selWord("SHORTEST")) { p += 1; pathNoise(); Some(PathSelector("shortest")) }
+          else selInt() match {
+            case Some(k) if k < 1 => fail("path-selector count must be >= 1")
+            case Some(k) if k >= 2 => pathNoise(); Some(PathSelector("shortestk", k))
+            case _ => pathNoise(); Some(PathSelector("shortest"))
+          }
+        } else if (selWord("SHORTEST")) {
+          p += 1
+          val k = selInt().getOrElse(
+            fail("SHORTEST path selector needs a count (SHORTEST k [GROUPS])"))
+          if (k < 1) fail("path-selector count must be >= 1")
+          val grouped = groupsWord() || { pathNoise(); groupsWord() }
+          if (grouped)
+            Some(if (k == 1) PathSelector("allshortest")
+                 else PathSelector("shortestgroups", k))
+          else
+            Some(if (k == 1) PathSelector("shortest")
+                 else PathSelector("shortestk", k))
+        } else if (selWord("ALL") && (peek2 match {
+            case Ident(n, _) => n.equalsIgnoreCase("SHORTEST") ||
+              n.equalsIgnoreCase("PATH") || n.equalsIgnoreCase("PATHS")
+            case _ => false
+          })) {
+          p += 1
+          if (selWord("SHORTEST")) { p += 1; pathNoise(); Some(PathSelector("allshortest")) }
+          else { pathNoise(); None } // ALL PATHS = default semantics
+        } else None
+      // legacy shortestPath(...) / allShortestPaths(...) function wrapper
+      val fnSel: Option[PathSelector] =
+        if (kwSel.isDefined) None
+        else peek match {
+          case Ident(name, _)
+              if (name.equalsIgnoreCase("shortestPath") ||
+                name.equalsIgnoreCase("allShortestPaths")) &&
+                peek2 == Punct("(", peek2.pos) =>
+            p += 2
+            Some(if (name.equalsIgnoreCase("shortestPath")) PathSelector("shortest")
+                 else PathSelector("allshortest"))
+          case _ => None
+        }
+      val shortest = kwSel.orElse(fnSel)
       // A leading `((` is a QPP group with no juxtaposed outer node
       // (GQL abbreviated form): synthesize an anonymous head — the group's
       // per-iteration source unification constrains it.
@@ -604,7 +655,7 @@ object CypherParser {
           else parseNodePattern()
         tail += ((rel, node))
       }
-      if (shortest.isDefined) eatPunct(")")
+      if (fnSel.isDefined) eatPunct(")")
       PatternPart(head, tail.result(), pathVar, shortest)
     }
 
@@ -752,7 +803,7 @@ object CypherParser {
       else if (!rightArrow && leftArrow) eatPunct("-")
       val dir =
         if (rightArrow && !leftArrow) OUT
-        else if (leftArrow && !rightArrow) IN
+        else if (leftArrow && !rightArrow) INBOUND
         else BOTH
       // GQL shorthand quantifiers: -[r:T]->+ is *1.., -[r:T]->* is *0..
       // (only in quantifier position — directly after the arrow, before

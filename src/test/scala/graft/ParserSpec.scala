@@ -40,9 +40,9 @@ class ParserSpec extends AnyFunSuite {
     def dir(q: String) = single(q).clauses.head.asInstanceOf[Match]
       .pattern.parts.head.tail.head._1.direction
     assert(dir("MATCH (a)-->(b) RETURN a") === OUT)
-    assert(dir("MATCH (a)<--(b) RETURN a") === IN)
+    assert(dir("MATCH (a)<--(b) RETURN a") === INBOUND)
     assert(dir("MATCH (a)--(b) RETURN a") === BOTH)
-    assert(dir("MATCH (a)<-[:T]-(b) RETURN a") === IN)
+    assert(dir("MATCH (a)<-[:T]-(b) RETURN a") === INBOUND)
   }
 
   test("operator precedence") {
