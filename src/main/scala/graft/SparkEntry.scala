@@ -273,6 +273,34 @@ object SparkEntry {
       Some("SELECT c_custkey AS ck, r_name AS rn, CAST(2 AS BIGINT) AS l " +
         "FROM customer JOIN nation ON n_nationkey = c_nationkey " +
         "JOIN region ON r_regionkey = n_regionkey WHERE c_custkey < 100")),
+    // --- Cypher-5 keyword selector SHORTEST k: per (customer, nation)
+    //     pair the path set is 1 direct FROM_NATION hop (length 1, only to
+    //     the customer's own nation) plus one length-4 path per
+    //     order->lineitem->supplier chain into that nation — nothing at
+    //     lengths 2..3 targets a Nation. SHORTEST 2 therefore keeps
+    //     min(2, direct + chains) paths, and the shortest kept is length 1
+    //     iff a direct hop exists, else 4 — both closed-form in SQL. ---
+    ("q_shortest_k",
+      "MATCH p = SHORTEST 2 (c:Customer)-[*1..4]->(n:Nation) " +
+        "WHERE c.c_custkey < 20 " +
+        "RETURN c.c_custkey AS ck, n.n_name AS nn, " +
+        "count(*) AS paths, min(length(p)) AS minl",
+      Some("""WITH sup AS (
+          SELECT o_custkey AS ck, s_nationkey AS nk, count(*) AS chains
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          WHERE o_custkey < 20 GROUP BY 1, 2),
+        direct AS (SELECT c_custkey AS ck, c_nationkey AS nk
+          FROM customer WHERE c_custkey < 20),
+        allp AS (
+          SELECT coalesce(s.ck, d.ck) AS ck, coalesce(s.nk, d.nk) AS nk,
+            CASE WHEN d.ck IS NOT NULL THEN 1 ELSE 0 END AS has_direct,
+            coalesce(s.chains, 0) AS chains
+          FROM sup s FULL JOIN direct d ON s.ck = d.ck AND s.nk = d.nk)
+        SELECT ck, n_name AS nn,
+          CAST(least(2, has_direct + chains) AS BIGINT) AS paths,
+          CAST(CASE WHEN has_direct = 1 THEN 1 ELSE 4 END AS BIGINT) AS minl
+        FROM allp JOIN nation ON n_nationkey = nk""")),
     // --- pattern comprehension: correlated subquery -> grouped collect,
     //     left-joined back on the shared var (beyond-reference: the
     //     reference TCK-blacklists pattern comprehensions). Content checked

@@ -316,12 +316,13 @@ object PipelineQueries {
       Clustering.assignCosine(embs(s, dir), "vec_id", "embedding", cents)
     }),
     // Trained clusters: Lloyd k-means, deterministic lowest-id seeding.
-    // Output is the id-free cluster-size histogram (centroid numerics are
-    // partial-aggregation-order sensitive at the 1e-15 level, so per-id
-    // membership is asserted in PipelineSpec instead of hash-compared).
+    // Output is the id-free cluster-size histogram. tol = 0 so the run
+    // does exactly maxIterations updates (or reaches an exact fixpoint,
+    // after which further iterations are identities) — that makes the
+    // DuckDB oracle an exact unrolled replay; see kmeansSql below.
     "q_cluster_kmeans" -> ((s, dir) =>
       Clustering.kmeans(embs(s, dir), "vec_id", "embedding",
-          k = 8, maxIterations = 10)
+          k = 8, maxIterations = 10, tol = 0.0)
         .assignments
         .groupBy(col("cluster")).agg(count(lit(1)).as("n"))),
     // --- scrubbing: PII, repetition, corpus boilerplate ---
@@ -887,8 +888,50 @@ object PipelineQueries {
          count(DISTINCT b) AS n_hi FROM e8"""
   }
 
+  /** k-means oracle: exact unrolled Lloyd replay. Centers live in long
+    * form (j, dim, m); each round computes squared-Euclidean distances via
+    * a dim-join + sum, assigns by (d2, j) argmin (matching
+    * [[Clustering.nearest]]'s first-wins tie-break), and averages assigned
+    * points per (cluster, dim) — COALESCE keeps an emptied cluster's
+    * previous centroid exactly as the Scala loop does. The engine runs
+    * with tol = 0, so both sides do precisely `iters` updates (an exact
+    * fixpoint makes the remaining rounds identities on both sides), then
+    * one final assignment under the last centers. */
+  private def kmeansSql(k: Int = 8, iters: Int = 10): String = {
+    def round(i: Int) = {
+      val prev = s"c${i - 1}"
+      s"""d$i AS (SELECT p.vec_id, c.j, sum((p.x - c.m) * (p.x - c.m)) AS d2
+            FROM pts p JOIN $prev c USING (dim) GROUP BY p.vec_id, c.j),
+          a$i AS (SELECT vec_id, j FROM (SELECT vec_id, j,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+            FROM d$i) WHERE rn = 1),
+          c$i AS (SELECT c.j, c.dim, coalesce(u.m, c.m) AS m
+            FROM $prev c LEFT JOIN (
+              SELECT j, dim, avg(x) AS m FROM a$i JOIN pts USING (vec_id)
+              GROUP BY j, dim) u ON u.j = c.j AND u.dim = c.dim)"""
+    }
+    val rounds = (1 to iters).map(round).mkString(",\n        ")
+    val fin = iters + 1
+    s"""WITH pts AS MATERIALIZED (
+          SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings),
+        seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+        c0 AS (SELECT j, dim, x AS m FROM seeds JOIN pts USING (vec_id)),
+        $rounds,
+        d$fin AS (SELECT p.vec_id, c.j, sum((p.x - c.m) * (p.x - c.m)) AS d2
+          FROM pts p JOIN c$iters c USING (dim) GROUP BY p.vec_id, c.j),
+        a$fin AS (SELECT vec_id, j FROM (SELECT vec_id, j,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+          FROM d$fin) WHERE rn = 1)
+       SELECT CAST(j AS INTEGER) AS cluster, count(*) AS n
+       FROM a$fin GROUP BY j"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_embed_project" -> embedProjectSql,
+    "q_cluster_kmeans" -> kmeansSql(),
     "q_media_hash" -> mediaHashSql,
     "q_algo_pagerank" -> pageRankSql,
     "q_algo_ppr" -> pprSql,
