@@ -35,24 +35,53 @@ object ExprCompiler {
     case _ => false
   }
 
+  /** Average Gregorian month length in days (365.25 / 12) — the constant
+    * Neo4j (java.time ChronoUnit.MONTHS estimate) uses to convert a
+    * FRACTIONAL month component into smaller units. Whole months never
+    * touch it: they stay calendar-exact in the months field. */
+  private val AvgDaysPerMonth = BigDecimal("30.4375")
+
   /** ISO-8601 duration -> (months, days, micros), the reference's Duration
-    * encoding (okapi-api/.../impl/temporal/Duration.scala). Fractional
-    * values are only allowed in the seconds position. */
+    * encoding (okapi-api/.../impl/temporal/Duration.scala). Neo4j rule:
+    * only the LAST present component may be fractional; its fraction
+    * converts into smaller units (P1.5Y = 1 year 6 months, P2.5D = 2 days
+    * 12 hours), truncating at microseconds. */
   def parseIsoDuration(s: String): (Long, Long, Long) = {
     // Components may carry their own sign (ISO-8601 / java.time form
     // 'P-2D', 'PT-1H30M'); a leading '-' negates the whole duration.
-    val re = ("""(?i)^(-)?P(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)W)?(?:(-?\d+)D)?""" +
-      """(?:T(?:(-?\d+)H)?(?:(-?\d+)M)?(?:(-?\d+(?:\.\d+)?)S)?)?$""").r
+    val f = """(-?\d+(?:[.,]\d+)?)"""
+    val re = ("""(?i)^(-)?P(?:""" + f + """Y)?(?:""" + f + """M)?(?:""" + f +
+      """W)?(?:""" + f + """D)?(?:T(?:""" + f + """H)?(?:""" + f +
+      """M)?(?:""" + f + """S)?)?$""").r
     s match {
       case re(neg, y, mo, w, d, h, mi, sec) =>
-        def l(x: String): Long = if (x == null) 0L else x.toLong
-        val months = l(y) * 12 + l(mo)
-        val days = l(w) * 7 + l(d)
-        val secs = if (sec == null) BigDecimal(0) else BigDecimal(sec)
-        val micros = (l(h) * 3600L + l(mi) * 60L) * 1000000L +
-          (secs * 1000000).toLong
+        val comps = Seq(y, mo, w, d, h, mi, sec)
+        if (comps.forall(_ == null)) throw new CypherCompileException(
+          s"malformed ISO-8601 duration literal: $s",
+          CE.ArgumentError, CE.InvalidTemporalValue)
+        def big(x: String): BigDecimal =
+          if (x == null) BigDecimal(0) else BigDecimal(x.replace(',', '.'))
+        // Fractional values only in the last present component (Neo4j).
+        val lastIdx = comps.lastIndexWhere(_ != null)
+        comps.zipWithIndex.foreach { case (c, i) =>
+          if (c != null && i != lastIdx && big(c).scale > 0 &&
+              big(c) != big(c).setScale(0, BigDecimal.RoundingMode.DOWN))
+            throw new CypherCompileException(
+              s"only the smallest duration component may be fractional: $s",
+              CE.ArgumentError, CE.InvalidTemporalValue)
+        }
+        def whole(x: BigDecimal): BigDecimal =
+          x.setScale(0, BigDecimal.RoundingMode.DOWN)
+        val monthsT = big(y) * 12 + big(mo)
+        val monthsW = whole(monthsT)
+        val daysT = (monthsT - monthsW) * AvgDaysPerMonth +
+          big(w) * 7 + big(d)
+        val daysW = whole(daysT)
+        val microsT = (daysT - daysW) * 86400000000L +
+          (big(h) * 3600L + big(mi) * 60L + big(sec)) * 1000000L
         val sign = if (neg == null) 1L else -1L
-        (sign * months, sign * days, sign * micros)
+        (sign * monthsW.toLong, sign * daysW.toLong,
+          sign * whole(microsT).toLong)
       case _ => throw new CypherCompileException(
         s"malformed ISO-8601 duration literal: $s", CE.ArgumentError, CE.InvalidTemporalValue)
     }
@@ -1793,6 +1822,12 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             val os = c.getField("_tzos")
             concat(localTimeIso(c.getField("_tutc") + os * 1000000L),
               offsetIso(os))
+          // ISO-8601 'T' separator (Neo4j toString), not Spark's space.
+          // Zoned and local datetimes share TimestampType (the zone is
+          // not retained — documented deviation), so both render as the
+          // naive local form with no zone suffix.
+          case Some(TimestampType) | Some(TimestampNTZType) =>
+            translate(a0.cast(StringType), " ", "T")
           case _ => a0.cast(StringType)
         }
 
@@ -2075,6 +2110,19 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         // Spark backend has neither — Spark has no time type; these are
         // marker structs, see ExprCompiler.localTimeType/timeType).
         def fromComponents(m: Map[String, Expr]): Column = {
+          // Same stance as the datetime map constructor: microsecond
+          // resolution is the floor, and an unrecognized key is an error
+          // (Neo4j), never a silently-zeroed component.
+          if (m.contains("nanosecond")) throw new CypherCompileException(
+            s"$name() does not support nanosecond resolution",
+            CE.ArgumentError, CE.InvalidArgumentValue)
+          val allowed = Set("hour", "minute", "second", "millisecond",
+            "microsecond") ++ (if (name == "time") Set("timezone") else Set())
+          val unknown = m.keySet -- allowed
+          if (unknown.nonEmpty) throw new CypherCompileException(
+            s"$name() got unsupported component(s): " +
+              unknown.toSeq.sorted.mkString(", "),
+            CE.ArgumentError, CE.InvalidArgumentValue)
           checkSignificanceOrder(m, Seq("hour", "minute", "second"),
             s"$name()")
           def part(k: String): Column =
@@ -2222,14 +2270,37 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         // reference's Duration encoding (okapi-api/.../temporal/Duration.scala).
         case MapLit(items) =>
           val m = items.toMap
-          def part(k: String): Column =
-            m.get(k).map(e => compile(e).cast(LongType)).getOrElse(lit(0L))
-          struct(
-            (part("years") * 12 + part("months")).as("months"),
-            (part("weeks") * 7 + part("days")).as("days"),
-            ((part("hours") * 3600L + part("minutes") * 60L +
-              part("seconds")) * 1000000L +
-              part("milliseconds") * 1000L + part("microseconds")).as("micros"))
+          // All-integer components take the exact Long path (no double
+          // rounding on large micros). Any double-typed component switches
+          // to the fractional path: each component may be fractional and
+          // its fraction cascades into smaller units (Neo4j: 0.5 months →
+          // 30.4375/2 days), truncating at microseconds.
+          val anyFrac = m.values.exists(e =>
+            inferType(e).contains(DoubleType))
+          if (!anyFrac) {
+            def part(k: String): Column =
+              m.get(k).map(e => compile(e).cast(LongType)).getOrElse(lit(0L))
+            struct(
+              (part("years") * 12 + part("months")).as("months"),
+              (part("weeks") * 7 + part("days")).as("days"),
+              ((part("hours") * 3600L + part("minutes") * 60L +
+                part("seconds")) * 1000000L +
+                part("milliseconds") * 1000L + part("microseconds")).as("micros"))
+          } else {
+            def part(k: String): Column =
+              m.get(k).map(e => compile(e).cast(DoubleType)).getOrElse(lit(0.0))
+            val monthsT = part("years") * 12 + part("months")
+            val monthsW = monthsT.cast(LongType) // truncates toward zero
+            val daysT = (monthsT - monthsW) * 30.4375 +
+              part("weeks") * 7 + part("days")
+            val daysW = daysT.cast(LongType)
+            val microsT = (daysT - daysW) * 86400000000L +
+              (part("hours") * 3600 + part("minutes") * 60 +
+                part("seconds")) * 1000000L +
+              part("milliseconds") * 1000 + part("microseconds")
+            struct(monthsW.as("months"), daysW.as("days"),
+              microsT.cast(LongType).as("micros"))
+          }
         // duration('P1DT2H30M') — ISO-8601 string parsed driver-side into
         // the same (months, days, micros) struct (TemporalTypesHelper
         // parity: okapi-api/.../impl/temporal/TemporalTypesHelper.scala).

@@ -80,19 +80,19 @@ class TckStyleSpec20 extends TckScenarioBase {
   scenario("datetime.truncate to month", g,
     "RETURN toString(datetime.truncate('month', " +
       "localdatetime('2017-11-27T12:31:14'))) AS x",
-    value("2017-11-01 00:00:00"))
+    value("2017-11-01T00:00:00"))
   scenario("datetime.truncate to day", g,
     "RETURN toString(datetime.truncate('day', " +
       "localdatetime('2017-11-27T12:31:14'))) AS x",
-    value("2017-11-27 00:00:00"))
+    value("2017-11-27T00:00:00"))
   scenario("datetime.truncate to hour", g,
     "RETURN toString(localdatetime.truncate('hour', " +
       "localdatetime('2017-11-27T12:31:14'))) AS x",
-    value("2017-11-27 12:00:00"))
+    value("2017-11-27T12:00:00"))
   scenario("datetime.truncate to year", g,
     "RETURN toString(datetime.truncate('year', " +
       "localdatetime('2017-11-27T12:31:14'))) AS x",
-    value("2017-01-01 00:00:00"))
+    value("2017-01-01T00:00:00"))
   scenario("date.truncate to week lands on Monday", g,
     // 2017-11-30 is a Thursday; the ISO week starts Monday 2017-11-27.
     "RETURN toString(date.truncate('week', date('2017-11-30'))) AS x",
@@ -117,10 +117,10 @@ class TckStyleSpec20 extends TckScenarioBase {
   // ------------------------------------------------- epoch constructors
   scenario("datetime.fromepochmillis", g,
     "RETURN toString(datetime.fromepochmillis(424797300000)) AS x",
-    value("1983-06-18 15:15:00"))
+    value("1983-06-18T15:15:00"))
   scenario("datetime.fromepoch with nanoseconds", g,
     "RETURN toString(datetime.fromepoch(1, 900000000)) AS x",
-    value("1970-01-01 00:00:01.9"))
+    value("1970-01-01T00:00:01.9"))
   scenario("datetime.fromepoch seconds only", g,
     "RETURN (datetime.fromepoch(86400)).day AS x", value(2L))
 

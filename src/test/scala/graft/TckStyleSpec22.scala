@@ -75,7 +75,7 @@ class TckStyleSpec22 extends TckScenarioBase {
     value("2020-03-01"))
   scenario("datetime month clamp preserves the time of day", g,
     "RETURN toString(localdatetime('2020-01-31T23:30:00') + duration('P1M')) AS x",
-    value("2020-02-29 23:30:00"))
+    value("2020-02-29T23:30:00"))
 
   // ===================== sub-day duration components are discarded on dates
   scenario("date plus PT25H is the same date (sub-day discarded)", g,
@@ -227,23 +227,23 @@ class TckStyleSpec22 extends TckScenarioBase {
   // =========================== timezone-less (local) arithmetic
   scenario("local arithmetic ignores the US spring-forward wall date", g,
     "RETURN toString(localdatetime('2020-03-08T01:30:00') + duration('PT2H')) AS x",
-    value("2020-03-08 03:30:00"))
+    value("2020-03-08T03:30:00"))
   scenario("local arithmetic ignores the US fall-back wall date", g,
     "RETURN toString(localdatetime('2020-11-01T01:30:00') + duration('PT1H')) AS x",
-    value("2020-11-01 02:30:00"))
+    value("2020-11-01T02:30:00"))
   scenario("one second across the year boundary", g,
     "RETURN toString(localdatetime('2019-12-31T23:59:59') + duration('PT1S')) AS x",
-    value("2020-01-01 00:00:00"))
+    value("2020-01-01T00:00:00"))
   scenario("one microsecond back across the year boundary", g,
     "RETURN toString(localdatetime('2020-01-01T00:00:00') - duration('PT0.000001S')) AS x",
-    value("2019-12-31 23:59:59.999999"))
+    value("2019-12-31T23:59:59.999999"))
   scenario("PT24H equals P1D on a local datetime", g,
     // Without a timezone a day is always 24 hours — the two forms agree.
     "WITH localdatetime('2020-03-08T01:30:00') AS t " +
       "RETURN t + duration('PT24H') = t + duration('P1D') AS x", value(true))
   scenario("time-of-day survives a day-group add across months", g,
     "RETURN toString(localdatetime('2020-02-28T18:45:30') + duration('P2D')) AS x",
-    value("2020-03-01 18:45:30"))
+    value("2020-03-01T18:45:30"))
 
   // ============================ epoch constructors at boundaries
   scenario("epoch zero is 1970-01-01", g,
@@ -251,7 +251,7 @@ class TckStyleSpec22 extends TckScenarioBase {
     rows(Map("y" -> 1970L, "d" -> 1L)))
   scenario("negative epoch millis land in 1969", g,
     "RETURN toString(datetime.fromepochmillis(-1)) AS x",
-    value("1969-12-31 23:59:59.999"))
+    value("1969-12-31T23:59:59.999"))
   scenario("minus one epoch day is Dec 31 1969", g,
     "RETURN datetime.fromepoch(-86400).day AS d, " +
       "datetime.fromepoch(-86400).month AS m",
@@ -275,15 +275,15 @@ class TckStyleSpec22 extends TckScenarioBase {
   scenario("year truncation of the last instant of the year", g,
     "RETURN toString(datetime.truncate('year', " +
       "localdatetime('2020-12-31T23:59:59'))) AS x",
-    value("2020-01-01 00:00:00"))
+    value("2020-01-01T00:00:00"))
   scenario("minute truncation drops seconds and fractions", g,
     "RETURN toString(datetime.truncate('minute', " +
       "localdatetime('2020-06-15T10:45:59.999'))) AS x",
-    value("2020-06-15 10:45:00"))
+    value("2020-06-15T10:45:00"))
   scenario("second truncation keeps the second, drops the fraction", g,
     "RETURN toString(datetime.truncate('second', " +
       "localdatetime('2020-06-15T10:45:59.999'))) AS x",
-    value("2020-06-15 10:45:59"))
+    value("2020-06-15T10:45:59"))
   scenario("month truncation of the leap day", g,
     "RETURN toString(date.truncate('month', date('2020-02-29'))) AS x",
     value("2020-02-01"))
@@ -335,14 +335,14 @@ class TckStyleSpec22 extends TckScenarioBase {
   scenario("microsecond truncation is the identity at full precision", g,
     "RETURN toString(datetime.truncate('microsecond', " +
       "localdatetime('2020-06-15T10:45:59.999999'))) AS x",
-    value("2020-06-15 10:45:59.999999"))
+    value("2020-06-15T10:45:59.999999"))
   scenario("hour truncation at the last instant of the hour", g,
     "RETURN toString(datetime.truncate('hour', " +
       "localdatetime('2020-06-15T10:59:59.999'))) AS x",
-    value("2020-06-15 10:00:00"))
+    value("2020-06-15T10:00:00"))
   scenario("epoch millis at the last instant of day one", g,
     "RETURN toString(datetime.fromepochmillis(86399999)) AS x",
-    value("1970-01-01 23:59:59.999"))
+    value("1970-01-01T23:59:59.999"))
   scenario("week form without a day defaults to Monday", g,
     "RETURN toString(date('2015-W30')) AS x", value("2015-07-20"))
   scenario("Sunday is ISO day seven", g,

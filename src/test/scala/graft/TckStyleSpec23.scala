@@ -68,21 +68,21 @@ class TckStyleSpec23 extends TckScenarioBase {
   scenario("datetime map with additive sub-second components", g,
     "RETURN toString(localdatetime({year: 2020, month: 6, day: 15, " +
       "hour: 12, minute: 30, second: 1, millisecond: 10, microsecond: 10})) AS x",
-    value("2020-06-15 12:30:01.01001"))
+    value("2020-06-15T12:30:01.01001"))
   scenario("datetime map may give hour without month or day", g,
     // The date and time chains validate independently (reference
     // parseDateMap + parseTimeMap) — year alone plus hour is legal.
     "RETURN toString(localdatetime({year: 2018, hour: 12})) AS x",
-    value("2018-01-01 12:00:00"))
+    value("2018-01-01T12:00:00"))
   scenario("week-form date carries into a datetime map", g,
     "RETURN toString(localdatetime({year: 2020, week: 9, dayOfWeek: 6, " +
-      "hour: 23})) AS x", value("2020-02-29 23:00:00"))
+      "hour: 23})) AS x", value("2020-02-29T23:00:00"))
   scenario("quarter-form date carries into a datetime map", g,
     "RETURN toString(datetime({year: 2020, quarter: 2, dayOfQuarter: 1, " +
-      "hour: 6})) AS x", value("2020-04-01 06:00:00"))
+      "hour: 6})) AS x", value("2020-04-01T06:00:00"))
   scenario("week-form datetime map defaults the whole time part", g,
     "RETURN toString(localdatetime({year: 2020, week: 9})) AS x",
-    value("2020-02-24 00:00:00"))
+    value("2020-02-24T00:00:00"))
 
   // ------------------------------------------ significance-order errors
   errorScenario("date map omitting month before day is rejected", g,

@@ -128,13 +128,13 @@ class TckStyleSpec30 extends TckScenarioBase {
     value("09:30:00"))
   scenario("datetime composed from date and time bases", g,
     "RETURN toString(datetime({date: date('2024-05-06'), time: localtime('07:08:09.5')})) AS x",
-    value("2024-05-06 07:08:09.5"))
+    value("2024-05-06T07:08:09.5"))
   scenario("localdatetime from a date base alone is midnight", g,
     "RETURN toString(localdatetime({date: date('2024-05-06')})) AS x",
-    value("2024-05-06 00:00:00"))
+    value("2024-05-06T00:00:00"))
   scenario("a TIME base composes via its wall time", g,
     "RETURN toString(datetime({date: date('2024-05-06'), time: time('07:08:09+03:00')})) AS x",
-    value("2024-05-06 07:08:09"))
+    value("2024-05-06T07:08:09"))
   errorScenario("datetime composition needs a date base", g,
     "RETURN datetime({time: localtime('07:08')}) AS x",
     CypherError.ArgumentError, CypherError.InvalidArgumentValue)
@@ -143,7 +143,7 @@ class TckStyleSpec30 extends TckScenarioBase {
   // semantics; this keeps the base-map + override composition visible here).
   scenario("component overrides on a base map select-and-override", g,
     "RETURN toString(datetime({date: date('2024-05-06'), hour: 3})) AS x",
-    value("2024-05-06 03:00:00"))
+    value("2024-05-06T03:00:00"))
   errorScenario("a number is not a time value", g,
     "RETURN localtime(42) AS x",
     CypherError.SyntaxError, CypherError.InvalidArgumentType)

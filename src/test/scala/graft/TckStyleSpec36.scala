@@ -60,40 +60,40 @@ class TckStyleSpec36 extends TckScenarioBase {
   // --- localdatetime / datetime from bases with overrides ---
   scenario("localdatetime from date base alone is midnight", g,
     "RETURN toString(localdatetime({date: date('1984-10-11')})) AS x",
-    value("1984-10-11 00:00:00"))
+    value("1984-10-11T00:00:00"))
   scenario("localdatetime composes date and time bases", g,
     "RETURN toString(localdatetime({date: date('1984-10-11'), " +
       "time: localtime('12:31:14')})) AS x",
-    value("1984-10-11 12:31:14"))
+    value("1984-10-11T12:31:14"))
   scenario("localdatetime date base with hour/minute/second overrides", g,
     "RETURN toString(localdatetime({date: date('1984-10-11'), " +
       "hour: 10, minute: 10, second: 10})) AS x",
-    value("1984-10-11 10:10:10"))
+    value("1984-10-11T10:10:10"))
   scenario("localdatetime time-base second override keeps milliseconds", g,
     "RETURN toString(localdatetime({date: date('1984-10-11'), " +
       "time: localtime('12:31:14.645'), second: 42})) AS x",
-    value("1984-10-11 12:31:42.645"))
+    value("1984-10-11T12:31:42.645"))
   scenario("localdatetime day override keeps the base time", g,
     "RETURN toString(localdatetime({date: date('1984-10-11'), " +
       "time: localtime('12:31:14'), day: 28})) AS x",
-    value("1984-10-28 12:31:14"))
+    value("1984-10-28T12:31:14"))
   scenario("localdatetime from time base plus a year override", g,
     // no date base: month and day default to 1
     "RETURN toString(localdatetime({time: localtime('12:31:14'), " +
       "year: 1984})) AS x",
-    value("1984-01-01 12:31:14"))
+    value("1984-01-01T12:31:14"))
   scenario("datetime select works through the datetime alias", g,
     "RETURN toString(datetime({date: date('1984-10-11'), hour: 6})) AS x",
-    value("1984-10-11 06:00:00"))
+    value("1984-10-11T06:00:00"))
   scenario("localdatetime select from a datetime base date part", g,
     "RETURN toString(localdatetime({date: " +
       "localdatetime('1984-10-11T12:31:14'), hour: 5})) AS x",
     // the DATE key selects only the calendar day of the base
-    value("1984-10-11 05:00:00"))
+    value("1984-10-11T05:00:00"))
   scenario("localdatetime select with every time component", g,
     "RETURN toString(localdatetime({date: date('2000-01-02'), hour: 1, " +
       "minute: 2, second: 3, millisecond: 4, microsecond: 5})) AS x",
-    value("2000-01-02 01:02:03.004005"))
+    value("2000-01-02T01:02:03.004005"))
   scenario("localdatetime select in a WHERE predicate", g,
     "WITH localdatetime({date: date('1984-10-11'), hour: 12}) AS t " +
       "RETURN t > localdatetime('1984-10-11T11:00:00') AS x",
@@ -186,23 +186,23 @@ class TckStyleSpec36 extends TckScenarioBase {
   scenario("localdatetime.truncate minute", g,
     "RETURN toString(localdatetime.truncate('minute', " +
       "localdatetime('2017-11-27T12:31:14'))) AS x",
-    value("2017-11-27 12:31:00"))
+    value("2017-11-27T12:31:00"))
   scenario("localdatetime.truncate second drops sub-second", g,
     "RETURN toString(localdatetime.truncate('second', " +
       "localdatetime('2017-11-27T12:31:14.645'))) AS x",
-    value("2017-11-27 12:31:14"))
+    value("2017-11-27T12:31:14"))
   scenario("localdatetime.truncate millisecond keeps milliseconds", g,
     "RETURN toString(localdatetime.truncate('millisecond', " +
       "localdatetime('2017-11-27T12:31:14.645876'))) AS x",
-    value("2017-11-27 12:31:14.645"))
+    value("2017-11-27T12:31:14.645"))
   scenario("localdatetime.truncate week", g,
     "RETURN toString(localdatetime.truncate('week', " +
       "localdatetime('2017-11-30T12:31:14'))) AS x",
-    value("2017-11-27 00:00:00"))
+    value("2017-11-27T00:00:00"))
   scenario("datetime.truncate quarter", g,
     "RETURN toString(datetime.truncate('quarter', " +
       "localdatetime('2017-11-27T12:31:14'))) AS x",
-    value("2017-10-01 00:00:00"))
+    value("2017-10-01T00:00:00"))
   scenario("localtime.truncate hour", g,
     "RETURN toString(localtime.truncate('hour', " +
       "localtime('12:31:14.645'))) AS x",
@@ -288,16 +288,16 @@ class TckStyleSpec36 extends TckScenarioBase {
   scenario("datetime with a week chain plus time components", g,
     "RETURN toString(localdatetime({year: 1984, week: 10, dayOfWeek: 3, " +
       "hour: 12, minute: 31, second: 14})) AS x",
-    value("1984-03-07 12:31:14"))
+    value("1984-03-07T12:31:14"))
   scenario("datetime with an ordinal chain plus time components", g,
     "RETURN toString(localdatetime({year: 1984, ordinalDay: 202, " +
       "hour: 12})) AS x",
-    value("1984-07-20 12:00:00"))
+    value("1984-07-20T12:00:00"))
   scenario("datetime with a quarter chain plus time components", g,
     "RETURN toString(localdatetime({year: 1984, quarter: 3, " +
       "dayOfQuarter: 45, hour: 12, minute: 31, second: 14, " +
       "millisecond: 645})) AS x",
-    value("1984-08-14 12:31:14.645"))
+    value("1984-08-14T12:31:14.645"))
   errorScenario("week chain must not skip significance (year+dayOfWeek)", g,
     "RETURN date({year: 1984, dayOfWeek: 3}) AS x",
     ArgumentError, InvalidArgumentValue)
@@ -389,7 +389,7 @@ class TckStyleSpec36 extends TckScenarioBase {
   scenario("datetime select with only a millisecond override", g,
     "RETURN toString(localdatetime({date: date('2000-01-02'), " +
       "millisecond: 7})) AS x",
-    value("2000-01-02 00:00:00.007"))
+    value("2000-01-02T00:00:00.007"))
   scenario("time select with a microsecond override", g,
     "RETURN toString(time({time: time('12:31:14.000001+01:00'), " +
       "microsecond: 9})) AS x",
@@ -432,15 +432,15 @@ class TckStyleSpec36 extends TckScenarioBase {
   scenario("datetime.truncate day with an hour override", g,
     "RETURN toString(datetime.truncate('day', " +
       "localdatetime('2017-11-27T12:31:14'), {hour: 12})) AS x",
-    value("2017-11-27 12:00:00"))
+    value("2017-11-27T12:00:00"))
   scenario("localdatetime.truncate hour with a minute override", g,
     "RETURN toString(localdatetime.truncate('hour', " +
       "localdatetime('2017-11-27T12:31:14'), {minute: 59})) AS x",
-    value("2017-11-27 12:59:00"))
+    value("2017-11-27T12:59:00"))
   scenario("datetime.truncate year with a day override", g,
     "RETURN toString(datetime.truncate('year', " +
       "localdatetime('2017-11-27T12:31:14'), {day: 5})) AS x",
-    value("2017-01-05 00:00:00"))
+    value("2017-01-05T00:00:00"))
   scenario("date.truncate month with a day override", g,
     "RETURN toString(date.truncate('month', date('2017-11-27'), " +
       "{day: 15})) AS x",
@@ -502,19 +502,19 @@ class TckStyleSpec36 extends TckScenarioBase {
   // engine's datetime is session-UTC TimestampType, tck_blacklist.md) --
   scenario("offset literal normalizes to the UTC instant", g,
     "RETURN toString(datetime('2020-01-01T00:00:00+05:00')) AS x",
-    value("2019-12-31 19:00:00"))
+    value("2019-12-31T19:00:00"))
   scenario("Z literal is the UTC instant", g,
     "RETURN toString(datetime('2020-01-01T00:00:00Z')) AS x",
-    value("2020-01-01 00:00:00"))
+    value("2020-01-01T00:00:00"))
   scenario("offset literals compare as instants", g,
     "RETURN datetime('2020-01-01T00:00:00+05:00') < " +
       "datetime('2020-01-01T00:00:00Z') AS x", value(true))
   scenario("bracketed zone names resolve DST rules", g,
     "RETURN toString(datetime('2020-06-01T12:00[Europe/Berlin]')) AS x",
-    value("2020-06-01 10:00:00"))
+    value("2020-06-01T10:00:00"))
   scenario("negative offsets and compact forms", g,
     "RETURN toString(datetime('2020-01-01T00:00-0830')) AS x",
-    value("2020-01-01 08:30:00"))
+    value("2020-01-01T08:30:00"))
   errorScenario("unknown zone name is a classified error", g,
     "RETURN datetime('2020-01-01T00:00[Mars/Olympus]') AS x",
     ArgumentError, InvalidTemporalValue)
