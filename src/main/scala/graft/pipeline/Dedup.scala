@@ -21,23 +21,30 @@ object Dedup {
     * cluster in ONE band bucket is 10^12 pairs), so oversized buckets are
     * excluded from pairing and REPORTED — never silently processed, never
     * silently dropped without a figure (the no-silent-caps rule). Returns
-    * (rows in non-hot buckets, (hot bucket count, rows in hot buckets)). */
+    * (rows in non-hot buckets, (hot bucket count, rows in hot buckets)).
+    * The hot-bucket list is aggregated and tiny, so the exclusion join
+    * broadcasts.
+    *
+    * Shape note (round-9 A/B, do not redo): folding this count into a
+    * count-window over the banding keys (filter on _bn instead of the
+    * anti-join) measured 20-25% SLOWER on q_dedup_minhash at sf0.1 under
+    * matched sentinels — the window forces a sort into the pin and widens
+    * every cached row, while this shape's groupBy reuses the (band,
+    * bucket) partitioning shuffle-free and skips the anti-join entirely
+    * in the common zero-hot-buckets case. The guard's remaining cost is
+    * one aggregate job over the pinned banded rows — the price of the
+    * no-silent-caps report. */
   private[graft] def splitHotBuckets(banded: DataFrame, keys: Seq[String],
       maxBucketSize: Int): (DataFrame, (Long, Long)) = {
-    // One pass: bucket sizes come from a count window over the banding
-    // keys — the repartition in the caller already co-located them, so
-    // this is a per-partition sort, not a shuffle — and the hot/cold
-    // split is a plain filter over the pinned sized frame. No second
-    // aggregation job, no broadcast anti-join (the round-8 shape ran
-    // both, taxing the dedup rows ~1.8x).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-    val sized = graft.impl.Pin(
-      banded.withColumn("_bn", count(lit(1)).over(w)))
-    val s = sized.filter(col("_bn") > maxBucketSize)
-      .agg(count_distinct(struct(keys.map(col): _*)), count(lit(1))).head()
-    val stats = (s.getLong(0), s.getLong(1))
-    (sized.filter(col("_bn") <= maxBucketSize).drop("_bn"), stats)
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucketSize)
+    val s = hot.agg(count(lit(1)), sum(col("_bn"))).head()
+    val stats = (s.getLong(0), if (s.isNullAt(1)) 0L else s.getLong(1))
+    val cold = if (stats._1 == 0L) banded
+      else banded.join(broadcast(hot.select(keys.map(col): _*)),
+        keys, "left_anti")
+    (cold, stats)
   }
 
   /** Exact deduplication: keep the row with the minimum id per key group.
@@ -140,17 +147,16 @@ object Dedup {
     // in the pinned sigs frame and is re-attached only to the (small)
     // deduplicated candidate pair set. Carrying the array through the
     // banded self-join shuffled ~32x more bytes for the same pairs.
-    // Pre-partitioned on (band, bucket): the hot-bucket size window inside
-    // splitHotBuckets AND the bucket self-join both consume this one
-    // partitioning, so the banded rows shuffle ONCE (splitHotBuckets pins
-    // the sized result; no second pin here).
-    val banded = sigs.select(col("_mh_id"),
+    // Pinned pre-partitioned on (band, bucket): the hot-bucket count, the
+    // broadcast anti-join AND the bucket self-join all consume this one
+    // partitioning, so the banded rows shuffle ONCE.
+    val banded = graft.impl.Pin(sigs.select(col("_mh_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(F.slice(col("_mh_sig"), j * rowsPerBand + 1,
             lit(rowsPerBand)), j))))
       .withColumnRenamed("pos", "_mh_band")
       .withColumnRenamed("col", "_mh_bucket")
-      .repartition(col("_mh_band"), col("_mh_bucket"))
+      .repartition(col("_mh_band"), col("_mh_bucket")))
     val (cold, (nHot, hotRows)) = splitHotBuckets(
       banded, Seq("_mh_band", "_mh_bucket"), maxBucketSize)
     if (nHot > 0) log.warn(
@@ -209,14 +215,13 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sh = graft.impl.Pin(simhashes(df, idCol, textCol))
-    // Same (slice, key) pre-partitioning as minhashLsh: the guard's size
-    // window and the self-join share one shuffle of the banded rows
-    // (splitHotBuckets pins the sized result; no second pin here).
-    val banded = sh.select(col("_sh_id"), col("_sh_hash"),
+    // Same pinned (slice, key) pre-partitioning as minhashLsh: guard
+    // count, anti-join and self-join share one shuffle of the banded rows.
+    val banded = graft.impl.Pin(sh.select(col("_sh_id"), col("_sh_hash"),
         posexplode(transform(sequence(lit(0), lit(3)), j =>
           call_function("shiftrightunsigned", col("_sh_hash"), j * 16)
             .bitwiseAND(0xFFFFL))))
-      .repartition(col("pos"), col("col"))
+      .repartition(col("pos"), col("col")))
     val (cold, (nHot, hotRows)) = splitHotBuckets(
       banded, Seq("pos", "col"), maxBucketSize)
     if (nHot > 0) log.warn(
