@@ -437,6 +437,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "tail" => args.headOption.flatMap(inferType)
       case _ => None
     }
+    case Index(Var(n), idx) if !env.contains(n) &&
+        (header.kindOf(n) match {
+          case Some(NodeKind(_)) | Some(RelKind(_)) => true
+          case _ => false
+        }) =>
+      idx match {
+        case StrLit(k) => header.get(PropSlot(n, k)).flatMap(colType)
+        case _ =>
+          val types = header.ownedBy(n).collect { case p: PropSlot => p }
+            .flatMap(p => header.get(p).flatMap(colType))
+          if (types.distinct.size == 1) types.headOption
+          else if (types.nonEmpty) Some(DoubleType)
+          else None
+      }
     case Index(sub, idx) => inferType(sub) match {
       case Some(ArrayType(et, _)) => Some(et)
       // Literal-key struct access types through, so chained map access
@@ -1032,6 +1046,44 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
 
+    // Dynamic property access on a header entity: n[key]. Properties are
+    // flattened columns, so a literal key is exact column access (absent
+    // from schema -> null, same as n.prop) and a dynamic key compiles to a
+    // when-chain over the entity's property columns. The chain needs one
+    // result type: identical types pass through, mixed numerics widen to
+    // FLOAT, anything else is a classified error (the flattened-columns
+    // encoding cannot express ANY-typed results).
+    case Index(Var(n), idx) if !env.contains(n) &&
+        (header.kindOf(n) match {
+          case Some(NodeKind(_)) | Some(RelKind(_)) => true
+          case _ => false
+        }) =>
+      idx match {
+        case StrLit(k) =>
+          header.get(PropSlot(n, k)).map(col).getOrElse(lit(null))
+        case _ =>
+          requireKeyType(idx, wantString = true)
+          val props = header.ownedBy(n).collect { case p: PropSlot => p }
+            .sortBy(_.key)
+          val types = props.flatMap(p => header.get(p).flatMap(colType))
+          val numeric = Set[DataType](LongType, DoubleType, IntegerType,
+            FloatType, ShortType, ByteType)
+          val target: Option[DataType] =
+            if (types.isEmpty) None
+            else if (types.distinct.size == 1) Some(types.head)
+            else if (types.forall(numeric)) Some(DoubleType)
+            else throw new CypherCompileException(
+              s"dynamic property access $n[...] needs properties of one " +
+                s"type (or all numeric); $n has ${types.distinct.mkString(", ")}",
+              CE.ArgumentError, CE.InvalidArgumentType)
+          val key = compile(idx)
+          props.foldLeft(target.map(t => lit(null).cast(t))
+              .getOrElse(lit(null))) { (acc, p) =>
+            val c = col(header.col(p))
+            when(key === lit(p.key),
+              target.map(c.cast).getOrElse(c)).otherwise(acc)
+          }
+      }
     case Index(sub, idx) => inferType(sub) match {
       // Struct-backed map with a LITERAL key: exact field access — routing
       // it through the dynamic when-chain would let CaseWhen coerce all

@@ -2311,6 +2311,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           if items.nonEmpty &&
             items.forall(i => i.alias.isEmpty && i.expr.isInstanceOf[Var]) =>
         (items.map(_.expr.asInstanceOf[Var].name), rest)
+      // CALL (*) parses to a bare star importing-WITH; expand the star to
+      // every named outer variable (planner-internal _a<n> anonymous vars
+      // excluded — they are not part of the user's scope).
+      case With(false, true, Seq(), Seq(), None, None, None) +: rest =>
+        (ctx0.header.kinds.keySet.toSeq.sorted
+          .filterNot(_.matches("_a\\d+")), rest)
       case cs => (Seq.empty[String], cs)
     }
     val ret = body.lastOption match {

@@ -391,7 +391,7 @@ object CypherParser {
       eatPunct("(")
       val v = ident()
       eatKw("IN")
-      val list = parseExpr()
+      val list = guardLabelOr(parseExpr())
       eatPunct("|")
       val body = Seq.newBuilder[Clause]
       var more = true
@@ -1006,18 +1006,24 @@ object CypherParser {
       if (isPunct("(")) {
         p += 1
         val vars = Seq.newBuilder[String]
+        var importAll = false
         if (!isPunct(")")) {
-          if (isPunct("*")) fail("CALL (*) scope import is not supported " +
-            "— name the variables or use CALL { WITH ... }")
-          vars += ident()
-          while (tryPunct(",")) vars += ident()
+          if (tryPunct("*")) importAll = true // CALL (*): import full scope
+          else {
+            vars += ident()
+            while (tryPunct(",")) vars += ident()
+          }
         }
         eatPunct(")")
         eatPunct("{")
         val first0 = parseSingleQuery()
         val imports = vars.result()
+        // CALL (*) desugars to a star importing-WITH; the planner expands
+        // the star to the outer scope (unknown at parse time).
         def prependImports(sq: SingleQuery): SingleQuery =
-          if (imports.isEmpty) sq
+          if (importAll) SingleQuery(With(distinct = false, star = true,
+            Seq.empty, Seq.empty, None, None, None) +: sq.clauses)
+          else if (imports.isEmpty) sq
           else SingleQuery(With(distinct = false, star = false,
             imports.map(v => ReturnItem(Var(v), None)),
             Seq.empty, None, None, None) +: sq.clauses)
@@ -1178,12 +1184,15 @@ object CypherParser {
           eatPunct("}")
           e = MapProjection(e.asInstanceOf[Var].name, items.result())
         } else if (isPunct(":") && canBeLabelPredicate(e)) {
-          // Label expression in value position: & ! and parenthesized |
-          // (a TOP-LEVEL | would collide with the comprehension
-          // projection separator in `[p WHERE x:L | proj]`).
+          // Label expression in value position. Top-level | is supported
+          // (n:A|B) EXCEPT directly inside a comprehension/FOREACH/reduce
+          // sub-expression that a projection separator terminates
+          // (`[p WHERE x:L | proj]`) — there | ends the predicate, and a
+          // disjunction needs the parenthesized form `x:(A|B)`, matching
+          // Neo4j's resolution of the same ambiguity.
           var tree: Option[LabelExpr] = None
           while (tryPunct(":")) {
-            val t = parseLabelAnd()
+            val t = if (noTopLabelOr > 0) parseLabelAnd() else parseLabelOr()
             tree = Some(tree.map(LabelAnd(_, t)).getOrElse(t))
           }
           def lp(le: LabelExpr): Expr = le match {
@@ -1203,6 +1212,15 @@ object CypherParser {
     private def canBeLabelPredicate(e: Expr): Boolean = e match {
       case Var(_) => true
       case _ => false
+    }
+
+    /** Depth counter for sub-expressions a top-level `|` terminates
+      * (comprehension predicate/source, FOREACH/reduce list): label
+      * predicates inside must leave `|` unconsumed. */
+    private var noTopLabelOr = 0
+    private def guardLabelOr[T](body: => T): T = {
+      noTopLabelOr += 1
+      try body finally noTopLabelOr -= 1
     }
 
     private def parseAtom(): Expr = {
@@ -1280,7 +1298,7 @@ object CypherParser {
           eatPunct(",")
           val v = ident()
           eatKw("IN")
-          val list = parseExpr()
+          val list = guardLabelOr(parseExpr())
           eatPunct("|")
           val step = parseExpr()
           eatPunct(")")
@@ -1307,8 +1325,9 @@ object CypherParser {
             peek match {
               case Ident(v, _) if (peek2 match { case Kw("IN", _, _) => true; case _ => false }) =>
                 p += 2
-                val list = parseExpr()
-                val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+                val list = guardLabelOr(parseExpr())
+                val where =
+                  if (tryKw("WHERE")) Some(guardLabelOr(parseExpr())) else None
                 val proj = if (tryPunct("|")) Some(parseExpr()) else None
                 eatPunct("]")
                 ListComprehension(v, list, where, proj)
@@ -1328,7 +1347,8 @@ object CypherParser {
                   try {
                     val (part, inline) = withInlineFrame(parsePatternPart())
                     val where = conj(inline,
-                      if (tryKw("WHERE")) Some(parseExpr()) else None)
+                      if (tryKw("WHERE")) Some(guardLabelOr(parseExpr()))
+                      else None)
                     eatPunct("|")
                     val proj = parseExpr()
                     eatPunct("]")
@@ -1347,7 +1367,8 @@ object CypherParser {
                 // [ (a)-->(b) WHERE pred | proj ]
                 val (part, inline) = withInlineFrame(parsePatternPart())
                 val where = conj(inline,
-                  if (tryKw("WHERE")) Some(parseExpr()) else None)
+                  if (tryKw("WHERE")) Some(guardLabelOr(parseExpr()))
+                  else None)
                 eatPunct("|")
                 val proj = parseExpr()
                 eatPunct("]")
