@@ -586,6 +586,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       edge: String)
   private var shortestSpecs: Seq[ShortestSpec] = Seq.empty
 
+  /** Shortest specs whose WHERE reads the path (via the edge-list var or a
+    * bound path variable spanning it): edge var -> spanning path vars.
+    * These disable the BFS first-arrival prune (every bounded path is a
+    * candidate) and select AFTER the filter — Neo4j's "shortest satisfying
+    * path" semantics instead of filter-the-chosen-path. */
+  private var deferredShortest: Map[String, Set[String]] = Map.empty
+
   private def normalizePattern(pattern: Pattern): (Map[String, NodeCons], Seq[EdgeCons]) = {
     val nodes = mutable.LinkedHashMap.empty[String, NodeCons]
     val edges = mutable.ArrayBuffer.empty[EdgeCons]
@@ -732,6 +739,21 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
     }
 
+    // A WHERE reading a shortest spec's path (its edge-list var, or a path
+    // variable spanning it) defers that spec's selection to after the
+    // filter (see deferredShortest). Decided BEFORE the edges are planned
+    // so the var-length expand also skips its first-arrival prune.
+    residualWhere.foreach { w =>
+      val vs = exprVars(w)
+      val thisMatch = edges.map(_.v).toSet
+      shortestSpecs.filter(s => thisMatch.contains(s.edge)).foreach { s =>
+        val spanning = pathBinds
+          .filter(_.hops.exists(_._1 == s.edge)).map(_.v).toSet
+        if (vs.contains(s.edge) || spanning.exists(vs.contains))
+          deferredShortest += s.edge -> spanning
+      }
+    }
+
     // Apply label/prop constraints to an already-bound node var as filters.
     def constrainBound(c: Ctx, nc: NodeCons): Ctx = {
       var cur = c
@@ -798,57 +820,97 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // shortestPath/allShortestPaths: keep minimal-length rows per endpoint
     // pair. One window shuffle keyed on the pair — the var-length expand
     // already enumerated the bounded path set; the window prunes it.
+    // Specs whose WHERE reads the path (deferredShortest) select AFTER the
+    // filter instead: Neo4j semantics are "the shortest SATISFYING path",
+    // so the selection window must see only satisfying rows.
+    var deferredReady: Seq[ShortestSpec] = Seq.empty
     if (shortestSpecs.nonEmpty) {
       val (ready, pending) = shortestSpecs.partition(s =>
         ctx.header.contains(PathSlot(s.edge)))
       shortestSpecs = pending
-      ready.foreach { s =>
-        val h = ctx.header
-        val len = F.size(col(h.col(PathSlot(s.edge))))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(h.col(IdSlot(s.head))), col(h.col(IdSlot(s.tgt))))
-        s.sel.mode match {
-          case "allshortest" =>
-            ctx = ctx.copy(df = ctx.df
-              .withColumn("_sp_min", min(len).over(w))
-              .filter(len === col("_sp_min")).drop("_sp_min"))
-          case "shortest" =>
-            // One arbitrary-but-deterministic shortest path per pair, chosen
-            // by (length, rel-id array) order. Equality against the window
-            // min — NOT row_number — so outer row multiplicity survives:
-            // "UNWIND [1,2] AS i MATCH shortestPath(...)" keeps the chosen
-            // path once per outer row instead of collapsing to one row.
-            val key = struct(len.as("l"), col(h.col(PathSlot(s.edge))).as("p"))
-            ctx = ctx.copy(df = ctx.df
-              .withColumn("_sp_min", min(key).over(w))
-              .filter(key === col("_sp_min")).drop("_sp_min"))
-          case "shortestgroups" =>
-            // SHORTEST k GROUPS: every path whose length is among the k
-            // smallest distinct lengths for its endpoint pair. dense_rank
-            // gives ties (same length) the same rank, so whole groups
-            // survive and outer-row duplicates stay intact.
-            ctx = ctx.copy(df = ctx.df
-              .withColumn("_sp_rk", F.dense_rank().over(w.orderBy(len)))
-              .filter(col("_sp_rk") <= s.sel.k).drop("_sp_rk"))
-          case "shortestk" =>
-            // SHORTEST k: the k shortest distinct paths, ties broken by the
-            // rel-id array. (length, path) is a total order over distinct
-            // paths, so dense_rank assigns each distinct path one rank and
-            // keeps duplicates from outer-row multiplicity intact.
-            ctx = ctx.copy(df = ctx.df
-              .withColumn("_sp_rk", F.dense_rank().over(
-                w.orderBy(len, col(h.col(PathSlot(s.edge))))))
-              .filter(col("_sp_rk") <= s.sel.k).drop("_sp_rk"))
-          case other =>
-            throw new CypherCompileException(s"unknown path selector: $other")
-        }
+      val (defer, now) = ready.partition(s => deferredShortest.contains(s.edge))
+      deferredReady = defer
+      now.foreach { s =>
+        ctx = applyShortestSelection(ctx, s,
+          Seq(col(ctx.header.col(IdSlot(s.head))),
+            col(ctx.header.col(IdSlot(s.tgt)))))
       }
     }
+
+    // Pre-WHERE column set: the deferred selection partitions only by
+    // these (minus the spec's own path columns) — anything applyWhere adds
+    // (pattern-predicate markers, lambda label-lookup helpers) derives
+    // from the path and would splinter the partitions.
+    val preWhereCols = ctx.df.columns.toSet
 
     ctx = bindPaths(ctx)
 
     // WHERE: pattern predicates become semi/anti joins, the rest a filter.
     residualWhere.foreach { w => ctx = applyWhere(ctx, w) }
+
+    // Deferred selection: partition by EVERY pre-WHERE column not derived
+    // from the spec's path (the endpoint pair, other pattern bindings,
+    // outer rows) — a WHERE that varies with the outer binding must not
+    // let one binding's minimum evict another's.
+    deferredReady.foreach { s =>
+      val pathVars = deferredShortest.getOrElse(s.edge, Set.empty)
+      deferredShortest -= s.edge
+      val h = ctx.header
+      val excluded = h.slots.collect {
+        case (slot, c) if slot.owner == s.edge => c
+        case (ValueSlot(v), c) if pathVars.contains(v) => c
+      }.toSet
+      val partCols = ctx.df.columns.toSeq
+        .filter(c => preWhereCols.contains(c) && !excluded.contains(c))
+        .map(col)
+      ctx = applyShortestSelection(ctx, s, partCols)
+    }
+    ctx
+  }
+
+  /** One path-selector window over `partCols`: keeps the per-partition
+    * minimal paths (or k-groups/k-paths) of spec `s`. Equality-against-min
+    * (not row_number) for the single-path modes so outer-row multiplicity
+    * survives: "UNWIND [1,2] AS i MATCH shortestPath(...)" keeps the
+    * chosen path once per outer row instead of collapsing to one row. */
+  private def applyShortestSelection(ctx0: Ctx, s: ShortestSpec,
+      partCols: Seq[Column]): Ctx = {
+    var ctx = ctx0
+    val h = ctx.header
+    val len = F.size(col(h.col(PathSlot(s.edge))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(partCols: _*)
+    s.sel.mode match {
+      case "allshortest" =>
+        ctx = ctx.copy(df = ctx.df
+          .withColumn("_sp_min", min(len).over(w))
+          .filter(len === col("_sp_min")).drop("_sp_min"))
+      case "shortest" =>
+        // One arbitrary-but-deterministic shortest path per pair, chosen
+        // by (length, rel-id array) order.
+        val key = struct(len.as("l"), col(h.col(PathSlot(s.edge))).as("p"))
+        ctx = ctx.copy(df = ctx.df
+          .withColumn("_sp_min", min(key).over(w))
+          .filter(key === col("_sp_min")).drop("_sp_min"))
+      case "shortestgroups" =>
+        // SHORTEST k GROUPS: every path whose length is among the k
+        // smallest distinct lengths for its endpoint pair. dense_rank
+        // gives ties (same length) the same rank, so whole groups
+        // survive and outer-row duplicates stay intact.
+        ctx = ctx.copy(df = ctx.df
+          .withColumn("_sp_rk", F.dense_rank().over(w.orderBy(len)))
+          .filter(col("_sp_rk") <= s.sel.k).drop("_sp_rk"))
+      case "shortestk" =>
+        // SHORTEST k: the k shortest distinct paths, ties broken by the
+        // rel-id array. (length, path) is a total order over distinct
+        // paths, so dense_rank assigns each distinct path one rank and
+        // keeps duplicates from outer-row multiplicity intact.
+        ctx = ctx.copy(df = ctx.df
+          .withColumn("_sp_rk", F.dense_rank().over(
+            w.orderBy(len, col(h.col(PathSlot(s.edge))))))
+          .filter(col("_sp_rk") <= s.sel.k).drop("_sp_rk"))
+      case other =>
+        throw new CypherCompileException(s"unknown path selector: $other")
+    }
     ctx
   }
 
@@ -1828,11 +1890,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // bounds the frontier by the reachable-pair set instead of the full
     // bounded path count — the difference between O(pairs) and O(deg^k).
     // Pruning is only sound when solely minimal-length paths can survive
-    // (k == 1 selectors). SHORTEST k / SHORTEST k GROUPS with k >= 2 keep
+    // (k == 1 selectors) AND the selection is not deferred behind a
+    // path-reading WHERE (the shortest SATISFYING path may arrive later
+    // than the first). SHORTEST k / SHORTEST k GROUPS with k >= 2 keep
     // longer paths, so those enumerate the full bounded trail set and let
     // the window prune afterwards.
     val spPrune = shortestSpecs.find(_.edge == e.v)
-      .exists(s => s.sel.mode == "shortest" || s.sel.mode == "allshortest")
+      .exists(s => (s.sel.mode == "shortest" || s.sel.mode == "allshortest") &&
+        !deferredShortest.contains(e.v))
     // nodes(p) needs the intermediate node ids; accumulate them only when a
     // bound path variable spans this var-length hop (one extra array column
     // per frontier row otherwise wasted).

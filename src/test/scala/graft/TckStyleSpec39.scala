@@ -94,6 +94,43 @@ class TckStyleSpec39 extends TckScenarioBase {
       "WHERE b.name IN ['n4','n6'] RETURN b.name AS n, length(p) AS x",
     rows(Map("n" -> "n4", "x" -> 2), Map("n" -> "n6", "x" -> 2)))
 
+  // ---- path-reading WHERE defers the selection (shortest SATISFYING
+  //      path, Neo4j semantics) instead of filtering the chosen path
+  scenario("WHERE on nodes(p) picks the shortest satisfying path", gDia,
+    // excluding n2 kills the [20,21] arm; the [22,23] arm (also length 2)
+    // must be chosen instead of returning nothing.
+    "MATCH p = shortestPath((a {name:'n1'})-[:E*]->(b {name:'n4'})) " +
+      "WHERE none(x IN nodes(p) WHERE x.name = 'n2') " +
+      "RETURN length(p) AS x", value(2))
+  scenario("satisfying path may be longer than the true shortest", gDia,
+    // excluding BOTH length-2 arms leaves only the length-3 path.
+    "MATCH p = shortestPath((a {name:'n1'})-[:E*]->(b {name:'n4'})) " +
+      "WHERE none(x IN nodes(p) WHERE x.name IN ['n2','n3']) " +
+      "RETURN length(p) AS x", value(3))
+  scenario("no satisfying path yields no row", gDia,
+    "MATCH p = shortestPath((a {name:'n1'})-[:E*]->(b {name:'n4'})) " +
+      "WHERE none(x IN nodes(p) WHERE x.name IN ['n2','n3','n5']) " +
+      "RETURN count(*) AS x", value(0))
+  scenario("allShortestPaths keeps every satisfying minimum", gDia,
+    // min length among satisfying paths is 2 and only one arm qualifies.
+    "MATCH p = allShortestPaths((a {name:'n1'})-[:E*]->(b {name:'n4'})) " +
+      "WHERE none(x IN nodes(p) WHERE x.name = 'n2') " +
+      "RETURN length(p) AS x", value(2))
+  scenario("rel-list predicate also defers the selection", gDia,
+    "MATCH (a {name:'n1'}), (b {name:'n4'}) " +
+      "MATCH p = shortestPath((a)-[r:E*]->(b)) " +
+      "WHERE none(e IN r WHERE id(e) = 20) " +
+      "RETURN length(p) AS x", value(2))
+  scenario("deferred selection stays per-outer-binding", gDia,
+    // lim = 2 admits the length-2 arms; lim = 3 only the long way round.
+    "UNWIND [2, 3] AS lim " +
+      "MATCH p = shortestPath((a {name:'n1'})-[:E*]->(b {name:'n4'})) " +
+      "WHERE length(p) >= lim RETURN lim, length(p) AS x",
+    rows(Map("lim" -> 2, "x" -> 2), Map("lim" -> 3, "x" -> 3)))
+  scenario("endpoint-only WHERE still uses the pruned fast path", gDia,
+    "MATCH p = shortestPath((a:V)-[:E*]->(b {name:'n4'})) " +
+      "WHERE a.name = 'n1' RETURN length(p) AS x", value(2))
+
   // ---- legacy function wrappers still parse
   scenario("legacy shortestPath() unchanged", gDia,
     "MATCH p = shortestPath((a {name:'n1'})-[:E*]->(b {name:'n4'})) " +
