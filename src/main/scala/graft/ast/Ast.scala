@@ -188,6 +188,13 @@ case class SetProp(variable: String, key: String, value: Expr) extends SetItem
 case class SetLabel(variable: String, labels: Seq[String]) extends SetItem
 case class SetAllProps(variable: String, map: Expr, additive: Boolean)
     extends SetItem
+/** Dynamic forms (Neo4j 5.24): `SET n[keyExpr] = v` / `SET n:$(expr)`.
+  * The planner resolves the key/label expressions to constants (string
+  * literals or parameters — the columnar schema is fixed at plan time)
+  * and rewrites to SetProp/SetLabel; non-constant expressions are a
+  * classified error. */
+case class SetDynProp(variable: String, key: Expr, value: Expr) extends SetItem
+case class SetDynLabel(variable: String, labelExprs: Seq[Expr]) extends SetItem
 
 // ---------------------------------------------------------- write clauses
 // Beyond-reference surface: the reference engine is read-only (CONSTRUCT
@@ -201,6 +208,11 @@ case class SetClause(items: Seq[SetItem]) extends Clause
 sealed trait RemoveItem
 case class RemoveProp(variable: String, key: String) extends RemoveItem
 case class RemoveLabel(variable: String, labels: Seq[String])
+    extends RemoveItem
+/** Dynamic forms: `REMOVE n[keyExpr]` / `REMOVE n:$(expr)` — same
+  * compile-time resolution rule as [[SetDynProp]]/[[SetDynLabel]]. */
+case class RemoveDynProp(variable: String, key: Expr) extends RemoveItem
+case class RemoveDynLabel(variable: String, labelExprs: Seq[Expr])
     extends RemoveItem
 case class Remove(items: Seq[RemoveItem]) extends Clause
 /** DELETE / DETACH DELETE of bound node or relationship variables. */

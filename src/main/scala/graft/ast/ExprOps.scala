@@ -119,9 +119,11 @@ object ExprOps {
     // Write clauses observe every variable they touch.
     case Create(Pattern(parts)) => Some(parts.flatMap(patternRefs).toSet)
     case SetClause(items) => Some(items.flatMap(setItemRefs).toSet)
-    case Remove(items) => Some(items.map {
-      case RemoveProp(v, _) => v
-      case RemoveLabel(v, _) => v
+    case Remove(items) => Some(items.flatMap {
+      case RemoveProp(v, _) => Set(v)
+      case RemoveLabel(v, _) => Set(v)
+      case RemoveDynProp(v, k) => varRefs(k) + v
+      case RemoveDynLabel(v, es) => es.flatMap(varRefs).toSet + v
     }.toSet)
     case Delete(exprs, _) => Some(exprs.flatMap(varRefs).toSet)
     case Merge(part, onCreate, onMatch) =>
@@ -139,6 +141,8 @@ object ExprOps {
     case SetProp(v, _, e) => varRefs(e) + v
     case SetLabel(v, _) => Set(v)
     case SetAllProps(v, m, _) => varRefs(m) + v
+    case SetDynProp(v, k, e) => varRefs(k) ++ varRefs(e) + v
+    case SetDynLabel(v, es) => es.flatMap(varRefs).toSet + v
   }
 
   /** Variables a MATCH clause itself observes beyond merely binding them:

@@ -397,7 +397,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       if (!nodes.contains(alias))
         nodes = nodes + (alias -> NodeCons(alias, Seq.empty, Seq.empty))
     }
-    sets.foreach {
+    sets.map(resolveSetItem).foreach {
       case SetProp(v, k, e) if nodes.contains(v) =>
         nodes = nodes.updated(v, nodes(v).copy(props = nodes(v).props :+ (k, e)))
       case SetProp(v, k, e) if edges.exists(_.v == v) =>
@@ -2892,10 +2892,53 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     ctx
   }
 
-  private def planSetItems(ctx0: Ctx, items: Seq[SetItem],
+  /** Compile-time resolution of a dynamic SET/REMOVE key or label
+    * expression: the columnar schema is fixed at plan time, so only
+    * string literals and (string / string-list) parameters qualify —
+    * Neo4j's per-row evaluation cannot be expressed. */
+  private def constStrings(e: Expr, what: String): Seq[String] = {
+    def bad(): Nothing = throw new CypherCompileException(
+      s"$what must resolve at compile time — use a string literal or a " +
+        s"string parameter, got ${e.getClass.getSimpleName}",
+      CE.SemanticError, CE.UnsupportedExpression)
+    e match {
+      case StrLit(s) => Seq(s)
+      case ListLit(items) => items.flatMap(constStrings(_, what))
+      case Param(n) => params.get(n) match {
+        case Some(s: String) => Seq(s)
+        case Some(xs: Seq[_]) => xs.map(String.valueOf)
+        case Some(xs: java.util.List[_]) =>
+          import scala.jdk.CollectionConverters._
+          xs.asScala.toSeq.map(String.valueOf)
+        case _ => bad()
+      }
+      case _ => bad()
+    }
+  }
+
+  private def resolveSetItem(i: SetItem): SetItem = i match {
+    case SetDynProp(v, k, e) =>
+      SetProp(v, constStrings(k, "dynamic SET key").head, e)
+    case SetDynLabel(v, es) =>
+      SetLabel(v, es.flatMap(constStrings(_, "dynamic SET label")))
+    case other => other
+  }
+
+  private def resolveRemoveItem(i: RemoveItem): RemoveItem = i match {
+    case RemoveDynProp(v, k) =>
+      RemoveProp(v, constStrings(k, "dynamic REMOVE key").head)
+    case RemoveDynLabel(v, es) =>
+      RemoveLabel(v, es.flatMap(constStrings(_, "dynamic REMOVE label")))
+    case other => other
+  }
+
+  private def planSetItems(ctx0: Ctx, items0: Seq[SetItem],
       onlyWhen: Option[Column]): Ctx = {
+    val items = items0.map(resolveSetItem)
     var ctx = ctx0
     items.foreach {
+      case d @ (_: SetDynProp | _: SetDynLabel) =>
+        throw new CypherCompileException(s"unresolved SET item: $d")
       case SetProp(v, k, e) => ctx = applySetProp(ctx, v, k, e, onlyWhen)
       case SetLabel(v, ls) => ctx = applySetLabels(ctx, v, ls, remove = false)
       case SetAllProps(v, m, additive) =>
@@ -2980,7 +3023,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // None marks "all keys", expanded below to every key the written
     // tables of the var's kind carry (over-approximate but correct).
     def setKeys(cs: Seq[Clause]): Seq[(String, Option[String])] = cs.flatMap {
-      case SetClause(items) => items.flatMap {
+      case SetClause(items) => items.map(resolveSetItem).flatMap {
         case SetProp(v, k, _) => Seq((v, Some(k)))
         case SetAllProps(v, MapLit(es), _) =>
           es.map { case (k, _) => (v, Some(k)) }
@@ -3032,9 +3075,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   private def planRemove(ctx0: Ctx, items: Seq[RemoveItem]): Ctx = {
     var ctx = ctx0
-    items.foreach {
+    items.map(resolveRemoveItem).foreach {
       case RemoveProp(v, k) => ctx = applySetProp(ctx, v, k, NullLit, None)
       case RemoveLabel(v, ls) => ctx = applySetLabels(ctx, v, ls, remove = true)
+      case other => throw new CypherCompileException(
+        s"unresolved REMOVE item: $other")
     }
     ctx
   }

@@ -239,12 +239,26 @@ object CypherParser {
             def removeItem(): Unit = {
               val v = ident()
               if (tryPunct(".")) items += RemoveProp(v, ident())
-              else {
-                val ls = Seq.newBuilder[String]
-                while (tryPunct(":")) ls += ident()
-                val l = ls.result()
-                if (l.isEmpty) fail("expected .prop or :Label in REMOVE")
-                items += RemoveLabel(v, l)
+              else if (tryPunct("[")) {
+                // dynamic property: REMOVE n[keyExpr] (Neo4j 5.24)
+                val k = parseExpr()
+                eatPunct("]")
+                items += RemoveDynProp(v, k)
+              } else {
+                val statics = Seq.newBuilder[String]
+                val dyns = Seq.newBuilder[Expr]
+                var any = false
+                while (tryPunct(":")) {
+                  any = true
+                  if (tryPunct("$")) {
+                    eatPunct("("); dyns += parseExpr(); eatPunct(")")
+                  } else statics += ident()
+                }
+                if (!any) fail("expected .prop, [key] or :Label in REMOVE")
+                val l = statics.result()
+                if (l.nonEmpty) items += RemoveLabel(v, l)
+                val d = dyns.result()
+                if (d.nonEmpty) items += RemoveDynLabel(v, d)
               }
             }
             removeItem()
@@ -369,16 +383,31 @@ object CypherParser {
           val k = ident()
           eatPunct("=")
           items += SetProp(v, k, parseExpr())
+        } else if (tryPunct("[")) {
+          // dynamic property: SET n[keyExpr] = value (Neo4j 5.24)
+          val k = parseExpr()
+          eatPunct("]")
+          eatPunct("=")
+          items += SetDynProp(v, k, parseExpr())
         } else if (tryPunct("+=")) {
           items += SetAllProps(v, parseExpr(), additive = true)
         } else if (tryPunct("=")) {
           items += SetAllProps(v, parseExpr(), additive = false)
         } else {
-          val ls = Seq.newBuilder[String]
-          while (tryPunct(":")) ls += ident()
-          val l = ls.result()
-          if (l.isEmpty) fail("expected '.prop', ':Label', '=' or '+=' in SET")
-          items += SetLabel(v, l)
+          val statics = Seq.newBuilder[String]
+          val dyns = Seq.newBuilder[Expr]
+          var any = false
+          while (tryPunct(":")) {
+            any = true
+            // dynamic label: SET n:$(expr) (Neo4j 5.24)
+            if (tryPunct("$")) { eatPunct("("); dyns += parseExpr(); eatPunct(")") }
+            else statics += ident()
+          }
+          if (!any) fail("expected '.prop', '[key]', ':Label', '=' or '+=' in SET")
+          val l = statics.result()
+          if (l.nonEmpty) items += SetLabel(v, l)
+          val d = dyns.result()
+          if (d.nonEmpty) items += SetDynLabel(v, d)
         }
       }
       item()

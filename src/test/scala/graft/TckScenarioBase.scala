@@ -38,10 +38,11 @@ trait TckScenarioBase extends SparkTestBase {
     * (ordered = true compares as a sequence). */
   private var count = 0
   protected def scenario(name: String, g: => PropertyGraph, query: String,
-      expected: Seq[Map[String, Any]], ordered: Boolean = false): Unit = {
+      expected: Seq[Map[String, Any]], ordered: Boolean = false,
+      params: Map[String, Any] = Map.empty): Unit = {
     count += 1
     test(f"[$count%03d] $name") {
-      val got = rowsOf(session.cypher(g, query))
+      val got = rowsOf(session.cypher(g, query, params))
       val want = expected.map(_.map { case (k, v) => k -> norm(v) })
       if (ordered) assert(got === want)
       else assert(rowBag(got) === rowBag(want),
