@@ -59,6 +59,13 @@ case class Neg(expr: Expr) extends Expr
 // --- calls & control -------------------------------------------------------
 case class FuncCall(name: String, args: Seq[Expr], distinct: Boolean) extends Expr
 case object CountStar extends Expr
+/** Full-query subquery expression (Cypher 5): EXISTS { <query> },
+  * COUNT { <query> }, COLLECT { <query> } with complete bodies (WITH,
+  * RETURN, UNION, SKIP/LIMIT). kind is "exists" | "count" | "collect".
+  * The simple pattern forms keep their dedicated nodes
+  * (PatternPredicate / PatternComp); this one is planned through the
+  * correlated CALL { } machinery. */
+case class QuerySub(kind: String, inner: Query) extends Expr
 case class CaseExpr(subject: Option[Expr], alternatives: Seq[(Expr, Expr)],
     default: Option[Expr]) extends Expr
 /** list[idx] or map[key] */

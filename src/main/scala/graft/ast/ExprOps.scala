@@ -55,7 +55,7 @@ object ExprOps {
     exists(e)(_.isInstanceOf[PatternPredicate])
 
   def containsPatternComp(e: Expr): Boolean =
-    exists(e)(_.isInstanceOf[PatternComp])
+    exists(e)(x => x.isInstanceOf[PatternComp] || x.isInstanceOf[QuerySub])
 
   // ------------------------------------------------------- liveness support
 
@@ -75,6 +75,13 @@ object ExprOps {
       patternRefs(p) ++ w.toSeq.flatMap(varRefs)
     case PatternComp(p, w, proj) =>
       patternRefs(p) ++ w.toSeq.flatMap(varRefs) ++ varRefs(proj)
+    case QuerySub(_, inner) =>
+      // Over-approximate with everything the body references (clauseRefs
+      // counts binding occurrences too) — safe for liveness, and exactly
+      // what the planner imports at materialization.
+      (inner.first +: inner.rest.map(_._2))
+        .flatMap(_.clauses.flatMap(c => clauseRefs(c).getOrElse(Set.empty)))
+        .toSet
     case other =>
       var acc = Set.empty[String]
       mapChildren(other, { c => acc ++= varRefs(c); c })

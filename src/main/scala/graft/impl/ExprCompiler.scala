@@ -1858,7 +1858,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             case _ => q(a1)
           }
         }
-        F.split(a0, pat)
+        args(1) match {
+          // Empty delimiter = per-character split (Neo4j): Spark's regex
+          // split appends an artifact empty element — drop empties (every
+          // real element is a single character here).
+          case StrLit("") => F.filter(F.split(a0, pat), x => x =!= "")
+          case _ => F.split(a0, pat)
+        }
       case "tostring" =>
         inferType(args(0)) match {
           // Durations render as ISO-8601 (Neo4j toString semantics:

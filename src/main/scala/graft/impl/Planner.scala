@@ -692,7 +692,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * materializePatternComps), so neither may be pushed onto a node scan
     * where ExprCompiler would reject it. */
   private def containsPatternExpr(e: Any): Boolean = e match {
-    case _: PatternPredicate | _: PatternComp => true
+    case _: PatternPredicate | _: PatternComp | _: QuerySub => true
     case FuncCall(n, args, _) if n.equalsIgnoreCase("exists") =>
       args.exists(containsPatternExpr)
     case s: Seq[_] => s.exists(containsPatternExpr)
@@ -1074,9 +1074,104 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * shared vars (not a row id) is exact: outer rows with equal shared
     * bindings have equal lists by definition. Unmatched rows get [].
     * List order is unspecified (as in openCypher without ORDER BY). */
+  /** Full-query subquery expression (EXISTS/COUNT/COLLECT { <query> }):
+    * desugared onto the correlated CALL {{ }} machinery. The body's RETURN
+    * becomes a WITH (keeping DISTINCT/SKIP/LIMIT — they change the row
+    * set, hence the count), an aggregate RETURN (count(*) or collect) is
+    * appended, and the whole thing plans as an OPTIONAL CALL so driving
+    * rows with zero subquery rows keep a null aggregate (coalesced to
+    * 0 / [] / false). UNION bodies nest one more CALL level so the row-id
+    * scoped UNION-distinct applies per driving row. */
+  private def materializeQuerySub(ctx0: Ctx, qs: QuerySub): (Ctx, Expr) = {
+    var ctx = ctx0
+    val arms = qs.inner.first +: qs.inner.rest.map(_._2)
+    val refSets = arms.flatMap(_.clauses.map(ExprOps.clauseRefs))
+    val outerVars = ctx.header.kinds.keySet.filterNot(_.matches("_a\\d+"))
+    val imports =
+      (if (refSets.contains(None)) outerVars
+       else refSets.flatten.flatten.toSet.intersect(outerVars)).toSeq.sorted
+    def importWith(vs: Seq[String]) = With(distinct = false, star = false,
+      vs.map(v => ReturnItem(Var(v), None)), Seq.empty, None, None, None)
+    val valName = freshVar()
+    // The body's trailing RETURN -> a WITH projecting the (aliased) items.
+    def rewriteArm(sq: SingleQuery, forNestedCall: Boolean): SingleQuery = {
+      val (body, retOpt) = sq.clauses.lastOption match {
+        case Some(r: Return) => (sq.clauses.init, Some(r))
+        case _ => (sq.clauses, None)
+      }
+      val tail: Seq[Clause] = retOpt match {
+        case None =>
+          if (qs.kind == "collect") throw new CypherCompileException(
+            "COLLECT { } subquery must end in RETURN",
+            CE.SyntaxError, CE.InvalidSyntax)
+          if (forNestedCall)
+            Seq(Return(distinct = false, star = false,
+              Seq(ReturnItem(IntLit(1), Some(valName))), Seq.empty, None, None))
+          else Seq.empty
+        case Some(r) =>
+          if (qs.kind == "collect" && (r.star || r.items.size != 1))
+            throw new CypherCompileException(
+              "COLLECT { } subquery must return exactly one column",
+              CE.SyntaxError, CE.InvalidSyntax)
+          if (qs.kind == "collect" && r.orderBy.nonEmpty && r.limit.isEmpty)
+            throw new CypherCompileException(
+              "COLLECT { } with ORDER BY and no LIMIT is not supported " +
+                "(the collected list is unordered)",
+              CE.SemanticError, CE.UnsupportedExpression)
+          // ORDER BY matters only when SKIP/LIMIT select rows by it.
+          val ob = if (r.skip.isDefined || r.limit.isDefined) r.orderBy
+                   else Seq.empty
+          val aliased = r.items.zipWithIndex.map { case (i, ix) =>
+            ReturnItem(i.expr,
+              Some(if (ix == 0) valName else valName + "_" + ix))
+          }
+          if (forNestedCall)
+            Seq(Return(r.distinct, r.star, aliased, ob, r.skip, r.limit))
+          else
+            Seq(With(r.distinct, r.star, aliased, ob, r.skip, r.limit, None))
+      }
+      SingleQuery((if (imports.isEmpty) body
+                   else importWith(imports) +: body) ++ tail)
+    }
+    val aggExpr: Expr = qs.kind match {
+      case "collect" => FuncCall("collect", Seq(Var(valName)), distinct = false)
+      case _ => CountStar
+    }
+    val outVar = freshVar()
+    val aggReturn = Return(distinct = false, star = false,
+      Seq(ReturnItem(aggExpr, Some(outVar))), Seq.empty, None, None)
+    val outerBody: Seq[Clause] =
+      if (arms.size == 1)
+        rewriteArm(arms.head, forNestedCall = false).clauses :+ aggReturn
+      else {
+        val nested = CallSubquery(Query(
+          rewriteArm(arms.head, forNestedCall = true),
+          qs.inner.rest.map(_._1).zip(
+            arms.tail.map(rewriteArm(_, forNestedCall = true)))))
+        val head: Seq[Clause] =
+          if (imports.isEmpty) Seq(nested) else Seq(importWith(imports), nested)
+        head :+ aggReturn
+      }
+    ctx = planCallSubquery(ctx, Query(SingleQuery(outerBody), Seq.empty),
+      optional = true)
+    val cnt = FuncCall("coalesce", Seq(Var(outVar), IntLit(0)), distinct = false)
+    val replacement: Expr = qs.kind match {
+      case "exists" => Cmp(">", cnt, IntLit(0))
+      case "count" => cnt
+      case "collect" =>
+        FuncCall("coalesce", Seq(Var(outVar), ListLit(Seq.empty)),
+          distinct = false)
+    }
+    (ctx, replacement)
+  }
+
   private def materializePatternComps(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
     var ctx = ctx0
     val rewritten = ExprOps.transformUp(e) {
+      case qs: QuerySub =>
+        val (c2, repl) = materializeQuerySub(ctx, qs)
+        ctx = c2
+        repl
       case PatternComp(part, where, proj) =>
         val sub = planMatch(unitCtx, Pattern(Seq(part)), where)
         val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)

@@ -1024,6 +1024,20 @@ object CypherParser {
       case _ =>
     }
 
+    /** Full-query subquery-expression body after '{': a complete
+      * SingleQuery (+ UNION arms) closed by '}'. Used when the simple
+      * pattern form of EXISTS/COUNT/COLLECT { } does not parse. */
+    private def parseQuerySubBody(kind: String): Expr = {
+      val first = parseSingleQuery()
+      val unions = Seq.newBuilder[(Boolean, SingleQuery)]
+      while (tryKw("UNION")) {
+        val all = tryKw("ALL")
+        unions += ((all, parseSingleQuery()))
+      }
+      eatPunct("}")
+      QuerySub(kind, Query(first, unions.result()))
+    }
+
     /** CALL in clause position, after the CALL keyword is consumed:
       * `CALL { ... }`, the Neo4j 5.23 scoped form `CALL (a, b) { ... }` /
       * `CALL () { ... }` (desugared to the importing-WITH body), or a
@@ -1271,13 +1285,18 @@ object CypherParser {
         // rewritten to the size of a constant-projection comprehension.
         case Kw("COUNT", _, _) if peek2 == Punct("{", peek2.pos) =>
           p += 2
-          tryKw("MATCH")
-          val (part, inline) = withInlineFrame(parsePatternPart())
-          val where = conj(inline,
-            if (tryKw("WHERE")) Some(parseExpr()) else None)
-          eatPunct("}")
-          FuncCall("size", Seq(PatternComp(part, where, IntLit(1))),
-            distinct = false)
+          val sp = p
+          val simple =
+            try {
+              tryKw("MATCH")
+              val (part, inline) = withInlineFrame(parsePatternPart())
+              val where = conj(inline,
+                if (tryKw("WHERE")) Some(parseExpr()) else None)
+              eatPunct("}")
+              Some(FuncCall("size", Seq(PatternComp(part, where, IntLit(1))),
+                distinct = false))
+            } catch { case _: CypherParseException => p = sp; None }
+          simple.getOrElse(parseQuerySubBody("count"))
         case Kw("COUNT", _, _) if peek2 == Punct("(", peek2.pos) =>
           // count(*) | count(expr) | count(DISTINCT expr)
           p += 2
@@ -1295,17 +1314,22 @@ object CypherParser {
         case Ident(w, _) if w.equalsIgnoreCase("COLLECT") &&
             peek2 == Punct("{", peek2.pos) =>
           p += 2
-          tryKw("MATCH")
-          val (part, inline) = withInlineFrame(parsePatternPart())
-          val where = conj(inline,
-            if (tryKw("WHERE")) Some(parseExpr()) else None)
-          eatKw("RETURN")
-          val distinct = tryKw("DISTINCT")
-          val proj = parseExpr()
-          eatPunct("}")
-          val comp = PatternComp(part, where, proj)
-          if (distinct) FuncCall("toset", Seq(comp), distinct = false)
-          else comp
+          val sp = p
+          val simple =
+            try {
+              tryKw("MATCH")
+              val (part, inline) = withInlineFrame(parsePatternPart())
+              val where = conj(inline,
+                if (tryKw("WHERE")) Some(parseExpr()) else None)
+              eatKw("RETURN")
+              val distinct = tryKw("DISTINCT")
+              val proj = parseExpr()
+              eatPunct("}")
+              val comp = PatternComp(part, where, proj)
+              Some(if (distinct) FuncCall("toset", Seq(comp), distinct = false)
+                   else comp)
+            } catch { case _: CypherParseException => p = sp; None }
+          simple.getOrElse(parseQuerySubBody("collect"))
         case Kw("CASE", _, _) => p += 1; parseCase()
         case Kw("EXISTS", _, _) => p += 1; parseExists()
         case Kw(kind @ ("ANY" | "ALL" | "NONE" | "SINGLE"), _, _)
@@ -1627,12 +1651,17 @@ object CypherParser {
     private def parseExists(): Expr = {
       // EXISTS { pattern } | EXISTS { MATCH pattern } | EXISTS(expr)
       if (tryPunct("{")) {
-        tryKw("MATCH")
-        val (part, inline) = withInlineFrame(parsePatternPart())
-        val where = conj(inline,
-          if (tryKw("WHERE")) Some(parseExpr()) else None)
-        eatPunct("}")
-        PatternPredicate(part, negated = false, where)
+        val sp = p
+        val simple =
+          try {
+            tryKw("MATCH")
+            val (part, inline) = withInlineFrame(parsePatternPart())
+            val where = conj(inline,
+              if (tryKw("WHERE")) Some(parseExpr()) else None)
+            eatPunct("}")
+            Some(PatternPredicate(part, negated = false, where))
+          } catch { case _: CypherParseException => p = sp; None }
+        simple.getOrElse(parseQuerySubBody("exists"))
       } else {
         eatPunct("(")
         if (looksLikePattern()) {
