@@ -207,6 +207,50 @@ object CypherParser {
             eatKw("AS")
             clauses += Unwind(e, ident())
           case Kw("WITH", _, _) => p += 1; clauses += parseWith()
+          // ---- GQL / Cypher-2025 standalone clauses, all sugar over
+          //      WITH * (LET adds bindings, FILTER a predicate, ORDER BY /
+          //      SKIP / OFFSET / LIMIT their modifiers) ----
+          case Ident(s, _) if s.equalsIgnoreCase("LET") =>
+            p += 1
+            // One WITH * per binding: LET items are sequential (a later
+            // binding may read an earlier one).
+            def one(): Unit = {
+              val v = ident(); eatPunct("=")
+              clauses += With(distinct = false, star = true,
+                Seq(ReturnItem(parseExpr(), Some(v))),
+                Seq.empty, None, None, None)
+            }
+            one()
+            while (tryPunct(",")) one()
+          case Ident(s, _) if s.equalsIgnoreCase("FILTER") =>
+            p += 1
+            tryKw("WHERE") // GQL allows both FILTER <pred> and FILTER WHERE <pred>
+            clauses += With(distinct = false, star = true, Seq.empty,
+              Seq.empty, None, None, Some(parseExpr()))
+          case Kw("ORDER", _, _) =>
+            val order = parseOrderBy()
+            val skip =
+              if (tryKw("SKIP")) Some(parseExpr())
+              else peek match {
+                case Ident(w, _) if w.equalsIgnoreCase("OFFSET") =>
+                  p += 1; Some(parseExpr())
+                case _ => None
+              }
+            val limit = if (tryKw("LIMIT")) Some(parseExpr()) else None
+            clauses += With(distinct = false, star = true, Seq.empty,
+              order, skip, limit, None)
+          case Kw("SKIP", _, _) =>
+            p += 1
+            clauses += With(distinct = false, star = true, Seq.empty,
+              Seq.empty, Some(parseExpr()), None, None)
+          case Ident(s, _) if s.equalsIgnoreCase("OFFSET") =>
+            p += 1
+            clauses += With(distinct = false, star = true, Seq.empty,
+              Seq.empty, Some(parseExpr()), None, None)
+          case Kw("LIMIT", _, _) =>
+            p += 1
+            clauses += With(distinct = false, star = true, Seq.empty,
+              Seq.empty, None, Some(parseExpr()), None)
           case Kw("FROM", _, _) =>
             p += 1; eatKw("GRAPH"); clauses += FromGraph(parseGraphRef())
           case Kw("USE", _, _) => p += 1; clauses += FromGraph(parseGraphRef())

@@ -46,8 +46,10 @@ class TckStyleSpec6 extends TckScenarioBase {
   test("[err] aggregation nested in aggregation") {
     errors("MATCH (n) RETURN sum(count(n)) AS x")
   }
-  test("[err] ORDER BY without RETURN or WITH") {
-    errors("MATCH (n) ORDER BY n.name RETURN n")
+  // Standalone ORDER BY is legal since the Cypher-2025 clause sugar
+  // (part 44); the error case left is a missing sort item.
+  test("[err] ORDER BY without a sort item") {
+    errors("MATCH (n) ORDER BY RETURN n")
   }
   test("[err] negative LIMIT") {
     errors("MATCH (n) RETURN n LIMIT -1")
