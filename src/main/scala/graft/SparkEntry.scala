@@ -85,6 +85,29 @@ object SparkEntry {
     ("q_not_exists",
       "MATCH (o:Order) WHERE NOT (o)-[:HAS_ITEM]->(:LineItem) RETURN o.o_orderkey AS o_orderkey",
       Some("SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)")),
+    // --- full-query subquery expressions (Cypher 5, round 9): COUNT {}
+    //     with a complete body in WHERE, and a UNION body whose distinct
+    //     is replayable as SQL UNION ---
+    ("q_count_subquery",
+      "MATCH (n:Nation) WHERE COUNT { MATCH (s:Supplier)-[:FROM_NATION]->(n) " +
+        "RETURN s } >= 2 RETURN n.n_name AS nn",
+      Some("""SELECT n_name AS nn FROM nation
+        WHERE (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) >= 2""")),
+    ("q_count_union_subquery",
+      "RETURN COUNT { MATCH (c:Customer) RETURN c.c_nationkey AS v " +
+        "UNION MATCH (s:Supplier) RETURN s.s_nationkey AS v } AS n",
+      Some("""SELECT count(*) AS n FROM (
+        SELECT c_nationkey AS v FROM customer
+        UNION SELECT s_nationkey AS v FROM supplier)""")),
+    // --- GQL / Cypher-2025 standalone clauses (round 9): LET + FILTER +
+    //     standalone ORDER BY/LIMIT as WITH-* sugar ---
+    ("q_let_filter",
+      "MATCH (c:Customer) LET bal = c.c_acctbal * 2 FILTER bal > 5000 " +
+        "ORDER BY bal DESC, c.c_custkey LIMIT 10 " +
+        "RETURN c.c_custkey AS ck, round(bal, 4) AS bal",
+      Some("""SELECT c_custkey AS ck, round(c_acctbal * 2, 4) AS bal
+        FROM customer WHERE c_acctbal * 2 > 5000
+        ORDER BY c_acctbal * 2 DESC, c_custkey LIMIT 10""")),
     // --- var-length expand (BoundedVarLengthExpand) ---
     ("q_varexpand",
       "MATCH (c:Customer)-[*1..2]->(x) RETURN c.c_custkey AS c_custkey, count(*) AS paths",
