@@ -2900,7 +2900,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         k -> mat.schema(header.col(PropSlot(e.v, k))).dataType).toMap
       wRels :+= WRel(e.types.head, mat.select(cols: _*), types)
     }
-    Ctx(mat, header)
+    // CREATE p = (...)-[...]->(...): bind the path variable over the
+    // freshly created element id columns (all hops are fixed-length here).
+    bindPaths(Ctx(mat, header))
   }
 
   /** Element-var id column of a write target, with its kind. */
@@ -3327,9 +3329,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         if (e.types.size != 1) throw new CypherCompileException(
           "MERGE requires exactly one relationship type",
           CE.SyntaxError, CE.NoSingleRelationshipType)
-        if (e.dir == BOTH) throw new CypherCompileException(
-          "MERGE requires a directed relationship",
-          CE.SyntaxError, CE.RequiresDirectedRelationship)
+        if (e.dir == BOTH && !(edges.size == 1 &&
+            ctx.header.kinds.contains(e.src) &&
+            ctx.header.kinds.contains(e.tgt)))
+          throw new CypherCompileException(
+            "MERGE of an undirected relationship needs bound endpoints",
+            CE.SyntaxError, CE.RequiresDirectedRelationship)
         if (e.varLength.isDefined) throw new CypherCompileException(
           "MERGE of a variable-length relationship",
           CE.SyntaxError, CE.CreatingVarLength)
@@ -3364,16 +3369,28 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
               .as(s"_wm_c$i")
           }: _*)
       }.reduceOption(_.unionByName(_))
+      // Undirected MERGE (bound endpoints): match the stored relationship
+      // in EITHER direction; the created one (no match) runs left-to-right
+      // (Neo4j). The stored endpoints (_wm_s/_wm_t) are kept so a reversed
+      // match binds r's src/tgt as stored, not as written in the pattern.
+      val undirected = e.dir == BOTH
       val joined = cands match {
         case Some(c) =>
-          val cond = (srcCol === col("_wm_s")) && (tgtCol === col("_wm_t")) &&
+          val fwd = (srcCol === col("_wm_s")) && (tgtCol === col("_wm_t"))
+          val dirCond =
+            if (undirected)
+              fwd || ((srcCol === col("_wm_t")) && (tgtCol === col("_wm_s")))
+            else fwd
+          val cond = dirCond &&
             keyCols.zipWithIndex.map { case (kc, i) =>
               col(kc) === col(s"_wm_c$i")
             }.foldLeft(lit(true))(_ && _)
           ctx.df.join(c, cond, "left")
-            .drop("_wm_s", "_wm_t")
             .drop(keys.indices.map(i => s"_wm_c$i"): _*)
-        case None => ctx.df.withColumn("_wm_id", lit(null).cast(LongType))
+        case None => ctx.df
+          .withColumn("_wm_id", lit(null).cast(LongType))
+          .withColumn("_wm_s", lit(null).cast(LongType))
+          .withColumn("_wm_t", lit(null).cast(LongType))
       }
       val varIdx = nextWriteVarIdx()
       val srcName = ctx.header.col(IdSlot(srcV))
@@ -3414,9 +3431,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val tgtSlot = TgtSlot(e.v)
       val typeSlot = TypeSlot(e.v)
       df = df
-        .withColumn(RecordHeader.colName(srcSlot), col(srcName))
-        .withColumn(RecordHeader.colName(tgtSlot), col(tgtName))
+        .withColumn(RecordHeader.colName(srcSlot),
+          coalesce(col("_wm_s"), col(srcName)))
+        .withColumn(RecordHeader.colName(tgtSlot),
+          coalesce(col("_wm_t"), col(tgtName)))
         .withColumn(RecordHeader.colName(typeSlot), lit(e.types.head))
+        .drop("_wm_s", "_wm_t")
       var header = ctx.header
         .withSlots(Seq(idSlot, srcSlot, tgtSlot, typeSlot))
         .withVar(e.v, RelKind(e.types.toSet))
@@ -3438,7 +3458,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       out = planSetItems(out, m.onCreate, Some(col(createdMark)))
     if (m.onMatch.nonEmpty)
       out = planSetItems(out, m.onMatch, Some(!col(createdMark)))
-    Ctx(out.df.drop(createdMark), out.header)
+    // MERGE p = (...): bind the path variable (fixed-length hops only).
+    bindPaths(Ctx(out.df.drop(createdMark), out.header))
   }
 
   /** MERGE of a (possibly multi-hop) path pattern with any mix of bound
