@@ -158,6 +158,13 @@ object CypherParser {
     private def eatKw(s: String): Unit =
       if (isKw(s)) p += 1 else fail(s"expected $s")
     private def tryKw(s: String): Boolean = if (isKw(s)) { p += 1; true } else false
+    /** SKIP or its Cypher-5 synonym OFFSET (an Ident, not a keyword). */
+    private def trySkipWord(): Boolean =
+      if (isKw("SKIP")) { p += 1; true }
+      else peek match {
+        case Ident(w, _) if w.equalsIgnoreCase("OFFSET") => p += 1; true
+        case _ => false
+      }
     private def isPunct(s: String): Boolean = peek match {
       case Punct(x, _) => x == s
       case _ => false
@@ -568,7 +575,7 @@ object CypherParser {
             graft.api.CypherError.NoExpressionAlias)
         }
       val order = parseOrderBy()
-      val skip = if (tryKw("SKIP")) Some(parseExpr()) else None
+      val skip = if (trySkipWord()) Some(parseExpr()) else None
       val limit = if (tryKw("LIMIT")) Some(parseExpr()) else None
       val where = if (tryKw("WHERE")) Some(parseExpr()) else None
       With(distinct, star, items, order, skip, limit, where)
@@ -595,7 +602,7 @@ object CypherParser {
       val distinct = tryKw("DISTINCT")
       val (star, items) = parseReturnItems()
       val order = parseOrderBy()
-      val skip = if (tryKw("SKIP")) Some(parseExpr()) else None
+      val skip = if (trySkipWord()) Some(parseExpr()) else None
       val limit = if (tryKw("LIMIT")) Some(parseExpr()) else None
       Return(distinct, star, items, order, skip, limit)
     }

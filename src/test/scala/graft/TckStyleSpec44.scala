@@ -37,6 +37,12 @@ class TckStyleSpec44 extends TckScenarioBase {
     "MATCH (n:V) LIMIT 2 RETURN count(*) AS x", value(2))
   scenario("standalone OFFSET is SKIP", g,
     "MATCH (n:V) ORDER BY n.num OFFSET 3 RETURN n.name AS x", value("d"))
+  scenario("OFFSET is a SKIP synonym inside RETURN", g,
+    "MATCH (n:V) RETURN n.name AS x ORDER BY x OFFSET 1 LIMIT 2",
+    rows(Map("x" -> "b"), Map("x" -> "c")))
+  scenario("OFFSET is a SKIP synonym inside WITH", g,
+    "MATCH (n:V) WITH n.name AS x ORDER BY x OFFSET 3 RETURN x",
+    value("d"))
   scenario("clauses chain", g,
     "MATCH (n:V) LET k = n.num FILTER k > 1 ORDER BY k DESC LIMIT 2 " +
       "RETURN collect(k) AS x", Seq(Map("x" -> List(4, 3))))
