@@ -1930,6 +1930,21 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case "tobooleanlist" => BooleanType
           case _ => StringType
         }))
+      // A heterogeneous LIST LITERAL cannot even compile to array() (one
+      // Spark element type) — but under a coercion every element converts
+      // to the SAME type, so convert elementwise at compile time instead.
+      case "tointegerlist" | "tofloatlist" | "tobooleanlist" |
+           "tostringlist" if args.head.isInstanceOf[ListLit] &&
+             args.head.asInstanceOf[ListLit].items
+               .flatMap(inferType(_)).distinct.size > 1 =>
+        val scalar = name.stripPrefix("to").stripSuffix("list") match {
+          case "integer" => "tointeger"
+          case "float" => "tofloat"
+          case "boolean" => "toboolean"
+          case _ => "tostring"
+        }
+        array(args.head.asInstanceOf[ListLit].items
+          .map(e => compile(FuncCall(scalar, Seq(e), distinct = false))): _*)
       case "tointegerlist" | "tofloatlist" | "tobooleanlist" |
            "tostringlist" =>
         val elemT = inferType(args.head) match {

@@ -43,6 +43,16 @@ class TckStyleSpec44 extends TckScenarioBase {
   scenario("OFFSET is a SKIP synonym inside WITH", g,
     "MATCH (n:V) WITH n.name AS x ORDER BY x OFFSET 3 RETURN x",
     value("d"))
+  // heterogeneous LIST LITERALS under the coercion-list functions convert
+  // elementwise at compile time (the bare literal has no single Spark
+  // element type, but the coerced result does)
+  scenario("toStringList over a mixed literal", g,
+    "RETURN toStringList([1, 2.5, true, null]) AS x",
+    Seq(Map("x" -> List("1", "2.5", "true", null))))
+  scenario("toIntegerList over a mixed literal", g,
+    "RETURN toIntegerList(['1', 2.9, true]) AS x",
+    Seq(Map("x" -> List(1L, 2L, 1L))))
+
   scenario("clauses chain", g,
     "MATCH (n:V) LET k = n.num FILTER k > 1 ORDER BY k DESC LIMIT 2 " +
       "RETURN collect(k) AS x", Seq(Map("x" -> List(4, 3))))
