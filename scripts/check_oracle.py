@@ -7,12 +7,47 @@ Loads each <name>/ parquet result written by graft.Verify, runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB over the same
 parquet tables, and compares as multisets (columns sorted by name, rows
 sorted, floats rounded to 6 significant-ish digits).
+
+Each oracle gets a hard wall-clock budget (ORACLE_BUDGET_SEC, default
+30 s): an over-budget oracle is interrupted and counted as a loud FAIL.
+This exists because a pathological oracle (e.g. an unmaterialized CTE
+chain that DuckDB 1.0.0 inlines exponentially) otherwise hangs the
+driver's gate and silently zeroes the whole round's correctness
+artifact — see round 9.
 """
 import json
 import math
+import os
 import sys
+import threading
+import time
 
 import duckdb
+
+BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "30"))
+
+
+def run_with_budget(con, sql, budget=BUDGET_SEC):
+    """Run sql; on over-budget, interrupt the connection and raise."""
+    out = {}
+    def work():
+        try:
+            rel = con.execute(sql)
+            out["cols"] = [d[0] for d in rel.description]
+            out["rows"] = rel.fetchall()
+        except Exception as e:  # includes the interrupt exception
+            out["err"] = e
+    t = threading.Thread(target=work, daemon=True)
+    start = time.monotonic()
+    t.start()
+    t.join(budget)
+    if t.is_alive():
+        con.interrupt()
+        t.join(10)
+        raise TimeoutError(f"oracle exceeded {budget:.0f}s budget")
+    if "err" in out:
+        raise out["err"]
+    return out["cols"], out["rows"], time.monotonic() - start
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -46,7 +81,9 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    print(f"duckdb {duckdb.__version__}, per-oracle budget {BUDGET_SEC:.0f}s")
     results = {}
+    slowest = (0.0, "")
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.execute(
@@ -57,9 +94,8 @@ def main():
             results[name] = f"FAIL (no result: {e})"
             continue
         try:
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp_rows = exp_rel.fetchall()
+            exp_cols, exp_rows, took = run_with_budget(con, sql)
+            slowest = max(slowest, (took, name))
         except Exception as e:
             results[name] = f"FAIL (oracle error: {e})"
             continue
@@ -78,7 +114,8 @@ def main():
     n_pass = sum(1 for v in results.values() if v == "PASS")
     for name, v in sorted(results.items()):
         print(f"{'✓' if v == 'PASS' else '✗'} {name}: {v}")
-    print(f"\n{n_pass}/{len(results)} oracle queries pass")
+    print(f"\n{n_pass}/{len(results)} oracle queries pass"
+          f" (slowest oracle: {slowest[1]} {slowest[0]:.2f}s)")
     # rows-only entries (no oracle): report row counts
     import glob, os
     for d in sorted(glob.glob(f"{out_dir}/*/")):

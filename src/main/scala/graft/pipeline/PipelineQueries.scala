@@ -900,12 +900,16 @@ object PipelineQueries {
   private def kmeansSql(k: Int = 8, iters: Int = 10): String = {
     def round(i: Int) = {
       val prev = s"c${i - 1}"
-      s"""d$i AS (SELECT p.vec_id, c.j, sum((p.x - c.m) * (p.x - c.m)) AS d2
+      // MATERIALIZED is load-bearing: each c_i is referenced twice
+      // downstream, and DuckDB 1.0.0 (the driver's version) inlines
+      // non-materialized CTEs, turning the iters-deep chain into ~2^iters
+      // recomputations (>15 min vs 0.36 s on 500x64 embeddings).
+      s"""d$i AS MATERIALIZED (SELECT p.vec_id, c.j, sum((p.x - c.m) * (p.x - c.m)) AS d2
             FROM pts p JOIN $prev c USING (dim) GROUP BY p.vec_id, c.j),
-          a$i AS (SELECT vec_id, j FROM (SELECT vec_id, j,
+          a$i AS MATERIALIZED (SELECT vec_id, j FROM (SELECT vec_id, j,
               row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
             FROM d$i) WHERE rn = 1),
-          c$i AS (SELECT c.j, c.dim, coalesce(u.m, c.m) AS m
+          c$i AS MATERIALIZED (SELECT c.j, c.dim, coalesce(u.m, c.m) AS m
             FROM $prev c LEFT JOIN (
               SELECT j, dim, avg(x) AS m FROM a$i JOIN pts USING (vec_id)
               GROUP BY j, dim) u ON u.j = c.j AND u.dim = c.dim)"""
@@ -916,13 +920,13 @@ object PipelineQueries {
           SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
                  unnest(embedding::DOUBLE[]) AS x
           FROM embeddings),
-        seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        seeds AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
           FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-        c0 AS (SELECT j, dim, x AS m FROM seeds JOIN pts USING (vec_id)),
+        c0 AS MATERIALIZED (SELECT j, dim, x AS m FROM seeds JOIN pts USING (vec_id)),
         $rounds,
-        d$fin AS (SELECT p.vec_id, c.j, sum((p.x - c.m) * (p.x - c.m)) AS d2
+        d$fin AS MATERIALIZED (SELECT p.vec_id, c.j, sum((p.x - c.m) * (p.x - c.m)) AS d2
           FROM pts p JOIN c$iters c USING (dim) GROUP BY p.vec_id, c.j),
-        a$fin AS (SELECT vec_id, j FROM (SELECT vec_id, j,
+        a$fin AS MATERIALIZED (SELECT vec_id, j FROM (SELECT vec_id, j,
             row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
           FROM d$fin) WHERE rn = 1)
        SELECT CAST(j AS INTEGER) AS cluster, count(*) AS n
