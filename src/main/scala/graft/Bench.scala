@@ -133,18 +133,24 @@ object Bench {
 
     // Errored queries are excluded from the timings map (their elapsed is
     // the time-to-failure, not a measurement) and reported separately.
+    // Timings are rounded to ms and empty maps omitted: the downstream
+    // capture window truncated a ~10 KB line of 9-decimal doubles once
+    // (round 9), so the artifact line is kept deliberately small.
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = best.filterNot { case (k, _) => errors.contains(k) }
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val rj = retries.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val ej = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    val rj = if (retries.isEmpty) "" else
+      retries.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(""","retries":{""", ",", "}")
+    val ej = if (errors.isEmpty) "" else
+      errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
     val total = best.filterNot { case (k, _) => errors.contains(k) }.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""prepare_sec":$prepSec,"sentinel_base_sec":$sentBase,""" +
-      s""""quiet_scan_ref_sec":$QuietScanRefSec,"errors":$ej,""" +
-      s""""passes":2,"retries":$rj,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s""""prepare_sec":${ms(prepSec)},"sentinel_base_sec":${ms(sentBase)},""" +
+      s""""quiet_scan_ref_sec":$QuietScanRefSec$ej,""" +
+      s""""passes":2$rj,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
