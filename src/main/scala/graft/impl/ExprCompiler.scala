@@ -18,7 +18,7 @@ class CypherCompileException(msg: String,
 object ExprCompiler {
   /** Aggregating function names (SURVEY §2.4 inventory). */
   val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
-    "stdev", "stdevp", "percentilecont", "percentiledisc")
+    "stdev", "stdevp", "percentilecont", "percentiledisc", "_collectordered")
 
   /** Aggregate anywhere in the tree (generic walk — unlike the instance
     * hasAggregation, covers every node kind via ExprOps.mapChildren). */
@@ -35,11 +35,12 @@ object ExprCompiler {
     case _ => false
   }
 
-  /** Average Gregorian month length in days (365.25 / 12) — the constant
-    * Neo4j (java.time ChronoUnit.MONTHS estimate) uses to convert a
-    * FRACTIONAL month component into smaller units. Whole months never
+  /** Average Gregorian month length in days (365.2425 / 12 = 30.436875,
+    * the reference's okapi TemporalConstants.AVG_DAYS_PER_MONTH and the
+    * java.time ChronoUnit.MONTHS estimate of 2,629,746 s) — used to convert
+    * a FRACTIONAL month component into smaller units. Whole months never
     * touch it: they stay calendar-exact in the months field. */
-  private val AvgDaysPerMonth = BigDecimal("30.4375")
+  private val AvgDaysPerMonth = BigDecimal("365.2425") / 12
 
   /** ISO-8601 duration -> (months, days, micros), the reference's Duration
     * encoding (okapi-api/.../impl/temporal/Duration.scala). Neo4j rule:
@@ -427,7 +428,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         StructField("months", LongType), StructField("days", LongType),
         StructField("micros", LongType))))
       case "range" | "nodes" | "relationships" => Some(ArrayType(LongType))
-      case "collect" => args.headOption.flatMap(inferType).map(ArrayType(_))
+      case "collect" | "_collectordered" =>
+        args.headOption.flatMap(inferType).map(ArrayType(_))
       case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" |
            "coalesce" => args.headOption.flatMap(inferType)
       case "head" | "last" => args.headOption.flatMap(inferType).map {
@@ -1613,6 +1615,35 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "min" => min(a0)
       case "max" => max(a0)
       case "collect" => if (distinct) collect_set(a0) else collect_list(a0)
+      // Internal ordered collect for COLLECT { … RETURN x ORDER BY … }
+      // (Neo4j returns the list in ORDER BY order): args are the value
+      // followed by (sortKey, 'asc'|'desc') pairs. Collect (keys…, value)
+      // structs — null-valued rows are skipped, matching collect() — then
+      // sort with a Neo4j-order comparator (nulls largest: last under ASC,
+      // first under DESC) and strip the keys.
+      case "_collectordered" =>
+        val value = a0
+        val keyDirs = args.tail.grouped(2).map {
+          case Seq(k, StrLit(d)) => (compile(k), d == "asc")
+          case other => throw new CypherCompileException(
+            s"malformed _collectordered args: $other")
+        }.toSeq
+        val entry = when(value.isNotNull, struct(
+          keyDirs.zipWithIndex.map { case ((k, _), i) => k.as(s"k$i") } :+
+            value.as("v"): _*))
+        val sorted = array_sort(collect_list(entry), (l, r) => {
+          val cmps = keyDirs.zipWithIndex.map { case ((_, asc), i) =>
+            val lk = l.getField(s"k$i"); val rk = r.getField(s"k$i")
+            when(lk.isNull && rk.isNull, lit(0))
+              .when(lk.isNull, lit(if (asc) 1 else -1))
+              .when(rk.isNull, lit(if (asc) -1 else 1))
+              .when(lk < rk, lit(if (asc) -1 else 1))
+              .when(lk > rk, lit(if (asc) 1 else -1))
+              .otherwise(lit(0))
+          }
+          cmps.reduceRight((c, acc) => when(c =!= 0, c).otherwise(acc))
+        })
+        transform(sorted, _.getField("v"))
       // Neo4j stDev/stDevP return 0 over fewer than two (resp. one)
       // non-null values; Spark's stddev returns null there — coalesce to
       // the Neo4j value (null only ever arises in exactly those cases).
@@ -1863,6 +1894,14 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           // split appends an artifact empty element — drop empties (every
           // real element is a single character here).
           case StrLit("") => F.filter(F.split(a0, pat), x => x =!= "")
+          case StrLit(_) | ListLit(_) => F.split(a0, pat)
+          // Dynamic string delimiter: the empty-delimiter case must be
+          // decided at runtime, or split(s, x) with x = '' diverges from
+          // the literal form split(s, '').
+          case other if !inferType(other).exists(_.isInstanceOf[ArrayType]) =>
+            when(length(a1) === 0,
+              F.filter(F.split(a0, pat), x => x =!= ""))
+              .otherwise(F.split(a0, pat))
           case _ => F.split(a0, pat)
         }
       case "tostring" =>
@@ -2343,13 +2382,18 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         // reference's Duration encoding (okapi-api/.../temporal/Duration.scala).
         case MapLit(items) =>
           val m = items.toMap
-          // All-integer components take the exact Long path (no double
-          // rounding on large micros). Any double-typed component switches
-          // to the fractional path: each component may be fractional and
-          // its fraction cascades into smaller units (Neo4j: 0.5 months →
-          // 30.4375/2 days), truncating at microseconds.
+          // Statically-integer components take the exact Long path (no
+          // double rounding on large micros). Anything else — a double, or
+          // a component whose type can't be inferred (parameter, property)
+          // and may be fractional at runtime — takes the fractional path:
+          // each component may be fractional and its fraction cascades into
+          // smaller units (Neo4j: 0.5 months → 30.436875/2 days),
+          // truncating at microseconds. The fractional path is exact for
+          // whole values at duration magnitudes (< 2^53 µs ≈ 285 years), so
+          // routing unknown-typed whole numbers through it is safe; the
+          // alternative (cast to Long) silently truncated runtime fractions.
           val anyFrac = m.values.exists(e =>
-            inferType(e).contains(DoubleType))
+            !inferType(e).contains(LongType))
           if (!anyFrac) {
             def part(k: String): Column =
               m.get(k).map(e => compile(e).cast(LongType)).getOrElse(lit(0L))
@@ -2364,7 +2408,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
               m.get(k).map(e => compile(e).cast(DoubleType)).getOrElse(lit(0.0))
             val monthsT = part("years") * 12 + part("months")
             val monthsW = monthsT.cast(LongType) // truncates toward zero
-            val daysT = (monthsT - monthsW) * 30.4375 +
+            val daysT = (monthsT - monthsW) * 30.436875 +
               part("weeks") * 7 + part("days")
             val daysW = daysT.cast(LongType)
             val microsT = (daysT - daysW) * 86400000000L +

@@ -1093,6 +1093,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     def importWith(vs: Seq[String]) = With(distinct = false, star = false,
       vs.map(v => ReturnItem(Var(v), None)), Seq.empty, None, None, None)
     val valName = freshVar()
+    // Ordered COLLECT (single-arm): (sortKeyAlias, ascending) pairs the
+    // rewritten arm projected alongside the value, consumed by the
+    // _collectordered aggregate so the list comes back in ORDER BY order.
+    var collectSortKeys: Seq[(String, Boolean)] = Seq.empty
     // The body's trailing RETURN -> a WITH projecting the (aliased) items.
     def rewriteArm(sq: SingleQuery, forNestedCall: Boolean): SingleQuery = {
       val (body, retOpt) = sq.clauses.lastOption match {
@@ -1113,45 +1117,73 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             throw new CypherCompileException(
               "COLLECT { } subquery must return exactly one column",
               CE.SyntaxError, CE.InvalidSyntax)
-          if (qs.kind == "collect" && r.orderBy.nonEmpty && r.limit.isEmpty)
+          if (qs.kind == "collect" && r.orderBy.nonEmpty && r.limit.isEmpty &&
+              forNestedCall)
             throw new CypherCompileException(
-              "COLLECT { } with ORDER BY and no LIMIT is not supported " +
-                "(the collected list is unordered)",
+              "COLLECT { } with ORDER BY over a UNION body is not supported " +
+                "without LIMIT (the collected list is unordered)",
               CE.SemanticError, CE.UnsupportedExpression)
-          // ORDER BY matters only when SKIP/LIMIT select rows by it.
+          // ORDER BY matters for SKIP/LIMIT row selection here; list order
+          // itself is re-established by the _collectordered aggregate below
+          // (single-arm COLLECT), since the selection's sort does not
+          // survive the grouped aggregation.
           val ob = if (r.skip.isDefined || r.limit.isDefined) r.orderBy
                    else Seq.empty
           val aliased = r.items.zipWithIndex.map { case (i, ix) =>
             ReturnItem(i.expr,
               Some(if (ix == 0) valName else valName + "_" + ix))
           }
+          val sortItems =
+            if (qs.kind == "collect" && r.orderBy.nonEmpty && !forNestedCall) {
+              // Project the sort keys next to the value. ORDER BY may
+              // reference a RETURN alias (RETURN n.x AS v ORDER BY v) —
+              // substitute the aliased expression, since the alias is
+              // renamed to valName in the same projection.
+              val aliasMap =
+                r.items.flatMap(i => i.alias.map(_ -> i.expr)).toMap
+              r.orderBy.zipWithIndex.map { case (si, ix) =>
+                val e = ExprOps.transformUp(si.expr) {
+                  case Var(n) if aliasMap.contains(n) => aliasMap(n)
+                  case x => x
+                }
+                (ReturnItem(e, Some(valName + "_s" + ix)), si.ascending)
+              }
+            } else Seq.empty
+          collectSortKeys = sortItems.map { case (ri, asc) => (ri.alias.get, asc) }
           if (forNestedCall)
             Seq(Return(r.distinct, r.star, aliased, ob, r.skip, r.limit))
           else
-            Seq(With(r.distinct, r.star, aliased, ob, r.skip, r.limit, None))
+            Seq(With(r.distinct, r.star, aliased ++ sortItems.map(_._1),
+              ob, r.skip, r.limit, None))
       }
       SingleQuery((if (imports.isEmpty) body
                    else importWith(imports) +: body) ++ tail)
     }
+    // Rewrite the arms BEFORE building the aggregate: the single-arm
+    // rewrite records collectSortKeys, which selects the ordered collect.
+    val rewrittenHead: Seq[Clause] =
+      if (arms.size == 1)
+        rewriteArm(arms.head, forNestedCall = false).clauses
+      else {
+        val nested = CallSubquery(Query(
+          rewriteArm(arms.head, forNestedCall = true),
+          qs.inner.rest.map(_._1).zip(
+            arms.tail.map(rewriteArm(_, forNestedCall = true)))))
+        if (imports.isEmpty) Seq(nested) else Seq(importWith(imports), nested)
+      }
     val aggExpr: Expr = qs.kind match {
+      case "collect" if collectSortKeys.nonEmpty =>
+        FuncCall("_collectordered",
+          Var(valName) +: collectSortKeys.flatMap { case (a, asc) =>
+            Seq(Var(a), StrLit(if (asc) "asc" else "desc"))
+          }, distinct = false)
       case "collect" => FuncCall("collect", Seq(Var(valName)), distinct = false)
       case _ => CountStar
     }
     val outVar = freshVar()
     val aggReturn = Return(distinct = false, star = false,
       Seq(ReturnItem(aggExpr, Some(outVar))), Seq.empty, None, None)
-    val outerBody: Seq[Clause] =
-      if (arms.size == 1)
-        rewriteArm(arms.head, forNestedCall = false).clauses :+ aggReturn
-      else {
-        val nested = CallSubquery(Query(
-          rewriteArm(arms.head, forNestedCall = true),
-          qs.inner.rest.map(_._1).zip(
-            arms.tail.map(rewriteArm(_, forNestedCall = true)))))
-        val head: Seq[Clause] =
-          if (imports.isEmpty) Seq(nested) else Seq(importWith(imports), nested)
-        head :+ aggReturn
-      }
+    val outerBody: Seq[Clause] = rewrittenHead :+ aggReturn
     ctx = planCallSubquery(ctx, Query(SingleQuery(outerBody), Seq.empty),
       optional = true)
     val cnt = FuncCall("coalesce", Seq(Var(outVar), IntLit(0)), distinct = false)

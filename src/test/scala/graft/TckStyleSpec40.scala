@@ -5,8 +5,9 @@ import graft.api.CypherError._
 /** TCK-style conformance, part 40 — temporal gaps found by round-9 probing
   * (the TCK's temporal blacklist zone): fractional duration components
   * (literal and map constructor: only the smallest literal component may
-  * be fractional, fractions cascade into smaller units via the 30.4375
-  * avg-month, truncating at microseconds — Neo4j duration semantics),
+  * be fractional, fractions cascade into smaller units via the 30.436875
+  * Gregorian avg-month, truncating at microseconds — Neo4j duration
+  * semantics),
   * ISO 'T' rendering of toString(datetime/localdatetime), and strict
   * component validation in the localtime/time map constructors (nanosecond
   * is a classified resolution error, unknown keys are errors — previously
@@ -24,10 +25,10 @@ class TckStyleSpec40 extends TckScenarioBase {
   scenario("fractional years split into whole months", g,
     "RETURN toString(duration('P1.5Y')) AS x", value("P1Y6M"))
   scenario("fractional years cascade through avg-month days", g,
-    // 0.1y = 1.2 months -> 1 month + 0.2 * 30.4375 d = 6d + 2h6m
-    "RETURN toString(duration('P1.1Y')) AS x", value("P1Y1M6DT2H6M"))
-  scenario("fractional months use the 30.4375 average", g,
-    "RETURN toString(duration('P1.5M')) AS x", value("P1M15DT5H15M"))
+    // 0.1y = 1.2 months -> 1 month + 0.2 * 30.436875 d = 6d + 2h5m49.2s
+    "RETURN toString(duration('P1.1Y')) AS x", value("P1Y1M6DT2H5M49.2S"))
+  scenario("fractional months use the 30.436875 Gregorian average", g,
+    "RETURN toString(duration('P1.5M')) AS x", value("P1M15DT5H14M33S"))
   scenario("fractional hours split into minutes", g,
     "RETURN toString(duration('PT1.5H')) AS x", value("PT1H30M"))
   scenario("fractional minutes split into seconds", g,

@@ -85,7 +85,34 @@ class TckStyleSpec43 extends TckScenarioBase {
   errorScenario("COLLECT body must return one column", g,
     "RETURN COLLECT { MATCH (n) RETURN n.name, n.num } AS x",
     SyntaxError, InvalidSyntax)
-  errorScenario("COLLECT ORDER BY without LIMIT unsupported", g,
-    "RETURN COLLECT { MATCH (n) RETURN n.name ORDER BY n.name } AS x",
+  errorScenario("COLLECT ORDER BY over UNION without LIMIT unsupported", g,
+    "RETURN COLLECT { MATCH (n:A) RETURN n.name ORDER BY n.name " +
+      "UNION MATCH (m:B) RETURN m.name ORDER BY m.name } AS x",
     SemanticError, UnsupportedExpression)
+
+  // ----------------------------- ordered COLLECT (list in ORDER BY order)
+  scenario("COLLECT returns the list in ORDER BY order", g,
+    "RETURN COLLECT { MATCH (n) RETURN n.name ORDER BY n.name } AS x",
+    Seq(Map("x" -> List("a", "b", "c", "d"))))
+  scenario("COLLECT ORDER BY DESC", g,
+    "RETURN COLLECT { MATCH (n) RETURN n.name ORDER BY n.name DESC } AS x",
+    Seq(Map("x" -> List("d", "c", "b", "a"))))
+  scenario("COLLECT ORDER BY a non-returned key", g,
+    "RETURN COLLECT { MATCH (n) RETURN n.name ORDER BY n.num DESC } AS x",
+    Seq(Map("x" -> List("d", "c", "b", "a"))))
+  scenario("COLLECT ORDER BY the RETURN alias", g,
+    "RETURN COLLECT { MATCH (n) RETURN n.name AS v ORDER BY v DESC } AS x",
+    Seq(Map("x" -> List("d", "c", "b", "a"))))
+  scenario("COLLECT ORDER BY DESC with LIMIT keeps the sorted order", g,
+    "RETURN COLLECT { MATCH (n) RETURN n.name ORDER BY n.name DESC " +
+      "LIMIT 2 } AS x",
+    Seq(Map("x" -> List("d", "c"))))
+  scenario("COLLECT ORDER BY LIMIT with SKIP", g,
+    "RETURN COLLECT { MATCH (n) RETURN n.name ORDER BY n.name " +
+      "SKIP 1 LIMIT 2 } AS x",
+    Seq(Map("x" -> List("b", "c"))))
+  scenario("correlated ordered COLLECT", g,
+    "MATCH (a:A) RETURN COLLECT { MATCH (a)-[:KNOWS]->(m) " +
+      "RETURN m.name ORDER BY m.name DESC } AS x",
+    Seq(Map("x" -> List("c", "b"))))
 }
