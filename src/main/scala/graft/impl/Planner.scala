@@ -2021,7 +2021,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // path-reading WHERE (the shortest SATISFYING path may arrive later
     // than the first). SHORTEST k / SHORTEST k GROUPS with k >= 2 keep
     // longer paths, so those enumerate the full bounded trail set and let
-    // the window prune afterwards.
+    // the window prune afterwards. A per-pair early-stop for k >= 2 (drop
+    // full pairs from the frontier) is UNSOUND: a full pair's rows remain
+    // prefixes of OTHER pairs' top-k paths, and prefix rank does not
+    // transfer to extension rank — SCALE.md "SHORTEST k>=2 per-pair
+    // early-stop" has the full argument and the rejected alternatives.
     val spPrune = shortestSpecs.find(_.edge == e.v)
       .exists(s => (s.sel.mode == "shortest" || s.sel.mode == "allshortest") &&
         !deferredShortest.contains(e.v))
