@@ -299,7 +299,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case (cs: CallSubquery, _) =>
         // After writes the ambient graph IS the written state, so the
         // (read-only) body scans post-write tables like MATCH does.
-        ctx = planCallSubquery(ctx, cs.inner, cs.optional)
+        // A unit body (no RETURN, performs updates — the CALL { } IN
+        // TRANSACTIONS shape) writes per driving row instead; the graph
+        // becomes the written state inside planUnitWriteCall.
+        if (isUnitWriteSub(cs.inner)) {
+          if (cs.optional) throw new CypherCompileException(
+            "OPTIONAL CALL { } with a unit (updating) body is not supported",
+            CE.SemanticError, CE.UnsupportedExpression)
+          ctx = planUnitWriteCall(ctx, cs.inner.first)
+        } else ctx = planCallSubquery(ctx, cs.inner, cs.optional)
       case (m: Match, i) =>
         deadVars = deadEndpointVars(m, rem.drop(i + 1))
         try ctx = planReadingClause(ctx, m) finally deadVars = Set.empty
@@ -2455,6 +2463,81 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       "invalid combination of UNION and UNION ALL",
       CE.SyntaxError, CE.InvalidClauseComposition)
 
+  /** The importing-WITH prefix of a CALL { } body: explicit `WITH a, b`
+    * (bare unaliased vars), the CALL (*) star form (expanded to the full
+    * named outer scope), or nothing. */
+  private def splitCallImports(ctx0: Ctx, cls: Seq[Clause])
+      : (Seq[String], Seq[Clause]) = cls match {
+    case With(false, false, items, Seq(), None, None, None) +: rest
+        if items.nonEmpty &&
+          items.forall(i => i.alias.isEmpty && i.expr.isInstanceOf[Var]) =>
+      (items.map(_.expr.asInstanceOf[Var].name), rest)
+    case With(false, true, Seq(), Seq(), None, None, None) +: rest =>
+      (ctx0.header.kinds.keySet.toSeq.sorted
+        .filterNot(_.matches("_a\\d+")), rest)
+    case c => (Seq.empty[String], c)
+  }
+
+  private def isWriteClause(c: Clause): Boolean =
+    c.isInstanceOf[Create] || c.isInstanceOf[SetClause] ||
+      c.isInstanceOf[Remove] || c.isInstanceOf[Delete] ||
+      c.isInstanceOf[Merge] || c.isInstanceOf[Foreach]
+
+  /** A unit CALL { } body: single arm, no RETURN, at least one update
+    * clause — the CALL { } IN TRANSACTIONS shape (Neo4j "unit subquery"). */
+  private def isUnitWriteSub(inner: Query): Boolean =
+    inner.rest.isEmpty && {
+      val body = inner.first.clauses.dropWhile {
+        case w: With => w.items.forall(i =>
+          i.alias.isEmpty && i.expr.isInstanceOf[Var])
+        case _ => false
+      }
+      inner.first.clauses.nonEmpty &&
+        !inner.first.clauses.exists(_.isInstanceOf[Return]) &&
+        body.exists(isWriteClause)
+    }
+
+  /** Plan a unit (updating, RETURN-less) CALL { } body: the body runs once
+    * per driving row over the imported variables only (openCypher subquery
+    * scoping), its bindings are discarded, the driving rows pass through
+    * unchanged, and the ambient graph becomes the written state — exactly
+    * the top-level write-clause contract, restricted to the import scope.
+    * Neo4j CallSubqueryAcceptance "unit subquery" semantics; batching
+    * (IN TRANSACTIONS) is commit shape only and is parsed separately. */
+  private def planUnitWriteCall(ctx0: Ctx, sq: SingleQuery): Ctx = {
+    val (imports, body) = splitCallImports(ctx0, sq.clauses)
+    imports.foreach { v =>
+      if (!ctx0.header.kinds.contains(v)) throw new CypherCompileException(
+        s"CALL { } imports unbound variable $v",
+        CE.SyntaxError, CE.UndefinedVariable)
+    }
+    // Body frame: the imported slots, one row per driving row (an
+    // uncorrelated body over N driving rows still executes N times —
+    // a zero-column frame keeps the multiplicity without the bindings).
+    var sub =
+      if (ctx0.isUnit) unitCtx
+      else if (imports.isEmpty) Ctx(ctx0.df.select(), RecordHeader.empty)
+      else {
+        val slots = ctx0.header.slots.filter {
+          case (s, _) => imports.contains(s.owner) }
+        Ctx(ctx0.df.select(slots.values.toSeq.distinct.map(col): _*),
+          RecordHeader(slots,
+            ctx0.header.kinds.filter { case (v, _) => imports.contains(v) }))
+      }
+    body.foreach {
+      case w if isWriteClause(w) =>
+        sub = planWriteClause(sub, w)
+        graph = buildWrittenGraph()
+      case Finish => ()
+      case c if isReadingClause(c) => sub = planReadingClause(sub, c)
+      case other => throw new CypherCompileException(
+        s"CALL { } clause ${other.getClass.getSimpleName} is not supported " +
+          "in a unit (updating) body",
+        CE.SemanticError, CE.UnsupportedExpression)
+    }
+    ctx0
+  }
+
   private def planCallSubquery(ctx0: Ctx, inner: Query,
       optional: Boolean = false): Ctx = {
     checkUnionMix(inner)
@@ -2502,19 +2585,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     def unsupported(what: String): Nothing = throw new CypherCompileException(
       s"CALL { } $what is not supported",
       CE.SemanticError, CE.UnsupportedExpression)
-    val (imports, body) = inner.clauses match {
-      case With(false, false, items, Seq(), None, None, None) +: rest
-          if items.nonEmpty &&
-            items.forall(i => i.alias.isEmpty && i.expr.isInstanceOf[Var]) =>
-        (items.map(_.expr.asInstanceOf[Var].name), rest)
-      // CALL (*) parses to a bare star importing-WITH; expand the star to
-      // every named outer variable (planner-internal _a<n> anonymous vars
-      // excluded — they are not part of the user's scope).
-      case With(false, true, Seq(), Seq(), None, None, None) +: rest =>
-        (ctx0.header.kinds.keySet.toSeq.sorted
-          .filterNot(_.matches("_a\\d+")), rest)
-      case cs => (Seq.empty[String], cs)
-    }
+    val (imports, body) = splitCallImports(ctx0, inner.clauses)
     val ret = body.lastOption match {
       case Some(r: Return) => r
       case _ => throw new CypherCompileException(

@@ -1050,30 +1050,85 @@ object CypherParser {
       e
     }
 
-    /** `IN TRANSACTIONS [OF n ROWS] [ON ERROR ...]` after CALL { }:
-      * accepted and IGNORED — transactional batching controls commit
-      * atomicity, not results, and this engine computes over an immutable
-      * snapshot (writes produce a new graph), so the unbatched execution
-      * is result-identical. */
-    private def skipInTransactions(): Unit = peek match {
+    /** `IN [[n] CONCURRENT] TRANSACTIONS [OF n ROW[S]]
+      * [ON ERROR CONTINUE|BREAK|FAIL|RETRY [FOR d] [THEN ...]]
+      * [REPORT STATUS AS var]` after CALL { } (Neo4j 5/2025 surface).
+      * Batching/concurrency controls commit atomicity, not results, and
+      * this engine computes over an immutable snapshot (writes produce a
+      * new graph), so the unbatched execution is result-identical and the
+      * batch shape is accepted and ignored. ON ERROR is parsed and
+      * validated; error-path behavior deviates (a failing query fails
+      * atomically instead of per-batch — documented in tck_blacklist.md).
+      * Returns the REPORT STATUS variable, if any; the caller desugars it
+      * to `WITH *, {…} AS var` (no-error statuses: started/committed true,
+      * transactionId/errorMessage null — the ids are not exposed here). */
+    private def parseInTransactions(): Option[String] = peek match {
       case Kw("IN", _, _) if (peek2 match {
-        case Ident(w, _) => w.equalsIgnoreCase("TRANSACTIONS")
+        case Ident(w, _) => w.equalsIgnoreCase("TRANSACTIONS") ||
+          w.equalsIgnoreCase("CONCURRENT")
+        case NumTok(_, _) | Punct("$", _) => true
         case _ => false
       }) =>
-        p += 2
+        p += 1
+        def word(s: String): Boolean = peek match {
+          case Ident(w, _) => w.equalsIgnoreCase(s)
+          case Kw(k, _, _) => k.equalsIgnoreCase(s)
+          case _ => false
+        }
+        def eatWord(s: String): Unit =
+          if (word(s)) p += 1 else fail(s"expected $s, got $peek")
+        // integer literal or $parameter (batch size / concurrency)
+        def numOrParam(): Boolean = peek match {
+          case NumTok(_, _) => p += 1; true
+          case Punct("$", _) => p += 1; ident(); true
+          case _ => false
+        }
+        // [n|$p] CONCURRENT
+        if (numOrParam()) eatWord("CONCURRENT")
+        else if (word("CONCURRENT")) p += 1
+        eatWord("TRANSACTIONS")
         if (tryKw("OF")) {
-          advance() match {
-            case NumTok(_, _) =>
-            case t => fail(s"expected a row count after OF, got $t")
-          }
+          if (!numOrParam()) fail(s"expected a row count after OF, got $peek")
           peek match {
             case Ident(w, _) if w.equalsIgnoreCase("ROWS") ||
                 w.equalsIgnoreCase("ROW") => p += 1
             case t => fail(s"expected ROWS, got $t")
           }
         }
-      case _ =>
+        var onErrorSkips = false // CONTINUE or BREAK (REPORT STATUS gate)
+        if (word("ON")) {
+          p += 1; eatWord("ERROR")
+          def handler(): Unit = peek match {
+            case Ident(w, _) if w.equalsIgnoreCase("CONTINUE") ||
+                w.equalsIgnoreCase("BREAK") =>
+              p += 1; onErrorSkips = true
+            case Ident(w, _) if w.equalsIgnoreCase("FAIL") => p += 1
+            case t => fail(s"expected CONTINUE, BREAK or FAIL, got $t")
+          }
+          peek match {
+            case Ident(w, _) if w.equalsIgnoreCase("RETRY") =>
+              p += 1
+              if (word("FOR")) { p += 1; parseExpr() } // max retry duration
+              if (word("THEN")) { p += 1; handler() }
+            case _ => handler()
+          }
+        }
+        if (word("REPORT")) {
+          p += 1; eatWord("STATUS")
+          if (!tryKw("AS")) fail(s"expected AS after REPORT STATUS, got $peek")
+          val v = ident()
+          if (!onErrorSkips) fail(
+            "REPORT STATUS can only be used with ON ERROR CONTINUE or " +
+              "ON ERROR BREAK")
+          Some(v)
+        } else None
+      case _ => None
     }
+    private def statusWith(v: String): Clause =
+      With(distinct = false, star = true, Seq(ReturnItem(MapLit(Seq(
+        "started" -> BoolLit(true), "committed" -> BoolLit(true),
+        "transactionId" -> NullLit, "errorMessage" -> NullLit)), Some(v))),
+        Seq.empty, None, None, None)
 
     /** Full-query subquery-expression body after '{': a complete
       * SingleQuery (+ UNION arms) closed by '}'. Used when the simple
@@ -1127,9 +1182,9 @@ object CypherParser {
           unions += ((all, prependImports(parseSingleQuery())))
         }
         eatPunct("}")
-        skipInTransactions()
+        val report = parseInTransactions()
         Seq(CallSubquery(Query(prependImports(first0), unions.result()),
-          optional))
+          optional)) ++ report.map(statusWith)
       } else if (isPunct("{")) {
         p += 1
         val first = parseSingleQuery()
@@ -1139,8 +1194,9 @@ object CypherParser {
           unions += ((all, parseSingleQuery()))
         }
         eatPunct("}")
-        skipInTransactions()
-        Seq(CallSubquery(Query(first, unions.result()), optional))
+        val report = parseInTransactions()
+        Seq(CallSubquery(Query(first, unions.result()), optional)) ++
+          report.map(statusWith)
       } else {
         // dotted procedure names (db.labels, dbms.components, ...)
         var name = ident()
