@@ -2140,6 +2140,17 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case _ => to_date(a0)
         }
       case "localdatetime" | "datetime" =>
+        // timezone is a datetime-only component (Neo4j allows it on
+        // localdatetime only in the bare current-time form).
+        args.headOption.foreach {
+          case MapLit(items) if name == "localdatetime" &&
+              items.exists(_._1.equalsIgnoreCase("timezone")) &&
+              items.size > 1 =>
+            throw new CypherCompileException(
+              "localdatetime() does not take a timezone with components",
+              CE.ArgumentError, CE.InvalidArgumentValue)
+          case _ =>
+        }
         if (args.isEmpty) current_timestamp()
         else args(0) match {
           // datetime() accepts zoned literals (offset/bracketed zone,
@@ -2159,7 +2170,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
             val ovKeys = Set("year", "month", "day",
               "hour", "minute", "second", "millisecond", "microsecond")
-            val extra = m.keySet -- ovKeys -- Set("date", "time")
+            val extra = m.keySet -- ovKeys -- Set("date", "time", "timezone")
             if (extra.nonEmpty) throw new CypherCompileException(
               s"$name() with a date/time base supports component " +
                 s"overrides ${ovKeys.toSeq.sorted.mkString("/")}, got: " +
@@ -2170,12 +2181,19 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
               throw new CypherCompileException(
                 s"$name() time component must be a time value",
                 CE.SyntaxError, CE.InvalidArgumentType)))
+            // Selected/overridden components are wall time in the given
+            // zone (when present) — same conversion as the component form.
+            def zoned(naive: Column): Column = m.get("timezone") match {
+              case Some(tz) =>
+                to_utc_timestamp(naive, compile(tz).cast(StringType))
+              case None => naive
+            }
             if (!m.keySet.exists(ovKeys)) {
               val d = dBase.getOrElse(throw new CypherCompileException(
                 s"$name() needs a date component (a year or a date base)",
                 CE.ArgumentError, CE.InvalidArgumentValue))
-              timestamp_micros(unix_micros(d.cast(TimestampType)) +
-                tBase.getOrElse(lit(0L)))
+              zoned(timestamp_micros(unix_micros(d.cast(TimestampType)) +
+                tBase.getOrElse(lit(0L))))
             } else {
               def ovI(k: String, dflt: Column): Column =
                 m.get(k).map(e => compile(e).cast(IntegerType)).getOrElse(dflt)
@@ -2186,10 +2204,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
                   CE.ArgumentError, CE.InvalidArgumentValue))
               val mo = ovI("month", dBase.map(month).getOrElse(lit(1)))
               val dd = ovI("day", dBase.map(dayofmonth).getOrElse(lit(1)))
-              val us = selectTimeUs(m -- Seq("year", "month", "day"),
+              val us = selectTimeUs(m -- Seq("year", "month", "day", "timezone"),
                 tBase.getOrElse(lit(0L)))
-              timestamp_micros(
-                unix_micros(make_date(y, mo, dd).cast(TimestampType)) + us)
+              zoned(timestamp_micros(
+                unix_micros(make_date(y, mo, dd).cast(TimestampType)) + us))
             }
           case MapLit(items) =>
             val m = items.toMap.map { case (k, v) => k.toLowerCase -> v }
@@ -2199,22 +2217,75 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             if (m.contains("nanosecond")) throw new CypherCompileException(
               s"$name() does not support nanosecond resolution",
               CE.ArgumentError, CE.InvalidArgumentValue)
-            checkSignificanceOrder(m, Seq("hour", "minute", "second"),
-              s"$name()")
-            def part(k: String, dflt: Int): Column =
-              m.get(k).map(e => compile(e).cast(IntegerType))
-                .getOrElse(lit(dflt))
-            val d = dateFromMap(m, s"$name()")
-            def frac(k: String, denom: Int): Column = m.get(k)
-              .map(e => compile(e).cast(DecimalType(16, 6)) / denom)
-              .getOrElse(lit(java.math.BigDecimal.ZERO))
-            val secs = m.get("second")
-              .map(e => compile(e).cast(DecimalType(16, 6)))
-              .getOrElse(lit(java.math.BigDecimal.ZERO).cast(DecimalType(16, 6)))
-            call_function("make_timestamp",
-              year(d), month(d), dayofmonth(d),
-              part("hour", 0), part("minute", 0),
-              secs + frac("millisecond", 1000) + frac("microsecond", 1000000))
+            if (m.keySet == Set("timezone")) {
+              // Bare {timezone: z}: the current moment. datetime keeps the
+              // instant (zone unretained); localdatetime is the current
+              // WALL CLOCK in that zone.
+              if (name == "datetime") current_timestamp()
+              else from_utc_timestamp(current_timestamp(),
+                compile(m("timezone")).cast(StringType))
+            } else if (m.contains("epochseconds") || m.contains("epochmillis")) {
+              // Epoch constructors (Neo4j): the instant directly.
+              // epochSeconds composes with sub-second additions;
+              // epochMillis stands alone. A timezone key only selects the
+              // retained zone in Neo4j — this engine normalizes to UTC
+              // (documented deviation), so it is accepted and ignored.
+              if (m.contains("epochseconds") && m.contains("epochmillis"))
+                throw new CypherCompileException(
+                  s"$name() cannot combine epochSeconds with epochMillis",
+                  CE.ArgumentError, CE.InvalidArgumentValue)
+              val allowed =
+                if (m.contains("epochseconds"))
+                  Set("epochseconds", "millisecond", "microsecond", "timezone")
+                else Set("epochmillis", "timezone")
+              val bad = m.keySet -- allowed
+              if (bad.nonEmpty) throw new CypherCompileException(
+                s"$name() epoch constructors do not combine with: " +
+                  bad.toSeq.sorted.mkString(", "),
+                CE.ArgumentError, CE.InvalidArgumentValue)
+              def partL(k: String): Column =
+                m.get(k).map(e => compile(e).cast(LongType)).getOrElse(lit(0L))
+              timestamp_micros(
+                if (m.contains("epochseconds"))
+                  partL("epochseconds") * 1000000L +
+                    partL("millisecond") * 1000L + partL("microsecond")
+                else partL("epochmillis") * 1000L)
+            } else {
+              val allowed = Set("year", "month", "day", "week", "dayofweek",
+                "ordinalday", "quarter", "dayofquarter", "hour", "minute",
+                "second", "millisecond", "microsecond", "timezone")
+              val unknown = m.keySet -- allowed
+              if (unknown.nonEmpty) throw new CypherCompileException(
+                s"$name() got unsupported component(s): " +
+                  unknown.toSeq.sorted.mkString(", "),
+                CE.ArgumentError, CE.InvalidArgumentValue)
+              checkSignificanceOrder(m, Seq("hour", "minute", "second"),
+                s"$name()")
+              def part(k: String, dflt: Int): Column =
+                m.get(k).map(e => compile(e).cast(IntegerType))
+                  .getOrElse(lit(dflt))
+              val d = dateFromMap(m - "timezone", s"$name()")
+              def frac(k: String, denom: Int): Column = m.get(k)
+                .map(e => compile(e).cast(DecimalType(16, 6)) / denom)
+                .getOrElse(lit(java.math.BigDecimal.ZERO))
+              val secs = m.get("second")
+                .map(e => compile(e).cast(DecimalType(16, 6)))
+                .getOrElse(lit(java.math.BigDecimal.ZERO).cast(DecimalType(16, 6)))
+              val naive = call_function("make_timestamp",
+                year(d), month(d), dayofmonth(d),
+                part("hour", 0), part("minute", 0),
+                secs + frac("millisecond", 1000) + frac("microsecond", 1000000))
+              // timezone: the components are WALL TIME in that zone —
+              // convert to the engine's UTC instant with the zone's real
+              // rules (DST gaps shift forward, overlaps take the earlier
+              // offset — java.time resolution, same as Neo4j). The zone
+              // itself is not retained (documented deviation).
+              m.get("timezone") match {
+                case Some(tz) =>
+                  to_utc_timestamp(naive, compile(tz).cast(StringType))
+                case None => naive
+              }
+            }
           case _ => to_timestamp(a0)
         }
       case "localtime" | "time" =>
