@@ -63,6 +63,7 @@ object CypherError {
   val NumberOutOfRange = "NumberOutOfRange"
   val InvalidNumberOfArguments = "InvalidNumberOfArguments"
   val AmbiguousAggregationExpression = "AmbiguousAggregationExpression"
+  val DivisionByZero = "DivisionByZero"
 }
 
 /** Root of every failure graft itself raises. `errorType`/`phase`/`detail`

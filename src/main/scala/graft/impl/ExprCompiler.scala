@@ -1017,10 +1017,48 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Arith("/", l, r) =>
       (inferType(l), inferType(r)) match {
         case (Some(LongType), Some(LongType)) =>
+          // Neo4j raises on integer division by zero; the literal form is
+          // compile-time checkable. A dynamic zero divisor stays null
+          // (Spark non-ANSI; raising would need a task-side throw —
+          // documented deviation, tck_blacklist.md).
+          r match {
+            case IntLit(0) | Neg(IntLit(0)) => throw new CypherCompileException(
+              "/ by zero", CE.ArithmeticError, CE.DivisionByZero)
+            case _ =>
+          }
           try_divide(compile(l), compile(r)).cast(LongType)
+        case (lt, rt) if lt.contains(DoubleType) || rt.contains(DoubleType) =>
+          // IEEE-754 float division (Neo4j): x/0.0 is ±Infinity, 0.0/0.0
+          // and NaN/0.0 are NaN. Spark's non-ANSI Divide nulls every zero
+          // divisor, so the zero branch is rebuilt by hand (when-chain —
+          // stays inside whole-stage codegen). -0.0 is not distinguished.
+          val lc = compile(l).cast(DoubleType)
+          val rc = compile(r).cast(DoubleType)
+          when(rc === 0.0,
+            when(lc.isNull, lit(null).cast(DoubleType))
+              .when(lc > 0.0, lit(Double.PositiveInfinity))
+              .when(lc < 0.0, lit(Double.NegativeInfinity))
+              .otherwise(lit(Double.NaN))) // 0.0 or NaN numerator
+            .otherwise(lc / rc)
         case _ => compile(l) / compile(r)
       }
-    case Arith("%", l, r) => compile(l) % compile(r)
+    case Arith("%", l, r) =>
+      (inferType(l), inferType(r)) match {
+        case (Some(LongType), Some(LongType)) =>
+          r match {
+            case IntLit(0) | Neg(IntLit(0)) => throw new CypherCompileException(
+              "% by zero", CE.ArithmeticError, CE.DivisionByZero)
+            case _ =>
+          }
+          compile(l) % compile(r)
+        case (lt, rt) if lt.contains(DoubleType) || rt.contains(DoubleType) =>
+          // IEEE: x % 0.0 is NaN (Neo4j); Spark non-ANSI nulls it.
+          val lc = compile(l).cast(DoubleType)
+          val rc = compile(r).cast(DoubleType)
+          when(rc === 0.0, when(lc.isNotNull, lit(Double.NaN)))
+            .otherwise(lc % rc)
+        case _ => compile(l) % compile(r)
+      }
     case Arith("^", l, r) => pow(compile(l), compile(r))
     case Arith(op, _, _) =>
       throw new CypherCompileException(s"unknown arithmetic op $op")

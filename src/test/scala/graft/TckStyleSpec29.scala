@@ -164,11 +164,21 @@ class TckStyleSpec29 extends TckScenarioBase {
     "RETURN toString(date('2024-01-31') + duration({months: 1, days: 1})) AS x",
     value("2024-03-01"))
 
-  // -------------------------------------- float division (non-ANSI pins)
-  scenario("division by float zero is null (engine-wide non-ANSI stance)", g,
-    "RETURN 1.0 / 0.0 AS x", value(null))
-  scenario("zero over zero is null, not NaN (divergence, see blacklist)", g,
-    "RETURN 0.0 / 0.0 AS x", value(null))
+  // ------------------- float division (IEEE-754, Neo4j — since round 10)
+  scenario("division by float zero is IEEE Infinity", g,
+    "RETURN toString(1.0 / 0.0) AS x", value("Infinity"))
+  scenario("negative over float zero is -Infinity", g,
+    "RETURN toString(-1.0 / 0.0) AS x", value("-Infinity"))
+  scenario("zero over zero is NaN", g,
+    "RETURN toString(0.0 / 0.0) AS x", value("NaN"))
+  scenario("null numerator over float zero stays null", g,
+    "RETURN (null / 0.0) IS NULL AS x", value(true))
+  scenario("float modulo by zero is NaN", g,
+    "RETURN toString(1.5 % 0.0) AS x", value("NaN"))
+  errorScenario("integer division by literal zero raises", g,
+    "RETURN 1 / 0 AS x", CypherError.ArithmeticError, CypherError.DivisionByZero)
+  errorScenario("integer modulo by literal zero raises", g,
+    "RETURN 1 % 0 AS x", CypherError.ArithmeticError, CypherError.DivisionByZero)
   scenario("negative base fractional power is NaN (IEEE kept elsewhere)", g,
     "RETURN toString((-2.0) ^ 0.5) AS x", value("NaN"))
   scenario("float modulo", g,
