@@ -112,6 +112,8 @@ case class NodePattern(variable: Option[String], labels: Seq[String],
 
 sealed trait LabelExpr
 case class LabelAtom(name: String) extends LabelExpr
+/** `%` — any label (Cypher 5): at least one label present. */
+case object LabelWildcard extends LabelExpr
 case class LabelAnd(l: LabelExpr, r: LabelExpr) extends LabelExpr
 case class LabelOr(l: LabelExpr, r: LabelExpr) extends LabelExpr
 case class LabelNot(e: LabelExpr) extends LabelExpr

@@ -1529,6 +1529,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def evalLabelExpr(le: LabelExpr, labels: Set[String]): Boolean =
     le match {
       case LabelAtom(n) => labels.contains(n)
+      case LabelWildcard => labels.nonEmpty
       case LabelAnd(a, b) => evalLabelExpr(a, labels) && evalLabelExpr(b, labels)
       case LabelOr(a, b) => evalLabelExpr(a, labels) || evalLabelExpr(b, labels)
       case LabelNot(e) => !evalLabelExpr(e, labels)
@@ -1538,6 +1539,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * (bound-variable re-constraint path; absent labels read false). */
   private def labelExprPredicate(v: String, le: LabelExpr): Expr = le match {
     case LabelAtom(n) => HasLabels(Var(v), Seq(n))
+    case LabelWildcard => // any label present
+      Cmp(">", FuncCall("size", Seq(FuncCall("labels", Seq(Var(v)),
+        distinct = false)), distinct = false), IntLit(0))
     case LabelAnd(a, b) =>
       Ands(Seq(labelExprPredicate(v, a), labelExprPredicate(v, b)))
     case LabelOr(a, b) =>

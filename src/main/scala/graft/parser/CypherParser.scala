@@ -787,6 +787,7 @@ object CypherParser {
     }
     private def parseLabelTerm(): LabelExpr =
       if (tryPunct("!")) LabelNot(parseLabelTerm())
+      else if (tryPunct("%")) LabelWildcard
       else if (tryPunct("(")) {
         val e = parseLabelOr(); eatPunct(")"); e
       } else LabelAtom(ident())
@@ -844,8 +845,15 @@ object CypherParser {
           // a relationship carries exactly one type, so every flat form
           // collapses to a positive set, a complemented set, all types,
           // or no type (see reduceRelTypeAlts).
+          // `%` is the any-type wildcard (Cypher 5); it reduces before the
+          // general (types, complemented) collapse: in a union a positive
+          // `%` makes the whole expression every-type and a `!%` never
+          // matches; in an intersection a `!%` makes it no-type and a
+          // positive `%` is the identity.
+          def alt(): (Boolean, String) =
+            (tryPunct("!"), if (tryPunct("%")) "%" else ident())
           val alts = Seq.newBuilder[(Boolean, String)]
-          alts += ((tryPunct("!"), ident()))
+          alts += alt()
           var sep: Option[String] = None
           while (isPunct("|") || isPunct("&")) {
             val s = if (isPunct("|")) "|" else "&"
@@ -854,9 +862,24 @@ object CypherParser {
             sep = Some(s)
             p += 1
             tryPunct(":") // legacy alternative form :A|:B
-            alts += ((tryPunct("!"), ident()))
+            alts += alt()
           }
-          val (ts, neg) = reduceRelTypeAlts(alts.result(), sep.getOrElse("|"))
+          val raw = alts.result()
+          val s0 = sep.getOrElse("|")
+          val (ts, neg) =
+            if (s0 == "|") {
+              val kept = raw.filterNot(_ == ((true, "%")))
+              if (kept.exists(_ == ((false, "%")))) (Seq.empty[String], false)
+              else if (kept.isEmpty) (Seq(RelPattern.NoneType), false)
+              else reduceRelTypeAlts(kept, s0)
+            } else {
+              if (raw.exists(_ == ((true, "%")))) (Seq(RelPattern.NoneType), false)
+              else {
+                val kept = raw.filterNot(_ == ((false, "%")))
+                if (kept.isEmpty) (Seq.empty[String], false)
+                else reduceRelTypeAlts(kept, s0)
+              }
+            }
           types = ts
           typesNegated = neg
         }
@@ -1347,6 +1370,9 @@ object CypherParser {
           }
           def lp(le: LabelExpr): Expr = le match {
             case LabelAtom(n) => HasLabels(e, Seq(n))
+            case LabelWildcard => Cmp(">", FuncCall("size",
+              Seq(FuncCall("labels", Seq(e), distinct = false)),
+              distinct = false), IntLit(0))
             case LabelAnd(a, b) => Ands(Seq(lp(a), lp(b)))
             case LabelOr(a, b) => Ors(Seq(lp(a), lp(b)))
             case LabelNot(x) => Not(lp(x))
