@@ -590,8 +590,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   /** Path selector (shortestPath/allShortestPaths or a Cypher-5 keyword
     * selector) over one var-length segment:
     * (selector, head node var, target node var, edge var). */
+  /** A keyword path selector over one pattern part: `hops` lists every
+    * relationship variable left-to-right with its var-length-ness. Path
+    * length is the hop count (fixed hops contribute 1, var-length hops the
+    * size of their rel-id array); the tie-break key is the concatenated
+    * rel-id sequence. A single var-length hop is the BFS-prunable special
+    * case; everything else enumerates and lets the selection window prune
+    * (Neo4j plans general SHORTEST the same exhaustive way). */
   private case class ShortestSpec(sel: PathSelector, head: String, tgt: String,
-      edge: String)
+      hops: Seq[(String, Boolean)]) {
+    def key: String = hops.map(_._1).mkString(",")
+  }
   private var shortestSpecs: Seq[ShortestSpec] = Seq.empty
 
   /** Shortest specs whose WHERE reads the path (via the edge-list var or a
@@ -638,10 +647,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       part.pathVar.foreach(pv => binds += PathBind(pv, head, hops.result()))
       part.shortest.foreach { sel =>
         val hs = hops.result()
-        if (hs.size != 1 || !hs.head._2)
-          throw new CypherCompileException(
-            "path selectors require a single var-length relationship pattern")
-        shortestSpecs :+= ShortestSpec(sel, head, hs.head._3, hs.head._1)
+        if (hs.isEmpty) throw new CypherCompileException(
+          "path selectors require at least one relationship pattern")
+        shortestSpecs :+= ShortestSpec(sel, head, hs.last._3,
+          hs.map(h => (h._1, h._2)))
       }
     }
     pathBinds = pathBinds ++ binds.result()
@@ -754,11 +763,13 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     residualWhere.foreach { w =>
       val vs = exprVars(w)
       val thisMatch = edges.map(_.v).toSet
-      shortestSpecs.filter(s => thisMatch.contains(s.edge)).foreach { s =>
+      shortestSpecs.filter(s =>
+          s.hops.exists(h => thisMatch.contains(h._1))).foreach { s =>
+        val hopVars = s.hops.map(_._1).toSet
         val spanning = pathBinds
-          .filter(_.hops.exists(_._1 == s.edge)).map(_.v).toSet
-        if (vs.contains(s.edge) || spanning.exists(vs.contains))
-          deferredShortest += s.edge -> spanning
+          .filter(_.hops.exists(h => hopVars.contains(h._1))).map(_.v).toSet
+        if (hopVars.exists(vs.contains) || spanning.exists(vs.contains))
+          deferredShortest += s.key -> spanning
       }
     }
 
@@ -834,9 +845,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     var deferredReady: Seq[ShortestSpec] = Seq.empty
     if (shortestSpecs.nonEmpty) {
       val (ready, pending) = shortestSpecs.partition(s =>
-        ctx.header.contains(PathSlot(s.edge)))
+        s.hops.forall { case (v, varLen) =>
+          if (varLen) ctx.header.contains(PathSlot(v))
+          else ctx.header.contains(IdSlot(v))
+        })
       shortestSpecs = pending
-      val (defer, now) = ready.partition(s => deferredShortest.contains(s.edge))
+      val (defer, now) = ready.partition(s => deferredShortest.contains(s.key))
       deferredReady = defer
       now.foreach { s =>
         ctx = applyShortestSelection(ctx, s,
@@ -861,11 +875,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // outer rows) — a WHERE that varies with the outer binding must not
     // let one binding's minimum evict another's.
     deferredReady.foreach { s =>
-      val pathVars = deferredShortest.getOrElse(s.edge, Set.empty)
-      deferredShortest -= s.edge
+      val pathVars = deferredShortest.getOrElse(s.key, Set.empty)
+      deferredShortest -= s.key
       val h = ctx.header
+      val hopVars = s.hops.map(_._1).toSet
       val excluded = h.slots.collect {
-        case (slot, c) if slot.owner == s.edge => c
+        case (slot, c) if hopVars.contains(slot.owner) => c
         case (ValueSlot(v), c) if pathVars.contains(v) => c
       }.toSet
       val partCols = ctx.df.columns.toSeq
@@ -885,7 +900,20 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       partCols: Seq[Column]): Ctx = {
     var ctx = ctx0
     val h = ctx.header
-    val len = F.size(col(h.col(PathSlot(s.edge))))
+    // Total path length and the left-to-right rel-id sequence across every
+    // hop: fixed hops contribute (1, [id]), var-length hops
+    // (size(ids), ids). A single-hop spec reduces to the old shapes.
+    val len = s.hops.map {
+      case (v, true) => F.size(col(h.col(PathSlot(v)))).cast(LongType)
+      case (_, false) => lit(1L)
+    }.reduce(_ + _)
+    val pathKey = {
+      val parts = s.hops.map {
+        case (v, true) => col(h.col(PathSlot(v)))
+        case (v, false) => array(col(h.col(IdSlot(v))))
+      }
+      if (parts.size == 1) parts.head else concat(parts: _*)
+    }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(partCols: _*)
     s.sel.mode match {
       case "allshortest" =>
@@ -894,8 +922,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           .filter(len === col("_sp_min")).drop("_sp_min"))
       case "shortest" =>
         // One arbitrary-but-deterministic shortest path per pair, chosen
-        // by (length, rel-id array) order.
-        val key = struct(len.as("l"), col(h.col(PathSlot(s.edge))).as("p"))
+        // by (length, rel-id sequence) order.
+        val key = struct(len.as("l"), pathKey.as("p"))
         ctx = ctx.copy(df = ctx.df
           .withColumn("_sp_min", min(key).over(w))
           .filter(key === col("_sp_min")).drop("_sp_min"))
@@ -909,12 +937,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           .filter(col("_sp_rk") <= s.sel.k).drop("_sp_rk"))
       case "shortestk" =>
         // SHORTEST k: the k shortest distinct paths, ties broken by the
-        // rel-id array. (length, path) is a total order over distinct
+        // rel-id sequence. (length, path) is a total order over distinct
         // paths, so dense_rank assigns each distinct path one rank and
         // keeps duplicates from outer-row multiplicity intact.
         ctx = ctx.copy(df = ctx.df
-          .withColumn("_sp_rk", F.dense_rank().over(
-            w.orderBy(len, col(h.col(PathSlot(s.edge))))))
+          .withColumn("_sp_rk", F.dense_rank().over(w.orderBy(len, pathKey)))
           .filter(col("_sp_rk") <= s.sel.k).drop("_sp_rk"))
       case other =>
         throw new CypherCompileException(s"unknown path selector: $other")
@@ -2038,9 +2065,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // prefixes of OTHER pairs' top-k paths, and prefix rank does not
     // transfer to extension rank — SCALE.md "SHORTEST k>=2 per-pair
     // early-stop" has the full argument and the rejected alternatives.
-    val spPrune = shortestSpecs.find(_.edge == e.v)
+    // Prune only for a SINGLE-var-length-hop spec: with fixed hops (or
+    // more var segments) around it, minimality of the total path does not
+    // imply first arrival on this segment.
+    val spPrune = shortestSpecs.find(_.hops == Seq((e.v, true)))
       .exists(s => (s.sel.mode == "shortest" || s.sel.mode == "allshortest") &&
-        !deferredShortest.contains(e.v))
+        !deferredShortest.contains(s.key))
     // nodes(p) needs the intermediate node ids; accumulate them only when a
     // bound path variable spans this var-length hop (one extra array column
     // per frontier row otherwise wasted).

@@ -150,9 +150,45 @@ class TckStyleSpec39 extends TckScenarioBase {
       "MATCH p = SHORTEST 0 (a)-[:E*]->(b) RETURN p").collect())
     assert(e.getMessage.toLowerCase.contains(">= 1"))
   }
-  test("[err] selector on a fixed-length pattern") {
-    val e = intercept[Exception](session.cypher(gDia,
-      "MATCH p = ALL SHORTEST (a)-[:E]->(b) RETURN p").collect())
-    assert(e.getMessage.toLowerCase.contains("var-length"))
-  }
+  // ---- generalized patterns (round 10): fixed hops and fixed/var mixes.
+  // Selection is per endpoint PAIR (head, tail of the part); a fixed
+  // pattern's paths all share one length, so ALL SHORTEST is the identity
+  // and SHORTEST 1 dedups parallel routes per pair.
+  scenario("ALL SHORTEST over a fixed 1-hop pattern is the identity", gDia,
+    "MATCH p = ALL SHORTEST (a {name:'n1'})-[:E]->(m) " +
+      "RETURN count(*) AS x", value(3))
+  scenario("SHORTEST 1 on a fixed hop keeps one path per pair", gDia,
+    // (n1,n2), (n1,n3), (n1,n5) are distinct endpoint pairs
+    "MATCH p = SHORTEST 1 (a {name:'n1'})-[:E]->(m) " +
+      "RETURN count(*) AS x", value(3))
+  scenario("ANY SHORTEST over fixed-then-var picks the short arm", gDia,
+    "MATCH p = ANY SHORTEST (a {name:'n1'})-[:E]->(m)-[:E*]->(b {name:'n4'}) " +
+      "RETURN length(p) AS x", value(2))
+  scenario("ALL SHORTEST over fixed-then-var keeps both short arms", gDia,
+    "MATCH p = ALL SHORTEST (a {name:'n1'})-[:E]->(m)-[:E*]->(b {name:'n4'}) " +
+      "RETURN count(*) AS x", value(2))
+  scenario("SHORTEST 2 over var-then-fixed", gDia,
+    "MATCH p = SHORTEST 2 (a {name:'n1'})-[:E*]->(m)-[:E]->(b {name:'n4'}) " +
+      "RETURN length(p) AS x", rows(Map("x" -> 2), Map("x" -> 2)))
+  scenario("SHORTEST 3 over a mix spills into the long arm", gDia,
+    "MATCH p = SHORTEST 3 (a {name:'n1'})-[:E]->(m)-[:E*0..]->(b {name:'n4'}) " +
+      "RETURN length(p) AS x ORDER BY x",
+    rows(Map("x" -> 2), Map("x" -> 2), Map("x" -> 3)), ordered = true)
+  scenario("inline pattern WHERE participates before selection", gDia,
+    "MATCH p = ANY SHORTEST (a {name:'n1'})-[:E]->" +
+      "(m WHERE m.name = 'n5')-[:E*]->(b {name:'n4'}) " +
+      "RETURN length(p) AS x", value(3))
+
+  /** two parallel edges 1->2 */
+  lazy val gPar = graph(spark,
+    Seq(N(1, Set("V"), Map("name" -> "s")), N(2, Set("V"), Map("name" -> "t"))),
+    Seq(R(40, 1, 2, "E"), R(41, 1, 2, "E")))
+  scenario("parallel edges: ANY picks one", gPar,
+    "MATCH p = ANY (a {name:'s'})-[:E]->(b) RETURN count(*) AS x", value(1))
+  scenario("parallel edges: ALL SHORTEST keeps both", gPar,
+    "MATCH p = ALL SHORTEST (a {name:'s'})-[:E]->(b) " +
+      "RETURN count(*) AS x", value(2))
+  scenario("parallel edges: SHORTEST 2 keeps both", gPar,
+    "MATCH p = SHORTEST 2 (a {name:'s'})-[:E]->(b) " +
+      "RETURN count(*) AS x", value(2))
 }

@@ -127,10 +127,12 @@ class TckStyleSpec6 extends TckScenarioBase {
   scenario("nodes() of a shortest path includes intermediates", gSp,
     "MATCH p = allShortestPaths((a {name:'s'})-[:E*1..4]->(b {name:'t'})) " +
       "RETURN size(nodes(p)) AS x", rows(Map("x" -> 3), Map("x" -> 3)))
-  test("[err] shortestPath over a fixed-length pattern") {
-    intercept[Exception](session.cypher(gSp,
-      "MATCH p = shortestPath((a)-[:E]->(b)) RETURN p").collect())
-  }
+  scenario("shortestPath over a fixed 1-hop selects per endpoint pair", gSp,
+    // Generalized in round 10: fixed patterns are legal selector targets
+    // (all paths of a pair share one length, so this dedups parallel
+    // routes per pair — here each pair has a single edge anyway).
+    "MATCH p = shortestPath((a {name:'s'})-[:E]->(b)) " +
+      "RETURN length(p) AS x", rows(Map("x" -> 1), Map("x" -> 1)))
   scenario("shortestPath preserves outer row multiplicity (UNWIND)", gSp,
     "UNWIND [1, 2] AS i " +
       "MATCH p = shortestPath((a {name:'s'})-[:E*1..4]->(b {name:'t'})) " +
