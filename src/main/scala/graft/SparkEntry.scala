@@ -324,6 +324,39 @@ object SparkEntry {
           CAST(least(2, has_direct + chains) AS BIGINT) AS paths,
           CAST(CASE WHEN has_direct = 1 THEN 1 ELSE 4 END AS BIGINT) AS minl
         FROM allp JOIN nation ON n_nationkey = nk""")),
+    // --- generalized selectors (round 10): ALL SHORTEST over a mixed
+    //     fixed + var-length pattern. Every supplier's only route is the
+    //     length-2 chain (regions have no out-edges), so the selection is
+    //     the join — the row exercises the mixed-hop length/tie-break
+    //     machinery end-to-end against a closed-form oracle. ---
+    ("q_shortest_mixed",
+      "MATCH p = ALL SHORTEST (s:Supplier)-[:FROM_NATION]->(n:Nation)" +
+        "-[:IN_REGION*1..2]->(r:Region) " +
+        "RETURN s.s_suppkey AS sk, r.r_name AS rn, length(p) AS len",
+      Some("SELECT s_suppkey AS sk, r_name AS rn, CAST(2 AS BIGINT) AS len " +
+        "FROM supplier JOIN nation ON n_nationkey = s_nationkey " +
+        "JOIN region ON r_regionkey = n_regionkey")),
+    // --- unit (updating, RETURN-less) CALL subquery (round 10): one CREATE
+    //     per driving row, then a read over the written graph — the
+    //     Neo4j CALL { } IN TRANSACTIONS batch-write shape. ---
+    ("q_call_unit",
+      "MATCH (r:Region) CALL (r) { CREATE (:Flag {rk: r.r_regionkey}) } " +
+        "IN TRANSACTIONS OF 2 ROWS WITH * MATCH (f:Flag) " +
+        "RETURN r.r_regionkey AS rk, count(*) AS n",
+      Some("SELECT r_regionkey AS rk, CAST(5 AS BIGINT) AS n FROM region")),
+    // --- datetime timezone component (round 10): components are wall time
+    //     in the zone, converted to the UTC instant with real zone rules
+    //     (DuckDB replays via ICU AT TIME ZONE; dates span DST both ways).
+    ("q_datetime_tz",
+      "MATCH (o:Order) WHERE o.o_orderkey < 100 " +
+        "RETURN o.o_orderkey AS ok, toString(datetime({" +
+        "year: o.o_orderdate.year, month: o.o_orderdate.month, " +
+        "day: o.o_orderdate.day, hour: 12, timezone: 'Europe/Berlin'})) AS ts",
+      Some("""SELECT o_orderkey AS ok,
+        strftime((date_trunc('day', o_orderdate) + INTERVAL 12 HOUR)
+          AT TIME ZONE 'Europe/Berlin' AT TIME ZONE 'UTC',
+          '%Y-%m-%dT%H:%M:%S') AS ts
+        FROM orders WHERE o_orderkey < 100""")),
     // --- pattern comprehension: correlated subquery -> grouped collect,
     //     left-joined back on the shared var (beyond-reference: the
     //     reference TCK-blacklists pattern comprehensions). Content checked
