@@ -933,7 +933,75 @@ object PipelineQueries {
        FROM a$fin GROUP BY j"""
   }
 
+  /** Betweenness oracle: exact unrolled k-source Brandes replay of
+    * [[graft.algos.GraphAlgorithms.betweenness]] over the same TPCH
+    * subset graph (IN_REGION + FROM_NATION + PLACED, undirected, sources
+    * = customers 0..19). Node ids are prefix-namespaced text keys (the
+    * engine's tagged ids are internal; the output is an id-free score
+    * histogram, so only the score MULTISET must match). Forward: `depth`
+    * unrolled level-synchronous BFS rounds keyed by source, each a
+    * frontier join + visited anti-join + sigma aggregation; backward:
+    * the Brandes dependency sweep over the same levels in reverse
+    * (delta(v) = sum over DAG successors w of sigma(v)/sigma(w) *
+    * (1+delta(w))). Undirected pair contributions halve (scale 0.5).
+    * Every round CTE is MATERIALIZED — DuckDB 1.0.0 inlines
+    * multi-referenced CTEs exponentially otherwise (the round-9 kmeans
+    * lesson). The real BFS depth here is 5; depth=7 leaves two empty
+    * guard levels. */
+  private def betweennessSql(depth: Int = 7): String = {
+    def fwd(k: Int) =
+      s"""l$k AS MATERIALIZED (
+            SELECT t.s, t.v, sum(t.sigma) AS sigma FROM (
+              SELECT l.s AS s, e.dst AS v, l.sigma AS sigma
+              FROM l${k - 1} l JOIN e ON l.v = e.src) t
+            LEFT JOIN vis${k - 1} x ON x.s = t.s AND x.v = t.v
+            WHERE x.v IS NULL GROUP BY t.s, t.v),
+          vis$k AS MATERIALIZED (
+            SELECT s, v FROM vis${k - 1}
+            UNION ALL SELECT s, v FROM l$k)"""
+    def bwd(k: Int) =
+      s"""d$k AS MATERIALIZED (
+            SELECT lk.s, lk.v, coalesce(c.acc, 0.0) AS delta
+            FROM l$k lk LEFT JOIN (
+              SELECT lk2.s AS s, lk2.v AS v,
+                sum(lk2.sigma / u.sigma * (1 + u.delta)) AS acc
+              FROM l$k lk2 JOIN e ON lk2.v = e.src
+              JOIN (SELECT dk.s, dk.v, dk.delta, lk1.sigma
+                    FROM d${k + 1} dk JOIN l${k + 1} lk1
+                      ON lk1.s = dk.s AND lk1.v = dk.v) u
+                ON u.s = lk2.s AND u.v = e.dst
+              GROUP BY lk2.s, lk2.v) c ON c.s = lk.s AND c.v = lk.v)"""
+    val fwds = (1 to depth).map(fwd).mkString(",\n        ")
+    val bwds = ((depth - 1) to 0 by -1).map(bwd).mkString(",\n        ")
+    val deltaUnion = (0 until depth)
+      .map(k => s"SELECT s, v, delta FROM d$k").mkString("\n          UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+          SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation
+          UNION ALL SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer
+          UNION ALL SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+          UNION ALL SELECT 'c' || o_custkey, 'o' || o_orderkey FROM orders),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        srcs AS MATERIALIZED (
+          SELECT 'c' || c_custkey AS s FROM customer WHERE c_custkey < 20),
+        l0 AS MATERIALIZED (SELECT s, s AS v, 1.0 AS sigma FROM srcs),
+        vis0 AS MATERIALIZED (SELECT s, v FROM l0),
+        $fwds,
+        d$depth AS MATERIALIZED (SELECT s, v, 0.0 AS delta FROM l$depth),
+        $bwds,
+        bcs AS MATERIALIZED (
+          SELECT v, sum(delta) AS b FROM (
+          $deltaUnion
+          ) dd WHERE v <> s GROUP BY v),
+        allnodes AS (SELECT DISTINCT v FROM (
+          SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+          UNION ALL SELECT s AS v FROM srcs))
+       SELECT round(0.5 * coalesce(b, 0.0), 4) AS bc, count(*) AS n
+       FROM allnodes LEFT JOIN bcs USING (v) GROUP BY 1"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_algo_betweenness" -> betweennessSql(),
     "q_embed_project" -> embedProjectSql,
     "q_cluster_kmeans" -> kmeansSql(),
     "q_media_hash" -> mediaHashSql,
