@@ -88,7 +88,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     }
   }
 
-  case class Ctx(df: DataFrame, header: RecordHeader) {
+  /** `ordSeq`: the anonymous var holding a monotone row-sequence column
+    * stamped AFTER the most recent ORDER BY (WITH … ORDER BY). Cypher's
+    * collect() respects the incoming row order, but Spark's collect_list
+    * only happens to preserve it on few-partition local runs — after a
+    * multi-partition range sort the final aggregation merges partials in
+    * fetch order, which is NOT the sort order at scale. The marker lets a
+    * following aggregation collect sort-aware (the 100 TB-correct shape);
+    * it is consulted only if the column is still in scope, so clauses
+    * that project it away simply lose the guarantee conservatively. */
+  case class Ctx(df: DataFrame, header: RecordHeader,
+      ordSeq: Option[String] = None) {
     def compiler: ExprCompiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
     def isUnit: Boolean = header.slots.isEmpty && df.columns.isEmpty
   }
@@ -207,7 +217,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       planLoadCsv(ctx, headers, url, alias, sep)
     case w: With =>
       planProjection(ctx, w.distinct, w.star, w.items, w.orderBy,
-        w.skip, w.limit, w.where)._1
+        w.skip, w.limit, w.where, stampOrder = true)._1
     case CallProc(name, args, yields, opt) =>
       planCall(ctx, name, args, yields, opt)
     case other =>
@@ -2285,7 +2295,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   // ----------------------------------------------------------- projection
   private def planProjection(ctx0: Ctx, distinct: Boolean, star: Boolean,
       items0: Seq[ReturnItem], orderBy: Seq[SortItem], skip: Option[Expr],
-      limit: Option[Expr], where: Option[Expr]): (Ctx, Seq[OutItem]) = {
+      limit: Option[Expr], where: Option[Expr],
+      stampOrder: Boolean = false): (Ctx, Seq[OutItem]) = {
     var ctx = ctx0
     val starItems =
       if (star) ctx.header.kinds.keys.toSeq.sorted.filterNot(_.startsWith("_a"))
@@ -2387,8 +2398,27 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
       where.foreach { w => ctx2 = applyWhere(ctx2, w) }
       ctx2 = applyOrderSkipLimit(ctx2, orderBy2, skip, limit, aliasMap)
-      val finalDf = ctx2.df.select(keepCols.map(col): _*)
-      (Ctx(finalDf, newHeader), outs.result())
+      if (stampOrder && orderBy2.nonEmpty) {
+        // Stamp a monotone row-sequence AFTER the sort (nondeterministic,
+        // so Catalyst cannot push it below the Sort barrier): after a
+        // range-partitioned global sort, (partition id << 33 | offset) is
+        // strictly increasing with the sort order across EVERY partition
+        // count — a following collect() can then re-establish the Cypher
+        // "collect respects incoming order" guarantee at any scale. The
+        // marker rides along as an anonymous value var (excluded from
+        // user scope and star expansion); any later projection drops it.
+        val seqVar = freshVar()
+        val seqName = RecordHeader.colName(ValueSlot(seqVar))
+        val finalDf = ctx2.df
+          .withColumn(seqName, monotonically_increasing_id())
+          .select((keepCols :+ seqName).map(col): _*)
+        (Ctx(finalDf,
+          newHeader.withSlot(ValueSlot(seqVar)).withVar(seqVar, ValueKind),
+          ordSeq = Some(seqVar)), outs.result())
+      } else {
+        val finalDf = ctx2.df.select(keepCols.map(col): _*)
+        (Ctx(finalDf, newHeader), outs.result())
+      }
     } else {
       // Aggregation: non-aggregate items are grouping keys
       // (implicit grouping, SURVEY §2.4).
@@ -2447,6 +2477,19 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         case Some(t) => Var(t)
         case None => ExprOps.mapChildren(e, substGroup)
       }
+      // A live order stamp (WITH … ORDER BY directly upstream, marker
+      // column still in scope) upgrades bare collect() to the sort-aware
+      // aggregate: Cypher's collect respects incoming row order, and a
+      // plain collect_list only preserves it by luck on few-partition
+      // local plans — after a range sort at scale the final merge order
+      // is fetch order, not sort order.
+      val ordKey = ctx.ordSeq.filter(v => ctx.header.kinds.contains(v))
+      def orderCollect(e: Expr): Expr = e match {
+        case FuncCall("collect", args, false) if ordKey.isDefined =>
+          FuncCall("_collectordered",
+            Seq(args.head, Var(ordKey.get), StrLit("asc")), distinct = false)
+        case other => ExprOps.mapChildren(other, orderCollect)
+      }
       indexed.filter { case (i, _) => compiler.hasAggregation(i.expr) }
         .foreach { case (i, idx) =>
           val display = displayName(i)
@@ -2459,7 +2502,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           val name = RecordHeader.colName(slot)
           aggCols += new ExprCompiler(ctx.header ++ newHeader, df.schema,
               params, Map.empty, extensions)
-            .compile(substGroup(i.expr)).as(name)
+            .compile(orderCollect(substGroup(i.expr))).as(name)
           newHeader = newHeader.withSlot(slot).withVar(target, ValueKind)
           outsArr(idx) = OutCol(name, display)
         }
