@@ -74,12 +74,17 @@ def rows_canon(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def fresh_connection(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = fresh_connection(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     print(f"duckdb {duckdb.__version__}, per-oracle budget {BUDGET_SEC:.0f}s")
     results = {}
@@ -96,6 +101,14 @@ def main():
         try:
             exp_cols, exp_rows, took = run_with_budget(con, sql)
             slowest = max(slowest, (took, name))
+        except TimeoutError as e:
+            # The interrupt was fired on the shared connection and the
+            # worker may still be draining; reusing the connection can
+            # cascade one timeout into spurious interrupt errors on the
+            # NEXT oracle. Recreate the connection (and views) instead.
+            results[name] = f"FAIL (oracle error: {e})"
+            con = fresh_connection(sf_dir)
+            continue
         except Exception as e:
             results[name] = f"FAIL (oracle error: {e})"
             continue

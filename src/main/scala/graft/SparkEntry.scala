@@ -108,6 +108,20 @@ object SparkEntry {
       Some("""SELECT c_custkey AS ck, round(c_acctbal * 2, 4) AS bal
         FROM customer WHERE c_acctbal * 2 > 5000
         ORDER BY c_acctbal * 2 DESC, c_custkey LIMIT 10""")),
+    // --- NEXT linear composition (GQL / Cypher 2025, round 11): each
+    //     segment's RETURN feeds the next segment's working table ---
+    ("q_next",
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) " +
+        "RETURN c.c_nationkey AS nk, o.o_totalprice AS price " +
+        "NEXT WITH nk, sum(price) AS total WHERE total > 1000000.0 " +
+        "RETURN nk, round(total, 4) AS total " +
+        "NEXT MATCH (n:Nation {n_nationkey: nk}) " +
+        "RETURN n.n_name AS name, total",
+      Some("""SELECT n_name AS name, round(total, 4) AS total FROM (
+        SELECT c_nationkey AS nk, sum(o_totalprice) AS total
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_nationkey HAVING sum(o_totalprice) > 1000000.0) t
+        JOIN nation ON n_nationkey = nk""")),
     // --- var-length expand (BoundedVarLengthExpand) ---
     ("q_varexpand",
       "MATCH (c:Customer)-[*1..2]->(x) RETURN c.c_custkey AS c_custkey, count(*) AS paths",

@@ -1034,11 +1034,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           // stays inside whole-stage codegen). -0.0 is not distinguished.
           val lc = compile(l).cast(DoubleType)
           val rc = compile(r).cast(DoubleType)
+          // NaN must be tested BEFORE the sign branches: Spark's ordering
+          // treats NaN as greater than every double, so `lc > 0.0` would
+          // send NaN/0.0 to +Infinity instead of NaN.
           when(rc === 0.0,
             when(lc.isNull, lit(null).cast(DoubleType))
+              .when(isnan(lc), lit(Double.NaN))
               .when(lc > 0.0, lit(Double.PositiveInfinity))
               .when(lc < 0.0, lit(Double.NegativeInfinity))
-              .otherwise(lit(Double.NaN))) // 0.0 or NaN numerator
+              .otherwise(lit(Double.NaN))) // 0.0 numerator
             .otherwise(lc / rc)
         case _ => compile(l) / compile(r)
       }
@@ -1681,7 +1685,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           }
           cmps.reduceRight((c, acc) => when(c =!= 0, c).otherwise(acc))
         })
-        transform(sorted, _.getField("v"))
+        val listed = transform(sorted, _.getField("v"))
+        // collect(DISTINCT x) after ORDER BY: Neo4j keeps first occurrence
+        // in sort order; array_distinct preserves first occurrence.
+        if (distinct) array_distinct(listed) else listed
       // Neo4j stDev/stDevP return 0 over fewer than two (resp. one)
       // non-null values; Spark's stddev returns null there — coalesce to
       // the Neo4j value (null only ever arises in exactly those cases).

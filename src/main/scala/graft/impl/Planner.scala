@@ -2485,9 +2485,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       // is fetch order, not sort order.
       val ordKey = ctx.ordSeq.filter(v => ctx.header.kinds.contains(v))
       def orderCollect(e: Expr): Expr = e match {
-        case FuncCall("collect", args, false) if ordKey.isDefined =>
+        case FuncCall("collect", args, dist) if ordKey.isDefined =>
+          // distinct=true keeps first occurrence in sort order (Neo4j):
+          // _collectordered sorts by the stamp, then array_distinct —
+          // which preserves the first occurrence — dedups.
           FuncCall("_collectordered",
-            Seq(args.head, Var(ordKey.get), StrLit("asc")), distinct = false)
+            Seq(args.head, Var(ordKey.get), StrLit("asc")), distinct = dist)
         case other => ExprOps.mapChildren(other, orderCollect)
       }
       indexed.filter { case (i, _) => compiler.hasAggregation(i.expr) }

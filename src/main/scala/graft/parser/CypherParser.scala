@@ -182,18 +182,62 @@ object CypherParser {
 
     // ---- query / clauses ----
     def parseQuery(): Query = {
-      val first = parseSingleQuery()
-      val rest = Seq.newBuilder[(Boolean, SingleQuery)]
-      while (tryKw("UNION")) {
-        val all = tryKw("ALL")
-        rest += ((all, parseSingleQuery()))
+      def unionQuery(): Query = {
+        val first = parseSingleQuery()
+        val rest = Seq.newBuilder[(Boolean, SingleQuery)]
+        while (tryKw("UNION")) {
+          val all = tryKw("ALL")
+          rest += ((all, parseSingleQuery()))
+        }
+        Query(first, rest.result())
+      }
+      def atNext: Boolean = peek match {
+        case Ident(s, _) if s.equalsIgnoreCase("NEXT") => true
+        case _ => false
+      }
+      var q = unionQuery()
+      // GQL / Cypher-2025 linear composition: `q1 NEXT q2 NEXT …` — each
+      // segment's RETURN columns become (exactly) the working table of
+      // the following segment. UNION binds tighter than NEXT. Desugared
+      // onto WITH (the re-scoping projection NEXT specifies); a UNION
+      // first segment plans as an uncorrelated CALL { } whose output
+      // rows seed the working table.
+      if (atNext) {
+        val segs = Seq.newBuilder[Query]
+        segs += q
+        while (atNext) { p += 1; segs += unionQuery() }
+        q = desugarNext(segs.result())
       }
       peek match {
         case Eof(_) =>
-        case Kw("UNION", _, _) =>
         case t => fail(s"unexpected trailing token $t")
       }
-      Query(first, rest.result())
+      q
+    }
+
+    private def desugarNext(segs: Seq[Query]): Query = {
+      val clauses = Seq.newBuilder[Clause]
+      segs.zipWithIndex.foreach { case (q, i) =>
+        val isLast = i == segs.size - 1
+        if (q.rest.nonEmpty) {
+          // A UNION segment evaluates whole-table; only the leading
+          // position has no incoming working table to thread through the
+          // arms, so only it is supported (as an uncorrelated CALL { }).
+          if (i != 0) fail(
+            "NEXT: a UNION segment is only supported in first position")
+          clauses += CallSubquery(q)
+        } else if (isLast) {
+          clauses ++= q.first.clauses
+        } else q.first.clauses.lastOption match {
+          case Some(r: Return) =>
+            clauses ++= q.first.clauses.init
+            clauses += With(r.distinct, r.star, r.items, r.orderBy,
+              r.skip, r.limit, None)
+          case _ => fail(
+            "NEXT: every segment except the last must end in RETURN")
+        }
+      }
+      Query(SingleQuery(clauses.result()), Seq.empty)
     }
 
     private def parseSingleQuery(): SingleQuery = {
