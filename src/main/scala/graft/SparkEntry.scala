@@ -122,6 +122,14 @@ object SparkEntry {
         FROM customer JOIN orders ON o_custkey = c_custkey
         GROUP BY c_nationkey HAVING sum(o_totalprice) > 1000000.0) t
         JOIN nation ON n_nationkey = nk""")),
+    // --- dynamic labels / relationship types in MATCH (Neo4j 5.26/2025,
+    //     round 11): runtime-resolved :$(expr) terms ---
+    ("q_dynamic_match",
+      "WITH 'Customer' AS lbl MATCH (c:$(lbl))-[r:$('PLACED')]->(o) " +
+        "RETURN c.c_mktsegment AS seg, count(*) AS n",
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
     // --- var-length expand (BoundedVarLengthExpand) ---
     ("q_varexpand",
       "MATCH (c:Customer)-[*1..2]->(x) RETURN c.c_custkey AS c_custkey, count(*) AS paths",

@@ -50,6 +50,16 @@ case class Contains(lhs: Expr, rhs: Expr) extends Expr
 case class RegexMatch(lhs: Expr, rhs: Expr) extends Expr
 /** `n:Person:Swedish` label predicate in expression position. */
 case class HasLabels(subject: Expr, labels: Seq[String]) extends Expr
+/** Dynamic label predicate `n:$(expr)` (Neo4j 5.26/2025): expr evaluates
+  * to a STRING (one label) or LIST<STRING> (conjunction). A null value
+  * matches nothing; an empty list is a vacuous constraint (any node). */
+case class HasDynLabels(subject: Expr, labels: Expr) extends Expr
+/** Dynamic relationship-type predicate `-[r:$(expr)]->` (Neo4j 5.26/2025):
+  * a STRING is one required type; a LIST<STRING> matches any of the listed
+  * types (a relationship carries exactly one type, so a list is a union).
+  * A null value matches nothing. negated = the `!$(expr)` form. */
+case class HasDynType(subject: Expr, typeExpr: Expr, negated: Boolean)
+    extends Expr
 
 // --- arithmetic ------------------------------------------------------------
 /** op one of + - * / % ^ */
@@ -117,12 +127,19 @@ case object LabelWildcard extends LabelExpr
 case class LabelAnd(l: LabelExpr, r: LabelExpr) extends LabelExpr
 case class LabelOr(l: LabelExpr, r: LabelExpr) extends LabelExpr
 case class LabelNot(e: LabelExpr) extends LabelExpr
+/** `:$(expr)` inside a MATCH node pattern — resolved at runtime, so the
+  * closed-world scan pruning treats it optimistically and a row filter
+  * (HasDynLabels) applies the real constraint. */
+case class LabelDynamic(expr: Expr) extends LabelExpr
 case class RelPattern(variable: Option[String], types: Seq[String],
     props: Seq[(String, Expr)], direction: Direction,
     varLength: Option[(Int, Option[Int])],
     // [r:!T1|T2]: traverse any type EXCEPT the listed ones (resolved to
     // the closed-world complement at planning).
     typesNegated: Boolean = false,
+    // [r:$(expr)] dynamic type (Neo4j 5.26/2025): runtime row filter over
+    // the any-type scan; (negated, expr).
+    dynType: Option[(Boolean, Expr)] = None,
     // GQL-style quantified path pattern: ((x)-[r:T]->(y) WHERE pred){m,n}.
     // The group plans as a var-length expand over the RESTRICTED edge set
     // the inner pattern + WHERE define; varLength carries the quantifier.

@@ -27,6 +27,8 @@ object ExprOps {
     case Contains(l, r) => Contains(f(l), f(r))
     case RegexMatch(l, r) => RegexMatch(f(l), f(r))
     case HasLabels(s, ls) => HasLabels(f(s), ls)
+    case HasDynLabels(s, l) => HasDynLabels(f(s), f(l))
+    case HasDynType(s, t, n) => HasDynType(f(s), f(t), n)
     case Arith(op, l, r) => Arith(op, f(l), f(r))
     case Neg(x) => Neg(f(x))
     case FuncCall(n, args, d) => FuncCall(n, args.map(f), d)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
-import scala.util.Random
+
 
 /** One-shot reproduction of the reference's id-encoding join
   * micro-benchmark (morpheus-jmh/.../JoinBenchmark.scala:38-110) to
@@ -38,38 +38,47 @@ object JoinEncodingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rnd = new Random(42)
+    // SCALE=1 is the reference's exact shape (110k x 20k). At that size
+    // the join is ~50 ms of real work under ~400 ms of fixed job overhead
+    // and run-to-run noise swamps the encodings; SCALE=100 (11M x 2M)
+    // makes the probe/build sides dominate and separates them. Inputs are
+    // generated DISTRIBUTED (spark.range + column transforms, never a
+    // driver-side List) so the large scale fits; random non-matching keys
+    // come from xxhash64 over disjoint ranges (hash outputs never land in
+    // the 10k*scale join window above 10^9 in practice — counts are
+    // asserted stable across runs, which would catch a collision).
+    import org.apache.spark.sql.functions._
+    val scale = sys.env.getOrElse("SCALE", "1").toInt
     val rangeStart = 1000000000L
-    val joinRange = (0 until 10000).map(_.toLong + rangeStart)
-    val leftData = List.fill(100000)(rnd.nextLong()) ++ joinRange
-    val rightData = List.fill(10000)(rnd.nextLong()) ++ joinRange
+    val joinN = 10000L * scale
+
+    def base(randomN: Long, seedTag: Int): DataFrame =
+      spark.range(randomN).select(
+          xxhash64(col("id"), lit(seedTag)).as(IdCol))
+        .unionAll(spark.range(rangeStart, rangeStart + joinN)
+          .select(col("id").as(IdCol)))
+    val leftBase = base(100000L * scale, 1)
+    val rightBase = base(10000L * scale, 2)
 
     def partitionAndCache(df: DataFrame): DataFrame = {
       val cached = df.repartition(10).persist(StorageLevel.MEMORY_ONLY)
       cached.count()
       cached
     }
-    def longToBytes(l: Long): Array[Byte] =
-      java.nio.ByteBuffer.allocate(8).putLong(l).array()
+    // Encodings as column transforms of the long id: array wrap, decimal
+    // string, big-endian 8-byte binary (hex round-trip), binary->string.
+    val longBytes = unhex(lpad(hex(col(IdCol)), 16, "0"))
+    val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("long", identity[DataFrame]),
+      ("array_long", _.select(array(col(IdCol)).as(IdCol))),
+      ("naive_string", _.select(col(IdCol).cast(StringType).as(IdCol))),
+      ("byte_array", _.select(longBytes.as(IdCol))),
+      ("binary_cast_string",
+        _.select(longBytes.cast(StringType).as(IdCol))))
 
-    import spark.implicits._
-    def longDf(d: List[Long]) = partitionAndCache(d.toDF(IdCol))
-    def arrDf(d: List[Long]) = partitionAndCache(d.map(Array(_)).toDF(IdCol))
-    def strDf(d: List[Long]) = partitionAndCache(d.map(_.toString).toDF(IdCol))
-    def binDf(d: List[Long]) = partitionAndCache(d.map(longToBytes).toDF(IdCol))
-    def binStrDf(d: List[Long]) = partitionAndCache(
-      d.map(longToBytes).toDF(IdCol)
-        .select(org.apache.spark.sql.functions.col(IdCol)
-          .cast(StringType).as(IdCol)))
-
-    val variants: Seq[(String, DataFrame, DataFrame)] = Seq(
-      ("long", longDf(leftData), longDf(rightData)),
-      ("array_long", arrDf(leftData), arrDf(rightData)),
-      ("naive_string", strDf(leftData), strDf(rightData)),
-      ("byte_array", binDf(leftData), binDf(rightData)),
-      ("binary_cast_string", binStrDf(leftData), binStrDf(rightData)))
-
-    val results = variants.map { case (name, l, r) =>
+    val results = variants.map { case (name, enc) =>
+      val l = partitionAndCache(enc(leftBase))
+      val r = partitionAndCache(enc(rightBase))
       def once(): (Long, Double) = {
         val t0 = System.nanoTime()
         val n = l.join(r, IdCol).count()
@@ -82,11 +91,12 @@ object JoinEncodingBench {
       val avg = runs.map(_._2).sum / Measured
       System.err.println(f"[join-bench] $name%-20s avg $avg%7.4f s  " +
         f"(count ${counts.head}%d)")
+      l.unpersist(); r.unpersist()
       name -> avg
     }
-    val base = results.head._2
+    val longAvg = results.head._2
     val js = results.map { case (n, v) =>
-      f""""$n":{"avg_sec":$v%.4f,"vs_long":${v / base}%.2f}"""
+      f""""$n":{"avg_sec":$v%.4f,"vs_long":${v / longAvg}%.2f}"""
     }.mkString(",")
     println(s"""{"bench":"join_id_encoding","warmup":$Warmup,""" +
       s""""measured":$Measured,$js}""")

@@ -476,7 +476,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
     case _: Cmp | _: Ands | _: Ors | _: Not | _: Xor | _: IsNull | _: In |
          _: IsTyped | _: IsNormalized | _: StartsWith | _: EndsWith | _: Contains |
-         _: RegexMatch | _: HasLabels | _: IterablePredicate =>
+         _: RegexMatch | _: HasLabels | _: HasDynLabels | _: HasDynType |
+         _: IterablePredicate =>
       Some(BooleanType)
     case _ => None
   }
@@ -960,6 +961,34 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
     case HasLabels(_, _) =>
       throw new CypherCompileException("label predicate on non-variable")
+    // Dynamic label predicate `n:$(expr)` (Neo4j 5.26/2025): a STRING is
+    // one required label, a LIST<STRING> a conjunction (all must be
+    // present). A null expr value matches nothing; an empty list is a
+    // vacuous constraint. Compiles to array ops over labels(n) — stays
+    // inside whole-stage codegen.
+    // Dynamic relationship type `-[r:$(expr)]->`: a STRING is one required
+    // type; a LIST<STRING> is a union (a rel carries exactly one type).
+    // null matches nothing, also under negation (Neo4j: null never
+    // satisfies a pattern predicate).
+    case HasDynType(sub, e, negated) =>
+      val tv = compile(FuncCall("type", Seq(sub), distinct = false))
+      val ev = compile(e)
+      val core = inferType(e) match {
+        case Some(ArrayType(_, _)) => array_contains(ev, tv)
+        case _ => tv === ev.cast(StringType)
+      }
+      F.coalesce(if (negated) !core else core, lit(false))
+    case HasDynLabels(sub, e) =>
+      val lv = compile(FuncCall("labels", Seq(sub), distinct = false))
+      val ev = compile(e)
+      inferType(e) match {
+        case Some(ArrayType(_, _)) =>
+          F.coalesce(forall(ev,
+            x => F.coalesce(array_contains(lv, x.cast(StringType)),
+              lit(false))), lit(false))
+        case _ =>
+          F.coalesce(array_contains(lv, ev.cast(StringType)), lit(false))
+      }
 
     // Duration algebra first: duration ± duration is fieldwise on the
     // (months, days, micros) normal form; scaling multiplies each group

@@ -589,7 +589,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private case class EdgeCons(v: String, src: String, tgt: String,
       types: Seq[String], props: Seq[(String, Expr)], dir: Direction,
       varLength: Option[(Int, Option[Int])],
-      qpp: Option[QppSpec] = None)
+      qpp: Option[QppSpec] = None,
+      dynType: Option[(Boolean, Expr)] = None)
 
   /** Path binding: (pathVar, headNodeVar, hops of (edge, isVarLength, node)). */
   private case class PathBind(v: String, head: String,
@@ -650,7 +651,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             if (c.isEmpty) Seq(graft.ast.RelPattern.NoneType) else c
           } else rp.types
         edges += EdgeCons(ev, cur, nxt,
-          effTypes, rp.props, rp.direction, rp.varLength, rp.qpp)
+          effTypes, rp.props, rp.direction, rp.varLength, rp.qpp,
+          rp.dynType)
         hops += ((ev, rp.varLength.isDefined, nxt))
         cur = nxt
       }
@@ -1570,6 +1572,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case LabelAnd(a, b) => evalLabelExpr(a, labels) && evalLabelExpr(b, labels)
       case LabelOr(a, b) => evalLabelExpr(a, labels) || evalLabelExpr(b, labels)
       case LabelNot(e) => !evalLabelExpr(e, labels)
+      // Runtime-resolved: cannot exclude a combo table at compile time.
+      // Optimistic here; nodeScanDf adds the HasDynLabels row filter.
+      case LabelDynamic(_) => true
     }
 
   /** A label expression as a boolean predicate over LabelSlot columns
@@ -1584,12 +1589,27 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     case LabelOr(a, b) =>
       Ors(Seq(labelExprPredicate(v, a), labelExprPredicate(v, b)))
     case LabelNot(e) => Not(labelExprPredicate(v, e))
+    case LabelDynamic(e) => HasDynLabels(Var(v), e)
+  }
+
+  private def hasDynLabel(le: LabelExpr): Boolean = le match {
+    case LabelDynamic(_) => true
+    case LabelAnd(a, b) => hasDynLabel(a) || hasDynLabel(b)
+    case LabelOr(a, b) => hasDynLabel(a) || hasDynLabel(b)
+    case LabelNot(e) => hasDynLabel(e)
+    case _ => false
   }
 
   private def nodeScanDf(nc: NodeCons): (DataFrame, RecordHeader, Seq[Expr]) = {
     val tables = nc.labelExpr match {
-      case Some(le) => graph.nodeScansFor(nc.labels)
+      // A dynamic term disables compile-time table pruning outright: an
+      // optimistic "true" would flip to pessimistic exclusion under a
+      // negation (:!$(e) must not drop every table). All combo tables
+      // scan; the runtime HasDynLabels filter applies the constraint and
+      // Catalyst pushes its deterministic parts into the scans.
+      case Some(le) if !hasDynLabel(le) => graph.nodeScansFor(nc.labels)
         .filter(t => evalLabelExpr(le, t.labels))
+      case Some(_) => graph.nodeScansFor(nc.labels)
       case None => graph.nodeScansFor(nc.labels)
     }
     val v = nc.v
@@ -1634,7 +1654,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         df = df.filter(compiler.compile(Cmp("=", Prop(Var(v), k), e)))
       }
     }
-    (df, header, deferred.map { case (k, e) => Cmp("=", Prop(Var(v), k), e): Expr })
+    // A dynamic label term could not exclude tables at compile time; its
+    // real constraint is a runtime row filter. Deferred (not applied to
+    // the bare scan) because the expression may reference outer scope
+    // (WITH 'A' AS l MATCH (n:$(l))).
+    val dynFilter = nc.labelExpr.filter(hasDynLabel)
+      .map(le => labelExprPredicate(nc.v, le))
+    (df, header,
+      deferred.map { case (k, e) => Cmp("=", Prop(Var(v), k), e): Expr } ++
+        dynFilter)
   }
 
   /** Apply scan filters that needed outer-scope variables. */
@@ -1689,7 +1717,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       (if (relSrc) "_s_" else "_t_") + k
 
   private def relScanDf(v: String, types: Seq[String],
-      props: Seq[(String, Expr)], undirected: Boolean)
+      props: Seq[(String, Expr)], undirected: Boolean,
+      dynType: Option[(Boolean, Expr)] = None)
       : (DataFrame, RecordHeader, Seq[Expr]) = {
     val tables = graph.relScansFor(types)
     val propTypes = unifyProps(tables.map(_.propTypes))
@@ -1759,7 +1788,22 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         df = df.filter(compiler.compile(Cmp("=", Prop(Var(v), k), e)))
       }
     }
-    (df, header, deferred.map { case (k, e) => Cmp("=", Prop(Var(v), k), e): Expr })
+    // Dynamic type `:$(expr)`: a self-contained expression filters the
+    // scan here (pushed into the per-type parquet scans by Catalyst); one
+    // referencing outer scope comes back deferred like outer-scope props.
+    var dynDeferred = Seq.empty[Expr]
+    dynType.foreach { case (neg, e) =>
+      val pred: Expr = HasDynType(Var(v), e, neg)
+      if (ExprOps.exists(e) { case Var(_) => true; case _ => false })
+        dynDeferred = Seq(pred)
+      else {
+        val compiler = new ExprCompiler(header, df.schema, params, Map.empty, extensions)
+        df = df.filter(compiler.compile(pred))
+      }
+    }
+    (df, header,
+      deferred.map { case (k, e) => Cmp("=", Prop(Var(v), k), e): Expr } ++
+        dynDeferred)
   }
 
   // --------------------------------------------------------------- expand
@@ -1859,7 +1903,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     }
     if (e.varLength.isDefined) return planVarLengthEdge(ctx, e, nodes, bound)
 
-    val (relDf, relHeader, relDeferred) = relScanDf(e.v, e.types, e.props, undirected)
+    val (relDf, relHeader, relDeferred) =
+      relScanDf(e.v, e.types, e.props, undirected, e.dynType)
     val (srcSideSlot, tgtSideSlot) =
       if (e.dir == INBOUND) (TgtSlot(e.v), SrcSlot(e.v))
       else (SrcSlot(e.v), TgtSlot(e.v))
@@ -2017,9 +2062,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case Some(spec) => val hb = qppHopBase(ctx0, spec); (hb, hb, false)
       case None =>
         val (relDf0, relHeader0, vlDeferred) =
-          relScanDf(rv, e.types, e.props, undirected)
+          relScanDf(rv, e.types, e.props, undirected, e.dynType)
         require(vlDeferred.isEmpty,
-          "var-length relationship properties cannot reference outer variables")
+          "var-length relationship properties/types cannot reference " +
+            "outer variables")
         val s0 = relHeader0.col(SrcSlot(rv))
         val t0 = relHeader0.col(TgtSlot(rv))
         val i0 = relHeader0.col(IdSlot(rv))

@@ -158,6 +158,11 @@ object CypherParser {
     private def eatKw(s: String): Unit =
       if (isKw(s)) p += 1 else fail(s"expected $s")
     private def tryKw(s: String): Boolean = if (isKw(s)) { p += 1; true } else false
+
+    /** After UNION: optional ALL, or the explicit GQL DISTINCT keyword
+      * (the default, so it parses to all=false). */
+    private def unionAll(): Boolean =
+      if (tryKw("ALL")) true else { tryKw("DISTINCT"); false }
     /** SKIP or its Cypher-5 synonym OFFSET (an Ident, not a keyword). */
     private def trySkipWord(): Boolean =
       if (isKw("SKIP")) { p += 1; true }
@@ -186,7 +191,7 @@ object CypherParser {
         val first = parseSingleQuery()
         val rest = Seq.newBuilder[(Boolean, SingleQuery)]
         while (tryKw("UNION")) {
-          val all = tryKw("ALL")
+          val all = unionAll()
           rest += ((all, parseSingleQuery()))
         }
         Query(first, rest.result())
@@ -832,7 +837,14 @@ object CypherParser {
     private def parseLabelTerm(): LabelExpr =
       if (tryPunct("!")) LabelNot(parseLabelTerm())
       else if (tryPunct("%")) LabelWildcard
-      else if (tryPunct("(")) {
+      else if (tryPunct("$")) {
+        // Dynamic label `:$(expr)` (Neo4j 5.26/2025): resolved at runtime
+        // as a row filter, so scan pruning stays optimistic.
+        eatPunct("(")
+        val e = parseExpr()
+        eatPunct(")")
+        LabelDynamic(e)
+      } else if (tryPunct("(")) {
         val e = parseLabelOr(); eatPunct(")"); e
       } else LabelAtom(ident())
 
@@ -874,6 +886,7 @@ object CypherParser {
       var variable: Option[String] = None
       var types = Seq.empty[String]
       var typesNegated = false
+      var dynType: Option[(Boolean, Expr)] = None
       var props = Seq.empty[(String, Expr)]
       var varLength: Option[(Int, Option[Int])] = None
       if (tryPunct("[")) {
@@ -882,6 +895,24 @@ object CypherParser {
           case _ =>
         }
         if (tryPunct(":")) {
+          // Dynamic type `:$(expr)` / `:!$(expr)` (Neo4j 5.26/2025) —
+          // runtime-resolved, so it cannot participate in the static
+          // type-expression reduction below; mixing it with | / &
+          // alternatives is rejected.
+          val dynNeg = (peek, peek2) match {
+            case (Punct("!", _), Punct("$", _)) => true
+            case _ => false
+          }
+          val isDyn = isPunct("$") || dynNeg
+          if (isDyn) {
+            if (dynNeg) p += 1
+            eatPunct("$"); eatPunct("(")
+            val e = parseExpr()
+            eatPunct(")")
+            if (isPunct("|") || isPunct("&")) fail(
+              "a dynamic relationship type cannot be combined with | or &")
+            dynType = Some((dynNeg, e))
+          } else {
           // Cypher-5 relationship type expression, flat form: alternatives
           // joined by | (union) or & (intersection), each optionally
           // negated. Negation is tracked PER ALTERNATIVE and the whole
@@ -926,6 +957,7 @@ object CypherParser {
             }
           types = ts
           typesNegated = neg
+          }
         }
         if (tryPunct("*")) {
           val loOpt = peek match {
@@ -958,7 +990,7 @@ object CypherParser {
       if (varLength.isEmpty && isPunct("+")) { p += 1; varLength = Some((1, None)) }
       else if (varLength.isEmpty && isPunct("*")) { p += 1; varLength = Some((0, None)) }
       RelPattern(variable, types, props, dir, varLength,
-        typesNegated = typesNegated)
+        typesNegated = typesNegated, dynType = dynType)
     }
 
     /** ((x)-[r:T]->(y) [WHERE pred]) followed by a quantifier. The group
@@ -975,7 +1007,7 @@ object CypherParser {
       eatPunct(")")
       val (lo, hi) = parseQuantifier()
       RelPattern(rel.variable, rel.types, rel.props, OUT, Some((lo, hi)),
-        qpp = Some(QppSpec(src, rel, dst, where)))
+        dynType = rel.dynType, qpp = Some(QppSpec(src, rel, dst, where)))
     }
 
     /** {m,n} | {m,} | {,n} | {n} | + | * */
@@ -1089,7 +1121,13 @@ object CypherParser {
           case Kw("IS", _, _) =>
             p += 1
             val negated = tryKw("NOT")
-            if (tryPunct("::")) e = IsTyped(e, parseTypeSpec(), negated)
+            // IS [NOT] TYPED <type> is the GQL keyword synonym of `::`.
+            val typed = tryPunct("::") || (peek match {
+              case Ident(s, _) if s.equalsIgnoreCase("TYPED") =>
+                p += 1; true
+              case _ => false
+            })
+            if (typed) e = IsTyped(e, parseTypeSpec(), negated)
             else parseNormalizedTail() match {
               case Some(form) => e = IsNormalized(e, form, negated)
               case None => eatKw("NULL"); e = IsNull(e, negated)
@@ -1204,7 +1242,7 @@ object CypherParser {
       val first = parseSingleQuery()
       val unions = Seq.newBuilder[(Boolean, SingleQuery)]
       while (tryKw("UNION")) {
-        val all = tryKw("ALL")
+        val all = unionAll()
         unions += ((all, parseSingleQuery()))
       }
       eatPunct("}")
@@ -1245,7 +1283,7 @@ object CypherParser {
             Seq.empty, None, None, None) +: sq.clauses)
         val unions = Seq.newBuilder[(Boolean, SingleQuery)]
         while (tryKw("UNION")) {
-          val all = tryKw("ALL")
+          val all = unionAll()
           unions += ((all, prependImports(parseSingleQuery())))
         }
         eatPunct("}")
@@ -1257,7 +1295,7 @@ object CypherParser {
         val first = parseSingleQuery()
         val unions = Seq.newBuilder[(Boolean, SingleQuery)]
         while (tryKw("UNION")) {
-          val all = tryKw("ALL")
+          val all = unionAll()
           unions += ((all, parseSingleQuery()))
         }
         eatPunct("}")

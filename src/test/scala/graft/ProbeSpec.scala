@@ -1,0 +1,24 @@
+package graft
+
+/** Scratch probe spec (not part of the TCK mirror): drives candidate
+  * syntax through the engine to find gaps. Scenarios that reveal real
+  * gaps get promoted to a numbered TckStyleSpec part; this file stays
+  * minimal between rounds (round-11 findings live in TckStyleSpec53). */
+class ProbeSpec extends TckScenarioBase {
+  import TckFixtures._
+
+  def g = graph(spark,
+    Seq(N(1, Set("A"), Map("name" -> "a", "num" -> 1))),
+    Seq.empty)
+
+  private var pc = 0
+  def probe(name: String, q: String): Unit = {
+    pc += 1
+    test(f"[$pc%03d] $name") {
+      val got = rowsOf(session.cypher(g, q))
+      info(s"$q => $got")
+    }
+  }
+
+  probe("smoke", "RETURN 1 AS x")
+}
