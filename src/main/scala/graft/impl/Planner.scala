@@ -621,6 +621,36 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * path" semantics instead of filter-the-chosen-path. */
   private var deferredShortest: Map[String, Set[String]] = Map.empty
 
+  /** Constant-fold a dynamic label/type term whose expression is already
+    * known at plan time (string/list literal, or a parameter — the main
+    * use of `:$()` is parameterized ingestion). Folding restores the full
+    * compile-time closed-world scan pruning a LabelDynamic otherwise
+    * disables; non-foldable expressions (outer-variable references, null
+    * or empty-list values) keep the runtime-filter path. */
+  private def planTimeStrings(e: Expr): Option[Seq[String]] = e match {
+    case StrLit(s) => Some(Seq(s))
+    case ListLit(items) if items.nonEmpty =>
+      val ss = items.collect { case StrLit(s) => s }
+      if (ss.size == items.size) Some(ss) else None
+    case Param(p) => params.get(p) match {
+      case Some(s: String) => Some(Seq(s))
+      case Some(xs: Seq[_]) if xs.nonEmpty && xs.forall(_.isInstanceOf[String]) =>
+        Some(xs.map(_.toString))
+      case _ => None
+    }
+    case _ => None
+  }
+  private def foldDynLabels(le: LabelExpr): LabelExpr = le match {
+    case LabelDynamic(e) => planTimeStrings(e) match {
+      case Some(ss) => ss.map(LabelAtom(_): LabelExpr).reduce(LabelAnd(_, _))
+      case None => le
+    }
+    case LabelAnd(a, b) => LabelAnd(foldDynLabels(a), foldDynLabels(b))
+    case LabelOr(a, b) => LabelOr(foldDynLabels(a), foldDynLabels(b))
+    case LabelNot(e) => LabelNot(foldDynLabels(e))
+    case other => other
+  }
+
   private def normalizePattern(pattern: Pattern): (Map[String, NodeCons], Seq[EdgeCons]) = {
     val nodes = mutable.LinkedHashMap.empty[String, NodeCons]
     val edges = mutable.ArrayBuffer.empty[EdgeCons]
@@ -628,9 +658,24 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     def addNode(np: NodePattern): String = {
       val v = np.variable.getOrElse(freshVar())
       val prev = nodes.getOrElse(v, NodeCons(v, Seq.empty, Seq.empty))
-      val le = (prev.labelExpr.toSeq ++ np.labelExpr.toSeq)
+      // Fold plan-time-known dynamic terms, then move a pure conjunction
+      // of atoms back onto the labels fast path (exact table pruning).
+      def conjAtoms(e: LabelExpr): Option[Seq[String]] = e match {
+        case LabelAtom(n) => Some(Seq(n))
+        case LabelAnd(a, b) =>
+          for (x <- conjAtoms(a); y <- conjAtoms(b)) yield x ++ y
+        case _ => None
+      }
+      val (npLabels, npLe) = np.labelExpr.map(foldDynLabels) match {
+        case Some(t) => conjAtoms(t) match {
+          case Some(atoms) => (np.labels ++ atoms, None)
+          case None => (np.labels, Some(t))
+        }
+        case None => (np.labels, None)
+      }
+      val le = (prev.labelExpr.toSeq ++ npLe.toSeq)
         .reduceOption(LabelAnd(_, _))
-      nodes(v) = NodeCons(v, (prev.labels ++ np.labels).distinct,
+      nodes(v) = NodeCons(v, (prev.labels ++ npLabels).distinct,
         prev.props ++ np.props, prev.copyOf.orElse(np.copyOf), le)
       v
     }
@@ -645,14 +690,24 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         // An EMPTY complement means "no type", which must NOT fall through
         // to the empty-list "any type" convention — substitute the
         // unmatchable sentinel so the scan yields zero rows.
+        // Fold a plan-time-known dynamic type to the static (types,
+        // negated) pair — a list is a UNION for rel types (a rel carries
+        // exactly one type) — so the typed scan pruning applies.
+        val (fTypes, fNeg, fDyn) = rp.dynType match {
+          case Some((neg, e)) => planTimeStrings(e) match {
+            case Some(ss) => (ss, neg, None)
+            case None => (rp.types, rp.typesNegated, rp.dynType)
+          }
+          case None => (rp.types, rp.typesNegated, None)
+        }
         val effTypes =
-          if (rp.typesNegated) {
-            val c = (graph.relTypes -- rp.types).toSeq.sorted
+          if (fNeg) {
+            val c = (graph.relTypes -- fTypes).toSeq.sorted
             if (c.isEmpty) Seq(graft.ast.RelPattern.NoneType) else c
-          } else rp.types
+          } else fTypes
         edges += EdgeCons(ev, cur, nxt,
           effTypes, rp.props, rp.direction, rp.varLength, rp.qpp,
-          rp.dynType)
+          fDyn)
         hops += ((ev, rp.varLength.isDefined, nxt))
         cur = nxt
       }

@@ -65,6 +65,38 @@ class TckStyleSpec53 extends TckScenarioBase {
     "MATCH (a)-[r:$('KNOWS')|LIKES]->(b) RETURN count(*) AS x",
     SyntaxError, InvalidSyntax)
 
+  // --- plan-time folding of literal/parameter dynamic terms ----------------
+  scenario("dynamic label from a parameter", g,
+    "MATCH (n:$($lbl)) RETURN count(*) AS x", value(2L),
+    params = Map("lbl" -> "B"))
+  scenario("dynamic label from a parameter list", g,
+    "MATCH (n:$($ls)) RETURN n.name AS x", value("ab"),
+    params = Map("ls" -> Seq("A", "B")))
+  scenario("dynamic rel type from a parameter", g,
+    "MATCH (a)-[r:$($t)]->(b) RETURN a.name AS x",
+    value("a"), params = Map("t" -> "KNOWS"))
+  test("[f1] literal dynamic label folds to a static scan (plan pruned)") {
+    // A plan-time-known label must restore exact closed-world table
+    // pruning: the scan of (:$('B')) must not union the A-only table —
+    // visible as the absence of A-only property columns in the plan's
+    // unioned scan (the Just-A node has a distinct synthetic shape here,
+    // so instead assert via row provenance: folding is semantics-checked
+    // above; this pins the NodeCons fast path by checking the compiled
+    // plan contains no HasDynLabels runtime filter artifacts).
+    val df = session.cypher(g, "MATCH (n:$('B')) RETURN n.num AS x")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("array_contains"),
+      s"literal dynamic label was not folded:\n$plan")
+  }
+  test("[f2] parameter dynamic rel type folds (no runtime type filter)") {
+    val df = session.cypher(g,
+      "MATCH (a)-[r:$($t)]->(b) RETURN count(*) AS x",
+      Map("t" -> "KNOWS"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("array_contains"),
+      s"parameter dynamic type was not folded:\n$plan")
+  }
+
   // --- UNION DISTINCT / IS TYPED -------------------------------------------
   scenario("UNION DISTINCT explicit keyword", g,
     "RETURN 1 AS x UNION DISTINCT RETURN 1 AS x", value(1L))
