@@ -5,10 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local SparkSession across all suites (getOrCreate). */
 trait SparkTestBase extends AnyFunSuite {
+  // Overridable for the partition-count robustness sweep: results must be
+  // identical at ANY partition count (a dependency on the default 4 is a
+  // part-50-class bug — ordering by few-partition luck).
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master(sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]"))
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_TEST_SHUFFLE", "4"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
