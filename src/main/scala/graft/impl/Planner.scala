@@ -2493,9 +2493,31 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           e -> RecordHeader.colName(ValueSlot(alias.getOrElse(displayName(ReturnItem(e, alias)))))
       }.toMap
       var ctx2 = Ctx(df, ctx.header ++ newHeader) // old scope visible for ORDER BY
+      // WITH DISTINCT under a LIVE order stamp (an upstream WITH … ORDER
+      // BY whose sort this projection would otherwise erase): dedup via
+      // groupBy + min(stamp) instead of dropDuplicates, so the distinct
+      // rows keep their first-occurrence rank and a downstream collect()
+      // still returns them in sort order (Neo4j: DISTINCT preserves the
+      // incoming order of first occurrences). A plain dropDuplicates is
+      // only order-preserving by few-partition luck — same class as the
+      // part-50 collect bug.
+      var preservedSeq: Option[String] = None
       if (distinct) {
-        ctx2 = Ctx(ctx2.df.select(keepCols.map(col): _*).dropDuplicates(),
-          newHeader)
+        val liveStamp = ctx.ordSeq.filter(v => ctx.header.kinds.contains(v))
+        liveStamp match {
+          case Some(sv) if orderBy2.isEmpty =>
+            val sName = RecordHeader.colName(ValueSlot(sv))
+            val nv = freshVar()
+            val nName = RecordHeader.colName(ValueSlot(nv))
+            val dd = ctx2.df.groupBy(keepCols.map(col): _*)
+              .agg(min(col(sName)).as(nName))
+            ctx2 = Ctx(dd,
+              newHeader.withSlot(ValueSlot(nv)).withVar(nv, ValueKind))
+            preservedSeq = Some(nv)
+          case _ =>
+            ctx2 = Ctx(ctx2.df.select(keepCols.map(col): _*).dropDuplicates(),
+              newHeader)
+        }
       }
       where.foreach { w => ctx2 = applyWhere(ctx2, w) }
       ctx2 = applyOrderSkipLimit(ctx2, orderBy2, skip, limit, aliasMap)
@@ -2516,9 +2538,19 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         (Ctx(finalDf,
           newHeader.withSlot(ValueSlot(seqVar)).withVar(seqVar, ValueKind),
           ordSeq = Some(seqVar)), outs.result())
-      } else {
-        val finalDf = ctx2.df.select(keepCols.map(col): _*)
-        (Ctx(finalDf, newHeader), outs.result())
+      } else preservedSeq match {
+        case Some(nv) =>
+          // Carry the preserved first-occurrence stamp forward so a later
+          // collect() can order by it; it rides as an anonymous value var
+          // like the stampOrder marker above.
+          val nName = RecordHeader.colName(ValueSlot(nv))
+          val finalDf = ctx2.df.select((keepCols :+ nName).map(col): _*)
+          (Ctx(finalDf,
+            newHeader.withSlot(ValueSlot(nv)).withVar(nv, ValueKind),
+            ordSeq = Some(nv)), outs.result())
+        case None =>
+          val finalDf = ctx2.df.select(keepCols.map(col): _*)
+          (Ctx(finalDf, newHeader), outs.result())
       }
     } else {
       // Aggregation: non-aggregate items are grouping keys

@@ -44,6 +44,21 @@ class TckStyleSpec51 extends TckScenarioBase {
     "UNWIND [3, null, 1, null, 3] AS v WITH v ORDER BY v " +
       "RETURN collect(DISTINCT v) AS x", value(Seq(1L, 3L)))
 
+  // --- WITH DISTINCT preserves first-occurrence order under a live stamp --
+  scenario("WITH DISTINCT after ORDER BY keeps first-occurrence order " +
+      "for a later collect", g,
+    "UNWIND range(1, 20000) AS v WITH v % 97 AS m, v ORDER BY v DESC " +
+      "WITH DISTINCT m RETURN collect(m)[0] AS x", value(20000L % 97))
+  scenario("COLLECT subquery: ORDER BY then RETURN DISTINCT is sorted", g,
+    "RETURN COLLECT { UNWIND [3, 1, 3, 2] AS v WITH v ORDER BY v " +
+      "RETURN DISTINCT v } AS x", value(Seq(1L, 2L, 3L)))
+  scenario("WITH DISTINCT under stamp at 20k rows end to end", g,
+    "UNWIND range(1, 20000) AS v WITH v % 101 AS m, v ORDER BY v " +
+      "WITH DISTINCT m WITH collect(m) AS xs " +
+      // v=1..101 first hits residues 1..100 then 0, in that order.
+      "RETURN xs[0] AS a, xs[99] AS b, xs[100] AS c, size(xs) AS n",
+    rows(Map("a" -> 1L, "b" -> 100L, "c" -> 0L, "n" -> 101L)))
+
   // --- unit-body write visibility (documented deviation) -----------------
   lazy val g3 = graph(spark,
     Seq(
