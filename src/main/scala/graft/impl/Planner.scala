@@ -3127,7 +3127,55 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
     }
 
-  private def planCreate(ctx0: Ctx, pattern: Pattern): Ctx = {
+  /** Fold plan-time-known dynamic labels/types in a WRITE pattern
+    * (CREATE/MERGE accept `:$(literal-or-parameter)`, Neo4j 5.26 dynamic
+    * writes — same stance as SET/REMOVE's dynamic keys: compile-time
+    * strings only, since the columnar write plan fixes its label/type
+    * set). A row-dependent dynamic term is classified unsupported; a
+    * non-dynamic label EXPRESSION falls through to rejectLabelExprs. */
+  private def foldWriteDynPattern(parts: Seq[PatternPart],
+      clause: String): Seq[PatternPart] = {
+    def conj(e: LabelExpr): Option[Seq[String]] = e match {
+      case LabelAtom(n) => Some(Seq(n))
+      case LabelAnd(a, b) => for (x <- conj(a); y <- conj(b)) yield x ++ y
+      case _ => None
+    }
+    def foldN(np: NodePattern): NodePattern = np.labelExpr match {
+      case Some(le) =>
+        val f = foldDynLabels(le)
+        conj(f) match {
+          case Some(atoms) =>
+            np.copy(labels = (np.labels ++ atoms).distinct, labelExpr = None)
+          case None if hasDynLabel(f) => throw new CypherCompileException(
+            s"dynamic labels in $clause must be string literals or " +
+              "parameters (known at plan time)",
+            CE.SyntaxError, CE.UnsupportedExpression)
+          case None => np
+        }
+      case None => np
+    }
+    def foldR(rp: RelPattern): RelPattern = rp.dynType match {
+      case Some((false, e)) => planTimeStrings(e) match {
+        case Some(ss) => rp.copy(types = (rp.types ++ ss).distinct,
+          dynType = None)
+        case None => throw new CypherCompileException(
+          s"dynamic relationship types in $clause must be string literals " +
+            "or parameters (known at plan time)",
+          CE.SyntaxError, CE.UnsupportedExpression)
+      }
+      case Some((true, _)) => throw new CypherCompileException(
+        s"a negated dynamic relationship type cannot be used in $clause",
+        CE.SyntaxError, CE.InvalidArgumentType)
+      case None => rp
+    }
+    parts.map { part =>
+      part.copy(head = foldN(part.head),
+        tail = part.tail.map { case (rp, np) => (foldR(rp), foldN(np)) })
+    }
+  }
+
+  private def planCreate(ctx0: Ctx, pattern0: Pattern): Ctx = {
+    val pattern = Pattern(foldWriteDynPattern(pattern0.parts, "CREATE"))
     rejectLabelExprs(pattern.parts, "CREATE")
     beginWrites()
     val (nodes, edges) = normalizePattern(pattern)
@@ -3556,9 +3604,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * unmatched row binds to it (Neo4j's row-sequential MERGE converges to
     * the same state). */
   private def planMerge(ctx0: Ctx, m: Merge): Ctx = {
-    rejectLabelExprs(Seq(m.part), "MERGE")
+    val foldedPart = foldWriteDynPattern(Seq(m.part), "MERGE").head
+    rejectLabelExprs(Seq(foldedPart), "MERGE")
     beginWrites()
-    val (nodes, edges) = normalizePattern(Pattern(Seq(m.part)))
+    val (nodes, edges) = normalizePattern(Pattern(Seq(foldedPart)))
     val createdMark = "_w_created"
     var ctx = ctx0
 
@@ -3573,14 +3622,32 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         ctx = Ctx(ctx.df.withColumn(cn, ctx.compiler.compile(e)), ctx.header)
         cn
       }
-      // Candidates: every node whose labels cover the pattern's.
-      val cands = wNodes.filter(t => nc.labels.toSet.subsetOf(t.labels))
+      // Candidates: every node whose labels cover the pattern's. The scan
+      // carries the node's FULL property and label sets, not just the
+      // merge keys: a MATCHED node must bind complete (RETURN n.other and
+      // labels(n) read the stored node, exactly like a MATCH binding) —
+      // previously only pattern props/labels were bound and everything
+      // else silently read null.
+      val candTables = wNodes.filter(t => nc.labels.toSet.subsetOf(t.labels))
+      val candProps = unifyProps(candTables.map(_.propTypes))
+      val candPropKeys = candProps.keys.toSeq.sorted
+      val candLabels = (candTables.flatMap(_.labels).toSet ++ nc.labels)
+        .toSeq.sorted
+      val cands = candTables
         .map { t =>
-          val sel = col(ID).as("_wm_id") +: keys.zipWithIndex.map {
-            case (k, i) =>
+          val sel = col(ID).as("_wm_id") +:
+            (keys.zipWithIndex.map { case (k, i) =>
               (if (t.propTypes.contains(k)) col(propCol(k)) else lit(null))
                 .as(s"_wm_c$i")
-          }
+            } ++
+            candPropKeys.zipWithIndex.map { case (k, i) =>
+              (if (t.propTypes.contains(k))
+                col(propCol(k)).cast(candProps(k))
+              else lit(null).cast(candProps(k))).as(s"_wm_p$i")
+            } ++
+            candLabels.zipWithIndex.map { case (l, i) =>
+              lit(t.labels.contains(l)).as(s"_wm_l$i")
+            })
           t.df.select(sel: _*)
         }
         .reduceOption(_.unionByName(_))
@@ -3590,7 +3657,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             col(kc) === col(s"_wm_c$i")
           }.reduceOption(_ && _).getOrElse(lit(true))
           ctx.df.join(c, cond, "left").drop(keys.indices.map(i => s"_wm_c$i"): _*)
-        case None => ctx.df.withColumn("_wm_id", lit(null).cast(LongType))
+        case None =>
+          // No candidate table: every row creates. The full-binding
+          // columns below still read _wm_p/_wm_l, so provide them null.
+          var d = ctx.df.withColumn("_wm_id", lit(null).cast(LongType))
+          candPropKeys.zipWithIndex.foreach { case (k, i) =>
+            d = d.withColumn(s"_wm_p$i", lit(null).cast(candProps(k)))
+          }
+          candLabels.indices.foreach { i =>
+            d = d.withColumn(s"_wm_l$i", lit(null).cast(BooleanType))
+          }
+          d
       }
       // One fresh node per distinct unmatched key combination.
       val varIdx = nextWriteVarIdx()
@@ -3627,22 +3704,43 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         .withColumn(RecordHeader.colName(idSlot),
           coalesce(col("_wm_id"), col("_wm_nid")))
         .withColumn(createdMark, col("_wm_id").isNull)
-        .drop("_wm_id", "_wm_nid")
-        .drop(keyCols: _*)
       var header = ctx.header.withSlot(idSlot)
         .withVar(nc.v, NodeKind(nc.labels.toSet))
-      nc.labels.foreach { l =>
+      // Full binding (a MATCHED node behaves exactly like a MATCH binding):
+      // every label a candidate table carries, from the scan for matched
+      // rows and the pattern set for created ones.
+      candLabels.zipWithIndex.foreach { case (l, i) =>
         val s = LabelSlot(nc.v, l)
-        df = df.withColumn(RecordHeader.colName(s), lit(true))
-        header = header.withSlot(s)
-      }
-      nc.props.foreach { case (k, e) =>
-        val s = PropSlot(nc.v, k)
         df = df.withColumn(RecordHeader.colName(s),
-          new ExprCompiler(header, df.schema, params, Map.empty, extensions)
-            .compile(e))
+          when(col(createdMark), lit(nc.labels.contains(l)))
+            .otherwise(coalesce(col(s"_wm_l$i"), lit(false))))
         header = header.withSlot(s)
       }
+      // Every property a candidate table carries: stored value for matched
+      // rows; for created rows the merge-key value (or null off-key).
+      val keyIdx = keys.zipWithIndex.toMap
+      candPropKeys.zipWithIndex.foreach { case (k, i) =>
+        val s = PropSlot(nc.v, k)
+        val onCreate = keyIdx.get(k) match {
+          case Some(ki) => col(s"_wm_k$ki").cast(candProps(k))
+          case None => lit(null).cast(candProps(k))
+        }
+        df = df.withColumn(RecordHeader.colName(s),
+          when(col(createdMark), onCreate).otherwise(col(s"_wm_p$i")))
+        header = header.withSlot(s)
+      }
+      // Merge keys no candidate table carries (a brand-new property).
+      keys.zipWithIndex.filterNot { case (k, _) => candProps.contains(k) }
+        .foreach { case (k, ki) =>
+          val s = PropSlot(nc.v, k)
+          df = df.withColumn(RecordHeader.colName(s),
+            when(col(createdMark), col(s"_wm_k$ki")))
+          header = header.withSlot(s)
+        }
+      df = df.drop("_wm_id", "_wm_nid")
+        .drop(keyCols: _*)
+        .drop(candPropKeys.indices.map(i => s"_wm_p$i"): _*)
+        .drop(candLabels.indices.map(i => s"_wm_l$i"): _*)
       ctx = Ctx(df, header)
     } else {
       edges.foreach { e =>
@@ -3682,12 +3780,21 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
       val srcCol = col(ctx.header.col(IdSlot(srcV)))
       val tgtCol = col(ctx.header.col(IdSlot(tgtV)))
-      val cands = wRels.filter(_.relType == e.types.head).map { t =>
+      // Candidate rels carry their FULL property set: a MATCHED
+      // relationship must bind complete (RETURN r.other reads the stored
+      // value), exactly like the node-merge branch above.
+      val candTables = wRels.filter(_.relType == e.types.head)
+      val candProps = unifyProps(candTables.map(_.propTypes))
+      val candPropKeys = candProps.keys.toSeq.sorted
+      val cands = candTables.map { t =>
         t.df.select(col(ID).as("_wm_id") +: col(SRC).as("_wm_s") +:
-          col(TGT).as("_wm_t") +: keys.zipWithIndex.map { case (k, i) =>
+          col(TGT).as("_wm_t") +: (keys.zipWithIndex.map { case (k, i) =>
             (if (t.propTypes.contains(k)) col(propCol(k)) else lit(null))
               .as(s"_wm_c$i")
-          }: _*)
+          } ++ candPropKeys.zipWithIndex.map { case (k, i) =>
+            (if (t.propTypes.contains(k)) col(propCol(k)).cast(candProps(k))
+             else lit(null).cast(candProps(k))).as(s"_wm_p$i")
+          }): _*)
       }.reduceOption(_.unionByName(_))
       // Undirected MERGE (bound endpoints): match the stored relationship
       // in EITHER direction; the created one (no match) runs left-to-right
@@ -3707,10 +3814,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             }.foldLeft(lit(true))(_ && _)
           ctx.df.join(c, cond, "left")
             .drop(keys.indices.map(i => s"_wm_c$i"): _*)
-        case None => ctx.df
-          .withColumn("_wm_id", lit(null).cast(LongType))
-          .withColumn("_wm_s", lit(null).cast(LongType))
-          .withColumn("_wm_t", lit(null).cast(LongType))
+        case None =>
+          var d = ctx.df
+            .withColumn("_wm_id", lit(null).cast(LongType))
+            .withColumn("_wm_s", lit(null).cast(LongType))
+            .withColumn("_wm_t", lit(null).cast(LongType))
+          candPropKeys.zipWithIndex.foreach { case (k, i) =>
+            d = d.withColumn(s"_wm_p$i", lit(null).cast(candProps(k)))
+          }
+          d
       }
       val varIdx = nextWriteVarIdx()
       val srcName = ctx.header.col(IdSlot(srcV))
@@ -3760,13 +3872,30 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       var header = ctx.header
         .withSlots(Seq(idSlot, srcSlot, tgtSlot, typeSlot))
         .withVar(e.v, RelKind(e.types.toSet))
-      e.props.foreach { case (k, ex) =>
-        val s = PropSlot(e.v, k)
-        df = df.withColumn(RecordHeader.colName(s),
-          new ExprCompiler(header, df.schema, params, Map.empty, extensions)
-            .compile(ex))
-        header = header.withSlot(s)
+      // Full property binding: every prop a candidate table carries reads
+      // the stored value on matched rows; created rows take the merge-key
+      // value (or null off-key). Key exprs are recompiled per row since
+      // they may reference outer variables.
+      val keyExpr = e.props.toMap
+      def keyVal(k: String): Column =
+        new ExprCompiler(header, df.schema, params, Map.empty, extensions)
+          .compile(keyExpr(k))
+      candPropKeys.zipWithIndex.foreach { case (k, i) =>
+        val sl = PropSlot(e.v, k)
+        val onCreate =
+          if (keyExpr.contains(k)) keyVal(k).cast(candProps(k))
+          else lit(null).cast(candProps(k))
+        df = df.withColumn(RecordHeader.colName(sl),
+          when(col(createdMark), onCreate).otherwise(col(s"_wm_p$i")))
+        header = header.withSlot(sl)
       }
+      keys.filterNot(candProps.contains).foreach { k =>
+        val sl = PropSlot(e.v, k)
+        df = df.withColumn(RecordHeader.colName(sl),
+          when(col(createdMark), keyVal(k)))
+        header = header.withSlot(sl)
+      }
+      df = df.drop(candPropKeys.indices.map(i => s"_wm_p$i"): _*)
       ctx = Ctx(df, header)
       }
     }
