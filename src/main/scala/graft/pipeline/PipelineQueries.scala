@@ -485,6 +485,27 @@ object PipelineQueries {
       events(s, dir).select(
           from_json(col("props"), propsSchema).getField("k").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+    // --- streaming: the windowed-count pipeline run END TO END through
+    //     Structured Streaming (file stream -> watermark -> tumbling
+    //     window -> memory sink, processAllAvailable) and checked against
+    //     the batch SQL oracle — streaming was previously spec-only. On a
+    //     bounded replay all data is on time, so the streaming result must
+    //     equal the batch aggregation exactly.
+    "q_stream_window" -> ((s, dir) => {
+      import graft.streaming.GraftStreaming
+      // File streams read DIRECTORIES; stage the single parquet into one.
+      val staged = java.nio.file.Files.createTempDirectory("graft_qsw")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("part-0.parquet"))
+      val stream = GraftStreaming.eventsStream(s, staged.toString)
+      val counts = GraftStreaming.windowedCounts(stream, "1 hour", "2 hours")
+      val sink = "q_stream_window_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      GraftStreaming.runToMemorySink(counts, sink, outputMode = "complete")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), round(col("total"), 4).as("total"))
+    }),
     // --- as-of join: each click matched to the user's most recent view ---
     "q_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1573,6 +1594,10 @@ object PipelineQueries {
     "q_events_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
          FROM events GROUP BY 1""",
+    "q_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+         FROM events GROUP BY 1, 2""",
     // DuckDB's native ASOF JOIN is the independent formulation of the
     // engine's union-sweep window (inclusive: v.ts <= c.ts). The data has
     // no duplicate (user_id, ts), so the match is unique and event_id-
