@@ -506,6 +506,26 @@ object PipelineQueries {
         .select(col("window.start").as("ws"), col("event_type"),
           col("n"), round(col("total"), 4).as("total"))
     }),
+    // --- streaming sessionization: the flatMapGroupsWithState custom-state
+    //     path, end to end. Only CLOSED sessions are emitted (the last open
+    //     session per user stays in state on a bounded replay), so the
+    //     oracle computes gap-based sessions and drops each user's last.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import graft.streaming.GraftStreaming
+      val staged = java.nio.file.Files.createTempDirectory("graft_qss")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("part-0.parquet"))
+      val stream = GraftStreaming.eventsStream(s, staged.toString)
+      val sessions = GraftStreaming.sessionize(stream,
+        gapMs = 12L * 3600 * 1000)
+      val sink = "q_stream_sessionize_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      GraftStreaming.runToMemorySink(sessions.toDF(), sink)
+        .select(col("user_id"), col("startTs").as("start_ts"),
+          col("endTs").as("end_ts"), col("n_events"),
+          round(col("total_value"), 4).as("tv"))
+    }),
     // --- as-of join: each click matched to the user's most recent view ---
     "q_asof_join" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1598,6 +1618,21 @@ object PipelineQueries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
            count(*) AS n, round(sum(value), 4) AS total
          FROM events GROUP BY 1, 2""",
+    "q_stream_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 43200000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events),
+         y AS (SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x),
+         sess AS (SELECT user_id, sid, CAST(min(ts) AS TIMESTAMP) AS start_ts,
+             CAST(max(ts) AS TIMESTAMP) AS end_ts,
+             count(*) AS n_events, round(sum(value), 4) AS tv
+           FROM y GROUP BY 1, 2)
+         SELECT user_id, start_ts, end_ts, n_events, tv FROM sess s
+         WHERE sid < (SELECT max(sid) FROM sess s2 WHERE s2.user_id = s.user_id)""",
     // DuckDB's native ASOF JOIN is the independent formulation of the
     // engine's union-sweep window (inclusive: v.ts <= c.ts). The data has
     // no duplicate (user_id, ts), so the match is unique and event_id-

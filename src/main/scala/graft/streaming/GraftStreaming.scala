@@ -123,25 +123,33 @@ object GraftStreaming {
       : Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // MICROSECOND precision throughout: Timestamp.getTime is
+    // millisecond-truncating, which silently shaved the sub-ms part off
+    // session boundaries (caught by the q_stream_sessionize oracle).
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def tsOf(u: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(u, 1000000L), Math.floorMod(u, 1000000L) * 1000L))
+    val gapUs = gapMs * 1000L
     events.select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[SessionEvent],
             state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val sorted = rows.toSeq.sortBy(e => us(e.ts))
           var cur = state.getOption
           val closed = Seq.newBuilder[UserSession]
           sorted.foreach { ev =>
-            val t = ev.ts.getTime
+            val t = us(ev.ts)
             cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
+              case Some(s) if t - s.lastTs <= gapUs =>
                 cur = Some(s.copy(lastTs = t, n = s.n + 1,
                   total = s.total + ev.value))
               case Some(s) =>
-                closed += UserSession(userId,
-                  new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.lastTs), s.n, s.total)
+                closed += UserSession(userId, tsOf(s.start), tsOf(s.lastTs),
+                  s.n, s.total)
                 cur = Some(SessionState(t, t, 1, ev.value))
               case None =>
                 cur = Some(SessionState(t, t, 1, ev.value))
