@@ -130,6 +130,29 @@ object SparkEntry {
       Some("""SELECT c_mktsegment AS seg, count(*) AS n
         FROM customer JOIN orders ON o_custkey = c_custkey
         GROUP BY c_mktsegment""")),
+    // --- spatial POINT (beyond-reference, round 11): constructor,
+    //     accessors, cartesian + WGS-84 distance (haversine, IUGG mean
+    //     radius 6371008.8 m — the oracle replicates the formula) ---
+    ("q_point",
+      "MATCH (n:Nation) " +
+        "WITH n, point({x: toFloat(n.n_nationkey), " +
+        "y: toFloat(n.n_regionkey)}) AS pc, " +
+        "point({longitude: toFloat(n.n_nationkey), " +
+        "latitude: toFloat(n.n_regionkey)}) AS pg " +
+        "RETURN n.n_nationkey AS nk, " +
+        "round(point.distance(pc, point({x: 0.0, y: 0.0})), 4) AS dc, " +
+        "round(point.distance(pg, " +
+        "point({longitude: 0.0, latitude: 0.0})), 4) AS dg, " +
+        "pc.srid AS sc, pg.crs AS cg",
+      Some("""SELECT n_nationkey AS nk,
+        round(sqrt(n_nationkey * n_nationkey
+          + n_regionkey * n_regionkey), 4) AS dc,
+        round(2 * 6371008.8 * asin(sqrt(
+          pow(sin(radians(n_regionkey) / 2), 2)
+          + cos(0) * cos(radians(n_regionkey))
+            * pow(sin(radians(n_nationkey) / 2), 2))), 4) AS dg,
+        7203 AS sc, 'wgs-84' AS cg
+        FROM nation""")),
     // --- var-length expand (BoundedVarLengthExpand) ---
     ("q_varexpand",
       "MATCH (c:Customer)-[*1..2]->(x) RETURN c.c_custkey AS c_custkey, count(*) AS paths",

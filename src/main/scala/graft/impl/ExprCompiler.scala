@@ -88,6 +88,13 @@ object ExprCompiler {
     }
   }
 
+  /** POINT normal form (beyond-reference; 2D only): (x, y, srid) with
+    * Neo4j's CRS codes — srid 7203 = cartesian-2D, 4326 = WGS-84-2D.
+    * Struct equality gives point equality (same CRS + coordinates). */
+  val pointType: StructType = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType),
+    StructField("srid", IntegerType)))
+
   /** The (months, days, micros) duration normal form's Spark type. */
   val durationType: StructType = StructType(Seq(
     StructField("months", LongType), StructField("days", LongType),
@@ -405,6 +412,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "btrim" => Some(StringType)
       case "vector.similarity.cosine" | "vector.similarity.euclidean" =>
         Some(DoubleType)
+      case "point" => Some(ExprCompiler.pointType)
+      case "point.distance" => Some(DoubleType)
+      case "point.withinbbox" => Some(BooleanType)
       case "tofloat" | "avg" | "sqrt" | "exp" | "log" | "log10" | "sin" |
            "cos" | "tan" | "asin" | "acos" | "atan" | "atan2" | "degrees" |
            "radians" | "rand" | "pi" | "e" | "stdev" | "stdevp" |
@@ -1571,6 +1581,26 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case other =>
             localTimeAccessor(c.getField("_tutc") + os * 1000000L, other)
         }
+      // POINT accessors: x/y/srid direct; crs derived from srid;
+      // longitude/latitude only defined on WGS-84 (null on cartesian —
+      // Neo4j raises; the engine-wide non-ANSI analogue, documented).
+      case Some(st: StructType)
+          if st.fieldNames.toSeq == Seq("x", "y", "srid") =>
+        k.toLowerCase match {
+          case "x" => c.getField("x")
+          case "y" => c.getField("y")
+          case "srid" => c.getField("srid").cast(LongType)
+          case "crs" => when(c.isNull, lit(null))
+            .when(c.getField("srid") === 4326, lit("wgs-84"))
+            .otherwise(lit("cartesian"))
+          case "longitude" =>
+            when(c.getField("srid") === 4326, c.getField("x"))
+          case "latitude" =>
+            when(c.getField("srid") === 4326, c.getField("y"))
+          case other => throw new CypherCompileException(
+            s"unknown point accessor $other",
+            CE.ArgumentError, CE.InvalidArgumentValue)
+        }
       // Missing key on a struct-backed map is null (Cypher map semantics);
       // getField on an absent field would fail analysis instead.
       case Some(st: StructType) =>
@@ -1999,6 +2029,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           // naive local form with no zone suffix.
           case Some(TimestampType) | Some(TimestampNTZType) =>
             translate(a0.cast(StringType), " ", "T")
+          // Neo4j point rendering: point({srid:4326, x:1.0, y:2.0}).
+          case Some(st: StructType)
+              if st.fieldNames.toSeq == Seq("x", "y", "srid") =>
+            when(a0.isNull, lit(null)).otherwise(concat(
+              lit("point({srid:"), a0.getField("srid").cast(StringType),
+              lit(", x:"), a0.getField("x").cast(StringType),
+              lit(", y:"), a0.getField("y").cast(StringType), lit("})")))
           case _ => a0.cast(StringType)
         }
 
@@ -2094,6 +2131,87 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           zip_with(a0, a1, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v)
         lit(1.0) / (lit(1.0) + d2)
+
+      // ---- spatial POINT (beyond-reference; Neo4j's point type, 2D) ----
+      // Representation: (x, y, srid) struct — see ExprCompiler.pointType.
+      // 3D is rejected; null coordinates make the whole point null (the
+      // engine-wide non-ANSI stance).
+      case "point" => args(0) match {
+        case NullLit => lit(null).cast(ExprCompiler.pointType)
+        case MapLit(items) =>
+          val m = items.map { case (k, v) => k.toLowerCase -> v }.toMap
+          if (m.contains("z") || m.contains("height"))
+            throw new CypherCompileException(
+              "3D points are not supported (2D cartesian / WGS-84 only)",
+              CE.ArgumentError, CE.InvalidArgumentValue)
+          val extra = m.keySet --
+            Set("x", "y", "longitude", "latitude", "crs", "srid")
+          if (extra.nonEmpty) throw new CypherCompileException(
+            s"unknown point component(s): ${extra.toSeq.sorted.mkString(", ")}",
+            CE.ArgumentError, CE.InvalidArgumentValue)
+          val geoKeys = m.contains("longitude") || m.contains("latitude")
+          val srid: Column = (m.get("srid"), m.get("crs")) match {
+            case (Some(e), _) => compile(e).cast(IntegerType)
+            case (_, Some(StrLit(c))) => c.toLowerCase match {
+              case "cartesian" => lit(7203)
+              case "wgs-84" | "wgs84" => lit(4326)
+              case other => throw new CypherCompileException(
+                s"unknown CRS '$other' (cartesian or wgs-84)",
+                CE.ArgumentError, CE.InvalidArgumentValue)
+            }
+            case (_, Some(_)) => throw new CypherCompileException(
+              "point() crs must be a string literal",
+              CE.SyntaxError, CE.UnsupportedExpression)
+            case _ => if (geoKeys) lit(4326) else lit(7203)
+          }
+          val xe = m.get("x").orElse(m.get("longitude"))
+          val ye = m.get("y").orElse(m.get("latitude"))
+          if (xe.isEmpty || ye.isEmpty) throw new CypherCompileException(
+            "point() needs x/y or longitude/latitude components",
+            CE.ArgumentError, CE.InvalidArgumentValue)
+          val xc = compile(xe.get).cast(DoubleType)
+          val yc = compile(ye.get).cast(DoubleType)
+          when(xc.isNull || yc.isNull,
+            lit(null).cast(ExprCompiler.pointType))
+            .otherwise(struct(xc.as("x"), yc.as("y"), srid.as("srid")))
+        case other => throw new CypherCompileException(
+          "point() takes a map literal of components",
+          CE.SyntaxError, CE.UnsupportedExpression)
+      }
+      // Neo4j: null when either point is null or the CRSes differ.
+      // Cartesian = euclidean; WGS-84 = haversine great-circle meters on
+      // the IUGG mean earth radius 6371008.8 m (Neo4j's exact constant is
+      // not verifiable offline — documented in tck_blacklist.md; the
+      // registry oracle replicates THIS formula, so the gate pins it).
+      case "point.distance" =>
+        val dx = a0.getField("x") - a1.getField("x")
+        val dy = a0.getField("y") - a1.getField("y")
+        val euclid = sqrt(dx * dx + dy * dy)
+        val la1 = radians(a0.getField("y"))
+        val la2 = radians(a1.getField("y"))
+        val dLa = la2 - la1
+        val dLo = radians(a1.getField("x")) - radians(a0.getField("x"))
+        val h = pow(sin(dLa / 2), 2) +
+          cos(la1) * cos(la2) * pow(sin(dLo / 2), 2)
+        val haversine = lit(2.0) * lit(6371008.8) * asin(sqrt(h))
+        when(a0.isNull || a1.isNull ||
+            a0.getField("srid") =!= a1.getField("srid"),
+          lit(null).cast(DoubleType))
+          .when(a0.getField("srid") === 4326, haversine)
+          .otherwise(euclid)
+      // point.withinBBox(p, lowerLeft, upperRight): inclusive bounds; no
+      // longitude wrap-around (documented).
+      case "point.withinbbox" =>
+        val p = a0; val lo = a1; val hi = compile(args(2))
+        when(p.isNull || lo.isNull || hi.isNull ||
+            p.getField("srid") =!= lo.getField("srid") ||
+            p.getField("srid") =!= hi.getField("srid"),
+          lit(null).cast(BooleanType))
+          .otherwise(
+            p.getField("x") >= lo.getField("x") &&
+            p.getField("x") <= hi.getField("x") &&
+            p.getField("y") >= lo.getField("y") &&
+            p.getField("y") <= hi.getField("y"))
 
       // ---- math ----
       case "abs" => F.abs(a0)

@@ -13,7 +13,10 @@ object CypherParser {
   /** Temporal type names that form namespaced function calls
     * (`duration.between(...)`, `datetime.truncate(...)`). */
   private val temporalNamespaces: Set[String] =
-    Set("duration", "date", "datetime", "localdatetime", "time", "localtime")
+    Set("duration", "date", "datetime", "localdatetime", "time", "localtime",
+      // spatial namespace (point.distance / point.withinBBox, round 11) —
+      // same `ns . member (` lookahead disambiguation.
+      "point")
 
   // ------------------------------------------------------------------ lexer
   sealed trait Tok { def pos: Int }

@@ -8,8 +8,10 @@ class ProbeSpec extends TckScenarioBase {
   import TckFixtures._
 
   def g = graph(spark,
-    Seq(N(1, Set("A"), Map("name" -> "a", "num" -> 1))),
-    Seq.empty)
+    Seq(N(1, Set("A"), Map("name" -> "a", "num" -> 1)),
+      N(2, Set("B"), Map("name" -> "b", "num" -> 2)),
+      N(3, Set("C"), Map("name" -> "c", "num" -> 3))),
+    Seq(R(10, 1, 2, "KNOWS"), R(11, 2, 3, "KNOWS")))
 
   private var pc = 0
   def probe(name: String, q: String): Unit = {
@@ -20,22 +22,30 @@ class ProbeSpec extends TckScenarioBase {
     }
   }
 
-  probe("FOREACH with MERGE inside reads complete binding effects",
-    "FOREACH (i IN [1,2] | MERGE (:F {v: i})) WITH * MATCH (f:F) " +
-      "RETURN count(*) AS x")
-  probe("SET += map keeps other props",
-    "MATCH (n:A) SET n += {extra: 9} RETURN n.name AS a, n.extra AS b")
-  probe("MERGE after DELETE sees the deletion",
-    "MATCH (n:A) DETACH DELETE n MERGE (m:A {name: 'a'}) " +
-      "RETURN m.num AS x")
-  probe("temporal prop write-read roundtrip",
-    "CREATE (t:TS {d: date('2024-02-29'), dt: datetime('2024-02-29T12:00:00Z')}) " +
-      "WITH * MATCH (x:TS) RETURN x.d AS d, x.dt AS dt")
-  probe("list prop write-read roundtrip",
-    "CREATE (t:LS {xs: [1,2,3]}) WITH * MATCH (x:LS) RETURN x.xs[1] AS x")
-  probe("MERGE ON CREATE SET dynamic param key",
-    "MERGE (n:NK {k: 1}) ON CREATE SET n.made = true RETURN n.made AS x")
-  probe("REMOVE label then MERGE re-match",
-    "MATCH (n:A) REMOVE n:A WITH * MERGE (m:A {name: 'a'}) " +
-      "RETURN m.num AS x")
+  probe("path var over a QPP group",
+    "MATCH p = (a:A) (()-[:KNOWS]->()){1,2} (c) RETURN length(p) AS x ORDER BY x")
+  probe("relationships() over a QPP path",
+    "MATCH p = (a:A) (()-[:KNOWS]->())+ (c:C) RETURN size(relationships(p)) AS x")
+  probe("nodes() distinctness in trail semantics",
+    "MATCH p = (a:A)-[*1..3]->(c) RETURN size(nodes(p)) AS x ORDER BY x")
+  probe("ORDER BY collect element", 
+    "UNWIND [[2,1],[1,3]] AS xs WITH xs ORDER BY xs[0] RETURN collect(xs)[0] AS x")
+  probe("reduce over path nodes",
+    "MATCH p = (a:A)-[:KNOWS*2]->(c) RETURN reduce(s = 0, n IN nodes(p) | s + n.num) AS x")
+  probe("percentileDisc over one row",
+    "UNWIND [5] AS v RETURN percentileDisc(v, 0.5) AS x")
+  probe("stDev of singleton is 0",
+    "UNWIND [5.0] AS v RETURN stDev(v) AS x")
+  probe("min over mixed numeric types",
+    "UNWIND [2, 1.5] AS v RETURN min(v) AS x")
+  probe("duration comparison",
+    "RETURN duration('PT1H') < duration('PT2H') AS a, duration('P1M') = duration('P30D') AS b")
+  probe("point? (should be unsupported/absent)",
+    "RETURN point({x: 1.0, y: 2.0}) AS p")
+  probe("char ranges in range()",
+    "RETURN range(0, 10, 3) AS x, range(3, 0, -1) AS y")
+  probe("head/last/tail on empty",
+    "RETURN head([]) AS a, last([]) AS b, tail([]) AS c")
+  probe("subquery CALL with ORDER BY LIMIT per row",
+    "MATCH (n) CALL (n) { MATCH (m) WHERE m.num > n.num RETURN m.num AS v ORDER BY v LIMIT 1 } RETURN n.num AS a, v ORDER BY a")
 }
