@@ -587,6 +587,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       zonedTime: Boolean): String = t match {
     case _ if localTime => "LOCAL TIME"
     case _ if zonedTime => "ZONED TIME"
+    case Some(st: StructType)
+        if st.fieldNames.toSeq == Seq("x", "y", "srid") => "POINT"
     case Some(LongType) | Some(IntegerType) => "INTEGER"
     case Some(DoubleType) | Some(FloatType) => "FLOAT"
     case Some(_: DecimalType) => "FLOAT"

@@ -66,6 +66,11 @@ class TckStyleSpec55 extends TckScenarioBase {
     "CREATE (s:Shop {loc: point({x: 1.5, y: 2.5})}) WITH * " +
       "MATCH (t:Shop) RETURN t.loc.x AS x, t.loc.srid AS s",
     rows(Map("x" -> 1.5, "s" -> 7203L)))
+  scenario("valueType of a point is POINT", g,
+    "RETURN valueType(point({x: 1.0, y: 2.0})) AS x", value("POINT"))
+  scenario("points are not ordered by < (null, like Neo4j)", g,
+    "RETURN point({x: 1.0, y: 1.0}) < point({x: 2.0, y: 1.0}) AS x",
+    value(null))
   errorScenario("3D points are rejected", g,
     "RETURN point({x: 1.0, y: 2.0, z: 3.0}) AS p",
     ArgumentError, InvalidArgumentValue)
