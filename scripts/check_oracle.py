@@ -107,6 +107,10 @@ def main():
             # cascade one timeout into spurious interrupt errors on the
             # NEXT oracle. Recreate the connection (and views) instead.
             results[name] = f"FAIL (oracle error: {e})"
+            try:
+                con.close()
+            except Exception:
+                pass
             con = fresh_connection(sf_dir)
             continue
         except Exception as e:

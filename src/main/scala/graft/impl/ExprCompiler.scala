@@ -319,6 +319,33 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
 
   // ------------------------------------------------------------ type infer
   /** Best-effort static type; None when unknown. */
+  /** Static type gate for `:$(expr)` dynamic label/type terms: Neo4j
+    * requires STRING or LIST<STRING> and raises a type error otherwise.
+    * An un-inferrable (ANY) expression is rejected at compile time too —
+    * the old cast-to-STRING fallback silently rendered a runtime list as
+    * "[A, B]" and matched nothing. NULL stays legal (matches nothing at
+    * runtime, see HasDynLabels/HasDynType). */
+  private def dynLabelType(e: Expr, what: String): Option[DataType] =
+    inferType(e) match {
+      case t @ Some(StringType | NullType) => t
+      case t @ Some(ArrayType(StringType | NullType, _)) => t
+      case Some(other) => throw new CypherCompileException(
+        s"$what expression must be STRING or LIST<STRING>, got $other",
+        CE.TypeError, CE.InvalidArgumentType)
+      case None => throw new CypherCompileException(
+        s"$what expression must be statically STRING or LIST<STRING>; " +
+          "cannot infer a type for it",
+        CE.TypeError, CE.InvalidArgumentType)
+    }
+
+  /** Runtime CRS-name → SRID mapping for point(): the two supported 2D
+    * systems; anything else is NULL (a per-row error is not expressible —
+    * the point() caller nulls the whole point, see tck_blacklist.md). */
+  private def crsToSrid(c: Column): Column =
+    when(F.lower(c.cast(StringType)) === "cartesian", lit(7203))
+      .when(F.lower(c.cast(StringType)).isin("wgs-84", "wgs84"), lit(4326))
+      .otherwise(lit(null).cast(IntegerType))
+
   def inferType(e: Expr): Option[DataType] = e match {
     case Var(n) if env.contains(n) =>
       // Entity-struct binders read as their id (see entityStructOf).
@@ -982,24 +1009,32 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     // type; a LIST<STRING> is a union (a rel carries exactly one type).
     // null matches nothing, also under negation (Neo4j: null never
     // satisfies a pattern predicate).
+    // Both dynamic predicates evaluate three-valued: a null expr value
+    // yields NULL, which the planner's filter sites drop — and, crucially,
+    // NULL survives an enclosing Not() (`:!$(null)` must also match
+    // nothing; a per-term coalesce-to-false here would flip to match-all
+    // under the negation). The planner only ever uses these as filters /
+    // join conditions, never as values, so NULL never escapes to a result.
     case HasDynType(sub, e, negated) =>
       val tv = compile(FuncCall("type", Seq(sub), distinct = false))
       val ev = compile(e)
-      val core = inferType(e) match {
+      val core = dynLabelType(e, "dynamic relationship type") match {
         case Some(ArrayType(_, _)) => array_contains(ev, tv)
         case _ => tv === ev.cast(StringType)
       }
-      F.coalesce(if (negated) !core else core, lit(false))
+      if (negated) !core else core
     case HasDynLabels(sub, e) =>
       val lv = compile(FuncCall("labels", Seq(sub), distinct = false))
       val ev = compile(e)
-      inferType(e) match {
+      dynLabelType(e, "dynamic label") match {
+        // forall's 3VL is exactly right: an absent label gives false
+        // (array_contains only returns null for a null probe), a null
+        // element gives null — so a list with a null matches nothing,
+        // under either polarity.
         case Some(ArrayType(_, _)) =>
-          F.coalesce(forall(ev,
-            x => F.coalesce(array_contains(lv, x.cast(StringType)),
-              lit(false))), lit(false))
+          forall(ev, x => array_contains(lv, x.cast(StringType)))
         case _ =>
-          F.coalesce(array_contains(lv, ev.cast(StringType)), lit(false))
+          array_contains(lv, ev.cast(StringType))
       }
 
     // Duration algebra first: duration ± duration is fieldwise on the
@@ -2161,9 +2196,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
                 s"unknown CRS '$other' (cartesian or wgs-84)",
                 CE.ArgumentError, CE.InvalidArgumentValue)
             }
-            case (_, Some(_)) => throw new CypherCompileException(
-              "point() crs must be a string literal",
-              CE.SyntaxError, CE.UnsupportedExpression)
+            case (_, Some(e)) => crsToSrid(compile(e))
             case _ => if (geoKeys) lit(4326) else lit(7203)
           }
           val xe = m.get("x").orElse(m.get("longitude"))
@@ -2176,9 +2209,64 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           when(xc.isNull || yc.isNull,
             lit(null).cast(ExprCompiler.pointType))
             .otherwise(struct(xc.as("x"), yc.as("y"), srid.as("srid")))
-        case other => throw new CypherCompileException(
-          "point() takes a map literal of components",
-          CE.SyntaxError, CE.UnsupportedExpression)
+        // Map-typed EXPRESSIONS (point(n.loc), point(m)): read the
+        // components off the compiled value. A struct type validates its
+        // field set at compile time like the literal path; a true MAP
+        // type resolves keys per row (an unknown CRS or a z/height
+        // component nulls the point — the engine cannot raise per-row,
+        // documented in tck_blacklist.md).
+        case other => inferType(other) match {
+          case Some(NullType) => lit(null).cast(ExprCompiler.pointType)
+          case Some(st: StructType) =>
+            val mv = compile(other)
+            val byLower = st.fieldNames.map(f => f.toLowerCase -> f).toMap
+            if (byLower.contains("z") || byLower.contains("height"))
+              throw new CypherCompileException(
+                "3D points are not supported (2D cartesian / WGS-84 only)",
+                CE.ArgumentError, CE.InvalidArgumentValue)
+            val extra = byLower.keySet --
+              Set("x", "y", "longitude", "latitude", "crs", "srid")
+            if (extra.nonEmpty) throw new CypherCompileException(
+              s"unknown point component(s): ${extra.toSeq.sorted.mkString(", ")}",
+              CE.ArgumentError, CE.InvalidArgumentValue)
+            def fld(k: String): Option[Column] =
+              byLower.get(k).map(mv.getField)
+            val geoKeys =
+              byLower.contains("longitude") || byLower.contains("latitude")
+            val srid: Column = (fld("srid"), fld("crs")) match {
+              case (Some(c), _) => c.cast(IntegerType)
+              case (_, Some(c)) => crsToSrid(c)
+              case _ => if (geoKeys) lit(4326) else lit(7203)
+            }
+            val xe = fld("x").orElse(fld("longitude"))
+            val ye = fld("y").orElse(fld("latitude"))
+            if (xe.isEmpty || ye.isEmpty) throw new CypherCompileException(
+              "point() needs x/y or longitude/latitude components",
+              CE.ArgumentError, CE.InvalidArgumentValue)
+            val xc = xe.get.cast(DoubleType)
+            val yc = ye.get.cast(DoubleType)
+            when(mv.isNull || xc.isNull || yc.isNull || srid.isNull,
+              lit(null).cast(ExprCompiler.pointType))
+              .otherwise(struct(xc.as("x"), yc.as("y"), srid.as("srid")))
+          case Some(MapType(_, _, _)) =>
+            val mv = compile(other)
+            def itm(k: String): Column = mv.getItem(k)
+            val geoKeys = itm("longitude").isNotNull ||
+              itm("latitude").isNotNull
+            val srid = F.coalesce(
+              itm("srid").cast(IntegerType),
+              when(itm("crs").isNotNull, crsToSrid(itm("crs")))
+                .otherwise(when(geoKeys, lit(4326)).otherwise(lit(7203))))
+            val xc = F.coalesce(itm("x"), itm("longitude")).cast(DoubleType)
+            val yc = F.coalesce(itm("y"), itm("latitude")).cast(DoubleType)
+            when(mv.isNull || xc.isNull || yc.isNull || srid.isNull ||
+                itm("z").isNotNull || itm("height").isNotNull,
+              lit(null).cast(ExprCompiler.pointType))
+              .otherwise(struct(xc.as("x"), yc.as("y"), srid.as("srid")))
+          case _ => throw new CypherCompileException(
+            "point() takes a map of components",
+            CE.SyntaxError, CE.UnsupportedExpression)
+        }
       }
       // Neo4j: null when either point is null or the CRSes differ.
       // Cartesian = euclidean; WGS-84 = haversine great-circle meters on

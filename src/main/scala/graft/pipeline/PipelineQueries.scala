@@ -71,6 +71,24 @@ object PipelineQueries {
     * actually produced rather than hard-assuming either generation. The
     * nanosAsLong conf is set by every graft session builder; setting it here
     * too keeps the reader usable from a bare session (idempotent, no-op). */
+  /** File streams read DIRECTORIES; stage the single events parquet into a
+    * temp one for the duration of `f` and always delete it afterwards —
+    * runToMemorySink fully drains the stream before returning, and the
+    * memory-sink table it returns holds rows, not file references, so the
+    * staged copy is dead weight the moment `f` completes (previously every
+    * run leaked one copy into the system temp dir). */
+  private def withStagedEvents[A](dir: String)(f: String => A): A = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream")
+    val part = staged.resolve("part-0.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), part)
+    try f(staged.toString)
+    finally {
+      java.nio.file.Files.deleteIfExists(part)
+      java.nio.file.Files.deleteIfExists(staged)
+    }
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -491,14 +509,9 @@ object PipelineQueries {
     //     the batch SQL oracle — streaming was previously spec-only. On a
     //     bounded replay all data is on time, so the streaming result must
     //     equal the batch aggregation exactly.
-    "q_stream_window" -> ((s, dir) => {
+    "q_stream_window" -> ((s, dir) => withStagedEvents(dir) { stagedDir =>
       import graft.streaming.GraftStreaming
-      // File streams read DIRECTORIES; stage the single parquet into one.
-      val staged = java.nio.file.Files.createTempDirectory("graft_qsw")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("part-0.parquet"))
-      val stream = GraftStreaming.eventsStream(s, staged.toString)
+      val stream = GraftStreaming.eventsStream(s, stagedDir)
       val counts = GraftStreaming.windowedCounts(stream, "1 hour", "2 hours")
       val sink = "q_stream_window_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -510,13 +523,9 @@ object PipelineQueries {
     //     path, end to end. Only CLOSED sessions are emitted (the last open
     //     session per user stays in state on a bounded replay), so the
     //     oracle computes gap-based sessions and drops each user's last.
-    "q_stream_sessionize" -> ((s, dir) => {
+    "q_stream_sessionize" -> ((s, dir) => withStagedEvents(dir) { stagedDir =>
       import graft.streaming.GraftStreaming
-      val staged = java.nio.file.Files.createTempDirectory("graft_qss")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("part-0.parquet"))
-      val stream = GraftStreaming.eventsStream(s, staged.toString)
+      val stream = GraftStreaming.eventsStream(s, stagedDir)
       val sessions = GraftStreaming.sessionize(stream,
         gapMs = 12L * 3600 * 1000)
       val sink = "q_stream_sessionize_" +

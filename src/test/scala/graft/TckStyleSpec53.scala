@@ -36,6 +36,22 @@ class TckStyleSpec53 extends TckScenarioBase {
     "WITH null AS l MATCH (n:$(l)) RETURN count(*) AS x", value(0L))
   scenario("negated dynamic label", g,
     "MATCH (n:!$('B')) RETURN n.name AS x", value("a"))
+  // Null under `!` mirrors the rel-type rule (null satisfies no pattern
+  // predicate, negated or not): a per-term null→false coalesce would flip
+  // to match-all under the negation — the round-12 3VL fix.
+  scenario("null dynamic label under negation matches nothing", g,
+    "WITH null AS l MATCH (n:!$(l)) RETURN count(*) AS x", value(0L))
+  scenario("null dynamic label list under negation matches nothing", g,
+    "WITH [null] AS l MATCH (n:!$(l)) RETURN count(*) AS x", value(0L))
+  // Non-string / un-inferrable dynamic terms are a compile-time type
+  // error (Neo4j: "expected STRING or LIST<STRING>"), not a silent
+  // cast-to-string comparison that matches nothing.
+  errorScenario("integer dynamic label is a type error", g,
+    "WITH 1 AS l MATCH (n:$(l)) RETURN count(*) AS x",
+    TypeError, InvalidArgumentType)
+  errorScenario("integer-list dynamic rel type is a type error", g,
+    "WITH [1, 2] AS t MATCH ()-[r:$(t)]->() RETURN count(*) AS x",
+    TypeError, InvalidArgumentType)
   scenario("dynamic label mixed with a static conjunct", g,
     "MATCH (n:A&$('B')) RETURN n.name AS x", value("ab"))
   scenario("dynamic label on a bound variable re-constrains", g,

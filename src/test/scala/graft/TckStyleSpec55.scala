@@ -71,6 +71,21 @@ class TckStyleSpec55 extends TckScenarioBase {
   scenario("points are not ordered by < (null, like Neo4j)", g,
     "RETURN point({x: 1.0, y: 1.0}) < point({x: 2.0, y: 1.0}) AS x",
     value(null))
+  // point() over map-typed EXPRESSIONS (round 12): the common Neo4j usage
+  // point(n.loc) / point(m) — components read off the compiled struct.
+  scenario("point over a map variable", g,
+    "WITH {x: 1.0, y: 2.0} AS m RETURN point(m).x AS x", value(1.0))
+  scenario("point over a geographic map variable defaults to WGS-84", g,
+    "WITH {longitude: 1.0, latitude: 2.0} AS m " +
+      "RETURN point(m).srid AS x", value(4326L))
+  scenario("point over a stored struct property", g,
+    "CREATE (s:Depot {loc: {x: 7.0, y: 8.0}}) WITH * " +
+      "MATCH (t:Depot) RETURN point(t.loc).y AS x", value(8.0))
+  scenario("point crs from a non-literal expression", g,
+    "WITH 'wgs-84' AS c RETURN point({x: 1.0, y: 2.0, crs: c}).srid AS x",
+    value(4326L))
+  scenario("null map expression gives a null point", g,
+    "WITH null AS m RETURN point(m) AS x", value(null))
   errorScenario("3D points are rejected", g,
     "RETURN point({x: 1.0, y: 2.0, z: 3.0}) AS p",
     ArgumentError, InvalidArgumentValue)
