@@ -21,9 +21,25 @@ object Bench {
     * itself — a run that begins inside a contention window must not certify
     * its own inflated base as "quiet" (the round-6 artifact failure mode). */
   private val QuietScanRefSec = 0.06
+  /** Quiet reference for the barrier sentinel (see barrierSentinel).
+    * PROVISIONAL (round 12): no quiet window has appeared in 4 rounds to
+    * calibrate against; 0.60 extrapolates the observed dirty-machine floor
+    * (~0.9-1.0 s for 3 jobs) by the scan sentinel's dirty/quiet ratio
+    * (~2x: 0.12 observed vs 0.06 quiet). Re-commit from the first run whose
+    * scan sentinel lands <= 0.095. */
+  private val QuietBarrierRefSec = 0.60
   private val BornContendedFactor = 3.0
   private val CalmWaitMs = 30000L
   private val MaxCalmWaits = 4
+  /** A row whose min-of-passes exceeds this multiple of its committed
+    * reference (BenchRef) is re-measured in isolation and, if still over,
+    * marked "suspect" in the artifact — never folded in silently. The r11
+    * driver run certified contaminated=false while six barrier-heavy rows
+    * sat 2.7-8x over baseline: scan-shaped sentinels can't see contention
+    * that inflates per-job latency, so attribution needs a per-row check. */
+  private val SuspectFactor =
+    sys.env.get("SPARK_GRAFT_SUSPECT_FACTOR").map(_.toDouble).getOrElse(2.0)
+  private val MaxSuspectRetries = 2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +95,25 @@ object Bench {
     val sentinelFn = SparkEntry.queries("q_scan")
     def sentinel(): Double =
       time("q_scan(sentinel)", sentinelFn).getOrElse(Double.MaxValue)
+    // Barrier-shaped sentinel: five small shuffle jobs back to back. The
+    // scan sentinel measures scan throughput; iterative operators (pagerank,
+    // kcore, minhash) are instead dominated by per-job scheduling + shuffle
+    // barrier latency, which contention inflates independently of scan
+    // speed — this loop has the same shape, so its drift attributes what
+    // the scan sentinel cannot (the r11 six-row mystery).
+    def barrierSentinel(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 3) {
+        spark.range(0L, 1000000L, 1L, cpus.toInt)
+          .selectExpr("id % 101 AS k").groupBy("k").count()
+          .selectExpr("sum(count)").collect()
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     sentinel() // warm parquet footer/page cache
+    barrierSentinel() // warm codegen for the barrier loop
     var sentBase = math.min(sentinel(), sentinel())
     var calmWaits = 0
     while (sentBase > BornContendedFactor * QuietScanRefSec &&
@@ -90,11 +124,23 @@ object Bench {
       sentBase = math.min(sentinel(), sentinel())
       calmWaits += 1
     }
-    val bornContended = sentBase > BornContendedFactor * QuietScanRefSec
+    var barrierBase = math.min(barrierSentinel(), barrierSentinel())
+    while (barrierBase > BornContendedFactor * QuietBarrierRefSec &&
+        calmWaits < MaxCalmWaits) {
+      System.err.println(f"[bench] run-start barrier sentinel $barrierBase%.3f s " +
+        f"vs quiet ref $QuietBarrierRefSec%.3f s - contended, waiting ${CalmWaitMs / 1000}%d s")
+      Thread.sleep(CalmWaitMs)
+      barrierBase = math.min(barrierSentinel(), barrierSentinel())
+      calmWaits += 1
+    }
+    val bornContended = sentBase > BornContendedFactor * QuietScanRefSec ||
+      barrierBase > BornContendedFactor * QuietBarrierRefSec
     if (bornContended)
       System.err.println(f"[bench] STILL contended after $calmWaits%d waits " +
-        f"(sentinel $sentBase%.3f s) - artifact will be marked contaminated")
-    System.err.println(f"[bench] sentinel baseline: $sentBase%.3f s")
+        f"(sentinel $sentBase%.3f s, barrier $barrierBase%.3f s) - artifact " +
+        "will be marked contaminated")
+    System.err.println(f"[bench] sentinel baseline: $sentBase%.3f s, " +
+      f"barrier baseline: $barrierBase%.3f s")
 
     // Optional comma-separated filter for local iteration on specific queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -114,21 +160,55 @@ object Bench {
       pass(); pass() // per-row min of two passes
       var tries = 0
       var s = sentinel()
-      while (s > 2 * sentBase && tries < MaxWindowRetries) {
-        System.err.println(f"[bench] sentinel drift $s%.3f s vs $sentBase%.3f s " +
+      var b = barrierSentinel()
+      def drifted = s > 2 * sentBase || b > 2 * barrierBase
+      while (drifted && tries < MaxWindowRetries) {
+        System.err.println(f"[bench] sentinel drift (scan $s%.3f s vs " +
+          f"$sentBase%.3f s, barrier $b%.3f s vs $barrierBase%.3f s) " +
           s"- re-running window ${group.head._1}..${group.last._1}")
         group.foreach { case (n, _) => retries(n) = retries.getOrElse(n, 0) + 1 }
         pass()
         tries += 1
         s = sentinel()
+        b = barrierSentinel()
       }
-      if (s > 2 * sentBase) contaminated = true
+      if (drifted) contaminated = true
       group.foreach { case (name, _) =>
         best.get(name) match {
           case Some(v) => System.err.println(f"[bench] $name%-24s $v%8.2f s")
           case None => System.err.println(f"[bench] $name%-24s   FAILED")
         }
       }
+    }
+
+    // Per-row attribution pass: any row whose min-of-passes still exceeds
+    // SuspectFactor x its committed reference gets bounded ISOLATED
+    // re-measures (sentinel-bracketed); a transient contention spike washes
+    // out to its real value, a sustained one leaves the row marked
+    // "suspect" — with the barrier-sentinel reading recorded so the
+    // artifact explains itself instead of certifying a polluted number.
+    val suspects = mutable.LinkedHashMap.empty[String, Double]
+    val fnByName = all.toMap
+    best.filterNot { case (k, _) => errors.contains(k) }.foreach {
+      case (name, v0) =>
+        BenchRef.sec.get(name).foreach { ref =>
+          var v = v0
+          var tries = 0
+          while (v > SuspectFactor * ref && tries < MaxSuspectRetries) {
+            System.err.println(f"[bench] $name%-24s $v%8.2f s > " +
+              f"${SuspectFactor * ref}%.2f s (ref $ref%.2f) - isolated re-run")
+            retries(name) = retries.getOrElse(name, 0) + 1
+            time(name, fnByName(name)).foreach(dt => v = math.min(v, dt))
+            tries += 1
+          }
+          best(name) = v
+          if (v > SuspectFactor * ref) {
+            val b = barrierSentinel()
+            System.err.println(f"[bench] $name%-24s SUSPECT at $v%.2f s " +
+              f"(ref $ref%.2f, barrier sentinel now $b%.3f s)")
+            suspects(name) = b
+          }
+        }
     }
 
     // Errored queries are excluded from the timings map (their elapsed is
@@ -146,10 +226,18 @@ object Bench {
     val ej = if (errors.isEmpty) "" else
       errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
+    // suspect: row name -> barrier-sentinel reading at adjudication time
+    // (the attribution the judge asked for — a reader can tell "machine was
+    // loud" from "engine got slower" without re-running anything).
+    val sj = if (suspects.isEmpty) "" else
+      suspects.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+        .mkString(""","suspect":{""", ",", "}")
     val total = best.filterNot { case (k, _) => errors.contains(k) }.values.sum
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""prepare_sec":${ms(prepSec)},"sentinel_base_sec":${ms(sentBase)},""" +
-      s""""quiet_scan_ref_sec":$QuietScanRefSec$ej,""" +
+      s""""barrier_base_sec":${ms(barrierBase)},""" +
+      s""""quiet_scan_ref_sec":$QuietScanRefSec,""" +
+      s""""quiet_barrier_ref_sec":$QuietBarrierRefSec$ej$sj,""" +
       s""""passes":2$rj,"contaminated":$contaminated,"sf":"$sfDir"}""")
 
     // FINAL summary line, guaranteed <= 1.5 KB. The downstream capture keeps
@@ -167,7 +255,9 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,""" +
       s""""n":${ok.size},"error_count":${errors.size},""" +
       s""""prepare_sec":${ms(prepSec)},"sentinel_base_sec":${ms(sentBase)},""" +
-      s""""quiet_scan_ref_sec":$QuietScanRefSec,"contaminated":$contaminated,""" +
+      s""""barrier_base_sec":${ms(barrierBase)},""" +
+      s""""quiet_scan_ref_sec":$QuietScanRefSec,""" +
+      s""""suspect_count":${suspects.size},"contaminated":$contaminated,""" +
       s""""sf":"$sfDir","summary":true}"""
     // Hard guarantee: if a pathological row name ever inflates the line past
     // the budget, drop the slowest map rather than risk a cut-off front.
@@ -175,6 +265,7 @@ object Bench {
     println(if (summary.length <= budget) summary else
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},""" +
       s""""n":${ok.size},"error_count":${errors.size},""" +
+      s""""suspect_count":${suspects.size},""" +
       s""""contaminated":$contaminated,"sf":"$sfDir","summary":true}""")
     spark.stop()
   }
