@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Driver-contract entries for the training-data-pipeline operators
   * (dedup / similarity / text analysis / multimodal). Where the operator is
@@ -534,6 +535,79 @@ object PipelineQueries {
         .select(col("user_id"), col("startTs").as("start_ts"),
           col("endTs").as("end_ts"), col("n_events"),
           round(col("total_value"), 4).as("tv"))
+    }),
+    // --- stream-stream interval join: every view paired with the same
+    //     user's clicks within the following hour. Both sides are
+    //     watermarked streams; on a bounded on-time replay the result must
+    //     equal the batch interval join exactly.
+    "q_stream_interval_join" -> ((s, dir) => withStagedEvents(dir) { stagedDir =>
+      import graft.streaming.GraftStreaming
+      def side(t: String) = GraftStreaming.eventsStream(s, stagedDir)
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val j = GraftStreaming.intervalJoin(side("view"), side("click"),
+        key = "user_id", maxDelay = "1 hour", watermark = "2 hours")
+      val sink = "q_stream_interval_join_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      GraftStreaming.runToMemorySink(j, sink)
+        .select(col("event_id").as("view_id"),
+          col("r_event_id").as("click_id"))
+    }),
+    // --- watermark late-data drop, driver-verified: the events split into
+    //     THREE micro-batch files (modTime order) — the newest ~2 hours
+    //     first, the two hours before that second, everything older third.
+    //     Spark's late-record filter lags the eviction watermark by one
+    //     committed batch (dual-watermark model, 3.4+), so batch 1 advances
+    //     the watermark to max(ts)-1h, batch 2 rides the still-lagging
+    //     filter in (and commits the new watermark for filtering), and
+    //     every batch-3 row arrives below it and MUST be discarded by the
+    //     windowed aggregation. Hour-aligned slice bounds keep each window
+    //     inside one batch, so in update mode each surviving window emits
+    //     exactly once. The oracle aggregates only the two on-time slices —
+    //     if the watermark failed to discard, the streaming side would
+    //     also aggregate the other ~99.5% of events and mismatch loudly.
+    "q_stream_late_drop" -> ((s, dir) => {
+      import graft.streaming.GraftStreaming
+      val staged = java.nio.file.Files.createTempDirectory("graft_qsld")
+      try {
+        val ev = GraftStreaming.eventsBatch(s, s"$dir/events.parquet")
+        val bound = ev.agg(date_trunc("HOUR", max(col("ts"))).as("h"))
+        val tagged = ev.crossJoin(broadcast(bound))
+          .withColumn("_slice",
+            when(col("ts") >= col("h") - expr("INTERVAL 1 HOUR"), 1)
+              .when(col("ts") >= col("h") - expr("INTERVAL 3 HOURS"), 2)
+              .otherwise(3))
+          .drop("h")
+        def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = staged.resolve(s"_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = {
+            val s0 = java.nio.file.Files.list(tmp)
+            try s0.iterator().asScala.toSeq
+              .find(_.toString.endsWith(".parquet")).get
+            finally s0.close()
+          }
+          val dst = staged.resolve(name)
+          java.nio.file.Files.move(part, dst)
+          dst.toFile.setLastModified(mtime)
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
+        val t0 = System.currentTimeMillis() - 600000L
+        Seq(1, 2, 3).foreach { sl =>
+          writeOne(tagged.filter(col("_slice") === sl).drop("_slice"),
+            s"b$sl.parquet", t0 + (sl - 1) * 120000L)
+        }
+        val stream = GraftStreaming.eventsStream(s, staged.toString,
+          maxFilesPerTrigger = 1)
+        val counts = GraftStreaming.windowedCounts(stream, "1 hour", "1 hour")
+        val sink = "q_stream_late_drop_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        GraftStreaming.runToMemorySink(counts, sink, outputMode = "update")
+          .select(col("window.start").as("ws"), col("event_type"),
+            col("n"), round(col("total"), 4).as("total"))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(staged.toFile)
+      }
     }),
     // --- as-of join: each click matched to the user's most recent view ---
     "q_asof_join" -> ((s, dir) => {
@@ -1627,6 +1701,22 @@ object PipelineQueries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
            count(*) AS n, round(sum(value), 4) AS total
          FROM events GROUP BY 1, 2""",
+    "q_stream_interval_join" ->
+      """SELECT l.event_id AS view_id, r.event_id AS click_id
+         FROM events l JOIN events r ON l.user_id = r.user_id
+         WHERE l.event_type = 'view' AND r.event_type = 'click'
+           AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""",
+    // Only the two on-time slices (the newest 3 hour-aligned hours): if the
+    // watermark failed to discard the third (older) micro-batch, the
+    // streaming side would aggregate every event and mismatch on rows,
+    // counts and sums.
+    "q_stream_late_drop" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+         FROM events
+         WHERE ts >= (SELECT date_trunc('hour', max(ts)) - INTERVAL 3 HOUR
+                      FROM events)
+         GROUP BY 1, 2""",
     "q_stream_sessionize" ->
       """WITH x AS (SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -47,7 +47,8 @@ object GraftStreaming {
     * in Spark — read nanos-as-long, convert) and TIMESTAMP(MICROS)/ntz;
     * readStream needs the schema up front, so probe the footer with a batch
     * read and pick the stream schema + conversion to match. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val onDiskTs = spark.read.parquet(dir).schema("ts").dataType
     val readAs = onDiskTs match {
@@ -55,10 +56,15 @@ object GraftStreaming {
       case TimestampNTZType => TimestampNTZType
       case _ => TimestampType
     }
-    val raw = spark.readStream
+    val reader0 = spark.readStream
       .schema(StructType(eventSchema.fields.map(f =>
         if (f.name == "ts") f.copy(dataType = readAs) else f)))
-      .parquet(dir)
+    // One file per micro-batch (oldest modTime first) lets a test replay
+    // a watermark advance deterministically: file A's max event time sets
+    // the watermark that file B's rows are judged late against.
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
+    val raw = reader.parquet(dir)
     readAs match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))

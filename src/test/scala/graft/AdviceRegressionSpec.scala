@@ -162,6 +162,26 @@ class AdviceRegressionSpec extends SparkTestBase {
     }
   }
 
+  // Round-12 pin: on a LARGE group the approx branch must agree with the
+  // exact one within approx_percentile's contract (rank error <= n/accuracy)
+  // — previously only a 10-row group was checked, which cannot distinguish
+  // a broken accuracy wiring from a working one.
+  test("percentileDisc approx agrees with exact within 1/accuracy on a large group") {
+    val q = "UNWIND range(1, 100000) AS x RETURN percentileDisc(x, 0.37) AS p"
+    val exact = session.cypher(graph, q).collect().head.getLong(0)
+    assert(exact === 37000L) // ceil(0.37 * 100000) over the identity values
+    for ((acc, tol) <- Seq("10000" -> 10L, "100" -> 1000L)) {
+      withSQLConf("spark.graft.percentileDisc.approx" -> "true",
+          "spark.graft.percentileDisc.accuracy" -> acc) {
+        val approx = session.cypher(graph, q).collect().head.getLong(0)
+        // Values are the identity permutation of ranks, so the rank-error
+        // bound n/accuracy is directly a value bound.
+        assert(math.abs(approx - exact) <= tol,
+          s"accuracy=$acc: approx $approx vs exact $exact (tol $tol)")
+      }
+    }
+  }
+
   test("dynamic key access on heterogeneous map is a clear compile error") {
     val e = intercept[Exception] {
       session.cypher(graph,

@@ -107,6 +107,62 @@ class StreamingSpec extends SparkTestBase {
     assert(gotRows.subsetOf(batchRows))
   }
 
+  test("watermark drops late data across micro-batches") {
+    import spark.implicits._
+    // Three files = three micro-batches (maxFilesPerTrigger=1, modTime
+    // order). Spark's late-record filter uses the PREVIOUS batch's
+    // committed watermark (dual-watermark model, Spark 3.4+), so a late
+    // row only drops from the second batch after the advancing data:
+    // batch 1 (10:00, 10:30) advances the watermark to 09:30; batch 2 is
+    // a buffer that commits it for filtering; batch 3 delivers one late
+    // row (06:00 — MUST be discarded) and one on-time row (10:15 — must
+    // update its window).
+    val d = java.nio.file.Files.createTempDirectory("graft_late")
+    def write(name: String, mtime: Long,
+        rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
+      val df = rows.toDF("event_id", "ts_s", "user_id", "event_type",
+          "value", "props")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = d.resolve(s"_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val s0 = java.nio.file.Files.list(tmp)
+      val part = try {
+        import scala.jdk.CollectionConverters._
+        s0.iterator().asScala.toSeq.find(_.toString.endsWith(".parquet")).get
+      } finally s0.close()
+      val dst = d.resolve(name)
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    write("b1.parquet", t0, Seq(
+      (1L, "2024-03-01 10:00:00", 7L, "view", 1.0, "{}"),
+      (2L, "2024-03-01 10:30:00", 7L, "view", 1.0, "{}")))
+    write("b2.parquet", t0 + 120000L, Seq(
+      (3L, "2024-03-01 08:30:00", 7L, "view", 1.0, "{}")))
+    write("b3.parquet", t0 + 240000L, Seq(
+      (5L, "2024-03-01 06:00:00", 7L, "view", 1.0, "{}"), // late: < 09:30
+      (6L, "2024-03-01 10:15:00", 7L, "view", 1.0, "{}"))) // on time
+    try {
+      val stream = GraftStreaming.eventsStream(spark, d.toString,
+        maxFilesPerTrigger = 1)
+      val agg = GraftStreaming.windowedCounts(stream, "1 hour", "1 hour")
+      val got = GraftStreaming.runToMemorySink(agg, "late_drop", "update")
+        .select(col("window.start").cast("string").as("ws"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // The late row's window must never surface; the on-time row must.
+      assert(!got.exists(_._1.startsWith("2024-03-01 06")),
+        s"late row was aggregated: ${got.toSeq}")
+      val w10 = got.filter(_._1.startsWith("2024-03-01 10")).map(_._2)
+      assert(w10.max === 3L, // 2 from batch 1, +1 on-time from batch 3
+        s"on-time batch-3 row missing: ${got.toSeq}")
+      // The buffer batch's row rode the lagging late filter in on purpose.
+      assert(got.exists(_._1.startsWith("2024-03-01 08")), got.toSeq.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val stream = GraftStreaming.eventsStream(spark, streamDir)
     val deduped = GraftStreaming.dedupStream(stream, "1 day")
