@@ -153,6 +153,17 @@ object SparkEntry {
             * pow(sin(radians(n_nationkey) / 2), 2))), 4) AS dg,
         7203 AS sc, 'wgs-84' AS cg
         FROM nation""")),
+    // --- QPP pattern union (GQL / Cypher-2025, round 12): each repetition
+    //     may take any `|` branch; step relation = dedup'd union of the
+    //     branch step relations, trail semantics. Two reverse-then-forward
+    //     hops over PLACED = sibling orders of the same customer (the
+    //     relationship-uniqueness rule excludes the path back to a). ---
+    ("q_qpp_union",
+      "MATCH (a:Order)((x)-[:PLACED]->(y) | (x)<-[:PLACED]-(y)){2,2}(b) " +
+        "RETURN count(*) AS n",
+      Some("""SELECT count(*) AS n
+        FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        WHERE a.o_orderkey <> b.o_orderkey""")),
     // --- var-length expand (BoundedVarLengthExpand) ---
     ("q_varexpand",
       "MATCH (c:Customer)-[*1..2]->(x) RETURN c.c_custkey AS c_custkey, count(*) AS paths",

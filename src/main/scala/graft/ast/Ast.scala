@@ -155,9 +155,13 @@ object RelPattern {
 
 /** Inner shape of a quantified path pattern group: one relationship
   * pattern between two node patterns plus an optional per-repetition
-  * WHERE (scoped to that repetition's bindings only). */
+  * WHERE (scoped to that repetition's bindings only). `alts` carries the
+  * further branches of a pattern UNION inside the group
+  * (`((x)-[:A]->(y) | (x)<-[:B]-(y))*`, GQL/Cypher-2025): each repetition
+  * may take ANY branch, so the step relation is the union of the branch
+  * step relations; every branch must bind the same variable names. */
 case class QppSpec(src: NodePattern, rel: RelPattern, dst: NodePattern,
-    where: Option[Expr])
+    where: Option[Expr], alts: Seq[QppSpec] = Seq.empty)
 
 /** GQL / Cypher-5 path selector, normalized at parse time. Mode is one of
   *   "shortest"       — one arbitrary-but-deterministic minimal path per

@@ -2074,28 +2074,46 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * the next. Inner variables are scoped to the group (GQL); reusing an
     * outer binding inside the group is rejected like Neo4j does. */
   private def qppHopBase(ctx0: Ctx, spec: QppSpec): DataFrame = {
-    val innerVars =
-      (spec.src.variable.toSeq ++ spec.rel.variable.toSeq ++
-        spec.dst.variable.toSeq)
-    innerVars.find(v => ctx0.header.kinds.contains(v)).foreach { v =>
+    val branches = spec +: spec.alts
+    // Pattern union (GQL): every branch must bind the same variable names —
+    // the group exports them as GROUP lists, which is only well-defined
+    // when each repetition binds them regardless of the branch taken.
+    if (branches.map(b =>
+        (b.src.variable, b.rel.variable, b.dst.variable)).distinct.size > 1)
       throw new CypherCompileException(
-        s"variable $v is already bound outside the quantified path pattern",
-        CE.SyntaxError, CE.VariableAlreadyBound)
+        "every alternative of a quantified path pattern union must bind " +
+          "the same variables",
+        CE.SemanticError, CE.DifferentColumnsInUnion)
+    def one(b: QppSpec): DataFrame = {
+      val innerVars =
+        (b.src.variable.toSeq ++ b.rel.variable.toSeq ++
+          b.dst.variable.toSeq)
+      innerVars.find(v => ctx0.header.kinds.contains(v)).foreach { v =>
+        throw new CypherCompileException(
+          s"variable $v is already bound outside the quantified path pattern",
+          CE.SyntaxError, CE.VariableAlreadyBound)
+      }
+      val xv = b.src.variable.getOrElse(freshVar())
+      val yv = b.dst.variable.getOrElse(freshVar())
+      val rvv = b.rel.variable.getOrElse(freshVar())
+      val innerPart = PatternPart(
+        b.src.copy(variable = Some(xv)),
+        Seq((b.rel.copy(variable = Some(rvv), varLength = None, qpp = None),
+          b.dst.copy(variable = Some(yv)))))
+      val sub = withElideAll {
+        planMatch(unitCtx, Pattern(Seq(innerPart)), b.where)
+      }
+      sub.df.select(
+        col(sub.header.col(IdSlot(xv))).as("_h_from"),
+        col(sub.header.col(IdSlot(yv))).as("_h_to"),
+        col(sub.header.col(IdSlot(rvv))).as("_h_i"))
     }
-    val xv = spec.src.variable.getOrElse(freshVar())
-    val yv = spec.dst.variable.getOrElse(freshVar())
-    val rvv = spec.rel.variable.getOrElse(freshVar())
-    val innerPart = PatternPart(
-      spec.src.copy(variable = Some(xv)),
-      Seq((spec.rel.copy(variable = Some(rvv), varLength = None, qpp = None),
-        spec.dst.copy(variable = Some(yv)))))
-    val sub = withElideAll {
-      planMatch(unitCtx, Pattern(Seq(innerPart)), spec.where)
-    }
-    sub.df.select(
-      col(sub.header.col(IdSlot(xv))).as("_h_from"),
-      col(sub.header.col(IdSlot(yv))).as("_h_to"),
-      col(sub.header.col(IdSlot(rvv))).as("_h_i"))
+    // A step may be contributed by several branches (overlapping type
+    // sets): keep duplicates out of the union — two identical
+    // (from, to, rel) steps are the same step, not two paths. The
+    // single-branch path stays distinct-free (no shuffle added).
+    val base = branches.map(one).reduce(_ union _)
+    if (spec.alts.isEmpty) base else base.distinct()
   }
 
   private def planVarLengthEdge(ctx0: Ctx, e: EdgeCons,

@@ -1003,14 +1003,33 @@ object CypherParser {
       * defines. Group direction comes from the INNER arrow. */
     private def parseQppGroup(): RelPattern = {
       eatPunct("(")
-      val ((src, rel, dst), inline) = withInlineFrame(
-        (parseNodePattern(), parseRelPattern(), parseNodePattern()))
-      val where = conj(inline,
-        if (tryKw("WHERE")) Some(parseExpr()) else None)
+      def branch(): QppSpec = {
+        val ((src, rel, dst), inline) = withInlineFrame(
+          (parseNodePattern(), parseRelPattern(), parseNodePattern()))
+        val where = conj(inline,
+          if (tryKw("WHERE")) Some(parseExpr()) else None)
+        QppSpec(src, rel, dst, where)
+      }
+      // Pattern union inside the group (GQL/Cypher-2025): each repetition
+      // may take any `|` branch — the step relation unions per branch.
+      val first = branch()
+      val alts = Seq.newBuilder[QppSpec]
+      while (tryPunct("|")) alts += branch()
       eatPunct(")")
       val (lo, hi) = parseQuantifier()
-      RelPattern(rel.variable, rel.types, rel.props, OUT, Some((lo, hi)),
-        dynType = rel.dynType, qpp = Some(QppSpec(src, rel, dst, where)))
+      val altSeq = alts.result()
+      val spec = first.copy(alts = altSeq)
+      // The group RelPattern's types only inform header typing of the
+      // exported relationship list: across a union, merge the branch type
+      // sets; any open (or negated) branch opens the whole set.
+      val branchTypes = (first +: altSeq).map(_.rel)
+      val mergedTypes =
+        if (altSeq.isEmpty) first.rel.types
+        else if (branchTypes.exists(r => r.types.isEmpty || r.typesNegated))
+          Seq.empty
+        else branchTypes.flatMap(_.types).distinct
+      RelPattern(first.rel.variable, mergedTypes, first.rel.props, OUT,
+        Some((lo, hi)), dynType = first.rel.dynType, qpp = Some(spec))
     }
 
     /** {m,n} | {m,} | {,n} | {n} | + | * */
@@ -1216,7 +1235,19 @@ object CypherParser {
           peek match {
             case Ident(w, _) if w.equalsIgnoreCase("RETRY") =>
               p += 1
-              if (word("FOR")) { p += 1; parseExpr() } // max retry duration
+              if (word("FOR")) {
+                p += 1; parseExpr() // max retry duration value
+                // Neo4j 2025 writes the duration with a unit word
+                // (`RETRY FOR 5 SECONDS`); a bare duration expression
+                // stays legal too.
+                peek match {
+                  case Ident(w2, _) if Seq("SECOND", "SECONDS",
+                      "MILLISECOND", "MILLISECONDS", "MINUTE", "MINUTES",
+                      "HOUR", "HOURS").exists(w2.equalsIgnoreCase) =>
+                    p += 1
+                  case _ =>
+                }
+              }
               if (word("THEN")) { p += 1; handler() }
             case _ => handler()
           }
