@@ -512,6 +512,7 @@ object PipelineQueries {
     //     equal the batch aggregation exactly.
     "q_stream_window" -> ((s, dir) => withStagedEvents(dir) { stagedDir =>
       import graft.streaming.GraftStreaming
+      GraftStreaming.withStatePartitions(s, 4) {
       val stream = GraftStreaming.eventsStream(s, stagedDir)
       val counts = GraftStreaming.windowedCounts(stream, "1 hour", "2 hours")
       val sink = "q_stream_window_" +
@@ -519,6 +520,7 @@ object PipelineQueries {
       GraftStreaming.runToMemorySink(counts, sink, outputMode = "complete")
         .select(col("window.start").as("ws"), col("event_type"),
           col("n"), round(col("total"), 4).as("total"))
+      }
     }),
     // --- streaming sessionization: the flatMapGroupsWithState custom-state
     //     path, end to end. Only CLOSED sessions are emitted (the last open
@@ -526,6 +528,7 @@ object PipelineQueries {
     //     oracle computes gap-based sessions and drops each user's last.
     "q_stream_sessionize" -> ((s, dir) => withStagedEvents(dir) { stagedDir =>
       import graft.streaming.GraftStreaming
+      GraftStreaming.withStatePartitions(s, 4) {
       val stream = GraftStreaming.eventsStream(s, stagedDir)
       val sessions = GraftStreaming.sessionize(stream,
         gapMs = 12L * 3600 * 1000)
@@ -535,6 +538,7 @@ object PipelineQueries {
         .select(col("user_id"), col("startTs").as("start_ts"),
           col("endTs").as("end_ts"), col("n_events"),
           round(col("total_value"), 4).as("tv"))
+      }
     }),
     // --- stream-stream interval join: every view paired with the same
     //     user's clicks within the following hour. Both sides are
@@ -542,6 +546,7 @@ object PipelineQueries {
     //     equal the batch interval join exactly.
     "q_stream_interval_join" -> ((s, dir) => withStagedEvents(dir) { stagedDir =>
       import graft.streaming.GraftStreaming
+      GraftStreaming.withStatePartitions(s, 4) {
       def side(t: String) = GraftStreaming.eventsStream(s, stagedDir)
         .filter(col("event_type") === t)
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -552,6 +557,7 @@ object PipelineQueries {
       GraftStreaming.runToMemorySink(j, sink)
         .select(col("event_id").as("view_id"),
           col("r_event_id").as("click_id"))
+      }
     }),
     // --- watermark late-data drop, driver-verified: the events split into
     //     THREE micro-batch files (modTime order) — the newest ~2 hours
@@ -569,7 +575,7 @@ object PipelineQueries {
     "q_stream_late_drop" -> ((s, dir) => {
       import graft.streaming.GraftStreaming
       val staged = java.nio.file.Files.createTempDirectory("graft_qsld")
-      try {
+      try GraftStreaming.withStatePartitions(s, 4) {
         val ev = GraftStreaming.eventsBatch(s, s"$dir/events.parquet")
         val bound = ev.agg(date_trunc("HOUR", max(col("ts"))).as("h"))
         val tagged = ev.crossJoin(broadcast(bound))

@@ -262,6 +262,20 @@ object GraftStreaming {
     }.start()
   }
 
+  /** Run `f` with spark.sql.shuffle.partitions temporarily lowered: a
+    * stateful streaming query materializes one state-store instance per
+    * shuffle partition per operator, and on a bounded local replay that
+    * fixed cost dominates (32 stores x checkpoint round-trips per
+    * micro-batch). State partitioning is a per-workload knob — a cluster
+    * ingesting at scale sizes it to throughput; a bounded oracle replay
+    * sizes it small. Restores the previous value even on failure. */
+  def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Run a streaming query to completion against a bounded source and
     * return the collected sink table (test/bench harness). */
   def runToMemorySink(df: DataFrame, name: String,
