@@ -2644,6 +2644,26 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             Seq(args.head, Var(ordKey.get), StrLit("asc")), distinct = dist)
         case other => ExprOps.mapChildren(other, orderCollect)
       }
+      // openCypher: in an aggregating projection every non-aggregate
+      // subexpression must be (part of) a listed grouping key. After the
+      // grouping substitution, a variable still referenced OUTSIDE an
+      // aggregate call is the Neo4j "aggregation column contains implicit
+      // grouping expressions" error — raise it at COMPILE time (the
+      // GraftSession MISSING_GROUP_BY translation only fires once Spark
+      // analyzes the plan, and some shapes — a lone `a = count(*)` over a
+      // cross-joined scalar — reached execution before analysis caught
+      // them).
+      def checkImplicitGrouping(e: Expr): Unit = e match {
+        case CountStar => ()
+        case FuncCall(n, _, _) if ExprCompiler.aggFns(n) => ()
+        case Var(n) if !newHeader.kinds.contains(n) =>
+          throw new CypherCompileException(
+            s"aggregation column contains implicit grouping expression " +
+              s"$n — list it as its own projection item",
+            CE.SyntaxError, CE.AmbiguousAggregationExpression)
+        case other => ExprOps.mapChildren(other,
+          { c => checkImplicitGrouping(c); c })
+      }
       indexed.filter { case (i, _) => compiler.hasAggregation(i.expr) }
         .foreach { case (i, idx) =>
           val display = displayName(i)
@@ -2651,6 +2671,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             throw new CypherCompileException(
               s"nested aggregation in ${Pretty.print(i.expr)}",
               CE.SyntaxError, CE.NestedAggregation)
+          checkImplicitGrouping(substGroup(i.expr))
           val target = i.alias.getOrElse(display)
           val slot = ValueSlot(target)
           val name = RecordHeader.colName(slot)

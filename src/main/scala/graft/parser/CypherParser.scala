@@ -992,6 +992,10 @@ object CypherParser {
       // the next node pattern — so expression `+` can never collide).
       if (varLength.isEmpty && isPunct("+")) { p += 1; varLength = Some((1, None)) }
       else if (varLength.isEmpty && isPunct("*")) { p += 1; varLength = Some((0, None)) }
+      // Quantified-relationship shorthand (Cypher 5 QPP abbreviation):
+      // -[:R]->{m,n} is (()-[:R]->()){m,n}. Unambiguous here — after a
+      // completed arrow only a node pattern `(` may otherwise follow.
+      else if (varLength.isEmpty && isPunct("{")) varLength = Some(parseQuantifier())
       RelPattern(variable, types, props, dir, varLength,
         typesNegated = typesNegated, dynType = dynType)
     }
@@ -1380,12 +1384,14 @@ object CypherParser {
           eatPunct(">")
           Some(e)
         } else None
+      // NOT NULL, or its Cypher-2025 shorthand `!` (INTEGER! etc.).
       val notNull = isKw("NOT") && (peek2 match {
         case Kw("NULL", _, _) => true
         case _ => false
       })
       if (notNull) { p += 2 }
-      CypherTypeSpec(name, elem, notNull)
+      val bang = !notNull && tryPunct("!")
+      CypherTypeSpec(name, elem, notNull || bang)
     }
 
     private def parseAddSub(): Expr = {
