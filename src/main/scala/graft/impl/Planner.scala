@@ -2358,12 +2358,32 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     if (bound(otherVar)) {
       df = df.filter(col(ctx0.header.col(IdSlot(otherVar))) === col(otherCol))
     } else {
-      val (nodeDf, nodeHeader, defOther) = nodeScanDf(nodes(otherVar))
-      df = df.join(nodeDf, col(otherCol) === col(nodeHeader.col(IdSlot(otherVar))))
-      header = header ++ nodeHeader
-      bound += otherVar
-      val c2 = applyDeferred(Ctx(df, header), defOther)
-      df = c2.df; header = c2.header
+      val onc = nodes(otherVar)
+      // Same endpoint-join elision as the fixed-hop expand: an
+      // unconstrained endpoint that nothing downstream observes binds its
+      // id straight off the hop column (referential integrity — the
+      // property-graph contract). Without this, an unlabeled far endpoint
+      // of a var-length/QPP expand joins the UNION OF EVERY node table
+      // just to discard it; restricted to the fully-unconstrained case
+      // because the hop union spans arbitrary types, so no label set is
+      // implied by the rel tables.
+      val elide = (elideAllNodes || deadVars(otherVar) ||
+          otherVar.startsWith("_a")) &&
+        onc.labels.isEmpty && onc.labelExpr.isEmpty &&
+        onc.props.isEmpty && onc.copyOf.isEmpty
+      if (elide) {
+        header = header.withSlot(IdSlot(otherVar))
+          .withVar(otherVar, NodeKind(Set.empty))
+        df = df.withColumn(header.col(IdSlot(otherVar)), col(otherCol))
+        bound += otherVar
+      } else {
+        val (nodeDf, nodeHeader, defOther) = nodeScanDf(onc)
+        df = df.join(nodeDf, col(otherCol) === col(nodeHeader.col(IdSlot(otherVar))))
+        header = header ++ nodeHeader
+        bound += otherVar
+        val c2 = applyDeferred(Ctx(df, header), defOther)
+        df = c2.df; header = c2.header
+      }
     }
     Ctx(df.drop(pfrom, pto), header)
   }

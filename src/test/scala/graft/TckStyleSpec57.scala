@@ -48,6 +48,26 @@ class TckStyleSpec57 extends TckScenarioBase {
     "WITH 1 AS a RETURN a = count(*) AS x",
     SyntaxError, AmbiguousAggregationExpression)
 
+  test("[e1] dead unconstrained var-length endpoint skips the node join") {
+    // b is unlabeled and never observed past the MATCH: its id binds
+    // straight off the hop column (referential integrity), so the plan
+    // must not carry b's node-table union — visible as the absence of
+    // b's label columns (the join would materialize b__l_A/B/C).
+    val df = session.cypher(g,
+      "MATCH (s {name: 'a'})-[:K*1..2]->(b) RETURN count(*) AS x")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("b__l_"),
+      s"dead var-length endpoint still joins its node tables:\n$plan")
+    assert(df.collect().head.getLong(0) === 3L) // b, c (via b), c (direct)
+  }
+  test("[e2] an observed var-length endpoint keeps its node join") {
+    val df = session.cypher(g,
+      "MATCH (s {name: 'a'})-[:K*1..2]->(b) RETURN b.name AS x")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("b__p_name"),
+      s"observed endpoint lost its property binding:\n$plan")
+  }
+
   // --- `!` not-null type suffix -----------------------------------------
   scenario("INTEGER! accepts a value and rejects null", g,
     "RETURN 5 IS :: INTEGER! AS a, null IS :: INTEGER! AS b, " +
