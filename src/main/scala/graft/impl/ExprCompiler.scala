@@ -1270,7 +1270,18 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case "any" => exists(listC, p)
         case "all" => forall(listC, p)
         case "none" => !exists(listC, p)
-        case "single" => F.size(F.filter(listC, x => p(x))) === 1
+        // single is three-valued like its siblings (exists/forall carry
+        // Spark's native 3VL): with t = #true and u = #unknown elements,
+        // t>1 is definitely false; any unknown otherwise makes the count
+        // unknowable (an unknown could be another true) → NULL; else t==1.
+        // A null list falls through every branch to NULL (size(null) is
+        // null, so no WHEN matches and the otherwise compares null).
+        case "single" =>
+          val t = F.size(F.filter(listC, x => F.coalesce(p(x), lit(false))))
+          val u = F.size(F.filter(listC, x => p(x).isNull))
+          when(t > 1, lit(false))
+            .when(u > 0, lit(null).cast(BooleanType))
+            .otherwise(t === 1)
       }
     case Reduce(accName, init, v, listE, step) =>
       val listC = compile(listE)

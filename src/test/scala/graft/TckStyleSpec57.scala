@@ -69,6 +69,21 @@ class TckStyleSpec57 extends TckScenarioBase {
   }
 
   // --- `!` not-null type suffix -----------------------------------------
+  // --- single() 3VL (round-12 probe find: size-of-filter dropped nulls,
+  //     so single(x IN [1, null] ...) read true — an unknown could be a
+  //     second true, making the count unknowable) -------------------------
+  scenario("single is three-valued like any/all/none", g,
+    "RETURN single(x IN [1, null] WHERE x > 0) AS a, " +
+      "single(x IN [1, 2] WHERE x > 0) AS b, " +
+      "single(x IN [1] WHERE x > 0) AS c, " +
+      "single(x IN [null] WHERE x > 0) AS d, " +
+      "single(x IN [] WHERE x > 0) AS e, " +
+      "single(x IN [0, 1] WHERE x > 0) AS f",
+    rows(Map("a" -> null, "b" -> false, "c" -> true, "d" -> null,
+      "e" -> false, "f" -> true)))
+  scenario("single over two trues is false despite an unknown", g,
+    "RETURN single(x IN [1, 2, null] WHERE x > 0) AS x", value(false))
+
   scenario("INTEGER! accepts a value and rejects null", g,
     "RETURN 5 IS :: INTEGER! AS a, null IS :: INTEGER! AS b, " +
       "5 IS NOT :: INTEGER! AS c",
