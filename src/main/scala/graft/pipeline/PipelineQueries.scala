@@ -318,6 +318,10 @@ object PipelineQueries {
       TextAnalysis.gopherQuality(docs(s, dir), "doc_id", "text")),
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)),
+    // --- BM25 lexical retrieval (round 12, Okapi/Lucene idf) ---
+    "q_text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "customer"))),
     "q_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
           chunkChars = 64, overlap = 16)
@@ -1249,6 +1253,20 @@ object PipelineQueries {
          FROM (SELECT vec_id, cid, cos,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
                FROM sc) WHERE rn = 1""",
+    "q_text_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         qtf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                 WHERE t IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+         qdf AS (SELECT t, count(*) AS df FROM qtf GROUP BY 1)
+         SELECT qtf.doc_id,
+           round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+         FROM qtf JOIN qdf USING (t) JOIN dl USING (doc_id)
+         CROSS JOIN stats GROUP BY 1""",
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token FROM documents),
            tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),

@@ -201,6 +201,44 @@ object TextAnalysis {
         col("rank").cast(LongType).as("rank"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the lexical-retrieval half of a RAG / data-curation ranking stack.
+    * Okapi BM25 with the Lucene-style non-negative idf:
+    *   idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   score(d)  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * over lower-cased whitespace tokens (same tokenizer as tfidfTopK).
+    * Returns (idCol, score) for documents matching ≥1 term.
+    *
+    * Shape: the query-term filter lands BEFORE the (doc, term) aggregate,
+    * so the exploded stream shrinks to |terms| columns' worth immediately;
+    * both aggregates combine map-side; N and avgdl are 1-row broadcasts;
+    * per-term df is a |terms|-row broadcast. No skew hazard — the only
+    * wide keys are (doc, term) with term bounded by the query. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol),
+      explode(F.split(trim(lower(col(textCol))), "\\s+")).as("_t"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"),
+      avg(col("_dl")).as("_avgdl"))
+    val qtf = toks.filter(col("_t").isin(terms.map(_.toLowerCase): _*))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val qdf = qtf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    qtf.join(broadcast(qdf), "_t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s",
+        col("_idf") * col("_tf") * (lit(k1) + 1.0) /
+          (col("_tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 4).as("score"))
+  }
+
   /** Fixed-size character chunking with overlap — the context-window prep
     * step (RAG indexing, long-document training splits). Each document
     * yields chunks of `chunkChars` characters starting every

@@ -682,6 +682,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("bm25 ranks by term frequency with saturation and idf weighting") {
+    val corpus = Seq(
+      (1L, "spark spark spark filler filler filler"),
+      (2L, "spark filler filler filler filler filler"),
+      (3L, "vector filler filler filler filler filler"),
+      (4L, "filler filler filler filler filler filler"),
+      (5L, "filler filler filler filler filler filler")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .bm25(corpus, "doc_id", "text", Seq("spark", "vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Only matching docs surface; repeated term scores higher than a
+    // single hit but saturates (k1) below 3x; the rarer term (df=1)
+    // outscores the common one (df=2) at equal tf and length.
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) > got(2L) && got(1L) < 3 * got(2L))
+    assert(got(3L) > got(2L))
+    assert(got.values.forall(_ > 0))
+  }
+
   test("tfidfTopK ranks distinctive tokens above corpus-wide ones") {
     val docs = Seq(
       (1L, "apple apple banana shared"),
