@@ -272,6 +272,21 @@ object PipelineQueries {
           embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
         .withColumn("cosine", round(col("cosine"), 4))
     }),
+    // --- hybrid retrieval: BM25 candidates + dense cosine candidates
+    //     fused with Reciprocal Rank Fusion (round 12) ---
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val dense = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 20)
+      val lex = TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          Seq("spark", "vector", "customer"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      Similarity.rrfFuse(
+        Seq((dense, "vec_id", "cosine"), (lex, "doc_id", "score")),
+        topK = 15)
+    }),
     // ANN recall gates: exact top-10 (brute force, oracle-replayable) vs
     // the approximate search — the summary row asserts >= 8/10 overlap and
     // that the true nearest neighbor is found (seeded-deterministic).
@@ -1574,6 +1589,35 @@ object PipelineQueries {
            AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35""",
+    "q_hybrid_rrf" ->
+      """WITH dense AS (
+           SELECT e.vec_id AS id, row_number() OVER (ORDER BY
+               list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) DESC,
+               e.vec_id) AS r
+           FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id <> 0 ORDER BY r LIMIT 20),
+         toks AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         qtf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                 WHERE t IN ('spark', 'vector', 'customer') GROUP BY 1, 2),
+         qdf AS (SELECT t, count(*) AS df FROM qtf GROUP BY 1),
+         bm AS (SELECT qtf.doc_id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+           FROM qtf JOIN qdf USING (t) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY 1),
+         lex AS (SELECT doc_id AS id, row_number() OVER
+             (ORDER BY score DESC, doc_id) AS r
+           FROM bm ORDER BY r LIMIT 20),
+         u AS (SELECT id, 1.0 / (60 + r) AS rr FROM dense
+               UNION ALL SELECT id, 1.0 / (60 + r) AS rr FROM lex)
+         SELECT id, round(sum(rr), 6) AS fused FROM u GROUP BY 1
+         ORDER BY fused DESC, id LIMIT 15""",
     "q_sim_bruteforce" ->
       """SELECT e.vec_id AS vec_id,
            round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /

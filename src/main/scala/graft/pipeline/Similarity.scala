@@ -48,6 +48,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal Rank Fusion over candidate lists from heterogeneous
+    * retrievers (BM25 + dense ANN is the classic hybrid-retrieval pair):
+    * fused(d) = Σ_lists 1 / (k + rank_list(d)), rank 1-based by
+    * (score DESC, id ASC) within each list (Cormack/Clarke/Buettcher
+    * 2009; k=60 is their constant). Returns the topK by
+    * (fused DESC, id ASC).
+    *
+    * Scale shape: each input is a retriever's CANDIDATE list (top-N,
+    * bounded by construction — never a corpus), so the per-list global
+    * rank window and the final top-K sort run on k·|lists| rows, not
+    * data-scale rows; the fuse itself is one tiny groupBy. */
+  def rrfFuse(lists: Seq[(DataFrame, String, String)], k: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val ranked = lists.map { case (df, idCol, scoreCol) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(idCol).cast(LongType).as("id"),
+        (lit(1.0) / (lit(k) + row_number().over(w))).as("_rr"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(round(sum(col("_rr")), 6).as("fused"))
+      .orderBy(col("fused").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Johnson–Lindenstrauss random projection with ±1 signs: proj[j] =
     * Σ_i v[i]·s(i,j) / √outDim — the standard dimensionality reduction in
     * front of ANN / clustering at scale (Achlioptas 2003 database-friendly

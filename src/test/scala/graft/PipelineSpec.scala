@@ -701,6 +701,19 @@ class PipelineSpec extends SparkTestBase {
     assert(got.values.forall(_ > 0))
   }
 
+  test("rrfFuse ranks agreement above either single list") {
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "s")
+    val b = Seq((2L, 5.0), (4L, 4.0), (1L, 3.0)).toDF("id", "s")
+    val fused = graft.pipeline.Similarity
+      .rrfFuse(Seq((a, "id", "s"), (b, "id", "s")), k = 60, topK = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // 1 (ranks 1+3) and 2 (ranks 2+1) appear in both lists and must beat
+    // the single-list ids 3 and 4; 2's rank sum wins overall.
+    assert(fused.map(_._1).take(2).toSet === Set(1L, 2L))
+    assert(fused.head._1 === 2L)
+    assert(fused.map(_._1).length === 4)
+  }
+
   test("tfidfTopK ranks distinctive tokens above corpus-wide ones") {
     val docs = Seq(
       (1L, "apple apple banana shared"),
