@@ -299,6 +299,10 @@ class GraftSession(val spark: SparkSession) {
   private val CatalogDropRe =
     """(?is)\s*CATALOG\s+DROP\s+(GRAPH|VIEW)\s+([\w`]+)\s*""".r
 
+  private val ShowProceduresRe = """(?is)\A\s*SHOW\s+PROCEDURES\s*\z""".r
+  private val ShowFunctionsRe =
+    """(?is)\A\s*SHOW\s+(?:USER\s+DEFINED\s+)?FUNCTIONS\s*\z""".r
+
   private def isCatalogDdl(q: String): Boolean =
     CatalogCreateGraphRe.matches(q) || CatalogCreateViewRe.matches(q) ||
       CatalogDropRe.matches(q)
@@ -351,6 +355,21 @@ class GraftSession(val spark: SparkSession) {
     handleCatalogDdl(graph, query) match {
       case Some(ddlResult) => return ddlResult
       case None =>
+    }
+    // Discovery surface (Neo4j SHOW PROCEDURES / SHOW FUNCTIONS): list the
+    // session registries. Built-in scalar functions compile directly in
+    // ExprCompiler (no runtime registry), so SHOW FUNCTIONS enumerates the
+    // REGISTERED (user) functions — the scoped divergence is recorded in
+    // tck_blacklist.md.
+    ShowProceduresRe.findFirstIn(query).foreach { _ =>
+      import spark.implicits._
+      return procedures.keys.toSeq.sorted
+        .map(n => (n, "READ")).toDF("name", "mode")
+    }
+    ShowFunctionsRe.findFirstIn(query).foreach { _ =>
+      import spark.implicits._
+      return functions.keys.toSeq.sorted
+        .map(n => (n, "user")).toDF("name", "category")
     }
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, drivingTable,

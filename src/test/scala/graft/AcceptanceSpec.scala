@@ -188,6 +188,22 @@ class AcceptanceSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("v"))
   }
 
+  test("SHOW PROCEDURES / SHOW FUNCTIONS list the session registries") {
+    val procs = session.cypher(graph, "SHOW PROCEDURES")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(procs.map(_._1).toSet.contains("pagerank"))
+    assert(procs.map(_._1).toSet.contains("db.labels"))
+    assert(procs.forall(_._2 == "READ"))
+    assert(procs.map(_._1).toSeq === procs.map(_._1).toSeq.sorted)
+    // User registrations surface immediately; built-in scalar functions
+    // compile in ExprCompiler (no runtime registry) and are out of scope
+    // here — the divergence is recorded in tck_blacklist.md.
+    session.registerFunction("sq_show_test", args => args.head * args.head)
+    val fns = session.cypher(graph, "SHOW FUNCTIONS")
+      .collect().map(_.getString(0)).toSeq
+    assert(fns.contains("sq_show_test"))
+  }
+
   test("db.* schema introspection procedures") {
     val labels = session.cypher(graph,
       "CALL db.labels() YIELD label RETURN label ORDER BY label")
