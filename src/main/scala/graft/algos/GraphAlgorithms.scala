@@ -134,6 +134,54 @@ object GraphAlgorithms {
     ranks.unionByName(isolated)
   }
 
+  /** Weighted PageRank: link mass flows proportionally to edge weight
+    * (rank·w / Σ_out w) instead of uniformly — the GDS
+    * relationshipWeightProperty variant, with weights named per
+    * relationship type (the CALL-args-are-literals convention this
+    * engine's sssp also uses). Per-source weight shares sum to 1, so
+    * the mass-conservation / dangling-share algebra is [[pageRank]]'s
+    * verbatim; the scale shape (links pinned pre-partitioned on src, ONE
+    * job per round via the lazy pin + mass aggregate, isolated nodes
+    * closed-form) is identical. */
+  def pageRankWeighted(graph: PropertyGraph, weights: Map[String, Double],
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(weights.nonEmpty, "weights must name >= 1 relationship type")
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    val spark = nodeIds(graph).sparkSession
+    val n = nodeIds(graph).count()
+    val typed = weights.toSeq.flatMap { case (t, w) =>
+      graph.relScansFor(Seq(t)).map(_.df.select(
+        col(PropertyGraph.SRC).as("src"), col(PropertyGraph.TGT).as("dst"),
+        lit(w).as("w")))
+    }.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+          StructField("w", DoubleType)))))
+    val outW = typed.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val links = Pin(typed.join(outW, "src"))
+    val connected = Pin(typed.select(col("src").as("id"))
+      .unionByName(typed.select(col("dst").as("id"))).distinct())
+    var isoRank = 1.0
+    var ranks = connected.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = links.join(ranks, links("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("rank") * col("w") / col("outw")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      val received = Pin(connected.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("contrib"), lit(0.0)).as("contrib")))
+      val tc = received.agg(coalesce(sum("contrib"), lit(0.0))).head().getDouble(0)
+      val missShare = (n - tc) / n
+      ranks = received.select(col("id"),
+        (lit(1.0 - damping) +
+          lit(damping) * (col("contrib") + lit(missShare))).as("rank"))
+      isoRank = (1.0 - damping) + damping * missShare
+    }
+    val isolated = nodeIds(graph).join(ranks.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(isoRank).as("rank"))
+    ranks.unionByName(isolated)
+  }
+
   /** One damped-rank round's link-mass transfer: degree-normalized rank
     * flows along the pinned (src-partitioned) links and aggregates per
     * destination. Factored so AlgosSpec can assert the scale property —

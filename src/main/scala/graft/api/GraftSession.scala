@@ -75,6 +75,17 @@ class GraftSession(val spark: SparkSession) {
   registerProcedure("pagerank", (g, args) =>
     graft.algos.GraphAlgorithms.pageRank(g, iterations = intArg(args, 0, 10))
       .toDF("id", "rank"))
+  // CALL pagerankWeighted(iterations, relType, weight [, relType, weight]...)
+  registerProcedure("pagerankweighted", (g, args) => {
+    val weights = args.drop(1).grouped(2).map {
+      case Seq(t: String, w) => t -> numArg(w)
+      case other => throw new IllegalArgumentException(
+        s"pagerankWeighted expects (relType, weight) pairs after the " +
+          s"iteration count: $other")
+    }.toMap
+    graft.algos.GraphAlgorithms.pageRankWeighted(g, weights,
+      iterations = intArg(args, 0, 10)).toDF("id", "rank")
+  })
   registerProcedure("connectedcomponents", (g, _) =>
     graft.algos.GraphAlgorithms.connectedComponents(g)
       .toDF("id", "component"))

@@ -438,6 +438,15 @@ object PipelineQueries {
         relTypes = Seq("IN_REGION", "FROM_NATION", "PLACED"))
         .groupBy(round(col("rank"), 5).as("rank"))
         .agg(count(lit(1)).as("n"))),
+    // Weighted PageRank (GDS relationshipWeightProperty variant; weights
+    // named per rel type — the CALL-args-are-literals convention).
+    "q_algo_pagerank_weighted" -> ((s, dir) =>
+      graft.algos.GraphAlgorithms.pageRankWeighted(
+        graft.tpch.TpchGraph(s, dir),
+        Map("IN_REGION" -> 1.0, "FROM_NATION" -> 2.0, "PLACED" -> 3.0),
+        iterations = 3)
+        .groupBy(round(col("rank"), 5).as("rank"))
+        .agg(count(lit(1)).as("n"))),
     "q_algo_components" -> ((s, dir) =>
       graft.algos.GraphAlgorithms.connectedComponents(
         graft.tpch.TpchGraph(s, dir),
@@ -879,6 +888,39 @@ object PipelineQueries {
        SELECT round(rank, 5) AS rank, count(*) AS n FROM r3 GROUP BY 1"""
   }
 
+  /** Weighted-PageRank oracle: the pageRankSql recurrence with per-edge
+    * weights (contrib = rank * w / sum-of-out-weights), 3 unrolled
+    * rounds; weights mirror the registry row's type map. */
+  private val pageRankWeightedSql: String = {
+    def round(k: Int, prev: String) =
+      s"""c$k AS (SELECT e.dst AS id, sum($prev.rank * e.w / g.d) AS contrib
+            FROM edges e JOIN deg g ON e.src = g.src
+            JOIN $prev ON $prev.id = e.src GROUP BY e.dst),
+          m$k AS (SELECT (nn.n - coalesce((SELECT sum(contrib) FROM c$k), 0)) / nn.n AS miss FROM nn),
+          r$k AS (SELECT nodes.id, 0.15 + 0.85 * (coalesce(c$k.contrib, 0) + m$k.miss) AS rank
+            FROM nodes LEFT JOIN c$k ON nodes.id = c$k.id CROSS JOIN m$k)"""
+    s"""WITH nodes AS (
+         SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS id FROM region
+         UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+         UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR) FROM customer
+         UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier
+         UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR) FROM orders
+         UNION ALL SELECT 'l' || CAST(row_number() OVER () AS VARCHAR) FROM lineitem
+         UNION ALL SELECT 'p' || CAST(p_partkey AS VARCHAR) FROM part),
+       edges AS (
+         SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src, 'r' || CAST(n_regionkey AS VARCHAR) AS dst, 1.0 AS w FROM nation
+         UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR), 2.0 FROM customer
+         UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR), 2.0 FROM supplier
+         UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR), 'o' || CAST(o_orderkey AS VARCHAR), 3.0 FROM orders),
+       deg AS (SELECT src, sum(w) AS d FROM edges GROUP BY src),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       r0 AS (SELECT id, 1.0 AS rank FROM nodes),
+       ${round(1, "r0")},
+       ${round(2, "r1")},
+       ${round(3, "r2")}
+       SELECT round(rank, 5) AS rank, count(*) AS n FROM r3 GROUP BY 1"""
+  }
+
   /** Personalized-PageRank oracle: 3 unrolled rounds of
     * r = 0.15·p + 0.85·(contribs + miss·p) over the same string-keyed
     * edge rebuild as [[pageRankSql]], restart mass uniform on customers
@@ -1155,6 +1197,7 @@ object PipelineQueries {
     "q_cluster_kmeans" -> kmeansSql(),
     "q_media_hash" -> mediaHashSql,
     "q_algo_pagerank" -> pageRankSql,
+    "q_algo_pagerank_weighted" -> pageRankWeightedSql,
     "q_algo_ppr" -> pprSql,
     "q_algo_kcore" -> kCoreSql,
     "q_algo_labelprop" -> labelPropSql,

@@ -43,6 +43,30 @@ class AlgosSpec extends SparkTestBase {
     assert(pr(5L) > pr(4L)) // 5 receives, 4 only sends
   }
 
+  test("weighted pagerank: mass conserves, weight skews rank, uniform weights equal unweighted") {
+    // 1 -E-> 2 (w 1) and 1 -H-> 3 (w 3): node 3 must outrank node 2.
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((10L, 1L, 2L)).toDF("id", "src", "tgt")
+    val h = Seq((11L, 1L, 3L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", e, "id", "src", "tgt", Map.empty, "e", "v", "v"),
+        RelTableDef("H", h, "id", "src", "tgt", Map.empty, "h", "v", "v")))
+    val pr = GraphAlgorithms
+      .pageRankWeighted(g, Map("E" -> 1.0, "H" -> 3.0), iterations = 10)
+      .collect().map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    assert(math.abs(pr.values.sum - 3.0) < 1e-6, s"ranks: $pr")
+    assert(pr(3L) > pr(2L), s"weight-3 edge must outrank weight-1: $pr")
+    // Uniform weights reduce to the unweighted algorithm exactly.
+    val uni = GraphAlgorithms
+      .pageRankWeighted(graph, Map("E" -> 2.5), iterations = 7)
+      .collect().map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    val plain = GraphAlgorithms.pageRank(graph, iterations = 7)
+      .collect().map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    uni.foreach { case (id, r) => assert(math.abs(r - plain(id)) < 1e-9,
+      s"uniform-weight rank diverged at $id: $r vs ${plain(id)}") }
+  }
+
   test("triangle count") {
     assert(GraphAlgorithms.triangleCount(graph) === 1L)
   }
