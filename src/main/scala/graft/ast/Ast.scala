@@ -265,6 +265,13 @@ case class Construct(on: Seq[String], news: Seq[PatternPart],
 
 /** Neo4j 5.19 FINISH: execute (for side effects) and return no rows. */
 case object Finish extends Clause
+
+/** Bare `RETURN GRAPH` (reference: RelationalOperator ReturnGraph —
+  * okapi-relational/.../operators/RelationalOperator.scala): the query
+  * returns its WORKING graph (after FROM GRAPH switches and writes)
+  * rather than a table; the tabular result is zero rows. CONSTRUCT's own
+  * RETURN GRAPH tail stays part of the Construct clause. */
+case object ReturnGraph extends Clause
 case class SingleQuery(clauses: Seq[Clause])
 /** rest entries are (unionAll, query). */
 case class Query(first: SingleQuery, rest: Seq[(Boolean, SingleQuery)])

@@ -124,6 +124,7 @@ object ExprOps {
         clones.flatMap { case (a, b) => Seq(a, b) })
     case FromGraph(_) => Some(Set.empty)
     case Finish => Some(Set.empty)
+    case ReturnGraph => Some(Set.empty)
     case LoadCsv(_, url, _, _) => Some(varRefs(url))
     // Write clauses observe every variable they touch.
     case Create(Pattern(parts)) => Some(parts.flatMap(patternRefs).toSet)

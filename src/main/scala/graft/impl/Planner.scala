@@ -292,6 +292,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         ctx = Ctx(ctx.df.limit(0), ctx.header)
       case (FromGraph(name), _) =>
         requireNoWrites("FROM GRAPH"); graph = resolveGraph(name)
+      case (ReturnGraph, _) =>
+        // The working graph — after FROM GRAPH switches and writes (the
+        // ambient graph is already the written state at this point).
+        constructedGraph = Some(graph)
+        ctx = Ctx(ctx.df.limit(0), ctx.header)
       case (Construct(on, news, sets, clones), _) =>
         requireNoWrites("CONSTRUCT")
         constructedGraph = Some(planConstruct(ctx, on, news, sets, clones))

@@ -419,8 +419,13 @@ object CypherParser {
               clones.result())
             done = true
           case Kw("RETURN", _, _) =>
-            // RETURN GRAPH handled inside CONSTRUCT; plain RETURN here.
-            p += 1; clauses += parseReturn(); done = true
+            // CONSTRUCT consumes its own RETURN GRAPH tail; a bare
+            // RETURN GRAPH here returns the working graph (the
+            // reference's ReturnGraph operator without a CONSTRUCT).
+            p += 1
+            if (isKw("GRAPH")) { p += 1; clauses += ReturnGraph }
+            else clauses += parseReturn()
+            done = true
           case Ident(s, _) if s.equalsIgnoreCase("FINISH") =>
             p += 1; clauses += Finish; done = true
           // LOAD CSV [WITH HEADERS] FROM url AS var [FIELDTERMINATOR s]

@@ -36,6 +36,26 @@ class MultiGraphSpec extends SparkTestBase {
     assert(got === 3L)
   }
 
+  test("bare RETURN GRAPH returns the working graph") {
+    // Without CONSTRUCT (the reference's ReturnGraph operator): ambient…
+    val g0 = miniGraph(Seq("a", "b"), "X")
+    val same = session.cypherGraph(g0, "RETURN GRAPH")
+    assert(session.cypher(same, "MATCH (x:X) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 2L)
+    // …after a FROM GRAPH switch…
+    session.store("rgsrc", miniGraph(Seq("c", "d", "e"), "X"))
+    val switched = session.cypherGraph(g0, "FROM GRAPH rgsrc RETURN GRAPH")
+    assert(session.cypher(switched, "MATCH (x:X) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 3L)
+    // …and after writes the working graph IS the written state.
+    val written = session.cypherGraph(g0,
+      "CREATE (:X {name: 'z'}) RETURN GRAPH")
+    assert(session.cypher(written, "MATCH (x:X) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 3L)
+    // The tabular result of a graph-returning query is zero rows.
+    assert(session.cypher(g0, "MATCH (x:X) RETURN GRAPH").count() === 0L)
+  }
+
   test("CONSTRUCT clones matched nodes and creates new relationships") {
     val g = TpchGraph(spark, "/root/testdata/sf0.001")
     val built = session.cypherGraph(g,
