@@ -190,6 +190,31 @@ object CypherParser {
 
     // ---- query / clauses ----
     def parseQuery(): Query = {
+      // Neo4j query preamble `CYPHER [version] [key=value ...]` (e.g.
+      // `CYPHER 25 runtime=parallel MATCH …`): version pins and
+      // planner/runtime options name Neo4j machinery with no analogue
+      // here (Catalyst owns planning) — accepted and DISCARDED so queries
+      // copied from Neo4j applications run unmodified. Documented in
+      // tck_blacklist.md.
+      peek match {
+        case Ident(s, _) if s.equalsIgnoreCase("CYPHER") =>
+          p += 1
+          var more = true
+          while (more) peek match {
+            case NumTok(_, _) => p += 1 // version: 5 / 25 / 2025.06
+            case Ident(_, _) if (peek2 match {
+              case Punct("=", _) => true
+              case _ => false
+            }) =>
+              p += 2
+              peek match {
+                case Ident(_, _) | NumTok(_, _) => p += 1
+                case t => fail(s"expected a CYPHER option value, got $t")
+              }
+            case _ => more = false
+          }
+        case _ =>
+      }
       def unionQuery(): Query = {
         val first = parseSingleQuery()
         val rest = Seq.newBuilder[(Boolean, SingleQuery)]
@@ -615,6 +640,38 @@ object CypherParser {
 
     private def parseMatch(optional: Boolean): Match = {
       val (pattern, inline) = withInlineFrame(parsePattern())
+      // Neo4j planner hints between the pattern and WHERE: validated
+      // syntactically, then DISCARDED — there is no index machinery to
+      // hint and Catalyst owns join order (tck_blacklist.md). Grammar:
+      //   USING [RANGE|TEXT|POINT] INDEX [SEEK] v:Label(prop[, prop…])
+      //   USING SCAN v:Label
+      //   USING JOIN ON v[, v…]
+      def word(s: String): Boolean = peek match {
+        case Ident(w, _) => w.equalsIgnoreCase(s)
+        case Kw(k, _, _) => k.equalsIgnoreCase(s)
+        case _ => false
+      }
+      while (word("USING")) {
+        p += 1
+        if (word("RANGE") || word("TEXT") || word("POINT")) p += 1
+        if (word("INDEX")) {
+          p += 1
+          if (word("SEEK")) p += 1
+          ident(); eatPunct(":"); ident()
+          eatPunct("(")
+          ident()
+          while (tryPunct(",")) ident()
+          eatPunct(")")
+        } else if (word("SCAN")) {
+          p += 1; ident(); eatPunct(":"); ident()
+        } else if (word("JOIN")) {
+          p += 1
+          if (word("ON")) p += 1
+          else fail(s"expected ON after USING JOIN, got $peek")
+          ident()
+          while (tryPunct(",")) ident()
+        } else fail(s"expected INDEX, SCAN or JOIN after USING, got $peek")
+      }
       val where = if (tryKw("WHERE")) Some(parseExpr()) else None
       Match(optional, pattern, conj(inline, where))
     }

@@ -68,6 +68,19 @@ class TckStyleSpec57 extends TckScenarioBase {
       s"observed endpoint lost its property binding:\n$plan")
   }
 
+  // --- Neo4j drop-in surface: CYPHER preamble + planner hints (both
+  //     validated syntactically, then discarded — Catalyst owns planning;
+  //     tck_blacklist.md) -------------------------------------------------
+  scenario("CYPHER version/options preamble is accepted and ignored", g,
+    "CYPHER 25 runtime: MATCH (n:A) RETURN count(*) AS x"
+      .replace(" runtime:", " runtime=parallel planner=dp"), value(1L))
+  scenario("USING INDEX / SCAN / JOIN hints parse and are ignored", g,
+    "MATCH (n:A) USING INDEX n:A(name) WHERE n.name = 'a' " +
+      "RETURN count(*) AS x", value(1L))
+  scenario("USING JOIN ON with multiple hints", g,
+    "MATCH (a:A)-[:K]->(b) USING SCAN a:A USING JOIN ON b " +
+      "RETURN count(*) AS x", value(2L)) // a-K->b and a-K->c
+
   // --- `!` not-null type suffix -----------------------------------------
   // --- single() 3VL (round-12 probe find: size-of-filter dropped nulls,
   //     so single(x IN [1, null] ...) read true — an unknown could be a
