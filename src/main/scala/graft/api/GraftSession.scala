@@ -313,6 +313,17 @@ class GraftSession(val spark: SparkSession) {
   private val ShowProceduresRe = """(?is)\A\s*SHOW\s+PROCEDURES\s*\z""".r
   private val ShowFunctionsRe =
     """(?is)\A\s*SHOW\s+(?:USER\s+DEFINED\s+)?FUNCTIONS\s*\z""".r
+  // Neo4j migration-script DDL. Indexes are performance-only artifacts —
+  // Catalyst plans against parquet statistics, so CREATE/DROP INDEX is an
+  // honest no-op (same stance as the discarded USING hints). Constraints
+  // are ENFORCEMENT: silently not enforcing a uniqueness/existence rule
+  // the user believes is active would be a correctness lie, so CREATE
+  // CONSTRAINT refuses with a classified error instead.
+  private val IndexDdlRe =
+    ("""(?is)\A\s*(?:CREATE\s+(?:TEXT\s+|POINT\s+|RANGE\s+|LOOKUP\s+""" +
+      """|FULLTEXT\s+|VECTOR\s+)?INDEX|DROP\s+INDEX)\b.*""").r
+  private val CreateConstraintRe =
+    """(?is)\A\s*CREATE\s+CONSTRAINT\b.*""".r
 
   private def isCatalogDdl(q: String): Boolean =
     CatalogCreateGraphRe.matches(q) || CatalogCreateViewRe.matches(q) ||
@@ -382,6 +393,14 @@ class GraftSession(val spark: SparkSession) {
       return functions.keys.toSeq.sorted
         .map(n => (n, "user")).toDF("name", "category")
     }
+    if (IndexDdlRe.matches(query)) return spark.emptyDataFrame
+    if (CreateConstraintRe.matches(query))
+      throw new graft.api.CypherException(
+        CypherError.SemanticError, CypherError.CompileTime,
+        CypherError.UnsupportedExpression,
+        "constraints are not supported: this engine computes over " +
+          "immutable snapshots and cannot enforce uniqueness/existence " +
+          "rules; refusing rather than silently not enforcing")
     val ast = CypherParser.parse(query)
     val planner = new Planner(spark, graph, params, drivingTable,
       graphByName, functions.toMap, procedures.toMap)

@@ -204,6 +204,20 @@ class AcceptanceSpec extends SparkTestBase {
     assert(fns.contains("sq_show_test"))
   }
 
+  test("index DDL is a no-op; constraint DDL refuses with a classified error") {
+    // Indexes are performance-only (Catalyst plans; same stance as the
+    // discarded USING hints) -> honest no-op. Constraints are enforcement
+    // -> refusing beats silently not enforcing.
+    assert(session.cypher(graph,
+      "CREATE INDEX ix IF NOT EXISTS FOR (n:N) ON (n.val)").count() === 0L)
+    assert(session.cypher(graph, "DROP INDEX ix IF EXISTS").count() === 0L)
+    val e = intercept[graft.api.CypherException] {
+      session.cypher(graph,
+        "CREATE CONSTRAINT c FOR (n:N) REQUIRE n.val IS UNIQUE")
+    }
+    assert(e.detail === graft.api.CypherError.UnsupportedExpression)
+  }
+
   test("db.* schema introspection procedures") {
     val labels = session.cypher(graph,
       "CALL db.labels() YIELD label RETURN label ORDER BY label")
