@@ -2205,6 +2205,26 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val spPrune = shortestSpecs.find(_.hops == Seq((e.v, true)))
       .exists(s => (s.sel.mode == "shortest" || s.sel.mode == "allshortest") &&
         !deferredShortest.contains(s.key))
+    // SCALE.md "SHORTEST k>=2 per-pair early-stop" variant (b), behind
+    // spark.graft.shortestK.compact (default off): compact the paths
+    // ACCUMULATOR — never the frontier — to per-endpoint-pair top-k after
+    // each level. Sound because levels arrive in strictly increasing
+    // length: dense_rank over (length, rel-id sequence) never demotes an
+    // existing row when longer rows arrive, so a row ranked > k at any
+    // level can never re-enter the final selector window's top-k, and
+    // dropping it leaves every kept row's rank unchanged. The frontier is
+    // untouched, so dropped rows still extend into longer trails for OTHER
+    // pairs (the round-10 soundness counter-argument against frontier
+    // drops). Bounds the selector-window input to O(pairs·k) instead of
+    // the full bounded-trail set — the 1000-executor win for hi >= 6
+    // shapes; below that the per-level window shuffle is a net loss,
+    // hence the opt-in flag. Deferred (path-reading WHERE) specs are
+    // excluded: the filter runs before selection, so rank-now does not
+    // bound rank-after-filter.
+    val compactSpec = shortestSpecs.find(_.hops == Seq((e.v, true)))
+      .filter(s => (s.sel.mode == "shortestk" || s.sel.mode == "shortestgroups") &&
+        !deferredShortest.contains(s.key) &&
+        spark.conf.getOption("spark.graft.shortestK.compact").exists(_.toBoolean))
     // nodes(p) needs the intermediate node ids; accumulate them only when a
     // bound path variable spans this var-length hop (one extra array column
     // per frontier row otherwise wasted).
@@ -2275,6 +2295,24 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         if (closedPairs == null) newPairs
         else closedPairs.unionByName(newPairs)
     }
+    // Per-level accumulator compaction (see compactSpec above). The same
+    // (length, rel-id sequence) ranking the final selector window applies,
+    // partitioned by the endpoint pair — which IS the final window's
+    // partitioning for a single-var-length-hop spec.
+    def compactAcc(acc: DataFrame): DataFrame = compactSpec match {
+      case None => acc
+      case Some(s) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(aCol), col(oCol))
+        val len = F.size(col(pids))
+        val rk =
+          if (s.sel.mode == "shortestgroups") F.dense_rank().over(w.orderBy(len))
+          else F.dense_rank().over(w.orderBy(len, col(pids)))
+        // Pin: the compacted accumulator is re-read and re-windowed every
+        // level; the cut keeps window lineage from nesting per level.
+        Pin(acc.withColumn("_sp_ck", rk).filter(col("_sp_ck") <= s.sel.k)
+          .drop("_sp_ck"))
+    }
 
     if (!unbounded) {
       for (k <- 1 to hi) {
@@ -2289,6 +2327,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           }
         }
         if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
+        if (compactSpec.nonEmpty && paths != null && k < hi)
+          paths = compactAcc(paths)
         if (k < hi) frontier = extend(frontier)
       }
     } else {
@@ -2313,6 +2353,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         else {
           if (spPrune && k >= math.max(lo, 1)) recordClosed(frontier)
           if (k >= lo) paths = if (paths == null) frontier else paths.unionByName(frontier)
+          if (compactSpec.nonEmpty && paths != null) paths = compactAcc(paths)
           if (k >= maxIters) throw new CypherCompileException(
             s"unbounded var-length expand exceeded $maxIters levels " +
               "(raise spark.graft.varLength.maxIterations)")

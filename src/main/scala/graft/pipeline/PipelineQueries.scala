@@ -850,7 +850,68 @@ object PipelineQueries {
         "CALL hits(2, 'IN_REGION', 'FROM_NATION', 'PLACED') " +
           "YIELD hub, auth " +
           "RETURN toInteger(hub) AS hub, toInteger(auth) AS auth, " +
-          "count(*) AS n")))
+          "count(*) AS n")),
+    // --- node similarity (GDS nodeSimilarity parity): parts similar by
+    // the orders they appear in (Jaccard over shared-order sets, top-5
+    // per part, sources with >= 2 orders). Histogram of rounded scores —
+    // the tie-break (score desc, other-id asc) is deterministic so the
+    // top-k cut replays exactly in DuckDB. ---
+    "q_algo_nodesim" -> ((s, dir) =>
+      graft.algos.GraphAlgorithms.nodeSimilarityEdges(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_partkey").as("src"), col("l_orderkey").as("dst")),
+        topK = 5, degreeCutoff = 2)
+        .groupBy(round(col("jacc"), 4).as("j"))
+        .agg(count(lit(1)).as("n"))),
+    // --- exact closeness centrality (Wasserman-Faust variant) over the
+    // IN_REGION star, sources = every Nation and Region — closed-form
+    // oracle like q_algo_harmonic: a nation in a k-nation region scores
+    // (k/(n-1))·(k/(2k-1)), its region (k/(n-1))·1, everyone else 0. ---
+    "q_algo_closeness" -> ((s, dir) => {
+      val g = graft.tpch.TpchGraph(s, dir)
+      val src = g.nodeScansFor(Seq("Nation"))
+        .map(_.df.select(col(graft.graph.PropertyGraph.ID).as("id")))
+        .reduce(_.unionByName(_))
+        .unionByName(g.nodeScansFor(Seq("Region"))
+          .map(_.df.select(col(graft.graph.PropertyGraph.ID).as("id")))
+          .reduce(_.unionByName(_)))
+      graft.algos.GraphAlgorithms.closenessCentrality(g, src,
+          relTypes = Seq("IN_REGION"), wassermanFaust = true)
+        .groupBy(round(col("closeness"), 6).as("c"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // --- eigenvector centrality by power iteration over the UNDIRECTED
+    // customer/order/nation/region subgraph (the TPCH graph is a DAG, so
+    // the directed scores legitimately collapse to 0 — pinned in
+    // AlgosSpec), 3 rounds, L2-normalized per round (oracle unrolls the
+    // recurrence). ---
+    "q_algo_eigenvector" -> ((s, dir) =>
+      graft.algos.GraphAlgorithms.eigenvectorCentrality(
+        graft.tpch.TpchGraph(s, dir), iterations = 3,
+        relTypes = Seq("IN_REGION", "FROM_NATION", "PLACED"),
+        directed = false)
+        .groupBy(round(col("score"), 5).as("score"))
+        .agg(count(lit(1)).as("n"))),
+    // --- deterministic random walks (DeepWalk corpus generation): 4
+    // walks of 8 steps from every nation over the undirected
+    // customer-nation-region graph with explicit arithmetic node ids;
+    // the seeded congruential step choice replays exactly in SQL.
+    // Output: visit-count histogram. ---
+    "q_algo_randomwalk" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val edges = nation.select(
+          col("n_nationkey").cast("long").as("src"),
+          (col("n_regionkey") + lit(100)).cast("long").as("dst"))
+        .unionByName(customer.select(
+          (col("c_custkey") + lit(1000)).cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst")))
+      val starts = nation.select(col("n_nationkey").cast("long").as("id"))
+      graft.algos.GraphAlgorithms.randomWalks(edges, starts,
+          walksPerStart = 4, steps = 8, seed = 42L)
+        .groupBy(col("node")).agg(count(lit(1)).as("visits"))
+        .groupBy(col("visits")).agg(count(lit(1)).as("n"))
+    }))
 
   /** PageRank oracle: the same 3 damped iterations with uniform dangling-
     * mass redistribution, unrolled as chained CTEs over a string-keyed
@@ -1191,7 +1252,117 @@ object PipelineQueries {
        FROM allnodes LEFT JOIN bcs USING (v) GROUP BY 1"""
   }
 
+  /** Node-similarity oracle: replays the Jaccard + deterministic top-k
+    * cut (score desc, other-id asc) over the distinct (part, order)
+    * bipartite edge set. */
+  private val nodeSimSql: String =
+    """WITH e AS (SELECT DISTINCT l_partkey AS src, l_orderkey AS dst FROM lineitem),
+       deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src HAVING count(*) >= 2),
+       ed AS (SELECT e.src, e.dst, deg.dg FROM e JOIN deg ON e.src = deg.src),
+       pairs AS (SELECT a.src AS a, b.src AS b, a.dg AS da, b.dg AS db, count(*) AS c
+         FROM ed a JOIN ed b ON a.dst = b.dst AND a.src < b.src GROUP BY 1, 2, 3, 4),
+       scored AS (SELECT a, b, CAST(c AS DOUBLE) / (da + db - c) AS jacc FROM pairs),
+       bothd AS (SELECT a AS id, b AS other, jacc FROM scored
+         UNION ALL SELECT b, a, jacc FROM scored),
+       rk AS (SELECT id, jacc,
+           row_number() OVER (PARTITION BY id ORDER BY jacc DESC, other) AS r
+         FROM bothd)
+     SELECT round(jacc, 4) AS j, CAST(count(*) AS BIGINT) AS n
+     FROM rk WHERE r <= 5 GROUP BY 1"""
+
+  /** Closeness (Wasserman-Faust) closed form on the per-region IN_REGION
+    * stars (each region is its own component): a nation in a k-nation
+    * region is reached by its region (d 1) and k-1 siblings (d 2), the
+    * region by its k nations (d 1); everyone else scores 0. The
+    * expression SHAPE mirrors the engine's (r/(n-1))·(r/sumd) exactly so
+    * the rounded doubles agree bit-for-bit. */
+  private val closenessSql: String =
+    """WITH k AS (SELECT n_regionkey AS rk, CAST(count(*) AS DOUBLE) AS kk FROM nation GROUP BY 1),
+       nn AS (SELECT CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+           + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+           + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+           + (SELECT count(*) FROM lineitem) AS DOUBLE) AS n),
+       rows_ AS (
+         SELECT round((kk / (n - 1)) * (kk / (2 * kk - 1)), 6) AS c, CAST(kk AS BIGINT) AS m
+         FROM k CROSS JOIN nn
+         UNION ALL SELECT round((kk / (n - 1)) * (kk / kk), 6), CAST(1 AS BIGINT)
+         FROM k CROSS JOIN nn
+         UNION ALL SELECT 0.0,
+           (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+           + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+           + (SELECT count(*) FROM lineitem))
+     SELECT c, CAST(sum(m) AS BIGINT) AS n FROM rows_ GROUP BY 1"""
+
+  /** Eigenvector oracle: 3 unrolled power-iteration rounds
+    * (x ← A'x / ‖A'x‖₂ from a uniform start over the connected set) on
+    * the string-keyed edge rebuild; nodes outside the connected set read
+    * the engine's analytic 0. */
+  private val eigenvectorSql: String = {
+    def round(k: Int, prev: String) =
+      s"""c$k AS (SELECT e.dst AS id, sum($prev.score) AS raw
+            FROM edges e JOIN $prev ON $prev.id = e.src GROUP BY 1),
+          r$k AS (SELECT conn.id, coalesce(c$k.raw, 0.0) AS raw
+            FROM conn LEFT JOIN c$k ON conn.id = c$k.id),
+          n$k AS (SELECT sqrt(sum(raw * raw)) AS nm FROM r$k),
+          x$k AS (SELECT id, raw / nm AS score FROM r$k CROSS JOIN n$k)"""
+    s"""WITH dedges AS (
+         SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src, 'r' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+         UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+         UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+         UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR), 'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+       edges AS (SELECT src, dst FROM dedges
+         UNION ALL SELECT dst AS src, src AS dst FROM dedges),
+       conn AS (SELECT DISTINCT id FROM (
+         SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       total AS (SELECT (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+           + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+           + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+           + (SELECT count(*) FROM lineitem) AS t),
+       x0 AS (SELECT id, 1.0 AS score FROM conn),
+       ${round(1, "x0")},
+       ${round(2, "x1")},
+       ${round(3, "x2")},
+       hist AS (
+         SELECT round(score, 5) AS score, CAST(count(*) AS BIGINT) AS n FROM x3 GROUP BY 1
+         UNION ALL SELECT 0.0, t - (SELECT count(*) FROM conn) FROM total)
+     SELECT score, CAST(sum(n) AS BIGINT) AS n FROM hist GROUP BY 1"""
+  }
+
+  /** Random-walk oracle: the exact seeded congruential step replay —
+    * neighbor rank (partition by node, order by neighbor id) and
+    * pick = hash(walkId, step, cur) mod degree, all BIGINT arithmetic
+    * below 2^63 on both engines. */
+  private val randomWalkSql: String = {
+    val M = "1000000007"
+    def step(t: Int, prev: String) =
+      s"""s$t AS (SELECT p.walk_id, nbr.dst AS cur
+            FROM $prev p JOIN nbr ON p.cur = nbr.src
+            AND nbr.idx = (((p.walk_id % $M) * 31 + $t * 7919 + (p.cur % $M) * 654435747 + 42) % $M) % nbr.deg + 1)"""
+    val steps = (1 to 8).map(t => step(t, s"s${t - 1}")).mkString(",\n       ")
+    val visitUnion = (1 to 8).map(t => s"UNION ALL SELECT cur FROM s$t").mkString(" ")
+    s"""WITH e0 AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS src, CAST(n_regionkey + 100 AS BIGINT) AS dst FROM nation
+         UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), CAST(c_nationkey AS BIGINT) FROM customer),
+       ed AS (SELECT DISTINCT src, dst FROM e0),
+       sym AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+       nbr AS (SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS idx,
+           count(*) OVER (PARTITION BY src) AS deg FROM sym),
+       s0 AS (SELECT CAST(n_nationkey AS BIGINT) * 4 + w.w AS walk_id,
+           CAST(n_nationkey AS BIGINT) AS cur
+         FROM nation CROSS JOIN (VALUES (0), (1), (2), (3)) AS w(w)),
+       $steps,
+       visits AS (SELECT cur FROM s0 $visitUnion),
+       per AS (SELECT cur, CAST(count(*) AS BIGINT) AS visits FROM visits GROUP BY cur)
+     SELECT visits, CAST(count(*) AS BIGINT) AS n FROM per GROUP BY 1"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_algo_nodesim" -> nodeSimSql,
+    "q_algo_closeness" -> closenessSql,
+    "q_algo_eigenvector" -> eigenvectorSql,
+    "q_algo_randomwalk" -> randomWalkSql,
     "q_algo_betweenness" -> betweennessSql(),
     "q_embed_project" -> embedProjectSql,
     "q_cluster_kmeans" -> kmeansSql(),

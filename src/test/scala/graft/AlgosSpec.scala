@@ -870,4 +870,103 @@ class AlgosSpec extends SparkTestBase {
         ((r.getDecimal(1), r.getDecimal(2)))).toMap
     assert(run(1) === run(13))
   }
+
+  test("node similarity: hand-computed Jaccard, topK cut, degree cutoff") {
+    // Sources 1,2,3 over targets: 1->{a,b,c}, 2->{b,c,d}, 3->{c}, 4->{x}.
+    // J(1,2) = 2/4 = 0.5; J(1,3) = J(2,3) = 1/3 but 3 has degree 1 so a
+    // degreeCutoff of 2 removes it entirely; 4 shares nothing.
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L),
+      (2L, 13L), (3L, 12L), (4L, 20L)).toDF("src", "dst")
+    val all = GraphAlgorithms.nodeSimilarityEdges(e, topK = 10,
+        degreeCutoff = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(all((1L, 2L)) - 0.5) < 1e-12)
+    assert(math.abs(all((1L, 3L)) - 1.0 / 3) < 1e-12)
+    assert(math.abs(all((3L, 1L)) - 1.0 / 3) < 1e-12)
+    assert(!all.contains((1L, 4L)) && !all.contains((4L, 1L)))
+    val cut = GraphAlgorithms.nodeSimilarityEdges(e, topK = 10,
+        degreeCutoff = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut === Set((1L, 2L), (2L, 1L)))
+    // topK = 1 keeps only each node's best neighbor (ties by id).
+    val top1 = GraphAlgorithms.nodeSimilarityEdges(e, topK = 1,
+        degreeCutoff = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(1L) === 2L) // 0.5 beats 1/3
+    assert(top1(3L) === 1L) // tie 1/3 with both 1 and 2 -> lower id
+  }
+
+  test("node similarity: hub-target cutoff drops the hub, keeps the rest") {
+    // Target 99 is shared by everyone (a hub); with maxTargetDegree = 2 it
+    // is dropped, so only the genuine pair (1,2) via target 10 survives.
+    val e = (Seq((1L, 10L), (2L, 10L)) ++
+      (1L to 5L).map(s => (s, 99L))).toDF("src", "dst")
+    val got = GraphAlgorithms.nodeSimilarityEdges(e, topK = 10,
+        degreeCutoff = 1, maxTargetDegree = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("closeness centrality: path graph, plain and Wasserman-Faust") {
+    // Path 1-2-3 (undirected), sources = all three nodes.
+    // closeness(2) = 2/(1+1) = 1.0; closeness(1) = 2/(1+2) = 2/3.
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((10L, 1L, 2L), (11L, 2L, 3L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val src = GraphAlgorithms.nodeIds(g)
+    val plain = GraphAlgorithms.closenessCentrality(g, src).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL) -> r.getDouble(1)).toMap
+    assert(math.abs(plain(2L) - 1.0) < 1e-12)
+    assert(math.abs(plain(1L) - 2.0 / 3) < 1e-12)
+    assert(plain(9L) === 0.0) // isolated: unreached
+    val wf = GraphAlgorithms.closenessCentrality(g, src,
+        wassermanFaust = true).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL) -> r.getDouble(1)).toMap
+    // n = 4: WF multiplies by r/(n-1) = 2/3.
+    assert(math.abs(wf(2L) - (2.0 / 3) * 1.0) < 1e-12)
+    assert(math.abs(wf(1L) - (2.0 / 3) * (2.0 / 3)) < 1e-12)
+  }
+
+  test("eigenvector centrality: star center dominates, L2 norm is 1") {
+    // Directed star: 1,2,3 -> 4, a back-edge 4 -> 1 so iteration doesn't
+    // die, and a self-loop 4 -> 4 so the graph is APERIODIC (without it
+    // the 1->4->1 cycle has period 2 and power iteration oscillates —
+    // correct behavior, but not a stable assertion). Center 4 dominates.
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val edges = Seq((10L, 1L, 4L), (11L, 2L, 4L), (12L, 3L, 4L),
+      (13L, 4L, 1L), (14L, 4L, 4L)).toDF("id", "src", "tgt")
+    val g = PropertyGraph(
+      Seq(NodeTableDef(Set("V"), nodes, "id", Map.empty, "v")),
+      Seq(RelTableDef("E", edges, "id", "src", "tgt", Map.empty, "e", "v", "v")))
+    val x = GraphAlgorithms.eigenvectorCentrality(g, iterations = 6).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL) -> r.getDouble(1)).toMap
+    assert(x(4L) > x(1L) && x(1L) > 0.0)
+    assert(x(2L) === 0.0 && x(3L) === 0.0) // no in-edges after round 1...
+    assert(x(9L) === 0.0) // isolated: analytic zero
+    assert(math.abs(x.values.map(v => v * v).sum - 1.0) < 1e-9)
+  }
+
+  test("random walks: deterministic, correct shape, visits stay on the graph") {
+    // Undirected triangle 1-2-3 plus isolated 9 (no walks from it if not
+    // a start). Walks never leave {1,2,3}; re-running gives identical rows.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val starts = Seq(1L, 2L).toDF("id")
+    def run() = GraphAlgorithms.randomWalks(e, starts,
+      walksPerStart = 3, steps = 5, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3))
+    val a = run()
+    assert(a.toSeq === run().toSeq) // deterministic
+    // 2 starts x 3 walks x (1 + 5 steps) rows, none leaving the triangle.
+    assert(a.length === 2 * 3 * 6)
+    assert(a.forall(x => Set(1L, 2L, 3L).contains(x._4)))
+    // step 0 is the start node.
+    assert(a.filter(_._3 == 0).forall(x => x._2 === x._4))
+    // consecutive steps are graph edges.
+    val byWalk = a.groupBy(_._1).values
+    for (w <- byWalk; Array(p, q) <- w.sortBy(_._3).sliding(2))
+      assert(Set((p._4, q._4), (q._4, p._4)).exists(
+        Set((1L, 2L), (2L, 3L), (3L, 1L)).contains))
+  }
 }
