@@ -744,6 +744,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case _ => None
   }
 
+  /** Truthful (as-stored) endpoint of a bound rel var: a rel matched
+    * through an UNDIRECTED pattern carries RevSlot marking traversal-
+    * reversed rows (Planner.relScanDf); startNode()/endNode() must report
+    * storage order regardless of how the pattern walked the rel. */
+  private def storedEnd(n: String, src: Boolean): Column = {
+    val fwd = F.col(header.col(if (src) SrcSlot(n) else TgtSlot(n)))
+    header.get(RevSlot(n)) match {
+      case Some(rc) =>
+        F.when(F.coalesce(F.col(rc), F.lit(false)),
+          F.col(header.col(if (src) TgtSlot(n) else SrcSlot(n)))).otherwise(fwd)
+      case None => fwd
+    }
+  }
+
   /** LOCALTIME / TIME marker structs (see ExprCompiler.localTimeType). */
   private def isLocalTimeT(t: Option[DataType]): Boolean = t match {
     case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("_ltus")
@@ -1861,7 +1875,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           throw new CypherCompileException(
             s"startNode() expects a relationship, got $$n",
             CE.TypeError, CE.InvalidArgumentType)
-        case Var(n) => col(header.col(SrcSlot(n)))
+        case Var(n) => storedEnd(n, src = true)
         case _ => throw new CypherCompileException("startNode() needs a rel var", CE.TypeError, CE.InvalidArgumentType)
       }
       case "endnode" => args(0) match {
@@ -1877,7 +1891,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           throw new CypherCompileException(
             s"endNode() expects a relationship, got $$n",
             CE.TypeError, CE.InvalidArgumentType)
-        case Var(n) => col(header.col(TgtSlot(n)))
+        case Var(n) => storedEnd(n, src = false)
         case _ => throw new CypherCompileException("endNode() needs a rel var", CE.TypeError, CE.InvalidArgumentType)
       }
       case "keys" => args(0) match {

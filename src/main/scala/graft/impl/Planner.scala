@@ -191,8 +191,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           when(ridc.isNull, lit(null))
             .otherwise(struct(
               (Seq(ridc.as("_id"),
-                col(header.col(SrcSlot(v))).as("_src"),
-                col(header.col(TgtSlot(v))).as("_tgt"),
+                storedEndCol(header, v, src = true).as("_src"),
+                storedEndCol(header, v, src = false).as("_tgt"),
                 col(header.col(TypeSlot(v))).as("_type")) ++
                 (if (props.nonEmpty) Seq(struct(props: _*).as("_properties"))
                 else Seq.empty)): _*)).as(display)
@@ -960,7 +960,35 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         .map(col)
       ctx = applyShortestSelection(ctx, s, partCols)
     }
-    ctx
+    normalizeRelOrientation(ctx)
+  }
+
+  /** Collapse traversal orientation once a MATCH finishes: rel vars bound
+    * through an undirected scan carry (swapped src/tgt, RevSlot); pattern
+    * planning is the only consumer of traversal order, so rewrite src/tgt
+    * to storage order and DROP the marker. Downstream then sees one
+    * canonical binding per orientation row — Neo4j's relationship
+    * identity: `WITH DISTINCT r` collapses the two orientation rows and
+    * `RETURN r, count(*)` groups them, while bare `MATCH ()-[r]-()` keeps
+    * its two-row multiplicity (values equal, rows distinct). */
+  private def normalizeRelOrientation(ctx0: Ctx): Ctx = {
+    val revs = ctx0.header.slots.keys.collect { case s: RevSlot => s }.toSeq
+      .distinctBy(ctx0.header.col(_))
+    if (revs.isEmpty) return ctx0
+    var df = ctx0.df
+    revs.foreach { rs =>
+      val v = rs.owner
+      val sC = ctx0.header.col(SrcSlot(v))
+      val tC = ctx0.header.col(TgtSlot(v))
+      val rC = ctx0.header.col(rs)
+      val rev = coalesce(col(rC), lit(false))
+      df = df.withColumns(Map(
+          sC -> when(rev, col(tC)).otherwise(col(sC)),
+          tC -> when(rev, col(sC)).otherwise(col(tC))))
+        .drop(rC)
+    }
+    Ctx(df, ctx0.header.withoutSlots(
+      ctx0.header.slots.keys.collect { case s: RevSlot => s }.toSeq))
   }
 
   /** One path-selector window over `partCols`: keeps the per-partition
@@ -1059,9 +1087,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     targets.foreach { case ((isSrc, r), v) =>
       val (df, header, deferred) = nodeScanDf(NodeCons(v, Seq.empty, Seq.empty))
       require(deferred.isEmpty, "all-labels scan has no inline props")
-      val endCol = ctx.header.col(if (isSrc) SrcSlot(r) else TgtSlot(r))
+      val endC = storedEndCol(ctx.header, r, src = isSrc)
       val joined = ctx.df.join(df,
-        col(endCol) === col(header.col(IdSlot(v))), "left_outer")
+        endC === col(header.col(IdSlot(v))), "left_outer")
       ctx = Ctx(joined, ctx.header ++ header)
     }
     (ctx, rewritten)
@@ -1828,9 +1856,16 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     if (undirected) {
       // Union with the reversed orientation; exclude self-loops from the
       // reversed copy so they match once (RelationalPlanner.scala:154-164).
+      // SrcSlot/TgtSlot bind in TRAVERSAL order (every downstream join
+      // keys on them); RevSlot marks the reversed rows so startNode()/
+      // endNode()/rel rendering can recover the STORED order (Neo4j is
+      // truthful about endpoints however the pattern matched).
       val s = header.col(SrcSlot(v))
       val t = header.col(TgtSlot(v))
+      header = header.withSlot(RevSlot(v))
+      df = df.withColumn(header.col(RevSlot(v)), lit(false))
       val reversed = df
+        .withColumn(header.col(RevSlot(v)), lit(true))
         .withColumnRenamed(s, "_swap").withColumnRenamed(t, s)
         .withColumnRenamed("_swap", t)
         .filter(col(s) =!= col(t))
@@ -1894,6 +1929,21 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         }
       }
 
+  /** Truthful (as-stored) endpoint columns of a bound rel var: undirected
+    * scans bind SrcSlot/TgtSlot in traversal order with RevSlot marking
+    * reversed rows; reading through the marker recovers storage order.
+    * Vars without the marker (directed scans, created rels) are already
+    * truthful. */
+  private def storedEndCol(h: RecordHeader, v: String, src: Boolean): Column = {
+    val fwd = col(h.col(if (src) SrcSlot(v) else TgtSlot(v)))
+    h.get(RevSlot(v)) match {
+      case Some(rc) =>
+        when(coalesce(col(rc), lit(false)),
+          col(h.col(if (src) TgtSlot(v) else SrcSlot(v)))).otherwise(fwd)
+      case None => fwd
+    }
+  }
+
   /** Re-match of an already-bound relationship variable (carried through
     * WITH): reuse its src/tgt/type columns instead of planning a fresh rel
     * scan, whose header columns would collide with the bound ones.
@@ -1903,8 +1953,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       nodes: Map[String, NodeCons], bound: mutable.Set[String]): Ctx = {
     var df = ctx0.df
     var header = ctx0.header
-    val srcC = col(header.col(SrcSlot(e.v)))
-    val tgtC = col(header.col(TgtSlot(e.v)))
+    // Truthful endpoints: a rel matched undirected then re-matched with a
+    // DIRECTION must constrain against storage order, not traversal order.
+    val srcC = storedEndCol(header, e.v, src = true)
+    val tgtC = storedEndCol(header, e.v, src = false)
     if (e.types.nonEmpty)
       df = df.filter(col(header.col(TypeSlot(e.v))).isin(e.types: _*))
     def bindEnd(v: String, c: Column): Unit =
@@ -3852,12 +3904,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         if (e.types.size != 1) throw new CypherCompileException(
           "MERGE requires exactly one relationship type",
           CE.SyntaxError, CE.NoSingleRelationshipType)
-        if (e.dir == BOTH && !(edges.size == 1 &&
-            ctx.header.kinds.contains(e.src) &&
-            ctx.header.kinds.contains(e.tgt)))
-          throw new CypherCompileException(
-            "MERGE of an undirected relationship needs bound endpoints",
-            CE.SyntaxError, CE.RequiresDirectedRelationship)
+        // Undirected rels are legal in MERGE everywhere (Neo4j): the
+        // match side considers both orientations (planOptionalMatch
+        // honors dir == BOTH in the path branch; the bound-pair branch
+        // unions the flipped candidates) and creation runs left-to-right.
         if (e.varLength.isDefined) throw new CypherCompileException(
           "MERGE of a variable-length relationship",
           CE.SyntaxError, CE.CreatingVarLength)

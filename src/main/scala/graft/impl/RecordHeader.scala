@@ -13,6 +13,13 @@ case class PropSlot(owner: String, key: String) extends Slot
 case class SrcSlot(owner: String) extends Slot
 case class TgtSlot(owner: String) extends Slot
 case class TypeSlot(owner: String) extends Slot
+/** Orientation marker for rels matched through an UNDIRECTED pattern:
+  * false = bound as stored, true = bound reversed (the traversal-order
+  * src/tgt columns are swapped relative to storage). startNode()/endNode()
+  * and rel-struct rendering read through it so stored endpoints stay
+  * truthful on reversed matches; absent (created rels, directed scans
+  * before round 12) means false. */
+case class RevSlot(owner: String) extends Slot
 /** A plain value column (projected expression, UNWIND item, …). */
 case class ValueSlot(owner: String) extends Slot
 /** Var-length relationship: column holds an array of relationship ids. */
@@ -40,6 +47,7 @@ object RecordHeader {
     case SrcSlot(v) => esc(v) + "__src"
     case TgtSlot(v) => esc(v) + "__tgt"
     case TypeSlot(v) => esc(v) + "__type"
+    case RevSlot(v) => esc(v) + "__rev"
     case ValueSlot(v) => esc(v) + "__v"
     case PathSlot(v) => esc(v) + "__path"
     case PathNodesSlot(v) => esc(v) + "__pathnodes"
@@ -64,6 +72,7 @@ case class RecordHeader(slots: Map[Slot, String], kinds: Map[String, VarKind]) {
     case SrcSlot(_) => "1"
     case TgtSlot(_) => "2"
     case TypeSlot(_) => "3"
+    case RevSlot(_) => "3r"
     case LabelSlot(_, l) => "4" + l
     case PropSlot(_, k) => "5" + k
     case PathSlot(_) => "6"
@@ -72,6 +81,8 @@ case class RecordHeader(slots: Map[Slot, String], kinds: Map[String, VarKind]) {
 
   def withSlot(s: Slot): RecordHeader =
     copy(slots = slots + (s -> RecordHeader.colName(s)))
+  def withoutSlots(ss: Iterable[Slot]): RecordHeader =
+    copy(slots = slots -- ss)
   def withSlots(ss: Iterable[Slot]): RecordHeader =
     copy(slots = slots ++ ss.map(s => s -> RecordHeader.colName(s)))
   def withVar(v: String, k: VarKind): RecordHeader = copy(kinds = kinds + (v -> k))
@@ -92,6 +103,7 @@ case class RecordHeader(slots: Map[Slot, String], kinds: Map[String, VarKind]) {
         case SrcSlot(_) => SrcSlot(to)
         case TgtSlot(_) => TgtSlot(to)
         case TypeSlot(_) => TypeSlot(to)
+        case RevSlot(_) => RevSlot(to)
         case ValueSlot(_) => ValueSlot(to)
         case PathSlot(_) => PathSlot(to)
       }
