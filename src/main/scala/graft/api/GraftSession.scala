@@ -160,6 +160,35 @@ class GraftSession(val spark: SparkSession) {
   registerProcedure("assortativity", (g, args) =>
     graft.algos.GraphAlgorithms.degreeAssortativity(
       graft.algos.GraphAlgorithms.edges(g, strArgs(args, 0))))
+  // CALL nodesimilarity(topK, degreeCutoff [, relType...]) — Jaccard over
+  // shared out-neighbor targets, top-k per node (GDS nodeSimilarity).
+  registerProcedure("nodesimilarity", (g, args) =>
+    graft.algos.GraphAlgorithms.nodeSimilarity(g, strArgs(args, 2),
+      topK = intArg(args, 0, 10), degreeCutoff = intArg(args, 1, 1))
+      .toDF("id", "other", "jacc"))
+  // CALL closeness(seedLabel [, relType...]) — exact k-source closeness
+  // centrality seeded on the labeled nodes (undirected, plain variant;
+  // the Wasserman-Faust correction stays programmatic).
+  registerProcedure("closeness", (g, args) =>
+    graft.algos.GraphAlgorithms.closenessCentrality(g,
+      labelIds(g, strArg(args, 0)), strArgs(args, 1))
+      .toDF("id", "closeness"))
+  // CALL eigenvector(iterations [, relType...]) — power-iteration
+  // eigenvector centrality, undirected orientation (the useful mode on
+  // DAG-shaped data; the directed variant stays programmatic).
+  registerProcedure("eigenvector", (g, args) =>
+    graft.algos.GraphAlgorithms.eigenvectorCentrality(g,
+      iterations = intArg(args, 0, 3), relTypes = strArgs(args, 1),
+      directed = false).toDF("id", "score"))
+  // CALL randomwalks(seedLabel, walksPerStart, steps, seed [, relType...])
+  // — deterministic DeepWalk-style walks from every labeled node.
+  registerProcedure("randomwalks", (g, args) =>
+    graft.algos.GraphAlgorithms.randomWalks(
+      graft.algos.GraphAlgorithms.edges(g, strArgs(args, 4)),
+      labelIds(g, strArg(args, 0)),
+      walksPerStart = intArg(args, 1, 4), steps = intArg(args, 2, 8),
+      seed = intArg(args, 3, 42).toLong)
+      .toDF("walk_id", "start", "step", "node"))
   // CALL neighborhood(maxHops [, lgK [, relType...]]) — HyperBall ball-size
   // estimates (the scale path; exact 2-hop baseline stays programmatic).
   registerProcedure("neighborhood", (g, args) =>

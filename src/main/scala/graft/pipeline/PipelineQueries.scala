@@ -587,6 +587,35 @@ object PipelineQueries {
           col("r_event_id").as("click_id"))
       }
     }),
+    // --- in-stream exact dedup (dropDuplicatesWithinWatermark), end to
+    //     end: the staged directory holds TWO copies of the events file,
+    //     so the stream sees every event twice in one micro-batch; the
+    //     deduped output must equal the single-copy batch aggregation
+    //     exactly — one surviving duplicate doubles a count and
+    //     mismatches loudly.
+    "q_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.GraftStreaming
+      val staged = java.nio.file.Files.createTempDirectory("graft_qsd")
+      val p0 = staged.resolve("part-0.parquet")
+      val p1 = staged.resolve("part-1.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), p0)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), p1)
+      try GraftStreaming.withStatePartitions(s, 4) {
+        val deduped = GraftStreaming.dedupStream(
+          GraftStreaming.eventsStream(s, staged.toString))
+        val sink = "q_stream_dedup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        GraftStreaming.runToMemorySink(deduped, sink)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      } finally {
+        java.nio.file.Files.deleteIfExists(p0)
+        java.nio.file.Files.deleteIfExists(p1)
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
     // --- watermark late-data drop, driver-verified: the events split into
     //     THREE micro-batch files (modTime order) — the newest ~2 hours
     //     first, the two hours before that second, everything older third.
@@ -1999,6 +2028,12 @@ object PipelineQueries {
          WHERE ts >= (SELECT date_trunc('hour', max(ts)) - INTERVAL 3 HOUR
                       FROM events)
          GROUP BY 1, 2""",
+    // The streaming side ingested every event TWICE; equality with the
+    // single-copy aggregation proves the dedup state dropped each copy.
+    "q_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sv
+         FROM events GROUP BY 1""",
     "q_stream_sessionize" ->
       """WITH x AS (SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -111,6 +111,41 @@ class AlgosSpec extends SparkTestBase {
     assert(comps === 2L)
   }
 
+  test("round-12 algorithms are CALL-able procedures") {
+    val session = new graft.api.GraftSession(spark)
+    // nodesimilarity over the triangle: every node shares a neighbor with
+    // the others (undirected edges are stored directed src->dst; sources
+    // here are 1,2,3 with out-targets {2},{3},{1} — no shared targets —
+    // so use topK over the full graph and just assert the shape runs and
+    // respects the cutoff).
+    val ns = session.cypher(graph,
+      "CALL nodesimilarity(5, 1) YIELD id, other, jacc " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(ns >= 0L)
+    // closeness seeded on V (every node): chain node 5 is reached by 4
+    // only -> r=1, sumd=1 within its component... undirected: 4-5 pair
+    // reach each other at d 1; triangle nodes reach both others at d 1.
+    val cl = session.cypher(graph,
+      "CALL closeness('V') YIELD id, closeness " +
+        "RETURN round(closeness, 4) AS c, count(*) AS n ORDER BY c")
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(cl(1.0) === 5L) // triangle: 2/(1+1); chain pair: 1/1
+    // eigenvector (undirected): triangle nodes tie and dominate or equal
+    // chain scores; L2 normalized.
+    val ev = session.cypher(graph,
+      "CALL eigenvector(6) YIELD id, score RETURN sum(score * score) AS s")
+      .collect().head.getDouble(0)
+    assert(math.abs(ev - 1.0) < 1e-9)
+    // randomwalks: 5 starts x 4 walks x 9 rows (step 0..8), deterministic.
+    val rw = session.cypher(graph,
+      "CALL randomwalks('V', 4, 8, 42) YIELD walk_id, step, node " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    val rw2 = session.cypher(graph,
+      "CALL randomwalks('V', 4, 8, 42) YIELD walk_id, step, node " +
+        "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(rw === rw2 && rw >= 5 * 4 * 1)
+  }
+
   /** Graph with two isolated nodes (6, 7) next to the triangle+chain. */
   lazy val graphIso: PropertyGraph = {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
