@@ -1350,6 +1350,119 @@ object GraphAlgorithms {
     x.unionByName(isolated)
   }
 
+  /** Louvain community detection (GDS louvain parity), DETERMINISTIC:
+    * fixed sweep/level counts, synchronous parity-gated local moves
+    * (nodes with (id + sweep) even move this sweep — avoids the
+    * two-community oscillation of fully-synchronous moves), ties broken
+    * by smaller community id. Every quantity is an integer-weighted sum,
+    * so the modularity-gain doubles are bit-reproducible and the DuckDB
+    * oracle replays level 1 exactly.
+    *
+    * Per sweep: community volumes (one aggregation), neighbor-community
+    * weights for this sweep's movers (one join + aggregation), argmax
+    * window, comm update — all keyed shuffles, state pinned per sweep.
+    * Coarsening contracts communities into super-nodes (one aggregation)
+    * and recurses; the leaf mapping composes per level. Community labels
+    * are node ids (the standard Louvain labeling).
+    *
+    * Returns (id, community) over the symmetrized input edge list. */
+  def louvain(edges0: DataFrame, levels: Int = 2, sweeps: Int = 2,
+      resolution: Double = 1.0): DataFrame = {
+    // Symmetric non-self rows (u,v,w) both directions; self-loop weight
+    // accumulates during coarsening as selfw(u).
+    val base = edges0.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+    var sym = Pin(base.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(base.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().withColumn("w", lit(1.0)))
+    var selfw = sym.select(col("u").as("id")).distinct()
+      .withColumn("sw", lit(0.0))
+    // orig node -> current super-node (starts as identity).
+    var mapping = sym.select(col("u").as("orig"), col("u").as("node")).distinct()
+    val win = org.apache.spark.sql.expressions.Window
+    for (level <- 1 to levels) {
+      // Node strength: incident weight + twice the self-loop weight.
+      // Anchored on selfw (the full node set) so an all-internal community
+      // with no cross edges still iterates — an inner join on the degree
+      // frame would silently drop it from the leaf mapping.
+      val deg = sym.groupBy(col("u").as("id")).agg(sum(col("w")).as("kd"))
+      val strength = Pin(selfw.join(deg, Seq("id"), "left_outer")
+        .select(col("id"),
+          (coalesce(col("kd"), lit(0.0)) + lit(2.0) * col("sw")).as("k")))
+      val m2 = strength.agg(coalesce(sum(col("k")), lit(0.0)))
+        .head().getDouble(0) // = 2m
+      if (m2 == 0.0) {
+        // No edges left to optimize (degenerate input): stop coarsening.
+        return mapping.select(col("orig").as("id"), col("node").as("community"))
+      }
+      var comm = Pin(strength.select(col("id"), col("id").as("c")))
+      for (sweep <- 1 to sweeps) {
+        val ctot = comm.join(strength, Seq("id"))
+          .groupBy(col("c")).agg(sum(col("k")).as("tot"))
+        // This sweep's movers: (id + sweep) even.
+        val movers = comm.filter(pmod(col("id") + lit(sweep.toLong), lit(2L)) === 0)
+          .select(col("id").as("u"), col("c").as("oc"))
+        // Weight from each mover to each neighboring community.
+        val nbrC = sym
+          .join(movers, sym("u") === movers("u"))
+          .drop(movers("u"))
+          .join(comm.select(col("id").as("v"), col("c").as("nc")), Seq("v"))
+          .groupBy(col("u"), col("oc"), col("nc"))
+          .agg(sum(col("w")).as("kin"))
+        // Staying put is always a candidate (kin 0 when no neighbor
+        // shares the community).
+        val own = movers.select(col("u"), col("oc"),
+          col("oc").as("nc"), lit(0.0).as("kin"))
+        val cand = nbrC.unionByName(own)
+          .groupBy(col("u"), col("oc"), col("nc"))
+          .agg(max(col("kin")).as("kin"))
+          .join(strength.select(col("id").as("u"), col("k")), Seq("u"))
+          .join(ctot.select(col("c").as("nc"), col("tot")), Seq("nc"))
+          .withColumn("score",
+            col("kin") - lit(resolution) * col("k") *
+              (col("tot") -
+                when(col("nc") === col("oc"), col("k")).otherwise(lit(0.0)))
+              / lit(m2))
+        val best = cand
+          .withColumn("_rk", row_number().over(win.partitionBy(col("u"))
+            .orderBy(col("score").desc, col("nc"))))
+          .filter(col("_rk") === 1)
+          .select(col("u").as("id"), col("nc").as("_newc"))
+        comm = Pin(comm.join(best, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("_newc"), col("c")).as("c")))
+      }
+      // Compose the leaf mapping, then contract communities.
+      mapping = Pin(mapping
+        .join(comm.select(col("id").as("node"), col("c")), Seq("node"))
+        .select(col("orig"), col("c").as("node")))
+      if (level < levels) {
+        val tagged = sym
+          .join(comm.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+          .join(comm.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        val cross = tagged.filter(col("cu") =!= col("cv"))
+          .groupBy(col("cu").as("u"), col("cv").as("v"))
+          .agg(sum(col("w")).as("w"))
+        // Internal non-self rows appear in both directions: halve. Old
+        // self-loop weight rides along per community.
+        val internal = tagged.filter(col("cu") === col("cv"))
+          .groupBy(col("cu").as("id"))
+          .agg((sum(col("w")) / 2.0).as("iw"))
+        val oldSelf = selfw
+          .join(comm.select(col("id"), col("c")), Seq("id"))
+          .groupBy(col("c").as("id")).agg(sum(col("sw")).as("osw"))
+        val nodes = comm.select(col("c").as("id")).distinct()
+        selfw = Pin(nodes
+          .join(internal, Seq("id"), "left_outer")
+          .join(oldSelf, Seq("id"), "left_outer")
+          .select(col("id"),
+            (coalesce(col("iw"), lit(0.0)) +
+              coalesce(col("osw"), lit(0.0))).as("sw")))
+        sym = Pin(cross)
+      }
+    }
+    mapping.select(col("orig").as("id"), col("node").as("community"))
+  }
+
   /** Deterministic random walks (DeepWalk-style corpus generation for
     * graph embeddings): `walksPerStart` walks of `steps` steps from every
     * start node, the step choice drawn from a seeded mixed-congruential

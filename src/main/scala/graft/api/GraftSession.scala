@@ -160,6 +160,13 @@ class GraftSession(val spark: SparkSession) {
   registerProcedure("assortativity", (g, args) =>
     graft.algos.GraphAlgorithms.degreeAssortativity(
       graft.algos.GraphAlgorithms.edges(g, strArgs(args, 0))))
+  // CALL louvain(levels, sweeps [, relType...]) — deterministic Louvain
+  // community detection (parity-gated sweeps, smaller-id tie break).
+  registerProcedure("louvain", (g, args) =>
+    graft.algos.GraphAlgorithms.louvain(
+      graft.algos.GraphAlgorithms.edges(g, strArgs(args, 2)),
+      levels = intArg(args, 0, 2), sweeps = intArg(args, 1, 2))
+      .toDF("id", "community"))
   // CALL nodesimilarity(topK, degreeCutoff [, relType...]) — Jaccard over
   // shared out-neighbor targets, top-k per node (GDS nodeSimilarity).
   registerProcedure("nodesimilarity", (g, args) =>

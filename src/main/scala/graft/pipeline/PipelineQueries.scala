@@ -921,6 +921,22 @@ object PipelineQueries {
         directed = false)
         .groupBy(round(col("score"), 5).as("score"))
         .agg(count(lit(1)).as("n"))),
+    // --- Louvain community detection over the co-order part-pair graph:
+    // level-1, two parity-gated sweeps (the deterministic recurrence the
+    // oracle unrolls exactly — every modularity-gain double is a sum of
+    // integer-valued terms, so the replay is bit-exact). Community-size
+    // histogram output. ---
+    "q_algo_louvain" -> ((s, dir) => {
+      val lp = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      graft.algos.GraphAlgorithms.louvain(pairs, levels = 1, sweeps = 2)
+        .groupBy(col("community")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n"))
+    }),
     // --- deterministic random walks (DeepWalk corpus generation): 4
     // walks of 8 steps from every nation over the undirected
     // customer-nation-region graph with explicit arithmetic node ids;
@@ -1357,6 +1373,45 @@ object PipelineQueries {
      SELECT score, CAST(sum(n) AS BIGINT) AS n FROM hist GROUP BY 1"""
   }
 
+  /** Louvain oracle: the level-1 recurrence unrolled — two parity-gated
+    * synchronous sweeps (movers: (id+sweep) even), candidate communities =
+    * neighbor communities plus staying put, score = kin − k·(Σtot −
+    * [same]·k)/2m with ties to the smaller community id. All sums are of
+    * integer-valued doubles, so the replay is bit-exact. */
+  private val louvainSql: String = {
+    def sweep(s: Int, prev: String) =
+      s"""ctot$s AS (SELECT c, sum(k) AS tot FROM $prev JOIN strength USING (id) GROUP BY c),
+         mv$s AS (SELECT id AS u, c AS oc FROM $prev WHERE (id + $s) % 2 = 0),
+         nbr$s AS (SELECT sym.u, m.oc, c2.c AS nc, sum(sym.w) AS kin
+           FROM sym JOIN mv$s m ON sym.u = m.u JOIN $prev c2 ON sym.v = c2.id
+           GROUP BY 1, 2, 3),
+         cand$s AS (SELECT u, oc, nc, max(kin) AS kin FROM (
+             SELECT u, oc, nc, kin FROM nbr$s
+             UNION ALL SELECT u, oc, oc AS nc, 0.0 AS kin FROM mv$s)
+           GROUP BY 1, 2, 3),
+         sc$s AS (SELECT cd.u, cd.nc,
+             cd.kin - (1.0 * st.k) * (ct.tot - CASE WHEN cd.nc = cd.oc THEN st.k ELSE 0.0 END) / (SELECT m2 FROM m2t) AS score
+           FROM cand$s cd JOIN strength st ON st.id = cd.u
+           JOIN ctot$s ct ON ct.c = cd.nc),
+         best$s AS (SELECT u AS id, nc AS newc FROM (
+             SELECT u, nc, row_number() OVER (PARTITION BY u ORDER BY score DESC, nc) AS rk
+             FROM sc$s) WHERE rk = 1),
+         comm$s AS (SELECT p.id, coalesce(b.newc, p.c) AS c
+           FROM $prev p LEFT JOIN best$s b ON b.id = p.id)"""
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+       sym AS (SELECT a AS u, b AS v, 1.0 AS w FROM e
+         UNION ALL SELECT b, a, 1.0 FROM e),
+       strength AS (SELECT u AS id, CAST(sum(w) AS DOUBLE) AS k FROM sym GROUP BY u),
+       m2t AS (SELECT sum(k) AS m2 FROM strength),
+       comm0 AS (SELECT id, id AS c FROM strength),
+       ${sweep(1, "comm0")},
+       ${sweep(2, "comm1")}
+     SELECT sz, CAST(count(*) AS BIGINT) AS n FROM (
+       SELECT c, CAST(count(*) AS BIGINT) AS sz FROM comm2 GROUP BY c)
+     GROUP BY sz"""
+  }
+
   /** Random-walk oracle: the exact seeded congruential step replay —
     * neighbor rank (partition by node, order by neighbor id) and
     * pick = hash(walkId, step, cur) mod degree, all BIGINT arithmetic
@@ -1389,6 +1444,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_algo_nodesim" -> nodeSimSql,
+    "q_algo_louvain" -> louvainSql,
     "q_algo_closeness" -> closenessSql,
     "q_algo_eigenvector" -> eigenvectorSql,
     "q_algo_randomwalk" -> randomWalkSql,

@@ -982,6 +982,99 @@ class AlgosSpec extends SparkTestBase {
     assert(math.abs(x.values.map(v => v * v).sum - 1.0) < 1e-9)
   }
 
+  test("louvain: two triangles joined by a bridge split into two communities") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAlgorithms.louvain(e, levels = 2, sweeps = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L))
+  }
+
+  test("louvain: deterministic and partitioning-invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 80).map(_ =>
+      (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong)).distinct
+    def run(parts: Int) = GraphAlgorithms.louvain(
+        edges.toDF("src", "dst").repartition(parts), levels = 2, sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) === run(13))
+  }
+
+  /** Plain-Scala replay of the EXACT algorithm (same parity gating, tie
+    * breaks, and integer-weighted arithmetic — every double is a sum of
+    * integer-valued terms, so order cannot perturb it) for seeded random
+    * graphs. */
+  private def louvainRef(edges0: Seq[(Long, Long)], levels: Int,
+      sweeps: Int, res: Double = 1.0): Map[Long, Long] = {
+    var sym: Seq[(Long, Long, Double)] = edges0.filter(e => e._1 != e._2)
+      .flatMap(e => Seq((e._1, e._2), (e._2, e._1))).distinct
+      .map { case (u, v) => (u, v, 1.0) }
+    var selfw: Map[Long, Double] =
+      sym.map(_._1).distinct.map(_ -> 0.0).toMap
+    var mapping: Map[Long, Long] = sym.map(_._1).distinct.map(x => x -> x).toMap
+    for (level <- 1 to levels) {
+      val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val strength = selfw.map { case (id, sw) =>
+        id -> (deg.getOrElse(id, 0.0) + 2.0 * sw) }
+      val m2 = strength.values.sum
+      if (m2 == 0.0)
+        return mapping
+      var comm: Map[Long, Long] = strength.keys.map(x => x -> x).toMap
+      for (sweep <- 1 to sweeps) {
+        val ctot = comm.groupBy(_._2).map { case (c, m) =>
+          c -> m.keys.map(strength).sum }
+        val movers = comm.keys.filter(id => ((id + sweep) % 2 + 2) % 2 == 0)
+        val upd = movers.flatMap { u =>
+          val oc = comm(u)
+          val kin = sym.filter(_._1 == u)
+            .groupBy(t => comm(t._2)).map { case (c, rs) => c -> rs.map(_._3).sum }
+          val cand = (kin.keySet + oc).toSeq.map { nc =>
+            val ki = kin.getOrElse(nc, 0.0)
+            val score = ki - res * strength(u) *
+              (ctot(nc) - (if (nc == oc) strength(u) else 0.0)) / m2
+            (nc, score)
+          }
+          val best = cand.minBy { case (nc, sc) => (-sc, nc) }
+          Some(u -> best._1)
+        }.toMap
+        comm = comm.map { case (id, c) => id -> upd.getOrElse(id, c) }
+      }
+      mapping = mapping.map { case (orig, node) => orig -> comm(node) }
+      if (level < levels) {
+        val tagged = sym.map { case (u, v, w) => (comm(u), comm(v), w) }
+        val cross = tagged.filter(t => t._1 != t._2)
+          .groupBy(t => (t._1, t._2))
+          .map { case ((u, v), rs) => (u, v, rs.map(_._3).sum) }.toSeq
+        val internal = tagged.filter(t => t._1 == t._2)
+          .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).sum / 2.0 }
+        val oldSelf = selfw.groupBy { case (id, _) => comm(id) }
+          .map { case (c, m) => c -> m.values.sum }
+        val nodes = comm.values.toSeq.distinct
+        selfw = nodes.map(c => c ->
+          (internal.getOrElse(c, 0.0) + oldSelf.getOrElse(c, 0.0))).toMap
+        sym = cross
+      }
+    }
+    mapping
+  }
+
+  test("louvain agrees with the driver-side replay on seeded random graphs") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 120).map(_ =>
+        (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = GraphAlgorithms.louvain(edges.toDF("src", "dst"),
+          levels = 2, sweeps = 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = louvainRef(edges, levels = 2, sweeps = 2)
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("random walks: deterministic, correct shape, visits stay on the graph") {
     // Undirected triangle 1-2-3 plus isolated 9 (no walks from it if not
     // a start). Walks never leave {1,2,3}; re-running gives identical rows.
