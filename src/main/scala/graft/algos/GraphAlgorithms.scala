@@ -1214,7 +1214,8 @@ object GraphAlgorithms {
     * targets score nothing (their Jaccard is noise). */
   def nodeSimilarityEdges(edges0: DataFrame, topK: Int = 10,
       degreeCutoff: Int = 1, similarityCutoff: Double = 0.0,
-      maxTargetDegree: Int = Int.MaxValue): DataFrame = {
+      maxTargetDegree: Int = Int.MaxValue,
+      metric: String = "jaccard"): DataFrame = {
     val e = edges0.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= degreeCutoff)
@@ -1236,8 +1237,18 @@ object GraphAlgorithms {
     val scored = l.join(r, "_d").filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("da"), col("db"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jacc",
-        col("c").cast(DoubleType) / (col("da") + col("db") - col("c")))
+      .withColumn("jacc", metric.toLowerCase match {
+        // GDS similarityMetric: JACCARD |A∩B|/|A∪B|, OVERLAP
+        // |A∩B|/min(|A|,|B|), COSINE |A∩B|/√(|A|·|B|) (unweighted sets).
+        case "jaccard" =>
+          col("c").cast(DoubleType) / (col("da") + col("db") - col("c"))
+        case "overlap" =>
+          col("c").cast(DoubleType) / least(col("da"), col("db"))
+        case "cosine" =>
+          col("c").cast(DoubleType) / sqrt(col("da") * col("db"))
+        case other => throw new IllegalArgumentException(
+          s"unknown node-similarity metric: $other (jaccard|overlap|cosine)")
+      })
       .filter(col("jacc") >= similarityCutoff)
     val both = scored
       .select(col("a").as("id"), col("b").as("other"), col("jacc"))
@@ -1252,9 +1263,9 @@ object GraphAlgorithms {
   /** [[nodeSimilarityEdges]] over a graph's rel types. */
   def nodeSimilarity(graph: PropertyGraph, relTypes: Seq[String] = Seq.empty,
       topK: Int = 10, degreeCutoff: Int = 1,
-      similarityCutoff: Double = 0.0): DataFrame =
+      similarityCutoff: Double = 0.0, metric: String = "jaccard"): DataFrame =
     nodeSimilarityEdges(validated(edges(graph, relTypes), graph),
-      topK, degreeCutoff, similarityCutoff)
+      topK, degreeCutoff, similarityCutoff, metric = metric)
 
   /** Exact closeness centrality from a source set (GDS closeness parity;
     * same multi-source BFS loop as [[harmonicCentrality]] — frontier

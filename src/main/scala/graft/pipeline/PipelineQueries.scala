@@ -892,6 +892,14 @@ object PipelineQueries {
         topK = 5, degreeCutoff = 2)
         .groupBy(round(col("jacc"), 4).as("j"))
         .agg(count(lit(1)).as("n"))),
+    // Cosine-metric variant of the same pipeline (GDS similarityMetric).
+    "q_algo_nodesim_cosine" -> ((s, dir) =>
+      graft.algos.GraphAlgorithms.nodeSimilarityEdges(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_partkey").as("src"), col("l_orderkey").as("dst")),
+        topK = 5, degreeCutoff = 2, metric = "cosine")
+        .groupBy(round(col("jacc"), 4).as("j"))
+        .agg(count(lit(1)).as("n"))),
     // --- exact closeness centrality (Wasserman-Faust variant) over the
     // IN_REGION star, sources = every Nation and Region — closed-form
     // oracle like q_algo_harmonic: a nation in a k-nation region scores
@@ -1315,6 +1323,11 @@ object PipelineQueries {
      SELECT round(jacc, 4) AS j, CAST(count(*) AS BIGINT) AS n
      FROM rk WHERE r <= 5 GROUP BY 1"""
 
+  /** Cosine variant of [[nodeSimSql]] (same pipeline, c/sqrt(da*db)). */
+  private val nodeSimCosineSql: String =
+    nodeSimSql.replace("CAST(c AS DOUBLE) / (da + db - c)",
+      "CAST(c AS DOUBLE) / sqrt(CAST(da AS DOUBLE) * db)")
+
   /** Closeness (Wasserman-Faust) closed form on the per-region IN_REGION
     * stars (each region is its own component): a nation in a k-nation
     * region is reached by its region (d 1) and k-1 siblings (d 2), the
@@ -1444,6 +1457,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_algo_nodesim" -> nodeSimSql,
+    "q_algo_nodesim_cosine" -> nodeSimCosineSql,
     "q_algo_louvain" -> louvainSql,
     "q_algo_closeness" -> closenessSql,
     "q_algo_eigenvector" -> eigenvectorSql,

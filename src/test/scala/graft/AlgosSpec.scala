@@ -930,6 +930,21 @@ class AlgosSpec extends SparkTestBase {
     assert(top1(3L) === 1L) // tie 1/3 with both 1 and 2 -> lower id
   }
 
+  test("node similarity: overlap and cosine metrics (GDS similarityMetric)") {
+    // 1->{a,b,c}, 2->{b,c,d}: c=2, da=db=3.
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L),
+      (2L, 13L)).toDF("src", "dst")
+    def score(metric: String) = GraphAlgorithms.nodeSimilarityEdges(e,
+        metric = metric).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(score("overlap")((1L, 2L)) - 2.0 / 3) < 1e-12)
+    assert(math.abs(score("cosine")((1L, 2L)) - 2.0 / 3) < 1e-12)
+    assert(math.abs(score("jaccard")((1L, 2L)) - 0.5) < 1e-12)
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.nodeSimilarityEdges(e, metric = "pearson")
+    }
+  }
+
   test("node similarity: hub-target cutoff drops the hub, keeps the rest") {
     // Target 99 is shared by everyone (a hub); with maxTargetDegree = 2 it
     // is dropped, so only the genuine pair (1,2) via target 10 survives.
