@@ -317,6 +317,41 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-node triangle counts and local clustering coefficient (GDS
+    * triangleCount / localClusteringCoefficient parity): lcc(v) =
+    * 2·T(v) / (deg(v)·(deg(v)−1)) over the simple undirected graph,
+    * 0 for degree < 2. Same degree-ordered orientation as
+    * [[triangleCountEdges]] (the wedge join stays O(sqrt m) per node);
+    * one extra explode+aggregate attributes each closed triangle to its
+    * three corners. Returns (id, triangles, lcc). */
+  def localClusteringCoefficient(edges0: DataFrame): DataFrame = {
+    val canon = Pin(edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val oriented = orientByDegree(canon)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("w0"), col("e1.v").as("x"), col("e2.v").as("y"))
+      .join(canon,
+        least(col("x"), col("y")) === col("a") &&
+          greatest(col("x"), col("y")) === col("b"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("w0"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** Forward-degree orientation of a canonical (a < b, deduped, loop-free)
     * undirected edge set: each edge points from its lower-(degree, id)
     * endpoint to the higher one, so every node's forward degree is

@@ -929,6 +929,19 @@ object PipelineQueries {
         directed = false)
         .groupBy(round(col("score"), 5).as("score"))
         .agg(count(lit(1)).as("n"))),
+    // --- local clustering coefficient over the co-order part-pair graph:
+    // per-node triangles via the degree-ordered wedge join, lcc histogram.
+    "q_algo_lcc" -> ((s, dir) => {
+      val lp = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      graft.algos.GraphAlgorithms.localClusteringCoefficient(pairs)
+        .groupBy(round(col("lcc"), 4).as("lcc"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // --- Louvain community detection over the co-order part-pair graph:
     // level-1, two parity-gated sweeps (the deterministic recurrence the
     // oracle unrolls exactly — every modularity-gain double is a sum of
@@ -1459,6 +1472,24 @@ object PipelineQueries {
     "q_algo_nodesim" -> nodeSimSql,
     "q_algo_nodesim_cosine" -> nodeSimCosineSql,
     "q_algo_louvain" -> louvainSql,
+    "q_algo_lcc" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+         deg AS (SELECT id, count(*) AS dg FROM (
+             SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pernode AS (SELECT id, count(*) AS t FROM (
+             SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY id),
+         lcc AS (SELECT deg.id,
+             CASE WHEN deg.dg >= 2
+                  THEN 2.0 * coalesce(pernode.t, 0) / (deg.dg * (deg.dg - 1))
+                  ELSE 0.0 END AS lcc
+           FROM deg LEFT JOIN pernode ON deg.id = pernode.id)
+       SELECT round(lcc, 4) AS lcc, CAST(count(*) AS BIGINT) AS n
+       FROM lcc GROUP BY 1""",
     "q_algo_closeness" -> closenessSql,
     "q_algo_eigenvector" -> eigenvectorSql,
     "q_algo_randomwalk" -> randomWalkSql,

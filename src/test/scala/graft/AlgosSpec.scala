@@ -997,6 +997,18 @@ class AlgosSpec extends SparkTestBase {
     assert(math.abs(x.values.map(v => v * v).sum - 1.0) < 1e-9)
   }
 
+  test("local clustering coefficient: triangle with a tail") {
+    // Triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3, lcc(4)=0.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAlgorithms.localClusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((1L, 1.0)))
+    assert(got(2L) === ((1L, 1.0)))
+    assert(got(3L)._1 === 1L)
+    assert(math.abs(got(3L)._2 - 1.0 / 3) < 1e-12)
+    assert(got(4L) === ((0L, 0.0)))
+  }
+
   test("louvain: two triangles joined by a bridge split into two communities") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
       (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
