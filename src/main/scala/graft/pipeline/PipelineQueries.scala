@@ -587,6 +587,22 @@ object PipelineQueries {
           col("r_event_id").as("click_id"))
       }
     }),
+    // --- stream-static broadcast enrichment: each micro-batch left-joins
+    //     the (small, broadcast) customer dimension — no streaming state,
+    //     the stream side never shuffles. Aggregated per (market segment,
+    //     event type) and checked against the batch join.
+    "q_stream_enrich" -> ((s, dir) => withStagedEvents(dir) { stagedDir =>
+      import graft.streaming.GraftStreaming
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val enriched = GraftStreaming.enrich(
+        GraftStreaming.eventsStream(s, stagedDir), dim, "user_id")
+      val sink = "q_stream_enrich_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      GraftStreaming.runToMemorySink(enriched, sink)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+    }),
     // --- in-stream exact dedup (dropDuplicatesWithinWatermark), end to
     //     end: the staged directory holds TWO copies of the events file,
     //     so the stream sees every event twice in one micro-batch; the
@@ -2128,6 +2144,11 @@ object PipelineQueries {
          FROM events
          WHERE ts >= (SELECT date_trunc('hour', max(ts)) - INTERVAL 3 HOUR
                       FROM events)
+         GROUP BY 1, 2""",
+    "q_stream_enrich" ->
+      """SELECT c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 4) AS sv
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
     // The streaming side ingested every event TWICE; equality with the
     // single-copy aggregation proves the dedup state dropped each copy.
