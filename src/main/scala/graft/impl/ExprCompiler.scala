@@ -738,6 +738,21 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case _ => None
   }
 
+  /** Compile an operand of a BOOLEAN context (AND/OR/XOR/NOT, CASE WHEN,
+    * WHERE): a statically non-boolean type is a classified type error
+    * (Neo4j: "expected Boolean"), never a leaked Spark DATATYPE_MISMATCH.
+    * NULL types pass as boolean null; unknown types fall through. */
+  def compileBoolOperand(e: Expr): Column =
+    inferType(e) match {
+      case Some(NullType) => lit(null).cast(BooleanType)
+      case Some(BooleanType) | None => compile(e)
+      case Some(other) => throw new CypherCompileException(
+        s"expected a boolean predicate, got $other",
+        // TCK taxonomy: statically-detected type violations classify as
+        // SyntaxError:InvalidArgumentType (TckStyleSpec24 pins NOT 3).
+        CE.SyntaxError, CE.InvalidArgumentType)
+    }
+
   private def envEntity(e: Expr): Option[(Column, StructType)] = e match {
     case Var(n) if env.contains(n) =>
       entityStructOf(env(n)._2).map(st => (env(n)._1, st))
@@ -869,10 +884,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case MapLit(items) =>
       struct(items.map { case (k, v) => compile(v).as(k) }: _*)
 
-    case Ands(es) => es.map(compile).reduce(_ && _)
-    case Ors(es) => es.map(compile).reduce(_ || _)
-    case Xor(l, r) => compile(l) =!= compile(r)
-    case Not(x) => !compile(x)
+    case Ands(es) => es.map(compileBoolOperand).reduce(_ && _)
+    case Ors(es) => es.map(compileBoolOperand).reduce(_ || _)
+    case Xor(l, r) => compileBoolOperand(l) =!= compileBoolOperand(r)
+    case Not(x) => !compileBoolOperand(x)
     // Cross-type-class semantics (openCypher): values of different type
     // classes are never EQUAL (false, null-propagating) and never ORDERED
     // (null). Spark would instead coerce ('1' = 1 -> true) or fail analysis
@@ -1170,10 +1185,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
     case CaseExpr(None, alts, default) =>
       // A literal-null condition must type as boolean (never taken),
-      // not crash analysis with VOID.
+      // not crash analysis with VOID. A statically non-boolean condition
+      // is a classified type error (Neo4j: "expected Boolean"), not a
+      // leaked Spark DATATYPE_MISMATCH.
       def cond(c: Expr): Column =
         if (inferType(c).contains(NullType)) lit(null).cast(BooleanType)
-        else compile(c)
+        else {
+          inferType(c).foreach {
+            case BooleanType => ()
+            case other => throw new CypherCompileException(
+              s"CASE WHEN condition must be a boolean, got $other",
+              CE.SyntaxError, CE.InvalidArgumentType)
+          }
+          compile(c)
+        }
       val first = when(cond(alts.head._1), compile(alts.head._2))
       val chained = alts.tail.foldLeft(first) { case (acc, (c, v)) =>
         acc.when(cond(c), compile(v))

@@ -1126,10 +1126,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         case (c, Seq(e2)) => (c, e2)
       }
       // WHERE null (or any null-typed predicate) keeps no rows; Spark's
-      // Filter rejects a VOID condition outright.
+      // Filter rejects a VOID condition outright. A statically non-boolean
+      // predicate is a classified type error (compileBoolOperand), never a
+      // leaked Spark FILTER_NOT_BOOLEAN.
       val pred =
         if (ctx2.compiler.inferType(r2).contains(NullType)) lit(false)
-        else ctx2.compiler.compile(r2)
+        else ctx2.compiler.compileBoolOperand(r2)
       ctx = ctx2.copy(df = ctx2.df.filter(pred))
     }
     ctx
