@@ -42,7 +42,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(28) match {
+      rnd.nextInt(30) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -291,6 +291,23 @@ class DifferentialSpec extends SparkTestBase {
             s"SELECT c_custkey AS ck, count(*) AS n FROM d_customer " +
               s"JOIN d_orders ON o_custkey = c_custkey " +
               s"WHERE o_totalprice > $thr GROUP BY c_custkey")
+        case 28 => // undirected match reports STORED endpoints (round 12):
+          // every FROM_NATION rel is stored customer->nation, so however
+          // the undirected pattern walks it, startNode must be the
+          // customer and endNode the nation.
+          val k = 5 + rnd.nextInt(40)
+          Pair(
+            s"MATCH (c:Customer)-[r:FROM_NATION]-(n:Nation) " +
+              s"WHERE c.c_custkey <= $k " +
+              "RETURN (id(startNode(r)) = id(c) AND id(endNode(r)) = id(n)) AS ok",
+            s"SELECT true AS ok FROM d_customer WHERE c_custkey <= $k")
+        case 29 => // WITH DISTINCT r collapses the two orientation rows of
+          // an undirected match to relationship identity (round 12).
+          val (relType, table) = Seq(
+            ("IN_REGION", "d_nation"), ("PLACED", "d_orders"))(rnd.nextInt(2))
+          Pair(
+            s"MATCH ()-[r:$relType]-() WITH DISTINCT r RETURN count(r) AS n",
+            s"SELECT count(*) AS n FROM $table")
         case 27 => // QPP {1,2} over IN_REGION/FROM_NATION == union of the
           // 1- and 2-hop joins (round 7)
           val k = rnd.nextInt(20)
