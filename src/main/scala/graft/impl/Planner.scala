@@ -3713,20 +3713,43 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * job — the TCK's ConstraintValidationFailed / DeleteConnectedNode). */
   private def planDelete(ctx0: Ctx, exprs: Seq[Expr], detach: Boolean): Ctx = {
     beginWrites()
-    val targets = exprs.map {
-      case Var(v) => (v, writeTarget(ctx0, v))
+    // A bound PATH variable (the {nodes, rels} struct bindPaths builds) is
+    // a legal DELETE target (Neo4j): its relationships and nodes all
+    // delete, and because the rel deletions apply before the connected-
+    // node check, a plain DELETE p succeeds when the path covers every
+    // relationship of its nodes.
+    def isPathStruct(v: String): Boolean =
+      ctx0.header.get(ValueSlot(v)).exists { cn =>
+        ctx0.df.schema(cn).dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fieldNames.toSeq == Seq("nodes", "rels")
+          case _ => false
+        }
+      }
+    var relFrames = Seq.empty[DataFrame]
+    var nodeFrames = Seq.empty[DataFrame]
+    exprs.foreach {
+      case Var(v) if ctx0.header.kindOf(v).contains(ValueKind) &&
+          isPathStruct(v) =>
+        val cn = ctx0.header.col(ValueSlot(v))
+        val live = ctx0.df.filter(col(cn).isNotNull)
+        relFrames :+= live
+          .select(explode(col(cn).getField("rels")).as("_wid"))
+        nodeFrames :+= live
+          .select(explode(col(cn).getField("nodes")).as("_wid"))
+      case Var(v) =>
+        val (c, k) = writeTarget(ctx0, v)
+        val f = ctx0.df.filter(col(c).isNotNull).select(col(c).as("_wid"))
+        if (k.isInstanceOf[RelKind]) relFrames :+= f else nodeFrames :+= f
       case other => throw new CypherCompileException(
         s"DELETE target must be a bound element variable: ${Pretty.print(other)}",
         CE.SemanticError, CE.InvalidDelete)
     }
-    def idsOf(sel: ((String, (String, VarKind))) => Boolean): Option[DataFrame] = {
-      val cols = targets.filter(sel).map(_._2._1)
-      if (cols.isEmpty) None
-      else Some(cols.map(c => ctx0.df.filter(col(c).isNotNull)
-        .select(col(c).as("_wid"))).reduce(_.unionByName(_)).distinct())
-    }
-    val relIds = idsOf(_._2._2.isInstanceOf[RelKind])
-    val nodeIds = idsOf(_._2._2.isInstanceOf[NodeKind])
+    def idsOf(fs: Seq[DataFrame]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(fs.reduce(_.unionByName(_)).distinct())
+    val relIds = idsOf(relFrames)
+    val nodeIds = idsOf(nodeFrames)
     relIds.foreach { ids =>
       wRels = wRels.map(t =>
         t.copy(df = t.df.join(ids, col(ID) === col("_wid"), "left_anti")))

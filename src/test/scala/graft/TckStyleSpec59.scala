@@ -57,4 +57,24 @@ class TckStyleSpec59 extends TckScenarioBase {
   scenario("dynamically-typed condition falls through to runtime", g,
     // n['flag'] has no static type; the filter applies at runtime.
     "MATCH (n:A) WHERE n['flag'] RETURN n.name AS x", rows(Map("x" -> "a")))
+
+  // ---- DELETE of a bound path variable (round 12): every node and
+  // relationship on the path deletes; rel deletions apply before the
+  // connected-node check, so a path covering all of its nodes' rels
+  // deletes plainly, while an uncovered extra rel still raises.
+  scenario("DELETE p removes the path's nodes and relationships", g,
+    "CREATE p = (x:P1)-[:R]->(y:P2) DELETE p " +
+      "WITH 1 AS one MATCH (z:P1) RETURN count(*) AS n", rows(Map("n" -> 0)))
+  scenario("DETACH DELETE p with an extra incident relationship", g,
+    "CREATE (x:Q1)-[:R]->(y:Q2) WITH x, y CREATE (y)-[:R2]->(:Q3) " +
+      "WITH x, y MATCH p = (x)-[:R]->(y) DETACH DELETE p " +
+      "WITH 1 AS one MATCH (z:Q2) RETURN count(*) AS n", rows(Map("n" -> 0)))
+  errorScenario("plain DELETE p with an uncovered incident relationship", g,
+    "CREATE (x:Q1)-[:R]->(y:Q2) WITH x, y CREATE (y)-[:R2]->(:Q3) " +
+      "WITH x, y MATCH p = (x)-[:R]->(y) DELETE p RETURN 1 AS ok",
+    ConstraintValidationFailed, DeleteConnectedNode, Runtime)
+  scenario("DELETE p over a var-length path deletes every hop", g,
+    "CREATE (x:V1)-[:R]->(:V2)-[:R]->(:V3) WITH x " +
+      "MATCH p = (x)-[:R*2]->(e) DETACH DELETE p " +
+      "WITH 1 AS one MATCH (z:V2) RETURN count(*) AS n", rows(Map("n" -> 0)))
 }
