@@ -3633,11 +3633,73 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // FOREACH over a literal null: no elements, no updates (explode would
     // reject the VOID-typed literal at analysis).
     if (ctx0.compiler.inferType(f.list).contains(NullType)) return ctx0
-    val slot = ValueSlot(f.variable)
     val listC = ctx0.compiler.compile(f.list)
-    val sub0 = Ctx(
-      ctx0.df.withColumn(RecordHeader.colName(slot), explode(listC)),
-      ctx0.header.withSlot(slot).withVar(f.variable, ValueKind))
+    // An element-id list binds the FOREACH variable as a NODE/REL, so the
+    // body may SET/REMOVE/DELETE it — the classic
+    // `FOREACH (n IN nodes(p) | SET n.marked = true)` idiom. Recognized
+    // shapes: nodes(p)/relationships(p) over a bound path value, and
+    // GROUP-list vars from var-length/QPP segments.
+    def isPathValue(pv: String): Boolean =
+      ctx0.header.get(ValueSlot(pv)).exists { cn =>
+        ctx0.df.schema(cn).dataType match {
+          case org.apache.spark.sql.types.StructType(fs) =>
+            fs.map(_.name).toSeq == Seq("nodes", "rels")
+          case _ => false
+        }
+      }
+    val elemKind: Option[VarKind] = f.list match {
+      case FuncCall(n, Seq(Var(pv)), _)
+          if n.equalsIgnoreCase("nodes") && isPathValue(pv) =>
+        Some(NodeKind(Set.empty))
+      case FuncCall(n, Seq(Var(pv)), _)
+          if n.equalsIgnoreCase("relationships") && isPathValue(pv) =>
+        Some(RelKind(Set.empty))
+      case Var(lv) => ctx0.header.kindOf(lv) match {
+        case Some(ListNodeKind(ls)) => Some(NodeKind(ls))
+        case Some(ListRelKind(ts)) => Some(RelKind(ts))
+        case _ => None
+      }
+      case _ => None
+    }
+    val sub0 = elemKind match {
+      case Some(kind) =>
+        val idSlot = IdSlot(f.variable)
+        var subDf = ctx0.df
+          .withColumn(RecordHeader.colName(idSlot), explode(listC))
+        var subHeader = ctx0.header.withSlot(idSlot).withVar(f.variable, kind)
+        // Join the element's CURRENT stored properties (write state) so
+        // body expressions can read them (SET n.x = n.y + 1).
+        val tables = kind match {
+          case NodeKind(_) => wNodes.map(t => (t.df, t.propTypes))
+          case _ => wRels.map(t => (t.df, t.propTypes))
+        }
+        val propTypes = unifyProps(tables.map(_._2))
+        if (propTypes.nonEmpty && tables.nonEmpty) {
+          val keys = propTypes.keys.toSeq.sorted
+          val frames = tables.map { case (df, pt) =>
+            df.select(col(ID).as("_fe_id") +: keys.zipWithIndex.map {
+              case (k, i) =>
+                (if (pt.contains(k)) col(propCol(k)).cast(propTypes(k))
+                 else lit(null).cast(propTypes(k))).as(s"_fe_p$i")
+            }: _*)
+          }
+          subDf = subDf.join(frames.reduce(_.unionByName(_)),
+            col(RecordHeader.colName(idSlot)) === col("_fe_id"), "left")
+            .drop("_fe_id")
+          keys.zipWithIndex.foreach { case (k, i) =>
+            val ps = PropSlot(f.variable, k)
+            subDf = subDf.withColumnRenamed(s"_fe_p$i",
+              RecordHeader.colName(ps))
+            subHeader = subHeader.withSlot(ps)
+          }
+        }
+        Ctx(subDf, subHeader)
+      case None =>
+        val slot = ValueSlot(f.variable)
+        Ctx(
+          ctx0.df.withColumn(RecordHeader.colName(slot), explode(listC)),
+          ctx0.header.withSlot(slot).withVar(f.variable, ValueKind))
+    }
     f.updates.foldLeft(sub0)(planWriteClause)
     // Outer variables whose properties the body SET: refresh their bindings
     // from the written state so a later RETURN observes the final value
@@ -3790,6 +3852,15 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     rejectLabelExprs(Seq(foldedPart), "MERGE")
     beginWrites()
     val (nodes, edges) = normalizePattern(Pattern(Seq(foldedPart)))
+    // MERGE p = (...): normalizePattern registered the path bind, but the
+    // path-merge branch plans the pattern through an inner OPTIONAL MATCH
+    // whose own bindPaths would CONSUME it while the created rows' id
+    // columns are still null — the struct would freeze as null forever.
+    // Stash the bind and re-register it for the final bindPaths, which
+    // runs after created ids are coalesced in.
+    val (mergePathBinds, otherBinds) =
+      pathBinds.partition(b => foldedPart.pathVar.contains(b.v))
+    pathBinds = otherBinds
     val createdMark = "_w_created"
     var ctx = ctx0
 
@@ -4087,7 +4158,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       out = planSetItems(out, m.onCreate, Some(col(createdMark)))
     if (m.onMatch.nonEmpty)
       out = planSetItems(out, m.onMatch, Some(!col(createdMark)))
-    // MERGE p = (...): bind the path variable (fixed-length hops only).
+    // MERGE p = (...): bind the path variable (fixed-length hops only),
+    // deferred past the created-id coalescing (see the stash above).
+    pathBinds = pathBinds ++ mergePathBinds
     bindPaths(Ctx(out.df.drop(createdMark), out.header))
   }
 

@@ -77,4 +77,38 @@ class TckStyleSpec59 extends TckScenarioBase {
     "CREATE (x:V1)-[:R]->(:V2)-[:R]->(:V3) WITH x " +
       "MATCH p = (x)-[:R*2]->(e) DETACH DELETE p " +
       "WITH 1 AS one MATCH (z:V2) RETURN count(*) AS n", rows(Map("n" -> 0)))
+
+  // ---- MERGE p = (...) binds the path on CREATED rows too (round 12:
+  // the inner optional-match used to consume the bind while ids were
+  // still null, freezing the struct as null).
+  scenario("MERGE path variable binds on creation", g,
+    "MERGE p = (x:MP1 {k:1})-[:R]->(y:MP2 {k:2}) " +
+      "RETURN length(p) AS l, size(nodes(p)) AS ns", rows(Map("l" -> 1, "ns" -> 2)))
+  scenario("MERGE path variable binds on match", g,
+    "CREATE (:MP3 {k:1})-[:R]->(:MP4 {k:2}) WITH 1 AS one " +
+      "MERGE p = (x:MP3 {k:1})-[:R]->(y:MP4 {k:2}) " +
+      "RETURN length(p) AS l", rows(Map("l" -> 1)))
+
+  // ---- FOREACH binders over element-id lists are writable entities
+  // (round 12): nodes(p)/relationships(p) and GROUP-list vars bind as
+  // NODE/REL, with the element's stored properties readable in the body.
+  scenario("FOREACH over nodes(p) SETs every path node", g,
+    "CREATE (x:FE1)-[:R]->(:FE2)-[:R]->(:FE3) WITH x " +
+      "MATCH p = (x)-[:R*]->(e) FOREACH (nd IN nodes(p) | SET nd.seen = 1) " +
+      "WITH 1 AS one MATCH (m {seen: 1}) RETURN count(DISTINCT m) AS n",
+    rows(Map("n" -> 3)))
+  scenario("FOREACH body reads the binder's stored properties", g,
+    "CREATE (x:FE4 {v: 10})-[:R]->(:FE5 {v: 20}) WITH x " +
+      "MATCH p = (x)-[:R*1..1]->(e) " +
+      "FOREACH (nd IN nodes(p) | SET nd.dbl = nd.v * 2) " +
+      "WITH 1 AS one MATCH (m:FE5) RETURN m.dbl AS d", rows(Map("d" -> 40)))
+  scenario("FOREACH over relationships(p) SETs rel properties", g,
+    "CREATE (x:FE6)-[:R {w: 1}]->(:FE7) WITH x " +
+      "MATCH p = (x)-[:R*]->(e) FOREACH (r IN relationships(p) | SET r.w = 9) " +
+      "WITH 1 AS one MATCH ()-[r2:R {w: 9}]->(:FE7) RETURN count(r2) AS n",
+    rows(Map("n" -> 1)))
+  scenario("plain value FOREACH binder still works", g,
+    "FOREACH (i IN [1, 2] | CREATE (:FEPlain {v: i})) " +
+      "WITH 1 AS one MATCH (m:FEPlain) RETURN count(*) AS n",
+    rows(Map("n" -> 2)))
 }
