@@ -3661,7 +3661,39 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       }
       case _ => None
     }
-    val sub0 = elemKind match {
+    // Literal lists OF ENTITY VARS — incl. the conditional-update idiom
+    // `FOREACH (x IN CASE WHEN c THEN [a] ELSE [] END | SET x...)`. An
+    // entity var in value position compiles to its ID, so the exploded
+    // element is already an id; the detection is syntactic.
+    def entityListKind(e: Expr): Option[VarKind] = e match {
+      case ListLit(items) if items.nonEmpty =>
+        val ks = items.map {
+          case Var(v) => ctx0.header.kindOf(v) match {
+            case Some(k @ (NodeKind(_) | RelKind(_))) => Some(k)
+            case _ => None
+          }
+          case _ => None
+        }
+        if (ks.forall(_.isDefined)) {
+          val flat = ks.flatten
+          if (flat.forall(_.isInstanceOf[NodeKind])) Some(NodeKind(Set.empty))
+          else if (flat.forall(_.isInstanceOf[RelKind])) Some(RelKind(Set.empty))
+          else None
+        } else None
+      case CaseExpr(_, alts, default) =>
+        // [] / null branches are neutral; every informative branch must
+        // agree on the element kind.
+        val branches = alts.map(_._2) ++ default.toSeq
+        val informative = branches.filterNot(b =>
+          b == ListLit(Seq.empty) || b == NullLit)
+        val ks = informative.map(entityListKind)
+        if (informative.nonEmpty && ks.forall(_.isDefined) &&
+            ks.flatten.map(_.getClass).distinct.size == 1) ks.head
+        else None
+      case _ => None
+    }
+    val binderKind: Option[VarKind] = elemKind.orElse(entityListKind(f.list))
+    val sub0 = binderKind match {
       case Some(kind) =>
         val idSlot = IdSlot(f.variable)
         var subDf = ctx0.df
@@ -3721,14 +3753,38 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case Foreach(_, _, inner) => setKeys(inner)
       case _ => Seq.empty
     }
-    val touched = setKeys(f.updates).distinct.flatMap {
-      case (v, Some(k)) => Seq((v, k))
-      case (v, None) => ctx0.header.kindOf(v) match {
-        case Some(NodeKind(_)) =>
-          wNodes.flatMap(_.propTypes.keys).distinct.map((v, _))
-        case Some(RelKind(_)) =>
-          wRels.flatMap(_.propTypes.keys).distinct.map((v, _))
-        case _ => Seq.empty
+    // A SET through an entity BINDER (this FOREACH's variable, or a
+    // nested one) can alias ANY outer entity var of its kind — refresh
+    // them all, so `FOREACH (x IN [a] | SET x.h = 1) RETURN a.h` reads
+    // the written value (kind unknown for nested binders: refresh both
+    // kinds, conservative but correct).
+    val outerEntityVars: Seq[(String, VarKind)] =
+      ctx0.header.kinds.toSeq.collect {
+        case (v, k @ (NodeKind(_) | RelKind(_))) => (v, k)
+      }
+    def sameClass(a: VarKind, b: VarKind): Boolean = (a, b) match {
+      case (NodeKind(_), NodeKind(_)) | (RelKind(_), RelKind(_)) => true
+      case _ => false
+    }
+    val touched = setKeys(f.updates).distinct.flatMap { case (v, kOpt) =>
+      val targets: Seq[String] =
+        if (ctx0.header.kinds.contains(v)) Seq(v)
+        else {
+          val bk = if (v == f.variable) binderKind else None
+          outerEntityVars
+            .filter(t => bk.forall(sameClass(t._2, _))).map(_._1)
+        }
+      targets.flatMap { tv =>
+        kOpt match {
+          case Some(k) => Seq((tv, k))
+          case None => ctx0.header.kindOf(tv) match {
+            case Some(NodeKind(_)) =>
+              wNodes.flatMap(_.propTypes.keys).distinct.map((tv, _))
+            case Some(RelKind(_)) =>
+              wRels.flatMap(_.propTypes.keys).distinct.map((tv, _))
+            case _ => Seq.empty
+          }
+        }
       }
     }.distinct
     touched.foreach { case (v, k) =>

@@ -107,6 +107,17 @@ class TckStyleSpec59 extends TckScenarioBase {
       "MATCH p = (x)-[:R*]->(e) FOREACH (r IN relationships(p) | SET r.w = 9) " +
       "WITH 1 AS one MATCH ()-[r2:R {w: 9}]->(:FE7) RETURN count(r2) AS n",
     rows(Map("n" -> 1)))
+  scenario("conditional-update idiom: FOREACH over CASE-guarded [a]", g,
+    "CREATE (a:CU1 {flag: true}) WITH a " +
+      "FOREACH (x IN CASE WHEN a.flag THEN [a] ELSE [] END | SET x.hit = 1) " +
+      "RETURN a.hit AS h", rows(Map("h" -> 1)))
+  scenario("conditional-update idiom: false guard leaves the node alone", g,
+    "CREATE (a:CU2 {flag: false}) WITH a " +
+      "FOREACH (x IN CASE WHEN a.flag THEN [a] ELSE [] END | SET x.hit = 1) " +
+      "RETURN a.hit AS h", rows(Map("h" -> null)))
+  scenario("FOREACH over a literal rel list writes through the alias", g,
+    "CREATE (a:CU3)-[r:R {w: 1}]->(:CU4) WITH a, r " +
+      "FOREACH (x IN [r] | SET x.w = 7) RETURN r.w AS w", rows(Map("w" -> 7)))
   scenario("plain value FOREACH binder still works", g,
     "FOREACH (i IN [1, 2] | CREATE (:FEPlain {v: i})) " +
       "WITH 1 AS one MATCH (m:FEPlain) RETURN count(*) AS n",
