@@ -322,7 +322,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
             "OPTIONAL CALL { } with a unit (updating) body is not supported",
             CE.SemanticError, CE.UnsupportedExpression)
           ctx = planUnitWriteCall(ctx, cs.inner.first)
-        } else ctx = planCallSubquery(ctx, cs.inner, cs.optional)
+        } else {
+          ctx = planCallSubquery(ctx, cs.inner, cs.optional)
+          // A RETURNing body with writes: the ambient graph becomes the
+          // written state, like any top-level write clause.
+          val arms = cs.inner.first +: cs.inner.rest.map(_._2)
+          if (arms.exists(a => containsWriteClause(a.clauses)))
+            graph = buildWrittenGraph()
+        }
       case (m: Match, i) =>
         deadVars = deadEndpointVars(m, rem.drop(i + 1))
         try ctx = planReadingClause(ctx, m) finally deadVars = Set.empty
@@ -2916,7 +2923,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     if (optional && inner.rest.nonEmpty) throw new CypherCompileException(
       "OPTIONAL CALL { } with a UNION body is not supported",
       CE.SemanticError, CE.UnsupportedExpression)
-    if (inner.rest.isEmpty) planCallArm(ctx0, inner.first, None, optional)
+    val res = if (inner.rest.isEmpty) planCallArm(ctx0, inner.first, None, optional)
     else {
       // UNION body: every arm (each with its own importing WITH, per
       // openCypher) shares ONE pinned row-id frame, so arm results are
@@ -2947,6 +2954,37 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         RecordHeader(combined.header.slots.filterNot(_._1.owner == rowVar),
           combined.header.kinds - rowVar))
     }
+    // Body writes can touch outer bindings (an imported var directly, or
+    // any outer entity via a body-local alias); refresh the touched
+    // (var, key) pairs from the written state so post-CALL reads observe
+    // the final values — the FOREACH refresh rule, applied to the joined
+    // result frame.
+    val pairs = (inner.first +: inner.rest.map(_._2))
+      .flatMap(a => writeSetKeys(a.clauses)).distinct
+    if (pairs.isEmpty) res
+    else {
+      val outerEnt = ctx0.header.kinds.toSeq.collect {
+        case (v, NodeKind(_)) => v
+        case (v, RelKind(_)) => v
+      }
+      val touched = pairs.flatMap { case (v, kOpt) =>
+        val targets =
+          if (ctx0.header.kinds.contains(v)) Seq(v) else outerEnt
+        targets.flatMap { tv =>
+          kOpt match {
+            case Some(k) => Seq((tv, k))
+            case None => ctx0.header.kindOf(tv) match {
+              case Some(NodeKind(_)) =>
+                wNodes.flatMap(_.propTypes.keys).distinct.map((tv, _))
+              case Some(RelKind(_)) =>
+                wRels.flatMap(_.propTypes.keys).distinct.map((tv, _))
+              case _ => Seq.empty
+            }
+          }
+        }
+      }
+      refreshWrittenProps(res, touched)
+    }
   }
 
   /** One CALL { } arm. `keyedOpt` (UNION bodies) supplies a shared pinned
@@ -2972,12 +3010,23 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         CE.SyntaxError, CE.VariableAlreadyBound)
     }
 
-    if (imports.isEmpty) {
+    def isWriteClause(c: Clause): Boolean = c match {
+      case _: Create | _: Merge | _: SetClause | _: Remove | _: Delete |
+           _: Foreach => true
+      case _ => false
+    }
+    val bodyWrites = clauses.exists(isWriteClause)
+    // A WRITE body runs once per INPUT ROW (openCypher) even without
+    // imports, so it must plan over the row-keyed driving frame; the
+    // run-once-and-cross-join shortcut is only equivalent for reads.
+    if (imports.isEmpty && (!bodyWrites || ctx0.isUnit)) {
       // Uncorrelated: plan from the unit context, cross-join the result.
       var sub = unitCtx
       clauses.foreach {
         case cs: CallSubquery =>
           sub = planCallSubquery(sub, cs.inner, cs.optional)
+        case c if isWriteClause(c) =>
+          sub = planWriteClause(sub, c); graph = buildWrittenGraph()
         case c if isReadingClause(c) => sub = planReadingClause(sub, c)
         case other => unsupported(s"clause ${other.getClass.getSimpleName}")
       }
@@ -3035,6 +3084,10 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       clauses.foreach {
         case m: Match => sub = planReadingClause(sub, m)
         case u: Unwind => sub = planReadingClause(sub, u)
+        // Write clauses run per driving row (the body IS the keyed
+        // driving frame); the caller refreshes stale outer bindings.
+        case c if isWriteClause(c) =>
+          sub = planWriteClause(sub, c); graph = buildWrittenGraph()
         // Nested CALL { }: recurse — the inner subquery correlates against
         // THIS body's frame (row id + imports), so its own importing WITH
         // may re-import the outer imports; its result re-joins on the
@@ -3736,23 +3789,6 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // Outer variables whose properties the body SET: refresh their bindings
     // from the written state so a later RETURN observes the final value
     // (one id-keyed join per touched (var, key) pair).
-    var ctx = ctx0
-    // A dynamic-map SET (n += properties(x)) has no syntactic key list:
-    // None marks "all keys", expanded below to every key the written
-    // tables of the var's kind carry (over-approximate but correct).
-    def setKeys(cs: Seq[Clause]): Seq[(String, Option[String])] = cs.flatMap {
-      case SetClause(items) => items.map(resolveSetItem).flatMap {
-        case SetProp(v, k, _) => Seq((v, Some(k)))
-        case SetAllProps(v, MapLit(es), _) =>
-          es.map { case (k, _) => (v, Some(k)) }
-        case SetAllProps(v, _, _) => Seq((v, None))
-        case _ => Seq.empty
-      }
-      case Merge(_, onCreate, onMatch) =>
-        setKeys(Seq(SetClause(onCreate ++ onMatch)))
-      case Foreach(_, _, inner) => setKeys(inner)
-      case _ => Seq.empty
-    }
     // A SET through an entity BINDER (this FOREACH's variable, or a
     // nested one) can alias ANY outer entity var of its kind — refresh
     // them all, so `FOREACH (x IN [a] | SET x.h = 1) RETURN a.h` reads
@@ -3766,7 +3802,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case (NodeKind(_), NodeKind(_)) | (RelKind(_), RelKind(_)) => true
       case _ => false
     }
-    val touched = setKeys(f.updates).distinct.flatMap { case (v, kOpt) =>
+    val touched = writeSetKeys(f.updates).distinct.flatMap { case (v, kOpt) =>
       val targets: Seq[String] =
         if (ctx0.header.kinds.contains(v)) Seq(v)
         else {
@@ -3787,8 +3823,51 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         }
       }
     }.distinct
-    touched.foreach { case (v, k) =>
-      ctx0.header.kindOf(v) match {
+    refreshWrittenProps(ctx0, touched)
+  }
+
+  /** Does a clause list (recursively, through FOREACH bodies and nested
+    * CALL arms) contain any write clause? */
+  private def containsWriteClause(cs: Seq[Clause]): Boolean = cs.exists {
+    case _: Create | _: Merge | _: SetClause | _: Remove | _: Delete => true
+    case Foreach(_, _, inner) => inner.nonEmpty // FOREACH bodies only write
+    case sq: CallSubquery =>
+      (sq.inner.first +: sq.inner.rest.map(_._2))
+        .exists(a => containsWriteClause(a.clauses))
+    case _ => false
+  }
+
+  /** (var, key) pairs a clause list may SET; a dynamic-map SET
+    * (n += properties(x)) has no syntactic key list — None marks "all
+    * keys", expanded by callers to every key the written tables of the
+    * var's kind carry (over-approximate but correct). */
+  private def writeSetKeys(cs: Seq[Clause]): Seq[(String, Option[String])] =
+    cs.flatMap {
+      case SetClause(items) => items.map(resolveSetItem).flatMap {
+        case SetProp(v, k, _) => Seq((v, Some(k)))
+        case SetAllProps(v, MapLit(es), _) =>
+          es.map { case (k, _) => (v, Some(k)) }
+        case SetAllProps(v, _, _) => Seq((v, None))
+        case _ => Seq.empty
+      }
+      case Merge(_, onCreate, onMatch) =>
+        writeSetKeys(Seq(SetClause(onCreate ++ onMatch)))
+      case Foreach(_, _, inner) => writeSetKeys(inner)
+      case sq: CallSubquery =>
+        (sq.inner.first +: sq.inner.rest.map(_._2))
+          .flatMap(a => writeSetKeys(a.clauses))
+      case _ => Seq.empty
+    }
+
+  /** Refresh entity-var property bindings from the CURRENT written state
+    * after a nested write scope (FOREACH body, CALL { } body): one
+    * id-keyed join per touched (var, key) pair, so a later read of the
+    * outer binding observes the final value. */
+  private def refreshWrittenProps(ctx0: Ctx,
+      touched: Seq[(String, String)]): Ctx = {
+    var ctx = ctx0
+    touched.distinct.foreach { case (v, k) =>
+      ctx.header.kindOf(v) match {
         case Some(kind @ (NodeKind(_) | RelKind(_))) =>
           val tables = kind match {
             case NodeKind(_) =>
