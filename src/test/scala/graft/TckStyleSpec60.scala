@@ -45,4 +45,17 @@ class TckStyleSpec60 extends TckScenarioBase {
   scenario("read-only CALL bodies keep the run-once plan (no behavior change)", g,
     "MATCH (x:A) CALL { MATCH (b:B) RETURN b.name AS bn } " +
       "RETURN count(*) AS n", rows(Map("n" -> 2)))
+  scenario("UNION arms of a writing body each run per driving row", g,
+    "MATCH (x:A) CALL (x) { CREATE (a:UA {k: x.n}) RETURN a.k AS k " +
+      "UNION ALL CREATE (b:UB {k: x.n + 10}) RETURN b.k AS k } " +
+      "RETURN count(*) AS rows_, count(DISTINCT k) AS ks",
+    rows(Map("rows_" -> 4, "ks" -> 4)))
+  scenario("nested CALL bodies can write", g,
+    "MATCH (x:A {name:'a'}) CALL (x) { CALL { CREATE (:NW) RETURN 1 AS i } " +
+      "RETURN i } WITH 1 AS one MATCH (y:NW) RETURN count(y) AS n",
+    rows(Map("n" -> 1)))
+  scenario("chained writing CALLs compose through the refreshed binding", g,
+    "MATCH (x:A {name:'a'}) CALL (x) { SET x.n = x.n * 10 RETURN 0 AS z } " +
+      "CALL (x) { SET x.n = x.n + 5 RETURN 0 AS z2 } RETURN x.n AS fin",
+    rows(Map("fin" -> 55)))
 }
