@@ -392,6 +392,22 @@ object SparkEntry {
       Some("SELECT s_suppkey AS sk, r_name AS rn, CAST(2 AS BIGINT) AS len " +
         "FROM supplier JOIN nation ON n_nationkey = s_nationkey " +
         "JOIN region ON r_regionkey = n_regionkey")),
+    // --- shortestPath in EXPRESSION position (round 12): desugars onto
+    //     the pattern-comprehension machinery with the shortest selector,
+    //     correlated on BOTH bound endpoints; a pair with no path reads
+    //     null. The only supplier->region route is the length-2 chain
+    //     through the supplier's own nation, so reachability is the
+    //     region-key equality — closed-form in SQL. ---
+    ("q_shortest_path_expr",
+      "MATCH (s:Supplier), (r:Region) WHERE s.s_suppkey < 40 " +
+        "WITH s, r, shortestPath((s)-[*1..2]->(r)) AS p " +
+        "RETURN s.s_suppkey AS sk, r.r_name AS rn, length(p) AS l, " +
+        "p IS NOT NULL AS reachable",
+      Some("""SELECT s_suppkey AS sk, r_name AS rn,
+        CASE WHEN r_regionkey = n_regionkey THEN CAST(2 AS BIGINT) END AS l,
+        (r_regionkey = n_regionkey) AS reachable
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        CROSS JOIN region WHERE s_suppkey < 40""")),
     // --- unit (updating, RETURN-less) CALL subquery (round 10): one CREATE
     //     per driving row, then a read over the written graph — the
     //     Neo4j CALL { } IN TRANSACTIONS batch-write shape. ---

@@ -1563,5 +1563,107 @@ object GraphAlgorithms {
     out
   }
 
+  /** ArticleRank (GDS articleRank parity in shape): PageRank's recurrence
+    * with the per-source normalizer `outDeg + avgOutDeg` instead of
+    * `outDeg` — hubs' contributions are damped toward the mean, so
+    * low-degree citations count relatively more. Scoped choices where the
+    * GDS constant is unreachable offline (documented, oracle-replayed):
+    * avgOutDeg = |E| / |connected nodes|, no dangling-mass
+    * redistribution (mass is NOT conserved in this recurrence — the
+    * normalizer is deliberately too large), initial rank 1.0, isolated
+    * nodes closed-form at `1 - damping`. Scale shape = [[pageRank]]:
+    * links pinned pre-partitioned on src, one keyed join + aggregation
+    * per round, isolated nodes never iterate. */
+  def articleRank(graph: PropertyGraph, iterations: Int = 10,
+      damping: Double = 0.85, relTypes: Seq[String] = Seq.empty): DataFrame = {
+    val e = validated(edges(graph, relTypes), graph)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val links = Pin(e.join(outDeg, "src"))
+    val connected = Pin(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct())
+    val nConn = connected.count()
+    val avgDeg = if (nConn == 0L) 0.0 else e.count().toDouble / nConn
+    var ranks = connected.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = links.join(ranks, links("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("rank") / (col("deg") + lit(avgDeg))).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      ranks = Pin(connected.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"), (lit(1.0 - damping) +
+          lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+    }
+    val isolated = nodeIds(graph)
+      .join(ranks.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(1.0 - damping).as("rank"))
+    ranks.unionByName(isolated)
+  }
+
+  /** Global transitivity (a.k.a. global clustering coefficient):
+    * 3·triangles / wedges over the simple undirected graph, where wedges
+    * = Σ_v deg(v)·(deg(v)−1)/2. Triangles reuse the degree-ordered
+    * orientation of [[triangleCountEdges]]; the wedge count is one
+    * degree aggregation — both exact integers, so the one double
+    * division is bit-deterministic and the oracle replays it without
+    * rounding. Returns 1 row (triangles, wedges, transitivity). */
+  def transitivityEdges(edges0: DataFrame): DataFrame = {
+    val canon = Pin(edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    // Σ deg·(deg−1) stays an exact LONG end to end; the halving is an
+    // integer `div` (the product is always even), never a double.
+    val wedges = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg") * (col("deg") - 1)).as("w2"))
+      .select(expr("w2 div 2").as("wedges"))
+    val tri = {
+      val oriented = orientByDegree(canon)
+      wedgeJoin(oriented).join(canon,
+          least(col("x"), col("y")) === col("a") &&
+            greatest(col("x"), col("y")) === col("b"), "left_semi")
+        .agg(count(lit(1)).as("triangles"))
+    }
+    tri.crossJoin(wedges) // both are 1-row aggregates: a broadcast join
+      .select(col("triangles"), col("wedges").cast(LongType).as("wedges"),
+        when(col("wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("triangles") / col("wedges"))
+          .as("transitivity"))
+  }
+
+  /** Newman modularity of a community assignment over the simple
+    * undirected graph: Q = Σ_c [ m_c/m − (d_c/(2m))² ] with m the total
+    * undirected edge count, m_c the intra-community edge count and d_c
+    * the community's degree sum. Generic in the assignment — pass any
+    * (id, community) frame (connected components, louvain, label
+    * propagation). Two keyed joins to tag edge endpoints + two
+    * aggregations; every term is an exact integer until the final
+    * per-community doubles, so the oracle replays to a rounded match.
+    * Returns 1 row (m, communities, modularity). */
+  def modularityEdges(edges0: DataFrame, assign: DataFrame): DataFrame = {
+    val canon = Pin(edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val m = canon.count().toDouble
+    val tagged = canon
+      .join(assign.select(col("id").as("a"), col("community").as("ca")), Seq("a"))
+      .join(assign.select(col("id").as("b"), col("community").as("cb")), Seq("b"))
+    val intra = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("mc"))
+    val degSum = tagged
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("dc"))
+    val perC = degSum.join(intra, Seq("community"), "left_outer")
+      .select(col("community"),
+        (coalesce(col("mc"), lit(0L)) / lit(m) -
+          (col("dc") / lit(2.0 * m)) * (col("dc") / lit(2.0 * m))).as("q"))
+    perC.agg(count(lit(1)).as("communities"),
+        round(sum(col("q")), 8).as("modularity"))
+      .select(lit(m.toLong).as("m"), col("communities"), col("modularity"))
+  }
+
   private def spark(df: DataFrame): SparkSession = df.sparkSession
 }

@@ -61,6 +61,7 @@ object CypherError {
   val ColumnNameConflict = "ColumnNameConflict"
   val NoExpressionAlias = "NoExpressionAlias"
   val NumberOutOfRange = "NumberOutOfRange"
+  val NoVariablesInScope = "NoVariablesInScope"
   val InvalidNumberOfArguments = "InvalidNumberOfArguments"
   val AmbiguousAggregationExpression = "AmbiguousAggregationExpression"
   val DivisionByZero = "DivisionByZero"

@@ -160,6 +160,27 @@ class GraftSession(val spark: SparkSession) {
   registerProcedure("assortativity", (g, args) =>
     graft.algos.GraphAlgorithms.degreeAssortativity(
       graft.algos.GraphAlgorithms.edges(g, strArgs(args, 0))))
+  // CALL articlerank(iterations [, relType...]) — PageRank recurrence
+  // with the hub-damped outDeg + avgOutDeg normalizer.
+  registerProcedure("articlerank", (g, args) =>
+    graft.algos.GraphAlgorithms.articleRank(g,
+      iterations = intArg(args, 0, 10), relTypes = strArgs(args, 1))
+      .toDF("id", "rank"))
+  // CALL transitivity([relType...]) — 1-row global clustering coefficient
+  // (3·triangles / wedges) over the undirected simple graph.
+  registerProcedure("transitivity", (g, args) =>
+    graft.algos.GraphAlgorithms.transitivityEdges(
+      graft.algos.GraphAlgorithms.edges(g, strArgs(args, 0))))
+  // CALL modularity(levels, sweeps [, relType...]) — 1-row Newman
+  // modularity of the louvain(levels, sweeps) partition on the same
+  // rel-type subgraph.
+  registerProcedure("modularity", (g, args) => {
+    val e = graft.algos.GraphAlgorithms.edges(g, strArgs(args, 2))
+    graft.algos.GraphAlgorithms.modularityEdges(e,
+      graft.algos.GraphAlgorithms.louvain(e,
+        levels = intArg(args, 0, 2), sweeps = intArg(args, 1, 2))
+        .toDF("id", "community"))
+  })
   // CALL louvain(levels, sweeps [, relType...]) — deterministic Louvain
   // community detection (parity-gated sweeps, smaller-id tie break).
   registerProcedure("louvain", (g, args) =>

@@ -2434,7 +2434,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "size" | "length" =>
         if (isStringy(args(0))) F.length(a0).cast(LongType)
         else if (isPathStruct(args(0)))
-          F.size(a0.getField("rels")).cast(LongType)
+          // A path VALUE may be null (shortestPath(...) with no match);
+          // guard like the list case — legacy size(null) is -1.
+          when(a0.isNull, lit(null))
+            .otherwise(F.size(a0.getField("rels"))).cast(LongType)
         // size(null) is null in Cypher; Spark's legacy size returns -1.
         else when(a0.isNull, lit(null))
           .otherwise(F.size(a0)).cast(LongType)

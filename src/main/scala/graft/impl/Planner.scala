@@ -1422,28 +1422,38 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * binder used directly (`all(e IN r WHERE e.prop ...)` — `r` IS a
     * relationship list, `isRelListVar` tells us from the header). */
   private def entityListTarget(l: Expr,
-      listKind: String => Option[Boolean]): Option[(String, Boolean)] = l match {
-    case FuncCall(f @ ("relationships" | "nodes"), Seq(Var(p)), _) =>
-      Some((p, f == "relationships"))
-    case Var(r) => listKind(r).map(isRels => (r, isRels))
-    case _ => None
-  }
+      listKind: String => Option[Boolean],
+      pathTyped: Expr => Boolean = _ => false): Option[(Expr, Boolean)] =
+    l match {
+      case FuncCall(f @ ("relationships" | "nodes"), Seq(Var(p)), _) =>
+        Some((Var(p), f == "relationships"))
+      case FuncCall(f @ ("relationships" | "nodes"), Seq(pe), _)
+          if pathTyped(pe) =>
+        // nodes()/relationships() over a COMPUTED path value (e.g. the
+        // desugared shortestPath(...) expression) — same materialization,
+        // keyed by the whole expression.
+        Some((pe, f == "relationships"))
+      case Var(r) => listKind(r).map(isRels => (Var(r), isRels))
+      case _ => None
+    }
 
-  /** All (pathVar, isRels) pairs whose lambda bodies need entity values. */
+  /** All (path expression, isRels) pairs whose lambda bodies need entity
+    * values. */
   private def entityListNeeds(e: Expr,
-      listKind: String => Option[Boolean]): Set[(String, Boolean)] = {
-    val out = mutable.Set.empty[(String, Boolean)]
+      listKind: String => Option[Boolean],
+      pathTyped: Expr => Boolean = _ => false): Set[(Expr, Boolean)] = {
+    val out = mutable.Set.empty[(Expr, Boolean)]
     def walk(x: Any): Unit = x match {
       case ListComprehension(v, l, w, proj) =>
-        entityListTarget(l, listKind).foreach(t =>
+        entityListTarget(l, listKind, pathTyped).foreach(t =>
           if (binderUsedAsEntity(v, w.toSeq ++ proj.toSeq)) out += t)
         (l +: (w.toSeq ++ proj.toSeq)).foreach(walk)
       case IterablePredicate(_, v, l, pred) =>
-        entityListTarget(l, listKind).foreach(t =>
+        entityListTarget(l, listKind, pathTyped).foreach(t =>
           if (binderUsedAsEntity(v, Seq(pred))) out += t)
         Seq(l, pred).foreach(walk)
       case Reduce(_, init, v, l, step) =>
-        entityListTarget(l, listKind).foreach(t =>
+        entityListTarget(l, listKind, pathTyped).foreach(t =>
           if (binderUsedAsEntity(v, Seq(step))) out += t)
         Seq(init, l, step).foreach(walk)
       case s: Seq[_] => s.foreach(walk)
@@ -1517,17 +1527,28 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
           case _ => false
         }
       }
-    val needs = entityListNeeds(e, listKind).filter { case (p, _) =>
-      listKind(p).isDefined || isPathStructVar(p)
+    // A computed path value (e.g. desugared shortestPath(...)): a struct
+    // (nodes, rels) by static type.
+    def isPathTyped(pe: Expr): Boolean = ctx0.compiler.inferType(pe) match {
+      case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("nodes", "rels")
+      case _ => false
+    }
+    val needs = entityListNeeds(e, listKind, isPathTyped).filter {
+      case (Var(p), _) => listKind(p).isDefined || isPathStructVar(p)
+      case _ => true // non-var targets already passed isPathTyped
     }
     if (needs.isEmpty) return (ctx0, e)
     var ctx = ctx0
-    val replacement = mutable.Map.empty[(String, Boolean), String]
-    needs.toSeq.sorted.foreach { case key @ (p, isRels) =>
-      val arr =
-        if (listKind(p).isDefined) col(ctx.header.col(PathSlot(p)))
-        else col(ctx.header.col(ValueSlot(p)))
+    val replacement = mutable.Map.empty[(Expr, Boolean), String]
+    needs.toSeq.sortBy(_.toString).foreach { case key @ (pe, isRels) =>
+      val arr = pe match {
+        case Var(p) if listKind(p).isDefined => col(ctx.header.col(PathSlot(p)))
+        case Var(p) if isPathStructVar(p) =>
+          col(ctx.header.col(ValueSlot(p)))
+            .getField(if (isRels) "rels" else "nodes")
+        case _ => ctx.compiler.compile(pe)
           .getField(if (isRels) "rels" else "nodes")
+      }
       val (entityDf, elemStruct, idCol) = entityElementsDf(isRels)
       val listVar = freshVar()
       val listCol = RecordHeader.colName(ValueSlot(listVar))
@@ -1552,7 +1573,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       replacement(key) = listVar
     }
     def swap(l: Expr, binder: String, bodies: Seq[Expr]): Option[Expr] =
-      entityListTarget(l, listKind).filter(t =>
+      entityListTarget(l, listKind, isPathTyped).filter(t =>
         binderUsedAsEntity(binder, bodies) && replacement.contains(t))
         .map(t => Var(replacement(t)))
     val rewritten = ExprOps.transformUp(e) {
@@ -2497,11 +2518,23 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   // --------------------------------------------------------------- unwind
   private def planUnwind(ctx: Ctx, e: Expr, alias: String): Ctx = {
-    // UNWIND null produces no rows (openCypher); a literal null would not
-    // even type-check under explode, so substitute an empty list.
+    // UNWIND null produces no rows (openCypher); a null-typed expression
+    // would not even type-check under explode, so substitute an empty list.
+    // A statically non-list operand (map, number, string, ...) is a
+    // compile-time type error (Neo4j: "expected List<T>"), not a leaked
+    // Spark DATATYPE_MISMATCH from explode.
+    val static = ctx.compiler.inferType(e)
     val c =
-      if (e == NullLit) array().cast(ArrayType(StringType))
-      else ctx.compiler.compile(e)
+      if (e == NullLit || static.contains(NullType)) array().cast(ArrayType(StringType))
+      else {
+        static match {
+          case Some(_: ArrayType) | None => ()
+          case Some(other) => throw new CypherCompileException(
+            s"UNWIND expects a list, got $other",
+            CE.SyntaxError, CE.InvalidArgumentType)
+        }
+        ctx.compiler.compile(e)
+      }
     val slot = ValueSlot(alias)
     val name = RecordHeader.colName(slot)
     val df = ctx.df.withColumn(name, explode(c))
@@ -2548,6 +2581,11 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       if (star) ctx.header.kinds.keys.toSeq.sorted.filterNot(_.startsWith("_a"))
         .map(v => ReturnItem(Var(v), None))
       else Seq.empty
+    // `RETURN *` / `WITH *` with no named variables in scope is a TCK
+    // SyntaxError (NoVariablesInScope), not an empty projection.
+    if (star && starItems.isEmpty && items0.isEmpty)
+      throw new graft.api.CypherException(CE.SyntaxError, CE.CompileTime,
+        CE.NoVariablesInScope, "* with no variables in scope")
     val items1 = starItems ++ items0
     // openCypher: multiple result columns with the same name are not
     // supported (TCK SyntaxError/ColumnNameConflict) — covers duplicate
@@ -4499,7 +4537,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def evalInt(e: Expr, where: String): Int = {
     def eval(e: Expr): Int = e match {
       case IntLit(v) => v.toInt
-      case Param(n) => params(n) match {
+      case Param(n) => params.getOrElse(n, throw new CypherCompileException(
+        s"missing parameter $n", CE.ParameterMissing, CE.MissingParameter)) match {
         case i: Int => i
         case l: Long => l.toInt
         case other => throw new CypherCompileException(

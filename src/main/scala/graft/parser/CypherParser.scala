@@ -241,6 +241,13 @@ object CypherParser {
         while (atNext) { p += 1; segs += unionQuery() }
         q = desugarNext(segs.result())
       }
+      // A single trailing statement terminator is tolerated (queries
+      // pasted from cypher-shell / Browser end in one); anything after
+      // it is still a trailing-token error.
+      peek match {
+        case Punct(";", _) => p += 1
+        case _ => ()
+      }
       peek match {
         case Eof(_) =>
         case t => fail(s"unexpected trailing token $t")
@@ -1841,13 +1848,38 @@ object CypherParser {
             } else {
               while (tryPunct(",")) args += parseExpr()
               eatPunct(")")
-              FuncCall(name.toLowerCase, args.result(), distinct)
+              desugarPathFn(name, args.result(), distinct)
             }
           }
         case Ident(name, _) => p += 1; Var(name)
         case t => fail(s"unexpected token $t in expression")
       }
     }
+
+    /** shortestPath()/allShortestPaths() in EXPRESSION position (Neo4j:
+      * `WHERE shortestPath(...) IS NOT NULL`, `RETURN shortestPath(...)`).
+      * The argument parses as a pattern predicate; desugar onto the
+      * pattern-comprehension machinery with the matching path selector —
+      * shortestPath yields ONE path or null (head of the selected set),
+      * allShortestPaths the LIST of minimal-length paths. */
+    private def desugarPathFn(name: String, args: Seq[Expr],
+        distinct: Boolean): Expr = {
+      val lower = name.toLowerCase
+      val isSp = lower == "shortestpath" || lower == "allshortestpaths"
+      (if (isSp) args else Seq.empty) match {
+        case Seq(PatternPredicate(part, false, where)) =>
+          spExprCount += 1
+          val pv = part.pathVar.getOrElse(s"_spx$spExprCount")
+          val mode = if (lower == "shortestpath") "shortest" else "allshortest"
+          val comp = PatternComp(
+            part.copy(pathVar = Some(pv), shortest = Some(PathSelector(mode))),
+            where, Var(pv))
+          if (lower == "shortestpath") FuncCall("head", Seq(comp), distinct = false)
+          else comp
+        case _ => FuncCall(lower, args, distinct)
+      }
+    }
+    private var spExprCount = 0
 
     /** Lookahead: does `(` start a node pattern followed by a relationship?
       * Distinguishes `(a)-->(b)` pattern predicates from `(a+1)*2`. */

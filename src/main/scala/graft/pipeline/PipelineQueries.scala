@@ -453,6 +453,35 @@ object PipelineQueries {
         relTypes = Seq("IN_REGION", "FROM_NATION"))
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))),
+    // ArticleRank (round 12): pagerank's graph/iteration shape with the
+    // hub-damped outDeg+avgOutDeg normalizer; CALL procedure path.
+    "q_algo_articlerank" -> ((s, dir) =>
+      new graft.api.GraftSession(s).cypher(graft.tpch.TpchGraph(s, dir),
+        "CALL articlerank(3, 'IN_REGION', 'FROM_NATION', 'PLACED') " +
+          "YIELD rank RETURN round(rank, 5) AS rank, count(*) AS n")),
+    // Global transitivity over the co-order part-pair graph (round 12):
+    // exact triangle + wedge integers, one bit-deterministic division.
+    "q_algo_transitivity" -> ((s, dir) => {
+      val lp = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.algos.GraphAlgorithms.transitivityEdges(pairs)
+    }),
+    // Newman modularity of the connected-components partition on the
+    // geography subgraph (round 12): every edge is intra-component, so
+    // Q = Σ (e_c/m − (e_c/m)²) — closed-form per region in SQL.
+    "q_algo_modularity" -> ((s, dir) => {
+      val g = graft.tpch.TpchGraph(s, dir)
+      val e = graft.algos.GraphAlgorithms.edges(g,
+        Seq("IN_REGION", "FROM_NATION"))
+      graft.algos.GraphAlgorithms.modularityEdges(e,
+        graft.algos.GraphAlgorithms.connectedComponents(g,
+            Seq("IN_REGION", "FROM_NATION"))
+          .withColumnRenamed("component", "community"))
+    }),
     // Longest-path topological level histogram over the full TPCH DAG,
     // routed through the CALL procedure path.
     "q_algo_toposort" -> ((s, dir) =>
@@ -1031,6 +1060,44 @@ object PipelineQueries {
        SELECT round(rank, 5) AS rank, count(*) AS n FROM r3 GROUP BY 1"""
   }
 
+  /** ArticleRank oracle: pageRankSql's graph with the hub-damped
+    * normalizer (contrib = rank / (outDeg + avgOutDeg), avgOutDeg =
+    * |E| / |connected nodes|), NO dangling-mass redistribution, 3
+    * unrolled rounds; isolated nodes read the closed-form 1 − damping. */
+  private val articleRankSql: String = {
+    def round(k: Int, prev: String) =
+      s"""c$k AS (SELECT e.dst AS id, sum($prev.rank / (g.d + st.avgd)) AS contrib
+            FROM edges e JOIN deg g ON e.src = g.src
+            JOIN $prev ON $prev.id = e.src CROSS JOIN st GROUP BY e.dst),
+          r$k AS (SELECT cn.id, 0.15 + 0.85 * coalesce(c$k.contrib, 0) AS rank
+            FROM cn LEFT JOIN c$k ON cn.id = c$k.id)"""
+    s"""WITH nodes AS (
+         SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS id FROM region
+         UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR) FROM nation
+         UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR) FROM customer
+         UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier
+         UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR) FROM orders
+         UNION ALL SELECT 'l' || CAST(row_number() OVER () AS VARCHAR) FROM lineitem
+         UNION ALL SELECT 'p' || CAST(p_partkey AS VARCHAR) FROM part),
+       edges AS (
+         SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src, 'r' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+         UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+         UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR), 'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+         UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR), 'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       cn AS (SELECT DISTINCT id FROM (
+         SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) t),
+       st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM edges)
+                   / (SELECT count(*) FROM cn) AS avgd),
+       r0 AS (SELECT id, 1.0 AS rank FROM cn),
+       ${round(1, "r0")},
+       ${round(2, "r1")},
+       ${round(3, "r2")},
+       allr AS (SELECT rank FROM r3
+         UNION ALL SELECT 0.15 FROM nodes WHERE id NOT IN (SELECT id FROM cn))
+       SELECT round(rank, 5) AS rank, count(*) AS n FROM allr GROUP BY 1"""
+  }
+
   /** Weighted-PageRank oracle: the pageRankSql recurrence with per-edge
     * weights (contrib = rank * w / sum-of-out-weights), 3 unrolled
     * rounds; weights mirror the registry row's type map. */
@@ -1514,6 +1581,36 @@ object PipelineQueries {
     "q_cluster_kmeans" -> kmeansSql(),
     "q_media_hash" -> mediaHashSql,
     "q_algo_pagerank" -> pageRankSql,
+    "q_algo_articlerank" -> articleRankSql,
+    "q_algo_transitivity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+           degs AS (SELECT id, count(*) AS d FROM (
+             SELECT a AS id FROM e UNION ALL SELECT b FROM e) t GROUP BY id),
+           w AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS wedges FROM degs),
+           t AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+             FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+         SELECT t.triangles, w.wedges,
+           CASE WHEN w.wedges = 0 THEN 0.0
+                ELSE CAST(3 * t.triangles AS DOUBLE) / w.wedges
+           END AS transitivity
+         FROM t CROSS JOIN w""",
+    // Components partition on the geography subgraph: every edge is
+    // intra-component, so d_c = 2·e_c and Q = Σ (e_c/m − (e_c/m)²);
+    // the engine's (d_c/2m)² differs only by an exact power-of-two
+    // scaling, and round(·,8) absorbs the cross-engine sum order.
+    "q_algo_modularity" ->
+      """WITH ec AS (
+           SELECT n_regionkey AS rk FROM nation
+           UNION ALL SELECT n_regionkey FROM customer JOIN nation ON n_nationkey = c_nationkey
+           UNION ALL SELECT n_regionkey FROM supplier JOIN nation ON n_nationkey = s_nationkey),
+         per AS (SELECT rk, CAST(count(*) AS DOUBLE) AS e_c FROM ec GROUP BY rk),
+         mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ec)
+         SELECT CAST(mm.m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS communities,
+           round(sum(e_c / mm.m - (e_c / mm.m) * (e_c / mm.m)), 8) AS modularity
+         FROM per CROSS JOIN mm GROUP BY mm.m""",
     "q_algo_pagerank_weighted" -> pageRankWeightedSql,
     "q_algo_ppr" -> pprSql,
     "q_algo_kcore" -> kCoreSql,

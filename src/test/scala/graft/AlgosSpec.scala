@@ -1124,4 +1124,51 @@ class AlgosSpec extends SparkTestBase {
       assert(Set((p._4, q._4), (q._4, p._4)).exists(
         Set((1L, 2L), (2L, 3L), (3L, 1L)).contains))
   }
+
+  test("article rank: hub-damped recurrence matches an in-spec replay") {
+    // Replay the documented recurrence directly: contrib = r/(deg+avgd),
+    // avgd = |E|/|connected|, no dangling redistribution.
+    val pr = GraphAlgorithms.articleRank(graph, iterations = 4).collect()
+      .map(r => (r.getLong(0) & 0xFFFFFFFFL, r.getDouble(1))).toMap
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val avgd = edges.size.toDouble / 5
+    var r = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0, 5L -> 1.0)
+    for (_ <- 1 to 4) {
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        r(u) / (outDeg(u) + avgd) }.sum).toMap
+      r = r.keys.map(v => v -> (0.15 + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r.foreach { case (id, want) =>
+      assert(math.abs(pr(id) - want) < 1e-12, s"node $id: ${pr(id)} vs $want") }
+  }
+
+  test("transitivity: triangle + chain = 1 triangle / 3 wedges") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val row = GraphAlgorithms.transitivityEdges(e).collect()(0)
+    assert(row.getLong(0) === 1L)   // triangles
+    assert(row.getLong(1) === 3L)   // wedges (all at the triangle corners)
+    assert(row.getDouble(2) === 1.0)
+    // wedge-only graph: 0 triangles over 1 wedge
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r2 = GraphAlgorithms.transitivityEdges(path).collect()(0)
+    assert(r2.getLong(0) === 0L && r2.getLong(1) === 1L && r2.getDouble(2) === 0.0)
+  }
+
+  test("modularity: component partition of triangle + chain is 0.375") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val assign = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L))
+      .toDF("id", "community")
+    val row = GraphAlgorithms.modularityEdges(e, assign).collect()(0)
+    assert(row.getLong(0) === 4L)       // m
+    assert(row.getLong(1) === 2L)       // communities
+    assert(row.getDouble(2) === 0.375)  // (3/4 - (6/8)^2) + (1/4 - (2/8)^2)
+    // everything in ONE community: Q = 1 - 1 = 0
+    val one = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L), (5L, 7L))
+      .toDF("id", "community")
+    val q1 = GraphAlgorithms.modularityEdges(e, one).collect()(0)
+    assert(q1.getDouble(2) === 0.0)
+  }
 }

@@ -3,7 +3,8 @@ package graft
 /** Scratch probe spec (not part of the TCK mirror): drives candidate
   * syntax through the engine to find gaps. Scenarios that reveal real
   * gaps get promoted to a numbered TckStyleSpec part; this file stays
-  * minimal between rounds (round-11 findings live in TckStyleSpec51-55). */
+  * minimal between rounds (round-12 batch-5 findings live in
+  * TckStyleSpec61). */
 class ProbeSpec extends TckScenarioBase {
   import TckFixtures._
 
@@ -15,7 +16,8 @@ class ProbeSpec extends TckScenarioBase {
   def probe(name: String, q: String): Unit = {
     pc += 1
     test(f"[$pc%03d] $name") {
-      val got = rowsOf(session.cypher(g, q))
+      val got = try rowsOf(session.cypher(g, q)).toString
+      catch { case e: Throwable => s"RAISED ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}" }
       info(s"$q => $got")
     }
   }
