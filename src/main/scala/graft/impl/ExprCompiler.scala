@@ -452,13 +452,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case "tointegerlist" => Some(ArrayType(LongType))
       case "tofloatlist" => Some(ArrayType(DoubleType))
       case "tobooleanlist" => Some(ArrayType(BooleanType))
-      case "date" | "date.truncate" => Some(DateType)
+      case "date" | "date.truncate" | "date.transaction" |
+           "date.statement" | "date.realtime" => Some(DateType)
       case "localdatetime" | "datetime" | "datetime.truncate" |
            "localdatetime.truncate" | "datetime.fromepoch" |
-           "datetime.fromepochmillis" => Some(TimestampType)
-      case "localtime" | "localtime.truncate" =>
+           "datetime.fromepochmillis" |
+           "datetime.transaction" | "datetime.statement" |
+           "datetime.realtime" | "localdatetime.transaction" |
+           "localdatetime.statement" | "localdatetime.realtime" =>
+        Some(TimestampType)
+      case "localtime" | "localtime.truncate" | "localtime.transaction" |
+           "localtime.statement" | "localtime.realtime" =>
         Some(ExprCompiler.localTimeType)
-      case "time" | "time.truncate" => Some(ExprCompiler.timeType)
+      case "time" | "time.truncate" | "time.transaction" |
+           "time.statement" | "time.realtime" => Some(ExprCompiler.timeType)
       case "duration.between" | "duration.inmonths" | "duration.indays" |
            "duration.inseconds" => Some(ExprCompiler.durationType)
       case "duration" => Some(StructType(Seq(
@@ -466,7 +473,21 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         StructField("micros", LongType))))
       case "range" | "nodes" | "relationships" => Some(ArrayType(LongType))
       case "collect" | "_collectordered" =>
-        args.headOption.flatMap(inferType).map(ArrayType(_))
+        // collect(n) over an entity var captures full entity structs
+        (args.headOption match {
+          case Some(Var(n)) if !env.contains(n) => entityValueStructType(n)
+          case _ => None
+        }).orElse(args.headOption.flatMap(inferType)).map(ArrayType(_))
+      case "properties" => args.headOption.flatMap {
+        case Var(n) if !env.contains(n) &&
+            header.kindOf(n).exists(k =>
+              k.isInstanceOf[NodeKind] || k.isInstanceOf[RelKind]) =>
+          entityValueStructType(n).map(st => StructType(
+            st.fields.filterNot(_.name.startsWith("_"))))
+        case v => entityStructOf(envEntity(v).map(_._2).orElse(inferType(v)))
+          .map(st => StructType(st.fields.filterNot(_.name.startsWith("_"))
+            .sortBy(_.name)))
+      }
       case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" |
            "coalesce" => args.headOption.flatMap(inferType)
       case "head" | "last" => args.headOption.flatMap(inferType).map {
@@ -759,6 +780,109 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case _ => None
   }
 
+  /** Any expression carrying an entity-struct VALUE: a lambda binder over
+    * a materialized entity list (envEntity) or any value whose static
+    * type is the flat entity-struct convention (_id first) — e.g. a
+    * variable UNWOUND from collect(n). */
+  private def entityValue(e: Expr): Option[(Column, StructType)] =
+    envEntity(e).orElse(e match {
+      case Var(n) if env.contains(n) => None // env binders handled above
+      case _ => entityStructOf(inferType(e)).map(st => (compile(e), st))
+    })
+
+  /** Id column of an ENTITY operand in any representation: a header- or
+    * env-bound entity var (already an id) or an entity-struct value. */
+  private def entityIdCol(e: Expr): Option[Column] =
+    entityValue(e).map { case (c, _) =>
+      when(c.isNull, lit(null)).otherwise(c.getField("_id")) }
+      .orElse(e match {
+        case Var(n) if env.contains(n) &&
+            entityStructOf(env(n)._2).isDefined => Some(compile(e))
+        case Var(n) if !env.contains(n) && header.kindOf(n).exists(k =>
+            k.isInstanceOf[NodeKind] || k.isInstanceOf[RelKind]) =>
+          Some(compile(e))
+        case _ => None
+      })
+
+  /** Both sides of an =/<> as id columns, when at least one side is an
+    * entity STRUCT value (mixed-representation comparisons would
+    * otherwise hit Spark struct-vs-long analysis errors). */
+  private def entityCmpCols(l: Expr, r: Expr): Option[(Column, Column)] = {
+    val structSide = entityValue(l).isDefined || entityValue(r).isDefined
+    if (!structSide) None
+    else for { a <- entityIdCol(l); b <- entityIdCol(r) } yield (a, b)
+  }
+
+  /** (needle id, haystack id array) for entity IN list, when either the
+    * needle or the list elements are entity STRUCTS. */
+  private def entityInCols(l: Expr, r: Expr): Option[(Column, Column)] = {
+    val elemSt = inferType(r) match {
+      case Some(ArrayType(st: StructType, _))
+          if st.fieldNames.headOption.contains("_id") => Some(st)
+      case _ => None
+    }
+    if (elemSt.isEmpty && entityValue(l).isEmpty) None
+    else entityIdCol(l).map { id =>
+      val hay =
+        if (elemSt.isDefined) transform(compile(r), x => x.getField("_id"))
+        else compile(r)
+      (id, hay)
+    }
+  }
+
+  /** Static type of [[entityValueStruct]]'s column. */
+  private def entityValueStructType(n: String): Option[StructType] = {
+    def propFields = header.ownedBy(n)
+      .collect { case s @ PropSlot(_, k) => (k, colType(header.col(s))) }
+      .filterNot(_._1.startsWith("_")).sortBy(_._1)
+      .flatMap { case (k, t) => t.map(StructField(k, _)) }
+    header.kindOf(n) match {
+      case Some(NodeKind(_)) => Some(StructType(
+        Seq(StructField("_id", LongType),
+          StructField("_labels", ArrayType(StringType))) ++ propFields))
+      case Some(RelKind(_)) => Some(StructType(
+        Seq(StructField("_id", LongType), StructField("_src", LongType),
+          StructField("_tgt", LongType), StructField("_type", StringType)) ++
+          propFields))
+      case _ => None
+    }
+  }
+
+  /** The flat entity-struct VALUE (entityElementsDf convention: _id,
+    * markers, then plain property fields) for a header-bound entity var —
+    * built when an entity is captured INTO a value (collect(n)), so the
+    * element keeps identity, labels/endpoints/type and properties through
+    * list machinery and back out of UNWIND. */
+  private[impl] def entityValueStruct(n: String): Option[Column] =
+    header.kindOf(n) match {
+      case Some(NodeKind(_)) =>
+        val labels = header.ownedBy(n).collect { case s @ LabelSlot(_, l) =>
+          when(col(header.col(s)), lit(l))
+        }
+        val labelCol =
+          if (labels.nonEmpty) array_compact(array(labels: _*))
+          else array().cast(ArrayType(StringType))
+        val props = header.ownedBy(n)
+          .collect { case s @ PropSlot(_, k) => (k, col(header.col(s))) }
+          .filterNot(_._1.startsWith("_")).sortBy(_._1)
+        val idc = col(header.col(IdSlot(n)))
+        Some(when(idc.isNull, lit(null)).otherwise(struct(
+          (Seq(idc.as("_id"), labelCol.as("_labels")) ++
+            props.map { case (k, c) => c.as(k) }): _*)))
+      case Some(RelKind(_)) =>
+        val props = header.ownedBy(n)
+          .collect { case s @ PropSlot(_, k) => (k, col(header.col(s))) }
+          .filterNot(_._1.startsWith("_")).sortBy(_._1)
+        val idc = col(header.col(IdSlot(n)))
+        Some(when(idc.isNull, lit(null)).otherwise(struct(
+          (Seq(idc.as("_id"),
+            storedEnd(n, src = true).as("_src"),
+            storedEnd(n, src = false).as("_tgt"),
+            col(header.col(TypeSlot(n))).as("_type")) ++
+            props.map { case (k, c) => c.as(k) }): _*)))
+      case _ => None
+    }
+
   /** Truthful (as-stored) endpoint of a bound rel var: a rel matched
     * through an UNDIRECTED pattern carries RevSlot marking traversal-
     * reversed rows (Planner.relScanDf); startNode()/endNode() must report
@@ -888,6 +1012,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Ors(es) => es.map(compileBoolOperand).reduce(_ || _)
     case Xor(l, r) => compileBoolOperand(l) =!= compileBoolOperand(r)
     case Not(x) => !compileBoolOperand(x)
+    // Entity identity across representations: an entity-struct VALUE
+    // (the collect(n) round-trip) compares to an id-bound entity var —
+    // and to another struct value — by _id (Neo4j: element equality is
+    // identity), never by Spark struct equality or a cross-class rule.
+    case Cmp(op @ ("=" | "<>"), l, r) if entityCmpCols(l, r).isDefined =>
+      val (lc, rc) = entityCmpCols(l, r).get
+      if (op == "=") lc === rc else lc =!= rc
     // Cross-type-class semantics (openCypher): values of different type
     // classes are never EQUAL (false, null-propagating) and never ORDERED
     // (null). Spark would instead coerce ('1' = 1 -> true) or fail analysis
@@ -980,6 +1111,11 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         .otherwise(lit(null).cast(BooleanType))
     // `x IN null` is null (array_contains rejects the VOID-typed literal).
     case In(_, NullLit) => lit(null).cast(BooleanType)
+    // Entity membership across representations: normalize the needle and
+    // an entity-struct-element haystack to _id before array_contains.
+    case In(l, r) if entityInCols(l, r).isDefined =>
+      val (needle, hay) = entityInCols(l, r).get
+      array_contains(hay, needle)
     case In(l, r) if containerTyped(l) =>
       val lt = inferType(l).get
       val lc = compile(l)
@@ -1802,7 +1938,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         max_by(a0, ExprCompiler.durationTotalMicros(a0))
       case "min" => min(a0)
       case "max" => max(a0)
-      case "collect" => if (distinct) collect_set(a0) else collect_list(a0)
+      case "collect" =>
+        // collect(n) over an entity var captures the FULL entity struct
+        // (identity + labels/type/endpoints + properties), so the list
+        // element survives UNWIND as an entity value, not a bare id.
+        val v = args(0) match {
+          case Var(n) if !env.contains(n) => entityValueStruct(n).getOrElse(a0)
+          case _ => a0
+        }
+        if (distinct) collect_set(v) else collect_list(v)
       // Internal ordered collect for COLLECT { … RETURN x ORDER BY … }
       // (Neo4j returns the list in ORDER BY order): args are the value
       // followed by (sortKey, 'asc'|'desc') pairs. Collect (keys…, value)
@@ -1810,7 +1954,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // sort with a Neo4j-order comparator (nulls largest: last under ASC,
       // first under DESC) and strip the keys.
       case "_collectordered" =>
-        val value = a0
+        val value = args(0) match {
+          case Var(n) if !env.contains(n) => entityValueStruct(n).getOrElse(a0)
+          case _ => a0
+        }
         val keyDirs = args.tail.grouped(2).map {
           case Seq(k, StrLit(d)) => (compile(k), d == "asc")
           case other => throw new CypherCompileException(
@@ -1846,11 +1993,17 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         GraftFunctions.percentileDisc(a0, a1)
 
       // ---- element functions ----
-      case "id" => a0 // Var compiles to the id column already
+      case "id" => entityValue(args(0)) match {
+        // an entity-struct VALUE (collect(n) round-trip) reads its _id;
+        // header/env entity vars already compile to the id column.
+        case Some((c, _)) if !envEntity(args(0)).isDefined =>
+          when(c.isNull, lit(null)).otherwise(c.getField("_id"))
+        case _ => a0
+      }
       case "labels" => args(0) match {
         case NullLit => lit(null)
-        case v if envEntity(v).isDefined =>
-          val (c, st) = envEntity(v).get
+        case v if entityValue(v).isDefined =>
+          val (c, st) = entityValue(v).get
           if (!st.fieldNames.contains("_labels"))
             throw new CypherCompileException(
               "labels() expects a node, got a relationship",
@@ -1873,8 +2026,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "type" => args(0) match {
         case NullLit => lit(null)
-        case v if envEntity(v).isDefined =>
-          val (c, st) = envEntity(v).get
+        case v if entityValue(v).isDefined =>
+          val (c, st) = entityValue(v).get
           if (!st.fieldNames.contains("_type"))
             throw new CypherCompileException(
               "type() expects a relationship, got a node",
@@ -1889,8 +2042,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "startnode" => args(0) match {
         case NullLit => lit(null)
-        case v if envEntity(v).isDefined =>
-          val (c, st) = envEntity(v).get
+        case v if entityValue(v).isDefined =>
+          val (c, st) = entityValue(v).get
           if (!st.fieldNames.contains("_src"))
             throw new CypherCompileException(
               "startNode() expects a relationship, got a node",
@@ -1905,8 +2058,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "endnode" => args(0) match {
         case NullLit => lit(null)
-        case v if envEntity(v).isDefined =>
-          val (c, st) = envEntity(v).get
+        case v if entityValue(v).isDefined =>
+          val (c, st) = entityValue(v).get
           if (!st.fieldNames.contains("_tgt"))
             throw new CypherCompileException(
               "endNode() expects a relationship, got a node",
@@ -1921,8 +2074,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "keys" => args(0) match {
         case NullLit => lit(null)
-        case v if envEntity(v).isDefined =>
-          val (c, st) = envEntity(v).get
+        case v if entityValue(v).isDefined =>
+          val (c, st) = entityValue(v).get
           val ks = st.fieldNames.filterNot(_.startsWith("_")).toSeq.sorted
           val built =
             if (ks.isEmpty) array()
@@ -1950,8 +2103,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       }
       case "properties" => args(0) match {
         case NullLit => lit(null)
-        case v if envEntity(v).isDefined =>
-          val (c, st) = envEntity(v).get
+        case v if entityValue(v).isDefined =>
+          val (c, st) = entityValue(v).get
           val ks = st.fieldNames.filterNot(_.startsWith("_")).toSeq.sorted
           when(c.isNull, lit(null))
             .otherwise(struct(ks.map(k => c.getField(k).as(k)): _*))
@@ -2958,6 +3111,21 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         F.timestamp_micros(a0.cast(LongType) * 1000000L + nanos)
       case "datetime.fromepochmillis" =>
         F.timestamp_millis(a0.cast(LongType))
+      // Clock-namespace constructors (Neo4j: transaction/statement/
+      // realtime clocks). The engine is a one-statement library call —
+      // all three clocks are the SAME Spark statement clock; an optional
+      // timezone argument is accepted and ignored for the instant types
+      // (session-UTC semantics, same stance as zoned datetime literals).
+      case "datetime.transaction" | "datetime.statement" | "datetime.realtime" =>
+        current_timestamp()
+      case "localdatetime.transaction" | "localdatetime.statement" |
+           "localdatetime.realtime" => current_timestamp()
+      case "date.transaction" | "date.statement" | "date.realtime" =>
+        current_date()
+      case "localtime.transaction" | "localtime.statement" |
+           "localtime.realtime" => compile(FuncCall("localtime", Seq.empty, distinct = false))
+      case "time.transaction" | "time.statement" | "time.realtime" =>
+        compile(FuncCall("time", Seq.empty, distinct = false))
 
       // ---- bitwise (Expr.scala :916-949) ----
       case "shiftleft" => call_function("shiftleft", a0, a1)

@@ -162,8 +162,33 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   /** Render the final user-facing DataFrame (display names, structs for
     * whole elements). */
   def render(df: DataFrame, outs: Seq[OutItem], header: RecordHeader): DataFrame = {
+    // An entity-struct VALUE (flat convention: _id, markers, props —
+    // e.g. the collect(n) round-trip) renders in the same nested shape
+    // as a direct entity var: (_id, _labels/_src/_tgt/_type,
+    // _properties{...}); lists of them render element-wise.
+    def isEntitySt(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case st: StructType => st.fieldNames.headOption.contains("_id")
+      case _ => false
+    }
+    def nest(c: Column, st: StructType): Column = {
+      val markers = st.fieldNames.filter(_.startsWith("_")).toSeq
+      val props = st.fieldNames.filterNot(_.startsWith("_")).toSeq
+      val fields = markers.map(m => c.getField(m).as(m)) ++
+        (if (props.nonEmpty)
+          Seq(struct(props.map(k => c.getField(k).as(k)): _*).as("_properties"))
+        else Seq.empty)
+      when(c.isNull, lit(null)).otherwise(struct(fields: _*))
+    }
+    def renderVal(c: Column, t: org.apache.spark.sql.types.DataType): Column =
+      t match {
+        case st: StructType if isEntitySt(st) => nest(c, st)
+        case ArrayType(et: StructType, _) if isEntitySt(et) =>
+          transform(c, x => nest(x, et))
+        case _ => c
+      }
     val cols = outs.map {
-      case OutCol(internal, display) => col(internal).as(display)
+      case OutCol(internal, display) =>
+        renderVal(col(internal), df.schema(internal).dataType).as(display)
       case OutVar(v, display) => header.kindOf(v) match {
         case Some(NodeKind(_)) =>
           val labels = header.ownedBy(v).collect { case s @ LabelSlot(_, l) =>
@@ -198,7 +223,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
                 else Seq.empty)): _*)).as(display)
         case Some(ListRelKind(_)) | Some(ListNodeKind(_)) =>
           col(header.col(PathSlot(v))).as(display)
-        case _ => col(header.col(ValueSlot(v))).as(display)
+        case _ =>
+          val c = header.col(ValueSlot(v))
+          renderVal(col(c), df.schema(c).dataType).as(display)
       }
     }
     df.select(cols: _*)
