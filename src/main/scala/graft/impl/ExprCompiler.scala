@@ -1491,7 +1491,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           if (isElement)
             header.ownedBy(v).collect { case s @ PropSlot(_, k) => (k, s) }
               .sortBy(_._1).map { case (k, s) => col(header.col(s)).as(k) }
-          else Seq.empty
+          else inferType(Var(v)) match {
+            // struct-typed value (a map, or an entity-struct from the
+            // collect(n) round-trip — markers excluded): all fields
+            case Some(st: StructType) =>
+              val c = compile(Var(v))
+              st.fieldNames.filterNot(_.startsWith("_")).toSeq.sorted
+                .map(k => c.getField(k).as(k))
+            case _ => Seq.empty
+          }
         case ProjVar(name) => Seq(compile(Var(name)).as(name))
       }
       struct(fields: _*)

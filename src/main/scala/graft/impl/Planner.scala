@@ -1200,6 +1200,12 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   private def materializePatternPredicates(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
     var ctx = ctx0
     val rewritten = ExprOps.transformUp(e) {
+      case PatternPredicate(part, negated, innerWhere)
+          if outerOnlyWhereRefs(ctx, part, innerWhere).nonEmpty =>
+        val (c2, repl) = materializeQuerySub(ctx,
+          patternPredicateAsQuerySub(part, innerWhere))
+        ctx = c2
+        if (negated) Not(repl) else repl
       case PatternPredicate(part, negated, innerWhere) =>
         val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), innerWhere) }
         val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
@@ -1383,7 +1389,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         val listVar = freshVar()
         val listSlot = ValueSlot(listVar)
         val listCol = RecordHeader.colName(listSlot)
-        val projCol = sub.compiler.compile(proj)
+        // A bare entity var projects as the FULL entity struct (Neo4j: a
+        // comprehension / single-MATCH COLLECT {} of nodes yields nodes,
+        // not ids) — same capture rule as collect(n).
+        val projCol = proj match {
+          case Var(n) => sub.compiler.entityValueStruct(n)
+            .getOrElse(sub.compiler.compile(proj))
+          case _ => sub.compiler.compile(proj)
+        }
         // struct-wrap the projection so collect_list keeps null elements
         // (Cypher comprehension lists may contain null; bare collect_list
         // silently drops them), then unwrap.
@@ -1619,8 +1632,40 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
   /** EXISTS-style pattern predicate -> left semi (or anti) join, the Spark
     * formulation of the reference's ExistsSubQuery
     * (RelationalPlanner.scala:224-247). */
+  /** Vars an inner pattern-predicate WHERE references that the pattern
+    * itself does not bind but the OUTER context does — the openCypher
+    * "EXISTS sees the enclosing scope" cases the id-semi-join machinery
+    * cannot correlate (outer value vars like an unwound entity, or outer
+    * entities referenced only in the WHERE). Such predicates delegate to
+    * the full QuerySub/CALL machinery, which imports them. */
+  private def outerOnlyWhereRefs(ctx: Ctx, part: PatternPart,
+      innerWhere: Option[Expr]): Set[String] = innerWhere match {
+    case None => Set.empty
+    case Some(w) =>
+      val bound = ((part.head +: part.tail.map(_._2)).flatMap(_.variable) ++
+        part.tail.map(_._1).flatMap(_.variable) ++ part.pathVar).toSet
+      (ExprOps.varRefs(w) -- bound).filter(ctx.header.kinds.contains)
+  }
+
+  /** Pattern predicate with outer-only WHERE refs: desugar to an
+    * EXISTS { MATCH ... RETURN 1 } QuerySub (imports handle the refs). */
+  private def patternPredicateAsQuerySub(part: PatternPart,
+      innerWhere: Option[Expr]): QuerySub =
+    QuerySub("exists", Query(SingleQuery(Seq(
+      Match(optional = false, Pattern(Seq(part)), innerWhere),
+      Return(distinct = false, star = false,
+        Seq(ReturnItem(IntLit(1), Some("_ppq"))), Seq.empty, None, None))),
+      Seq.empty))
+
   private def planPatternPredicate(ctx: Ctx, part: PatternPart,
       negated: Boolean, innerWhere: Option[Expr] = None): Ctx = {
+    if (outerOnlyWhereRefs(ctx, part, innerWhere).nonEmpty) {
+      val (ctx2, repl) = materializeQuerySub(ctx,
+        patternPredicateAsQuerySub(part, innerWhere))
+      val pred = if (negated) Not(repl) else repl
+      return ctx2.copy(df =
+        ctx2.df.filter(ctx2.compiler.compileBoolOperand(pred)))
+    }
     val sub = withElideAll { planMatch(unitCtx, Pattern(Seq(part)), innerWhere) }
     val shared = sub.header.kinds.keySet.intersect(ctx.header.kinds.keySet)
       .filter(v => sub.header.contains(IdSlot(v)) && ctx.header.contains(IdSlot(v)))
@@ -3550,10 +3595,47 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     bindPaths(Ctx(mat, header))
   }
 
+  /** An entity-struct VALUE binding (the collect(n)/UNWIND round-trip):
+    * the ValueSlot's type follows the flat entity-struct convention. */
+  private def entityValueKind(ctx: Ctx, v: String): Option[VarKind] =
+    ctx.header.get(ValueSlot(v)).flatMap { c =>
+      ctx.df.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(st: StructType)
+            if st.fieldNames.headOption.contains("_id") =>
+          Some(if (st.fieldNames.contains("_labels")) NodeKind(Set.empty)
+               else RelKind(Set.empty))
+        case _ => None
+      }
+    }
+
+  /** Write clauses may target entity-struct VALUE bindings (Neo4j: SET /
+    * DELETE on an unwound collected node works). Materialize the struct's
+    * _id as the var's IdSlot column so the id-keyed write machinery
+    * applies unchanged; the binding keeps ValueKind (reads stay on the
+    * struct — applySetProp/applySetLabels refresh its fields). */
+  private def upgradeEntityValueTargets(ctx0: Ctx, vars: Seq[String]): Ctx = {
+    var ctx = ctx0
+    vars.distinct.foreach { v =>
+      if (ctx.header.kindOf(v).contains(ValueKind) &&
+          entityValueKind(ctx, v).isDefined &&
+          !ctx.header.contains(IdSlot(v))) {
+        val vs = col(ctx.header.col(ValueSlot(v)))
+        ctx = Ctx(
+          ctx.df.withColumn(RecordHeader.colName(IdSlot(v)),
+            vs.getField("_id")),
+          ctx.header.withSlot(IdSlot(v)))
+      }
+    }
+    ctx
+  }
+
   /** Element-var id column of a write target, with its kind. */
   private def writeTarget(ctx: Ctx, v: String): (String, VarKind) =
     ctx.header.kindOf(v) match {
       case Some(k @ (NodeKind(_) | RelKind(_))) => (ctx.header.col(IdSlot(v)), k)
+      case Some(ValueKind) if entityValueKind(ctx, v).isDefined &&
+          ctx.header.contains(IdSlot(v)) =>
+        (ctx.header.col(IdSlot(v)), entityValueKind(ctx, v).get)
       case Some(_) => throw new CypherCompileException(
         s"$v is not a node or relationship", CE.TypeError, CE.InvalidArgumentType)
       case None => throw new CypherCompileException(
@@ -3600,7 +3682,28 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         when(c, compiled).otherwise(base)
       case None => compiled
     }
-    Ctx(ctx0.df.withColumn(cName, newVal), ctx0.header.withSlot(slot))
+    if (ctx0.header.kindOf(v).contains(ValueKind)) {
+      // Entity-struct VALUE binding: reads go through the struct, so the
+      // written field is refreshed in place. withField both null-propagates
+      // (a null struct stays null) and widens the struct type when the key
+      // is new — a when/otherwise against the OLD struct would type-clash.
+      val vsName = ctx0.header.col(ValueSlot(v))
+      val vs = col(vsName)
+      val hasField = ctx0.df.schema.fields.find(_.name == vsName)
+        .map(_.dataType).exists {
+          case st: StructType => st.fieldNames.contains(key)
+          case _ => false
+        }
+      val fieldVal = onlyWhen match {
+        case Some(c) =>
+          val base = if (hasField) vs.getField(key) else lit(null).cast(vt)
+          when(c, compiled).otherwise(base)
+        case None => compiled
+      }
+      Ctx(ctx0.df.withColumn(vsName, vs.withField(key, fieldVal)),
+        ctx0.header)
+    } else
+      Ctx(ctx0.df.withColumn(cName, newVal), ctx0.header.withSlot(slot))
   }
 
   /** SET n:Label / REMOVE n:Label — matched rows migrate between
@@ -3622,6 +3725,19 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       Seq(t.copy(df = untouched), WNode(newLabels, touched, t.propTypes))
     }
     var ctx = ctx0
+    if (ctx0.header.kindOf(v).contains(ValueKind)) {
+      // Entity-struct VALUE binding: labels(m) reads the struct's _labels
+      // — refresh it in place (sorted, deduped).
+      val vsName = ctx0.header.col(ValueSlot(v))
+      val vs = col(vsName)
+      val cur = vs.getField("_labels")
+      val next =
+        if (remove) ls.foldLeft(cur)((c, l) => array_remove(c, l))
+        else array_sort(array_union(cur, array(ls.map(lit(_)): _*)))
+      return Ctx(ctx0.df.withColumn(vsName,
+          when(vs.isNotNull, vs.withField("_labels", next)).otherwise(vs)),
+        ctx0.header)
+    }
     if (!remove) ls.foreach { l =>
       val s = LabelSlot(v, l)
       ctx = Ctx(ctx.df.withColumn(RecordHeader.colName(s), lit(true)),
@@ -3734,9 +3850,26 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   private def planWriteClause(ctx: Ctx, w: Clause): Ctx = w match {
     case c: Create => planCreate(ctx, c.pattern)
-    case s: SetClause => planSetItems(ctx, s.items, None)
-    case r: Remove => planRemove(ctx, r.items)
-    case d: Delete => planDelete(ctx, d.exprs, d.detach)
+    case s: SetClause =>
+      val targets = s.items.collect {
+        case SetProp(v, _, _) => v
+        case SetLabel(v, _) => v
+        case SetAllProps(v, _, _) => v
+        case SetDynProp(v, _, _) => v
+        case SetDynLabel(v, _) => v
+      }
+      planSetItems(upgradeEntityValueTargets(ctx, targets), s.items, None)
+    case r: Remove =>
+      val targets = r.items.collect {
+        case RemoveProp(v, _) => v
+        case RemoveLabel(v, _) => v
+        case RemoveDynProp(v, _) => v
+        case RemoveDynLabel(v, _) => v
+      }
+      planRemove(upgradeEntityValueTargets(ctx, targets), r.items)
+    case d: Delete =>
+      val targets = d.exprs.collect { case Var(v) => v }
+      planDelete(upgradeEntityValueTargets(ctx, targets), d.exprs, d.detach)
     case m: Merge => planMerge(ctx, m)
     case f: Foreach => planForeach(ctx, f)
     case _ => ctx

@@ -1424,8 +1424,12 @@ object CypherParser {
         val yields = Seq.newBuilder[String]
         var where: Option[Expr] = None
         if (tryKw("YIELD")) {
-          yields += ident()
-          while (tryPunct(",")) yields += ident()
+          // `YIELD *` = every column the procedure returns (same as no
+          // YIELD clause, which already binds all columns).
+          if (!tryPunct("*")) {
+            yields += ident()
+            while (tryPunct(",")) yields += ident()
+          }
           if (tryKw("WHERE")) where = Some(parseExpr())
         }
         val call = CallProc(name.toLowerCase, args.result(), yields.result(),

@@ -3,8 +3,8 @@ package graft
 /** Scratch probe spec (not part of the TCK mirror): drives candidate
   * syntax through the engine to find gaps. Scenarios that reveal real
   * gaps get promoted to a numbered TckStyleSpec part; this file stays
-  * minimal between rounds (round-12 batch-5/6 findings live in
-  * TckStyleSpec61/62). */
+  * minimal between rounds (round-12 batch-5/6/7 findings live in
+  * TckStyleSpec61-63). */
 class ProbeSpec extends TckScenarioBase {
   import TckFixtures._
 
