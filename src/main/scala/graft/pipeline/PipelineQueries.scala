@@ -334,6 +334,12 @@ object PipelineQueries {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)),
     // --- BM25 lexical retrieval (round 12, Okapi/Lucene idf) ---
+    // Corpus vocabulary analysis (round 12): top-20 word trigrams and a
+    // Zipf least-squares fit over the top-100 unigrams.
+    "q_text_topngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), "doc_id", "text", n = 3, k = 20)),
+    "q_text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir), "doc_id", "text", topK = 100)),
     "q_text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
         Seq("spark", "vector", "customer"))),
@@ -1725,6 +1731,35 @@ object PipelineQueries {
          FROM (SELECT vec_id, cid, cos,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
                FROM sc) WHERE rn = 1""",
+    "q_text_topngrams" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         grams AS (
+           SELECT array_to_string(t[ix.i:ix.i+2], ' ') AS gram
+           FROM toks, LATERAL (
+             SELECT unnest(range(1, len(t) - 1)) AS i) ix
+           WHERE len(t) >= 3),
+         counts AS (SELECT gram, count(*) AS freq FROM grams GROUP BY gram)
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, gram) AS BIGINT) AS rank,
+           gram, freq
+         FROM counts ORDER BY freq DESC, gram LIMIT 20""",
+    "q_text_zipf" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         counts AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+                          CAST(sum(freq) AS BIGINT) AS total_tokens FROM counts),
+         top AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS x,
+                        ln(CAST(freq AS DOUBLE)) AS y
+                 FROM counts ORDER BY freq DESC, tok LIMIT 100),
+         fit AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx,
+                        sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+                 FROM top)
+         SELECT vocab_size, total_tokens,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+         FROM stats CROSS JOIN fit""",
     "q_text_bm25" ->
       """WITH toks AS (SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

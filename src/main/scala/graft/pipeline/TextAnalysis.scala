@@ -263,4 +263,65 @@ object TextAnalysis {
         col("start").cast(LongType).as("start"),
         col(textCol).substr(col("start") + 1, lit(chunkChars)).as("chunk"))
   }
+
+  /** Corpus-level top-k word n-grams (vocabulary / boilerplate analysis):
+    * lower-cased whitespace tokens, n-grams per document via a
+    * transform-over-sequence slice (no UDF), one global count, ties
+    * broken lexicographically. Returns (rank, gram, freq).
+    *
+    * Shape: the n-gram explode is map-local; ONE hash aggregation on the
+    * gram (map-side combined), then the top-k selection is a distributed
+    * TakeOrdered (orderBy.limit) — the single-partition window only ever
+    * ranks the k survivors. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val toks = df.select(
+      F.split(trim(lower(col(textCol))), "\\s+").as("_t"))
+    val grams = toks.select(explode(
+      when(F.size(col("_t")) >= n,
+        transform(F.sequence(lit(0), F.size(col("_t")) - n),
+          i => array_join(F.slice(col("_t"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))).as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+    val top = counts.orderBy(col("freq").desc, col("gram")).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("gram"))).cast(LongType))
+      .select(col("rank"), col("gram"), col("freq"))
+  }
+
+  /** Zipf diagnostic of the corpus vocabulary: unigram counts, then a
+    * least-squares fit of ln(freq) against ln(rank) over the top-k
+    * tokens (a healthy natural-language corpus sits near slope −1;
+    * boilerplate- or spam-heavy corpora flatten it). Returns 1 row
+    * (vocab_size, total_tokens, zipf_slope).
+    *
+    * Shape: one token aggregation (map-side combined), a distributed
+    * TakeOrdered for the top-k, and two 1-row aggregates; the fit's
+    * float sums run over k values, so round(·,6) absorbs cross-engine
+    * summation order in the oracle. */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val toks = df.select(
+      explode(F.split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val stats = counts.agg(count(lit(1)).as("vocab_size"),
+      sum(col("freq")).as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok"))
+    val top = counts.orderBy(col("freq").desc, col("tok")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast(DoubleType)).as("x"),
+        log(col("freq").cast(DoubleType)).as("y"))
+    val fit = top.agg(count(lit(1)).cast(DoubleType).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    stats.crossJoin(fit) // both 1-row aggregates: a broadcast join
+      .select(col("vocab_size"), col("total_tokens"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"))
+  }
 }

@@ -1064,4 +1064,25 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got === Set((3L, "http://a.com/x", 2L), (7L, "http://a.com/y", 1L)))
   }
+
+  test("topNgrams: counts and lexicographic tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val rows = graft.pipeline.TextAnalysis
+      .topNgrams(docs, "doc_id", "text", n = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc1 trigrams: "a b c"x2, "b c a", "c a b"; doc2: "a b c", "b c d"
+    assert(rows.toSeq ===
+      Seq((1L, "a b c", 3L), (2L, "b c a", 1L), (3L, "b c d", 1L)))
+  }
+
+  test("zipfFit: closed-form two-token corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x x x y y")).toDF("doc_id", "text")
+    val r = graft.pipeline.TextAnalysis.zipfFit(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(0) === 2L) // vocab
+    assert(r.getLong(1) === 6L) // tokens
+    // points: (ln1, ln4), (ln2, ln2) -> slope = (ln2-ln4)/(ln2-ln1) = -1
+    assert(math.abs(r.getDouble(2) - (-1.0)) < 1e-9)
+  }
 }
