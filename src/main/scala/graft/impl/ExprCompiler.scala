@@ -378,7 +378,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       Some(ArrayType(items.flatMap(inferType).headOption.getOrElse(NullType)))
     case MapLit(items) =>
       Some(StructType(items.map { case (k, v) =>
-        StructField(k, inferType(v).getOrElse(NullType))
+        StructField(k, (v match {
+          case Var(n) if !env.contains(n) => entityValueStructType(n)
+          case _ => None
+        }).orElse(inferType(v)).getOrElse(NullType))
       }))
     // Duration algebra keeps the duration struct type.
     case Arith("+" | "-", l, r) if isDuration(l) && isDuration(r) =>
@@ -830,6 +833,102 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     }
   }
 
+  /** Rebuild an entity-struct column onto a UNION property schema
+    * (markers kept, absent props null-filled) — lets entities with
+    * different label/property sets share one Spark type inside lists,
+    * CASE branches and coalesce. */
+  private def rebuildEntityStruct(c: Column, st: StructType,
+      unionProps: Seq[(String, DataType)]): Column = {
+    val markers = st.fieldNames.filter(_.startsWith("_")).toSeq
+      .map(m => c.getField(m).as(m))
+    val pcols = unionProps.map { case (pk, t) =>
+      (if (st.fieldNames.contains(pk)) c.getField(pk)
+       else lit(null).cast(t)).as(pk)
+    }
+    when(c.isNull, lit(null)).otherwise(struct((markers ++ pcols): _*))
+  }
+
+  /** When EVERY operand is an entity of one genre (header entity vars,
+    * entity-struct values, or null literals), compile each to an entity
+    * struct over the UNION property schema, so heterogeneous entities can
+    * share a list / CASE / coalesce type. None when any operand is not an
+    * entity, genres mix, or a property name carries conflicting types. */
+  private def unifyEntities(args: Seq[Expr]): Option[Seq[Column]] = {
+    case class Op(isRel: Boolean, props: Seq[(String, DataType)],
+        build: Seq[(String, DataType)] => Column)
+    def headerOp(n: String): Option[Op] =
+      if (env.contains(n)) None
+      else header.kindOf(n) match {
+        case Some(k @ (NodeKind(_) | RelKind(_))) =>
+          val isRel = k.isInstanceOf[RelKind]
+          val props = header.ownedBy(n)
+            .collect { case sl @ PropSlot(_, pk) =>
+              (pk, colType(header.col(sl))) }
+            .collect { case (pk, Some(t)) if !pk.startsWith("_") => (pk, t) }
+            .sortBy(_._1)
+          Some(Op(isRel, props, u => {
+            val idc = col(header.col(IdSlot(n)))
+            val markers =
+              if (isRel) Seq(idc.as("_id"),
+                storedEnd(n, src = true).as("_src"),
+                storedEnd(n, src = false).as("_tgt"),
+                col(header.col(TypeSlot(n))).as("_type"))
+              else {
+                val labels = header.ownedBy(n)
+                  .collect { case sl @ LabelSlot(_, l) =>
+                    when(col(header.col(sl)), lit(l)) }
+                val lc =
+                  if (labels.nonEmpty) array_compact(array(labels: _*))
+                  else array().cast(ArrayType(StringType))
+                Seq(idc.as("_id"), lc.as("_labels"))
+              }
+            val pcols = u.map { case (pk, t) =>
+              header.get(PropSlot(n, pk)).map(col)
+                .getOrElse(lit(null).cast(t)).as(pk) }
+            when(idc.isNull, lit(null))
+              .otherwise(struct((markers ++ pcols): _*))
+          }))
+        case _ => None
+      }
+    def structOp(e: Expr): Option[Op] = entityValue(e).map { case (c, st) =>
+      val isRel = st.fieldNames.contains("_type")
+      val props = st.fields.filterNot(_.name.startsWith("_"))
+        .map(f => (f.name, f.dataType)).toSeq.sortBy(_._1)
+      Op(isRel, props, u => rebuildEntityStruct(c, st, u))
+    }
+    if (args.isEmpty) return None
+    val classified: Seq[Option[Op]] = args.map {
+      case NullLit => None
+      case Var(n) if headerOp(n).isDefined => Some(headerOp(n).get)
+      case e => structOp(e) match {
+        case Some(o) => Some(o)
+        case None => return None // a non-entity, non-null operand
+      }
+    }
+    val ops = classified.flatten
+    if (ops.isEmpty || ops.map(_.isRel).distinct.size != 1) return None
+    val u = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    ops.flatMap(_.props).foreach { case (k, t) =>
+      u.get(k) match {
+        case Some(t0) if t0 != t => return None
+        case _ => u(k) = t
+      }
+    }
+    val unionProps = u.toSeq.sortBy(_._1)
+    val isRel = ops.head.isRel
+    val nullT = StructType(
+      (if (isRel) Seq(StructField("_id", LongType),
+        StructField("_src", LongType), StructField("_tgt", LongType),
+        StructField("_type", StringType))
+      else Seq(StructField("_id", LongType),
+        StructField("_labels", ArrayType(StringType)))) ++
+        unionProps.map { case (k, t) => StructField(k, t) })
+    Some(classified.map {
+      case None => lit(null).cast(nullT)
+      case Some(o) => o.build(unionProps)
+    })
+  }
+
   /** Static type of [[entityValueStruct]]'s column. */
   private def entityValueStructType(n: String): Option[StructType] = {
     def propFields = header.ownedBy(n)
@@ -1004,9 +1103,20 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case StrLit(v) => lit(v)
     case BoolLit(v) => lit(v)
     case NullLit => lit(null)
-    case ListLit(items) => array(items.map(compile): _*)
+    case ListLit(items) =>
+      // a list of entities captures full entity structs over the union
+      // property schema (heterogeneous label sets share one type)
+      unifyEntities(items).map(array(_: _*))
+        .getOrElse(array(items.map(compile): _*))
     case MapLit(items) =>
-      struct(items.map { case (k, v) => compile(v).as(k) }: _*)
+      // entity-var values capture the full entity struct ({node: n})
+      struct(items.map { case (k, v) =>
+        (v match {
+          case Var(n) if !env.contains(n) =>
+            entityValueStruct(n).getOrElse(compile(v))
+          case _ => compile(v)
+        }).as(k)
+      }: _*)
 
     case Ands(es) => es.map(compileBoolOperand).reduce(_ && _)
     case Ors(es) => es.map(compileBoolOperand).reduce(_ || _)
@@ -1245,7 +1355,32 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     // reference's Add dispatch, SparkSQLExprMapper.scala:170-187):
     // list+list concatenates, list+scalar / scalar+list appends.
     case Arith("+", l, r) if isArrayT(l) && isArrayT(r) =>
-      concat(compile(l), compile(r))
+      // entity lists with different property schemas concat onto the
+      // union schema (same genre only); identical types take the fast path
+      def elemSt(e: Expr): Option[StructType] = inferType(e) match {
+        case Some(ArrayType(st: StructType, _))
+            if st.fieldNames.headOption.contains("_id") => Some(st)
+        case _ => None
+      }
+      (elemSt(l), elemSt(r)) match {
+        case (Some(lt), Some(rt)) if lt != rt &&
+            lt.fieldNames.contains("_type") == rt.fieldNames.contains("_type") =>
+          val u = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+          (lt.fields ++ rt.fields).filterNot(_.name.startsWith("_"))
+            .foreach(f => u.get(f.name) match {
+              case Some(t0) if t0 != f.dataType =>
+                throw new CypherCompileException(
+                  s"cannot concatenate entity lists: property ${f.name} " +
+                    s"has conflicting types", CE.TypeError,
+                  CE.InvalidArgumentType)
+              case _ => u(f.name) = f.dataType
+            })
+          val up = u.toSeq.sortBy(_._1)
+          concat(
+            transform(compile(l), x => rebuildEntityStruct(x, lt, up)),
+            transform(compile(r), x => rebuildEntityStruct(x, rt, up)))
+        case _ => concat(compile(l), compile(r))
+      }
     case Arith("+", l, r) if isArrayT(l) =>
       concat(compile(l), array(compile(r)))
     case Arith("+", l, r) if isArrayT(r) =>
@@ -1314,11 +1449,17 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
 
     case CaseExpr(Some(subject), alts, default) =>
       val s = compile(subject)
-      val first = when(s === compile(alts.head._1), compile(alts.head._2))
-      val chained = alts.tail.foldLeft(first) { case (acc, (c, v)) =>
-        acc.when(s === compile(c), compile(v))
+      // entity-valued branches unify onto one struct schema
+      val resCols = unifyEntities(alts.map(_._2) ++ default.toSeq)
+        .map(_.toIndexedSeq)
+      def valOf(i: Int, e: Expr): Column =
+        resCols.map(_(i)).getOrElse(compile(e))
+      val first = when(s === compile(alts.head._1), valOf(0, alts.head._2))
+      val chained = alts.tail.zipWithIndex.foldLeft(first) {
+        case (acc, ((c, v), ix)) => acc.when(s === compile(c), valOf(ix + 1, v))
       }
-      default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
+      default.map(d => chained.otherwise(valOf(alts.size, d)))
+        .getOrElse(chained)
     case CaseExpr(None, alts, default) =>
       // A literal-null condition must type as boolean (never taken),
       // not crash analysis with VOID. A statically non-boolean condition
@@ -1335,11 +1476,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           }
           compile(c)
         }
-      val first = when(cond(alts.head._1), compile(alts.head._2))
-      val chained = alts.tail.foldLeft(first) { case (acc, (c, v)) =>
-        acc.when(cond(c), compile(v))
+      val resCols = unifyEntities(alts.map(_._2) ++ default.toSeq)
+        .map(_.toIndexedSeq)
+      def valOf(i: Int, e: Expr): Column =
+        resCols.map(_(i)).getOrElse(compile(e))
+      val first = when(cond(alts.head._1), valOf(0, alts.head._2))
+      val chained = alts.tail.zipWithIndex.foldLeft(first) {
+        case (acc, ((c, v), ix)) => acc.when(cond(c), valOf(ix + 1, v))
       }
-      default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
+      default.map(d => chained.otherwise(valOf(alts.size, d)))
+        .getOrElse(chained)
 
     // Dynamic property access on a header entity: n[key]. Properties are
     // flattened columns, so a literal key is exact column access (absent
@@ -3171,7 +3317,8 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           throw new CypherCompileException(
             "coalesce() requires at least one argument",
             CE.SyntaxError, CE.InvalidNumberOfArguments)
-        F.coalesce(args.map(compile): _*)
+        unifyEntities(args).map(F.coalesce(_: _*))
+          .getOrElse(F.coalesce(args.map(compile): _*))
 
       case other => extensions.get(other) match {
         // session-registered extension functions (procedure-like hooks)

@@ -1552,6 +1552,36 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     * (bare binder still means the id, so identity semantics hold). One
     * id-keyed join + one aggregation per (path, kind), paid only by queries
     * using the shape; both sides stay key-bucketed at scale. */
+  /** Turn an id-array column into a fresh value var holding the ordered
+    * ENTITY-struct list (one distinct-key join against the full node/rel
+    * element scan; position-sorted collect rebuilds the order). Shared by
+    * the lambda machinery and UNWIND-over-nodes(p). */
+  private def materializeEntityList(ctx0: Ctx, arr: Column,
+      isRels: Boolean): (Ctx, String) = {
+    val (entityDf, elemStruct, idCol) = entityElementsDf(isRels)
+    val listVar = freshVar()
+    val listCol = RecordHeader.colName(ValueSlot(listVar))
+    val keys = ctx0.df.select(arr.as("_el_key"))
+      .where(col("_el_key").isNotNull).distinct()
+    val exploded = keys.select(col("_el_key"),
+      posexplode(col("_el_key")).as(Seq("_el_pos", "_el_id")))
+    val agg = exploded
+      .join(entityDf, col("_el_id") === col(idCol), "left_outer")
+      .groupBy(col("_el_key"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_el_pos").as("p"),
+          elemStruct.as("e")))),
+        x => x.getField("e")).as(listCol))
+    val listT = agg.schema.fields.find(_.name == listCol).get.dataType
+    (Ctx(
+      ctx0.df.join(agg, arr <=> col("_el_key"), "left_outer").drop("_el_key")
+        .withColumn(listCol,
+          when(arr.isNull, lit(null).cast(listT))
+            .otherwise(coalesce(col(listCol), array().cast(listT)))),
+      ctx0.header.withSlot(ValueSlot(listVar)).withVar(listVar, ValueKind)),
+      listVar)
+  }
+
   private def materializeEntityLists(ctx0: Ctx, e: Expr): (Ctx, Expr) = {
     def listKind(v: String): Option[Boolean] =
       if (!ctx0.header.contains(PathSlot(v))) None
@@ -1589,27 +1619,8 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
         case _ => ctx.compiler.compile(pe)
           .getField(if (isRels) "rels" else "nodes")
       }
-      val (entityDf, elemStruct, idCol) = entityElementsDf(isRels)
-      val listVar = freshVar()
-      val listCol = RecordHeader.colName(ValueSlot(listVar))
-      val keys = ctx.df.select(arr.as("_el_key"))
-        .where(col("_el_key").isNotNull).distinct()
-      val exploded = keys.select(col("_el_key"),
-        posexplode(col("_el_key")).as(Seq("_el_pos", "_el_id")))
-      val agg = exploded
-        .join(entityDf, col("_el_id") === col(idCol), "left_outer")
-        .groupBy(col("_el_key"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("_el_pos").as("p"),
-            elemStruct.as("e")))),
-          x => x.getField("e")).as(listCol))
-      val listT = agg.schema.fields.find(_.name == listCol).get.dataType
-      ctx = Ctx(
-        ctx.df.join(agg, arr <=> col("_el_key"), "left_outer").drop("_el_key")
-          .withColumn(listCol,
-            when(arr.isNull, lit(null).cast(listT))
-              .otherwise(coalesce(col(listCol), array().cast(listT)))),
-        ctx.header.withSlot(ValueSlot(listVar)).withVar(listVar, ValueKind))
+      val (c2, listVar) = materializeEntityList(ctx, arr, isRels)
+      ctx = c2
       replacement(key) = listVar
     }
     def swap(l: Expr, binder: String, bodies: Seq[Expr]): Option[Expr] =
@@ -2590,6 +2601,44 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
 
   // --------------------------------------------------------------- unwind
   private def planUnwind(ctx: Ctx, e: Expr, alias: String): Ctx = {
+    // UNWIND over nodes()/relationships() of a path — or over a
+    // var-length relationship-list binder — unwinds ENTITIES (Neo4j), not
+    // bare ids: materialize the entity-struct list first, then explode.
+    def isPathTyped(pe: Expr): Boolean = ctx.compiler.inferType(pe) match {
+      case Some(StructType(fs)) => fs.map(_.name).toSeq == Seq("nodes", "rels")
+      case _ => false
+    }
+    def isPathVar(pe: Expr): Boolean = pe match {
+      case Var(p) => ctx.header.kindOf(p) match {
+        case Some(ListRelKind(_)) | Some(ListNodeKind(_)) => true
+        case _ => ctx.header.get(ValueSlot(p)).exists { c =>
+          ctx.df.schema.fields.find(_.name == c).map(_.dataType) match {
+            case Some(StructType(fs)) =>
+              fs.map(_.name).toSeq == Seq("nodes", "rels")
+            case _ => false
+          }
+        }
+      }
+      case _ => false
+    }
+    val entitySrc: Option[(Column, Boolean)] = e match {
+      case FuncCall(f @ ("nodes" | "relationships"), Seq(pe), _)
+          if isPathTyped(pe) || isPathVar(pe) =>
+        Some((ctx.compiler.compile(e), f == "relationships"))
+      case Var(r) if ctx.header.kindOf(r).exists(_.isInstanceOf[ListRelKind]) =>
+        Some((ctx.compiler.compile(e), true))
+      case Var(r) if ctx.header.kindOf(r).exists(_.isInstanceOf[ListNodeKind]) =>
+        Some((ctx.compiler.compile(e), false))
+      case _ => None
+    }
+    entitySrc.foreach { case (arr, isRels) =>
+      val (ctx2, listVar) = materializeEntityList(ctx, arr, isRels)
+      val slot = ValueSlot(alias)
+      val name = RecordHeader.colName(slot)
+      val df = ctx2.df.withColumn(name,
+        explode(col(ctx2.header.col(ValueSlot(listVar)))))
+      return Ctx(df, ctx2.header.withSlot(slot).withVar(alias, ValueKind))
+    }
     // UNWIND null produces no rows (openCypher); a null-typed expression
     // would not even type-check under explode, so substitute an empty list.
     // A statically non-list operand (map, number, string, ...) is a
@@ -3848,8 +3897,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     ctx
   }
 
+  private def patternVars(pat: Pattern): Seq[String] =
+    pat.parts.flatMap(p => (p.head +: p.tail.map(_._2)).flatMap(_.variable) ++
+      p.tail.map(_._1).flatMap(_.variable))
+
   private def planWriteClause(ctx: Ctx, w: Clause): Ctx = w match {
-    case c: Create => planCreate(ctx, c.pattern)
+    case c: Create =>
+      planCreate(upgradeEntityValueTargets(ctx, patternVars(c.pattern)),
+        c.pattern)
     case s: SetClause =>
       val targets = s.items.collect {
         case SetProp(v, _, _) => v
@@ -3870,7 +3925,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     case d: Delete =>
       val targets = d.exprs.collect { case Var(v) => v }
       planDelete(upgradeEntityValueTargets(ctx, targets), d.exprs, d.detach)
-    case m: Merge => planMerge(ctx, m)
+    case m: Merge =>
+      planMerge(upgradeEntityValueTargets(ctx,
+        patternVars(Pattern(Seq(m.part)))), m)
     case f: Foreach => planForeach(ctx, f)
     case _ => ctx
   }
@@ -3914,8 +3971,9 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     }
     // Literal lists OF ENTITY VARS — incl. the conditional-update idiom
     // `FOREACH (x IN CASE WHEN c THEN [a] ELSE [] END | SET x...)`. An
-    // entity var in value position compiles to its ID, so the exploded
-    // element is already an id; the detection is syntactic.
+    // entity var in a list literal compiles to the FULL entity struct
+    // (round 12), so these lists explode via their _id field; the
+    // detection is syntactic.
     def entityListKind(e: Expr): Option[VarKind] = e match {
       case ListLit(items) if items.nonEmpty =>
         val ks = items.map {
@@ -3944,11 +4002,17 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       case _ => None
     }
     val binderKind: Option[VarKind] = elemKind.orElse(entityListKind(f.list))
+    // Entity-struct element lists (literal [a] / collected lists) carry
+    // the id in the _id field; path/group lists are bare id arrays.
+    val idListC =
+      if (elemKind.isEmpty && entityListKind(f.list).isDefined)
+        transform(listC, x => x.getField("_id"))
+      else listC
     val sub0 = binderKind match {
       case Some(kind) =>
         val idSlot = IdSlot(f.variable)
         var subDf = ctx0.df
-          .withColumn(RecordHeader.colName(idSlot), explode(listC))
+          .withColumn(RecordHeader.colName(idSlot), explode(idListC))
         var subHeader = ctx0.header.withSlot(idSlot).withVar(f.variable, kind)
         // Join the element's CURRENT stored properties (write state) so
         // body expressions can read them (SET n.x = n.y + 1).

@@ -42,7 +42,7 @@ class DifferentialSpec extends SparkTestBase {
     val aggs = Seq("count", "sum", "min", "max", "avg")
 
     (0 until n).map { _ =>
-      rnd.nextInt(30) match {
+      rnd.nextInt(32) match {
         case 0 => // filter + project
           val (v, label, table, col) = numCols(rnd.nextInt(numCols.size))
           val op = Seq(">", "<", ">=", "<=", "<>")(rnd.nextInt(5))
@@ -319,6 +319,24 @@ class DifferentialSpec extends SparkTestBase {
                UNION ALL
                SELECT 1 FROM d_customer JOIN d_nation ON n_nationkey = c_nationkey
                  JOIN d_region ON r_regionkey = n_regionkey WHERE c_custkey <= $k) u""")
+        case 30 => // entity collect/UNWIND round-trip is the identity
+          // (round 12): collected entities keep properties through the
+          // list and back out of UNWIND.
+          val (v, label, table, c) = numCols(rnd.nextInt(numCols.size))
+          val thr = rnd.nextInt(200000)
+          Pair(
+            s"MATCH ($v:$label) WITH collect($v) AS vs UNWIND vs AS m " +
+              s"WITH m WHERE m.$c > $thr RETURN m.$c AS x",
+            s"SELECT $c AS x FROM d_$table WHERE $c > $thr")
+        case 31 => // coalesce over an unmatched OPTIONAL entity falls
+          // back to the matched one (entity schema unification, round 12)
+          val (v, label, table, c) = numCols(rnd.nextInt(numCols.size))
+          val k = 1 + rnd.nextInt(50)
+          Pair(
+            s"MATCH ($v:$label) WHERE $v.$c <= $k " +
+              s"OPTIONAL MATCH (zz:NoSuchLabel) " +
+              s"RETURN coalesce(zz, $v).$c AS x",
+            s"SELECT $c AS x FROM d_$table WHERE $c <= $k")
         case _ => // distinct projection with string predicate
           val (v, label, table, col) = strCols(rnd.nextInt(strCols.size))
           val letter = ('A' + rnd.nextInt(6)).toChar
