@@ -429,6 +429,18 @@ object SparkEntry {
           AT TIME ZONE 'Europe/Berlin' AT TIME ZONE 'UTC',
           '%Y-%m-%dT%H:%M:%S') AS ts
         FROM orders WHERE o_orderkey < 100""")),
+    // --- entity round-trip (round 12): collect(n) captures full entity
+    //     structs, UNWIND restores entity semantics (property reads,
+    //     filters, grouping) — zero extra joins at capture; the struct
+    //     rides the one collect shuffle. ---
+    ("q_entity_roundtrip",
+      "MATCH (n:Nation) WITH collect(n) AS ns UNWIND ns AS m " +
+        "WITH m WHERE m.n_regionkey >= 2 " +
+        "RETURN m.n_regionkey AS rk, count(*) AS n, " +
+        "min(m.n_name) AS first_name",
+      Some("""SELECT n_regionkey AS rk, count(*) AS n,
+        min(n_name) AS first_name FROM nation
+        WHERE n_regionkey >= 2 GROUP BY n_regionkey""")),
     // --- pattern comprehension: correlated subquery -> grouped collect,
     //     left-joined back on the shared var (beyond-reference: the
     //     reference TCK-blacklists pattern comprehensions). Content checked

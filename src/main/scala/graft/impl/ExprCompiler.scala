@@ -621,7 +621,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     * (their inferType is the physical id LongType), then the physical
     * Spark type (shared by valueType() and the IS :: predicate). */
   private def staticTypeName(e: Expr): String = {
-    val entity = e match {
+    val entity = (e match {
       case Var(n) => header.kindOf(n) match {
         case Some(NodeKind(_)) => Some("NODE")
         case Some(RelKind(_)) => Some("RELATIONSHIP")
@@ -629,7 +629,9 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case _ => None
       }
       case _ => None
-    }
+    }).orElse(entityStructOf(inferType(e)).map(st =>
+      // an entity-struct VALUE (collect(n) round-trip) IS the entity
+      if (st.fieldNames.contains("_type")) "RELATIONSHIP" else "NODE"))
     entity.getOrElse(dataTypeName(inferType(e),
       isLocalTimeT(inferType(e)), isTimeT(inferType(e))))
   }
@@ -792,6 +794,14 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       case Var(n) if env.contains(n) => None // env binders handled above
       case _ => entityStructOf(inferType(e)).map(st => (compile(e), st))
     })
+
+  /** True when the expression denotes an ENTITY in any representation
+    * (header entity var, or an entity-struct value). */
+  private def isEntityOperand(e: Expr): Boolean = (e match {
+    case Var(n) if !env.contains(n) => header.kindOf(n).exists(k =>
+      k.isInstanceOf[NodeKind] || k.isInstanceOf[RelKind])
+    case _ => false
+  }) || entityValue(e).isDefined
 
   /** Id column of an ENTITY operand in any representation: a header- or
     * env-bound entity var (already an id) or an entity-struct value. */
@@ -2073,6 +2083,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     name match {
       // ---- aggregators (SURVEY §2.4) ----
       case "count" => if (distinct) count_distinct(a0) else count(a0)
+      case "sum" | "avg" if isEntityOperand(args(0)) =>
+        throw new CypherCompileException(
+          s"$name() cannot aggregate over nodes or relationships",
+          CE.TypeError, CE.InvalidArgumentType)
       case "sum" if isDuration(args(0)) =>
         // duration aggregate (TemporalUdafs parity): per-component sums
         struct(sum(a0.getField("months")).as("months"),
@@ -2402,6 +2416,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
               .otherwise(F.split(a0, pat))
           case _ => F.split(a0, pat)
         }
+      case "tostring" if isEntityOperand(args(0)) =>
+        throw new CypherCompileException(
+          "toString() cannot render a node or relationship",
+          CE.TypeError, CE.InvalidArgumentType)
       case "tostring" =>
         inferType(args(0)) match {
           // Durations render as ISO-8601 (Neo4j toString semantics:
