@@ -2155,6 +2155,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       // the Neo4j value (null only ever arises in exactly those cases).
       case "stdev" => F.coalesce(stddev_samp(a0), lit(0.0))
       case "stdevp" => F.coalesce(stddev_pop(a0), lit(0.0))
+      case "percentilecont" | "percentiledisc"
+          if inferType(args(0)).exists {
+            case LongType | IntegerType | DoubleType | FloatType |
+                 _: DecimalType | NullType => false
+            case _ => true
+          } =>
+        throw new CypherCompileException(
+          s"$name() expects a numeric value, got " +
+            s"${inferType(args(0)).get}",
+          CE.TypeError, CE.InvalidArgumentType)
       case "percentilecont" => GraftFunctions.percentileCont(a0, a1)
       case "percentiledisc" =>
         // exact discrete percentile: smallest value with cume_dist >= p

@@ -2748,6 +2748,14 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     val orderBy2 = orderBy.zip(obExprs).map { case (s, e) => s.copy(expr = e) }
     val compiler = ctx.compiler
     val hasAgg = items.exists(i => compiler.hasAggregation(i.expr))
+    // Neo4j: ORDER BY may only aggregate when the projection itself
+    // aggregates ("Cannot use aggregation in ORDER BY if there are no
+    // aggregate expressions in the preceding RETURN/WITH") — classified,
+    // not a leaked Spark UNSUPPORTED_EXPR_FOR_OPERATOR.
+    if (!hasAgg && orderBy2.exists(si => compiler.hasAggregation(si.expr)))
+      throw new CypherCompileException(
+        "cannot use aggregation in ORDER BY without an aggregating " +
+          "RETURN/WITH", CE.SyntaxError, CE.InvalidAggregation)
 
     case class Planned(item: ReturnItem, display: String, out: OutItem,
         newVar: Option[(String, VarKind)], copyVar: Option[String])

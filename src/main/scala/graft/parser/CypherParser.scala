@@ -215,6 +215,23 @@ object CypherParser {
           }
         case _ =>
       }
+      // Neo4j 4.x `USING PERIODIC COMMIT [n]` (LOAD CSV batching):
+      // accepted and DISCARDED like the other USING hints — the engine
+      // has no transaction machinery to batch, and LOAD CSV runs as one
+      // distributed scan. Keeps 4.x migration scripts running unmodified.
+      peek match {
+        case Ident(s, _) if s.equalsIgnoreCase("USING") && (peek2 match {
+          case Ident(w, _) => w.equalsIgnoreCase("PERIODIC")
+          case _ => false
+        }) =>
+          p += 2
+          peek match {
+            case Ident(w, _) if w.equalsIgnoreCase("COMMIT") => p += 1
+            case t => fail(s"expected COMMIT after USING PERIODIC, got $t")
+          }
+          peek match { case NumTok(_, _) => p += 1; case _ => () }
+        case _ =>
+      }
       def unionQuery(): Query = {
         val first = parseSingleQuery()
         val rest = Seq.newBuilder[(Boolean, SingleQuery)]
