@@ -333,10 +333,7 @@ object GraphAlgorithms {
     val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val oriented = orientByDegree(canon)
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.u").as("w0"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val tri = wedgeJoin(oriented)
       .join(canon,
         least(col("x"), col("y")) === col("a") &&
           greatest(col("x"), col("y")) === col("b"), "left_semi")
@@ -378,7 +375,7 @@ object GraphAlgorithms {
     oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+      .select(col("e1.u").as("w0"), col("e1.v").as("x"), col("e2.v").as("y"))
 
   /** Betweenness centrality via k-source Brandes (Brandes 2001; exact
     * when `sources` is every node, the standard sampled approximation
@@ -599,14 +596,19 @@ object GraphAlgorithms {
       // stays flat: both chains root at this round's pinned frame.
       val merged = Pin(dist.withColumnRenamed("dist", "old")
         .join(cand, Seq("id"), "full_outer"))
-      frontier = merged
-        .filter(col("nd").isNotNull &&
-          (col("old").isNull || col("nd") < col("old")))
+      val improved = col("nd").isNotNull &&
+        (col("old").isNull || col("nd") < col("old"))
+      frontier = merged.filter(improved)
         .select(col("id"), col("nd").as("dist"))
       dist = merged.select(col("id"),
         least(coalesce(col("old"), col("nd")),
           coalesce(col("nd"), col("old"))).as("dist"))
-      active = frontier.count()
+      // Convergence check folded into the aggregate that materializes the
+      // round's pin (pageRank's mass-aggregate trick, VERDICT r12 #2):
+      // the 1-row count runs directly over `merged`, so the pin
+      // materialization and the active-frontier count are ONE
+      // driver-visible action per round instead of two.
+      active = merged.agg(count(when(improved, lit(1)))).head().getLong(0)
       it += 1
     }
     if (active > 0) throw new IllegalStateException(
@@ -1637,20 +1639,24 @@ object GraphAlgorithms {
     * undirected edge count, m_c the intra-community edge count and d_c
     * the community's degree sum. Generic in the assignment — pass any
     * (id, community) frame (connected components, louvain, label
-    * propagation). Two keyed joins to tag edge endpoints + two
-    * aggregations; every term is an exact integer until the final
-    * per-community doubles, so the oracle replays to a rounded match.
-    * Returns 1 row (m, communities, modularity). */
+    * propagation). For a PARTIAL assignment, edges with an unassigned
+    * endpoint are excluded from every term INCLUDING m, so Q is the
+    * modularity of the induced assigned subgraph — normalizing m over
+    * the full edge set while m_c/d_c only see assigned edges would mix
+    * two different graphs in one formula. Two keyed joins to tag edge
+    * endpoints + two aggregations; every term is an exact integer until
+    * the final per-community doubles, so the oracle replays to a rounded
+    * match. Returns 1 row (m, communities, modularity). */
   def modularityEdges(edges0: DataFrame, assign: DataFrame): DataFrame = {
-    val canon = Pin(edges0
+    val canon = edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct())
-    val m = canon.count().toDouble
-    val tagged = canon
+      .distinct()
+    val tagged = Pin(canon
       .join(assign.select(col("id").as("a"), col("community").as("ca")), Seq("a"))
-      .join(assign.select(col("id").as("b"), col("community").as("cb")), Seq("b"))
+      .join(assign.select(col("id").as("b"), col("community").as("cb")), Seq("b")))
+    val m = tagged.count().toDouble
     val intra = tagged.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("mc"))
     val degSum = tagged

@@ -16,6 +16,18 @@ class CypherCompileException(msg: String,
   extends graft.api.CypherException(errorType, CE.CompileTime, detail, msg)
 
 object ExprCompiler {
+  /** The entity-struct VALUE marker test: `_id` first, PLUS `_labels`
+    * (node) or `_src`/`_tgt`/`_type` (relationship). Every builder in the
+    * engine emits the full marker set (empty `_labels` arrays included),
+    * so requiring it here costs nothing — while a leading-`_id`-only test
+    * would capture user map literals like `{_id: 1, name: 'x'}` and
+    * silently switch their equality/IN/render semantics to entity
+    * identity (ADVICE r12). */
+  def isEntityStructType(st: StructType): Boolean =
+    st.fieldNames.headOption.contains("_id") &&
+      (st.fieldNames.contains("_labels") ||
+        Seq("_src", "_tgt", "_type").forall(st.fieldNames.contains))
+
   /** Aggregating function names (SURVEY §2.4 inventory). */
   val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc", "_collectordered")
@@ -375,7 +387,16 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case BoolLit(_) => Some(BooleanType)
     case NullLit => Some(NullType)
     case ListLit(items) =>
-      Some(ArrayType(items.flatMap(inferType).headOption.getOrElse(NullType)))
+      // A literal list of entities compiles to entity STRUCTS (the
+      // unifyEntities capture below) — the static type must say so too,
+      // or type-driven dispatch (concat, IN, render) mis-fires on the
+      // element-id type (r13). Try: unification compiles the operands,
+      // which may legitimately refuse shapes inferType must not throw on.
+      (if (items.nonEmpty && items.exists(isEntityOperand))
+        scala.util.Try(unifyTypedEntities(items)).toOption.flatten
+          .map { case (_, st) => ArrayType(st) }
+      else None).orElse(
+        Some(ArrayType(items.flatMap(inferType).headOption.getOrElse(NullType))))
     case MapLit(items) =>
       Some(StructType(items.map { case (k, v) =>
         StructField(k, (v match {
@@ -759,7 +780,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     * (entity identity semantics), so compile(Var) projects _id and only
     * Prop / type() / labels() / ... read the other fields. */
   private def entityStructOf(t: Option[DataType]): Option[StructType] = t match {
-    case Some(st: StructType) if st.fieldNames.headOption.contains("_id") =>
+    case Some(st: StructType) if ExprCompiler.isEntityStructType(st) =>
       Some(st)
     case _ => None
   }
@@ -826,22 +847,40 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     else for { a <- entityIdCol(l); b <- entityIdCol(r) } yield (a, b)
   }
 
-  /** (needle id, haystack id array) for entity IN list, when either the
-    * needle or the list elements are entity STRUCTS. */
-  private def entityInCols(l: Expr, r: Expr): Option[(Column, Column)] = {
-    val elemSt = inferType(r) match {
-      case Some(ArrayType(st: StructType, _))
-          if st.fieldNames.headOption.contains("_id") => Some(st)
-      case _ => None
-    }
-    if (elemSt.isEmpty && entityValue(l).isEmpty) None
-    else entityIdCol(l).map { id =>
-      val hay =
-        if (elemSt.isDefined) transform(compile(r), x => x.getField("_id"))
-        else compile(r)
-      (id, hay)
-    }
+  /** Element struct of a statically-typed entity-struct LIST. */
+  private def entityElemSt(e: Expr): Option[StructType] = inferType(e) match {
+    case Some(ArrayType(st: StructType, _))
+        if ExprCompiler.isEntityStructType(st) => Some(st)
+    case _ => None
   }
+
+  /** Haystacks PROVABLY in the long-id entity-list representation:
+    * nodes()/relationships() of a path, or a shape-preserving wrapper
+    * over one (tail/reverse/slice/filter-comprehension/concat/coalesce).
+    * Detection is syntactic on purpose — a generic ArrayType(LongType)
+    * could just as well be an integer list, and id-normalizing THAT
+    * would let `node IN [1, 2, 3]` return true on an id collision where
+    * openCypher mandates cross-type-class false (ADVICE r12). */
+  private def isPathIdList(e: Expr): Boolean = e match {
+    case FuncCall("nodes" | "relationships", _, _) => true
+    case FuncCall("tail" | "reverse", args, _) => args.exists(isPathIdList)
+    case FuncCall("coalesce", args, _) => args.exists(isPathIdList)
+    case Slice(s, _, _) => isPathIdList(s)
+    case ListComprehension(_, list, _, None) => isPathIdList(list)
+    case Arith("+", a, b) => isPathIdList(a) || isPathIdList(b)
+    case _ => false
+  }
+
+  /** openCypher cross-type-class membership: an entity against a list of
+    * non-entities (or vice versa) can never compare TRUE, so IN reduces
+    * to the null ladder — null haystack is null, empty list is false,
+    * then a null needle or any null element is null, else false. */
+  private def crossClassIn(needle: Column, hay: Column): Column =
+    when(hay.isNull, lit(null).cast(BooleanType))
+      .when(F.size(hay) === 0, lit(false))
+      .when(needle.isNull || F.exists(hay, e => e.isNull),
+        lit(null).cast(BooleanType))
+      .otherwise(lit(false))
 
   /** Rebuild an entity-struct column onto a UNION property schema
     * (markers kept, absent props null-filled) — lets entities with
@@ -858,12 +897,19 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     when(c.isNull, lit(null)).otherwise(struct((markers ++ pcols): _*))
   }
 
+  /** Columns of [[unifyTypedEntities]] alone (most callers need no type). */
+  private def unifyEntities(args: Seq[Expr]): Option[Seq[Column]] =
+    unifyTypedEntities(args).map(_._1)
+
   /** When EVERY operand is an entity of one genre (header entity vars,
     * entity-struct values, or null literals), compile each to an entity
-    * struct over the UNION property schema, so heterogeneous entities can
-    * share a list / CASE / coalesce type. None when any operand is not an
-    * entity, genres mix, or a property name carries conflicting types. */
-  private def unifyEntities(args: Seq[Expr]): Option[Seq[Column]] = {
+    * struct over the UNION property schema — plus that union element
+    * STRUCT TYPE, so inferType(ListLit/CASE/coalesce) reports exactly
+    * what compile builds (r13: inferType used to report the element ID
+    * type for a literal list of entity vars while compile built structs,
+    * so type-driven dispatch around lists of entities mis-fired). */
+  private def unifyTypedEntities(args: Seq[Expr])
+      : Option[(Seq[Column], StructType)] = {
     case class Op(isRel: Boolean, props: Seq[(String, DataType)],
         build: Seq[(String, DataType)] => Column)
     def headerOp(n: String): Option[Op] =
@@ -933,10 +979,10 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       else Seq(StructField("_id", LongType),
         StructField("_labels", ArrayType(StringType)))) ++
         unionProps.map { case (k, t) => StructField(k, t) })
-    Some(classified.map {
+    Some((classified.map {
       case None => lit(null).cast(nullT)
       case Some(o) => o.build(unionProps)
-    })
+    }, nullT))
   }
 
   /** Static type of [[entityValueStruct]]'s column. */
@@ -1209,6 +1255,30 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     }
     // Cypher: `x IN []` is false for every x, including null.
     case In(_, ListLit(items)) if items.isEmpty => lit(false)
+    // Entity needle or entity items in a literal list: compare by id
+    // (entity identity). An entity against a non-entity item is a
+    // cross-type-class comparison — never true, null only through a null
+    // side (ADVICE r12: previously `m IN [n1, n2]` leaked a Spark
+    // struct-vs-long DATATYPE_MISMATCH from the isin fallthrough below).
+    case In(l, ListLit(items)) if isEntityOperand(l) ||
+        items.exists(isEntityOperand) =>
+      val lid = entityIdCol(l)
+      val lc = lid.getOrElse(compile(l))
+      val cmps = items.map { i =>
+        (lid, entityIdCol(i)) match {
+          case (Some(a), Some(b)) =>
+            when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+              .otherwise(a === b)
+          case _ => // exactly one side is an entity: cross-type-class
+            val ic = entityIdCol(i).getOrElse(compile(i))
+            when(lc.isNull || ic.isNull, lit(null).cast(BooleanType))
+              .otherwise(lit(false))
+        }
+      }
+      when(cmps.map(c => c <=> lit(true)).reduce(_ || _), lit(true))
+        .when(cmps.map(_.isNull).reduce(_ || _),
+          lit(null).cast(BooleanType))
+        .otherwise(lit(false))
     // IN with a list/map needle: openCypher defines IN through ternary
     // equality — any TRUE comparison wins, else any null comparison makes
     // the result null, else false. Spark's isin/array_contains would use
@@ -1231,11 +1301,35 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         .otherwise(lit(null).cast(BooleanType))
     // `x IN null` is null (array_contains rejects the VOID-typed literal).
     case In(_, NullLit) => lit(null).cast(BooleanType)
-    // Entity membership across representations: normalize the needle and
-    // an entity-struct-element haystack to _id before array_contains.
-    case In(l, r) if entityInCols(l, r).isDefined =>
-      val (needle, hay) = entityInCols(l, r).get
-      array_contains(hay, needle)
+    // Entity membership across representations: id-normalize ONLY
+    // provably-entity haystacks — struct-element lists and path-derived
+    // nodes()/relationships() id lists. An entity needle against any
+    // OTHER list (an integer array, a parameter) is cross-type-class and
+    // can never be true — id-normalizing there would turn an id
+    // collision into a wrong TRUE (ADVICE r12).
+    case In(l, r) if entityElemSt(r).isDefined =>
+      entityIdCol(l) match {
+        case Some(id) =>
+          array_contains(transform(compile(r), x => x.getField("_id")), id)
+        case None => crossClassIn(compile(l), compile(r))
+      }
+    case In(l, r) if isEntityOperand(l) =>
+      // Provably non-entity haystacks: a parameter (params cannot carry
+      // entities) or a list whose static element type is not LONG. A bare
+      // ArrayType(LongType) stays id membership — `WITH nodes(p) AS ns
+      // ... WHERE n IN ns` loses the path provenance but is still an
+      // entity list; crossing it would break the common rebinding shape.
+      val provablyNonEntity = r match {
+        case Param(_) => true
+        case FuncCall("range", _, _) => true
+        case _ => inferType(r) match {
+          case Some(ArrayType(et, _)) => et != LongType
+          case _ => false
+        }
+      }
+      if (provablyNonEntity && !isPathIdList(r))
+        crossClassIn(entityIdCol(l).getOrElse(compile(l)), compile(r))
+      else array_contains(compile(r), entityIdCol(l).get)
     case In(l, r) if containerTyped(l) =>
       val lt = inferType(l).get
       val lc = compile(l)
@@ -1367,11 +1461,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Arith("+", l, r) if isArrayT(l) && isArrayT(r) =>
       // entity lists with different property schemas concat onto the
       // union schema (same genre only); identical types take the fast path
-      def elemSt(e: Expr): Option[StructType] = inferType(e) match {
-        case Some(ArrayType(st: StructType, _))
-            if st.fieldNames.headOption.contains("_id") => Some(st)
-        case _ => None
-      }
+      def elemSt(e: Expr): Option[StructType] = entityElemSt(e)
       (elemSt(l), elemSt(r)) match {
         case (Some(lt), Some(rt)) if lt != rt &&
             lt.fieldNames.contains("_type") == rt.fieldNames.contains("_type") =>
@@ -1389,6 +1479,26 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           concat(
             transform(compile(l), x => rebuildEntityStruct(x, lt, up)),
             transform(compile(r), x => rebuildEntityStruct(x, rt, up)))
+        // Mixed representations (ADVICE r12): an entity-struct list
+        // concatenated with a path-derived id list normalizes the struct
+        // side down to ids — the result stays in the id-list convention
+        // (isPathIdList propagates through `+`, so membership and lambda
+        // materialization keep working). An entity-struct list against a
+        // NON-entity list has no shared Spark element type — classified
+        // refusal instead of a leaked DATATYPE_MISMATCH.
+        case (Some(_), None) if isPathIdList(r) =>
+          concat(transform(compile(l), x => x.getField("_id")), compile(r))
+        case (None, Some(_)) if isPathIdList(l) =>
+          concat(compile(l), transform(compile(r), x => x.getField("_id")))
+        case (Some(lt), Some(rt)) if lt != rt =>
+          // node list + relationship list: no union struct exists
+          throw new CypherCompileException(
+            "cannot concatenate node and relationship lists",
+            CE.TypeError, CE.InvalidArgumentType)
+        case (Some(_), None) | (None, Some(_)) =>
+          throw new CypherCompileException(
+            "cannot concatenate an entity list with a non-entity list",
+            CE.TypeError, CE.InvalidArgumentType)
         case _ => concat(compile(l), compile(r))
       }
     case Arith("+", l, r) if isArrayT(l) =>
@@ -2290,7 +2400,7 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         // semantics) — any struct/map-typed value that is not an entity
         // struct (those carry _id first and take the slot paths).
         case m if inferType(m).exists {
-          case st: StructType => !st.fieldNames.headOption.contains("_id")
+          case st: StructType => !ExprCompiler.isEntityStructType(st)
           case _: MapType => true
           case _ => false
         } => compile(m)

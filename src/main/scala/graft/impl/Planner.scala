@@ -167,7 +167,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // as a direct entity var: (_id, _labels/_src/_tgt/_type,
     // _properties{...}); lists of them render element-wise.
     def isEntitySt(t: org.apache.spark.sql.types.DataType): Boolean = t match {
-      case st: StructType => st.fieldNames.headOption.contains("_id")
+      case st: StructType => ExprCompiler.isEntityStructType(st)
       case _ => false
     }
     def nest(c: Column, st: StructType): Column = {
@@ -2645,14 +2645,30 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     // compile-time type error (Neo4j: "expected List<T>"), not a leaked
     // Spark DATATYPE_MISMATCH from explode.
     val static = ctx.compiler.inferType(e)
+    // A parameter operand is untyped statically but its VALUE is known at
+    // plan time — check it here rather than leaking explode's mismatch.
+    e match {
+      case Param(n) if params.contains(n) => params(n) match {
+        case null => ()
+        case _: Seq[_] | _: Array[_] | _: java.util.List[_] => ()
+        case other => throw new CypherCompileException(
+          s"UNWIND expects a list, got ${other.getClass.getSimpleName}",
+          CE.TypeError, CE.InvalidArgumentType)
+      }
+      case _ => ()
+    }
     val c =
       if (e == NullLit || static.contains(NullType)) array().cast(ArrayType(StringType))
       else {
         static match {
+          // Neo4j raises a TypeError-class failure for UNWIND over maps /
+          // scalars ("Expected list<T> but was ..."), so classify as
+          // TypeError — SyntaxError would diverge on TCK error-class
+          // comparisons (ADVICE r12).
           case Some(_: ArrayType) | None => ()
           case Some(other) => throw new CypherCompileException(
             s"UNWIND expects a list, got $other",
-            CE.SyntaxError, CE.InvalidArgumentType)
+            CE.TypeError, CE.InvalidArgumentType)
         }
         ctx.compiler.compile(e)
       }
@@ -3658,7 +3674,7 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
     ctx.header.get(ValueSlot(v)).flatMap { c =>
       ctx.df.schema.fields.find(_.name == c).map(_.dataType) match {
         case Some(st: StructType)
-            if st.fieldNames.headOption.contains("_id") =>
+            if ExprCompiler.isEntityStructType(st) =>
           Some(if (st.fieldNames.contains("_labels")) NodeKind(Set.empty)
                else RelKind(Set.empty))
         case _ => None

@@ -100,12 +100,31 @@ object GraphDdl {
   }
 
   // --------------------------------------------------- element/graph types
-  /** `Name [EXTENDS A, B] [( prop TYPE, ... )]` (cursor after TYPE/name). */
+  /** Property types the reference grammar admits (GraphDdlParserTest
+    * "does not accept unknown types"); a trailing `?` marks nullable. */
+  private val knownPropTypes = Set("STRING", "INTEGER", "FLOAT", "BOOLEAN",
+    "DATE", "DATETIME", "LOCALDATETIME", "TIME", "LOCALTIME", "DURATION",
+    "POINT", "ANY")
+  private def parsePropType(p: P): String = {
+    val raw = p.next()
+    val t = raw.stripSuffix("?") // `FLOAT?` = nullable FLOAT
+    if (!knownPropTypes(t.toUpperCase))
+      fail(s"unknown property type $raw")
+    t.toUpperCase
+  }
+
+  /** `Name [EXTENDS A, B | <: A, B] [( prop TYPE[?], ... )]
+    * [KEY name (col, ...)]` (cursor after TYPE/name). The KEY clause
+    * (element keys, GraphDdlParserTest :179) is accepted and recorded
+    * nowhere: element identity here is the mapping's view KEY column
+    * (the documented Spark-side deviation). */
   private def parseElementType(p: P): ElementType = {
     val name = p.next()
     val parents = Seq.newBuilder[String]
-    if (p.peekWordIs("EXTENDS")) {
-      p.next()
+    // `<:` is the reference grammar's EXTENDS shorthand
+    val ext = p.peekWordIs("EXTENDS") || p.peekIs("<")
+    if (ext) {
+      if (p.peekIs("<")) { p.next(); p.expect(":") } else p.next()
       parents += p.next()
       while (p.peekIs(",")) { p.next(); parents += p.next() }
     }
@@ -113,9 +132,16 @@ object GraphDdl {
     if (p.peekIs("(")) {
       p.next()
       if (!p.peekIs(")")) {
-        props += (p.next() -> p.next())
-        while (p.peekIs(",")) { p.next(); props += (p.next() -> p.next()) }
+        props += (p.next() -> parsePropType(p))
+        while (p.peekIs(",")) { p.next(); props += (p.next() -> parsePropType(p)) }
       }
+      p.expect(")")
+    }
+    if (p.peekWordIs("KEY")) {
+      p.next(); p.next() // key name
+      p.expect("(")
+      p.next()
+      while (p.peekIs(",")) { p.next(); p.next() }
       p.expect(")")
     }
     ElementType(name, parents.result(), props.result())
@@ -157,10 +183,16 @@ object GraphDdl {
     ts.result()
   }
 
-  /** `-[R]->` (cursor on `-`). */
+  /** `-[R]->` (cursor on `-`). The reference grammar also admits label
+    * SETS on relationships (`-[R, S]->`, GraphDdlParserTest :205); a
+    * Cypher relationship carries exactly one type, so a set is a
+    * classified refusal rather than silent truncation. */
   private def parseRelArrow(p: P): String = {
     p.expect("-"); p.expect("[")
     val r = p.next()
+    if (p.peekIs(",")) fail(
+      s"relationship label sets ([$r, ...]) are unsupported: a " +
+        "relationship carries exactly one type")
     p.expect("]"); p.expect("-"); p.expect(">")
     r
   }
@@ -194,16 +226,24 @@ object GraphDdl {
         val tn = p.next()
         Some(graphTypes.getOrElse(tn, fail(s"unresolved graph type $tn")))
       } else None
+    // Inline graph-type elements (element types, node types, rel types
+    // declared directly in the CREATE GRAPH body — GraphDdlParserTest
+    // "graph definition with inlined graph type elements").
+    val inlineTypes = scala.collection.mutable.Map.empty[String, ElementType]
+    val inlineNodeTypes = scala.collection.mutable.Set.empty[Seq[String]]
+    val inlineRelTypes =
+      scala.collection.mutable.Set.empty[(Seq[String], String, Seq[String])]
     // local graph-type elements shadow globals (GraphDdlTest "prefers
-    // local label over global label")
-    val types = globalTypes ++ declared.map(_.local).getOrElse(Map.empty)
+    // local label over global label"); inline elements shadow both
+    def types: Map[String, ElementType] =
+      globalTypes ++ declared.map(_.local).getOrElse(Map.empty) ++ inlineTypes
     def checkNodeType(ts: Seq[String]): Unit = declared.foreach { gt =>
-      if (!gt.nodeTypes(ts))
+      if (!gt.nodeTypes(ts) && !inlineNodeTypes(ts))
         fail(s"node type (${ts.mkString(",")}) is not declared in graph type ${gt.name}")
     }
     def checkRelType(src: Seq[String], r: String, tgt: Seq[String]): Unit =
       declared.foreach { gt =>
-        if (!gt.relTypes((src, r, tgt)))
+        if (!gt.relTypes((src, r, tgt)) && !inlineRelTypes((src, r, tgt)))
           fail(s"relationship type (${src.mkString(",")})-[$r]->(${tgt.mkString(",")}) " +
             s"is not declared in graph type ${gt.name}")
       }
@@ -287,6 +327,13 @@ object GraphDdl {
             srcCol, tgtCol, qualify(srcTable), qualify(tgtTable),
             legacyProps.map(k => k -> k).toMap, srcJoin, tgtJoin)
         // ---- reference-shaped forms ----
+        case Some(_) if !p.peekIs("(") =>
+          // inline element type declaration: `A ( foo STRING )`, `B`,
+          // `B EXTENDS A ( y STRING )`
+          val et = parseElementType(p)
+          if (inlineTypes.contains(et.name))
+            fail(s"duplicate local element type ${et.name}")
+          inlineTypes(et.name) = et
         case _ =>
           val ts = parseNodeTypeRef(p)
           if (p.peekIs("-")) {
@@ -294,53 +341,65 @@ object GraphDdl {
             //   START NODES (A) FROM nview a JOIN ON a.c = e.c …
             val rel = parseRelArrow(p)
             val tgtTs = parseNodeTypeRef(p)
-            checkRelType(ts, rel, tgtTs)
-            val (_, declaredProps) = labelsAndProps(Seq(rel))
-            while (p.peekWordIs("FROM")) {
-              p.next()
-              val table = qualify(p.next())
-              val edgeAlias =
-                if (p.peekWord.exists(w => !reservedCheck(w))) p.next()
-                else "edge"
-              val renames = parseRenames()
-              var key = ""
-              if (p.peekWordIs("KEY")) { p.next(); key = p.next() }
-              def endpoint(kw: String): (String, String, Option[String]) = {
-                p.expectWord(kw); p.expectWord("NODES")
-                val ets = parseNodeTypeRef(p)
-                checkNodeType(ets)
-                p.expectWord("FROM")
-                val nTable = qualify(p.next())
-                val nAlias =
+            if (!p.peekWordIs("FROM")) {
+              // inline relationship TYPE declaration: `(A)-[R]->(B),`
+              inlineRelTypes += ((ts, rel, tgtTs))
+            } else {
+              checkRelType(ts, rel, tgtTs)
+              val (_, declaredProps) = labelsAndProps(Seq(rel))
+              while (p.peekWordIs("FROM")) {
+                p.next()
+                val table = qualify(p.next())
+                val edgeAlias =
                   if (p.peekWord.exists(w => !reservedCheck(w))) p.next()
-                  else "node"
-                p.expectWord("JOIN"); p.expectWord("ON")
-                val (a1, c1) = aliasCol(p.next())
-                p.expect("=")
-                val (a2, c2) = aliasCol(p.next())
-                val (nodeCol, relCol) =
-                  if (a1 == nAlias && a2 == edgeAlias) (c1, c2)
-                  else if (a1 == edgeAlias && a2 == nAlias) (c2, c1)
-                  else fail(s"JOIN ON must relate $nAlias and $edgeAlias, got $a1 = $a2")
-                // joining on the node's KEY is a plain foreign key; any
-                // other node column is a JOIN mapping resolved at load
-                if (nodeKeyByTable.get(nTable).contains(nodeCol))
-                  (nTable, relCol, None)
-                else (nTable, relCol, Some(nodeCol))
+                  else "edge"
+                val renames = parseRenames()
+                var key = ""
+                if (p.peekWordIs("KEY")) { p.next(); key = p.next() }
+                def endpoint(kw: String)
+                    : (String, Seq[(String, String)]) = {
+                  p.expectWord(kw); p.expectWord("NODES")
+                  val ets = parseNodeTypeRef(p)
+                  checkNodeType(ets)
+                  p.expectWord("FROM")
+                  val nTable = qualify(p.next())
+                  val nAlias =
+                    if (p.peekWord.exists(w => !reservedCheck(w))) p.next()
+                    else "node"
+                  p.expectWord("JOIN"); p.expectWord("ON")
+                  // `a.c = e.c [AND a.c2 = e.c2]*` — composite join keys
+                  // (the reference's JoinOnDefinition pair lists)
+                  val pairs = Seq.newBuilder[(String, String)]
+                  def onePair(): Unit = {
+                    val (a1, c1) = aliasCol(p.next())
+                    p.expect("=")
+                    val (a2, c2) = aliasCol(p.next())
+                    val (nodeCol, relCol) =
+                      if (a1 == nAlias && a2 == edgeAlias) (c1, c2)
+                      else if (a1 == edgeAlias && a2 == nAlias) (c2, c1)
+                      else fail(s"JOIN ON must relate $nAlias and $edgeAlias, got $a1 = $a2")
+                    pairs += ((relCol, nodeCol))
+                  }
+                  onePair()
+                  while (p.peekWordIs("AND")) { p.next(); onePair() }
+                  (nTable, pairs.result())
+                }
+                val (srcTable, srcPairs) = endpoint("START")
+                val (tgtTable, tgtPairs) = endpoint("END")
+                rels += SqlGraphSource.RelMapping(table, rel, key,
+                  srcPairs.head._1, tgtPairs.head._1, srcTable, tgtTable,
+                  propMap(declaredProps, renames),
+                  srcJoinPairs = srcPairs, tgtJoinPairs = tgtPairs)
               }
-              val (srcTable, srcCol, srcJoin) = endpoint("START")
-              val (tgtTable, tgtCol, tgtJoin) = endpoint("END")
-              rels += SqlGraphSource.RelMapping(table, rel, key, srcCol,
-                tgtCol, srcTable, tgtTable, propMap(declaredProps, renames),
-                srcJoin, tgtJoin)
             }
+          } else if (!p.peekWordIs("FROM")) {
+            // inline node TYPE declaration: `(A, B),`
+            inlineNodeTypes += ts
           } else {
             // (A[,B]) FROM view KEY id (renames) [FROM …]*
             checkNodeType(ts)
             val (labels, declaredProps) = labelsAndProps(ts)
-            var any = false
             while (p.peekWordIs("FROM")) {
-              any = true
               p.next()
               val table = qualify(p.next())
               p.expectWord("KEY")
@@ -350,7 +409,6 @@ object GraphDdl {
               nodes += SqlGraphSource.NodeMapping(table, labels, key,
                 propMap(declaredProps, renames))
             }
-            if (!any) fail(s"node mapping (${ts.mkString(",")}) needs FROM <view> KEY <col>")
           }
       }
       if (p.peekIs(",")) p.next() else more = false
@@ -360,7 +418,7 @@ object GraphDdl {
   }
 
   private val reserved = Set("START", "END", "FROM", "KEY", "JOIN", "ON",
-    "NODES", "AS", "OF")
+    "NODES", "AS", "OF", "AND")
   private def reservedCheck(w: String): Boolean = reserved(w.toUpperCase)
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException("Graph DDL: " + msg)
@@ -396,6 +454,13 @@ object GraphDdl {
       if (c.isWhitespace) i += 1
       else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
         while (i < s.length && s(i) != '\n') i += 1
+      } else if (c == '`') {
+        // backtick-quoted identifier (`foo.json`): one token, quotes off
+        val st = i + 1
+        i = st
+        while (i < s.length && s(i) != '`') i += 1
+        out += s.substring(st, i)
+        i += 1
       } else if (punct.contains(c)) { out += c.toString; i += 1 }
       else {
         val st = i

@@ -28,7 +28,12 @@ object SqlGraphSource {
   case class RelMapping(table: String, relType: String, idCol: String,
       srcCol: String, tgtCol: String, srcTable: String, tgtTable: String,
       properties: Map[String, String] = Map.empty,
-      srcJoinCol: Option[String] = None, tgtJoinCol: Option[String] = None)
+      srcJoinCol: Option[String] = None, tgtJoinCol: Option[String] = None,
+      // Composite JOIN mappings (`JOIN ON a.c1 = e.c1 AND a.c2 = e.c2`,
+      // graph-ddl grammar): (relCol, nodeCol) pairs; when non-empty they
+      // supersede srcCol/srcJoinCol for that endpoint.
+      srcJoinPairs: Seq[(String, String)] = Seq.empty,
+      tgtJoinPairs: Seq[(String, String)] = Seq.empty)
 
   /** Build a graph from table names; property map defaults to every column
     * except the id/endpoint columns. */
@@ -63,21 +68,30 @@ object SqlGraphSource {
       // declared node column — one broadcast-friendly equi-join per mapped
       // endpoint, done once at load.
       def resolve(relCol: String, nodeTable: String,
-          joinCol: Option[String]): String = joinCol match {
-        case None => relCol
-        case Some(jc) =>
-          val nm = nodeByTable.getOrElse(nodeTable, throw new
-              IllegalArgumentException(s"JOIN mapping references unmapped node table $nodeTable"))
-          val derived = "_fk_" + relCol
-          val keys = spark.table(nodeTable)
-            .select(col(jc).as("_jk_" + relCol),
-              col(nm.idCol).as(derived))
-          df = df.join(keys, col(relCol) === col("_jk_" + relCol))
-            .drop("_jk_" + relCol)
-          derived
+          joinCol: Option[String], pairs: Seq[(String, String)]): String = {
+        val joinPairs =
+          if (pairs.nonEmpty) pairs
+          else joinCol.map(jc => Seq((relCol, jc))).getOrElse(Seq.empty)
+        if (joinPairs.isEmpty) return relCol
+        val nm = nodeByTable.getOrElse(nodeTable, throw new
+            IllegalArgumentException(s"JOIN mapping references unmapped node table $nodeTable"))
+        // Plain foreign key: a single pair on the node's own key column
+        // needs no resolution join at all.
+        if (joinPairs.size == 1 && joinPairs.head._2 == nm.idCol)
+          return joinPairs.head._1
+        val derived = "_fk_" + relCol
+        val jkName = (nc: String) => "_jk_" + relCol + "_" + nc
+        val keys = spark.table(nodeTable)
+          .select(joinPairs.map { case (_, nc) => col(nc).as(jkName(nc)) } :+
+            col(nm.idCol).as(derived): _*)
+        val cond = joinPairs.map { case (rc, nc) =>
+          col(rc) === col(jkName(nc)) }.reduce(_ && _)
+        df = df.join(keys, cond)
+        joinPairs.foreach { case (_, nc) => df = df.drop(jkName(nc)) }
+        derived
       }
-      val srcKey = resolve(m.srcCol, m.srcTable, m.srcJoinCol)
-      val tgtKey = resolve(m.tgtCol, m.tgtTable, m.tgtJoinCol)
+      val srcKey = resolve(m.srcCol, m.srcTable, m.srcJoinCol, m.srcJoinPairs)
+      val tgtKey = resolve(m.tgtCol, m.tgtTable, m.tgtJoinCol, m.tgtJoinPairs)
       RelTableDef(m.relType, df, idCol, srcKey, tgtKey, props,
         "rel/" + m.table + "/" + m.relType, m.srcTable, m.tgtTable)
     }

@@ -1171,4 +1171,16 @@ class AlgosSpec extends SparkTestBase {
     val q1 = GraphAlgorithms.modularityEdges(e, one).collect()(0)
     assert(q1.getDouble(2) === 0.0)
   }
+
+  test("modularity: partial assignment normalizes m over the induced subgraph") {
+    import spark.implicits._
+    // ADVICE r12: edges with an unassigned endpoint must drop out of m
+    // too, not just out of m_c/d_c — otherwise Q mixes two graphs.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val partial = Seq((1L, 10L), (2L, 10L)).toDF("id", "community")
+    val row = GraphAlgorithms.modularityEdges(e, partial).collect()(0)
+    assert(row.getLong(0) === 1L)      // only edge 1-2 has both ends assigned
+    assert(row.getLong(1) === 1L)
+    assert(row.getDouble(2) === 0.0)   // 1/1 - (2/2)^2
+  }
 }

@@ -242,6 +242,77 @@ class SourcesSpec extends SparkTestBase {
       .contains("conflicting property types"))
   }
 
+  test("Graph DDL: compact inline graph definition with inlined types, " +
+    "<: inheritance, nullable props, element KEY clause " +
+    "(GraphDdlTest 'allows compact inline graph definition')") {
+    import spark.implicits._
+    Seq((1L, "a1"), (2L, "a2")).toDF("id", "x").createOrReplaceTempView("cg_a")
+    Seq((3L, "b3", "y3")).toDF("id", "x", "y").createOrReplaceTempView("cg_ab")
+    Seq((1L, 3L)).toDF("s", "t").createOrReplaceTempView("cg_r")
+    val g = graft.sources.GraphDdl.parse(spark,
+      """CREATE GRAPH myGraph (
+        |  A ( x STRING? ) KEY a_k (x),
+        |  B <: A ( y STRING ),
+        |  (A), (A, B),
+        |  (A)-[R]->(B),
+        |  (A)   FROM cg_a  KEY id,
+        |  (B)   FROM cg_ab KEY id,
+        |  (A)-[R]->(B) FROM cg_r e
+        |    START NODES (A) FROM cg_a  n JOIN ON n.id = e.s
+        |    END   NODES (B) FROM cg_ab n JOIN ON e.t = n.id
+        |)""".stripMargin)
+    // B <: A carries the A label and merged props
+    val got = session.cypher(g,
+      "MATCH (a:A)-[:R]->(b:B) RETURN a.x AS ax, b.x AS bx, b.y AS by")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(("a1", "b3", "y3")))
+  }
+
+  test("Graph DDL: composite JOIN ON with AND resolves multi-column keys") {
+    import spark.implicits._
+    // persons keyed by pid but referenced by (first, last) in the edge view
+    Seq((1L, "Ann", "Lee"), (2L, "Ann", "Roy"), (3L, "Bob", "Lee"))
+      .toDF("pid", "first", "last").createOrReplaceTempView("cj_persons")
+    Seq((10L, "club")).toDF("gid", "gname").createOrReplaceTempView("cj_groups")
+    Seq(("Ann", "Roy", 10L), ("Bob", "Lee", 10L))
+      .toDF("m_first", "m_last", "m_gid").createOrReplaceTempView("cj_members")
+    val g = graft.sources.GraphDdl.parse(spark,
+      """CREATE GRAPH (
+        |  (Person) FROM cj_persons KEY pid,
+        |  (Group)  FROM cj_groups  KEY gid,
+        |  (Person)-[MEMBER_OF]->(Group) FROM cj_members e
+        |    START NODES (Person) FROM cj_persons p
+        |      JOIN ON p.first = e.m_first AND p.last = e.m_last
+        |    END NODES (Group) FROM cj_groups gr JOIN ON gr.gid = e.m_gid
+        |)""".stripMargin)
+    val rows = session.cypher(g,
+      "MATCH (p:Person)-[:MEMBER_OF]->(gr:Group) " +
+        "RETURN p.first AS f, p.last AS l ORDER BY f")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // composite key matches Ann Roy and Bob Lee — NOT Ann Lee
+    assert(rows === Seq(("Ann", "Roy"), ("Bob", "Lee")))
+  }
+
+  test("Graph DDL: backtick-quoted view names tokenize as one identifier") {
+    import spark.implicits._
+    Seq((1L, "v")).toDF("id", "p").createOrReplaceTempView("bt_view")
+    val g = graft.sources.GraphDdl.parse(spark,
+      "CREATE GRAPH ( (A) FROM `bt_view` KEY id )")
+    assert(session.cypher(g, "MATCH (a:A) RETURN a.p AS p")
+      .collect().map(_.getString(0)).toSeq === Seq("v"))
+  }
+
+  test("Graph DDL: relationship label sets and unknown types are classified") {
+    def err(ddl: String): String =
+      intercept[IllegalArgumentException] {
+        graft.sources.GraphDdl.parse(spark, ddl)
+      }.getMessage
+    assert(err("CREATE GRAPH TYPE t ( (A)-[R, S]->(B) )\nCREATE GRAPH g OF t ()")
+      .contains("label sets"))
+    assert(err("CREATE ELEMENT TYPE A ( x CHAR )\nCREATE GRAPH g ( (A) FROM v KEY id )")
+      .contains("unknown property type"))
+  }
+
   test("Graph DDL SET SCHEMA + JOIN mapping round-trips a two-table join") {
     import spark.implicits._
     // The edge table references persons by EMAIL, not by key — the JOIN

@@ -159,7 +159,9 @@ class TckStyleSpec37 extends TckScenarioBase {
   scenario("UNWIND keeps null elements as rows", g,
     "UNWIND [1, null, 2] AS x RETURN count(*) AS x", value(3L))
   errorScenario("UNWIND of a non-list is a compile-time error", g,
-    "UNWIND 5 AS x RETURN x", SyntaxError, InvalidArgumentType)
+    // TypeError class since r13 (ADVICE r12: Neo4j raises "Expected
+    // list<T>" as a type failure, not a syntax failure).
+    "UNWIND 5 AS x RETURN x", TypeError, InvalidArgumentType)
 
   // ======================================== ORDER BY null placement
   scenario("ascending order puts nulls last", gN,

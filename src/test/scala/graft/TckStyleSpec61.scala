@@ -90,12 +90,14 @@ class TckStyleSpec61 extends TckScenarioBase {
     CypherError.ParameterMissing, CypherError.MissingParameter)
 
   // --- UNWIND over a statically non-list operand
+  // TypeError class since r13 (ADVICE r12: Neo4j's "Expected list<T>"
+  // is a type failure, not a syntax failure).
   errorScenario("UNWIND a map is a type error", g,
     "UNWIND {a: 1} AS x RETURN x",
-    CypherError.SyntaxError, CypherError.InvalidArgumentType)
+    CypherError.TypeError, CypherError.InvalidArgumentType)
   errorScenario("UNWIND a number is a type error", g,
     "UNWIND 5 AS x RETURN x",
-    CypherError.SyntaxError, CypherError.InvalidArgumentType)
+    CypherError.TypeError, CypherError.InvalidArgumentType)
   scenario("UNWIND a null-typed variable produces zero rows", g,
     "WITH null AS l UNWIND l AS x RETURN x", Seq.empty)
 
