@@ -90,6 +90,47 @@ object PipelineQueries {
     }
   }
 
+  /** Stage the events table (ts-normalized) plus a later WATERMARK-PROBE
+    * file: two rows ~20 h past max(ts) — one per join side, under negative
+    * user ids — so bounded-replay tests can observe watermark-EXPIRY
+    * semantics (outer-join null padding, session-window close). The probe
+    * batch drives the watermark past every real row's state-expiry bound;
+    * the no-data micro-batch that follows emits the expired state. Probe
+    * rows are excluded from results by `user_id >= 0`. */
+  private def withProbedEvents[A](s: SparkSession, dir: String)
+      (f: String => A): A = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_probe")
+    try {
+      val ev = graft.streaming.GraftStreaming.eventsBatch(s, s"$dir/events.parquet")
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = staged.resolve(s"_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = {
+          val s0 = java.nio.file.Files.list(tmp)
+          try s0.iterator().asScala.toSeq
+            .find(_.toString.endsWith(".parquet")).get
+          finally s0.close()
+        }
+        val dst = staged.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        dst.toFile.setLastModified(mtime)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      val t0 = System.currentTimeMillis() - 600000L
+      writeOne(ev, "b1.parquet", t0)
+      def probe(id: Long, typ: String) = struct(
+        lit(id).as("event_id"),
+        (col("m") + expr("INTERVAL 20 HOURS")).as("ts"),
+        lit(id).as("user_id"), lit(typ).as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val probes = ev.agg(max(col("ts")).as("m"))
+        .select(explode(array(probe(-1L, "view"), probe(-2L, "click"))).as("e"))
+        .select(col("e.*"))
+      writeOne(probes, "b2.parquet", t0 + 120000L)
+      f(staged.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(staged.toFile)
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -721,6 +762,52 @@ object PipelineQueries {
             col("n"), round(col("total"), 4).as("total"))
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(staged.toFile)
+      }
+    }),
+    // --- stream-stream LEFT OUTER interval join: views with no click in
+    //     the following hour MUST come back null-padded — and a null can
+    //     only be emitted once the watermark proves event time ran out for
+    //     that view (join-state expiry). The staged watermark probe (+20 h,
+    //     negative user ids on both sides) pushes the final watermark past
+    //     every real view's expiry bound, so the streaming result must
+    //     equal the batch LEFT JOIN exactly: a missing null-padded row
+    //     means expiry never emitted; an extra one means a match was
+    //     dropped.
+    "q_stream_outer_join" -> ((s, dir) => withProbedEvents(s, dir) { stagedDir =>
+      import graft.streaming.GraftStreaming
+      GraftStreaming.withStatePartitions(s, 4) {
+      def side(t: String) = GraftStreaming.eventsStream(s, stagedDir)
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val j = GraftStreaming.leftOuterIntervalJoin(side("view"), side("click"),
+        key = "user_id", maxDelay = "1 hour", watermark = "2 hours")
+      val sink = "q_stream_outer_join_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      GraftStreaming.runToMemorySink(j, sink)
+        .filter(col("user_id") >= 0)
+        .select(col("event_id").as("view_id"),
+          col("r_event_id").as("click_id"))
+      }
+    }),
+    // --- native session_window aggregation (the built-in stateful session
+    //     operator, complementing the flatMapGroupsWithState formulation):
+    //     sessions close in append mode only when the watermark passes
+    //     end + gap, so the same +20 h probe forces every real session
+    //     closed and the result must equal the batch gaps-and-islands
+    //     aggregation over ALL sessions (including each user's last).
+    "q_stream_session_window" -> ((s, dir) => withProbedEvents(s, dir) { stagedDir =>
+      import graft.streaming.GraftStreaming
+      GraftStreaming.withStatePartitions(s, 4) {
+      val sess = GraftStreaming.sessionWindowAgg(
+        GraftStreaming.eventsStream(s, stagedDir),
+        gap = "12 hours", watermark = "2 hours")
+      val sink = "q_stream_session_window_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      GraftStreaming.runToMemorySink(sess, sink)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("session_window.start").as("start_ts"),
+          col("n_events"), round(col("total_value"), 4).as("tv"))
       }
     }),
     // --- as-of join: each click matched to the user's most recent view ---
@@ -2277,6 +2364,29 @@ object PipelineQueries {
          WHERE ts >= (SELECT date_trunc('hour', max(ts)) - INTERVAL 3 HOUR
                       FROM events)
          GROUP BY 1, 2""",
+    // Every view appears exactly once per matching click, or once
+    // null-padded if no click follows within the hour — the watermark
+    // probe guarantees every unmatched view's state expired and emitted.
+    "q_stream_outer_join" ->
+      """SELECT l.event_id AS view_id, r.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'view') l
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""",
+    // All gap-based sessions (including each user's last — the probe
+    // closed them), keyed by session start.
+    "q_stream_session_window" ->
+      """WITH x AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 43200000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events),
+         y AS (SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS start_ts,
+           count(*) AS n_events, round(sum(value), 4) AS tv
+         FROM y GROUP BY user_id, sid""",
     "q_stream_enrich" ->
       """SELECT c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n,
            round(sum(e.value), 4) AS sv

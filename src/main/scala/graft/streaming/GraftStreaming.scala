@@ -186,6 +186,46 @@ object GraftStreaming {
         col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoin]], but a
+    * left event with NO matching right event within [0, maxDelay] is
+    * emitted null-padded — and that verdict can only be reached once the
+    * watermark has provably passed `left.ts + maxDelay` (the row's join
+    * state expires un-matched). Semantically the hardest stream-stream
+    * shape: the null is a statement about event time having run out, not
+    * about the current micro-batch. State stays bounded exactly as in the
+    * inner variant; the only addition is the null-padding emission on
+    * state expiry, which Spark performs in the (possibly no-data)
+    * micro-batch after the watermark advances. */
+  def leftOuterIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String = "ts", maxDelay: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c")
+    }
+    val r = r0.withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $maxDelay"),
+      "left_outer")
+  }
+
+  /** Native session-window aggregation (Spark `session_window`): events
+    * within `gap` of each other merge into one growing window per key;
+    * a closed session emits in append mode once the watermark passes its
+    * end + gap. Complements [[sessionize]] (the flatMapGroupsWithState
+    * custom-state formulation) with the built-in operator — at scale the
+    * built-in merges session state inside the state store with no
+    * user-code shuffle, which is the preferred form when the per-session
+    * aggregate is expressible as Spark aggregates. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "12 hours",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
   /** Read the documents table as a file stream (ingest-side of the text
     * pipeline; on a cluster, a landing directory being appended to). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
