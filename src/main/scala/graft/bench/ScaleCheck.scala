@@ -1,0 +1,128 @@
+package graft.bench
+
+import graft.algos.GraphAlgorithms
+import graft.api.GraftSession
+import graft.graph.{NodeTableDef, PropertyGraph, RelTableDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical validation of SCALE.md's complexity claims (VERDICT r12 #3):
+  * run the headline algorithm rows on a deterministic synthetic graph at
+  * 1x and 10x the data and report the observed scaling exponent
+  * log10(t_10x / t_1x) per row. Frontier-proportional / edge-linear claims
+  * predict an exponent near 1 (often below it locally, since fixed
+  * per-round scheduling overhead amortizes); a wedge- or pair-quadratic
+  * regression shows up as an exponent near 2 — exactly the failure the
+  * sf0.1 driver gate cannot see.
+  *
+  * The generator is hash-based and fully deterministic: src uniform over
+  * N nodes, dst Zipf-skewed toward low ids (u^3 transform), so hubs exist
+  * and the degree-ordered wedge bounds actually get exercised. 1x is
+  * sized like the sf0.1 TPC-H graph (~0.75 M edges).
+  *
+  * Usage: runMain graft.bench.ScaleCheck [scale ...]   (default: 1 10)
+  * Prints one line per (algo, scale) and a final exponent table; paste
+  * into SCALE.md's round-13 validation section.
+  */
+object ScaleCheck {
+  private val BaseNodes = 60000L
+  private val BaseEdges = 750000L
+
+  def syntheticEdges(spark: SparkSession, scale: Int): DataFrame = {
+    val n = BaseNodes * scale
+    val m = BaseEdges * scale
+    spark.range(m).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+      // Zipf-ish target skew: u^3 concentrates mass near id 0 — the max
+      // in-degree hub sees ~m/n * skew-factor edges.
+      floor(pow(pmod(xxhash64(col("id"), lit(2)), lit(1000000L))
+        .cast("double") / 1000000.0, 3.0) * n).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  def syntheticGraph(spark: SparkSession, scale: Int): PropertyGraph = {
+    val n = BaseNodes * scale
+    val nodes = spark.range(n).toDF("id")
+    val edges = syntheticEdges(spark, scale)
+      .withColumn("rid", monotonically_increasing_id())
+      .select(col("rid"), col("src"), col("dst"))
+    PropertyGraph(
+      Seq(NodeTableDef(Set("N"), nodes, "id", Map.empty, "n")),
+      Seq(RelTableDef("E", edges, "rid", "src", "dst", Map.empty,
+        "e", "n", "n")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val session = new GraftSession(spark)
+
+    // (name, scale) -> seconds
+    val times = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
+    def time(name: String, scale: Int)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      times((name, scale)) = sec
+      println(f"[scale] $name%-16s ${scale}x  $sec%8.2f s")
+    }
+
+    scales.foreach { sc =>
+      // Materialize the inputs once per scale so per-algo times measure
+      // the algorithm, not the generator.
+      val e = graft.impl.Pin(syntheticEdges(spark, sc))
+      e.count()
+      val g = syntheticGraph(spark, sc)
+      val sources8 = spark.range(8).select((col("id") * 7919L).as("id"))
+
+      time("pagerank", sc) { GraphAlgorithms.pageRank(g, 10).count() }
+      time("sssp", sc) {
+        GraphAlgorithms.sssp(g, spark.range(1).toDF("id"),
+          Map("E" -> 1.0), maxIterations = 60).count()
+      }
+      time("components", sc) { GraphAlgorithms.connectedComponents(g).count() }
+      time("triangles", sc) { GraphAlgorithms.triangleCountEdges(e).head() }
+      time("lcc", sc) { GraphAlgorithms.localClusteringCoefficient(e).count() }
+      time("louvain", sc) { GraphAlgorithms.louvain(e).count() }
+      time("betweenness", sc) {
+        GraphAlgorithms.betweenness(e, sources8).count()
+      }
+      // nodesim MUST run with the hub guard here: the Zipf target skew
+      // gives node 0 ~2.5% of all edges, and the unguarded pair join is
+      // pair-quadratic in that degree BY DESIGN (the guard is the scale
+      // path; this harness measures the guarded shape, and the guard's
+      // drop count prints to stderr — counted, never silent).
+      time("nodesim", sc) {
+        GraphAlgorithms.nodeSimilarityEdges(e, maxTargetDegree = 64).count()
+      }
+      time("varexpand", sc) {
+        session.cypher(g,
+          "MATCH (a:N)-[:E*1..2]->(b) RETURN count(*) AS c").head()
+      }
+    }
+
+    if (scales.size >= 2) {
+      val lo = scales.min
+      val hi = scales.max
+      val ratio = hi.toDouble / lo
+      println(f"%n[scale] exponent table (${lo}x -> ${hi}x, " +
+        f"exponent = log(t_hi/t_lo)/log($ratio%.0f)):")
+      times.keys.map(_._1).toSeq.distinct.foreach { name =>
+        for {
+          t1 <- times.get((name, lo))
+          t2 <- times.get((name, hi))
+        } println(f"[scale] $name%-16s t${lo}x=$t1%8.2f  t${hi}x=$t2%8.2f  " +
+          f"exponent=${math.log(t2 / t1) / math.log(ratio)}%5.2f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1746,25 +1746,42 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
         case Some(NodeKind(_)) | Some(RelKind(_)) => true
         case _ => false
       }
+      // Entity-struct VALUES (lambda binders over materialized entity
+      // lists, unwound collected nodes) read fields off the STRUCT — a
+      // bare compile(Var) of such a binder means its _id (identity
+      // semantics), which would leak a getField-on-long analysis error
+      // here (r13 probe batch).
+      val structVal: Option[(Column, StructType)] = entityValue(Var(v))
       val fields = items.flatMap {
         case ProjProp(k) =>
           if (isElement)
             Seq(header.get(PropSlot(v, k)).map(c => col(c).as(k))
               .getOrElse(lit(null).as(k)))
-          else Seq(compile(Var(v)).getField(k).as(k))
+          else structVal match {
+            case Some((c, st)) =>
+              // absent property -> null, matching header-element semantics
+              Seq((if (st.fieldNames.contains(k)) c.getField(k)
+                else lit(null)).as(k))
+            case None => Seq(compile(Var(v)).getField(k).as(k))
+          }
         case ProjExpr(k, e2) => Seq(compile(e2).as(k))
         case ProjAll =>
           if (isElement)
             header.ownedBy(v).collect { case s @ PropSlot(_, k) => (k, s) }
               .sortBy(_._1).map { case (k, s) => col(header.col(s)).as(k) }
-          else inferType(Var(v)) match {
-            // struct-typed value (a map, or an entity-struct from the
-            // collect(n) round-trip — markers excluded): all fields
-            case Some(st: StructType) =>
-              val c = compile(Var(v))
+          else structVal match {
+            // entity-struct value: all property fields (markers excluded)
+            case Some((c, st)) =>
               st.fieldNames.filterNot(_.startsWith("_")).toSeq.sorted
                 .map(k => c.getField(k).as(k))
-            case _ => Seq.empty
+            case None => inferType(Var(v)) match {
+              // plain struct-typed value (a map): all fields
+              case Some(st: StructType) =>
+                val c = compile(Var(v))
+                st.fieldNames.filterNot(_.startsWith("_")).toSeq.sorted
+                  .map(k => c.getField(k).as(k))
+              case _ => Seq.empty
+            }
           }
         case ProjVar(name) => Seq(compile(Var(name)).as(name))
       }
@@ -3358,11 +3375,22 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
             CE.ArgumentError, CE.InvalidArgumentType)
         }
         val supported = Set("year", "quarter", "month", "week", "day",
-          "hour", "minute", "second", "millisecond", "microsecond")
+          "hour", "minute", "second", "millisecond", "microsecond",
+          // year-span units (Neo4j surface; Spark's date_trunc lacks
+          // them, so they truncate via year arithmetic below)
+          "decade", "century", "millennium")
         if (!supported(unit)) throw new CypherCompileException(
           s"unsupported truncation unit '$unit'",
           CE.ArgumentError, CE.InvalidArgumentValue)
-        val t = F.date_trunc(unit, a1.cast(TimestampType))
+        val yearSpan =
+          Map("decade" -> 10, "century" -> 100, "millennium" -> 1000)
+        val t = yearSpan.get(unit) match {
+          case Some(span) =>
+            val y = year(a1.cast(TimestampType))
+            make_date(y - F.pmod(y, lit(span)), lit(1), lit(1))
+              .cast(TimestampType)
+          case None => F.date_trunc(unit, a1.cast(TimestampType))
+        }
         // Optional third argument: a map of component overrides applied to
         // the truncated value (Neo4j's truncate(unit, temporal, {map}) —
         // closes the "map argument not supported" divergence of round 6).
