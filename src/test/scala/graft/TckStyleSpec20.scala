@@ -110,8 +110,10 @@ class TckStyleSpec20 extends TckScenarioBase {
     "MATCH (a:A) RETURN datetime.truncate(a.name, date('2017-11-30')) AS x",
     ArgumentError, InvalidArgumentType)
 
+  // decade/century/millennium are implemented since r13 (TckStyleSpec68);
+  // weekYear remains the classified refusal.
   errorScenario("truncate rejects units Spark cannot express", g,
-    "RETURN datetime.truncate('decade', date('2017-11-30')) AS x",
+    "RETURN datetime.truncate('weekYear', date('2017-11-30')) AS x",
     ArgumentError, InvalidArgumentValue)
 
   // ------------------------------------------------- epoch constructors

@@ -240,9 +240,11 @@ class TckStyleSpec36 extends TckScenarioBase {
   errorScenario("localtime.truncate rejects calendar units", g,
     "RETURN localtime.truncate('month', localtime('12:00')) AS x",
     ArgumentError, InvalidArgumentValue)
-  errorScenario("date.truncate rejects the millennium unit", g,
-    "RETURN date.truncate('millennium', date('2017-11-30')) AS x",
-    ArgumentError, InvalidArgumentValue)
+  // millennium is implemented since r13 (year-arithmetic truncation);
+  // the surviving refusals are the week-year family.
+  scenario("date.truncate to the millennium unit", g,
+    "RETURN toString(date.truncate('millennium', date('2017-11-30'))) AS x",
+    value("2000-01-01"))
 
   // ===================================================== week / ordinal /
   // quarter creation (the reference documentation's canonical examples)
