@@ -13,16 +13,14 @@ scan = d["sentinel_base_sec"]
 barrier = d.get("barrier_base_sec")
 
 rows = "\n".join(f"| {k} | {v} |" for k, v in qs.items())
+import os
+round_no = os.environ.get("GRAFT_ROUND", "13")
 table = f"""
-## Round-12 FINAL table (sf0.1, local[32]) — replaces the r8 table as the standing reference
+## Round-{round_no} FINAL table (sf0.1, local[32]) — the standing reference
 
-Process note (VERDICT r11 item 3): no <=0.095 scan window has appeared
-in five rounds; per the judge's instruction the standing reference is
-now the cleanest available FULL run at its RECORDED sentinels, and
-future rounds regress sentinel-matched (scan AND barrier — the barrier
-sentinel is the one that actually explains iterative-row variance, see
-the dose-response section above). Source artifact: {src}
-(zero errors, zero suspects, contaminated=false).
+One table, one window (VERDICT r12 #1): every registry row measured in
+a single full run at its RECORDED sentinels; future rounds regress
+sentinel-matched (scan AND barrier). Source artifact: {src}.
 
 **Sentinels: scan {scan} s (quiet ref 0.06), barrier {barrier} s
 (provisional quiet ref 0.60).** Total {d['value']} s / {len(qs)} rows.
