@@ -445,7 +445,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
     case Neg(x) => inferType(x)
     case Param(n) => params.get(n).map(litType)
     case CaseExpr(_, alts, default) =>
-      (alts.map(_._2) ++ default.toSeq).flatMap(inferType).headOption
+      // CASE over entities compiles through unifyEntities (union entity
+      // struct) — the static type must say so too, or downstream dispatch
+      // (=, IN, property reads) sees the element-id type and mis-fires
+      // (r13, same inconsistency as ListLit).
+      val results = alts.map(_._2) ++ default.toSeq
+      (if (results.exists(isEntityOperand))
+        scala.util.Try(unifyTypedEntities(results)).toOption.flatten
+          .map(_._2: DataType)
+      else None).orElse(results.flatMap(inferType).headOption)
     case FuncCall(name, args, _) => name match {
       case "tointegerornull" => Some(LongType)
       case "tofloatornull" => Some(DoubleType)
@@ -512,8 +520,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           .map(st => StructType(st.fields.filterNot(_.name.startsWith("_"))
             .sortBy(_.name)))
       }
-      case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" |
-           "coalesce" => args.headOption.flatMap(inferType)
+      case "coalesce" =>
+        // coalesce over entities unifies to the union entity struct at
+        // compile — mirror it statically (same rule as CASE/ListLit, r13)
+        (if (args.exists(isEntityOperand))
+          scala.util.Try(unifyTypedEntities(args)).toOption.flatten
+            .map(_._2: DataType)
+        else None).orElse(args.headOption.flatMap(inferType))
+      case "sum" | "min" | "max" | "abs" | "ceil" | "floor" | "round" =>
+        args.headOption.flatMap(inferType)
       case "head" | "last" => args.headOption.flatMap(inferType).map {
         case ArrayType(et, _) => et
         case other => other
