@@ -13,6 +13,9 @@ object PipelineQueries {
 
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+  // kNN-join corpus index (different corpus slice than q_sim_ivf's)
+  private val knnIvfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
 
   /** The exact near-dup ground truth is a correctness GATE, not part of the
     * operator under test — computing it inside every gated query would bill
@@ -353,6 +356,46 @@ object PipelineQueries {
         Similarity.loadOrBuildIvf(rest, dir, "vec_id", "embedding", nCells = 8))
       val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
       annRecallSummary(exact, idx.search(q, 10, nProbe = 4).select(col("vec_id")))
+    }),
+    // --- distributed kNN JOIN (batch retrieval: every query row gets its
+    //     top-k corpus neighbors through the cell-keyed IVF join).
+    //     Exact mode (nProbe = nCells) is DuckDB-replayable per query;
+    //     queries = every 50th vector, corpus = the rest.
+    "q_knn_join" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val corpus = e.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("n_id"), col("embedding"))
+      val idx = knnIvfCache.getOrElseUpdate(dir,
+        Similarity.buildIvf(corpus, "n_id", "embedding", nCells = 8))
+      Similarity.knnJoin(queries, "vec_id", "embedding", idx,
+          k = 5, nProbe = 8) // nProbe = nCells: exact
+        .select(col("vec_id").as("q_id"), col("n_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
+    // Pruned-probe recall gate: nProbe = 6 of 8 cells must still find >=
+    // 80% of the exact top-5 pairs (seeded-deterministic). The synthetic
+    // embeddings are near-uniform, the hardest case for IVF — cosine
+    // neighborhoods barely correlate with Euclidean cells, so recall at
+    // nProbe 3 measured ~70%; real clustered corpora prune far harder.
+    "q_knn_join_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val corpus = e.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("n_id"), col("embedding"))
+      val idx = knnIvfCache.getOrElseUpdate(dir,
+        Similarity.buildIvf(corpus, "n_id", "embedding", nCells = 8))
+      val exact = Similarity.knnJoin(queries, "vec_id", "embedding", idx,
+        k = 5, nProbe = 8)
+      val approx = Similarity.knnJoin(queries, "vec_id", "embedding", idx,
+        k = 5, nProbe = 6)
+      val hit = exact.select(col("vec_id"), col("n_id"))
+        .join(approx.select(col("vec_id"), col("n_id")),
+          Seq("vec_id", "n_id"), "left_semi")
+      exact.agg(count(lit(1)).as("_n")).crossJoin(
+          hit.agg(count(lit(1)).as("_h")))
+        .select(col("_n").as("n_pairs"),
+          (col("_h") >= col("_n") * 0.8).as("ok"))
     }),
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) =>
@@ -2208,6 +2251,36 @@ object PipelineQueries {
              (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) DESC, e.vec_id
          LIMIT 10""",
+    // Exact kNN join (nProbe = nCells): per-query top-5 by (cosine DESC,
+    // neighbor id ASC) replayed as a window rank over the cross product.
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS n_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+         s AS (SELECT q.q_id, c.n_id,
+             list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
+           FROM q, c),
+         r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           FROM s)
+         SELECT q_id, n_id, round(cos, 4) AS cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 5""",
+    // The recall gate is a 1-row summary; the oracle replays only the
+    // exact pair count (the >= 80% verdict is the Spark side's claim and
+    // must come back TRUE for the hash to match).
+    "q_knn_join_recall" ->
+      """SELECT count(*) AS n_pairs, TRUE AS ok FROM (
+           WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+           c AS (SELECT vec_id AS n_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+           s AS (SELECT q.q_id, c.n_id,
+               list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
+             FROM q, c)
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           FROM s QUALIFY rank <= 5) t""",
     "q_text_stats" ->
       """SELECT doc_id,
            length(text) AS n_chars,

@@ -232,6 +232,53 @@ object Similarity {
     }
   }
 
+  /** Distributed kNN JOIN: for EVERY row of `queries`, the top-k corpus
+    * rows by cosine — the batch retrieval shape of a training pipeline
+    * (RAG pair mining, cross-dataset near-dup, DSIR-style matching),
+    * where [[IvfIndex.search]] answers ONE driver-side query.
+    *
+    * Scale shape: the corpus side already carries its IVF cell; the query
+    * side ranks the (tiny, broadcast) centroid table per row and keeps
+    * its nProbe nearest cells — a query with Q rows joins the corpus
+    * keyed on cell id, touching |Q| · nProbe/nCells of the corpus
+    * instead of |Q| · corpus, and a per-query top-k window cuts the
+    * candidates. No all-pairs path exists; `nProbe = nCells` is the
+    * exact brute-force baseline (every pair via the cell join, still one
+    * keyed shuffle). Returns (qIdCol, corpus idCol, cosine, rank). */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      index: IvfIndex, k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cells = index.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("_ivf_cell", "_center")
+    // Rank cells per query by squared Euclidean distance (the k-means
+    // assignment metric — see IvfIndex.search for why not cosine).
+    val qd = queries.select(col(qIdCol), col(qVecCol))
+    val probed = qd.crossJoin(F.broadcast(cells))
+      .withColumn("_d2", F.aggregate(
+        F.zip_with(col(qVecCol).cast(ArrayType(DoubleType)), col("_center"),
+          (a, b) => (a - b) * (a - b)),
+        F.lit(0.0), (acc, x) => acc + x))
+      .withColumn("_cellrk", F.row_number().over(
+        Window.partitionBy(col(qIdCol)).orderBy(col("_d2"), col("_ivf_cell"))))
+      .filter(col("_cellrk") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col("_ivf_cell"))
+    val cand = probed.join(
+      index.assigned.select(col("_ivf_cell"),
+        col(index.idCol).as("_n_id"), col(index.vecCol).as("_n_vec")),
+      Seq("_ivf_cell"))
+    cand
+      .select(col(qIdCol), col("_n_id"),
+        cosine(col(qVecCol), col("_n_vec")).as("cosine"))
+      .withColumn("rank", F.row_number().over(
+        Window.partitionBy(col(qIdCol))
+          .orderBy(col("cosine").desc, col("_n_id"))))
+      .filter(col("rank") <= k)
+      .withColumnRenamed("_n_id", index.idCol)
+  }
+
   /** Build an IVF index over an embedding column (the one-time indexing
     * job; see loadOrBuildIvf for the stored form queries should use). */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String,
