@@ -381,6 +381,19 @@ class GraftSession(val spark: SparkSession) {
       """|FULLTEXT\s+|VECTOR\s+)?INDEX|DROP\s+INDEX)\b.*""").r
   private val CreateConstraintRe =
     """(?is)\A\s*CREATE\s+CONSTRAINT\b.*""".r
+  // SHOW INDEXES / SHOW CONSTRAINTS: indexes are no-ops and constraints
+  // refuse at CREATE, so the truthful listing is ALWAYS empty — a
+  // migration script's inventory pass runs and sees none. DROP CONSTRAINT
+  // follows Neo4j: IF EXISTS tolerates the (necessarily) missing
+  // constraint; the bare form raises for an unknown name.
+  private val ShowIndexesRe =
+    """(?is)\A\s*SHOW\s+(?:ALL\s+|TEXT\s+|POINT\s+|RANGE\s+|LOOKUP\s+|FULLTEXT\s+|VECTOR\s+)?INDEXES\s*\z""".r
+  private val ShowConstraintsRe =
+    """(?is)\A\s*SHOW\s+(?:ALL\s+)?CONSTRAINTS\s*\z""".r
+  private val DropConstraintIfExistsRe =
+    """(?is)\A\s*DROP\s+CONSTRAINT\s+[\w`]+\s+IF\s+EXISTS\s*\z""".r
+  private val DropConstraintRe =
+    """(?is)\A\s*DROP\s+CONSTRAINT\b.*""".r
 
   private def isCatalogDdl(q: String): Boolean =
     CatalogCreateGraphRe.matches(q) || CatalogCreateViewRe.matches(q) ||
@@ -450,6 +463,18 @@ class GraftSession(val spark: SparkSession) {
       return functions.keys.toSeq.sorted
         .map(n => (n, "user")).toDF("name", "category")
     }
+    if (ShowIndexesRe.matches(query) || ShowConstraintsRe.matches(query)) {
+      import spark.implicits._
+      return Seq.empty[(String, String, Seq[String], Seq[String])]
+        .toDF("name", "type", "labelsOrTypes", "properties")
+    }
+    if (DropConstraintIfExistsRe.matches(query)) return spark.emptyDataFrame
+    if (DropConstraintRe.matches(query))
+      throw new graft.api.CypherException(
+        CypherError.SemanticError, CypherError.CompileTime,
+        CypherError.UnsupportedExpression,
+        "no such constraint: constraints cannot be created in this " +
+          "engine (use DROP CONSTRAINT ... IF EXISTS for tolerant scripts)")
     if (IndexDdlRe.matches(query)) return spark.emptyDataFrame
     if (CreateConstraintRe.matches(query))
       throw new graft.api.CypherException(

@@ -216,6 +216,19 @@ class AcceptanceSpec extends SparkTestBase {
         "CREATE CONSTRAINT c FOR (n:N) REQUIRE n.val IS UNIQUE")
     }
     assert(e.detail === graft.api.CypherError.UnsupportedExpression)
+    // r13: the inventory pass of a migration script — indexes are no-ops
+    // and constraints refuse at CREATE, so both listings are always empty
+    assert(session.cypher(graph, "SHOW INDEXES").count() === 0L)
+    assert(session.cypher(graph, "SHOW ALL CONSTRAINTS").count() === 0L)
+    assert(session.cypher(graph, "SHOW INDEXES").columns.toSeq ===
+      Seq("name", "type", "labelsOrTypes", "properties"))
+    // DROP CONSTRAINT: IF EXISTS tolerates the necessarily-missing
+    // constraint; the bare form raises like Neo4j's unknown-name error
+    assert(session.cypher(graph, "DROP CONSTRAINT c IF EXISTS").count() === 0L)
+    val e2 = intercept[graft.api.CypherException] {
+      session.cypher(graph, "DROP CONSTRAINT c")
+    }
+    assert(e2.getMessage.contains("no such constraint"))
   }
 
   test("db.* schema introspection procedures") {
