@@ -913,7 +913,11 @@ object GraphAlgorithms {
       frontier = merged.filter(col("d") === 0)
         .select(col("id"), lit(level).as("level"))
       indeg = merged.filter(col("d") > 0)
-      frontN = frontier.count()
+      // Convergence count folded into the aggregate that materializes the
+      // round's pin (sssp's r13 fold): one driver-visible action per
+      // round on the pinned frame itself.
+      frontN = merged.agg(count(when(col("d") === 0, lit(1))))
+        .head().getLong(0)
     }
     if (frontN > 0) throw new IllegalStateException(
       s"topologicalLevels did not finish within $maxIterations rounds " +
