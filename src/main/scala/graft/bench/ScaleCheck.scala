@@ -52,6 +52,22 @@ object ScaleCheck {
         "e", "n", "n")))
   }
 
+  /** Deterministic synthetic documents with REAL near-dup structure:
+    * groups of 10 docs share 57 of 60 pseudo-words (3 are doc-salted),
+    * so minhash has genuine ~90%-Jaccard groups to find — a dedup
+    * benchmark over random unrelated text would measure nothing. */
+  def syntheticDocs(spark: SparkSession, scale: Int): DataFrame = {
+    val n = 20000L * scale
+    val grp = floor(col("id") / 10).cast("long")
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", concat(
+        transform(sequence(lit(0), lit(56)),
+          j => concat(lit("w"), pmod(xxhash64(grp, j), lit(5000)))),
+        transform(sequence(lit(57), lit(59)),
+          j => concat(lit("x"), pmod(xxhash64(col("id"), j), lit(5000))))))
+        .as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -106,6 +122,22 @@ object ScaleCheck {
       time("varexpand", sc) {
         session.cypher(g,
           "MATCH (a:N)-[:E*1..2]->(b) RETURN count(*) AS c").head()
+      }
+
+      // pipeline rows over synthetic near-dup documents
+      val docs = graft.impl.Pin(syntheticDocs(spark, sc))
+      docs.count()
+      time("dedup_exact", sc) {
+        graft.pipeline.Dedup.exact(docs, "doc_id", Seq("text")).count()
+      }
+      time("dedup_minhash", sc) {
+        graft.pipeline.Dedup.minhashLsh(docs, "doc_id", "text").count()
+      }
+      time("decontaminate", sc) {
+        // probes = a 1% slice of the corpus itself: every probe hits
+        val probes = docs.filter(col("doc_id") % 100 === 0)
+        graft.pipeline.Decontaminate.flag(
+          docs, probes, "doc_id", "text").count()
       }
     }
 

@@ -103,14 +103,24 @@ object Dedup {
       .select(col("_mh_id"),
         col("_norm").substr(col("_i") + 1, lit(shingleSize)).as("_sh"))
       .withColumn("_h0", xxhash64(col("_sh")))
-    // Universal hashing: hash each shingle once, derive the i-th hash as
-    // a_i * h + b_i (overflowing long arithmetic) — 64 multiply-adds per
-    // shingle instead of 64 string hashes.
+    // Universal hashing: hash each shingle STRING once, derive the i-th
+    // hash as a_i * h + b_i (overflowing long arithmetic — 64 codegen'd
+    // multiply-adds per shingle instead of 64 string hashes). The
+    // deliberate WRAPAROUND raises ARITHMETIC_OVERFLOW under Spark's
+    // default ANSI mode, and Dedup is a plain DataFrame API a user may
+    // call from an ANSI session (the engine's own sessions set
+    // ansi=false) — so ANSI sessions take the xxhash64(h, i) derivation
+    // instead: mode-independent and equally uniform, measured ~1.8x the
+    // multiply-add cost on this stage (r13), which is why it is the
+    // fallback and not the default.
+    val ansi = spark.conf.getOption("spark.sql.ansi.enabled")
+      .exists(_.equalsIgnoreCase("true"))
     val rnd = new scala.util.Random(42)
     val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
     val bs = Array.fill(numHashes)(rnd.nextLong())
     val aggs = (0 until numHashes).map(i =>
-      min(col("_h0") * as(i) + bs(i)).as(s"_h$i"))
+      min(if (ansi) xxhash64(col("_h0"), lit(i))
+          else col("_h0") * as(i) + bs(i)).as(s"_h$i"))
     exploded.groupBy(col("_mh_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("_mh_id"),
