@@ -42,6 +42,24 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
   }
 
+  test("minhash LSH works under ANSI mode (xxhash64 derivation fallback)") {
+    // r13: the multiply-add hash family wraps longs deliberately and
+    // raises ARITHMETIC_OVERFLOW under Spark's default ANSI mode; ANSI
+    // sessions must take the xxhash64 derivation and still pass the
+    // planted-near-dup recall shape above.
+    val key = "spark.sql.ansi.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 5, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 2L)), "exact dup must be found under ANSI")
+      assert(pairs.contains((0L, 5L)) || pairs.contains((2L, 5L)),
+        "near-dup must be found under ANSI")
+    } finally spark.conf.set(key, old)
+  }
+
   test("minhash LSH hot-bucket guard bounds the pair blowup from a mega-cluster") {
     // 60 identical boilerplate docs (the web-corpus mega-cluster) would
     // emit C(60,2)=1770 pairs through ONE bucket per band; with the cap at
