@@ -251,13 +251,20 @@ object Bench {
     val slowest = ok.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // Suspect NAMES travel on the compact line too (VERDICT r13 #2): the
+    // full line's name->barrier map gets front-truncated by the 2000-char
+    // capture window, so without this the driver artifact reports a count
+    // it cannot attribute. Keys only (~16 bytes/row, bounded below).
+    val suspectNames = suspects.keys.toSeq.sorted.take(20)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,""" +
       s""""n":${ok.size},"error_count":${errors.size},""" +
       s""""prepare_sec":${ms(prepSec)},"sentinel_base_sec":${ms(sentBase)},""" +
       s""""barrier_base_sec":${ms(barrierBase)},""" +
       s""""quiet_scan_ref_sec":$QuietScanRefSec,""" +
-      s""""suspect_count":${suspects.size},"contaminated":$contaminated,""" +
+      s""""suspect_count":${suspects.size},"suspect_names":$suspectNames,""" +
+      s""""contaminated":$contaminated,""" +
       s""""sf":"$sfDir","summary":true}"""
     // Hard guarantee: if a pathological row name ever inflates the line past
     // the budget, drop the slowest map rather than risk a cut-off front.
@@ -265,7 +272,7 @@ object Bench {
     println(if (summary.length <= budget) summary else
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},""" +
       s""""n":${ok.size},"error_count":${errors.size},""" +
-      s""""suspect_count":${suspects.size},""" +
+      s""""suspect_count":${suspects.size},"suspect_names":$suspectNames,""" +
       s""""contaminated":$contaminated,"sf":"$sfDir","summary":true}""")
     spark.stop()
   }

@@ -1284,6 +1284,13 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
           case (Some(a), Some(b)) =>
             when(a.isNull || b.isNull, lit(null).cast(BooleanType))
               .otherwise(a === b)
+          case (None, None) =>
+            // Neither side is an entity — reachable when the branch fired
+            // via a DIFFERENT entity item in a mixed list (`1 IN [n, 1]`).
+            // Real equality through the full Cmp ladder (cross-class,
+            // container-ternary, plain), not cross-type-class FALSE
+            // (ADVICE r13).
+            compile(Cmp("=", l, i))
           case _ => // exactly one side is an entity: cross-type-class
             val ic = entityIdCol(i).getOrElse(compile(i))
             when(lc.isNull || ic.isNull, lit(null).cast(BooleanType))

@@ -2447,7 +2447,11 @@ object PipelineQueries {
            ON l.user_id = r.user_id
           AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""",
     // All gap-based sessions (including each user's last — the probe
-    // closed them), keyed by session start.
+    // closed them), keyed by session start. Boundary rule MEASURED and
+    // unit-pinned (StreamingSpec "session_window MERGES on an EXACT-gap
+    // boundary"; ADVICE r13): Spark merges an event at exactly
+    // prev + gap into the running session, so the replay's split is
+    // STRICT `diff > gap` — ties merge, matching Spark exactly.
     "q_stream_session_window" ->
       """WITH x AS (SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

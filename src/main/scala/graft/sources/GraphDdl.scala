@@ -459,6 +459,9 @@ object GraphDdl {
         val st = i + 1
         i = st
         while (i < s.length && s(i) != '`') i += 1
+        if (i >= s.length) fail(
+          "unterminated backtick identifier in Graph DDL: `" +
+            s.substring(st, Math.min(st + 40, s.length)) + "...")
         out += s.substring(st, i)
         i += 1
       } else if (punct.contains(c)) { out += c.toString; i += 1 }

@@ -216,6 +216,24 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(s.viewNames.isEmpty)
   }
 
+  // --- round-13 medium (ADVICE r13): in a MIXED literal list, a
+  // non-entity needle against the non-entity ITEMS must use real equality
+  // — the old `case _` arm caught (None, None) pairs and compiled them to
+  // cross-type-class FALSE, so `1 IN [n, 1]` returned false.
+  test("non-entity needle IN a mixed entity/literal list uses real equality") {
+    val r = rows(
+      "MATCH (n:Person {name: 'alice'}) RETURN 1 IN [n, 1] AS hit, " +
+        "2 IN [n, 1] AS miss, n IN [n, 1] AS self")
+    assert(r === Seq(Seq(true, false, true)))
+  }
+
+  test("null and string needles against mixed lists keep 3VL/cross-class") {
+    val r = rows(
+      "MATCH (n:Person {name: 'alice'}) RETURN 'x' IN [n, 'x'] AS s, " +
+        "null IN [n, 1] AS nu")
+    assert(r === Seq(Seq(true, null)))
+  }
+
   // --- round-7 low: valueType() on a node/relationship variable reported
   // "INTEGER" (the id slot's physical type) instead of the entity type.
   test("valueType reports NODE/RELATIONSHIP for entity variables") {

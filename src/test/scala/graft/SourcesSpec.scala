@@ -302,6 +302,16 @@ class SourcesSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq === Seq("v"))
   }
 
+  test("Graph DDL: unterminated backtick identifier fails loudly") {
+    // ADVICE r13: the tokenizer used to run to end-of-input and swallow
+    // the rest of the DDL into one identifier.
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GraphDdl.parse(spark,
+        "CREATE GRAPH ( (A) FROM `bt_view KEY id )")
+    }
+    assert(e.getMessage.contains("unterminated backtick"))
+  }
+
   test("Graph DDL: relationship label sets and unknown types are classified") {
     def err(ddl: String): String =
       intercept[IllegalArgumentException] {

@@ -243,4 +243,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.filter(col("n_events") <= 0).count() === 0)
     assert(got.filter(col("endTs") < col("startTs")).count() === 0)
   }
+
+  test("session_window MERGES on an EXACT-gap boundary (end-inclusive)") {
+    // ADVICE r13: pin the boundary rule so the q_stream_session_window
+    // DuckDB replay provably matches Spark. Measured (Spark 4.1): an
+    // event at exactly prev_ts + gap MERGES into the previous session —
+    // Spark treats the [ts, ts + gap] closure as overlapping — so the
+    // replay's gaps-and-islands split must use STRICT `diff > gap`
+    // (ties merge), which is exactly what the oracle SQL does.
+    import spark.implicits._
+    val gapUs = 12L * 3600 * 1000000
+    val df = Seq(
+      (1L, 0L, 1.0),
+      (1L, gapUs, 2.0),            // exactly 12 h later -> MERGES
+      (1L, 2 * gapUs + 1000000L, 3.0), // 12 h + 1 s after -> NEW session
+      (2L, 0L, 4.0),
+      (2L, gapUs - 1000000L, 5.0)) // 1 s short of the gap -> merges
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    // session_window is a plain grouping expression — batch mode needs no
+    // watermark machinery and pins the same merge rule the stream uses.
+    val sessions = df
+      .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3))
+    assert(sessions.toSeq === Seq((1L, 2L, 3.0), (1L, 1L, 3.0),
+      (2L, 2L, 9.0)).sortBy(t => (t._1, t._3)))
+  }
 }
