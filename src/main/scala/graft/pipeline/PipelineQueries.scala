@@ -134,6 +134,58 @@ object PipelineQueries {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(staged.toFile)
   }
 
+  /** Three mtime-ordered micro-batch files exercising BOTH sides of
+    * dropDuplicatesWithinWatermark's contract (VERDICT r13 #7):
+    *   b1 = events TWICE in one file  -> within-watermark copies dedup;
+    *   b2 = +20 h probe               -> watermark passes every b1 key's
+    *                                     expiry (ts + 2 h), state evicted;
+    *   b3 = events again, ts +30 days -> same keys AFTER expiry re-emit
+    *                                     (the "within watermark" bound is
+    *                                     a guarantee, not global dedup).
+    * Consumed with maxFilesPerTrigger = 1 so the batches stay distinct. */
+  private def withDedupWmEvents[A](s: SparkSession, dir: String)
+      (f: String => A): A = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_ddwm")
+    try {
+      val ev = graft.streaming.GraftStreaming.eventsBatch(s, s"$dir/events.parquet")
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = staged.resolve(s"_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = {
+          val s0 = java.nio.file.Files.list(tmp)
+          try s0.iterator().asScala.toSeq
+            .find(_.toString.endsWith(".parquet")).get
+          finally s0.close()
+        }
+        val dst = staged.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        dst.toFile.setLastModified(mtime)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      val t0 = System.currentTimeMillis() - 600000L
+      writeOne(ev.unionAll(ev), "b1.parquet", t0)
+      val probes = ev.agg(max(col("ts")).as("m"))
+        .select(lit(-1L).as("event_id"),
+          (col("m") + expr("INTERVAL 20 HOURS")).as("ts"),
+          lit(-1L).as("user_id"), lit("probe").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      writeOne(probes, "b2.parquet", t0 + 120000L)
+      // Spacer probe: the watermark a batch EVICTS with is the one
+      // committed at the END of the previous batch — computed from data
+      // through the batch BEFORE it (dual-watermark lag; measured: without
+      // this spacer the 62 events in the fixture's last 4 h were still in
+      // state at re-ingest and got wrongly deduped).
+      writeOne(probes.withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")),
+        "b3.parquet", t0 + 240000L)
+      // +90 days, NOT +30: the fixture spans ~30 days, so a +30 d shift
+      // would land the OLDEST events behind the probe-advanced watermark
+      // (max + 18 h) and they would be dropped as late, not re-admitted.
+      writeOne(ev.withColumn("ts", col("ts") + expr("INTERVAL 90 DAYS")),
+        "b4.parquet", t0 + 360000L)
+      f(staged.toString)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(staged.toFile)
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -749,6 +801,29 @@ object PipelineQueries {
         java.nio.file.Files.deleteIfExists(p0)
         java.nio.file.Files.deleteIfExists(p1)
         java.nio.file.Files.deleteIfExists(staged)
+      }
+    }),
+    // --- dropDuplicatesWithinWatermark's CONTRACT, both sides: copies
+    //     arriving within the watermark dedup (batch 1 holds every event
+    //     twice); the same keys arriving AFTER their state expired
+    //     (batch 3, +90 days, behind a +20 h watermark probe) re-emit.
+    //     Every real event must therefore surface EXACTLY twice — the
+    //     n_emits histogram collapses to one row and any survivor or
+    //     over-drop forks it into a second row and a loud hash mismatch.
+    "q_stream_dedup_wm" -> ((s, dir) => withDedupWmEvents(s, dir) { stagedDir =>
+      import graft.streaming.GraftStreaming
+      GraftStreaming.withStatePartitions(s, 4) {
+        val deduped = GraftStreaming.dedupStream(
+          GraftStreaming.eventsStream(s, stagedDir, maxFilesPerTrigger = 1))
+        val sink = "q_stream_dedup_wm_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        GraftStreaming.runToMemorySink(deduped, sink)
+          .filter(col("user_id") >= 0)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_emits"),
+            round(sum(col("value")), 4).as("sv2"))
+          .groupBy(col("n_emits"))
+          .agg(count(lit(1)).as("n_ids"), round(sum(col("sv2")), 4).as("sv"))
       }
     }),
     // --- watermark late-data drop, driver-verified: the events split into
@@ -2475,6 +2550,14 @@ object PipelineQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 4) AS sv
          FROM events GROUP BY 1""",
+    // Within-watermark copies (batch 1, doubled) dedup to one; the same
+    // keys re-ingested after state expiry (batch 3) re-emit — so every
+    // event surfaces EXACTLY twice: one histogram row, value-checksummed.
+    "q_stream_dedup_wm" ->
+      """WITH p AS (SELECT event_id, round(2 * sum(value), 4) AS sv2
+           FROM events GROUP BY 1)
+         SELECT CAST(2 AS BIGINT) AS n_emits, CAST(count(*) AS BIGINT) AS n_ids,
+           round(sum(sv2), 4) AS sv FROM p""",
     "q_stream_sessionize" ->
       """WITH x AS (SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
