@@ -393,7 +393,19 @@ object GraphAlgorithms {
     * step is a keyed join + map-side-combinable aggregation; rounds =
     * 2 × BFS depth. Levels are pinned (the backward sweep re-reads them).
     * Nothing materializes per-pair state — memory is O(reached ×
-    * sources-that-reach), the Brandes invariant. */
+    * sources-that-reach), the Brandes invariant.
+    *
+    * Per-round job shape (VERDICT r13 #1, adjudicated by the BetwProbe
+    * A/B): the forward visited set is a LAZY union of the already-pinned
+    * levels (no per-round visited checkpoint write — the anti-join
+    * re-reads cached level blocks), convergence is the 1-row aggregate
+    * that materializes the round's pin, and the backward sweep pins only
+    * the inner-join contrib frame per level — the zero-fill for
+    * contribution-less nodes happens at the USE site (a coalesce inside
+    * the next level's `upper` join) instead of a per-level left-outer
+    * materialization. Measured: 98 → 85 driver-visible jobs and v0 19.8s
+    * → v2 16.9s mean (noisy window; job count is the stable signal —
+    * fewer barriers is what the driver's loud-window readings tax). */
   def betweenness(edges0: DataFrame, sources: DataFrame,
       directed: Boolean = false, maxDepth: Int = 50): DataFrame = {
     val spark = edges0.sparkSession
@@ -404,56 +416,60 @@ object GraphAlgorithms {
         col("src").as("dst")))
     val e = Pin(sym.distinct().repartition(col("src")))
     val src0 = sources.select(col("id").cast(LongType).as("s")).distinct()
-    // forward BFS: levels(k) = (s, v, sigma) first reached at depth k
+    // forward BFS: levels(k) = (s, v, sigma) first reached at depth k.
+    // visited is a lazy union of the pinned levels — no per-round visited
+    // checkpoint; the anti-join re-reads the levels' cached blocks.
     var levels = Vector(Pin(src0.select(col("s"), col("s").as("v"),
       lit(1.0).as("sigma"))))
-    var visited = levels.head.select(col("s"), col("v"))
     var depth = 0
     var go = true
     while (go && depth < maxDepth) {
+      val visited = levels.map(_.select(col("s"), col("v").as("_v2")))
+        .reduce(_.unionByName(_))
       val next = Pin(levels.last
         .join(e, col("v") === col("src"))
         .select(col("s"), col("dst").as("_v2"), col("sigma"))
-        .join(visited.select(col("s"), col("v").as("_v2")),
-          Seq("s", "_v2"), "left_anti")
+        .join(visited, Seq("s", "_v2"), "left_anti")
         .groupBy(col("s"), col("_v2"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("s"), col("_v2").as("v"), col("sigma")))
-      if (next.count() == 0L) go = false
-      else {
-        levels = levels :+ next
-        visited = Pin(visited.unionByName(next.select(col("s"), col("v"))))
-        depth += 1
-      }
+      // Convergence count folded into the aggregate that materializes the
+      // round's pin (the sssp r13 fold): one driver-visible action/round.
+      if (next.agg(count(lit(1))).head().getLong(0) == 0L) go = false
+      else { levels = levels :+ next; depth += 1 }
     }
     if (go) throw new IllegalStateException(
       s"betweenness BFS exceeded $maxDepth levels")
     // backward accumulation: delta(v@k) = sum over BFS-DAG successors w@k+1
     // of sigma(v)/sigma(w) * (1 + delta(w)); bc accumulates non-source rows.
-    // Each level's delta frame is pinned (the next round re-reads it);
-    // the bc accumulation is DEFERRED — one union + aggregation over all
-    // pinned per-level deltas at the end instead of a pinned merge per
-    // round (saves depth-1 materializations; the deltas are pinned
-    // anyway, so the final union re-reads cached blocks).
+    // Only the inner-join contrib frame is pinned per level — nodes with
+    // no lower-level contribution are zero-filled at the USE site (the
+    // coalesce in the next level's `upper` join) rather than through a
+    // per-level left-outer materialization, and the bc accumulation is
+    // DEFERRED — one union + aggregation over all pinned per-level
+    // contribs at the end (absent rows contribute exactly 0 to the sum,
+    // so the zero-fill rows were pure overhead).
     var deltas = Vector.empty[DataFrame]
-    var delta = levels.last.select(col("s"), col("v"), lit(0.0).as("delta"))
+    var contribAbove: DataFrame = null // pinned delta of level k+1; rows absent when 0
     for (k <- (levels.size - 2) to 0 by -1) {
-      val upper = delta
-        .join(levels(k + 1), Seq("s", "v")) // sigma of level k+1 onto delta
-        .select(col("s"), col("v").as("_w"), col("sigma").as("_sw"),
-          col("delta").as("_dw"))
+      val upper =
+        if (contribAbove == null)
+          levels(k + 1).select(col("s"), col("v").as("_w"),
+            col("sigma").as("_sw"), lit(0.0).as("_dw"))
+        else levels(k + 1)
+          .join(contribAbove.withColumnRenamed("delta", "_d"),
+            Seq("s", "v"), "left_outer")
+          .select(col("s"), col("v").as("_w"), col("sigma").as("_sw"),
+            coalesce(col("_d"), lit(0.0)).as("_dw"))
       val contrib = levels(k)
         .join(e, col("v") === col("src"))
         .select(col("s"), col("v"), col("sigma"), col("dst").as("_w"))
         .join(upper, Seq("s", "_w"))
-        .groupBy(col("s"), col("v"), col("sigma"))
+        .groupBy(col("s"), col("v"))
         .agg(sum(col("sigma") / col("_sw") * (lit(1.0) + col("_dw")))
-          .as("_acc"))
-        .select(col("s"), col("v"), col("_acc").as("delta"))
-      delta = Pin(levels(k).select(col("s"), col("v"))
-        .join(contrib, Seq("s", "v"), "left_outer")
-        .select(col("s"), col("v"), coalesce(col("delta"), lit(0.0)).as("delta")))
-      deltas = deltas :+ delta
+          .as("delta"))
+      contribAbove = Pin(contrib)
+      deltas = deltas :+ contribAbove
     }
     val bc: DataFrame =
       if (deltas.isEmpty) null
@@ -1137,24 +1153,31 @@ object GraphAlgorithms {
       else base.unionByName(base.select(col("dst").as("src"),
         col("src").as("dst")))
     val e = Pin(sym.repartition(col("src")))
-    var visited = Pin(sources.select(col("id").cast(LongType).as("s"))
-      .distinct().select(col("s"), col("s").as("v"), lit(0).as("d")))
-    var frontier = visited
-    var fN = frontier.count()
+    // visited is a LAZY union of the pinned per-depth levels (no per-round
+    // visited checkpoint write — the anti-join re-reads cached level
+    // blocks), and the convergence count is the 1-row aggregate that
+    // materializes the round's pin: one driver-visible action per round
+    // (the betweenness/sssp r13-r14 fold, VERDICT r13 #1).
+    var levels = Vector(Pin(sources.select(col("id").cast(LongType).as("s"))
+      .distinct().select(col("s"), col("s").as("v"), lit(0).as("d"))))
     var d = 0
-    while (fN > 0 && d < maxIterations) {
+    var go = true
+    while (go && d < maxIterations) {
       d += 1
+      val frontier = levels.last
+      val visited = levels.map(_.select(col("s"), col("v")))
+        .reduce(_.unionByName(_))
       val next = Pin(e.join(frontier, e("src") === frontier("v"))
         .select(col("s"), col("dst").as("v"), lit(d).as("d"))
         .distinct()
-        .join(visited.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
-      visited = Pin(visited.unionByName(next))
-      frontier = next
-      fN = frontier.count()
+        .join(visited, Seq("s", "v"), "left_anti"))
+      if (next.agg(count(lit(1))).head().getLong(0) == 0L) go = false
+      else levels = levels :+ next
     }
-    if (fN > 0) throw new IllegalStateException(
+    if (go) throw new IllegalStateException(
       s"harmonicCentrality did not finish within $maxIterations BFS " +
         "rounds (raise maxIterations)")
+    val visited = levels.reduce(_.unionByName(_))
     val scores = visited.filter(col("s") =!= col("v"))
       .groupBy(col("v").as("id"))
       .agg(sum(lit(1.0) / col("d")).as("harmonic"))
@@ -1325,24 +1348,29 @@ object GraphAlgorithms {
       else base.unionByName(base.select(col("dst").as("src"),
         col("src").as("dst")))
     val e = Pin(sym.repartition(col("src")))
-    var visited = Pin(sources.select(col("id").cast(LongType).as("s"))
-      .distinct().select(col("s"), col("s").as("v"), lit(0).as("d")))
-    var frontier = visited
-    var fN = frontier.count()
+    // Same per-round job fold as [[harmonicCentrality]]: lazy visited
+    // union over pinned levels + convergence folded into the pin-
+    // materializing aggregate (VERDICT r13 #1).
+    var levels = Vector(Pin(sources.select(col("id").cast(LongType).as("s"))
+      .distinct().select(col("s"), col("s").as("v"), lit(0).as("d"))))
     var d = 0
-    while (fN > 0 && d < maxIterations) {
+    var go = true
+    while (go && d < maxIterations) {
       d += 1
+      val frontier = levels.last
+      val visited = levels.map(_.select(col("s"), col("v")))
+        .reduce(_.unionByName(_))
       val next = Pin(e.join(frontier, e("src") === frontier("v"))
         .select(col("s"), col("dst").as("v"), lit(d).as("d"))
         .distinct()
-        .join(visited.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
-      visited = Pin(visited.unionByName(next))
-      frontier = next
-      fN = frontier.count()
+        .join(visited, Seq("s", "v"), "left_anti"))
+      if (next.agg(count(lit(1))).head().getLong(0) == 0L) go = false
+      else levels = levels :+ next
     }
-    if (fN > 0) throw new IllegalStateException(
+    if (go) throw new IllegalStateException(
       s"closenessCentrality did not finish within $maxIterations BFS " +
         "rounds (raise maxIterations)")
+    val visited = levels.reduce(_.unionByName(_))
     val n = nodeIds(graph).count()
     val agg = visited.filter(col("s") =!= col("v"))
       .groupBy(col("v").as("id"))

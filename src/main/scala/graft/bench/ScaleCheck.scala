@@ -52,6 +52,77 @@ object ScaleCheck {
         "e", "n", "n")))
   }
 
+  /** Layered synthetic DAG for the trail-enumeration rows (VERDICT r13
+    * #4): 6 equal bands by id, every edge goes from band i to band i+1,
+    * so unbounded [*] trails are depth-bounded at 5 exactly like the
+    * TPC-H graph the registry rows run on (the cyclic Zipf graph would
+    * make unbounded trail counts exponential BY CONSTRUCTION, which is
+    * not the claim under test). Out-degree is m/n-proportional and
+    * therefore CONSTANT across scales — per-source trail counts stay
+    * fixed while the edge frame grows 10x, so a frontier-proportional
+    * fixpoint should show exponent <= 1 (the per-round join scans the
+    * 10x edge frame) and a trails-times-graph regression shows up >> 1. */
+  def syntheticDagEdges(spark: SparkSession, scale: Int): DataFrame = {
+    val n = BaseNodes * scale
+    val m = 450000L * scale
+    val band = n / 6
+    val layer = pmod(xxhash64(col("id"), lit(3)), lit(5L))
+    spark.range(m).select(
+      (layer * band + pmod(xxhash64(col("id"), lit(4)), lit(band)))
+        .as("src"),
+      ((layer + 1L) * band + pmod(xxhash64(col("id"), lit(5)), lit(band)))
+        .as("dst"))
+  }
+
+  def syntheticDagGraph(spark: SparkSession, scale: Int): PropertyGraph = {
+    val n = BaseNodes * scale
+    val nodes = spark.range(n).toDF("id")
+    val edges = syntheticDagEdges(spark, scale)
+      .withColumn("rid", monotonically_increasing_id())
+      .select(col("rid"), col("src"), col("dst"))
+    PropertyGraph(
+      Seq(NodeTableDef(Set("N"), nodes, "id", Map("pid" -> "id"), "n")),
+      Seq(RelTableDef("E", edges, "rid", "src", "dst", Map.empty,
+        "e", "n", "n")))
+  }
+
+  /** [[syntheticGraph]] with the raw id exposed as a `pid` node property
+    * (the cypher-driven rows need a property to select sources by;
+    * [[syntheticGraph]] itself stays property-less so the r13 algo rows
+    * keep their exact measured shape). */
+  def syntheticPropGraph(spark: SparkSession, scale: Int): PropertyGraph = {
+    val n = BaseNodes * scale
+    val nodes = spark.range(n).toDF("id")
+    val edges = syntheticEdges(spark, scale)
+      .withColumn("rid", monotonically_increasing_id())
+      .select(col("rid"), col("src"), col("dst"))
+    PropertyGraph(
+      Seq(NodeTableDef(Set("N"), nodes, "id", Map("pid" -> "id"), "n")),
+      Seq(RelTableDef("E", edges, "rid", "src", "dst", Map.empty,
+        "e", "n", "n")))
+  }
+
+  /** Deterministic synthetic events for the streaming state-growth row:
+    * `scale` multiplies BOTH the row count and the key cardinality, so
+    * the windowed-aggregation state (keys x windows) grows 10x while the
+    * time span (and so the window count) stays fixed. */
+  def syntheticEvents(spark: SparkSession, scale: Int): DataFrame = {
+    val n = 200000L * scale
+    val users = 2000L * scale
+    val spanMs = 30L * 24 * 3600 * 1000 // 30 days from a fixed epoch
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_millis(lit(1700000000000L) +
+        pmod(xxhash64(col("id"), lit(11)), lit(spanMs))).as("ts"),
+      pmod(xxhash64(col("id"), lit(12)), lit(users)).as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("buy")),
+        (pmod(xxhash64(col("id"), lit(13)), lit(3L)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(14)), lit(10000L)).cast("double") / 100.0)
+        .as("value"),
+      lit("""{"k":1}""").as("props"))
+  }
+
   /** Deterministic synthetic documents with REAL near-dup structure:
     * groups of 10 docs share 57 of 60 pseudo-words (3 are doc-salted),
     * so minhash has genuine ~90%-Jaccard groups to find — a dedup
@@ -122,6 +193,60 @@ object ScaleCheck {
       time("varexpand", sc) {
         session.cypher(g,
           "MATCH (a:N)-[:E*1..2]->(b) RETURN count(*) AS c").head()
+      }
+      // --- VERDICT r13 #4: the remaining O(?)-risk rows ---
+      // SHORTEST k on the cyclic graph: bounded *1..4, 4 sources. The
+      // out-degree is m/n (constant across scales), so per-source trail
+      // counts are scale-invariant; the cost under test is the per-hop
+      // join against the 10x edge frame.
+      val pg = syntheticPropGraph(spark, sc)
+      time("shortest_k", sc) {
+        session.cypher(pg,
+          "MATCH p = SHORTEST 2 (a:N)-[:E*1..4]->(b:N) WHERE a.pid < 4 " +
+            "RETURN count(*) AS c").head()
+      }
+      // Unbounded [*] fixpoint on the layered DAG (depth-bounded at 5,
+      // like the registry row's TPC-H shape).
+      val dagG = syntheticDagGraph(spark, sc)
+      time("varexpand_unb", sc) {
+        session.cypher(dagG,
+          "MATCH (a:N)-[:E*]->(x) WHERE a.pid < 4 RETURN count(*) AS c")
+          .head()
+      }
+      // CONSTRUCT NEW: fresh-entity id generation over a 10x node set.
+      time("construct_new", sc) {
+        val built = session.cypherGraph(pg,
+          "MATCH (n:N) CONSTRUCT NEW (:R {v: n.pid}) RETURN GRAPH")
+        session.cypher(built, "MATCH (r:R) RETURN count(*) AS c").head()
+      }
+      // Streaming windowed aggregation: state = keys x windows grows 10x
+      // (10x rows AND 10x key cardinality over a fixed 30-day span),
+      // driven end to end through a staged file stream.
+      time("stream_window", sc) {
+        val staged = java.nio.file.Files.createTempDirectory("graft_scale_ev")
+        try {
+          syntheticEvents(spark, sc).coalesce(4)
+            .write.mode("overwrite").parquet(staged.toString)
+          import graft.streaming.GraftStreaming
+          GraftStreaming.withStatePartitions(spark, cpus.toInt) {
+            val stream = GraftStreaming.eventsStream(spark, staged.toString)
+            // Per-USER windowed aggregation — state rows = users x open
+            // windows, so the 10x key cardinality actually lands in the
+            // state store (windowedCounts' (window, type) key set would
+            // stay constant across scales).
+            val counts = stream.withWatermark("ts", "2 hours")
+              .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+              .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+            val sink = "scale_stream_" + sc + "_" +
+              java.util.UUID.randomUUID().toString.replace("-", "")
+            GraftStreaming.runToMemorySink(counts, sink,
+              outputMode = "complete").count()
+          }
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staged).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
 
       // pipeline rows over synthetic near-dup documents
