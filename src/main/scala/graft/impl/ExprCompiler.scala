@@ -25,8 +25,30 @@ object ExprCompiler {
     * identity (ADVICE r12). */
   def isEntityStructType(st: StructType): Boolean =
     st.fieldNames.headOption.contains("_id") &&
+      !st.fields.head.metadata.contains(MapLiteralTag) &&
       (st.fieldNames.contains("_labels") ||
         Seq("_src", "_tgt", "_type").forall(st.fieldNames.contains))
+
+  /** StructField-metadata disambiguation for the one shape the structural
+    * marker test cannot tell apart (ADVICE r12 / VERDICT r13 what's-wrong
+    * #4): a USER map literal `{_id: …, _labels: …}` whose key set equals
+    * the entity marker set. The MapLit compiler stamps this tag on the
+    * literal's `_id` field, and [[isEntityStructType]] treats a tagged
+    * struct as a plain map. The tag direction is deliberately inverted
+    * from the advice (tag the literal, not the entity builders): map
+    * literals are built in exactly one compile site, and if Spark ever
+    * strips field metadata (type reconciliation in unions/CASE), the
+    * failure mode is the pre-r14 collision — never an entity losing its
+    * entity semantics. */
+  val MapLiteralTag = "graft.map_literal"
+  private[impl] val mapLiteralMeta =
+    new MetadataBuilder().putBoolean(MapLiteralTag, true).build()
+
+  /** Would this literal key set collide with the entity marker shape? */
+  def mapKeysCollideWithEntity(keys: Seq[String]): Boolean =
+    keys.headOption.contains("_id") &&
+      (keys.contains("_labels") ||
+        Seq("_src", "_tgt", "_type").forall(keys.contains))
 
   /** Aggregating function names (SURVEY §2.4 inventory). */
   val aggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
@@ -398,11 +420,15 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       else None).orElse(
         Some(ArrayType(items.flatMap(inferType).headOption.getOrElse(NullType))))
     case MapLit(items) =>
+      val collides = ExprCompiler.mapKeysCollideWithEntity(items.map(_._1))
       Some(StructType(items.map { case (k, v) =>
         StructField(k, (v match {
           case Var(n) if !env.contains(n) => entityValueStructType(n)
           case _ => None
-        }).orElse(inferType(v)).getOrElse(NullType))
+        }).orElse(inferType(v)).getOrElse(NullType),
+          nullable = true,
+          metadata = if (collides && k == "_id") ExprCompiler.mapLiteralMeta
+            else Metadata.empty)
       }))
     // Duration algebra keeps the duration struct type.
     case Arith("+" | "-", l, r) if isDuration(l) && isDuration(r) =>
@@ -1180,13 +1206,18 @@ class ExprCompiler(header: RecordHeader, schema: StructType,
       unifyEntities(items).map(array(_: _*))
         .getOrElse(array(items.map(compile): _*))
     case MapLit(items) =>
-      // entity-var values capture the full entity struct ({node: n})
+      // entity-var values capture the full entity struct ({node: n}); a
+      // literal whose keys collide with the entity marker shape gets its
+      // `_id` field tagged so it classifies as a plain map downstream.
+      val collides = ExprCompiler.mapKeysCollideWithEntity(items.map(_._1))
       struct(items.map { case (k, v) =>
-        (v match {
+        val c = v match {
           case Var(n) if !env.contains(n) =>
             entityValueStruct(n).getOrElse(compile(v))
           case _ => compile(v)
-        }).as(k)
+        }
+        if (collides && k == "_id") c.as(k, ExprCompiler.mapLiteralMeta)
+        else c.as(k)
       }: _*)
 
     case Ands(es) => es.map(compileBoolOperand).reduce(_ && _)

