@@ -90,7 +90,10 @@ object GraphAlgorithms {
     // persist on a cluster): lineage is cut immediately (bounded plans across
     // rounds), blocks are materialized by the next action that reads them.
     val n = nodeIds(graph).count()
-    val e = validated(edges(graph, relTypes), graph)
+    // One src exchange feeds the degree aggregation AND the links join on
+    // both sides (r14, guide §2.4) — the old shape shuffled the edge frame
+    // twice (groupBy input + join left).
+    val e = validated(edges(graph, relTypes), graph).repartition(col("src"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // The src-keyed equi-join already hash-partitions links on src — the
     // partitioning every per-round join needs. Pinning preserves the
@@ -157,14 +160,17 @@ object GraphAlgorithms {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
           StructField("w", DoubleType)))))
-    val outW = typed.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val links = Pin(typed.join(outW, "src"))
+    // Same single-exchange links construction as pageRank (r14).
+    val typedP = typed.repartition(col("src"))
+    val outW = typedP.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val links = Pin(typedP.join(outW, "src"))
     val connected = Pin(typed.select(col("src").as("id"))
       .unionByName(typed.select(col("dst").as("id"))).distinct())
     var isoRank = 1.0
     var ranks = connected.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = links.join(ranks, links("src") === ranks("id"))
+      val contribs = links.join(ranks.hint("shuffle_hash"),
+          links("src") === ranks("id"))
         .select(col("dst").as("id"),
           (col("rank") * col("w") / col("outw")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
@@ -189,7 +195,9 @@ object GraphAlgorithms {
     * re-shuffles the edge side (shared by [[pageRank]] and
     * [[personalizedPageRank]]). */
   private[graft] def rankContribs(links: DataFrame, ranks: DataFrame): DataFrame =
-    links.join(ranks, links("src") === ranks("id"))
+    // shuffle_hash on the rank side: links is the pinned fact frame and a
+    // sort-merge join would re-sort it every round (r14, guide §3.1).
+    links.join(ranks.hint("shuffle_hash"), links("src") === ranks("id"))
       .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
       .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
 
@@ -303,17 +311,26 @@ object GraphAlgorithms {
     * residual skew. */
   def triangleCountEdges(edges0: DataFrame): DataFrame = {
     // canonical undirected form: low id -> high id, deduped, no loops
+    // Dedup rides the hash(a) repartition (one exchange, not two — r14,
+    // guide §2.4); the pinned hash(a) partitioning is consumed free by
+    // orientByDegree's a-side attachment join and satisfies the closing
+    // semi-join's (a, b) clustering.
     val canon = Pin(edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct())
+      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
     val oriented = orientByDegree(canon)
     val wedges = wedgeJoin(oriented)
-    // close against the canonical edge set (orientation-agnostic keys)
-    wedges.join(canon,
-        least(col("x"), col("y")) === col("a") &&
-          greatest(col("x"), col("y")) === col("b"), "left_semi")
+    // Close against the canonical edge set. wedgeJoin guarantees x < y
+    // (e1.v < e2.v), so the keys are plain (x, y) = (a, b) — no
+    // least/greatest evaluation on the fat side. The canon side is
+    // hinted shuffle_hash: the wedge side is orders of magnitude larger
+    // (O(Σ fwd_deg²) rows vs m) and a sort-merge join would SORT it —
+    // the measured dominant cost of this query family (guide §3.1);
+    // hashing the m-row canon partitions is the right asymmetric build.
+    wedges.join(canon.hint("shuffle_hash"),
+        col("x") === col("a") && col("y") === col("b"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
   }
 
@@ -325,18 +342,24 @@ object GraphAlgorithms {
     * one extra explode+aggregate attributes each closed triangle to its
     * three corners. Returns (id, triangles, lcc). */
   def localClusteringCoefficient(edges0: DataFrame): DataFrame = {
+    // Dedup rides the hash(a) repartition (one exchange, not two — r14,
+    // guide §2.4); the pinned hash(a) partitioning is consumed free by
+    // orientByDegree's a-side attachment join and satisfies the closing
+    // semi-join's (a, b) clustering.
     val canon = Pin(edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct())
+      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
     val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val oriented = orientByDegree(canon)
+    // Same closing-join shape as triangleCountEdges: plain (x, y) keys
+    // (wedgeJoin guarantees x < y) + shuffle_hash on the small canon side
+    // so the fat wedge side is never sorted.
     val tri = wedgeJoin(oriented)
-      .join(canon,
-        least(col("x"), col("y")) === col("a") &&
-          greatest(col("x"), col("y")) === col("b"), "left_semi")
+      .join(canon.hint("shuffle_hash"),
+        col("x") === col("a") && col("y") === col("b"), "left_semi")
     val perNode = tri
       .select(explode(array(col("w0"), col("x"), col("y"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("t"))
@@ -357,9 +380,13 @@ object GraphAlgorithms {
   private[graft] def orientByDegree(canon: DataFrame): DataFrame = {
     val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+    // shuffle_hash on the n-row degree side keeps the m-row canon side
+    // unsorted through both attachment joins (guide §3.1).
     val ranked = canon
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .join(deg.select(col("id").as("a"), col("deg").as("da"))
+        .hint("shuffle_hash"), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db"))
+        .hint("shuffle_hash"), "b")
     val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
     Pin(ranked.select(
       when(fwd, col("a")).otherwise(col("b")).as("u"),
@@ -414,7 +441,13 @@ object GraphAlgorithms {
     val sym = if (directed) base
       else base.unionByName(base.select(col("dst").as("src"),
         col("src").as("dst")))
-    val e = Pin(sym.distinct().repartition(col("src")))
+    // One exchange, not two: repartition on src, then dedup in place —
+    // hash(src) satisfies the (src, dst) clustering the dedup aggregate
+    // needs, so no second full edge shuffle, and the pinned frame keeps
+    // the hash(src) partitioning every per-round join consumes (r14,
+    // guide §2.4).
+    val e = Pin(sym.repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst")))
     val src0 = sources.select(col("id").cast(LongType).as("s")).distinct()
     // forward BFS: levels(k) = (s, v, sigma) first reached at depth k.
     // visited is a lazy union of the pinned levels — no per-round visited
@@ -426,12 +459,20 @@ object GraphAlgorithms {
     while (go && depth < maxDepth) {
       val visited = levels.map(_.select(col("s"), col("v").as("_v2")))
         .reduce(_.unionByName(_))
-      val next = Pin(levels.last
+      // Aggregate BEFORE the visited anti-join (r14): exclusion is
+      // all-or-nothing per (s, v) — a visited node's whole sigma group is
+      // dropped — so the order is free, and aggregating first (a) shrinks
+      // the anti-join's probe side from the raw expansion to one row per
+      // (s, v), (b) rides the map-side partial aggregation through the
+      // one fat exchange, and (c) leaves the probe side hash(s, _v2)
+      // partitioned so the anti-join adds no exchange on it. The visited
+      // side is the hash build (SMJ would sort both sides every round).
+      val next = Pin(levels.last.hint("shuffle_hash")
         .join(e, col("v") === col("src"))
         .select(col("s"), col("dst").as("_v2"), col("sigma"))
-        .join(visited, Seq("s", "_v2"), "left_anti")
         .groupBy(col("s"), col("_v2"))
         .agg(sum(col("sigma")).as("sigma"))
+        .join(visited.hint("shuffle_hash"), Seq("s", "_v2"), "left_anti")
         .select(col("s"), col("_v2").as("v"), col("sigma")))
       // Convergence count folded into the aggregate that materializes the
       // round's pin (the sssp r13 fold): one driver-visible action/round.
@@ -461,7 +502,7 @@ object GraphAlgorithms {
             Seq("s", "v"), "left_outer")
           .select(col("s"), col("v").as("_w"), col("sigma").as("_sw"),
             coalesce(col("_d"), lit(0.0)).as("_dw"))
-      val contrib = levels(k)
+      val contrib = levels(k).hint("shuffle_hash")
         .join(e, col("v") === col("src"))
         .select(col("s"), col("v"), col("sigma"), col("dst").as("_w"))
         .join(upper, Seq("s", "_w"))
@@ -503,9 +544,10 @@ object GraphAlgorithms {
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
-      .join(canon,
-        least(col("x"), col("y")) === col("a") &&
-          greatest(col("x"), col("y")) === col("b"), "left_semi")
+      // plain (x, y) keys (x < y by construction) + shuffle_hash on the
+      // small canon side — see triangleCountEdges.
+      .join(canon.hint("shuffle_hash"),
+        col("x") === col("a") && col("y") === col("b"), "left_semi")
     tri.select(explode(array(
         struct(least(col("u"), col("x")).as("a"),
           greatest(col("u"), col("x")).as("b")),
@@ -533,11 +575,12 @@ object GraphAlgorithms {
   def kTrussEdges(edges0: DataFrame, k: Int,
       maxIterations: Int = 50): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
+    // Same single-exchange canonicalization as triangleCountEdges (r14).
     var cur = Pin(edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct())
+      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
     var n = cur.count()
     var changed = n > 0
     var it = 0
@@ -610,8 +653,10 @@ object GraphAlgorithms {
       // cached blocks instead of writing two more block sets per round
       // (three pins per round measured ~15% slower at sf0.1). Lineage
       // stays flat: both chains root at this round's pinned frame.
+      // shuffle_hash on the (smaller) candidate side: SMJ would sort the
+      // full dist frame every round (r14, guide §3.1).
       val merged = Pin(dist.withColumnRenamed("dist", "old")
-        .join(cand, Seq("id"), "full_outer"))
+        .join(cand.hint("shuffle_hash"), Seq("id"), "full_outer"))
       val improved = col("nd").isNotNull &&
         (col("old").isNull || col("nd") < col("old"))
       frontier = merged.filter(improved)
@@ -650,7 +695,10 @@ object GraphAlgorithms {
   def personalizedPageRank(graph: PropertyGraph, seeds: DataFrame,
       iterations: Int = 10, damping: Double = 0.85,
       relTypes: Seq[String] = Seq.empty): DataFrame = {
-    val e = validated(edges(graph, relTypes), graph)
+    // One src exchange feeds the degree aggregation AND the links join on
+    // both sides (r14, guide §2.4) — the old shape shuffled the edge frame
+    // twice (groupBy input + join left).
+    val e = validated(edges(graph, relTypes), graph).repartition(col("src"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val links = Pin(e.join(outDeg, "src"))
     val seedIds = seeds.select(col("id").cast(LongType).as("id")).distinct()
@@ -723,13 +771,15 @@ object GraphAlgorithms {
         .otherwise(s)
     var it = 0
     while (it < iterations) {
-      val authSums = e.join(scores, e("src") === scores("id"))
+      val authSums = e.join(scores.hint("shuffle_hash"),
+          e("src") === scores("id"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("_a"),
           count(lit(1)).as("_ac"))
       val withAuth = Pin(nodes.join(authSums, nodes("id") === authSums("dst"),
           "left_outer")
         .select(col("id"), sumOr(col("_a"), col("_ac")).as("auth")))
-      val hubSums = e.join(withAuth, e("dst") === withAuth("id"))
+      val hubSums = e.join(withAuth.hint("shuffle_hash"),
+          e("dst") === withAuth("id"))
         .groupBy(col("src")).agg(sum(col("auth")).as("_h"),
           count(lit(1)).as("_hc"))
       scores = Pin(withAuth.join(hubSums, withAuth("id") === hubSums("src"),
@@ -760,13 +810,19 @@ object GraphAlgorithms {
     * is independent of partitioning and aggregation order — which also
     * lets a SQL oracle replay it bit-for-bit. */
   def degreeAssortativity(edges0: DataFrame): DataFrame = {
-    val canon = edges0
+    // One exchange, not three (r14, guide §2.4): dedup rides the hash(a)
+    // repartition of the symmetrized union (hash(a) satisfies the (a, b)
+    // dedup clustering — the arms are disjoint, a<b vs a>b, so the result
+    // set is the old canon∪reverse exactly), and the pinned hash(a)
+    // partitioning feeds the degree aggregation and the x-attachment join
+    // below with no further shuffle.
+    val raw = edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    val sym = Pin(canon.unionByName(
-      canon.select(col("b").as("a"), col("a").as("b"))))
+    val sym = Pin(raw.unionByName(
+        raw.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
     val dec = DecimalType(38, 0)
     val pairs = sym
@@ -803,8 +859,12 @@ object GraphAlgorithms {
   def labelPropagation(graph: PropertyGraph,
       relTypes: Seq[String] = Seq.empty, maxIterations: Int = 10): DataFrame = {
     val e0 = validated(edges(graph, relTypes), graph)
+    // One exchange, not two: hash(dst) satisfies the (src, dst) dedup
+    // clustering, and the pinned partitioning feeds every round's
+    // labels-join (r14, guide §2.4).
     val und = Pin(e0.unionByName(e0.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct().repartition(col("dst")))
+        col("src").as("dst")))
+      .repartition(col("dst")).dropDuplicates(Seq("src", "dst")))
     var lbl = Pin(und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     var changed = 1L
@@ -846,21 +906,28 @@ object GraphAlgorithms {
   def kCoreEdges(edges0: DataFrame, k: Int,
       maxIterations: Int = 50): DataFrame = {
     require(k >= 1, "k >= 1")
-    val canon = edges0.filter(col("src") =!= col("dst"))
+    // Same single-exchange canonicalization as degreeAssortativity (r14,
+    // guide §2.4); the pinned hash(a) feeds the first round's degree
+    // aggregation and a-semi-join shuffle-free.
+    val raw = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    var sym = Pin(canon.unionByName(
-      canon.select(col("b").as("a"), col("a").as("b"))))
+    var sym = Pin(raw.unionByName(
+        raw.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
     var nEdges = sym.count()
     var prev = -1L
     var it = 0
     while (nEdges != prev && nEdges > 0 && it < maxIterations) {
       val keep = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("a"))
+      // b-semi first, a-semi LAST: left-semi preserves the left side's
+      // partitioning, so the round's output is pinned hash(a) — exactly
+      // what the NEXT round's degree aggregation and a-semi consume
+      // (semi-joins commute, so the order is free — r14, guide §2.4).
       val next = Pin(sym
-        .join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .join(keep, Seq("a"), "left_semi")
         .select(col("a"), col("b")))
       prev = nEdges
       nEdges = next.count()
@@ -922,7 +989,10 @@ object GraphAlgorithms {
       val dec = topoDecrements(e, frontier)
       // ONE lazy pin per round; frontier/indeg are cheap projections of it
       // (the sssp merged-frame pattern).
-      val merged = Pin(indeg.join(dec, Seq("id"), "left_outer")
+      // shuffle_hash on the (front-sized) decrement side: SMJ would sort
+      // the full in-degree frame every round (r14, guide §3.1).
+      val merged = Pin(indeg.join(dec.hint("shuffle_hash"),
+          Seq("id"), "left_outer")
         .select(col("id"),
           (col("d") - coalesce(col("rm"), lit(0L))).as("d")))
       level += 1
@@ -1057,7 +1127,9 @@ object GraphAlgorithms {
     * (only the small front shuffles — package-private so AlgosSpec pins
     * the plan shape, same contract as [[ssspCandidates]]). */
   private[graft] def topoDecrements(e: DataFrame, front: DataFrame): DataFrame =
-    e.join(front.select(col("id").as("src")), "src")
+    // shuffle_hash on the front — same no-sort-of-the-pinned-edges rule
+    // as ssspCandidates (r14, guide §3.1).
+    e.join(front.select(col("id").as("src")).hint("shuffle_hash"), "src")
       .groupBy(col("dst").as("id")).agg(count(lit(1)).as("rm"))
 
   /** One SSSP propagation round: candidate distances reached from the
@@ -1067,7 +1139,11 @@ object GraphAlgorithms {
     * so AlgosSpec can pin the plan shape; losing it would re-shuffle the
     * full edge set every round at scale. */
   private[graft] def ssspCandidates(e: DataFrame, frontier: DataFrame): DataFrame =
-    e.join(frontier, e("src") === frontier("id"))
+    // shuffle_hash on the frontier: a sort-merge join would SORT the
+    // pinned edge frame every round (the pin preserves partitioning, not
+    // order); hashing the frontier partition is the per-round-cheap build
+    // (r14, guide §3.1).
+    e.join(frontier.hint("shuffle_hash"), e("src") === frontier("id"))
       .select(e("dst").as("id"), (col("dist") + col("w")).as("nd"))
       .groupBy("id").agg(min("nd").as("nd"))
 
@@ -1148,11 +1224,18 @@ object GraphAlgorithms {
       maxIterations: Int = 50): DataFrame = {
     val e0 = validated(edges(graph, relTypes), graph)
       .filter(col("src") =!= col("dst"))
-    val base = e0.select(col("src"), col("dst")).distinct()
+    val base = e0.select(col("src"), col("dst"))
     val sym = if (directed) base
       else base.unionByName(base.select(col("dst").as("src"),
         col("src").as("dst")))
-    val e = Pin(sym.repartition(col("src")))
+    // One exchange, not two (r14, guide §2.4): the old shape deduped the
+    // directed base (one full shuffle) and re-shuffled the symmetrized
+    // union on src; hash(src) satisfies the (src, dst) dedup clustering,
+    // so one repartition + in-place dedup does both — and dedups ACROSS
+    // the union arms too (harmless: every BFS level dedups (s, v), so
+    // edge multiplicity never reaches the scores).
+    val e = Pin(sym.repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst")))
     // visited is a LAZY union of the pinned per-depth levels (no per-round
     // visited checkpoint write — the anti-join re-reads cached level
     // blocks), and the convergence count is the 1-row aggregate that
@@ -1167,10 +1250,16 @@ object GraphAlgorithms {
       val frontier = levels.last
       val visited = levels.map(_.select(col("s"), col("v")))
         .reduce(_.unionByName(_))
-      val next = Pin(e.join(frontier, e("src") === frontier("v"))
+      val next = Pin(e.join(frontier.hint("shuffle_hash"),
+          e("src") === frontier("v"))
         .select(col("s"), col("dst").as("v"), lit(d).as("d"))
-        .distinct()
-        .join(visited, Seq("s", "v"), "left_anti"))
+        // dedup on (s, v) only — d is a per-level constant, so this is
+        // the old full-row distinct, but the dedup's hash(s, v) output
+        // partitioning now feeds the anti-join probe side exchange-free;
+        // the visited side is the hash build (no per-round sort of
+        // either side — r14, guide §2.4/§3.1).
+        .dropDuplicates(Seq("s", "v"))
+        .join(visited.hint("shuffle_hash"), Seq("s", "v"), "left_anti"))
       if (next.agg(count(lit(1))).head().getLong(0) == 0L) go = false
       else levels = levels :+ next
     }
@@ -1195,8 +1284,16 @@ object GraphAlgorithms {
   def harmonicCentralityHll(edges0: DataFrame, maxIterations: Int = 50,
       lgK: Int = 12): DataFrame = {
     val spark = edges0.sparkSession
-    val sym = Pin(symNeighbors(edges0)
-      .repartition(spark.sparkContext.defaultParallelism, col("v")))
+    // One exchange, not two (r14, guide §2.4): the neighbor dedup rides
+    // the hash(v) repartition every hop's sketch join consumes (hash(v)
+    // satisfies the (u, v) dedup clustering).
+    val sym = Pin {
+      val e = edges0.filter(col("src") =!= col("dst"))
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+        .repartition(spark.sparkContext.defaultParallelism, col("v"))
+        .dropDuplicates(Seq("u", "v"))
+    }
     var state = Pin {
       val init = sym.select(col("u").as("id"))
         .groupBy(col("id"))
@@ -1239,8 +1336,16 @@ object GraphAlgorithms {
 
   def neighborhoodHll(edges0: DataFrame, maxHops: Int, lgK: Int = 12): DataFrame = {
     val spark = edges0.sparkSession
-    val sym = Pin(symNeighbors(edges0)
-      .repartition(spark.sparkContext.defaultParallelism, col("v")))
+    // One exchange, not two (r14, guide §2.4): the neighbor dedup rides
+    // the hash(v) repartition every hop's sketch join consumes (hash(v)
+    // satisfies the (u, v) dedup clustering).
+    val sym = Pin {
+      val e = edges0.filter(col("src") =!= col("dst"))
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+        .repartition(spark.sparkContext.defaultParallelism, col("v"))
+        .dropDuplicates(Seq("u", "v"))
+    }
     var sk = Pin(sym.select(col("u").as("id"))
       .groupBy(col("id"))
       .agg(hll_sketch_agg(col("id"), lgK).as("sk")))
@@ -1280,7 +1385,13 @@ object GraphAlgorithms {
       degreeCutoff: Int = 1, similarityCutoff: Double = 0.0,
       maxTargetDegree: Int = Int.MaxValue,
       metric: String = "jaccard"): DataFrame = {
-    val e = edges0.select(col("src"), col("dst")).distinct()
+    // One exchange feeds dedup, degree aggregation AND the degree
+    // attachment join (r14, guide §2.4): hash(src) satisfies the
+    // (src, dst) dedup clustering, the groupBy(src), and the src-keyed
+    // join on both sides — the old distinct-then-groupBy-then-join shape
+    // shuffled the edge frame three times.
+    val e = edges0.select(col("src"), col("dst"))
+      .repartition(col("src")).dropDuplicates(Seq("src", "dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= degreeCutoff)
     val ed0 = e.join(deg, "src")
@@ -1343,11 +1454,18 @@ object GraphAlgorithms {
       wassermanFaust: Boolean = false, maxIterations: Int = 50): DataFrame = {
     val e0 = validated(edges(graph, relTypes), graph)
       .filter(col("src") =!= col("dst"))
-    val base = e0.select(col("src"), col("dst")).distinct()
+    val base = e0.select(col("src"), col("dst"))
     val sym = if (directed) base
       else base.unionByName(base.select(col("dst").as("src"),
         col("src").as("dst")))
-    val e = Pin(sym.repartition(col("src")))
+    // One exchange, not two (r14, guide §2.4): the old shape deduped the
+    // directed base (one full shuffle) and re-shuffled the symmetrized
+    // union on src; hash(src) satisfies the (src, dst) dedup clustering,
+    // so one repartition + in-place dedup does both — and dedups ACROSS
+    // the union arms too (harmless: every BFS level dedups (s, v), so
+    // edge multiplicity never reaches the scores).
+    val e = Pin(sym.repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst")))
     // Same per-round job fold as [[harmonicCentrality]]: lazy visited
     // union over pinned levels + convergence folded into the pin-
     // materializing aggregate (VERDICT r13 #1).
@@ -1360,10 +1478,16 @@ object GraphAlgorithms {
       val frontier = levels.last
       val visited = levels.map(_.select(col("s"), col("v")))
         .reduce(_.unionByName(_))
-      val next = Pin(e.join(frontier, e("src") === frontier("v"))
+      val next = Pin(e.join(frontier.hint("shuffle_hash"),
+          e("src") === frontier("v"))
         .select(col("s"), col("dst").as("v"), lit(d).as("d"))
-        .distinct()
-        .join(visited, Seq("s", "v"), "left_anti"))
+        // dedup on (s, v) only — d is a per-level constant, so this is
+        // the old full-row distinct, but the dedup's hash(s, v) output
+        // partitioning now feeds the anti-join probe side exchange-free;
+        // the visited side is the hash build (no per-round sort of
+        // either side — r14, guide §2.4/§3.1).
+        .dropDuplicates(Seq("s", "v"))
+        .join(visited.hint("shuffle_hash"), Seq("s", "v"), "left_anti"))
       if (next.agg(count(lit(1))).head().getLong(0) == 0L) go = false
       else levels = levels :+ next
     }
@@ -1411,7 +1535,8 @@ object GraphAlgorithms {
       .unionByName(e.select(col("dst").as("id"))).distinct())
     var x = connected.select(col("id"), lit(1.0).as("score"))
     for (_ <- 1 to iterations) {
-      val contrib = links.join(x, links("src") === x("id"))
+      val contrib = links.join(x.hint("shuffle_hash"),
+          links("src") === x("id"))
         .groupBy(links("dst").as("id"))
         .agg(sum(col("score")).as("raw"))
       val received = Pin(connected.join(contrib, Seq("id"), "left_outer")
@@ -1450,11 +1575,17 @@ object GraphAlgorithms {
       resolution: Double = 1.0): DataFrame = {
     // Symmetric non-self rows (u,v,w) both directions; self-loop weight
     // accumulates during coarsening as selfw(u).
-    val base = edges0.select(col("src"), col("dst")).distinct()
+    // One exchange, not three (r14, guide §2.4): the old shape deduped
+    // the directed base, then deduped the symmetrized union again (both
+    // full shuffles); one repartition on u + in-place (u, v) dedup yields
+    // the identical symmetric set, and the pinned hash(u) partitioning is
+    // what every sweep's mover join and degree aggregation consume.
+    val base = edges0.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     var sym = Pin(base.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(base.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().withColumn("w", lit(1.0)))
+      .repartition(col("u")).dropDuplicates(Seq("u", "v"))
+      .withColumn("w", lit(1.0)))
     var selfw = sym.select(col("u").as("id")).distinct()
       .withColumn("sw", lit(0.0))
     // orig node -> current super-node (starts as identity).
@@ -1610,7 +1741,10 @@ object GraphAlgorithms {
     * per round, isolated nodes never iterate. */
   def articleRank(graph: PropertyGraph, iterations: Int = 10,
       damping: Double = 0.85, relTypes: Seq[String] = Seq.empty): DataFrame = {
-    val e = validated(edges(graph, relTypes), graph)
+    // One src exchange feeds the degree aggregation AND the links join on
+    // both sides (r14, guide §2.4) — the old shape shuffled the edge frame
+    // twice (groupBy input + join left).
+    val e = validated(edges(graph, relTypes), graph).repartition(col("src"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val links = Pin(e.join(outDeg, "src"))
     val connected = Pin(e.select(col("src").as("id"))
@@ -1619,7 +1753,8 @@ object GraphAlgorithms {
     val avgDeg = if (nConn == 0L) 0.0 else e.count().toDouble / nConn
     var ranks = connected.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = links.join(ranks, links("src") === ranks("id"))
+      val contribs = links.join(ranks.hint("shuffle_hash"),
+          links("src") === ranks("id"))
         .select(col("dst").as("id"),
           (col("rank") / (col("deg") + lit(avgDeg))).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
@@ -1641,11 +1776,15 @@ object GraphAlgorithms {
     * division is bit-deterministic and the oracle replays it without
     * rounding. Returns 1 row (triangles, wedges, transitivity). */
   def transitivityEdges(edges0: DataFrame): DataFrame = {
+    // Dedup rides the hash(a) repartition (one exchange, not two — r14,
+    // guide §2.4); the pinned hash(a) partitioning is consumed free by
+    // orientByDegree's a-side attachment join and satisfies the closing
+    // semi-join's (a, b) clustering.
     val canon = Pin(edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct())
+      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
     // Σ deg·(deg−1) stays an exact LONG end to end; the halving is an
     // integer `div` (the product is always even), never a double.
     val wedges = canon.select(explode(array(col("a"), col("b"))).as("id"))
@@ -1654,9 +1793,8 @@ object GraphAlgorithms {
       .select(expr("w2 div 2").as("wedges"))
     val tri = {
       val oriented = orientByDegree(canon)
-      wedgeJoin(oriented).join(canon,
-          least(col("x"), col("y")) === col("a") &&
-            greatest(col("x"), col("y")) === col("b"), "left_semi")
+      wedgeJoin(oriented).join(canon.hint("shuffle_hash"),
+          col("x") === col("a") && col("y") === col("b"), "left_semi")
         .agg(count(lit(1)).as("triangles"))
     }
     tri.crossJoin(wedges) // both are 1-row aggregates: a broadcast join
@@ -1680,11 +1818,13 @@ object GraphAlgorithms {
     * the final per-community doubles, so the oracle replays to a rounded
     * match. Returns 1 row (m, communities, modularity). */
   def modularityEdges(edges0: DataFrame, assign: DataFrame): DataFrame = {
+    // Single-exchange canonicalization (r14, guide §2.4): hash(a) rides
+    // into the a-side assignment join below.
     val canon = edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .repartition(col("a")).dropDuplicates(Seq("a", "b"))
     val tagged = Pin(canon
       .join(assign.select(col("id").as("a"), col("community").as("ca")), Seq("a"))
       .join(assign.select(col("id").as("b"), col("community").as("cb")), Seq("b")))

@@ -1191,9 +1191,12 @@ object PipelineQueries {
       val lp = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // No .distinct() here: localClusteringCoefficient canonicalizes and
+      // dedups internally — the outer distinct was a second full shuffle
+      // of the pair frame for nothing (r14, guide §2.4).
       val pairs = lp.as("x").join(lp.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
       graft.algos.GraphAlgorithms.localClusteringCoefficient(pairs)
         .groupBy(round(col("lcc"), 4).as("lcc"))
         .agg(count(lit(1)).as("n"))
@@ -1207,9 +1210,11 @@ object PipelineQueries {
       val lp = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // No .distinct() here: louvain's base canonicalization dedups —
+      // the outer distinct was a redundant full pair-frame shuffle (r14).
       val pairs = lp.as("x").join(lp.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
       graft.algos.GraphAlgorithms.louvain(pairs, levels = 1, sweeps = 2)
         .groupBy(col("community")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n"))

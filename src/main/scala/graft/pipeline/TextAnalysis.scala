@@ -147,10 +147,16 @@ object TextAnalysis {
     val spark = df.sparkSession
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
     // Referenced twice (attribution build + join-back) and deliberately
-    // NOT pinned: the explode+substr+distinct is cheap codegen, and
+    // NOT pinned: the explode+substr+dedup is cheap codegen, and
     // measuring both ways showed materializing the gram frame
     // (localCheckpoint) costs more than recomputing it — unlike Dedup's
     // shingle frame, whose three consumers tip the trade the other way.
+    // The fat gram frame crosses the network ONCE (r14, guide §2.4): the
+    // dedup rides the hash(_g) repartition (hash(_g) satisfies the
+    // (_g, id) dedup clustering), which is also exactly the partitioning
+    // the first-seen aggregation and the join-back consume — the old
+    // distinct-then-groupBy-then-join shape shuffled the gram frame three
+    // times; both consumers now share the single exchange.
     val grams = df
       .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol), norm.as("_s"))
@@ -159,7 +165,8 @@ object TextAnalysis {
           .as("_i"),
         col("_s"))
       .select(col(idCol), col("_s").substr(col("_i") + 1, lit(n)).as("_g"))
-      .distinct()
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("_g"))
+      .dropDuplicates("_g", idCol)
     val firstSeen = grams.groupBy(col("_g")).agg(min(col(idCol)).as("_first"))
     grams.join(firstSeen, "_g")
       .groupBy(col(idCol))
