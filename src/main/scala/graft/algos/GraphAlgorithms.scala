@@ -256,13 +256,17 @@ object GraphAlgorithms {
       val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val ls = sym.join(lsMin, "u")
+      // Dedup rides the hash(u) repartition (one exchange), which the
+      // small-star aggregation and join then consume free; shuffle_hash
+      // on the min side keeps the fat edge side unsorted (r14,
+      // guide §2.4/§3.1).
+      val ls = sym.join(lsMin.hint("shuffle_hash"), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+        .repartition(col("u")).dropDuplicates(Seq("u", "v"))
       // small-star over the (u > v) oriented edges
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, "u")
+      val ss = ls.join(ssMin.hint("shuffle_hash"), "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
@@ -1048,7 +1052,10 @@ object GraphAlgorithms {
       relTypes: Seq[String] = Seq.empty, maxOuterRounds: Int = 50,
       maxInnerRounds: Int = 100): DataFrame = {
     val e0 = validated(edges(graph, relTypes), graph)
-    var rem = Pin(e0.filter(col("src") =!= col("dst")).distinct())
+    // Single-exchange dedup (r14, guide §2.4): the pinned hash(src)
+    // partitioning feeds every inner color round's rem-side join free.
+    var rem = Pin(e0.filter(col("src") =!= col("dst"))
+      .repartition(col("src")).dropDuplicates(Seq("src", "dst")))
     var active = Pin(rem.select(col("src").as("id"))
       .unionByName(rem.select(col("dst").as("id"))).distinct())
     var activeN = active.count()
@@ -1063,10 +1070,14 @@ object GraphAlgorithms {
       var curSum = color.agg(sum(col("c").cast(dec))).head().getDecimal(0)
       var inner = 0
       while (prevSum != curSum && inner < maxInnerRounds) {
-        val fromPred = rem.join(color, rem("src") === color("id"))
+        // shuffle_hash on the color side: rem is the pinned fact frame —
+        // never re-shuffled (hash(src) consumed) and never re-sorted.
+        val fromPred = rem.join(color.hint("shuffle_hash"),
+            rem("src") === color("id"))
           .select(rem("dst").as("id"), col("c"))
           .groupBy(col("id")).agg(min(col("c")).as("pc"))
-        val next = Pin(color.join(fromPred, Seq("id"), "left_outer")
+        val next = Pin(color.join(fromPred.hint("shuffle_hash"),
+          Seq("id"), "left_outer")
           .select(col("id"),
             least(col("c"), coalesce(col("pc"), col("c"))).as("c")))
         prevSum = curSum
@@ -1088,7 +1099,8 @@ object GraphAlgorithms {
       var prevMark = -1L
       inner = 0
       while (markN != prevMark && inner < maxInnerRounds) {
-        val grown = intra.join(mark.select(col("id").as("dst")), "dst")
+        val grown = intra.join(
+            mark.select(col("id").as("dst")).hint("shuffle_hash"), "dst")
           .select(col("src").as("id"), col("c"))
         val next = Pin(mark.unionByName(grown).distinct())
         prevMark = markN
@@ -1102,9 +1114,12 @@ object GraphAlgorithms {
       found = found :+ mark.select(col("id"), col("c").as("scc"))
       // ---- remove the extracted SCCs and iterate on the rest
       val gone = mark.select(col("id"))
+      // dst-anti first, src-anti LAST (anti-joins commute; left-anti
+      // preserves the left partitioning): the next outer round's rem is
+      // pinned hash(src) again — no re-shuffle of the surviving edges.
       rem = Pin(rem
-        .join(gone.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .join(gone.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .join(gone.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .select(col("src"), col("dst")))
       active = Pin(active.join(gone, Seq("id"), "left_anti"))
       activeN = active.count()

@@ -2436,13 +2436,18 @@ class Planner(spark: SparkSession, graph0: PropertyGraph,
       val extra = if (trackNodes) Seq(
         if (anchorIsSrc) concat(col(pnodes), array(col("_n_t"))).as(pnodes)
         else concat(array(col("_n_f")), col(pnodes)).as(pnodes)) else Seq.empty
+      // shuffle_hash on the frontier: the hop table is pinned hash-
+      // partitioned but unsorted, and a sort-merge join would re-SORT it
+      // every hop (r14, guide §3.1); hashing the frontier partition is
+      // the per-hop-cheap build. The rel-id uniqueness guard rides as the
+      // join's residual condition under either strategy.
       if (anchorIsSrc)
-        fr.join(h2,
+        fr.hint("shuffle_hash").join(h2,
             col(pto) === col("_n_f") && !array_contains(col(pids), col("_n_i")))
           .select(col(pfrom) +: col("_n_t").as(pto) +:
             concat(col(pids), array(col("_n_i"))).as(pids) +: extra: _*)
       else
-        fr.join(h2,
+        fr.hint("shuffle_hash").join(h2,
             col(pfrom) === col("_n_t") && !array_contains(col(pids), col("_n_i")))
           .select(col("_n_f").as(pfrom) +: col(pto) +:
             concat(array(col("_n_i")), col(pids)).as(pids) +: extra: _*)
