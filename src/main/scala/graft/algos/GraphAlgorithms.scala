@@ -333,7 +333,12 @@ object GraphAlgorithms {
     // (O(Σ fwd_deg²) rows vs m) and a sort-merge join would SORT it —
     // the measured dominant cost of this query family (guide §3.1);
     // hashing the m-row canon partitions is the right asymmetric build.
-    wedges.join(canon.hint("shuffle_hash"),
+    // Count-only path: the wedge source corner u is dead weight for the
+    // closing join — the explicit projection documents that (Catalyst
+    // already prunes it before the exchange; measured shuffle bytes are
+    // unchanged, so this is plan-clarity, not a volume cut).
+    wedges.select(col("x"), col("y"))
+      .join(canon.hint("shuffle_hash"),
         col("x") === col("a") && col("y") === col("b"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
   }
@@ -1605,7 +1610,6 @@ object GraphAlgorithms {
       .withColumn("sw", lit(0.0))
     // orig node -> current super-node (starts as identity).
     var mapping = sym.select(col("u").as("orig"), col("u").as("node")).distinct()
-    val win = org.apache.spark.sql.expressions.Window
     for (level <- 1 to levels) {
       // Node strength: incident weight + twice the self-loop weight.
       // Anchored on selfw (the full node set) so an all-internal community
@@ -1649,11 +1653,16 @@ object GraphAlgorithms {
               (col("tot") -
                 when(col("nc") === col("oc"), col("k")).otherwise(lit(0.0)))
               / lit(m2))
+        // argmax by (score desc, nc asc) as a struct-max aggregate: the
+        // window formulation SORTED every candidate partition; max over
+        // struct(score, -nc) is map-side-combinable and picks the
+        // identical row (negation reverses the id order, so ties resolve
+        // toward the smaller community for any sign — r14, guide §2.3/§4;
+        // same mode-by-struct-max trick as labelPropagation).
         val best = cand
-          .withColumn("_rk", row_number().over(win.partitionBy(col("u"))
-            .orderBy(col("score").desc, col("nc"))))
-          .filter(col("_rk") === 1)
-          .select(col("u").as("id"), col("nc").as("_newc"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("score"), (-col("nc")).as("_nnc"))).as("_m"))
+          .select(col("u").as("id"), (-col("_m._nnc")).as("_newc"))
         comm = Pin(comm.join(best, Seq("id"), "left_outer")
           .select(col("id"), coalesce(col("_newc"), col("c")).as("c")))
       }
@@ -1808,7 +1817,8 @@ object GraphAlgorithms {
       .select(expr("w2 div 2").as("wedges"))
     val tri = {
       val oriented = orientByDegree(canon)
-      wedgeJoin(oriented).join(canon.hint("shuffle_hash"),
+      wedgeJoin(oriented).select(col("x"), col("y")) // u dead here (pruned anyway)
+        .join(canon.hint("shuffle_hash"),
           col("x") === col("a") && col("y") === col("b"), "left_semi")
         .agg(count(lit(1)).as("triangles"))
     }
