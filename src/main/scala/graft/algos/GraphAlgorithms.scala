@@ -4,6 +4,7 @@ import graft.graph.PropertyGraph
 import graft.impl.Pin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.BloomBridge
 import org.apache.spark.sql.types._
 
 /** Whole-graph analytics over the same element-table scans the Cypher
@@ -324,6 +325,7 @@ object GraphAlgorithms {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .repartition(col("a")).dropDuplicates(Seq("a", "b")))
+    val m = canon.count() // materializes the pin; sizes the bloom (r15)
     val oriented = orientByDegree(canon)
     val wedges = wedgeJoin(oriented)
     // Close against the canonical edge set. wedgeJoin guarantees x < y
@@ -333,11 +335,10 @@ object GraphAlgorithms {
     // (O(Σ fwd_deg²) rows vs m) and a sort-merge join would SORT it —
     // the measured dominant cost of this query family (guide §3.1);
     // hashing the m-row canon partitions is the right asymmetric build.
-    // Count-only path: the wedge source corner u is dead weight for the
-    // closing join — the explicit projection documents that (Catalyst
-    // already prunes it before the exchange; measured shuffle bytes are
-    // unchanged, so this is plan-clarity, not a volume cut).
-    wedges.select(col("x"), col("y"))
+    // r15: non-closing wedges are additionally dropped map-side by a
+    // bloom prefilter BEFORE the wedge exchange (guide §3.2) — see
+    // wedgeBloomPrefilter for sizing and the exactness argument.
+    wedgeBloomPrefilter(wedges.select(col("x"), col("y")), canon, m)
       .join(canon.hint("shuffle_hash"),
         col("x") === col("a") && col("y") === col("b"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
@@ -360,13 +361,15 @@ object GraphAlgorithms {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .repartition(col("a")).dropDuplicates(Seq("a", "b")))
+    val m = canon.count() // materializes the pin; sizes the bloom (r15)
     val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val oriented = orientByDegree(canon)
     // Same closing-join shape as triangleCountEdges: plain (x, y) keys
     // (wedgeJoin guarantees x < y) + shuffle_hash on the small canon side
-    // so the fat wedge side is never sorted.
-    val tri = wedgeJoin(oriented)
+    // so the fat wedge side is never sorted; bloom prefilter before the
+    // wedge exchange (r15, guide §3.2).
+    val tri = wedgeBloomPrefilter(wedgeJoin(oriented), canon, m)
       .join(canon.hint("shuffle_hash"),
         col("x") === col("a") && col("y") === col("b"), "left_semi")
     val perNode = tri
@@ -412,6 +415,40 @@ object GraphAlgorithms {
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("w0"), col("e1.v").as("x"), col("e2.v").as("y"))
+
+  /** Bloom-prefilter of the wedge frame against canon's (a, b) edge key,
+    * applied BEFORE the closing semi-join so non-closing wedges die map-side
+    * instead of crossing the wedge exchange — the engine's largest single
+    * shuffle (~400 MB at sf0.1, O(Σ fwd_deg²) rows vs m; guide §3.2). Built
+    * via [[org.apache.spark.sql.graftx.BloomBridge]]: a distributed
+    * bloom_filter_agg scalar subquery over the (pinned, cached) canon frame,
+    * probed with the same xxhash64 of the wedge's (x, y) — exactly the plan
+    * fragment Spark's own InjectRuntimeFilter produces, which does not fire
+    * here because canon carries no selective source predicate. False
+    * positives are removed by the semi-join itself, so results are
+    * unchanged by construction.
+    *
+    * Sizing (§5): `m` is the exact canon count (one cheap job over the
+    * pinned blocks). Bits target 3% fpp, capped at
+    * `spark.graft.bloom.maxBits` (default 2^27 = 16 MB) so the broadcast
+    * value stays bounded on huge graphs — past the cap the filter saturates
+    * toward pass-through (less selective, never wrong). Skipped below
+    * `spark.graft.bloom.minItems` build rows (default 2^15) where the wedge
+    * frame is too small for the extra aggregate pass to pay. */
+  private def wedgeBloomPrefilter(wedges: DataFrame, canon: DataFrame,
+      m: Long): DataFrame = {
+    val conf = canon.sparkSession.conf
+    val minItems = conf.get("spark.graft.bloom.minItems", "32768").toLong
+    if (m < minItems) wedges
+    else {
+      val maxBits =
+        conf.get("spark.graft.bloom.maxBits", String.valueOf(1L << 27)).toLong
+      val bits =
+        math.min(maxBits, BloomBridge.optimalNumOfBits(m, 0.03))
+      wedges.filter(BloomBridge.mightContain(canon,
+        xxhash64(col("a"), col("b")), xxhash64(col("x"), col("y")), m, bits))
+    }
+  }
 
   /** Betweenness centrality via k-source Brandes (Brandes 2001; exact
     * when `sources` is every node, the standard sampled approximation
@@ -547,14 +584,17 @@ object GraphAlgorithms {
     * join (the [[triangleCountEdges]] machinery — fan-out bounded by
     * forward degree), then exploded back onto its three edges and
     * counted. One wedge join + one map-side-combinable aggregation. */
-  private[graft] def edgeSupport(canon: DataFrame): DataFrame = {
+  private[graft] def edgeSupport(canon: DataFrame, m: Long): DataFrame = {
     val oriented = orientByDegree(canon)
-    val tri = oriented.as("e1")
+    val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
-      // plain (x, y) keys (x < y by construction) + shuffle_hash on the
-      // small canon side — see triangleCountEdges.
+    // plain (x, y) keys (x < y by construction) + shuffle_hash on the
+    // small canon side — see triangleCountEdges; bloom prefilter before
+    // the wedge exchange (r15, guide §3.2). `m` is the caller's canon
+    // count (the ktruss loop counts each round's survivors anyway).
+    val tri = wedgeBloomPrefilter(wedges, canon, m)
       .join(canon.hint("shuffle_hash"),
         col("x") === col("a") && col("y") === col("b"), "left_semi")
     tri.select(explode(array(
@@ -594,7 +634,7 @@ object GraphAlgorithms {
     var changed = n > 0
     var it = 0
     while (changed && it < maxIterations) {
-      val support = edgeSupport(cur)
+      val support = edgeSupport(cur, n)
       val next = Pin(cur.join(support, Seq("a", "b"), "left_outer")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select(col("a"), col("b")))
@@ -1815,9 +1855,11 @@ object GraphAlgorithms {
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       .agg(sum(col("deg") * (col("deg") - 1)).as("w2"))
       .select(expr("w2 div 2").as("wedges"))
+    val m = canon.count() // materializes the pin; sizes the bloom (r15)
     val tri = {
       val oriented = orientByDegree(canon)
-      wedgeJoin(oriented).select(col("x"), col("y")) // u dead here (pruned anyway)
+      wedgeBloomPrefilter( // before the wedge exchange (r15, guide §3.2)
+          wedgeJoin(oriented).select(col("x"), col("y")), canon, m)
         .join(canon.hint("shuffle_hash"),
           col("x") === col("a") && col("y") === col("b"), "left_semi")
         .agg(count(lit(1)).as("triangles"))

@@ -29,6 +29,12 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(outDir)
+    // Same one-time prep as Bench/R14Probe (graph ids + recall-gate
+    // fixtures), so fixture-dependent queries resolve and the captured
+    // plans match the session the bench actually runs (ADVICE r14).
+    val g = graft.tpch.TpchGraph(spark, sfDir)
+    g.relTables.last.df.count()
+    graft.pipeline.PipelineQueries.warmGates(spark, sfDir)
     val reg = graft.SparkEntry.queries
     names.foreach { name =>
       reg.get(name) match {
