@@ -94,18 +94,21 @@ object GraphAlgorithms {
     // One src exchange feeds the degree aggregation AND the links join on
     // both sides (r14, guide §2.4) — the old shape shuffled the edge frame
     // twice (groupBy input + join left).
-    val e = validated(edges(graph, relTypes), graph).repartition(col("src"))
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // The src-keyed equi-join already hash-partitions links on src — the
-    // partitioning every per-round join needs. Pinning preserves the
-    // partitioning, so no iteration ever re-shuffles the edge list (at
-    // 100 TB the edge re-shuffle would dominate every round).
-    val links = Pin(e.join(outDeg, "src"))
+    val e = validated(edges(graph, relTypes), graph)
+    // Pin.keyed (r15): ONE explicit hash(src) exchange feeds the degree
+    // aggregation AND both join sides (the r14 single-exchange shape,
+    // via ReuseExchange on the shared subtree), and the layout claim
+    // survives the pin so no round re-exchanges links (the plain pin lost
+    // the metadata — UnknownPartitioning — and re-shuffled it every
+    // round; at 100 TB that re-shuffle would dominate).
+    val links = Pin.keyed(e, Seq("src"), ep =>
+      ep.join(ep.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
     // Edge endpoints ARE node ids, so the distinct endpoint set IS the
     // connected-node set — no semi-join against the full node table. The
-    // distinct also leaves it hash-partitioned on id for the loop's joins.
-    val connected = Pin(e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct())
+    // distinct rides Pin.keyed's hash(id) exchange, which the loop's
+    // per-round contribution joins then consume for free (r15).
+    val connected = Pin.keyed(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))), Seq("id"), _.distinct())
     var isoRank = 1.0
     var ranks = connected.select(col("id"), lit(1.0).as("rank"))
     for (i <- 1 to iterations) {
@@ -162,11 +165,13 @@ object GraphAlgorithms {
         StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
           StructField("w", DoubleType)))))
     // Same single-exchange links construction as pageRank (r14).
-    val typedP = typed.repartition(col("src"))
-    val outW = typedP.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val links = Pin(typedP.join(outW, "src"))
-    val connected = Pin(typed.select(col("src").as("id"))
-      .unionByName(typed.select(col("dst").as("id"))).distinct())
+    // Pin.keyed (r15): one explicit hash(src) exchange feeds the weight
+    // aggregation and both join sides, and the layout claim survives the
+    // pin so no round re-exchanges links (see pageRank).
+    val links = Pin.keyed(typed, Seq("src"), tp =>
+      tp.join(tp.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src"))
+    val connected = Pin.keyed(typed.select(col("src").as("id"))
+      .unionByName(typed.select(col("dst").as("id"))), Seq("id"), _.distinct())
     var isoRank = 1.0
     var ranks = connected.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
@@ -317,14 +322,14 @@ object GraphAlgorithms {
   def triangleCountEdges(edges0: DataFrame): DataFrame = {
     // canonical undirected form: low id -> high id, deduped, no loops
     // Dedup rides the hash(a) repartition (one exchange, not two — r14,
-    // guide §2.4); the pinned hash(a) partitioning is consumed free by
-    // orientByDegree's a-side attachment join and satisfies the closing
-    // semi-join's (a, b) clustering.
-    val canon = Pin(edges0
+    // guide §2.4); Pin.keyed (r15) keeps the hash(a) layout VISIBLE, so
+    // orientByDegree's a-side attachment join, the closing semi-join's
+    // (a, b) clustering and the bloom-build scan all consume it free.
+    val canon = Pin.keyed(edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
+        greatest(col("src"), col("dst")).as("b")),
+      Seq("a"), _.dropDuplicates(Seq("a", "b")))
     val m = canon.count() // materializes the pin; sizes the bloom (r15)
     val oriented = orientByDegree(canon)
     val wedges = wedgeJoin(oriented)
@@ -353,14 +358,13 @@ object GraphAlgorithms {
     * three corners. Returns (id, triangles, lcc). */
   def localClusteringCoefficient(edges0: DataFrame): DataFrame = {
     // Dedup rides the hash(a) repartition (one exchange, not two — r14,
-    // guide §2.4); the pinned hash(a) partitioning is consumed free by
-    // orientByDegree's a-side attachment join and satisfies the closing
-    // semi-join's (a, b) clustering.
-    val canon = Pin(edges0
+    // guide §2.4); Pin.keyed (r15) keeps the hash(a) layout visible for
+    // orientByDegree's a-side join and the closing semi-join.
+    val canon = Pin.keyed(edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
+        greatest(col("src"), col("dst")).as("b")),
+      Seq("a"), _.dropDuplicates(Seq("a", "b")))
     val m = canon.count() // materializes the pin; sizes the bloom (r15)
     val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -489,11 +493,10 @@ object GraphAlgorithms {
         col("src").as("dst")))
     // One exchange, not two: repartition on src, then dedup in place —
     // hash(src) satisfies the (src, dst) clustering the dedup aggregate
-    // needs, so no second full edge shuffle, and the pinned frame keeps
-    // the hash(src) partitioning every per-round join consumes (r14,
-    // guide §2.4).
-    val e = Pin(sym.repartition(col("src"))
-      .dropDuplicates(Seq("src", "dst")))
+    // needs. Pin.keyed (r15) keeps the hash(src) layout VISIBLE through
+    // the pin, so no per-round join re-exchanges the edge frame (plain
+    // Pin lost the metadata and re-shuffled it every round).
+    val e = Pin.keyed(sym, Seq("src"), _.dropDuplicates(Seq("src", "dst")))
     val src0 = sources.select(col("id").cast(LongType).as("s")).distinct()
     // forward BFS: levels(k) = (s, v, sigma) first reached at depth k.
     // visited is a lazy union of the pinned levels — no per-round visited
@@ -624,12 +627,13 @@ object GraphAlgorithms {
   def kTrussEdges(edges0: DataFrame, k: Int,
       maxIterations: Int = 50): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    // Same single-exchange canonicalization as triangleCountEdges (r14).
-    var cur = Pin(edges0
+    // Same single-exchange canonicalization as triangleCountEdges (r14),
+    // with the hash(a) layout kept visible (Pin.keyed, r15).
+    var cur = Pin.keyed(edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
+        greatest(col("src"), col("dst")).as("b")),
+      Seq("a"), _.dropDuplicates(Seq("a", "b")))
     var n = cur.count()
     var changed = n > 0
     var it = 0
@@ -687,9 +691,13 @@ object GraphAlgorithms {
     val sym = if (directed) typed
       else typed.unionByName(typed.select(
         col("dst").as("src"), col("src").as("dst"), col("w")))
-    // Pinned pre-partitioned on src: every round's frontier join consumes
-    // this partitioning, so the edge list shuffles once per call, ever.
-    val e = Pin(sym.repartition(col("src")))
+    // Pinned pre-partitioned on src WITH the partitioning kept visible
+    // (Pin.keyed, r15): every round's frontier join consumes the hash(src)
+    // layout, so the edge list shuffles once per call, ever. The r14 plain
+    // Pin lost the metadata (UnknownPartitioning after localCheckpoint)
+    // and re-exchanged the full edge frame EVERY round — measured 473 MB
+    // of the query's shuffle at sf0.1, ~90% of it this frame.
+    val e = Pin.keyed(sym, Seq("src"))
     var dist = Pin(sources.select(col("id").cast(LongType).as("id"))
       .distinct().select(col("id"), lit(0.0).as("dist")))
     var frontier = dist
@@ -747,15 +755,18 @@ object GraphAlgorithms {
     // One src exchange feeds the degree aggregation AND the links join on
     // both sides (r14, guide §2.4) — the old shape shuffled the edge frame
     // twice (groupBy input + join left).
-    val e = validated(edges(graph, relTypes), graph).repartition(col("src"))
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val links = Pin(e.join(outDeg, "src"))
+    val e = validated(edges(graph, relTypes), graph)
+    // Pin.keyed (r15): one explicit hash(src) exchange feeds the degree
+    // aggregation and both join sides, and the layout claim survives the
+    // pin so no round re-exchanges links (see pageRank).
+    val links = Pin.keyed(e, Seq("src"), ep =>
+      ep.join(ep.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
     val seedIds = seeds.select(col("id").cast(LongType).as("id")).distinct()
     val k = seedIds.count()
     require(k > 0, "personalizedPageRank needs at least one seed")
-    val base = Pin(e.select(col("src").as("id"))
+    val base = Pin.keyed(e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .unionByName(seedIds).distinct()
+      .unionByName(seedIds), Seq("id"), _.distinct()
       .join(seedIds.withColumn("_p", lit(1.0 / k)), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("_p"), lit(0.0)).as("p")))
     var ranks = base.select(col("id"), col("p").as("rank"))
@@ -800,11 +811,12 @@ object GraphAlgorithms {
   def hitsEdges(edges0: DataFrame, iterations: Int = 2): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val dec = DecimalType(38, 0)
-    val e = Pin(edges0.select(col("src").cast(LongType).as("src"),
-        col("dst").cast(LongType).as("dst"))
-      .repartition(col("src")))
-    val nodes = Pin(e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct())
+    // Pin.keyed (r15): hash(src)/hash(id) layouts stay visible through the
+    // pins, so the per-round hub-side joins skip the edge re-exchange.
+    val e = Pin.keyed(edges0.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")), Seq("src"))
+    val nodes = Pin.keyed(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))), Seq("id"), _.distinct())
     var scores = Pin(nodes.select(col("id"),
       lit(1).cast(dec).as("hub"), lit(1).cast(dec).as("auth")))
     // Distinguish "no in/out edges" (join miss — score 0) from Decimal
@@ -869,9 +881,9 @@ object GraphAlgorithms {
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-    val sym = Pin(raw.unionByName(
-        raw.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
+    val sym = Pin.keyed(raw.unionByName(
+        raw.select(col("b").as("a"), col("a").as("b"))),
+      Seq("a"), _.dropDuplicates(Seq("a", "b")))
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
     val dec = DecimalType(38, 0)
     val pairs = sym
@@ -911,9 +923,9 @@ object GraphAlgorithms {
     // One exchange, not two: hash(dst) satisfies the (src, dst) dedup
     // clustering, and the pinned partitioning feeds every round's
     // labels-join (r14, guide §2.4).
-    val und = Pin(e0.unionByName(e0.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .repartition(col("dst")).dropDuplicates(Seq("src", "dst")))
+    val und = Pin.keyed(e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst"))),
+      Seq("dst"), _.dropDuplicates(Seq("src", "dst")))
     var lbl = Pin(und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     var changed = 1L
@@ -961,9 +973,9 @@ object GraphAlgorithms {
     val raw = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-    var sym = Pin(raw.unionByName(
-        raw.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
+    var sym = Pin.keyed(raw.unionByName(
+        raw.select(col("b").as("a"), col("a").as("b"))),
+      Seq("a"), _.dropDuplicates(Seq("a", "b")))
     var nEdges = sym.count()
     var prev = -1L
     var it = 0
@@ -1024,7 +1036,9 @@ object GraphAlgorithms {
     // No dedup pass: Kahn is correct on multigraphs (in-degrees and
     // decrements both count edge multiplicity), so duplicate edges don't
     // warrant a 1.9M-row distinct shuffle.
-    val e = Pin(e0.repartition(col("src")))
+    // Pin.keyed (r15): the hash(src) layout stays visible, so every Kahn
+    // round's decrement join consumes it instead of re-exchanging e.
+    val e = Pin.keyed(e0, Seq("src"))
     val indeg0 = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("d"))
     var frontier: DataFrame = Pin(e.select(col("src").as("id")).distinct()
       .join(indeg0.select(col("id")), Seq("id"), "left_anti")
@@ -1097,10 +1111,11 @@ object GraphAlgorithms {
       relTypes: Seq[String] = Seq.empty, maxOuterRounds: Int = 50,
       maxInnerRounds: Int = 100): DataFrame = {
     val e0 = validated(edges(graph, relTypes), graph)
-    // Single-exchange dedup (r14, guide §2.4): the pinned hash(src)
-    // partitioning feeds every inner color round's rem-side join free.
-    var rem = Pin(e0.filter(col("src") =!= col("dst"))
-      .repartition(col("src")).dropDuplicates(Seq("src", "dst")))
+    // Single-exchange dedup (r14, guide §2.4) + visible hash(src) layout
+    // (Pin.keyed, r15): every inner color round's rem-side join consumes
+    // the partitioning instead of re-exchanging the surviving edge frame.
+    var rem = Pin.keyed(e0.filter(col("src") =!= col("dst")), Seq("src"),
+      _.dropDuplicates(Seq("src", "dst")))
     var active = Pin(rem.select(col("src").as("id"))
       .unionByName(rem.select(col("dst").as("id"))).distinct())
     var activeN = active.count()
@@ -1293,9 +1308,9 @@ object GraphAlgorithms {
     // union on src; hash(src) satisfies the (src, dst) dedup clustering,
     // so one repartition + in-place dedup does both — and dedups ACROSS
     // the union arms too (harmless: every BFS level dedups (s, v), so
-    // edge multiplicity never reaches the scores).
-    val e = Pin(sym.repartition(col("src"))
-      .dropDuplicates(Seq("src", "dst")))
+    // edge multiplicity never reaches the scores). Pin.keyed (r15) keeps
+    // the hash(src) layout visible so rounds skip the edge re-exchange.
+    val e = Pin.keyed(sym, Seq("src"), _.dropDuplicates(Seq("src", "dst")))
     // visited is a LAZY union of the pinned per-depth levels (no per-round
     // visited checkpoint write — the anti-join re-reads cached level
     // blocks), and the convergence count is the 1-row aggregate that
@@ -1347,12 +1362,15 @@ object GraphAlgorithms {
     // One exchange, not two (r14, guide §2.4): the neighbor dedup rides
     // the hash(v) repartition every hop's sketch join consumes (hash(v)
     // satisfies the (u, v) dedup clustering).
-    val sym = Pin {
+    val sym = {
       val e = edges0.filter(col("src") =!= col("dst"))
-      e.select(col("src").as("u"), col("dst").as("v"))
-        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
-        .repartition(spark.sparkContext.defaultParallelism, col("v"))
-        .dropDuplicates(Seq("u", "v"))
+      // Pin.keyed (r15): hash(v) layout stays visible, so every hop's
+      // sketch join consumes it instead of re-exchanging the edge frame
+      // (n = spark.sql.shuffle.partitions, replacing the r14
+      // defaultParallelism choice — identical in the bench session).
+      Pin.keyed(e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v"))),
+        Seq("v"), _.dropDuplicates(Seq("u", "v")))
     }
     var state = Pin {
       val init = sym.select(col("u").as("id"))
@@ -1399,12 +1417,15 @@ object GraphAlgorithms {
     // One exchange, not two (r14, guide §2.4): the neighbor dedup rides
     // the hash(v) repartition every hop's sketch join consumes (hash(v)
     // satisfies the (u, v) dedup clustering).
-    val sym = Pin {
+    val sym = {
       val e = edges0.filter(col("src") =!= col("dst"))
-      e.select(col("src").as("u"), col("dst").as("v"))
-        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
-        .repartition(spark.sparkContext.defaultParallelism, col("v"))
-        .dropDuplicates(Seq("u", "v"))
+      // Pin.keyed (r15): hash(v) layout stays visible, so every hop's
+      // sketch join consumes it instead of re-exchanging the edge frame
+      // (n = spark.sql.shuffle.partitions, replacing the r14
+      // defaultParallelism choice — identical in the bench session).
+      Pin.keyed(e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v"))),
+        Seq("v"), _.dropDuplicates(Seq("u", "v")))
     }
     var sk = Pin(sym.select(col("u").as("id"))
       .groupBy(col("id"))
@@ -1523,9 +1544,9 @@ object GraphAlgorithms {
     // union on src; hash(src) satisfies the (src, dst) dedup clustering,
     // so one repartition + in-place dedup does both — and dedups ACROSS
     // the union arms too (harmless: every BFS level dedups (s, v), so
-    // edge multiplicity never reaches the scores).
-    val e = Pin(sym.repartition(col("src"))
-      .dropDuplicates(Seq("src", "dst")))
+    // edge multiplicity never reaches the scores). Pin.keyed (r15) keeps
+    // the hash(src) layout visible so rounds skip the edge re-exchange.
+    val e = Pin.keyed(sym, Seq("src"), _.dropDuplicates(Seq("src", "dst")))
     // Same per-round job fold as [[harmonicCentrality]]: lazy visited
     // union over pinned levels + convergence folded into the pin-
     // materializing aggregate (VERDICT r13 #1).
@@ -1590,9 +1611,11 @@ object GraphAlgorithms {
     val e = if (directed) e0
       else e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
-    val links = Pin(e.repartition(col("src")))
-    val connected = Pin(e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct())
+    // Pin.keyed (r15): hash(src)/hash(id) layouts stay visible through the
+    // pins, so no power-iteration round re-exchanges the edge frame.
+    val links = Pin.keyed(e, Seq("src"))
+    val connected = Pin.keyed(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))), Seq("id"), _.distinct())
     var x = connected.select(col("id"), lit(1.0).as("score"))
     for (_ <- 1 to iterations) {
       val contrib = links.join(x.hint("shuffle_hash"),
@@ -1642,10 +1665,9 @@ object GraphAlgorithms {
     // what every sweep's mover join and degree aggregation consume.
     val base = edges0.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    var sym = Pin(base.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(base.select(col("dst").as("u"), col("src").as("v")))
-      .repartition(col("u")).dropDuplicates(Seq("u", "v"))
-      .withColumn("w", lit(1.0)))
+    var sym = Pin.keyed(base.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(base.select(col("dst").as("u"), col("src").as("v"))),
+      Seq("u"), _.dropDuplicates(Seq("u", "v")).withColumn("w", lit(1.0)))
     var selfw = sym.select(col("u").as("id")).distinct()
       .withColumn("sw", lit(0.0))
     // orig node -> current super-node (starts as identity).
@@ -1763,11 +1785,15 @@ object GraphAlgorithms {
     else e0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
-    val nbr = Pin(sym
+    // Pin.keyed (r15): hash(src) layout stays visible so each step's
+    // cur-join consumes it instead of re-exchanging the neighbor frame.
+    // The windows need hash(src) clustering too, so the one explicit
+    // exchange feeds windows, pin and every step (the windows' sort is
+    // per-partition; placement stays hash(src)).
+    val nbr = Pin.keyed(sym, Seq("src"), _
       .withColumn("idx", row_number().over(w))
       .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .repartition(col("src")))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
     // State: one row per live walk. walk_id = start·walksPerStart + w.
     var state = starts.select(col("id").cast(LongType).as("start"))
       .distinct()
@@ -1808,11 +1834,14 @@ object GraphAlgorithms {
     // One src exchange feeds the degree aggregation AND the links join on
     // both sides (r14, guide §2.4) — the old shape shuffled the edge frame
     // twice (groupBy input + join left).
-    val e = validated(edges(graph, relTypes), graph).repartition(col("src"))
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val links = Pin(e.join(outDeg, "src"))
-    val connected = Pin(e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct())
+    val e = validated(edges(graph, relTypes), graph)
+    // Pin.keyed (r15): one explicit hash(src) exchange feeds the degree
+    // aggregation and both join sides, and the layout claim survives the
+    // pin so no round re-exchanges links (see pageRank).
+    val links = Pin.keyed(e, Seq("src"), ep =>
+      ep.join(ep.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+    val connected = Pin.keyed(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))), Seq("id"), _.distinct())
     val nConn = connected.count()
     val avgDeg = if (nConn == 0L) 0.0 else e.count().toDouble / nConn
     var ranks = connected.select(col("id"), lit(1.0).as("rank"))
@@ -1841,14 +1870,13 @@ object GraphAlgorithms {
     * rounding. Returns 1 row (triangles, wedges, transitivity). */
   def transitivityEdges(edges0: DataFrame): DataFrame = {
     // Dedup rides the hash(a) repartition (one exchange, not two — r14,
-    // guide §2.4); the pinned hash(a) partitioning is consumed free by
-    // orientByDegree's a-side attachment join and satisfies the closing
-    // semi-join's (a, b) clustering.
-    val canon = Pin(edges0
+    // guide §2.4); Pin.keyed (r15) keeps the hash(a) layout visible for
+    // orientByDegree's a-side join and the closing semi-join.
+    val canon = Pin.keyed(edges0
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .repartition(col("a")).dropDuplicates(Seq("a", "b")))
+        greatest(col("src"), col("dst")).as("b")),
+      Seq("a"), _.dropDuplicates(Seq("a", "b")))
     // Σ deg·(deg−1) stays an exact LONG end to end; the halving is an
     // integer `div` (the product is always even), never a double.
     val wedges = canon.select(explode(array(col("a"), col("b"))).as("id"))
