@@ -443,7 +443,7 @@ object GraphAlgorithms {
       m: Long): DataFrame = {
     val conf = canon.sparkSession.conf
     val minItems = conf.get("spark.graft.bloom.minItems", "32768").toLong
-    if (m < minItems) wedges
+    if (m <= 0 || m < minItems) wedges // m <= 0: caller-disabled (ktruss)
     else {
       val maxBits =
         conf.get("spark.graft.bloom.maxBits", String.valueOf(1L << 27)).toLong
@@ -597,7 +597,16 @@ object GraphAlgorithms {
     // small canon side — see triangleCountEdges; bloom prefilter before
     // the wedge exchange (r15, guide §3.2). `m` is the caller's canon
     // count (the ktruss loop counts each round's survivors anyway).
-    val tri = wedgeBloomPrefilter(wedges, canon, m)
+    // PER-ROUND caller: the bloom build costs one aggregate job + a
+    // subquery per peeling round, so it must clear a higher bar than the
+    // one-shot wedge queries — below ~1M surviving edges the wedge
+    // exchange is already small and the r15 bench measured the per-round
+    // builds as a net loss (+7 jobs, +0.6 s at sf0.1's ~750k edges).
+    val iterativeFloor = math.max(1L << 20,
+      canon.sparkSession.conf
+        .get("spark.graft.bloom.minItems", "32768").toLong)
+    val tri = wedgeBloomPrefilter(wedges, canon,
+      if (m >= iterativeFloor) m else 0L)
       .join(canon.hint("shuffle_hash"),
         col("x") === col("a") && col("y") === col("b"), "left_semi")
     tri.select(explode(array(
@@ -1365,12 +1374,15 @@ object GraphAlgorithms {
     val sym = {
       val e = edges0.filter(col("src") =!= col("dst"))
       // Pin.keyed (r15): hash(v) layout stays visible, so every hop's
-      // sketch join consumes it instead of re-exchanging the edge frame
-      // (n = spark.sql.shuffle.partitions, replacing the r14
-      // defaultParallelism choice — identical in the bench session).
+      // sketch join consumes it instead of re-exchanging the edge frame.
+      // Width stays at defaultParallelism (the deliberate r14 choice):
+      // the per-hop sketch unions are CPU-bound, and the pin's width now
+      // SETS the loop's parallelism — byte-derived sizing measured
+      // 6.3 -> 11.1 s here by running the merges 2-3 wide on 32 cores.
       Pin.keyed(e.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v"))),
-        Seq("v"), _.dropDuplicates(Seq("u", "v")))
+        Seq("v"), _.dropDuplicates(Seq("u", "v")),
+        width = Some(spark.sparkContext.defaultParallelism))
     }
     var state = Pin {
       val init = sym.select(col("u").as("id"))
@@ -1420,12 +1432,15 @@ object GraphAlgorithms {
     val sym = {
       val e = edges0.filter(col("src") =!= col("dst"))
       // Pin.keyed (r15): hash(v) layout stays visible, so every hop's
-      // sketch join consumes it instead of re-exchanging the edge frame
-      // (n = spark.sql.shuffle.partitions, replacing the r14
-      // defaultParallelism choice — identical in the bench session).
+      // sketch join consumes it instead of re-exchanging the edge frame.
+      // Width stays at defaultParallelism (the deliberate r14 choice):
+      // the per-hop sketch unions are CPU-bound, and the pin's width now
+      // SETS the loop's parallelism — byte-derived sizing measured
+      // 6.3 -> 11.1 s here by running the merges 2-3 wide on 32 cores.
       Pin.keyed(e.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v"))),
-        Seq("v"), _.dropDuplicates(Seq("u", "v")))
+        Seq("v"), _.dropDuplicates(Seq("u", "v")),
+        width = Some(spark.sparkContext.defaultParallelism))
     }
     var sk = Pin(sym.select(col("u").as("id"))
       .groupBy(col("id"))

@@ -152,14 +152,49 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     val session = new GraftSession(spark)
 
+    // Optional row filter (comma-separated names) so the 8-vs-32-core and
+    // low-partition spill sweeps (VERDICT r14 #4/#5) can target the
+    // heaviest rows without paying for the full matrix.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
+    // Spill / peak-memory accounting per timed row (VERDICT r14 #5: the
+    // forced shuffle-hash builds need a spill-safety story — shuffled-hash
+    // build sides do not spill, so the signal to watch at low partition
+    // counts is peak execution memory and whether ANY operator spills).
+    @volatile var spillMem = 0L
+    @volatile var spillDisk = 0L
+    @volatile var peakExec = 0L
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          synchronized {
+            val m = te.taskMetrics
+            if (m != null) {
+              spillMem += m.memoryBytesSpilled
+              spillDisk += m.diskBytesSpilled
+              peakExec = math.max(peakExec, m.peakExecutionMemory)
+            }
+          }
+      })
+
     // (name, scale) -> seconds
     val times = scala.collection.mutable.LinkedHashMap.empty[(String, Int), Double]
     def time(name: String, scale: Int)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      val sec = (System.nanoTime() - t0) / 1e9
-      times((name, scale)) = sec
-      println(f"[scale] $name%-16s ${scale}x  $sec%8.2f s")
+      if (only.forall(_.contains(name))) {
+        val (sm0, sd0) = (spillMem, spillDisk)
+        peakExec = 0L
+        val t0 = System.nanoTime()
+        f
+        val sec = (System.nanoTime() - t0) / 1e9
+        times((name, scale)) = sec
+        Thread.sleep(120) // let the listener bus drain the last task batch
+        println(f"[scale] $name%-16s ${scale}x  $sec%8.2f s  " +
+          f"spillMB=${(spillMem - sm0) / 1e6}%8.1f " +
+          f"spillDiskMB=${(spillDisk - sd0) / 1e6}%8.1f " +
+          f"peakTaskMemMB=${peakExec / 1e6}%8.1f")
+      }
     }
 
     scales.foreach { sc =>

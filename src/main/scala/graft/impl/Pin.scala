@@ -47,9 +47,15 @@ object Pin {
     * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` stays at
     * its default false. */
   def keyed(df: DataFrame, keys: Seq[String],
-      andThen: DataFrame => DataFrame = identity): DataFrame = {
+      andThen: DataFrame => DataFrame = identity,
+      width: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
-    val n = keyedPartitions(df)
+    // `width` overrides the size-derived count for frames whose CONSUMERS
+    // are compute-bound rather than byte-bound (e.g. the HyperBall sketch
+    // merges): there the pin's width sets the loop's parallelism, and
+    // byte-derived sizing would starve 32 cores with 2-3 fat partitions
+    // (measured r15: neighborhood_hll 6.3 -> 11.1 s).
+    val n = width.getOrElse(keyedPartitions(df))
     val shaped = andThen(df.repartition(n,
       keys.map(org.apache.spark.sql.functions.col): _*))
     mode(df) match {
