@@ -312,7 +312,13 @@ object GraftStreaming {
   def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    // Per-workload knob (r15): `spark.graft.stream.statePartitions`
+    // overrides the caller's bounded-replay default — a cluster ingesting
+    // at scale sizes state partitions to throughput, and the r15 A/B
+    // sweep (OPTIMIZATION_r15.md §6) measures the local floor with it.
+    val eff = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(n)
+    spark.conf.set(key, eff.toString)
     try f finally spark.conf.set(key, old)
   }
 

@@ -273,4 +273,19 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.toSeq === Seq((1L, 2L, 3.0), (1L, 1L, 3.0),
       (2L, 2L, 9.0)).sortBy(t => (t._1, t._3)))
   }
+
+  test("withStatePartitions honors the conf override and restores the old value") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val seen = GraftStreaming.withStatePartitions(spark, 4) { spark.conf.get(key) }
+    assert(seen === "4")
+    assert(spark.conf.get(key) === before)
+    spark.conf.set("spark.graft.stream.statePartitions", "7")
+    try {
+      val overridden =
+        GraftStreaming.withStatePartitions(spark, 4) { spark.conf.get(key) }
+      assert(overridden === "7")
+      assert(spark.conf.get(key) === before)
+    } finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
 }
